@@ -1,0 +1,48 @@
+"""Deterministic (bit-reproducible) aggregation mode.
+
+The reference guarantees reproducible sums via Kahan compensated, ordered
+folds (/root/reference/africanus/experimental/rime/fused/core.py:97-118).
+Spark's hash aggregation is unordered, so float sums vary at the ULP level
+between runs/engines. Instead of porting Kahan (which still depends on
+order), this engine offers *fixed-point exact aggregation*: quantize each
+addend to an integer grid, sum exactly in BIGINT (associative ⇒
+order-independent and engine-independent), and rescale once at the end.
+
+For values bounded by |x| ≤ B with scale s, correctness requires
+n·B·s < 2^63 — at 100 TB (~10^12 rows) and s=10^6 that still allows
+B ≈ 9×10^3 per-addend magnitude; for larger dynamic range use a smaller
+scale or a two-word (hi/lo) split. Quantization error is ≤ 1/(2s) per
+addend, which dominates float roundoff anyway at these scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, scale: float = 1e6) -> Column:
+    """Round to the 1/scale grid and cast to exact integer units."""
+    return F.round(col * F.lit(scale)).cast("long")
+
+
+def qsum(col: Column, scale: float = 1e6) -> Column:
+    """Order-independent exact sum: Σ round(x·scale) as BIGINT.
+
+    Divide by `scale` once after aggregation to recover a double —
+    the division of identical integers is itself bit-deterministic.
+    """
+    return F.sum(quantize(col, scale))
+
+
+def qsum_double(col: Column, scale: float = 1e6) -> Column:
+    return (qsum(col, scale) / F.lit(scale)).cast("double")
+
+
+def qsum_sql(expr: str, scale: float = 1e6) -> str:
+    """The DuckDB/ANSI mirror of qsum(), for oracle parity."""
+    return f"SUM(CAST(ROUND(({expr}) * {scale:.0f}) AS BIGINT))"
+
+
+def qsum_double_sql(expr: str, scale: float = 1e6) -> str:
+    return f"(SUM(CAST(ROUND(({expr}) * {scale:.0f}) AS BIGINT)) / {scale:.0f})"

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors the driver harness (local[32], single JVM). The configs
+are chosen for 100 TB-scale habits even though tests run locally:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join strategy —
+  replaces the reference's hand-tuned chunking (`--row-chunks`,
+  /root/reference/africanus/rime/examples/predict.py:141).
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden (AQE coalescing makes the initial number less critical).
+- Arrow enabled: every pandas-UDF escape hatch is Arrow-batched.
+- nanosAsLong: the driver's parquet uses TIMESTAMP(NANOS), which Spark's
+  vectorized reader does not support natively; we read exact integer
+  nanoseconds instead (no precision loss, unlike micros truncation).
+- session timezone pinned UTC so timestamp arithmetic is engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "codex_africanus_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply this engine's runtime confs to an externally-created session
+    (the driver harness constructs its own SparkSession)."""
+    for k, v in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable at runtime in some deployments; fine
+    return spark

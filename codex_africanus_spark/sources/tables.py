@@ -1,0 +1,39 @@
+"""Parquet scan helpers for the driver's testdata star schema.
+
+At 100 TB these reads are the entry point for partition pruning and
+column pruning — always `.select()` the needed columns immediately so
+Catalyst pushes projection into the parquet scan (ReadSchema), and pass
+filters early so they appear in PushedFilters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    # TIMESTAMP(NANOS) columns require nanosAsLong on this Spark version.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,188 @@
+"""Deterministic MS-shaped frames derived from the driver's star schema.
+
+The reference operates on Measurement-Set-shaped tables (FIXTURES.md T1-T5);
+the driver's testdata is TPC-H-ish. This module derives MS-shaped columns
+(uvw, antennas, time, channel, frequency, flags, weights, visibilities,
+source catalogue) from the synthetic tables with *engine-independent
+integer/float arithmetic*, so every astronomy operator can be demonstrated
+as a query whose DuckDB oracle derives the identical frame.
+
+Each builder has a paired `*_SQL` CTE string. The Spark expression and the
+SQL are kept textually adjacent and covered by tests/test_derived_frames.py
+which asserts value equality against DuckDB at sf0.001.
+
+Scale note: `vis` derives 1:1 from lineitem (the fact table) with pure
+narrow projections — no shuffle, no UDF — so at 100 TB this layer is free:
+it fuses into the parquet scan under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.sources.tables import load
+
+N_ANT = 7
+N_CHAN_BASE = 8  # freq = 856 MHz * (1 + chan/8)
+REF_FREQ = 856e6
+
+
+# --------------------------------------------------------------------------
+# vis main table  (from lineitem; FIXTURES.md T1 analogue)
+# --------------------------------------------------------------------------
+
+def vis_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS main-table analogue: one visibility sample per lineitem row."""
+    li = load(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    a = (F.col("l_suppkey") % N_ANT).cast("int")
+    b = (F.col("l_partkey") % N_ANT).cast("int")
+    chan = (F.col("l_linenumber") - 1).cast("int")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .cast("double")
+        .alias("time"),
+        F.least(a, b).alias("antenna1"),
+        F.greatest(a, b).alias("antenna2"),
+        ((cents % 2001 - 1000) / F.lit(10.0)).alias("u"),
+        (((F.col("l_partkey") * 37) % 2001 - 1000) / F.lit(10.0)).alias("v"),
+        (((F.col("l_suppkey") * 73) % 201 - 100) / F.lit(10.0)).alias("w"),
+        chan.alias("chan"),
+        (F.lit(REF_FREQ) * (1 + chan / F.lit(8.0))).alias("frequency"),
+        (F.col("l_orderkey") % 13 == 0).alias("flag_row"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 11 == 0).alias("flag"),
+        (F.lit(1.0) + (F.col("l_orderkey") % 5)).alias("weight"),
+        ((F.lit(1.0) + (F.col("l_partkey") % 3)) / F.lit(2.0)).alias("sigma"),
+        F.col("l_quantity").alias("vis_re"),
+        ((cents % 100) / F.lit(10.0)).alias("vis_im"),
+        F.col("l_quantity").alias("interval"),
+    )
+
+
+VIS_SQL = """
+  SELECT l_orderkey * 8 + l_linenumber                        AS row_id,
+         CAST(CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 1000000 AS BIGINT) AS DOUBLE) AS time,
+         LEAST(l_suppkey % 7, l_partkey % 7)                  AS antenna1,
+         GREATEST(l_suppkey % 7, l_partkey % 7)               AS antenna2,
+         (CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 2001 - 1000) / 10.0 AS u,
+         ((l_partkey * 37) % 2001 - 1000) / 10.0              AS v,
+         ((l_suppkey * 73) % 201 - 100) / 10.0                AS w,
+         l_linenumber - 1                                     AS chan,
+         856000000.0 * (1 + (l_linenumber - 1) / 8.0)         AS frequency,
+         (l_orderkey % 13 = 0)                                AS flag_row,
+         ((l_orderkey + l_linenumber) % 11 = 0)               AS flag,
+         1.0 + (l_orderkey % 5)                               AS weight,
+         (1.0 + (l_partkey % 3)) / 2.0                        AS sigma,
+         l_quantity                                           AS vis_re,
+         (CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 100) / 10.0 AS vis_im,
+         l_quantity                                           AS interval
+  FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# source catalogue  (from nation — fixed 25 rows at every SF; T3 analogue)
+# --------------------------------------------------------------------------
+
+def source_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load(spark, "nation", sf_dir)
+    k = F.col("n_nationkey").cast("long")
+    l = (k - 12) / F.lit(200.0)
+    m = ((k * 7) % 25 - 12) / F.lit(250.0)
+    return na.select(
+        k.cast("int").alias("source_id"),
+        l.alias("l"),
+        m.alias("m"),
+        F.sqrt(F.lit(1.0) - l * l - m * m).alias("n"),
+        (F.lit(1.0) + (k % 5)).alias("flux_i"),
+        ((k % 3 - 1) / F.lit(4.0)).alias("flux_q"),
+        (((k * 3) % 5 - 2) / F.lit(8.0)).alias("flux_u"),
+        (((k * 11) % 7 - 3) / F.lit(10.0)).alias("flux_v"),
+        ((k % 7 - 3) / F.lit(10.0)).alias("spi"),
+        F.lit(REF_FREQ).alias("ref_freq"),
+        F.when(k % 3 == 0, F.lit("GAUSSIAN")).otherwise(F.lit("POINT")).alias("source_type"),
+        ((1 + k % 4) * F.lit(4.84813681109536e-6)).alias("emaj"),
+        ((1 + k % 4) * F.lit(4.84813681109536e-6) * F.lit(0.5)).alias("emin"),
+        (k * F.lit(0.3)).alias("position_angle"),
+    )
+
+
+SOURCE_SQL = """
+  SELECT CAST(n_nationkey AS INT)                              AS source_id,
+         (n_nationkey - 12) / 200.0                            AS l,
+         ((n_nationkey * 7) % 25 - 12) / 250.0                 AS m,
+         sqrt(1.0 - ((n_nationkey - 12) / 200.0) * ((n_nationkey - 12) / 200.0)
+                  - (((n_nationkey * 7) % 25 - 12) / 250.0) * (((n_nationkey * 7) % 25 - 12) / 250.0)) AS n,
+         1.0 + (n_nationkey % 5)                               AS flux_i,
+         (n_nationkey % 3 - 1) / 4.0                           AS flux_q,
+         ((n_nationkey * 3) % 5 - 2) / 8.0                     AS flux_u,
+         ((n_nationkey * 11) % 7 - 3) / 10.0                   AS flux_v,
+         (n_nationkey % 7 - 3) / 10.0                          AS spi,
+         856000000.0                                           AS ref_freq,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'GAUSSIAN' ELSE 'POINT' END AS source_type,
+         (1 + n_nationkey % 4) * 4.84813681109536e-6           AS emaj,
+         (1 + n_nationkey % 4) * 4.84813681109536e-6 * 0.5     AS emin,
+         n_nationkey * CAST(0.3 AS DOUBLE)                     AS position_angle
+  FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# gains table  (antenna × chan; T4 analogue, diagonal complex gain)
+# --------------------------------------------------------------------------
+
+def gains_table(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Small dimension table (n_ant × n_chan rows) — always broadcast."""
+    ant = spark.range(N_ANT).select(F.col("id").cast("int").alias("antenna"))
+    chan = spark.range(N_CHAN_BASE - 1).select(F.col("id").cast("int").alias("chan"))
+    g = ant.crossJoin(chan)
+    phase = (F.col("antenna") * 7 + F.col("chan")) * F.lit(0.05)
+    amp = F.lit(1.0) + F.col("antenna") / F.lit(50.0) + F.col("chan") / F.lit(100.0)
+    # trig differs at 1 ULP between JVM Math and libm — quantize to 9dp so
+    # the frame is engine-reproducible (both engines round half-away-from-0)
+    return g.select(
+        "antenna",
+        "chan",
+        F.round(amp * F.cos(phase), 9).alias("gain_re"),
+        F.round(amp * F.sin(phase), 9).alias("gain_im"),
+    )
+
+
+GAINS_SQL = """
+  SELECT CAST(a.range AS INT)  AS antenna,
+         CAST(c.range AS INT)  AS chan,
+         round((1.0 + a.range / 50.0 + c.range / 100.0) * cos((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE)), 9) AS gain_re,
+         round((1.0 + a.range / 50.0 + c.range / 100.0) * sin((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE)), 9) AS gain_im
+  FROM range(7) a, range(7) c
+"""
+
+
+# --------------------------------------------------------------------------
+# events-as-stream table (timestamps as exact integer microseconds)
+# --------------------------------------------------------------------------
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as exact integer epoch-microseconds (the parquet is
+    TIMESTAMP(NANOS); Spark reads nanos-as-long, DuckDB truncates to µs —
+    µs is the common exact grid)."""
+    ev = load(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),  # exact integer µs (ns DIV 1000)
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+EVENTS_SQL = """
+  SELECT event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         user_id,
+         event_type,
+         value
+  FROM events
+"""
