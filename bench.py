@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect of the aggregated result —
+results are small; nothing large crosses the driver boundary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from codex_africanus_spark.queries import registry  # noqa: E402
+from codex_africanus_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "predict_vis_point_gauss",
+    "corrupt_vis_apply_gains",
+    "time_and_channel_average",
+    "uv_grid_histogram",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_parts_by_revenue",
+    "events_tumbling_window",
+    "time_index_dense_rank",
+]
+
+
+def main() -> None:
+    spark = get_spark("codex-africanus-spark-bench")
+    reg = registry()
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in reg:
+            continue
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, SF_DIR)
+        # noop sink forces full evaluation of every output column
+        # (count() alone would let Catalyst prune the aggregates)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,642 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle SQL mirror.
+
+This is the driver contract surface (__spark_entry__.py re-exports it).
+Column names are aliased identically on both sides; float outputs are
+either exact fixed-point reductions (functions/deterministic.py) or
+per-row expressions quantized with round(x, 6) — both engine-independent.
+
+Organization: REGISTRY maps name -> QueryDef(spark_fn, oracle_sql).
+oracle_sql is None for non-SQL-expressible operators (driver then records
+a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from codex_africanus_spark.functions.complex_algebra import Cplx
+from codex_africanus_spark.functions.coordinates import radec_to_lmn
+from codex_africanus_spark.functions.deterministic import qsum
+from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+from codex_africanus_spark.functions.shapes import gaussian, gaussian_sql
+from codex_africanus_spark.functions.spectral import spectral_model
+from codex_africanus_spark.functions.stokes import stokes_to_corr
+from codex_africanus_spark.operators import averaging as avg_op
+from codex_africanus_spark.operators import predict as predict_op
+from codex_africanus_spark.sources import tpch_ms
+from codex_africanus_spark.sources.tables import load
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+# Shared CTE prelude for MS-shaped oracles
+_MS_CTES = (
+    f"vis AS ({tpch_ms.VIS_SQL}), src AS ({tpch_ms.SOURCE_SQL}), "
+    f"gains AS ({tpch_ms.GAINS_SQL}), ev AS ({tpch_ms.EVENTS_SQL})"
+)
+
+
+def _with_ms(sql: str) -> str:
+    return f"WITH {_MS_CTES} {sql}"
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Relational surface (scan/filter/join/agg/sort/limit — SURVEY §2.1-2.7)
+# ===========================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT))                       AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))       AS sum_base_cents,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))  AS sum_disc_c4,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax*100) AS BIGINT)))       AS sum_charge_c6,
+           COUNT(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with exact integer-cents aggregation (order-independent)."""
+    li = load(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc)).alias("sum_disc_c4"),
+            F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_c6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+           strftime(o.o_orderdate, '%Y-%m-%d')                    AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue_c4 DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter broadcast into the fact join."""
+    c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    l = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .select("o_orderkey", "revenue_c4", "orderdate")
+        .orderBy(F.col("revenue_c4").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_c4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue_c4 DESC, n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style snowflake join; dims broadcast, fact never shuffled
+    until the final small groupBy."""
+    l = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, "region", sf_dir).filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), "n_name")
+    )
+
+
+@register(
+    "topk_parts_by_revenue",
+    """
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY revenue_cents DESC, l_partkey
+    LIMIT 25
+    """,
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (SURVEY §2.6) — TakeOrderedAndProject, no full sort."""
+    li = load(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue_cents").desc(), "l_partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "union_source_catalogues",
+    _with_ms(
+        """
+        SELECT source_id, source_type, flux_i FROM (
+          SELECT source_id, source_type, flux_i FROM src WHERE source_type = 'POINT'
+          UNION ALL
+          SELECT source_id, source_type, flux_i FROM src WHERE source_type = 'GAUSSIAN'
+        ) u ORDER BY source_id
+        """
+    ),
+)
+def union_source_catalogues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point+gaussian catalogue concat (unionByName, SURVEY §2.7;
+    reference: predict.py:566-571 summing per-type outputs)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    pts = src.filter(F.col("source_type") == "POINT")
+    gauss = src.filter(F.col("source_type") == "GAUSSIAN")
+    return (
+        pts.unionByName(gauss)
+        .select("source_id", "source_type", "flux_i")
+        .orderBy("source_id")
+    )
+
+
+# ===========================================================================
+# Window / index operators (SURVEY §2.5-2.6)
+# ===========================================================================
+
+@register(
+    "time_index_dense_rank",
+    _with_ms(
+        """
+        SELECT row_id, time,
+               CAST(dense_rank() OVER (ORDER BY time) - 1 AS BIGINT) AS time_index
+        FROM vis ORDER BY row_id
+        """
+    ),
+)
+def time_index_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_index derivation: np.unique(time, return_inverse)[1] →
+    dense_rank()-1 (reference predict.py:694-697).
+
+    Scale note: a global window would move the whole fact table to one
+    partition. Instead rank the (small) distinct-times table and
+    broadcast-join the index back — O(#unique times) window, zero fact
+    shuffle."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    unique_times = (
+        vis.select("time")
+        .distinct()
+        .select(
+            "time",
+            (F.dense_rank().over(W.orderBy("time")) - 1).cast("long").alias("time_index"),
+        )
+    )
+    return vis.select("row_id", "time").join(F.broadcast(unique_times), "time").select(
+        "row_id", "time", "time_index"
+    ).orderBy("row_id")
+
+
+@register(
+    "unique_times_counts",
+    _with_ms(
+        """
+        SELECT time, COUNT(*) AS row_count, MIN(row_id) AS first_row_id
+        FROM vis GROUP BY time ORDER BY time
+        """
+    ),
+)
+def unique_times_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique_time with counts + first index
+    (reference averaging/support.py:10-117)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return (
+        vis.groupBy("time")
+        .agg(F.count(F.lit(1)).alias("row_count"), F.min("row_id").alias("first_row_id"))
+        .orderBy("time")
+    )
+
+
+# ===========================================================================
+# Scalar expression library (SURVEY §2.8)
+# ===========================================================================
+
+@register(
+    "phase_delay_factor",
+    _with_ms(
+        f"""
+        SELECT v.row_id, s.source_id,
+               round(cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency), 6) AS phase_re,
+               round(sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency), 6) AS phase_im
+        FROM vis v, src s
+        WHERE s.source_id < 3 AND v.row_id % 17 = 0
+        ORDER BY v.row_id, s.source_id
+        """
+    ),
+)
+def phase_delay_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e^{-2πi(ul+vm+w(n-1))ν/c} per (source,row) (reference phase.py:12-63)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_id") < 3)
+    j = vis.crossJoin(F.broadcast(src))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "fourier",
+    )
+    return j.select(
+        "row_id",
+        "source_id",
+        F.round(F.cos(theta), 6).alias("phase_re"),
+        F.round(F.sin(theta), 6).alias("phase_im"),
+    ).orderBy("row_id", "source_id")
+
+
+@register(
+    "radec_to_lm_transform",
+    """
+    SELECT c_custkey,
+           round(cos(((c_custkey*13) % 100) / 500.0) * sin((c_custkey % 100) / 500.0 - 0.1), 9) AS l,
+           round(sin(((c_custkey*13) % 100) / 500.0) * cos(CAST(0.05 AS DOUBLE))
+                 - cos(((c_custkey*13) % 100) / 500.0) * sin(CAST(0.05 AS DOUBLE)) * cos((c_custkey % 100) / 500.0 - 0.1), 9) AS m
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def radec_to_lm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """radec→lm tangent-plane projection (reference coordinates.py:29-120);
+    ra/dec derived deterministically from customer keys."""
+    c = load(spark, "customer", sf_dir)
+    ra = (F.col("c_custkey") % 100) / F.lit(500.0)
+    dec = ((F.col("c_custkey") * 13) % 100) / F.lit(500.0)
+    l, m, _ = radec_to_lmn(ra, dec, F.lit(0.1), F.lit(0.05))
+    return c.select(
+        "c_custkey", F.round(l, 9).alias("l"), F.round(m, 9).alias("m")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "spectral_model_flux",
+    _with_ms(
+        """
+        SELECT s.source_id, CAST(c.range AS INT) AS chan,
+               round(s.flux_i * pow((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq, s.spi), 6) AS flux
+        FROM src s, range(7) c
+        ORDER BY s.source_id, chan
+        """
+    ),
+)
+def spectral_model_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law spectral model I·(ν/ν₀)^α (reference spec_model.py:102-180)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    freq = F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))
+    return (
+        src.crossJoin(chan)
+        .select(
+            "source_id",
+            "chan",
+            F.round(
+                spectral_model(F.col("flux_i"), F.col("spi"), F.col("ref_freq"), freq), 6
+            ).alias("flux"),
+        )
+        .orderBy("source_id", "chan")
+    )
+
+
+@register(
+    "gaussian_shape_envelope",
+    _with_ms(
+        f"""
+        SELECT v.row_id, s.source_id,
+               round({gaussian_sql('v.u', 'v.v', 'v.frequency', 's.emaj', 's.emin', 's.position_angle')}, 9) AS envelope
+        FROM vis v, src s
+        WHERE s.source_type = 'GAUSSIAN' AND v.row_id % 29 = 0
+        ORDER BY v.row_id, s.source_id
+        """
+    ),
+)
+def gaussian_shape_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian source envelope (reference gaussian_shape.py:12-90)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 29 == 0)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "GAUSSIAN")
+    return (
+        vis.crossJoin(F.broadcast(src))
+        .select(
+            "row_id",
+            "source_id",
+            F.round(
+                gaussian(
+                    F.col("u"), F.col("v"), F.col("frequency"),
+                    F.col("emaj"), F.col("emin"), F.col("position_angle"),
+                ),
+                9,
+            ).alias("envelope"),
+        )
+        .orderBy("row_id", "source_id")
+    )
+
+
+@register(
+    "stokes_to_corr_conversion",
+    _with_ms(
+        """
+        SELECT source_id,
+               flux_i + flux_q AS xx_re, 0.0 AS xx_im,
+               flux_u AS xy_re,  flux_v AS xy_im,
+               flux_u AS yx_re, -flux_v AS yx_im,
+               flux_i - flux_q AS yy_re, 0.0 AS yy_im
+        FROM src ORDER BY source_id
+        """
+    ),
+)
+def stokes_to_corr_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[I,Q,U,V] → [XX,XY,YX,YY] linear-feed conversion (reference
+    conversion.py:19-51 schema-compiled expressions)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    corrs = stokes_to_corr(
+        F.col("flux_i"), F.col("flux_q"), F.col("flux_u"), F.col("flux_v"), "linear"
+    )
+    cols = [F.col("source_id")]
+    for name, z in corrs.items():
+        cols.extend([z.re.alias(f"{name.lower()}_re"), z.im.alias(f"{name.lower()}_im")])
+    return src.select(*cols).orderBy("source_id")
+
+
+# ===========================================================================
+# Predict / gains (SURVEY §2.3-2.4 joins+agg; the flagship)
+# ===========================================================================
+
+_PREDICT_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+               * (CASE WHEN s.source_type = 'GAUSSIAN'
+                       THEN {env}
+                       ELSE 1.0 END) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """.format(
+        env=gaussian_sql("v.u", "v.v", "v.frequency", "s.emaj", "s.emin", "s.position_angle")
+    )
+)
+
+
+@register("predict_vis_point_gauss", _PREDICT_ORACLE)
+def predict_vis_point_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full-catalogue predict (point + gaussian) with
+    deterministic fixed-point source reduction (reference
+    predict.py:566-649 + examples/predict.py:475-526)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return predict_op.predict_point_vis(vis, src).orderBy("row_id")
+
+
+_CORRUPT_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s WHERE s.source_type = 'POINT'
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_re,
+             SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    )
+    SELECT m.row_id, m.antenna1, m.antenna2, m.chan,
+           round((g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_re
+                 + (g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_im, 6) AS corrupted_re,
+           round((g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_re
+                 - (g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_im, 6) AS corrupted_im
+    FROM model m
+    JOIN gains g1 ON g1.antenna = m.antenna1 AND g1.chan = m.chan
+    JOIN gains g2 ON g2.antenna = m.antenna2 AND g2.chan = m.chan
+    ORDER BY m.row_id
+    """
+)
+
+
+@register("corrupt_vis_apply_gains", _CORRUPT_ORACLE)
+def corrupt_vis_apply_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G₁·V·G₂ᴴ gain application over predicted point-source model
+    (reference apply_gains predict.py:623-649 / corrupt_vis
+    calibration/utils/corrupt_vis.py:59-130)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    gains = tpch_ms.gains_table(spark)
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    return predict_op.apply_gains(model, gains).orderBy("row_id")
+
+
+# ===========================================================================
+# Averaging engine (SURVEY §2.4)
+# ===========================================================================
+
+_AVG_ORACLE = _with_ms(
+    """
+    , binned AS (
+      SELECT antenna1, antenna2,
+             CAST(FLOOR(time / 604800.0) AS BIGINT) AS time_bin,
+             CAST(chan // 2 AS INT)                 AS chan_bin,
+             time, interval, vis_re, vis_im, weight,
+             (flag OR flag_row) AS f
+      FROM vis
+    )
+    SELECT antenna1, antenna2, time_bin, chan_bin,
+           COUNT(*) AS nsamples,
+           SUM(CAST(ROUND(time) AS BIGINT)) / COUNT(*) AS time_avg,
+           SUM(CAST(ROUND(interval*100) AS BIGINT)) / 100.0 AS interval_sum,
+           (CASE WHEN MIN(CAST(f AS INT)) = 1
+                 THEN SUM(CAST(ROUND(CASE WHEN f THEN vis_re*weight ELSE 0.0 END * 100) AS BIGINT))
+                 ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN vis_re*weight ELSE 0.0 END * 100) AS BIGINT)) END)
+           / (CASE WHEN MIN(CAST(f AS INT)) = 1
+                 THEN SUM(CAST(ROUND(CASE WHEN f THEN weight ELSE 0.0 END * 100) AS BIGINT))
+                 ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN weight ELSE 0.0 END * 100) AS BIGINT)) END) AS vis_re_avg,
+           (CASE WHEN MIN(CAST(f AS INT)) = 1
+                 THEN SUM(CAST(ROUND(CASE WHEN f THEN vis_im*weight ELSE 0.0 END * 100) AS BIGINT))
+                 ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN vis_im*weight ELSE 0.0 END * 100) AS BIGINT)) END)
+           / (CASE WHEN MIN(CAST(f AS INT)) = 1
+                 THEN SUM(CAST(ROUND(CASE WHEN f THEN weight ELSE 0.0 END * 100) AS BIGINT))
+                 ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN weight ELSE 0.0 END * 100) AS BIGINT)) END) AS vis_im_avg,
+           (CASE WHEN MIN(CAST(f AS INT)) = 1
+                 THEN SUM(CAST(ROUND(CASE WHEN f THEN weight ELSE 0.0 END * 100) AS BIGINT))
+                 ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN weight ELSE 0.0 END * 100) AS BIGINT)) END) / 100.0 AS weight_sum,
+           (MIN(CAST(f AS INT)) = 1) AS bin_flag
+    FROM binned
+    GROUP BY antenna1, antenna2, time_bin, chan_bin
+    ORDER BY antenna1, antenna2, time_bin, chan_bin
+    """
+)
+
+
+@register("time_and_channel_average", _AVG_ORACLE)
+def time_and_channel_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted, flag-aware (baseline, time-bin, chan-bin) averaging
+    (reference time_and_channel_avg.py:764-860; two-tier flag semantics
+    of time_and_channel_mapping.py:80-87)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return avg_op.time_and_channel(vis, 604800.0, 2).orderBy(
+        "antenna1", "antenna2", "time_bin", "chan_bin"
+    )
+
+
+# ===========================================================================
+# Gridding as histogram aggregation (SURVEY §2.4 grid accumulation)
+# ===========================================================================
+
+@register(
+    "uv_grid_histogram",
+    _with_ms(
+        """
+        SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+               CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+               COUNT(*) AS nvis,
+               SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+               SUM(CAST(ROUND(vis_im * weight * 100) AS BIGINT)) AS grid_im_q
+        FROM vis WHERE NOT (flag OR flag_row)
+        GROUP BY u_cell, v_cell
+        ORDER BY u_cell, v_cell
+        """
+    ),
+)
+def uv_grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-weighted uv-grid accumulation: scatter-add of vis into
+    cells → groupBy(cell).sum (reference perleypolyhedron gridder.py:13-170
+    re-expressed as a 2-D histogram aggregation)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    return (
+        vis.groupBy(
+            F.floor(F.col("u") / 10.0).cast("long").alias("u_cell"),
+            F.floor(F.col("v") / 10.0).cast("long").alias("v_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nvis"),
+            qsum(F.col("vis_re") * F.col("weight"), 100.0).alias("grid_re_q"),
+            qsum(F.col("vis_im") * F.col("weight"), 100.0).alias("grid_im_q"),
+        )
+        .orderBy("u_cell", "v_cell")
+    )
+
+
+# ===========================================================================
+# Events: tumbling-window aggregation (streaming semantics on batch)
+# ===========================================================================
+
+@register(
+    "events_tumbling_window",
+    _with_ms(
+        """
+        SELECT event_type,
+               ts_us // 3600000000 AS hour_bin,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS value_sum
+        FROM ev
+        GROUP BY event_type, hour_bin
+        ORDER BY event_type, hour_bin
+        """
+    ),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (batch equivalent of the
+    streaming/windowed.py plan; reference analogue: fixed time_bin_secs
+    binning, time_and_channel_mapping.py:275)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.expr("ts_us DIV 3600000000").alias("hour_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .orderBy("event_type", "hour_bin")
+    )
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(REGISTRY)
