@@ -1,0 +1,137 @@
+"""Data-dependent sequential binning: sessionization & BDA.
+
+Two operators with the same skeleton — per-key ordered scan where the
+bin boundary depends on accumulated state — the one class of reference
+semantics that is NOT expressible as pure relational algebra
+(SURVEY.md §7 hard part 3):
+
+- `sessionize`: gap-based session assignment (events stream analogue of
+  per-baseline bin closure). The *gap rule* is expressible via the
+  classic gaps-and-islands SQL (lag + running sum), so this one IS
+  oracle-checkable — we implement it with applyInPandas to exercise the
+  custom-stateful path and check it against the SQL identity.
+- `bda_average`: baseline-dependent averaging
+  (/root/reference/africanus/averaging/bda_mapping.py:111-277 Binner):
+  accumulate rows into a bin while the decorrelation proxy
+  Σ|Δuvw|·scale stays under a tolerance AND the bin time-span stays
+  under `max_span_secs`; emit weighted bin averages. The accumulated-
+  state closure rule has no SQL window equivalent → rows-only check.
+
+Scale notes: both shuffle once on the group key (user_id / baseline) and
+stream each group through Arrow batches in time order. Skew guard: long
+baselines produce *more* bins but not more input rows per key than the
+data has — the shuffle is bounded by the natural key cardinality. For
+pathological keys (one user = 10% of events) AQE skew-join splitting
+does not apply to applyInPandas; the mitigation is a two-level key
+(user_id, coarse-time-bucket) pre-split — documented, not needed at
+these SFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Assign session indices per user: a new session starts when the gap
+    from the previous event exceeds `gap_us` (default 30 min)."""
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        gaps = pdf["ts_us"].diff().fillna(0) > gap_us
+        pdf["session_idx"] = gaps.cumsum().astype("int64")
+        return pdf[["event_id", "user_id", "ts_us", "session_idx"]]
+
+    return (
+        events.select("event_id", "user_id", "ts_us")
+        .groupBy("user_id")
+        .applyInPandas(per_user, "event_id long, user_id long, ts_us long, session_idx long")
+    )
+
+
+def SESSIONIZE_SQL(gap_us: int = 1_800_000_000) -> str:
+    """Gaps-and-islands identity of the sequential rule (oracle)."""
+    return f"""
+      SELECT event_id, user_id, ts_us,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts_us - prev_ts > {gap_us}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM (
+        SELECT event_id, user_id, ts_us,
+               lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        FROM ev
+      )
+      ORDER BY user_id, ts_us, event_id
+    """
+
+
+def bda_average(
+    vis: DataFrame,
+    decorr_tol: float = 500.0,
+    max_span_secs: float = 2_592_000.0,
+) -> DataFrame:
+    """Baseline-dependent averaging: per (antenna1, antenna2), scan rows
+    in time order; close the bin when accumulated |Δu|+|Δv|+|Δw| exceeds
+    `decorr_tol` (uvw-motion decorrelation proxy, cf. the reference's
+    sinc(Δψ/2) bound, bda_mapping.py:141-186) or the span exceeds
+    `max_span_secs`. Emits one row per bin with weighted vis means."""
+
+    schema = (
+        "antenna1 int, antenna2 int, bin_idx long, n_rows long, "
+        "time_start double, time_end double, vis_re_avg double, "
+        "vis_im_avg double, weight_sum double"
+    )
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        bins, bin_idx = [], 0
+        acc_motion = 0.0
+        start_t = None
+        prev = None
+        for r in pdf.itertuples():
+            if start_t is None:
+                start_t, acc_motion = r.time, 0.0
+            else:
+                acc_motion += abs(r.u - prev.u) + abs(r.v - prev.v) + abs(r.w - prev.w)
+                if acc_motion > decorr_tol or (r.time - start_t) > max_span_secs:
+                    bin_idx += 1
+                    start_t, acc_motion = r.time, 0.0
+            bins.append(bin_idx)
+            prev = r
+        pdf["bin_idx"] = bins
+        g = pdf.groupby("bin_idx")
+        w = g.apply(lambda x: (x.weight).sum(), include_groups=False)
+        out = pd.DataFrame(
+            {
+                "antenna1": g["antenna1"].first(),
+                "antenna2": g["antenna2"].first(),
+                "bin_idx": w.index,
+                "n_rows": g.size(),
+                "time_start": g["time"].min(),
+                "time_end": g["time"].max(),
+                "vis_re_avg": g.apply(
+                    lambda x: (x.vis_re * x.weight).sum() / x.weight.sum(),
+                    include_groups=False,
+                ),
+                "vis_im_avg": g.apply(
+                    lambda x: (x.vis_im * x.weight).sum() / x.weight.sum(),
+                    include_groups=False,
+                ),
+                "weight_sum": w,
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return (
+        vis.select(
+            "row_id", "time", "antenna1", "antenna2", "u", "v", "w",
+            "vis_re", "vis_im", "weight",
+        )
+        .groupBy("antenna1", "antenna2")
+        .applyInPandas(per_baseline, schema)
+    )

@@ -1,0 +1,259 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Four tiers, cheapest-first (the standard web-scale dedup ladder):
+
+1. **Exact** — hash-groupBy on content digest. One shuffle of
+   (digest, doc_id); map-side partial agg makes the shuffle O(#distinct).
+2. **MinHash + LSH** — word-shingle k-permutation MinHash signatures,
+   banded into LSH buckets; only same-bucket docs are candidate pairs,
+   turning the O(n²) near-dup problem into a bucket-local self-join.
+3. **SimHash** — bit-voting fingerprint; near-dups differ in few bits.
+4. **n-gram Jaccard** — exact verification of candidate pairs.
+
+Everything is built from engine-portable primitives (md5-derived integer
+hashes, functions/text.py), so every tier is exactly DuckDB-oracle-checkable
+— no Python in the hot path, all JVM expressions.
+
+Scale notes: signatures are k min-aggregations over an exploded shingle
+frame — one shuffle keyed by doc_id (or none if docs are already
+partitioned by doc_id). The LSH self-join shuffles by (band, band_key),
+which is uniformly distributed by construction (hash keys), so no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.text import (
+    HASH_P,
+    hash31,
+    hash31_sql,
+    word_3gram_shingles,
+    WORD_3GRAM_SQL,
+)
+
+# Fixed permutation constants (k=8), all < 2^31-1 so a·h+b < 2^63.
+MINHASH_A = [1299721, 7919, 104729, 611953, 15485863, 32452843, 49979687, 67867967]
+MINHASH_B = [104827, 122387, 611999, 789221, 982451, 1299709, 2750159, 4256233]
+N_BANDS = 4  # 8 sigs → 4 bands × 2 rows
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: md5 digest → canonical (min) doc_id + count."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_digest"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) — one row per word-3gram shingle, h ∈ [0, 2^31-1)."""
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    return (
+        eligible.select("doc_id", F.explode(word_3gram_shingles("text")).alias("shingle"))
+        .select("doc_id", hash31(F.col("shingle")).alias("h"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """k=8 permutation MinHash signature per document: one groupBy with
+    k min-aggregations (no pivot, no UDF)."""
+    sh = _shingle_frame(docs)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH (bands of 2 signature rows):
+    docs sharing any band key are candidates; estimated Jaccard = fraction
+    of matching signature components."""
+    sigs = minhash_signatures(docs)
+    bands = []
+    for band in range(N_BANDS):
+        i, j = 2 * band, 2 * band + 1
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("_", F.col(f"sig_{i}"), F.col(f"sig_{j}")).alias("band_key"),
+                *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                (F.col(f"a.sig_{k}") == F.col(f"b.sig_{k}")).cast("int")
+                for k in range(len(MINHASH_A))
+            ).alias("n_sig_match"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_sig_match",
+        (F.col("n_sig_match") / len(MINHASH_A)).alias("est_jaccard"),
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash: per token-hash bit position, vote +1/−1 weighted by
+    presence; fingerprint bit b = 1 iff the vote is positive."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select("doc_id", hash31(F.col("token")).alias("h"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, probe_modulus: int = 53) -> DataFrame:
+    """Exact n-gram Jaccard similarity of probe docs (doc_id ≡ 0 mod m)
+    against all docs — the verification tier for LSH candidates.
+    Intersection via equi-join on distinct shingle hashes."""
+    sh = _shingle_frame(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    probes = sh.filter(F.col("doc_id") % probe_modulus == 0)
+    probe_sizes = sizes.filter(F.col("doc_id") % probe_modulus == 0)
+    inter = (
+        probes.alias("p")
+        .join(sh.alias("d"), (F.col("p.h") == F.col("d.h")) & (F.col("p.doc_id") < F.col("d.doc_id")))
+        .groupBy(F.col("p.doc_id").alias("doc_a"), F.col("d.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(probe_sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .filter(F.col("n_common") * 50 >= F.col("na") + F.col("nb") - F.col("n_common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL mirrors
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = f"""
+  shingles AS (
+    SELECT doc_id, {hash31_sql('sh')} AS h
+    FROM (
+      SELECT doc_id, unnest({WORD_3GRAM_SQL}) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3)
+    )
+  )
+"""
+
+EXACT_DEDUP_SQL = """
+  SELECT md5(text) AS content_digest,
+         MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+"""
+
+
+def _sig_select() -> str:
+    cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {HASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"SELECT doc_id, {cols} FROM shingles GROUP BY doc_id"
+
+
+MINHASH_SIG_SQL = f"WITH {_SHINGLE_CTE} {_sig_select()} ORDER BY doc_id"
+
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, concat_ws('_', sig_{2*band}, sig_{2*band+1}) AS band_key, "
+    + ", ".join(f"sig_{k}" for k in range(len(MINHASH_A)))
+    + " FROM sigs"
+    for band in range(N_BANDS)
+)
+
+_SIG_MATCH = " + ".join(
+    f"CAST(a.sig_{k} = b.sig_{k} AS INT)" for k in range(len(MINHASH_A))
+)
+
+MINHASH_LSH_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_SIG_MATCH} AS n_sig_match
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, n_sig_match,
+         n_sig_match / {len(MINHASH_A)} AS est_jaccard
+  FROM pairs ORDER BY doc_a, doc_b
+"""
+
+_VOTES = ", ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(SIMHASH_BITS)
+)
+_FPRINT = " + ".join(
+    f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id, {hash31_sql('t')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  ),
+  votes AS (SELECT doc_id, {_VOTES} FROM tok GROUP BY doc_id)
+  SELECT doc_id, CAST({_FPRINT} AS BIGINT) AS simhash
+  FROM votes ORDER BY doc_id
+"""
+
+NGRAM_JACCARD_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dsh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_id AS doc_a, d.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM dsh p JOIN dsh d ON p.h = d.h AND p.doc_id < d.doc_id
+    WHERE p.doc_id % 53 = 0
+    GROUP BY p.doc_id, d.doc_id
+  )
+  SELECT doc_a, doc_b, n_common,
+         (na.n_shingles + nb.n_shingles - n_common) AS n_union,
+         n_common / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE n_common * 50 >= na.n_shingles + nb.n_shingles - n_common
+  ORDER BY doc_a, doc_b
+"""

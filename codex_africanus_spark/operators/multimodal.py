@@ -1,0 +1,95 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video are carried as opaque BINARY columns with typed
+metadata. The Spark-side plumbing — schema, Arrow batching via
+mapInPandas, partition-sized batches, UDF signatures — is real and
+tested; the actual media decode is STUBBED (no image/audio libs in this
+container): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic header parse stands in for
+the decoder so the pipeline shape can be exercised end-to-end.
+
+At 100 TB: binary payloads dominate row size, so the scan must prune
+payload bytes unless the operator needs them (`select` metadata columns
+only → parquet never materializes the blob); decode fans out via
+mapInPandas with `spark.sql.execution.arrow.maxRecordsPerBatch` tuned
+down so a batch of blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, head_byte int, fake_width int, fake_height int"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Demo payload: utf-8 bytes of the text column as an opaque blob
+    (stands in for an image column; the plumbing is format-agnostic)."""
+    return docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """STUB: real deployments plug a codec here (PIL/libvips/ffmpeg).
+    The deterministic fake derives (width, height) from payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in decoder"
+        )
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1)
+
+
+def decode_metadata(with_payload: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (doc_id, payload) batches.
+
+    Output is a typed metadata frame; the blob does not survive the
+    operator (column pruned immediately after decode).
+    """
+
+    # NOTE: the batch fn must be a self-contained closure — referencing
+    # module-level names would make cloudpickle serialize them by module
+    # reference, and executor Python workers cannot import this package
+    # (it is not shipped via addPyFile). Keep the decode logic inline.
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(p: bytes) -> tuple[int, int]:
+            n = len(p)
+            return (n % 640 + 1, (n * 7) % 480 + 1)
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "fake_width": [w for w, _ in dims],
+                    "fake_height": [h for _, h in dims],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, DECODED_SCHEMA)
+
+
+# DuckDB mirror of the deterministic fake decode (for oracle parity)
+DECODE_META_SQL = """
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT)            AS n_bytes,
+         CAST(ascii(substr(text, 1, 1)) AS INT)                AS head_byte,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT)     AS fake_width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS fake_height
+  FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact baseline. The dot products are
+  computed with *fixed-point quantized* element products (round(x·y·10^12)
+  summed as BIGINT), which makes every similarity value engine- and
+  order-independent — the same deterministic-aggregation discipline as the
+  visibility reductions (functions/deterministic.py).
+- **LSH-bucketed ANN** — random-hyperplane signatures assign each vector
+  to one of 2^P buckets; candidates come only from the query's bucket.
+  The hyperplanes are integer-arithmetic-derived (no RNG), so the whole
+  index is reproducible and oracle-checkable.
+
+Scale path: brute force is O(Q·N·d) — fine for Q≪N (probe queries,
+re-ranking). The LSH tier turns the N side into the bucket's share (≈N/2^P
+uniform); at 100 TB the bucket id becomes the shuffle/bucketing key so
+candidate generation is a co-partitioned join, not a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+DOT_SCALE = "1000000000000"  # 1e12 as exact integer literal
+N_PLANES = 4
+
+
+def _qdot(a: str, b: str) -> F.Column:
+    """Quantized dot product Σ round(aᵢ·bᵢ·1e12) as BIGINT (exact)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {DOT_SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _qdot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(ROUND(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * {DOT_SCALE}) AS BIGINT)))"
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbours for probe vectors (vec_id ≡ 0 mod m).
+
+    sim = qdot(a,b) / (sqrt(qdot(a,a)) · sqrt(qdot(b,b))) — deterministic
+    because every operand derives from exact integers.
+    """
+    q = embeddings.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = (
+        _qdot("qe", "ce")
+        / (F.sqrt(_qdot("qe", "qe")) * F.sqrt(_qdot("ce", "ce")))
+    )
+    ranked = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", "cosine_sim"
+    )
+
+
+def COSINE_TOPK_SQL(query_modulus: int = 125, k: int = 5) -> str:
+    dot = _qdot_sql("q.embedding", "c.embedding")
+    qq = _qdot_sql("q.embedding", "q.embedding")
+    cc = _qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      WITH ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id % {query_modulus} = 0 AND q.vec_id <> c.vec_id
+      ),
+      topk AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM ranked
+      )
+      SELECT query_id, rank, neighbor_id, cosine_sim
+      FROM topk WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """
+
+
+def _plane_expr(p: int, emb: str) -> F.Column:
+    """Deterministic pseudo-random hyperplane p: coefficient for dim d is
+    ((d·37 + p·17) % 21 − 10) — integer exact, no RNG."""
+    return F.expr(
+        f"aggregate(zip_with({emb}, sequence(0, size({emb}) - 1), (x, d) -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * (((d * 37 + {p} * 17) % 21) - 10) * {DOT_SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _plane_sql(p: int, emb: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({emb}, "
+        f"generate_series(0, len({emb}) - 1)), "
+        f"x -> CAST(ROUND(CAST(x[1] AS DOUBLE) * (((x[2] * 37 + {p} * 17) % 21) - 10) * {DOT_SCALE}) AS BIGINT)))"
+    )
+
+
+def lsh_bucket(embeddings: DataFrame) -> DataFrame:
+    """Assign each vector its 2^P-bucket signature (sign bit per plane)."""
+    bucket = sum(
+        F.when(_plane_expr(p, "embedding") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    )
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def LSH_BUCKET_SQL() -> str:
+    fp = " + ".join(
+        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"SELECT vec_id, CAST({fp} AS INT) AS bucket FROM embeddings ORDER BY vec_id"
+
+
+def ann_lsh_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 3) -> DataFrame:
+    """ANN: candidates restricted to the query's LSH bucket, then exact
+    quantized cosine re-ranking within the bucket."""
+    buckets = lsh_bucket(embeddings)
+    withb = embeddings.join(buckets, "vec_id")
+    q = withb.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cbucket"),
+    )
+    pairs = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
+    sim = _qdot("qe", "ce") / (F.sqrt(_qdot("qe", "qe")) * F.sqrt(_qdot("ce", "ce")))
+    ranked = pairs.select(
+        "query_id", "bucket", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "bucket", "rank", "neighbor_id", "cosine_sim"
+    )
+
+
+def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
+    fp = " + ".join(
+        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    dot = _qdot_sql("q.embedding", "c.embedding")
+    qq = _qdot_sql("q.embedding", "q.embedding")
+    cc = _qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      WITH b AS (
+        SELECT vec_id, embedding, CAST({fp} AS INT) AS bucket FROM embeddings
+      ),
+      ranked AS (
+        SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+               round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {query_modulus} = 0
+      ),
+      topk AS (
+        SELECT query_id, bucket, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM ranked
+      )
+      SELECT query_id, bucket, rank, neighbor_id, cosine_sim
+      FROM topk WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """

@@ -640,3 +640,186 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def registry() -> dict[str, QueryDef]:
     return dict(REGISTRY)
+
+
+# ===========================================================================
+# Training-data pipeline: dedup / similarity / text / multimodal
+# ===========================================================================
+
+from codex_africanus_spark.operators import bda as bda_op  # noqa: E402
+from codex_africanus_spark.operators import dedup as dedup_op  # noqa: E402
+from codex_africanus_spark.operators import multimodal as mm_op  # noqa: E402
+from codex_africanus_spark.operators import similarity as sim_op  # noqa: E402
+from codex_africanus_spark.functions import text as text_fn  # noqa: E402
+
+
+@register("exact_dedup_documents", dedup_op.EXACT_DEDUP_SQL)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: digest groupBy → canonical id + copy count."""
+    return dedup_op.exact_dedup(load(spark, "documents", sf_dir)).orderBy("canonical_doc_id")
+
+
+@register("minhash_signatures", dedup_op.MINHASH_SIG_SQL)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 permutation MinHash signatures over word-3gram shingles."""
+    return dedup_op.minhash_signatures(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("minhash_lsh_near_dup_pairs", dedup_op.MINHASH_LSH_SQL)
+def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate near-duplicate pairs + estimated Jaccard."""
+    return dedup_op.minhash_lsh_pairs(load(spark, "documents", sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@register("simhash_fingerprints", dedup_op.SIMHASH_SQL)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash bit-voting fingerprints per document."""
+    return dedup_op.simhash_fingerprints(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("ngram_jaccard_pairs", dedup_op.NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard verification tier for probe documents."""
+    return dedup_op.ngram_jaccard_pairs(load(spark, "documents", sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@register("embedding_cosine_topk", sim_op.COSINE_TOPK_SQL())
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbours (quantized dot products)."""
+    return sim_op.cosine_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
+
+
+@register("ann_lsh_bucketed_topk", sim_op.ANN_LSH_SQL())
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets + in-bucket rerank."""
+    return sim_op.ann_lsh_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
+
+
+_TOKEN_QUALITY_SQL = f"""
+  SELECT doc_id,
+         len(string_split(text, ' '))                          AS n_tokens,
+         len(text)                                             AS n_chars,
+         (len(text) - len(string_split(text, ' ')) + 1)        AS n_token_chars,
+         {text_fn.occurrences_sql("concat(' ', text, ' ')", " the ")}
+           + {text_fn.occurrences_sql("concat(' ', text, ' ')", " and ")} AS n_stopword_hits,
+         round(CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')), 6)              AS avg_token_len
+  FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_token_quality", _TOKEN_QUALITY_SQL)
+def doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality metrics (length/stopword ratios) —
+    all JVM-side length/replace arithmetic, no UDF."""
+    docs = load(spark, "documents", sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_tokens = text_fn.token_count(F.col("text"))
+    n_token_chars = F.length("text") - n_tokens + 1
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_token_chars.cast("long").alias("n_token_chars"),
+        (text_fn.occurrences(padded, " the ") + text_fn.occurrences(padded, " and "))
+        .alias("n_stopword_hits"),
+        F.round(n_token_chars.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _lang_hits_sql(markers: list[str]) -> str:
+    return " + ".join(
+        text_fn.occurrences_sql("concat(' ', text, ' ')", m) for m in markers
+    )
+
+
+_LANG_ID_SQL = f"""
+  WITH scored AS (
+    SELECT doc_id, lang,
+           {_lang_hits_sql(text_fn.LANG_MARKERS['en'])} AS hits_en,
+           {_lang_hits_sql(text_fn.LANG_MARKERS['fr'])} AS hits_fr,
+           {_lang_hits_sql(text_fn.LANG_MARKERS['de'])} AS hits_de,
+           {_lang_hits_sql(text_fn.LANG_MARKERS['es'])} AS hits_es
+    FROM documents
+  )
+  SELECT doc_id, lang, hits_en, hits_fr, hits_de, hits_es,
+         CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+              WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+              WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+              WHEN hits_es > 0 THEN 'es'
+              ELSE 'unknown' END AS lang_pred
+  FROM scored ORDER BY doc_id
+"""
+
+
+@register("lang_id_heuristic", _LANG_ID_SQL)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram stopword-marker language ID with argmax tie precedence."""
+    docs = load(spark, "documents", sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = {
+        lang: sum(text_fn.occurrences(padded, m) for m in markers).alias(f"hits_{lang}")
+        for lang, markers in text_fn.LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("hits_fr") >= F.col("hits_de"))
+            & (F.col("hits_fr") >= F.col("hits_es"))
+            & (F.col("hits_fr") > 0),
+            F.lit("fr"),
+        )
+        .when((F.col("hits_de") >= F.col("hits_es")) & (F.col("hits_de") > 0), F.lit("de"))
+        .when(F.col("hits_es") > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint_int
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 digest + 60-bit integer projection."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        text_fn.hash60(F.col("text")).alias("fingerprint_int"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_decode_metadata", mm_op.DECODE_META_SQL)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: attach blob payload, Arrow mapInPandas
+    decode (deterministic stub), typed metadata out."""
+    docs = load(spark, "documents", sf_dir)
+    return mm_op.decode_metadata(mm_op.attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register("events_sessionize", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via applyInPandas (custom stateful op),
+    oracle-checked against the gaps-and-islands SQL identity."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return bda_op.sessionize(ev).orderBy("user_id", "ts_us", "event_id")
+
+
+@register("bda_baseline_dependent_average", None)
+def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BDA: decorrelation-bounded sequential binning per baseline
+    (not SQL-expressible → rows-only check)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return bda_op.bda_average(vis).orderBy("antenna1", "antenna2", "bin_idx")
