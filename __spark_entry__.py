@@ -34,8 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in registry().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable applies the engine's runtime confs (AQE, UTC, Arrow)
+    to the caller's session first — the driver constructs its own
+    SparkSession without them.
+    """
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(qd.fn) for name, qd in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,173 @@
+"""Calibration operators: corrupt / correct / residual / solve.
+
+Capability parity with /root/reference/africanus/calibration/utils/
+(corrupt_vis.py:59-130, correct_vis.py:62-160, residual_vis.py:63-150)
+and the phase-only Gauss-Newton solver
+/root/reference/africanus/calibration/phase_only/phase_only.py:243-340.
+
+Scalar-gain (DIAG_DIAG) algebra: all Column expressions. The solver is a
+driver loop (SURVEY §2.9): each iteration is one join+aggregate producing
+the next gains DataFrame — vis stays cached across iterations, gains are
+collected (tiny: n_ant × n_chan) and re-broadcast, so the loop never
+shuffles the fact table more than the one join per iteration.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.complex_algebra import Cplx
+
+
+def correct_vis(corrupted: DataFrame, gains: DataFrame) -> DataFrame:
+    """Inverse-gain application  V = G₁⁻¹ · V' · G₂⁻ᴴ  (scalar gains ⇒
+    complex division by g₁·g₂*; reference correct_vis.py:62-160)."""
+    g1 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna1"), "chan",
+            F.col("gain_re").alias("g1_re"), F.col("gain_im").alias("g1_im"),
+        )
+    )
+    g2 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna2"), "chan",
+            F.col("gain_re").alias("g2_re"), F.col("gain_im").alias("g2_im"),
+        )
+    )
+    df = corrupted.join(g1, ["antenna1", "chan"]).join(g2, ["antenna2", "chan"])
+    v = Cplx(F.col("corrupted_re"), F.col("corrupted_im"))
+    denom = Cplx(F.col("g1_re"), F.col("g1_im")) * Cplx(F.col("g2_re"), F.col("g2_im")).conj()
+    out = v / denom
+    return df.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.round(out.re, 6).alias("corrected_re"),
+        F.round(out.im, 6).alias("corrected_im"),
+    )
+
+
+def residual_vis(data: DataFrame, model: DataFrame) -> DataFrame:
+    """R = V_data − V_model per (row, chan) (reference residual_vis.py).
+
+    The data side is pre-aggregated on the full (row_id, antenna1,
+    antenna2, chan) key with exact fixed-point sums — the source data may
+    carry duplicate row keys (and the model side is already reduced), so
+    the join must be key-unique on both sides to avoid fan-out."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    keys = ["row_id", "antenna1", "antenna2", "chan"]
+    d = data.groupBy(*keys).agg(
+        (qsum(F.col("vis_re"), 10.0) / F.lit(10.0)).alias("d_re"),
+        (qsum(F.col("vis_im"), 10.0) / F.lit(10.0)).alias("d_im"),
+    )
+    m = model.select(
+        *keys,
+        F.col("model_re").alias("m_re"),
+        F.col("model_im").alias("m_im"),
+    )
+    return d.join(m, keys).select(
+        *keys,
+        (F.col("d_re") - F.col("m_re")).alias("residual_re"),
+        (F.col("d_im") - F.col("m_im")).alias("residual_im"),
+    )
+
+
+def gauss_newton_phase_only(
+    vis: DataFrame,
+    model: DataFrame,
+    n_ant: int,
+    maxiter: int = 40,
+    tol: float = 1e-8,
+    damping: float = 0.7,
+) -> list[dict]:
+    """Phase-only gain solver (reference phase_only.py:243-340).
+
+    Data model: V_pq = g_p · g_q* · M_pq with g = e^{iφ}. Per iteration,
+    for every (antenna, chan) accumulate
+      jhr = Σ Im( g_p* · conj(M·g_q*) · (V − ĝ_p ĝ_q* M) )-style gradient
+      jhj = Σ |M|²
+    over all baselines containing the antenna, then φ ← φ + jhr/jhj.
+    Each iteration = two unions + one groupBy on the cached joined frame;
+    gains live on the driver (n_ant × n_chan floats) and enter the plan
+    as a broadcast literal frame.
+
+    Returns per-iteration convergence stats (driver-side floats).
+    """
+    spark = vis.sparkSession
+    keys = ["row_id", "antenna1", "antenna2", "chan"]
+    joined = (
+        vis.select(*keys, "vis_re", "vis_im")
+        .join(
+            model.select(
+                *keys,
+                F.col("model_re").alias("m_re"),
+                F.col("model_im").alias("m_im"),
+            ),
+            keys,  # full key: row_id alone is not unique in the source data
+        )
+        .cache()
+    )
+    n_chan = joined.agg(F.max("chan")).collect()[0][0] + 1
+    phases = {(a, c): 0.0 for a in range(n_ant) for c in range(n_chan)}
+    history = []
+
+    for it in range(maxiter):
+        gdf = F.broadcast(
+            spark.createDataFrame(
+                [(a, c, math.cos(p), math.sin(p)) for (a, c), p in phases.items()],
+                "antenna int, chan int, g_re double, g_im double",
+            )
+        )
+        g1 = gdf.select(
+            F.col("antenna").alias("antenna1"), "chan",
+            F.col("g_re").alias("g1_re"), F.col("g_im").alias("g1_im"),
+        )
+        g2 = gdf.select(
+            F.col("antenna").alias("antenna2"), "chan",
+            F.col("g_re").alias("g2_re"), F.col("g_im").alias("g2_im"),
+        )
+        j = joined.join(F.broadcast(g1), ["antenna1", "chan"]).join(
+            F.broadcast(g2), ["antenna2", "chan"]
+        )
+        gp = Cplx(F.col("g1_re"), F.col("g1_im"))
+        gq = Cplx(F.col("g2_re"), F.col("g2_im"))
+        m = Cplx(F.col("m_re"), F.col("m_im"))
+        v = Cplx(F.col("vis_re"), F.col("vis_im"))
+        pred = gp * m * gq.conj()
+        r = v - pred
+        # gradient wrt φ_p: Im( conj(g_p · M · g_q*) · r );  wrt φ_q uses conj
+        z_p = (pred.conj() * r).im
+        z_q = (pred * r.conj()).im  # = -Im(conj(pred)·r) seen from antenna2
+        m2 = m.abs2()
+        per_p = j.select(
+            F.col("antenna1").alias("antenna"), "chan",
+            z_p.alias("jhr"), m2.alias("jhj"),
+        )
+        per_q = j.select(
+            F.col("antenna2").alias("antenna"), "chan",
+            z_q.alias("jhr"), m2.alias("jhj"),
+        )
+        upd = (
+            per_p.unionByName(per_q)
+            .groupBy("antenna", "chan")
+            .agg(F.sum("jhr").alias("jhr"), F.sum("jhj").alias("jhj"))
+            .collect()
+        )
+        max_delta = 0.0
+        for row in upd:
+            if row.jhj > 0:
+                # damped diagonal-GN (StefCal-style relaxation): the full
+                # JᵀJ has antenna cross-terms; the damped diagonal update
+                # converges linearly at rate ≈ (1 − damping/2)
+                delta = damping * row.jhr / row.jhj
+                phases[(row.antenna, row.chan)] += delta
+                max_delta = max(max_delta, abs(delta))
+        history.append({"iteration": it, "max_delta": max_delta})
+        if max_delta < tol:
+            break
+
+    joined.unpersist()
+    history[-1]["phases"] = dict(phases)
+    return history

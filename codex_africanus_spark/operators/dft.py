@@ -1,0 +1,56 @@
+"""Direct Fourier transform operators (im_to_vis / vis_to_im).
+
+Parity with /root/reference/africanus/dft/kernels.py:15-170. Both
+directions are (cross join + phase expressions + deterministic fixed-point
+aggregation):
+
+- im_to_vis: V(row,ν) = Σ_s I(s,ν) · e^{iφ(s,row,ν)}  — identical plan
+  shape to predict (operators/predict.py), reduction over sources.
+- vis_to_im: I(s,ν) = Σ_rows Re( e^{-iφ} · V ) with flag gating — the
+  adjoint; reduction over rows instead of sources. At 100 TB the row
+  reduction is the big one: partial aggregation makes it one shuffle of
+  (source, chan) partials, never materializing the (source × row) frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.deterministic import qsum
+from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+
+QSCALE = 1e6
+
+
+def vis_to_im(vis: DataFrame, sources: DataFrame) -> DataFrame:
+    """Adjoint DFT: flag-gated real-part accumulation per (source, chan)
+    (reference dft/kernels.py:73-170; CASA '+' convention for the adjoint
+    of the fourier-convention forward)."""
+    j = vis.filter(~(F.col("flag") | F.col("flag_row"))).crossJoin(F.broadcast(sources))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "casa",
+    )
+    contrib = F.cos(theta) * F.col("vis_re") - F.sin(theta) * F.col("vis_im")
+    return (
+        j.groupBy("source_id", "chan")
+        .agg(
+            (qsum(contrib, QSCALE) / F.lit(QSCALE)).alias("image"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+VIS_TO_IM_SQL = """
+    , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row))
+    SELECT s.source_id, v.chan,
+           SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
+                         - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+                    * 1000000) AS BIGINT)) / 1000000.0 AS image,
+           COUNT(*) AS n_rows
+    FROM gated v, src s
+    GROUP BY s.source_id, v.chan
+    ORDER BY s.source_id, v.chan
+"""

@@ -1,0 +1,161 @@
+"""Gridding-adjacent operators beyond the histogram accumulator
+(queries.uv_grid_histogram): degridding, Briggs weighting, cell-size
+estimation.
+
+Parity targets: degridder /root/reference/africanus/gridding/
+perleypolyhedron/degridder.py:78-176 (gather dual of the scatter-add
+gridder), estimate_cell_size /root/reference/africanus/gridding/util.py:4-82.
+The FFT (wgridder/ducc0) tier is out of scope in this container — its
+Spark shape (mapInPandas → native lib → per-band image tree-sum) is
+documented in SURVEY §2.4 and the plumbing matches operators/multimodal.py.
+
+Scale notes: the grid is the *small* side (ny×nx cells ≪ rows); degridding
+broadcasts it. Briggs weighting is the classic two-pass: per-cell weight
+totals (one small aggregate) broadcast-joined back onto rows — no second
+fact shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.deterministic import qsum
+
+CELL = 10.0
+
+
+def _cells(df: DataFrame) -> DataFrame:
+    return df.withColumn("u_cell", F.floor(F.col("u") / CELL).cast("long")).withColumn(
+        "v_cell", F.floor(F.col("v") / CELL).cast("long")
+    )
+
+
+def grid_natural(vis: DataFrame) -> DataFrame:
+    """Scatter-add accumulation (same as queries.uv_grid_histogram)."""
+    return (
+        _cells(vis.filter(~(F.col("flag") | F.col("flag_row"))))
+        .groupBy("u_cell", "v_cell")
+        .agg(
+            F.count(F.lit(1)).alias("nvis"),
+            qsum(F.col("vis_re") * F.col("weight"), 100.0).alias("grid_re_q"),
+            qsum(F.col("vis_im") * F.col("weight"), 100.0).alias("grid_im_q"),
+            qsum(F.col("weight"), 100.0).alias("wsum_q"),
+        )
+    )
+
+
+def degrid(vis: DataFrame) -> DataFrame:
+    """Gather dual: sample the (broadcast) grid back onto each row —
+    nearest-cell kernel (the footprint generalization explodes each row
+    into kernel cells first; same join shape)."""
+    grid = grid_natural(vis)
+    return (
+        _cells(vis)
+        .join(F.broadcast(grid), ["u_cell", "v_cell"], "left")
+        .select(
+            "row_id",
+            "u_cell",
+            "v_cell",
+            (F.coalesce(F.col("grid_re_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))).alias("degrid_re"),
+            (F.coalesce(F.col("grid_im_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))).alias("degrid_im"),
+        )
+    )
+
+
+DEGRID_SQL = """
+    , cells AS (
+      SELECT row_id, CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell
+      FROM vis
+    ),
+    grid AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(vis_im * weight * 100) AS BIGINT)) AS grid_im_q,
+             SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wsum_q
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    )
+    SELECT c.row_id, c.u_cell, c.v_cell,
+           COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100) AS degrid_re,
+           COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100) AS degrid_im
+    FROM cells c LEFT JOIN grid g ON c.u_cell = g.u_cell AND c.v_cell = g.v_cell
+    ORDER BY c.row_id
+"""
+
+
+def briggs_weights(vis: DataFrame, robust: float = 0.0) -> DataFrame:
+    """Briggs/robust weighting: per-row imaging weight
+    w' = w / (1 + W_cell · f²),  f² = (5·10^(−robust))² · ΣW / ΣW²_cell
+    (two-pass: cell totals → broadcast join back)."""
+    gated = _cells(vis.filter(~(F.col("flag") | F.col("flag_row"))))
+    cellw = gated.groupBy("u_cell", "v_cell").agg(
+        qsum(F.col("weight"), 100.0).alias("wq")
+    )
+    totals = cellw.agg(
+        F.sum("wq").alias("sum_wq"), F.sum(F.col("wq") * F.col("wq")).alias("sum_wq2")
+    )
+    f2_num = (5.0 * (10.0 ** (-robust))) ** 2
+    joined = gated.join(F.broadcast(cellw), ["u_cell", "v_cell"]).crossJoin(
+        F.broadcast(totals)
+    )
+    # exact integer-derived doubles: wq/100, sums are BIGINT
+    w_cell = F.col("wq") / 100.0
+    f2 = F.lit(f2_num) * (F.col("sum_wq") / 100.0) / (F.col("sum_wq2") / 10000.0)
+    wprime = F.col("weight") / (F.lit(1.0) + w_cell * f2)
+    return joined.select(
+        "row_id", "u_cell", "v_cell",
+        F.round(wprime, 9).alias("briggs_weight"),
+    )
+
+
+def BRIGGS_SQL(robust: float = 0.0) -> str:
+    f2_num = repr((5.0 * (10.0 ** (-robust))) ** 2)
+    return f"""
+    , gated AS (
+      SELECT row_id, weight,
+             CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    cellw AS (
+      SELECT u_cell, v_cell, SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wq
+      FROM gated GROUP BY u_cell, v_cell
+    ),
+    totals AS (SELECT SUM(wq) AS sum_wq, SUM(wq * wq) AS sum_wq2 FROM cellw)
+    SELECT g.row_id, g.u_cell, g.v_cell,
+           round(g.weight / (1.0 + (c.wq / 100.0)
+                 * ({f2_num} * (t.sum_wq / 100.0) / (t.sum_wq2 / 10000.0))), 9) AS briggs_weight
+    FROM gated g
+    JOIN cellw c ON g.u_cell = c.u_cell AND g.v_cell = c.v_cell
+    CROSS JOIN totals t
+    ORDER BY g.row_id
+"""
+
+
+def estimate_cell_size(vis: DataFrame) -> DataFrame:
+    """Nyquist cell size (arcsec) from max |u|,|v| and min wavelength
+    (reference gridding/util.py:4-82): cell = 1 / (2·umax·νmax/c) rad."""
+    c_ms = 2.99792458e8
+    stats = vis.agg(
+        F.max(F.abs(F.col("u"))).alias("umax"),
+        F.max(F.abs(F.col("v"))).alias("vmax"),
+        F.max(F.col("frequency")).alias("fmax"),
+    )
+    rad2asec = 648000.0 / 3.141592653589793
+    return stats.select(
+        "umax",
+        "vmax",
+        F.round(F.lit(rad2asec) / (2.0 * F.col("umax") * F.col("fmax") / F.lit(c_ms)), 9).alias("u_cell_asec"),
+        F.round(F.lit(rad2asec) / (2.0 * F.col("vmax") * F.col("fmax") / F.lit(c_ms)), 9).alias("v_cell_asec"),
+    )
+
+
+ESTIMATE_CELL_SQL = f"""
+    SELECT MAX(ABS(u)) AS umax, MAX(ABS(v)) AS vmax,
+           round({648000.0 / 3.141592653589793!r} / (2.0 * MAX(ABS(u)) * MAX(frequency) / 299792458.0), 9) AS u_cell_asec,
+           round({648000.0 / 3.141592653589793!r} / (2.0 * MAX(ABS(v)) * MAX(frequency) / 299792458.0), 9) AS v_cell_asec
+    FROM vis
+"""

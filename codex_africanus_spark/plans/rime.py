@@ -1,0 +1,163 @@
+"""RIME specification compiler — the reference's query compiler,
+re-targeted at Catalyst.
+
+Parity with /root/reference/africanus/experimental/rime/fused/:
+- spec strings like ``"(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]"`` parsed
+  into an ordered term list (specification.py:78-115; term regex
+  ``([A-Z])(pq|p|q)`` :166-174);
+- term char → Term class via a registry (K=Phase, B=Brightness, G=Gain,
+  :261-266), user-extensible;
+- the reference's numba IntrinsicFactory fuses term samplers into one
+  LLVM loop (intrinsics.py); here each Term contributes *Column
+  expressions* merged into one ``select`` — whole-stage codegen performs
+  the fusion, and the source reduction is the usual deterministic
+  fixed-point aggregate.
+
+Term protocol (the Spark analogue of Term.init_fields/sampler,
+terms/core.py:28-197): a Term declares `required_columns` (the
+dask_schema analogue — validated at plan-build time against the joined
+frame, SURVEY §1.3) and `apply(z: Cplx) -> Cplx`, composing its factor
+onto the running per-(source,row,chan) coherency. `p`/`q`-sided terms
+(antenna gains) join their tables and conjugate the q side, mirroring
+the automatic Hermitian transpose of right terms
+(specification.py:203-214).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.complex_algebra import Cplx, cexp_i
+from codex_africanus_spark.functions.deterministic import qsum
+from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+from codex_africanus_spark.functions.shapes import gaussian
+from codex_africanus_spark.functions.spectral import spectral_model
+
+_TERM_RE = re.compile(r"([A-Z])(pq|p|q)")
+_SPEC_RE = re.compile(r"^\(\s*([A-Za-z,\s]+)\s*\)\s*(?::\s*\[(.*?)\]\s*->\s*\[(.*?)\])?$")
+
+QSCALE = 1e6
+
+
+@dataclass(frozen=True)
+class ParsedSpec:
+    terms: tuple[tuple[str, str], ...]  # (term char, side)
+    stokes: tuple[str, ...]
+    corrs: tuple[str, ...]
+
+
+def parse_rime(spec: str) -> ParsedSpec:
+    """Parse ``"(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]"``."""
+    m = _SPEC_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"unparseable RIME specification: {spec!r}")
+    term_src, stokes_src, corr_src = m.groups()
+    terms = []
+    for token in (t.strip() for t in term_src.split(",")):
+        tm = _TERM_RE.fullmatch(token)
+        if not tm:
+            raise ValueError(f"unparseable term {token!r} in {spec!r}")
+        terms.append((tm.group(1), tm.group(2)))
+    stokes = tuple(s.strip() for s in (stokes_src or "I,Q,U,V").split(","))
+    corrs = tuple(c.strip() for c in (corr_src or "XX,XY,YX,YY").split(","))
+    return ParsedSpec(tuple(terms), stokes, corrs)
+
+
+class Term:
+    """Expression-builder plugin. Subclasses declare required columns and
+    compose a complex factor onto the running coherency."""
+
+    required_columns: tuple[str, ...] = ()
+
+    def validate(self, df: DataFrame) -> None:
+        missing = [c for c in self.required_columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{type(self).__name__} requires columns {missing} not present "
+                f"in the joined frame (schema validation, SURVEY §1.3)"
+            )
+
+    def apply(self, z: Cplx) -> Cplx:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class PhaseTerm(Term):
+    """K: e^{-2πi(ul+vm+w(n-1))ν/c} (terms/phase.py)."""
+
+    required_columns = ("u", "v", "w", "l", "m", "n", "frequency")
+
+    def apply(self, z: Cplx) -> Cplx:
+        theta = phase_delay_angle(
+            phase_path(F.col("u"), F.col("v"), F.col("w"),
+                       F.col("l"), F.col("m"), F.col("n")),
+            F.col("frequency"),
+            "fourier",
+        )
+        return z * cexp_i(theta)
+
+
+class BrightnessTerm(Term):
+    """B: spectral-scaled Stokes-I brightness (terms/brightness.py,
+    scalar-corr slice — the full 2×2 variant composes stokes.py exprs)."""
+
+    required_columns = ("flux_i", "spi", "ref_freq", "frequency")
+
+    def apply(self, z: Cplx) -> Cplx:
+        flux = spectral_model(
+            F.col("flux_i"), F.col("spi"), F.col("ref_freq"), F.col("frequency")
+        )
+        return z * flux
+
+
+class GaussianShapeTerm(Term):
+    """Shape envelope for GAUSSIAN sources, 1 for points."""
+
+    required_columns = ("u", "v", "frequency", "emaj", "emin", "position_angle", "source_type")
+
+    def apply(self, z: Cplx) -> Cplx:
+        env = F.when(
+            F.col("source_type") == "GAUSSIAN",
+            gaussian(F.col("u"), F.col("v"), F.col("frequency"),
+                     F.col("emaj"), F.col("emin"), F.col("position_angle")),
+        ).otherwise(F.lit(1.0))
+        return z * env
+
+
+TERM_MAP: dict[str, type[Term]] = {
+    "K": PhaseTerm,
+    "B": BrightnessTerm,
+    "E": GaussianShapeTerm,
+}
+
+
+def register_term(char: str, cls: type[Term]) -> None:
+    """User extensibility hook (the reference's custom-term registration,
+    fused/examples/custom_brightness_term.py)."""
+    TERM_MAP[char] = cls
+
+
+def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
+    """Compile a RIME spec into one select + one deterministic aggregate.
+
+    Returns (row_id, antenna1, antenna2, chan, vis_re, vis_im) — the
+    source-reduced model visibilities.
+    """
+    parsed = parse_rime(spec)
+    joined = vis.crossJoin(F.broadcast(sources))
+    z = Cplx(F.lit(1.0), F.lit(0.0))
+    for char, _side in parsed.terms:
+        if char not in TERM_MAP:
+            raise ValueError(f"unknown RIME term {char!r}; register it first")
+        term = TERM_MAP[char]()
+        term.validate(joined)
+        z = term.apply(z)
+    coh = joined.select("row_id", "antenna1", "antenna2", "chan",
+                        z.re.alias("coh_re"), z.im.alias("coh_im"))
+    return coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+        (qsum(F.col("coh_re"), QSCALE) / F.lit(QSCALE)).alias("vis_re"),
+        (qsum(F.col("coh_im"), QSCALE) / F.lit(QSCALE)).alias("vis_im"),
+    )

@@ -823,3 +823,232 @@ def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFram
     (not SQL-expressible → rows-only check)."""
     vis = tpch_ms.vis_table(spark, sf_dir)
     return bda_op.bda_average(vis).orderBy("antenna1", "antenna2", "bin_idx")
+
+
+# ===========================================================================
+# Calibration / DFT / gridding / iterative drivers (SURVEY §2.4, 2.8, 2.9)
+# ===========================================================================
+
+from codex_africanus_spark.operators import calibration as cal_op  # noqa: E402
+from codex_africanus_spark.operators import clean as clean_op  # noqa: E402
+from codex_africanus_spark.operators import dft as dft_op  # noqa: E402
+from codex_africanus_spark.operators import gridding as grid_op  # noqa: E402
+from codex_africanus_spark.operators import spi as spi_op  # noqa: E402
+from codex_africanus_spark.plans import rime as rime_plan  # noqa: E402
+
+
+_CORRECT_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s WHERE s.source_type = 'POINT'
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_re,
+             SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    ), corrupted AS (
+      SELECT m.row_id, m.antenna1, m.antenna2, m.chan,
+             round((g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_re
+                   + (g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_im, 6) AS corrupted_re,
+             round((g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_re
+                   - (g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_im, 6) AS corrupted_im
+      FROM model m
+      JOIN gains g1 ON g1.antenna = m.antenna1 AND g1.chan = m.chan
+      JOIN gains g2 ON g2.antenna = m.antenna2 AND g2.chan = m.chan
+    )
+    SELECT c.row_id, c.antenna1, c.antenna2, c.chan,
+           round(((c.corrupted_re * (g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im)
+                 + c.corrupted_im * (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im)))
+                 / ((g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im) * (g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im)
+                  + (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im) * (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im)), 6) AS corrected_re,
+           round(((c.corrupted_im * (g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im)
+                 - c.corrupted_re * (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im)))
+                 / ((g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im) * (g1.gain_re*g2.gain_re + g1.gain_im*g2.gain_im)
+                  + (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im) * (g1.gain_im*g2.gain_re - g1.gain_re*g2.gain_im)), 6) AS corrected_im
+    FROM corrupted c
+    JOIN gains g1 ON g1.antenna = c.antenna1 AND g1.chan = c.chan
+    JOIN gains g2 ON g2.antenna = c.antenna2 AND g2.chan = c.chan
+    ORDER BY c.row_id
+    """
+)
+
+
+@register("correct_vis_inverse_gains", _CORRECT_ORACLE)
+def correct_vis_inverse_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G₁⁻¹·V'·G₂⁻ᴴ — det-based inverse application undoing corrupt_vis
+    (reference correct_vis.py:62-160)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    gains = tpch_ms.gains_table(spark)
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    corrupted = predict_op.apply_gains(model, gains)
+    return cal_op.correct_vis(corrupted, gains).orderBy("row_id")
+
+
+_RESIDUAL_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s WHERE s.source_type = 'POINT'
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_re,
+             SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    ), data AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(vis_re * 10) AS BIGINT)) / 10.0 AS d_re,
+             SUM(CAST(ROUND(vis_im * 10) AS BIGINT)) / 10.0 AS d_im
+      FROM vis GROUP BY row_id, antenna1, antenna2, chan
+    )
+    SELECT d.row_id, d.antenna1, d.antenna2, d.chan,
+           d.d_re - m.model_re AS residual_re,
+           d.d_im - m.model_im AS residual_im
+    FROM data d JOIN model m
+      ON d.row_id = m.row_id AND d.antenna1 = m.antenna1
+     AND d.antenna2 = m.antenna2 AND d.chan = m.chan
+    ORDER BY d.row_id
+    """
+)
+
+
+@register("residual_vis_data_minus_model", _RESIDUAL_ORACLE)
+def residual_vis_data_minus_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R = V_data − V_model (reference residual_vis.py:63-150)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    return cal_op.residual_vis(vis, model).orderBy("row_id")
+
+
+@register("dft_vis_to_im_adjoint", _with_ms(dft_op.VIS_TO_IM_SQL))
+def dft_vis_to_im_adjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjoint DFT: flag-gated Σ_rows Re(e^{iφ}·V) per (source, chan)
+    (reference dft/kernels.py:73-170)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return dft_op.vis_to_im(vis, src).orderBy("source_id", "chan")
+
+
+@register("degrid_nearest_cell", _with_ms(grid_op.DEGRID_SQL))
+def degrid_nearest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degridding: gather dual of the histogram gridder (reference
+    degridder.py:78-176) — broadcast grid joined back onto rows."""
+    return grid_op.degrid(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+
+
+@register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
+def briggs_robust_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Briggs/robust imaging weights — two-pass cell-density reweighting."""
+    return grid_op.briggs_weights(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+
+
+@register("estimate_cell_size", _with_ms(grid_op.ESTIMATE_CELL_SQL))
+def estimate_cell_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nyquist cell-size estimate from uv extent (reference gridding/util.py)."""
+    return grid_op.estimate_cell_size(tpch_ms.vis_table(spark, sf_dir))
+
+
+_RIME_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+               * (CASE WHEN s.source_type = 'GAUSSIAN'
+                       THEN {env}
+                       ELSE 1.0 END) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """.format(
+        env=gaussian_sql("v.u", "v.v", "v.frequency", "s.emaj", "s.emin", "s.position_angle")
+    )
+)
+
+
+@register("rime_compiled_predict", _RIME_ORACLE)
+def rime_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RIME spec compiler: '(Kpq, Bpq, Epq)' parsed → term registry →
+    one fused select + deterministic aggregate (reference fused RIME,
+    experimental/rime/fused/core.py:233-241)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return rime_plan.rime(
+        "(Kpq, Bpq, Epq): [I,Q,U,V] -> [XX,XY,YX,YY]", vis, src
+    ).orderBy("row_id")
+
+
+@register(
+    "fit_spi_components",
+    _with_ms(
+        """
+        SELECT source_id,
+               round(flux_i, 6) AS i0_fit,
+               round(spi, 6)    AS alpha_fit
+        FROM src ORDER BY source_id
+        """
+    ),
+)
+def fit_spi_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component Gauss-Newton power-law fit (applyInPandas) recovering
+    the catalogue's (I₀, α) exactly from noiseless per-channel fluxes —
+    oracle is the catalogue itself (reference component_spi.py:55-120)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    samples = src.crossJoin(chan).select(
+        "source_id",
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias("frequency"),
+        (F.col("flux_i") * F.pow((F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))) / F.col("ref_freq"), F.col("spi"))).alias("flux"),
+    )
+    fitted = spi_op.fit_spi_components(samples)
+    return fitted.select(
+        "source_id",
+        F.round(F.col("i0"), 6).alias("i0_fit"),
+        F.round(F.col("alpha"), 6).alias("alpha_fit"),
+    ).orderBy("source_id")
+
+
+@register("hogbom_clean_components", None)
+def hogbom_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hogbom CLEAN minor cycle over the collected uv-grid (driver loop,
+    reference deconv/hogbom/clean.py:122-200) — rows-only (iterative)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return clean_op.hogbom_clean(spark, grid_op.grid_natural(vis))
+
+
+@register("gauss_newton_phase_solve", None)
+def gauss_newton_phase_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-only Gauss-Newton calibration loop (reference
+    phase_only.py:243-340): corrupt model vis with known phases
+    φ_a = 0.35·a, solve them back, report re-referenced estimates —
+    rows-only (iterative driver loop)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("chan") == 0)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    phase = F.col("antenna") * F.lit(0.35)
+    gains = tpch_ms.gains_table(spark).filter(F.col("chan") == 0).select(
+        "antenna", "chan", F.cos(phase).alias("gain_re"), F.sin(phase).alias("gain_im")
+    )
+    corrupted = predict_op.apply_gains(model, gains).select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.col("corrupted_re").alias("vis_re"), F.col("corrupted_im").alias("vis_im"),
+    )
+    history = cal_op.gauss_newton_phase_only(corrupted, model, n_ant=7, maxiter=15)
+    phases = history[-1]["phases"]
+    ref = {c: phases[(0, c)] for (a, c) in phases if a == 0}
+    rows = [
+        (a, c, round(p - ref[c], 4))
+        for (a, c), p in sorted(phases.items())
+    ]
+    return spark.createDataFrame(rows, "antenna int, chan int, phase_rel double")

@@ -1,0 +1,92 @@
+"""Convergence / behavioural tests for the iterative and streaming
+operators (the pieces the DuckDB oracle cannot check)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.operators import predict as predict_op
+from codex_africanus_spark.operators import spi as spi_op
+from codex_africanus_spark.queries import registry
+from codex_africanus_spark.sources import tpch_ms
+from codex_africanus_spark.streaming import windowed
+
+
+def test_gauss_newton_recovers_phases(spark, sf_dir):
+    """Corrupt model vis with φ_a = 0.35·a, solve back: the reference's
+    solver-recovery test pattern (calibration/tests/conftest.py)."""
+    out = registry()["gauss_newton_phase_solve"].fn(spark, sf_dir).toPandas()
+    expected = 0.35 * out.antenna.to_numpy()
+    np.testing.assert_allclose(out.phase_rel.to_numpy(), expected, atol=2e-4)
+
+
+def test_correct_undoes_corrupt(spark, sf_dir):
+    """correct_vis(apply_gains(V)) ≈ V (adjointness-style identity,
+    SURVEY §5 item 4)."""
+    from codex_africanus_spark.operators import calibration as cal_op
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    gains = tpch_ms.gains_table(spark)
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    corrupted = predict_op.apply_gains(model, gains)
+    corrected = cal_op.correct_vis(corrupted, gains)
+    j = corrected.join(
+        model.select("row_id", "antenna1", "antenna2", "chan", "model_re", "model_im"),
+        ["row_id", "antenna1", "antenna2", "chan"],
+    ).select(
+        (F.abs(F.col("corrected_re") - F.col("model_re"))
+         + F.abs(F.col("corrected_im") - F.col("model_im"))).alias("err")
+    )
+    assert j.agg(F.max("err")).collect()[0][0] < 1e-4
+
+
+def test_spi_fit_recovers_catalogue(spark, sf_dir):
+    out = registry()["fit_spi_components"].fn(spark, sf_dir).toPandas()
+    src = tpch_ms.source_table(spark, sf_dir).toPandas().sort_values("source_id")
+    np.testing.assert_allclose(out.alpha_fit, src.spi, atol=1e-5)
+    np.testing.assert_allclose(out.i0_fit, src.flux_i, rtol=1e-5)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """AvailableNow micro-batch stream result == batch query result
+    (Kappa parity)."""
+    stream = windowed.read_events_stream(spark, sf_dir)
+    agg = windowed.tumbling_window_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, CAST(window_start AS LONG) AS hb, n_events, value_sum "
+        "FROM tumbling_test"
+    ).toPandas()
+    batch = registry()["events_tumbling_window"].fn(spark, sf_dir).toPandas()
+    assert len(got) == len(batch)
+    got = got.sort_values(["event_type", "hb"]).reset_index(drop=True)
+    batch = batch.sort_values(["event_type", "hour_bin"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got.n_events.to_numpy(), batch.n_events.to_numpy())
+    np.testing.assert_allclose(got.value_sum.to_numpy(), batch.value_sum.to_numpy())
+    # window start = hour_bin * 3600
+    np.testing.assert_array_equal(got.hb.to_numpy(), batch.hour_bin.to_numpy() * 3600)
+
+
+def test_streaming_session_windows_run(spark, sf_dir, tmp_path):
+    stream = windowed.read_events_stream(spark, sf_dir)
+    agg = windowed.session_window_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) FROM session_test").collect()[0][0]
+    total = spark.sql("SELECT sum(n_events) FROM session_test").collect()[0][0]
+    assert n > 0 and total == 1000  # every event lands in exactly one session
