@@ -27,7 +27,11 @@ def vis_to_im(vis: DataFrame, sources: DataFrame) -> DataFrame:
     """Adjoint DFT: flag-gated real-part accumulation per (source, chan)
     (reference dft/kernels.py:73-170; CASA '+' convention for the adjoint
     of the fourier-convention forward)."""
-    j = vis.filter(~(F.col("flag") | F.col("flag_row"))).crossJoin(F.broadcast(sources))
+    from codex_africanus_spark.sources.tables import fan_out
+
+    j = fan_out(vis.filter(~(F.col("flag") | F.col("flag_row")))).crossJoin(
+        F.broadcast(sources)
+    )
     theta = phase_delay_angle(
         phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"),

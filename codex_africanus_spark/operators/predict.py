@@ -45,14 +45,35 @@ def source_coherency(
     convention: str = "fourier",
     with_shape: bool = True,
 ) -> DataFrame:
-    """Per-(source, row) complex coherency: flux(ν)·shape(u,v,ν)·e^{iθ}."""
-    j = vis.crossJoin(F.broadcast(sources))
+    """Per-(source, row) complex coherency: flux(ν)·shape(u,v,ν)·e^{iθ}.
+
+    Loop-invariant hoisting (the reference hoists the phase dot product
+    out of the channel loop, fused/terms/phase.py:44-76; here the dual):
+    the spectral flux depends only on (source, chan) — evaluate the pow()
+    on the tiny broadcast side (n_src × n_chan rows) instead of per
+    (source × row) pair, and turn the cross join into a broadcast hash
+    join on chan. Saves one transcendental per pair at any scale.
+    """
+    from codex_africanus_spark.sources.tables import fan_out
+
+    chan_freq = vis.select("chan", "frequency").distinct()
+    src_chan = (
+        sources.crossJoin(chan_freq)
+        .withColumn(
+            "flux",
+            spectral_model(
+                F.col("flux_i"), F.col("spi"), F.col("ref_freq"), F.col("frequency")
+            ),
+        )
+        .drop("frequency")
+    )
+    j = fan_out(vis).join(F.broadcast(src_chan), "chan")
     theta = phase_delay_angle(
         phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"),
         convention,
     )
-    flux = spectral_model(F.col("flux_i"), F.col("spi"), F.col("ref_freq"), F.col("frequency"))
+    flux = F.col("flux")
     if with_shape:
         env = F.when(
             F.col("source_type") == "GAUSSIAN",

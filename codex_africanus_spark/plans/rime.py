@@ -146,8 +146,10 @@ def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
     Returns (row_id, antenna1, antenna2, chan, vis_re, vis_im) — the
     source-reduced model visibilities.
     """
+    from codex_africanus_spark.sources.tables import fan_out
+
     parsed = parse_rime(spec)
-    joined = vis.crossJoin(F.broadcast(sources))
+    joined = fan_out(vis).crossJoin(F.broadcast(sources))
     z = Cplx(F.lit(1.0), F.lit(0.0))
     for char, _side in parsed.terms:
         if char not in TERM_MAP:

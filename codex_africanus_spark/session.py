@@ -37,6 +37,12 @@ def get_spark(app_name: str = "codex_africanus_spark", cpus: str | None = None) 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # local-mode parallelism: the testdata tables are single small
+        # parquet files; the 128 MB default yields ~3 input partitions on
+        # 32 cores. On a real cluster with 100 TB of many files the
+        # default is correct — this is a local-bench knob.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
@@ -53,6 +59,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.files.maxPartitionBytes", "8m"),
+        ("spark.sql.files.openCostInBytes", "1m"),
     ]:
         try:
             spark.conf.set(k, v)

@@ -28,6 +28,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition a narrow frame up to cluster parallelism before an
+    expensive expansion (cross join, explode).
+
+    The driver's testdata parquet is written as a single row group, so the
+    scan cannot be split — every downstream stage would run on ≤2 tasks.
+    One round-robin exchange of the narrow rows (~tens of MB) buys full
+    parallelism for the O(25×) expansion that follows. On a real cluster
+    with many files/row groups the condition is false and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
