@@ -1052,3 +1052,278 @@ def gauss_newton_phase_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (a, c), p in sorted(phases.items())
     ]
     return spark.createDataFrame(rows, "antenna int, chan int, phase_rel double")
+
+
+# ===========================================================================
+# Catalogue ingest / feeds / beams / splines (SURVEY §2.1, §2.8 tail)
+# ===========================================================================
+
+import math as _math  # noqa: E402
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from codex_africanus_spark.functions import feeds as feeds_fn  # noqa: E402
+from codex_africanus_spark.functions.coordinates import lm_to_radec  # noqa: E402
+from codex_africanus_spark.functions.spectral import wsclean_spectra  # noqa: E402
+from codex_africanus_spark.operators import beam as beam_op  # noqa: E402
+from codex_africanus_spark.operators import splines as spline_op  # noqa: E402
+from codex_africanus_spark.sources import wsclean as wsclean_src  # noqa: E402
+
+
+def _write_wsclean_file(sf_dir: str) -> str:
+    """Deterministic WSClean text model derived from nation keys (so the
+    oracle can recompute every parsed value from the table)."""
+    import duckdb as _duckdb
+
+    rows = _duckdb.sql(
+        f"SELECT n_nationkey FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey"
+    ).fetchall()
+    path = _os.path.join(_tempfile.gettempdir(), "codex_africanus_wsclean_model.txt")
+    with open(path, "w") as fh:
+        fh.write(
+            "Format = Name, Type, Ra, Dec, I, SpectralIndex, LogarithmicSI, "
+            "ReferenceFrequency='856000000.0', MajorAxis, MinorAxis, Orientation\n"
+        )
+        for (n,) in rows:
+            sign = "-" if n % 2 else "+"
+            ra = f"{n % 24:02d}:{(n * 7) % 60:02d}:{n % 60:02d}"
+            dec = f"{sign}{n % 45:02d}.{(n * 3) % 60:02d}.{(n * 11) % 60:02d}"
+            gauss = n % 3 == 0
+            stype = "GAUSSIAN" if gauss else "POINT"
+            spi = f"[{-(n % 3)}e-1,{(n % 2)}e-2]"
+            logsi = "true" if n % 2 == 0 else "false"
+            maj = f"{(1 + n % 4) * 10}" if gauss else ""
+            mnr = f"{(1 + n % 4) * 5}" if gauss else ""
+            ori = f"{(n * 15) % 180}" if gauss else ""
+            fh.write(f"s{n},{stype},{ra},{dec},{1 + n % 5},{spi},{logsi},,{maj},{mnr},{ori}\n")
+    return path
+
+
+_WSCLEAN_ORACLE = """
+    SELECT concat('s', n_nationkey) AS name,
+           CASE WHEN n_nationkey % 3 = 0 THEN 'GAUSSIAN' ELSE 'POINT' END AS source_type,
+           round(((n_nationkey % 24) + ((n_nationkey * 7) % 60) / 60.0 + (n_nationkey % 60) / 3600.0)
+                 * (pi() / 12.0), 9) AS ra,
+           round((CASE WHEN n_nationkey % 2 = 1 THEN -1.0 ELSE 1.0 END)
+                 * ((n_nationkey % 45) + ((n_nationkey * 3) % 60) / 60.0 + ((n_nationkey * 11) % 60) / 3600.0)
+                 * (pi() / 180.0), 9) AS dec,
+           CAST(1 + n_nationkey % 5 AS DOUBLE) AS flux_i,
+           round(-(n_nationkey % 3) / 10.0, 9) AS spi_0,
+           round((n_nationkey % 2) / 100.0, 9) AS spi_1,
+           (n_nationkey % 2 = 0) AS log_si,
+           856000000.0 AS ref_freq
+    FROM nation ORDER BY name
+"""
+
+
+@register("wsclean_model_reader", _WSCLEAN_ORACLE)
+def wsclean_model_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WSClean text sky-model ingest: header defaults, sexagesimal Ra/Dec
+    converters, bracketed spectral-index lists — all Column expressions
+    (reference file_model.py:197-251)."""
+    path = _write_wsclean_file(sf_dir)
+    src = wsclean_src.read_wsclean_model(spark, path)
+    return src.select(
+        "name",
+        "source_type",
+        F.round(F.col("ra"), 9).alias("ra"),
+        F.round(F.col("dec"), 9).alias("dec"),
+        "flux_i",
+        F.round(F.col("spectral_index").getItem(0), 9).alias("spi_0"),
+        F.round(F.col("spectral_index").getItem(1), 9).alias("spi_1"),
+        "log_si",
+        "ref_freq",
+    ).orderBy("name")
+
+
+_FEED_ROT_ORACLE = _with_ms(
+    """
+    , pa AS (
+      SELECT t.time, a.range AS antenna,
+             sin(fmod(t.time, 86400.0) / 86400.0 * 6.283185307179586)
+               * (0.1 + a.range / 100.0) AS pa
+      FROM (SELECT DISTINCT time FROM vis) t, range(7) a
+    )
+    SELECT time, CAST(antenna AS INT) AS antenna,
+           round(cos(pa), 9)  AS fr_xx_re,
+           round(sin(pa), 9)  AS fr_xy_re,
+           round(-sin(pa), 9) AS fr_yx_re,
+           round(cos(pa), 9)  AS fr_yy_re
+    FROM pa ORDER BY time, antenna
+    """
+)
+
+
+@register("feed_rotation_jones", _FEED_ROT_ORACLE)
+def feed_rotation_jones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-feed rotation Jones from parallactic angles ('test' ephemeris
+    backend) over the distinct (time, antenna) table (reference
+    feeds.py:14-115, parangles.py:21-68)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    pa = feeds_fn.parallactic_angle_table(vis, n_ant=7)
+    jones = feeds_fn.feed_rotation(F.col("pa"), "linear")
+    return pa.select(
+        "time",
+        "antenna",
+        F.round(jones.xx.re, 9).alias("fr_xx_re"),
+        F.round(jones.xy.re, 9).alias("fr_xy_re"),
+        F.round(jones.yx.re, 9).alias("fr_yx_re"),
+        F.round(jones.yy.re, 9).alias("fr_yy_re"),
+    ).orderBy("time", "antenna")
+
+
+_TRANSFORM_ORACLE = _with_ms(
+    """
+    , pa AS (
+      SELECT t.time,
+             sin(fmod(t.time, 86400.0) / 86400.0 * 6.283185307179586)
+               * (0.1 + 1 / 100.0) AS pa
+      FROM (SELECT DISTINCT time FROM vis) t
+    )
+    SELECT p.time, s.source_id,
+           round(s.l * cos(p.pa) - s.m * sin(p.pa), 9) AS l_rot,
+           round(s.l * sin(p.pa) + s.m * cos(p.pa), 9) AS m_rot
+    FROM pa p, src s
+    ORDER BY p.time, s.source_id
+    """
+)
+
+
+@register("transform_sources_rotation", _TRANSFORM_ORACLE)
+def transform_sources_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(time, source) lm rotation by the antenna-1 parallactic angle
+    (reference rime/transform.py:47-99)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    pa = feeds_fn.parallactic_angle_table(vis, n_ant=7).filter(F.col("antenna") == 1)
+    src = tpch_ms.source_table(spark, sf_dir)
+    j = pa.crossJoin(F.broadcast(src))
+    lt, mt = feeds_fn.transform_sources(F.col("l"), F.col("m"), F.col("pa"))
+    return j.select(
+        "time",
+        "source_id",
+        F.round(lt, 9).alias("l_rot"),
+        F.round(mt, 9).alias("m_rot"),
+    ).orderBy("time", "source_id")
+
+
+@register("beam_cube_dde_sampling", None)
+def beam_cube_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trilinear beam-cube interpolation per (source, chan) via broadcast
+    cube + Arrow pandas UDF (reference fast_beam_cubes.py:58-301) —
+    gather-heavy, rows-only check (NumPy-oracle unit test instead)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    pairs = src.crossJoin(chan).select(
+        "source_id", "chan", "l", "m",
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias("frequency"),
+    )
+    beam = beam_op.make_test_beam_cube()
+    out = beam_op.beam_cube_dde(pairs, beam)
+    return out.select(
+        "source_id", "chan", F.round(F.col("beam_gain"), 9).alias("beam_gain")
+    ).orderBy("source_id", "chan")
+
+
+@register("spline_smooth_user_series", None)
+def spline_smooth_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural cubic-spline fit + dense evaluation per user over the
+    events series (reference averaging/splines.py:14-140) — rows-only
+    (knot-interpolation property covered by unit test)."""
+    ev = tpch_ms.events_table(spark, sf_dir).filter(F.col("user_id") < 8)
+    samples = ev.select(
+        F.col("user_id").alias("key"),
+        (F.col("ts_us") / F.lit(1e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return spline_op.evaluate_spline_dense(samples).orderBy("key", "x_eval")
+
+
+_CORR_TO_STOKES_ORACLE = _with_ms(
+    """
+    SELECT source_id,
+           ((flux_i + flux_q) + (flux_i - flux_q)) / 2.0 AS stokes_i,
+           ((flux_i + flux_q) - (flux_i - flux_q)) / 2.0 AS stokes_q,
+           (flux_u + flux_u) / 2.0 AS stokes_u,
+           (flux_v - (-flux_v)) / 2.0 AS stokes_v
+    FROM src ORDER BY source_id
+    """
+)
+
+
+@register("corr_to_stokes_roundtrip", _CORR_TO_STOKES_ORACLE)
+def corr_to_stokes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation → Stokes inverse conversion; round-trips the catalogue
+    exactly (reference conversion.py bidirectional schema)."""
+    from codex_africanus_spark.functions.stokes import corr_to_stokes
+
+    src = tpch_ms.source_table(spark, sf_dir)
+    corrs = stokes_to_corr(
+        F.col("flux_i"), F.col("flux_q"), F.col("flux_u"), F.col("flux_v"), "linear"
+    )
+    back = corr_to_stokes(corrs["XX"], corrs["XY"], corrs["YX"], corrs["YY"], "linear")
+    return src.select(
+        "source_id",
+        back["I"].alias("stokes_i"),
+        back["Q"].alias("stokes_q"),
+        back["U"].alias("stokes_u"),
+        back["V"].alias("stokes_v"),
+    ).orderBy("source_id")
+
+
+_WSCLEAN_SPECTRA_ORACLE = _with_ms(
+    """
+    SELECT s.source_id, CAST(c.range AS INT) AS chan,
+           round(CASE WHEN s.source_id % 2 = 0
+             THEN exp(ln(s.flux_i) + s.spi * ln((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq)
+                      + 0.01 * ln((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq)
+                           * ln((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq))
+             ELSE s.flux_i + s.spi * ((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq - 1.0)
+                  + 0.01 * ((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq - 1.0)
+                        * ((856000000.0 * (1 + c.range / 8.0)) / s.ref_freq - 1.0)
+             END, 9) AS flux
+    FROM src s, range(7) c
+    ORDER BY s.source_id, chan
+    """
+)
+
+
+@register("wsclean_polynomial_spectra", _WSCLEAN_SPECTRA_ORACLE)
+def wsclean_polynomial_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WSClean ordinary vs logarithmic polynomial spectra (reference
+    model/wsclean/spec_model.py:9-27,71-132) with coeffs [spi, 0.01]."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    j = src.crossJoin(chan)
+    freq = F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))
+    flux = wsclean_spectra(
+        F.col("flux_i"),
+        [F.col("spi"), F.lit(0.01)],
+        F.col("source_id") % 2 == 0,
+        F.col("ref_freq"),
+        freq,
+    )
+    return j.select(
+        "source_id", "chan", F.round(flux, 9).alias("flux")
+    ).orderBy("source_id", "chan")
+
+
+_LM_RADEC_ORACLE = _with_ms(
+    """
+    SELECT source_id,
+           round(0.1 + atan2(l, n * cos(0.05) - m * sin(0.05)), 9) AS ra,
+           round(asin(m * cos(0.05) + n * sin(0.05)), 9) AS dec
+    FROM src ORDER BY source_id
+    """
+)
+
+
+@register("lm_to_radec_inverse", _LM_RADEC_ORACLE)
+def lm_to_radec_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm → radec inverse transform (reference coordinates.py:122-199)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    ra, dec = lm_to_radec(F.col("l"), F.col("m"), F.lit(0.1), F.lit(0.05))
+    return src.select(
+        "source_id",
+        F.round(ra, 9).alias("ra"),
+        F.round(dec, 9).alias("dec"),
+    ).orderBy("source_id")
