@@ -1327,3 +1327,216 @@ def lm_to_radec_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ra, 9).alias("ra"),
         F.round(dec, 9).alias("dec"),
     ).orderBy("source_id")
+
+
+# ===========================================================================
+# GP kernels / shapelets / forward DFT / skew-safe agg / TPC-H breadth
+# ===========================================================================
+
+from codex_africanus_spark.functions import gp as gp_fn  # noqa: E402
+from codex_africanus_spark.functions.shapes import shapelet_1d, shapelet_1d_sql  # noqa: E402
+from codex_africanus_spark.operators import skew as skew_op  # noqa: E402
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND(l_discount*100) AS BIGINT)) AS revenue_c4,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure selective scan+agg — every predicate must reach the
+    parquet reader (PushedFilters)."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        ).alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_c4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c4 DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue ranking."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load(spark, "nation", sf_dir)
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_IM_TO_VIS_ORACLE = _with_ms(
+    """
+    , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row)),
+    image AS (
+      SELECT s.source_id, s.l, s.m, s.n, v.chan,
+             SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
+                           - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+                      * 1000000) AS BIGINT)) / 1000000.0 AS image
+      FROM gated v, src s
+      GROUP BY s.source_id, s.l, s.m, s.n, v.chan
+    )
+    SELECT v.row_id, v.chan,
+           SUM(CAST(ROUND(i.image * cos(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(i.image * sin(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM gated v JOIN image i ON v.chan = i.chan
+    WHERE v.row_id % 31 = 0
+    GROUP BY v.row_id, v.chan
+    ORDER BY v.row_id, v.chan
+    """
+)
+
+
+@register("dft_im_to_vis_forward", _IM_TO_VIS_ORACLE)
+def dft_im_to_vis_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward DFT: predict visibilities from the vis_to_im image table
+    (reference dft/kernels.py:15-69) — the adjoint round-trip pair."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    image = dft_op.vis_to_im(vis, src).join(
+        F.broadcast(
+            tpch_ms.source_table(spark, sf_dir).select("source_id", "l", "m", "n")
+        ),
+        "source_id",
+    )
+    gated = vis.filter(~(F.col("flag") | F.col("flag_row"))).filter(
+        F.col("row_id") % 31 == 0
+    )
+    j = gated.join(
+        F.broadcast(image.select("source_id", "chan", "l", "m", "n", "image")), "chan"
+    )
+    from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "fourier",
+    )
+    return (
+        j.groupBy("row_id", "chan")
+        .agg(
+            (qsum(F.col("image") * F.cos(theta), 1e6) / F.lit(1e6)).alias("vis_re"),
+            (qsum(F.col("image") * F.sin(theta), 1e6) / F.lit(1e6)).alias("vis_im"),
+        )
+        .orderBy("row_id", "chan")
+    )
+
+
+_GP_ORACLE = _with_ms(
+    """
+    SELECT a.source_id AS i, b.source_id AS j,
+           round(1.5 * 1.5 * exp(-((a.l - b.l) * (a.l - b.l)) / (2.0 * (CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)))), 9) AS k
+    FROM src a, src b
+    WHERE ABS(a.l - b.l) <= CAST(0.03 AS DOUBLE)
+    ORDER BY i, j
+    """
+)
+
+
+@register("gp_exponential_squared_kernel", _GP_ORACLE)
+def gp_exponential_squared_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded exponential-squared GP covariance as a pruned pairwise
+    cross join (reference gps/kernels.py:8-40)."""
+    src = tpch_ms.source_table(spark, sf_dir).select(
+        F.col("source_id").alias("id"), F.col("l").alias("x")
+    )
+    return gp_fn.covariance_frame(
+        src, sigma_f=1.5, length=0.02, band=0.03
+    ).orderBy("i", "j")
+
+
+_SHAPELET_COEFFS = [1.0, 0.5, -0.25, 0.125]
+_SHAPELET_ORACLE = _with_ms(
+    f"""
+    SELECT row_id,
+           round({shapelet_1d_sql('u / 100.0', _SHAPELET_COEFFS, 1.0)}, 9) AS shapelet_u,
+           round({shapelet_1d_sql('v / 100.0', _SHAPELET_COEFFS, 1.0)}, 9) AS shapelet_v
+    FROM vis WHERE row_id % 41 = 0
+    ORDER BY row_id
+    """
+)
+
+
+@register("shapelet_basis_eval", _SHAPELET_ORACLE)
+def shapelet_basis_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hermite shapelet basis evaluation at scaled uv (reference
+    model/shape/shapelets.py:57-153; orders ≤ 3 as closed-form Column
+    expressions — codegen path; higher orders via pandas UDF)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 41 == 0)
+    return vis.select(
+        "row_id",
+        F.round(shapelet_1d(F.col("u") / 100.0, _SHAPELET_COEFFS, 1.0), 9).alias("shapelet_u"),
+        F.round(shapelet_1d(F.col("v") / 100.0, _SHAPELET_COEFFS, 1.0), 9).alias("shapelet_v"),
+    ).orderBy("row_id")
+
+
+_SALTED_ORACLE = _with_ms(
+    """
+    SELECT antenna1, antenna2,
+           SUM(CAST(ROUND(vis_re * 100) AS BIGINT)) AS vis_re_q,
+           SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS weight_q,
+           COUNT(*) AS n_rows
+    FROM vis GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("salted_skew_safe_aggregate", _SALTED_ORACLE)
+def salted_skew_safe_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the (skew-prone) baseline key —
+    byte-identical to the direct groupBy because the aggregates are
+    exact integers (the 100 TB hot-key strategy, operators/skew.py)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    return skew_op.salted_sum(
+        vis,
+        keys=["antenna1", "antenna2"],
+        sums={
+            "vis_re_q": quantize(F.col("vis_re"), 100.0),
+            "weight_q": quantize(F.col("weight"), 100.0),
+        },
+        spread_col="row_id",
+    ).orderBy("antenna1", "antenna2")
