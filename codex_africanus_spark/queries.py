@@ -1540,3 +1540,20 @@ def salted_skew_safe_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         spread_col="row_id",
     ).orderBy("antenna1", "antenna2")
+
+
+from codex_africanus_spark.operators import zernike as zernike_op  # noqa: E402
+
+
+@register("zernike_dde_sampling", None)
+def zernike_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zernike-polynomial beam DDE at each catalogue pointing (reference
+    rime/zernike.py:110-198) — pandas UDF with broadcast Noll
+    coefficients; rows-only (NumPy-oracle unit test covers values)."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    out = zernike_op.zernike_dde(
+        src.select("source_id", "l", "m"), [1.0, 0.3, -0.2, 0.1], [1, 2, 3, 4]
+    )
+    return out.select(
+        "source_id", F.round(F.col("zernike_gain"), 9).alias("zernike_gain")
+    ).orderBy("source_id")

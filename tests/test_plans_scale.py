@@ -1,0 +1,73 @@
+"""Plan-audit tests: lock in the physical-plan properties the 100 TB
+design depends on. A regression that turns a broadcast join into a
+sort-merge shuffle or loses parquet pushdown should fail HERE, not in a
+cluster bill.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.operators import predict as predict_op
+from codex_africanus_spark.queries import registry
+from codex_africanus_spark.sources import tpch_ms
+from codex_africanus_spark.sources.tables import load
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predict_uses_broadcast_join_not_shuffle(spark, sf_dir):
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    plan = plan_of(predict_op.predict_point_vis(vis, src))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_predict_aggregation_is_partial_final(spark, sf_dir):
+    """The source reduction must be map-side partial + final hash agg —
+    the property that keeps shuffle O(#groups) instead of O(#pairs)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    plan = plan_of(predict_op.predict_point_vis(vis, src))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_gains_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(registry()["corrupt_vis_apply_gains"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_pushed_to_parquet(spark, sf_dir):
+    plan = plan_of(registry()["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull" in plan  # predicates reached the scan
+    assert "GreaterThanOrEqual(l_shipda" in plan or "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_lsh_pairs_join_is_equi_not_cartesian(spark, sf_dir):
+    plan = plan_of(registry()["minhash_lsh_near_dup_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_averaging_single_shuffle(spark, sf_dir):
+    """time_and_channel is one groupBy ⇒ exactly one exchange (plus AQE
+    reads); more would mean a redundant repartition crept in."""
+    from codex_africanus_spark.operators import averaging as avg_op
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    plan = plan_of(avg_op.time_and_channel(vis))
+    assert plan.count("Exchange hashpartitioning") <= 1
