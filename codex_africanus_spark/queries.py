@@ -1557,3 +1557,112 @@ def zernike_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source_id", F.round(F.col("zernike_gain"), 9).alias("zernike_gain")
     ).orderBy("source_id")
+
+
+# ===========================================================================
+# As-of join / grouping sets / distinct aggregates (SURVEY §2.3, relational)
+# ===========================================================================
+
+from codex_africanus_spark.operators import asof as asof_op  # noqa: E402
+
+_FREQ_GRID = [856e6, 1070e6, 1284e6, 1498e6, 1712e6]
+
+_ASOF_ORACLE = _with_ms(
+    f"""
+    , grid AS (SELECT unnest([{", ".join(f"{g!r}e0" if "e" not in repr(g) else repr(g) for g in _FREQ_GRID)}]) AS g),
+    clamped AS (
+      SELECT row_id, LEAST(GREATEST(frequency, 856000000.0), 1712000000.0) AS v
+      FROM vis WHERE row_id % 37 = 0
+    ),
+    lo AS (
+      SELECT c.row_id, c.v,
+             CASE WHEN MAX(g.g) >= 1712000000.0 THEN 1498000000.0 ELSE MAX(g.g) END AS grid_lo
+      FROM clamped c JOIN grid g ON g.g <= c.v
+      GROUP BY c.row_id, c.v
+    ),
+    hi AS (
+      SELECT l.row_id, l.v, l.grid_lo, MIN(g.g) AS grid_hi
+      FROM lo l JOIN grid g ON g.g > l.grid_lo
+      GROUP BY l.row_id, l.v, l.grid_lo
+    )
+    SELECT row_id, grid_lo, grid_hi,
+           (v - grid_lo) / (grid_hi - grid_lo) AS interp_weight
+    FROM hi ORDER BY row_id
+    """
+)
+
+
+@register("asof_freq_grid_interp", _ASOF_ORACLE)
+def asof_freq_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-frequency as-of/interval join: each data frequency matched to
+    its enclosing grid interval with clamped linear weight (reference
+    fast_beam_cubes.py:11-54 freq_grid_interp)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 37 == 0)
+    grid = spark.createDataFrame([(g,) for g in _FREQ_GRID], "grid_value double")
+    out = asof_op.asof_grid_interp(
+        vis.select("row_id", "frequency"), grid, "frequency", keys=["row_id"]
+    )
+    return out.select("row_id", "grid_lo", "grid_hi", "interp_weight").orderBy("row_id")
+
+
+@register(
+    "events_rollup_grouping_sets",
+    _with_ms(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(ts_us // 86400000000 AS BIGINT), -1) AS day_bin,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS value_q
+        FROM ev
+        GROUP BY GROUPING SETS ((event_type, ts_us // 86400000000), (event_type), ())
+        ORDER BY event_type, day_bin
+        """
+    ),
+)
+def events_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP-style grouping sets over the event stream (relational
+    surface beyond the reference: multi-granularity aggregation in one
+    pass with partial aggregation shared across sets)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    day = F.expr("ts_us DIV 86400000000")
+    return (
+        ev.withColumn("day_bin0", day)
+        .rollup("event_type", "day_bin0")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qsum(F.col("value"), 1e6).alias("value_q"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day_bin0"), F.lit(-1)).cast("long").alias("day_bin"),
+            "n_events",
+            "value_q",
+        )
+        .orderBy("event_type", "day_bin")
+    )
+
+
+@register(
+    "distinct_user_counts",
+    _with_ms(
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM ev GROUP BY event_type ORDER BY event_type
+        """
+    ),
+)
+def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand+two-phase under the hood); the
+    approx_count_distinct sketch variant is the scale path — exact here
+    so the oracle can hash-match."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
