@@ -1666,3 +1666,71 @@ def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# End-to-end composition: WSClean model file → lm → predict (the reference
+# user's full predict.py workflow, examples/predict.py:531-586)
+# ===========================================================================
+
+_WSCLEAN_PREDICT_ORACLE = _with_ms(
+    """
+    , wsrc AS (
+      SELECT ((n_nationkey % 24) + ((n_nationkey * 7) % 60) / 60.0 + (n_nationkey % 60) / 3600.0)
+               * (pi() / 12.0) AS ra,
+             (CASE WHEN n_nationkey % 2 = 1 THEN -1.0 ELSE 1.0 END)
+               * ((n_nationkey % 45) + ((n_nationkey * 3) % 60) / 60.0 + ((n_nationkey * 11) % 60) / 3600.0)
+               * (pi() / 180.0) AS dec,
+             CAST(1 + n_nationkey % 5 AS DOUBLE) AS flux_i
+      FROM nation
+    ),
+    lm AS (
+      SELECT flux_i,
+             cos(dec) * sin(ra - 0.5)                                   AS l,
+             sin(dec) * cos(CAST(0.1 AS DOUBLE))
+               - cos(dec) * sin(CAST(0.1 AS DOUBLE)) * cos(ra - 0.5)    AS m
+      FROM wsrc
+    ),
+    lmn AS (
+      SELECT flux_i, l, m,
+             sqrt(greatest(0.0, 1.0 - l*l - m*m)) AS n
+      FROM lm
+    )
+    SELECT v.row_id, v.chan,
+           SUM(CAST(ROUND(s.flux_i * cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(s.flux_i * sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM vis v, lmn s
+    WHERE v.row_id % 23 = 0
+    GROUP BY v.row_id, v.chan
+    ORDER BY v.row_id, v.chan
+    """
+)
+
+
+@register("wsclean_predict_end_to_end", _WSCLEAN_PREDICT_ORACLE)
+def wsclean_predict_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full predict.py workflow in one Catalyst plan:
+    WSClean text model → sexagesimal parse → radec_to_lmn → phase-delay
+    cross join → flux-weighted deterministic source reduction
+    (examples/predict.py:531-586, re-expressed Spark-first)."""
+    path = _write_wsclean_file(sf_dir)
+    src = wsclean_src.read_wsclean_model(spark, path)
+    l, m, n = radec_to_lmn(F.col("ra"), F.col("dec"), F.lit(0.5), F.lit(0.1))
+    lmn = src.select(
+        "flux_i", l.alias("l"), m.alias("m"), n.alias("n")
+    )
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 23 == 0)
+    j = vis.crossJoin(F.broadcast(lmn))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "fourier",
+    )
+    return (
+        j.groupBy("row_id", "chan")
+        .agg(
+            (qsum(F.col("flux_i") * F.cos(theta), 1e6) / F.lit(1e6)).alias("vis_re"),
+            (qsum(F.col("flux_i") * F.sin(theta), 1e6) / F.lit(1e6)).alias("vis_im"),
+        )
+        .orderBy("row_id", "chan")
+    )
