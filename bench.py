@@ -33,6 +33,9 @@ HEADLINE = [
     "topk_parts_by_revenue",
     "events_tumbling_window",
     "time_index_dense_rank",
+    "minhash_lsh_near_dup_pairs",
+    "embedding_cosine_topk",
+    "events_sessionize_relational",
 ]
 
 
@@ -46,12 +49,19 @@ def main() -> None:
     for name in HEADLINE:
         if name not in reg:
             continue
-        t0 = time.perf_counter()
-        df = reg[name].fn(spark, SF_DIR)
-        # noop sink forces full evaluation of every output column
-        # (count() alone would let Catalyst prune the aggregates)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # two runs, report the steady-state (min): the first execution of a
+        # heavy expression pipeline pays one-off whole-stage-codegen JIT
+        # cost that a long-running cluster amortizes away
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = reg[name].fn(spark, SF_DIR)
+            # noop sink forces full evaluation of every output column
+            # (count() alone would let Catalyst prune the aggregates)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

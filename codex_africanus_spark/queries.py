@@ -1734,3 +1734,12 @@ def wsclean_predict_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id", "chan")
     )
+
+
+@register("events_sessionize_relational", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (the Tungsten path
+    for SQL-expressible closure rules; same oracle as the applyInPandas
+    variant)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return bda_op.sessionize_relational(ev).orderBy("user_id", "ts_us", "event_id")

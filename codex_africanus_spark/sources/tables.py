@@ -39,7 +39,14 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     with many files/row groups the condition is false and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # NOTE: df.rdd.getNumPartitions() would trigger an eager job under AQE;
+    # inputFiles() reads only the file index. Single-file (= single-row-
+    # group testdata) sources fan out; many-file sources are already split.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files and n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -33,8 +33,15 @@ REF_FREQ = 856e6
 # --------------------------------------------------------------------------
 
 def vis_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MS main-table analogue: one visibility sample per lineitem row."""
-    li = load(spark, "lineitem", sf_dir)
+    """MS main-table analogue: one visibility sample per lineitem row.
+
+    The raw scan is fanned out BEFORE the derivation so the per-row
+    arithmetic runs at cluster parallelism (the testdata parquet is a
+    single unsplittable row group; see tables.fan_out) — the narrow raw
+    columns are the cheapest thing to exchange."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    li = fan_out(load(spark, "lineitem", sf_dir))
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     a = (F.col("l_suppkey") % N_ANT).cast("int")
     b = (F.col("l_partkey") % N_ANT).cast("int")

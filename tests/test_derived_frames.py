@@ -16,9 +16,13 @@ def duck(sf_dir: str):
 
 
 def compare(spark_df, con, sql, key):
-    left = spark_df.toPandas().sort_values(key).reset_index(drop=True)
-    right = con.execute(sql).df().sort_values(key).reset_index(drop=True)
-    right = right[left.columns]
+    # sort on ALL columns: derived keys (row_id) are not unique, so a
+    # single-key sort leaves duplicate-key row order engine-dependent
+    left = spark_df.toPandas()
+    right = con.execute(sql).df()
+    cols = list(left.columns)
+    left = left.sort_values(cols).reset_index(drop=True)
+    right = right[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(left, right, check_dtype=False, rtol=0, atol=0)
 
 
