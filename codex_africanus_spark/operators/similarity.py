@@ -50,15 +50,21 @@ def cosine_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 5) -> 
     sim = qdot(a,b) / (sqrt(qdot(a,a)) · sqrt(qdot(b,b))) — deterministic
     because every operand derives from exact integers.
     """
-    q = embeddings.filter(F.col("vec_id") % query_modulus == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # precompute each vector's quantized self-norm ONCE (the naive form
+    # re-evaluates both norms per pair — 3× the array work)
+    withnorm = embeddings.withColumn("norm_q", _qdot("embedding", "embedding"))
+    q = withnorm.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(F.col("norm_q")).alias("qnorm"),
     )
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(F.col("norm_q")).alias("cnorm"),
+    )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = (
-        _qdot("qe", "ce")
-        / (F.sqrt(_qdot("qe", "qe")) * F.sqrt(_qdot("ce", "ce")))
-    )
+    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(
@@ -134,16 +140,19 @@ def ann_lsh_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 3) ->
     """ANN: candidates restricted to the query's LSH bucket, then exact
     quantized cosine re-ranking within the bucket."""
     buckets = lsh_bucket(embeddings)
-    withb = embeddings.join(buckets, "vec_id")
+    withb = embeddings.join(buckets, "vec_id").withColumn(
+        "norm_q", _qdot("embedding", "embedding")
+    )
     q = withb.filter(F.col("vec_id") % query_modulus == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        "bucket", F.sqrt(F.col("norm_q")).alias("qnorm"),
     )
     c = withb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
-        F.col("bucket").alias("cbucket"),
+        F.col("bucket").alias("cbucket"), F.sqrt(F.col("norm_q")).alias("cnorm"),
     )
     pairs = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
-    sim = _qdot("qe", "ce") / (F.sqrt(_qdot("qe", "qe")) * F.sqrt(_qdot("ce", "ce")))
+    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "bucket", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(

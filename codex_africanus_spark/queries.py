@@ -1743,3 +1743,37 @@ def events_sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant)."""
     ev = tpch_ms.events_table(spark, sf_dir)
     return bda_op.sessionize_relational(ev).orderBy("user_id", "ts_us", "event_id")
+
+
+_MERGE_FLAGS_ORACLE = _with_ms(
+    """
+    , per_row AS (
+      SELECT row_id, antenna1, antenna2,
+             MIN(CAST(flag AS INT)) AS all_chan_flagged,
+             MAX(CAST(flag_row AS INT)) AS any_flag_row
+      FROM vis GROUP BY row_id, antenna1, antenna2
+    )
+    SELECT row_id, antenna1, antenna2,
+           (any_flag_row = 1 OR all_chan_flagged = 1) AS merged_flag_row,
+           (all_chan_flagged = 1) AS derived_from_chans
+    FROM per_row ORDER BY row_id, antenna1, antenna2
+    """
+)
+
+
+@register("merge_flags_row_chan", _MERGE_FLAGS_ORACLE)
+def merge_flags_row_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_flags: derive/reconcile row flags from per-channel flags —
+    flag_row ∨ all-channels-flagged (reference averaging/shared.py:19-87)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    per_row = vis.groupBy("row_id", "antenna1", "antenna2").agg(
+        F.min(F.col("flag").cast("int")).alias("all_chan_flagged"),
+        F.max(F.col("flag_row").cast("int")).alias("any_flag_row"),
+    )
+    return per_row.select(
+        "row_id",
+        "antenna1",
+        "antenna2",
+        ((F.col("any_flag_row") == 1) | (F.col("all_chan_flagged") == 1)).alias("merged_flag_row"),
+        (F.col("all_chan_flagged") == 1).alias("derived_from_chans"),
+    ).orderBy("row_id", "antenna1", "antenna2")
