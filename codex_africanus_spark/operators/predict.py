@@ -148,3 +148,79 @@ def apply_gains(model: DataFrame, gains: DataFrame) -> DataFrame:
         F.round(out.re, 6).alias("corrupted_re"),
         F.round(out.im, 6).alias("corrupted_im"),
     )
+
+
+def predict_full_corr(vis: DataFrame, sources: DataFrame, gains: DataFrame) -> DataFrame:
+    """Full 2×2-correlation predict: brightness matrix B(I,Q,U,V,ν) per
+    source, scalar phase K, source reduction per correlation, then the
+    diagonal-Jones sandwich G₁·V·G₂ᴴ with independent X/Y gains.
+
+    The 2×2 path of the reference (predict.py:56-190 full/diag kernels +
+    brightness conversion) as one Catalyst plan: 8 real aggregates (4
+    complex corrs), two broadcast gain joins, everything codegen.
+    """
+    from codex_africanus_spark.functions.complex_algebra import Cplx
+    from codex_africanus_spark.functions.deterministic import qsum
+    from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+    from codex_africanus_spark.sources.tables import fan_out
+
+    j = fan_out(vis).crossJoin(F.broadcast(sources))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "fourier",
+    )
+    s = F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
+    ct, st = F.cos(theta), F.sin(theta)
+    bxx = F.col("flux_i") * s + F.col("flux_q")
+    byy = F.col("flux_i") * s - F.col("flux_q")
+    bu, bv = F.col("flux_u"), F.col("flux_v")
+    coh = j.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        (bxx * ct).alias("xx_re"), (bxx * st).alias("xx_im"),
+        (bu * ct - bv * st).alias("xy_re"), (bu * st + bv * ct).alias("xy_im"),
+        (bu * ct - (-bv) * st).alias("yx_re"), (bu * st + (-bv) * ct).alias("yx_im"),
+        (byy * ct).alias("yy_re"), (byy * st).alias("yy_im"),
+    )
+    model = coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+        *[
+            (qsum(F.col(c), QSCALE) / F.lit(QSCALE)).alias(c)
+            for c in ["xx_re", "xx_im", "xy_re", "xy_im", "yx_re", "yx_im", "yy_re", "yy_im"]
+        ]
+    )
+    g1 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna1"), "chan",
+            F.col("gain_re").alias("g1x_re"), F.col("gain_im").alias("g1x_im"),
+            F.col("gain_y_re").alias("g1y_re"), F.col("gain_y_im").alias("g1y_im"),
+        )
+    )
+    g2 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna2"), "chan",
+            F.col("gain_re").alias("g2x_re"), F.col("gain_im").alias("g2x_im"),
+            F.col("gain_y_re").alias("g2y_re"), F.col("gain_y_im").alias("g2y_im"),
+        )
+    )
+    df = model.join(g1, ["antenna1", "chan"]).join(g2, ["antenna2", "chan"])
+
+    def sandwich(mre, mim, g1p, g2p):
+        m = Cplx(F.col(mre), F.col(mim))
+        out = (
+            Cplx(F.col(f"{g1p}_re"), F.col(f"{g1p}_im"))
+            * m
+            * Cplx(F.col(f"{g2p}_re"), F.col(f"{g2p}_im")).conj()
+        )
+        return F.round(out.re, 6), F.round(out.im, 6)
+
+    xx = sandwich("xx_re", "xx_im", "g1x", "g2x")
+    xy = sandwich("xy_re", "xy_im", "g1x", "g2y")
+    yx = sandwich("yx_re", "yx_im", "g1y", "g2x")
+    yy = sandwich("yy_re", "yy_im", "g1y", "g2y")
+    return df.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        xx[0].alias("vxx_re"), xx[1].alias("vxx_im"),
+        xy[0].alias("vxy_re"), xy[1].alias("vxy_im"),
+        yx[0].alias("vyx_re"), yx[1].alias("vyx_im"),
+        yy[0].alias("vyy_re"), yy[1].alias("vyy_im"),
+    )

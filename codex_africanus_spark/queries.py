@@ -1777,3 +1777,53 @@ def merge_flags_row_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("any_flag_row") == 1) | (F.col("all_chan_flagged") == 1)).alias("merged_flag_row"),
         (F.col("all_chan_flagged") == 1).alias("derived_from_chans"),
     ).orderBy("row_id", "antenna1", "antenna2")
+
+
+_FULL_CORR_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) + s.flux_q AS bxx,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) - s.flux_q AS byy,
+             s.flux_u AS bu, s.flux_v AS bv,
+             cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS ct,
+             sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS st
+      FROM vis v, src s
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND((bxx * ct) * 1000000) AS BIGINT)) / 1000000.0 AS xx_re,
+             SUM(CAST(ROUND((bxx * st) * 1000000) AS BIGINT)) / 1000000.0 AS xx_im,
+             SUM(CAST(ROUND((bu * ct - bv * st) * 1000000) AS BIGINT)) / 1000000.0 AS xy_re,
+             SUM(CAST(ROUND((bu * st + bv * ct) * 1000000) AS BIGINT)) / 1000000.0 AS xy_im,
+             SUM(CAST(ROUND((bu * ct - (-bv) * st) * 1000000) AS BIGINT)) / 1000000.0 AS yx_re,
+             SUM(CAST(ROUND((bu * st + (-bv) * ct) * 1000000) AS BIGINT)) / 1000000.0 AS yx_im,
+             SUM(CAST(ROUND((byy * ct) * 1000000) AS BIGINT)) / 1000000.0 AS yy_re,
+             SUM(CAST(ROUND((byy * st) * 1000000) AS BIGINT)) / 1000000.0 AS yy_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    )
+    SELECT m.row_id, m.antenna1, m.antenna2, m.chan,
+           round((g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_re + (g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_im, 6) AS vxx_re,
+           round((g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_re - (g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_im, 6) AS vxx_im,
+           round((g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_re + (g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_im, 6) AS vxy_re,
+           round((g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_re - (g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_im, 6) AS vxy_im,
+           round((g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_re + (g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_im, 6) AS vyx_re,
+           round((g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_re - (g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_im, 6) AS vyx_im,
+           round((g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_re + (g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_im, 6) AS vyy_re,
+           round((g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_re - (g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_im, 6) AS vyy_im
+    FROM model m
+    JOIN gains g1 ON g1.antenna = m.antenna1 AND g1.chan = m.chan
+    JOIN gains g2 ON g2.antenna = m.antenna2 AND g2.chan = m.chan
+    ORDER BY m.row_id
+    """
+)
+
+
+@register("predict_full_corr_2x2", _FULL_CORR_ORACLE)
+def predict_full_corr_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full four-correlation predict with brightness matrix and
+    dual-polarization diagonal Jones sandwich (reference full/diag
+    kernels, predict.py:56-190 + coherency conversion)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    gains = tpch_ms.gains_table(spark)
+    return predict_op.predict_full_corr(vis, src, gains).orderBy("row_id")

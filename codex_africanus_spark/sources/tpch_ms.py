@@ -147,6 +147,7 @@ def gains_table(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     chan = spark.range(N_CHAN_BASE - 1).select(F.col("id").cast("int").alias("chan"))
     g = ant.crossJoin(chan)
     phase = (F.col("antenna") * 7 + F.col("chan")) * F.lit(0.05)
+    phase_y = phase + F.lit(0.1)
     amp = F.lit(1.0) + F.col("antenna") / F.lit(50.0) + F.col("chan") / F.lit(100.0)
     # trig differs at 1 ULP between JVM Math and libm — quantize to 9dp so
     # the frame is engine-reproducible (both engines round half-away-from-0)
@@ -155,6 +156,9 @@ def gains_table(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         "chan",
         F.round(amp * F.cos(phase), 9).alias("gain_re"),
         F.round(amp * F.sin(phase), 9).alias("gain_im"),
+        # second polarization (diagonal 2×2 Jones: gx ≠ gy)
+        F.round(amp * F.cos(phase_y), 9).alias("gain_y_re"),
+        F.round(amp * F.sin(phase_y), 9).alias("gain_y_im"),
     )
 
 
@@ -162,7 +166,9 @@ GAINS_SQL = """
   SELECT CAST(a.range AS INT)  AS antenna,
          CAST(c.range AS INT)  AS chan,
          round((1.0 + a.range / 50.0 + c.range / 100.0) * cos((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE)), 9) AS gain_re,
-         round((1.0 + a.range / 50.0 + c.range / 100.0) * sin((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE)), 9) AS gain_im
+         round((1.0 + a.range / 50.0 + c.range / 100.0) * sin((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE)), 9) AS gain_im,
+         round((1.0 + a.range / 50.0 + c.range / 100.0) * cos((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE) + CAST(0.1 AS DOUBLE)), 9) AS gain_y_re,
+         round((1.0 + a.range / 50.0 + c.range / 100.0) * sin((a.range * 7 + c.range) * CAST(0.05 AS DOUBLE) + CAST(0.1 AS DOUBLE)), 9) AS gain_y_im
   FROM range(7) a, range(7) c
 """
 
