@@ -40,6 +40,62 @@ def stokes_to_corr(
     raise ValueError(f"feed_type must be linear|circular, got {feed_type!r}")
 
 
+class MissingStokesError(ValueError):
+    pass
+
+
+def convert(
+    available: dict[str, "Column | Cplx"],
+    outputs: list[str],
+    feed_type: str = "linear",
+    default_missing: bool = True,
+) -> dict[str, Cplx]:
+    """Schema-driven conversion compiler — the general form of the
+    reference's `convert` (conversion.py:144-305): given whatever subset
+    of Stokes parameters is available, emit Column expressions for the
+    requested correlations, substituting 0 for absent Stokes parameters
+    when `default_missing` (the reference's implicit-stokes defaulting,
+    conversion.py:56-120 priority scheme) or raising otherwise.
+
+    `available` values may be real Columns (Stokes) — outputs are Cplx
+    bundles. Unknown output names raise; missing inputs raise unless
+    defaulted. Compilation happens at plan-build time; the result is pure
+    Catalyst arithmetic.
+    """
+    from pyspark.sql import functions as _F
+
+    def get(name: str) -> Column:
+        if name in available:
+            v = available[name]
+            return v.re if isinstance(v, Cplx) else v
+        if default_missing:
+            return _F.lit(0.0)
+        raise MissingStokesError(
+            f"stokes {name!r} required for requested outputs but not provided"
+        )
+
+    schema = {
+        "linear": {
+            "XX": lambda: Cplx(get("I") + get("Q"), _F.lit(0.0)),
+            "XY": lambda: Cplx(get("U"), get("V")),
+            "YX": lambda: Cplx(get("U"), -get("V")),
+            "YY": lambda: Cplx(get("I") - get("Q"), _F.lit(0.0)),
+        },
+        "circular": {
+            "RR": lambda: Cplx(get("I") + get("V"), _F.lit(0.0)),
+            "RL": lambda: Cplx(get("Q"), get("U")),
+            "LR": lambda: Cplx(get("Q"), -get("U")),
+            "LL": lambda: Cplx(get("I") - get("V"), _F.lit(0.0)),
+        },
+    }[feed_type]
+    out = {}
+    for name in outputs:
+        if name not in schema:
+            raise ValueError(f"unknown correlation {name!r} for {feed_type} feeds")
+        out[name] = schema[name]()
+    return out
+
+
 def corr_to_stokes(
     xx: Cplx, xy: Cplx, yx: Cplx, yy: Cplx, feed_type: str = "linear"
 ) -> dict[str, Column]:

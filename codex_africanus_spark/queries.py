@@ -1827,3 +1827,31 @@ def predict_full_corr_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tpch_ms.source_table(spark, sf_dir)
     gains = tpch_ms.gains_table(spark)
     return predict_op.predict_full_corr(vis, src, gains).orderBy("row_id")
+
+
+@register(
+    "stokes_convert_partial_schema",
+    _with_ms(
+        """
+        SELECT source_id,
+               flux_i + flux_q AS xx_re, 0.0 AS xx_im,
+               0.0 AS xy_re, 0.0 AS xy_im,
+               flux_i - flux_q AS yy_re, 0.0 AS yy_im
+        FROM src ORDER BY source_id
+        """
+    ),
+)
+def stokes_convert_partial_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-compiled conversion with MISSING inputs: only (I, Q)
+    provided, U/V default to zero (the reference's implicit-stokes
+    defaulting, conversion.py:56-120)."""
+    from codex_africanus_spark.functions.stokes import convert
+
+    src = tpch_ms.source_table(spark, sf_dir)
+    corrs = convert(
+        {"I": F.col("flux_i"), "Q": F.col("flux_q")}, ["XX", "XY", "YY"], "linear"
+    )
+    cols = [F.col("source_id")]
+    for name, z in corrs.items():
+        cols += [z.re.alias(f"{name.lower()}_re"), z.im.alias(f"{name.lower()}_im")]
+    return src.select(*cols).orderBy("source_id")

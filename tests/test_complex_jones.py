@@ -81,3 +81,23 @@ def test_jones_inverse(spark):
     np.testing.assert_allclose(
         [out.c_xy_re[0], out.c_xy_im[0], out.c_yx_re[0], out.c_yx_im[0]], 0.0, atol=1e-12
     )
+
+
+def test_convert_schema_compiler_errors_and_defaults(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from codex_africanus_spark.functions.stokes import MissingStokesError, convert
+
+    # defaults: missing U/V → 0
+    out = convert({"I": F.lit(2.0), "Q": F.lit(0.5)}, ["XX", "XY"], "linear")
+    row = spark.range(1).select(
+        out["XX"].re.alias("xxr"), out["XY"].re.alias("xyr"), out["XY"].im.alias("xyi")
+    ).collect()[0]
+    assert row.xxr == 2.5 and row.xyr == 0.0 and row.xyi == 0.0
+    # strict mode raises at compile time
+    with pytest.raises(MissingStokesError):
+        convert({"I": F.lit(1.0)}, ["XY"], "linear", default_missing=False)
+    # unknown corr raises
+    with pytest.raises(ValueError):
+        convert({"I": F.lit(1.0)}, ["RR"], "linear")
