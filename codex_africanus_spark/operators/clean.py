@@ -15,6 +15,41 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
+def psf_fit_gaussian(psf: np.ndarray) -> tuple[float, float, float]:
+    """Fit (amplitude, σ_u, σ_v) of a separable Gaussian to the PSF peak
+    neighbourhood via second moments (reference deconv/hogbom/clean.py:40-72
+    fits the clean-beam parameters the same way before restore)."""
+    psf = np.asarray(psf, dtype=np.float64)
+    peak = np.unravel_index(np.abs(psf).argmax(), psf.shape)
+    amp = float(psf[peak])
+    iu, iv = np.indices(psf.shape)
+    w = np.abs(psf) / np.abs(psf).sum()
+    su = float(np.sqrt((w * (iu - peak[0]) ** 2).sum()) + 1e-12)
+    sv = float(np.sqrt((w * (iv - peak[1]) ** 2).sum()) + 1e-12)
+    return amp, su, sv
+
+
+def restore(
+    components: pd.DataFrame,
+    shape: tuple[int, int],
+    origin: tuple[int, int],
+    sigma: tuple[float, float],
+    residual: np.ndarray | None = None,
+) -> np.ndarray:
+    """Convolve clean components with the fitted clean beam and add the
+    residual (reference clean.py:202-246)."""
+    ny, nx = shape
+    out = np.zeros(shape) if residual is None else residual.astype(np.float64).copy()
+    yy, xx = np.indices(shape)
+    su, sv = sigma
+    for r in components.itertuples():
+        cy, cx = int(r.u_cell - origin[0]), int(r.v_cell - origin[1])
+        out += r.flux * np.exp(
+            -(((yy - cy) / su) ** 2 + ((xx - cx) / sv) ** 2) / 2.0
+        )
+    return out
+
+
 def hogbom_clean(
     spark: SparkSession,
     grid: DataFrame,

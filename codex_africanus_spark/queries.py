@@ -1855,3 +1855,64 @@ def stokes_convert_partial_schema(spark: SparkSession, sf_dir: str) -> DataFrame
     for name, z in corrs.items():
         cols += [z.re.alias(f"{name.lower()}_re"), z.im.alias(f"{name.lower()}_im")]
     return src.select(*cols).orderBy("source_id")
+
+
+@register(
+    "q4_order_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS → left-semi join (no fact-row duplication)."""
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "parts_never_returned_anti",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = 1
+    )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def parts_never_returned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: parts supplier 1 never shipped."""
+    p = load(spark, "part", sf_dir)
+    l = load(spark, "lineitem", sf_dir).filter(F.col("l_suppkey") == 1).select(
+        "l_partkey"
+    )
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_brand")
+    )
