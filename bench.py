@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "predict_vis_point_gauss",
+    "predict_full_corr_2x2",
     "corrupt_vis_apply_gains",
     "time_and_channel_average",
     "uv_grid_histogram",

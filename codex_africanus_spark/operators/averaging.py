@@ -88,3 +88,58 @@ def time_and_channel(
         (sel(F.col("w_u"), F.col("w_f")) / F.lit(scale)).alias("weight_sum"),
         bin_flagged.alias("bin_flag"),
     )
+
+
+def time_bin_sequential(vis, time_bin_secs: float = 1_209_600.0):
+    """Exact per-baseline sequential time binning — the reference's
+    bin-closure rule (time_and_channel_mapping.py:249-316): scan rows in
+    time order, close the bin when the next row's time falls more than
+    `time_bin_secs` after the bin's FIRST row (bin-start anchored, unlike
+    the gap rule — not expressible with window functions; the floor()
+    binning in time_and_channel covers the regular-sampling fast path).
+
+    applyInPandas per baseline; emits per-row bin assignments plus bin
+    aggregates, ragged cardinality by construction (SURVEY §2.4 BDA row).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = (
+        "antenna1 int, antenna2 int, time_bin long, n_rows long, "
+        "time_first double, time_last double, vis_re_avg double, weight_sum double"
+    )
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        bins, bin_idx, bin_start = [], 0, None
+        for t in pdf["time"]:
+            if bin_start is None:
+                bin_start = t
+            elif t - bin_start > time_bin_secs:
+                bin_idx += 1
+                bin_start = t
+            bins.append(bin_idx)
+        pdf["time_bin"] = bins
+        g = pdf.groupby("time_bin")
+        out = pd.DataFrame(
+            {
+                "antenna1": g["antenna1"].first(),
+                "antenna2": g["antenna2"].first(),
+                "time_bin": g.size().index,
+                "n_rows": g.size(),
+                "time_first": g["time"].min(),
+                "time_last": g["time"].max(),
+                "vis_re_avg": g.apply(
+                    lambda x: (x.vis_re * x.weight).sum() / x.weight.sum(),
+                    include_groups=False,
+                ),
+                "weight_sum": g["weight"].sum(),
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return (
+        vis.select("row_id", "time", "antenna1", "antenna2", "vis_re", "weight")
+        .groupBy("antenna1", "antenna2")
+        .applyInPandas(per_baseline, schema)
+    )

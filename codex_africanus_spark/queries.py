@@ -1916,3 +1916,46 @@ def parts_never_returned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("p_brand")
     )
+
+
+@register("time_bin_sequential_exact", None)
+def time_bin_sequential_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bin-start-anchored sequential time binning per baseline
+    (reference time_and_channel_mapping.py:249-316) — rows-only
+    (pandas-equivalence test covers values)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return avg_op.time_bin_sequential(vis).orderBy("antenna1", "antenna2", "time_bin")
+
+
+_CASA_STOKES = [
+    (1, "I"), (2, "Q"), (3, "U"), (4, "V"),
+    (5, "RR"), (6, "RL"), (7, "LR"), (8, "LL"),
+    (9, "XX"), (10, "XY"), (11, "YX"), (12, "YY"),
+]
+
+
+@register(
+    "casa_stokes_id_mapping",
+    _with_ms(
+        """
+        , ids AS (
+          SELECT * FROM (VALUES (1,'I'),(2,'Q'),(3,'U'),(4,'V'),(5,'RR'),(6,'RL'),
+                                (7,'LR'),(8,'LL'),(9,'XX'),(10,'XY'),(11,'YX'),(12,'YY'))
+          AS t(corr_id, corr_name)
+        )
+        SELECT s.source_id, i.corr_id, i.corr_name
+        FROM src s JOIN ids i ON i.corr_id = 9 + (s.source_id % 4)
+        ORDER BY s.source_id
+        """
+    ),
+)
+def casa_stokes_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASA stokes/correlation enumeration as a broadcast dimension table
+    (reference util/casa_types.py:4-53 STOKES_ID_MAP)."""
+    ids = spark.createDataFrame(_CASA_STOKES, "corr_id int, corr_name string")
+    src = tpch_ms.source_table(spark, sf_dir)
+    return (
+        src.join(F.broadcast(ids), ids.corr_id == 9 + (src.source_id % 4))
+        .select("source_id", "corr_id", "corr_name")
+        .orderBy("source_id")
+    )
