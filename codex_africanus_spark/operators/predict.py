@@ -164,17 +164,30 @@ def predict_full_corr(vis: DataFrame, sources: DataFrame, gains: DataFrame) -> D
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
     from codex_africanus_spark.sources.tables import fan_out
 
-    j = fan_out(vis).crossJoin(F.broadcast(sources))
+    # hoist the brightness matrix to the broadcast side: bxx/byy depend
+    # only on (source, chan) — evaluate pow() on n_src × n_chan rows and
+    # equi-join on chan (same loop-invariant hoist as source_coherency)
+    chan_freq = vis.select("chan", "frequency").distinct()
+    src_chan = (
+        sources.crossJoin(chan_freq)
+        .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))
+        .select(
+            "chan", "l", "m", "n",
+            (F.col("flux_i") * F.col("__s") + F.col("flux_q")).alias("bxx"),
+            (F.col("flux_i") * F.col("__s") - F.col("flux_q")).alias("byy"),
+            F.col("flux_u").alias("bu"),
+            F.col("flux_v").alias("bv"),
+        )
+    )
+    j = fan_out(vis).join(F.broadcast(src_chan), "chan")
     theta = phase_delay_angle(
         phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"),
         "fourier",
     )
-    s = F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
     ct, st = F.cos(theta), F.sin(theta)
-    bxx = F.col("flux_i") * s + F.col("flux_q")
-    byy = F.col("flux_i") * s - F.col("flux_q")
-    bu, bv = F.col("flux_u"), F.col("flux_v")
+    bxx, byy = F.col("bxx"), F.col("byy")
+    bu, bv = F.col("bu"), F.col("bv")
     coh = j.select(
         "row_id", "antenna1", "antenna2", "chan",
         (bxx * ct).alias("xx_re"), (bxx * st).alias("xx_im"),
