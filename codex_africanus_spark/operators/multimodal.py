@@ -93,3 +93,39 @@ DECODE_META_SQL = """
          CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS fake_height
   FROM documents ORDER BY doc_id
 """
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_head int"
+
+
+def frame_sample(with_payload: DataFrame, frame_size: int = 64, stride: int = 128) -> DataFrame:
+    """Frame sampling over a binary payload (video frame-sample analog):
+    emit a fixed-size window every `stride` bytes with typed metadata.
+
+    Pure JVM expressions — the payload windows come from substring on the
+    binary column (exploded positions), so frame extraction stays in
+    codegen; only the (stubbed) decode of each frame would use Arrow.
+    """
+    n_frames = (F.octet_length(F.col("payload")) + stride - 1) / stride
+    idx = F.explode(F.sequence(F.lit(0), n_frames.cast("int") - 1)).alias("frame_idx")
+    df = with_payload.select("doc_id", "payload", idx)
+    frame = F.expr(f"substring(payload, frame_idx * {stride} + 1, {frame_size})")
+    return df.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length(frame).cast("int").alias("frame_bytes"),
+        F.ascii(frame.cast("string")).cast("int").alias("frame_head"),
+    )
+
+
+# DuckDB substring() does not accept BLOB: frame length is pure integer
+# arithmetic and the head byte reads the (ASCII) text directly.
+FRAME_SAMPLE_SQL = """
+  SELECT d.doc_id,
+         CAST(t.j AS INT) AS frame_idx,
+         CAST(GREATEST(0, LEAST(64, octet_length(encode(d.text)) - CAST(t.j AS INT) * 128)) AS INT) AS frame_bytes,
+         CAST(ascii(substring(d.text, CAST(t.j AS INT) * 128 + 1, 1)) AS INT) AS frame_head
+  FROM documents d,
+       unnest(generate_series(0, CAST((octet_length(encode(d.text)) + 127) // 128 AS INT) - 1)) AS t(j)
+  ORDER BY d.doc_id, frame_idx
+"""

@@ -1959,3 +1959,14 @@ def casa_stokes_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_id", "corr_id", "corr_name")
         .orderBy("source_id")
     )
+
+
+@register("multimodal_frame_sample", mm_op.FRAME_SAMPLE_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads (video
+    frame-sample analog): windowed substring extraction stays in codegen,
+    typed per-frame metadata out."""
+    docs = load(spark, "documents", sf_dir)
+    return mm_op.frame_sample(mm_op.attach_binary_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
