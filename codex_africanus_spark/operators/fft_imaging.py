@@ -1,0 +1,104 @@
+"""FFT imaging tier: distributed uv-grid accumulation → driver FFT.
+
+The reference's wgridder path (/root/reference/africanus/gridding/
+wgridder/vis2im.py:16-130) wraps the native ducc0 library, unavailable
+here; this module implements the same *architecture* with NumPy's FFT:
+
+- the cluster does the O(n_vis) work: scatter-add visibilities onto the
+  uv-grid via the deterministic histogram aggregation
+  (operators/gridding.grid_natural — partial+final hash agg, exactly the
+  per-row-chunk partial images + tree-sum of vis2im.py:46-76);
+- the driver does the O(n_pix log n_pix) work: inverse FFT of the
+  (small) accumulated grid → dirty image. At 100 TB the grid is still
+  ~10⁶ cells — driver-side FFT is the right split, and is what the
+  reference's band loop does per band.
+
+Correctness tier: `test_fft_imaging.py` checks the machine-precision
+identity between this pipeline and the direct DFT over the same grid
+(the reference validates wgridder against `explicit_gridder` the same
+way, test_wgridder.py:18-108, l2 ≤ 1e-4; ours is exact because both
+sides evaluate the same nearest-cell discretization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.deterministic import qsum
+
+GRID_SCALE = 1e6
+
+
+def accumulate_grid(
+    vis: DataFrame, nx: int = 64, ny: int = 64, cell: float = 10.0
+) -> DataFrame:
+    """Scatter-add vis onto an (ny × nx) uv-grid with wrap-around cell
+    indices (FFT-periodic layout); exact fixed-point accumulation."""
+    ucell = F.pmod(F.round(F.col("u") / F.lit(cell)).cast("long"), F.lit(nx))
+    vcell = F.pmod(F.round(F.col("v") / F.lit(cell)).cast("long"), F.lit(ny))
+    gated = vis.filter(~(F.col("flag") | F.col("flag_row")))
+    return (
+        gated.groupBy(ucell.alias("u_cell"), vcell.alias("v_cell"))
+        .agg(
+            qsum(F.col("vis_re") * F.col("weight"), GRID_SCALE).alias("g_re_q"),
+            qsum(F.col("vis_im") * F.col("weight"), GRID_SCALE).alias("g_im_q"),
+            qsum(F.col("weight"), GRID_SCALE).alias("w_q"),
+        )
+    )
+
+
+def dirty_image(
+    vis: DataFrame, nx: int = 64, ny: int = 64, cell: float = 10.0
+) -> tuple[np.ndarray, float]:
+    """vis → dirty image: distributed accumulation, driver FFT.
+
+    Returns (image[ny, nx], wsum) — image normalized by the weight sum
+    (natural weighting), matching vis2im's normalization."""
+    rows = accumulate_grid(vis, nx, ny, cell).collect()
+    grid = np.zeros((ny, nx), dtype=np.complex128)
+    wsum = 0.0
+    for r in rows:
+        grid[int(r.v_cell), int(r.u_cell)] += (r.g_re_q + 1j * r.g_im_q) / GRID_SCALE
+        wsum += r.w_q / GRID_SCALE
+    img = np.fft.ifft2(grid).real * (nx * ny)
+    if wsum > 0:
+        img /= wsum
+    return img, wsum
+
+
+def dirty_image_direct(vis_rows, nx: int = 64, ny: int = 64, cell: float = 10.0):
+    """Driver-side direct-DFT oracle over the same discretized grid (the
+    explicit_gridder analogue) — for tests only."""
+    import math
+
+    def round_away(x: float) -> int:
+        # Spark's round() is half-away-from-zero; Python's is half-even
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    grid = np.zeros((ny, nx), dtype=np.complex128)
+    wsum_q = 0
+    for r in vis_rows:
+        if r.flag or r.flag_row:
+            continue
+        uc = round_away(r.u / cell) % nx
+        vc = round_away(r.v / cell) % ny
+        # replicate the engine's per-row fixed-point quantization exactly
+        grid[vc, uc] += (
+            round(r.vis_re * r.weight * GRID_SCALE)
+            + 1j * round(r.vis_im * r.weight * GRID_SCALE)
+        ) / GRID_SCALE
+        wsum_q += round(r.weight * GRID_SCALE)
+    wsum = wsum_q / GRID_SCALE
+    ly, lx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    img = np.zeros((ny, nx))
+    for vc in range(ny):
+        for uc in range(nx):
+            g = grid[vc, uc]
+            if g == 0:
+                continue
+            img += (
+                g * np.exp(2j * np.pi * (vc * ly / ny + uc * lx / nx))
+            ).real
+    return (img / wsum if wsum > 0 else img), wsum

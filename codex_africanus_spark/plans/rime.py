@@ -69,7 +69,13 @@ def parse_rime(spec: str) -> ParsedSpec:
 
 class Term:
     """Expression-builder plugin. Subclasses declare required columns and
-    compose a complex factor onto the running coherency."""
+    compose a complex factor onto the running coherency.
+
+    `prepare(df)` (default identity) lets non-expression terms attach
+    columns first — e.g. a pandas-UDF beam sampler — mirroring the
+    reference's split between expression-like samplers and gather-heavy
+    ones (SURVEY §2.11: samplers that can't be expressions become Arrow
+    pandas UDFs)."""
 
     required_columns: tuple[str, ...] = ()
 
@@ -80,6 +86,9 @@ class Term:
                 f"{type(self).__name__} requires columns {missing} not present "
                 f"in the joined frame (schema validation, SURVEY §1.3)"
             )
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        return df
 
     def apply(self, z: Cplx) -> Cplx:  # pragma: no cover - interface
         raise NotImplementedError
@@ -127,10 +136,32 @@ class GaussianShapeTerm(Term):
         return z * env
 
 
+class BeamCubeTerm(Term):
+    """D: direction-dependent beam gain sampled from a broadcast cube via
+    an Arrow pandas UDF (reference BeamCubeDDE term; the compiler's
+    escape hatch for gather-heavy samplers)."""
+
+    required_columns = ("l", "m", "frequency")
+
+    def __init__(self, beam: dict | None = None):
+        from codex_africanus_spark.operators.beam import make_test_beam_cube
+
+        self.beam = beam or make_test_beam_cube(extent=0.2)
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        from codex_africanus_spark.operators.beam import beam_cube_dde
+
+        return beam_cube_dde(df, self.beam, out_col="__beam_gain")
+
+    def apply(self, z: Cplx) -> Cplx:
+        return z * F.col("__beam_gain")
+
+
 TERM_MAP: dict[str, type[Term]] = {
     "K": PhaseTerm,
     "B": BrightnessTerm,
     "E": GaussianShapeTerm,
+    "D": BeamCubeTerm,
 }
 
 
@@ -150,12 +181,17 @@ def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
 
     parsed = parse_rime(spec)
     joined = fan_out(vis).crossJoin(F.broadcast(sources))
-    z = Cplx(F.lit(1.0), F.lit(0.0))
+    terms = []
     for char, _side in parsed.terms:
         if char not in TERM_MAP:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
         term = TERM_MAP[char]()
         term.validate(joined)
+        terms.append(term)
+    for term in terms:
+        joined = term.prepare(joined)
+    z = Cplx(F.lit(1.0), F.lit(0.0))
+    for term in terms:
         z = term.apply(z)
     coh = joined.select("row_id", "antenna1", "antenna2", "chan",
                         z.re.alias("coh_re"), z.im.alias("coh_im"))

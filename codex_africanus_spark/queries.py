@@ -1970,3 +1970,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.frame_sample(mm_op.attach_binary_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+from codex_africanus_spark.operators import fft_imaging as fft_op  # noqa: E402
+
+
+@register("fft_dirty_image", None)
+def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT imaging tier: distributed exact uv-grid accumulation + driver
+    FFT → dirty image (the wgridder architecture, vis2im.py:16-130, with
+    NumPy standing in for ducc0) — rows-only (machine-precision DFT
+    identity covered by tests/test_fft_imaging.py)."""
+    import pandas as _pd
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    img, wsum = fft_op.dirty_image(vis, nx=32, ny=32)
+    ys, xs = [], []
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            ys.append(y), xs.append(x)
+    pdf = _pd.DataFrame(
+        {"y": ys, "x": xs, "value": [round(float(img[y, x]), 6) for y, x in zip(ys, xs)]}
+    )
+    return spark.createDataFrame(pdf)

@@ -71,3 +71,35 @@ def test_averaging_single_shuffle(spark, sf_dir):
     vis = tpch_ms.vis_table(spark, sf_dir)
     plan = plan_of(avg_op.time_and_channel(vis))
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed co-located join (the 100 TB strategy for repeated
+    vis↔gains joins on the same key): bucketBy on the join key at write
+    time removes the shuffle from every subsequent join. Asserts the
+    bucketed plan has no Exchange on either side of the SortMergeJoin."""
+    import uuid
+
+    from codex_africanus_spark.sources import tpch_ms
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        db_table = f"vis_bucketed_{uuid.uuid4().hex[:8]}"
+        vis = tpch_ms.vis_table(spark, sf_dir)
+        (
+            vis.write.bucketBy(8, "antenna1", "antenna2")
+            .sortBy("antenna1", "antenna2")
+            .mode("overwrite")
+            .saveAsTable(db_table)
+        )
+        a = spark.table(db_table).groupBy("antenna1", "antenna2").count()
+        b = spark.table(db_table).select("antenna1", "antenna2", "vis_re")
+        j = b.join(a, ["antenna1", "antenna2"])
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        # neither join input is re-shuffled: bucketing provides the
+        # partitioning, so at most the aggregate's own partials appear
+        assert plan.count("Exchange hashpartitioning") == 0
+        spark.sql(f"DROP TABLE {db_table}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
