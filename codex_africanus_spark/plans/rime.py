@@ -157,11 +157,60 @@ class BeamCubeTerm(Term):
         return z * F.col("__beam_gain")
 
 
+class ShapeletTerm(Term):
+    """S: 1-D Hermite shapelet envelope over scaled u (reference
+    model/shape/shapelets.py:57-153, orders ≤ 3). Closed-form Hermite
+    polynomials keep this a pure Column expression — unlike the beam and
+    Zernike samplers it stays inside whole-stage codegen, and its SQL
+    mirror (shapes.shapelet_1d_sql) makes specs containing it exactly
+    oracle-able."""
+
+    required_columns = ("u",)
+
+    COEFFS = (1.0, 0.5, -0.25, 0.125)
+    BETA = 1.0
+    SCALE = 100.0
+
+    def apply(self, z: Cplx) -> Cplx:
+        from codex_africanus_spark.functions.shapes import shapelet_1d
+
+        env = shapelet_1d(
+            F.col("u") / F.lit(self.SCALE), list(self.COEFFS), self.BETA
+        )
+        return z * env
+
+
+class ZernikeTerm(Term):
+    """Z: Zernike-polynomial DDE gain (reference rime/zernike.py:110-198)
+    — pandas-UDF sampled with broadcast coefficients, attached via
+    prepare() like the beam cube."""
+
+    required_columns = ("l", "m")
+
+    def __init__(self, coeffs=None, noll_indices=None, extent: float = 0.2):
+        self.coeffs = list(coeffs or (1.0, 0.15, -0.1, 0.05))
+        self.noll = list(noll_indices or (1, 2, 3, 4))
+        self.extent = extent
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        from codex_africanus_spark.operators.zernike import zernike_dde
+
+        return zernike_dde(
+            df, self.coeffs, self.noll, extent=self.extent,
+            out_col="__zernike_gain",
+        )
+
+    def apply(self, z: Cplx) -> Cplx:
+        return z * F.col("__zernike_gain")
+
+
 TERM_MAP: dict[str, type[Term]] = {
     "K": PhaseTerm,
     "B": BrightnessTerm,
     "E": GaussianShapeTerm,
     "D": BeamCubeTerm,
+    "S": ShapeletTerm,
+    "Z": ZernikeTerm,
 }
 
 

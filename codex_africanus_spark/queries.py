@@ -1975,6 +1975,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from codex_africanus_spark.operators import fft_imaging as fft_op  # noqa: E402
 
 
+_RIME_SHAPELET_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+               * {shp} AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """.format(shp=shapelet_1d_sql("v.u / 100.0", [1.0, 0.5, -0.25, 0.125], 1.0))
+)
+
+
+@register("rime_shapelet_predict", _RIME_SHAPELET_ORACLE)
+def rime_shapelet_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'(Kpq, Bpq, Sp)': Hermite shapelet envelope composed through the
+    RIME spec compiler (reference shapelets.py:57-153 as a fused term).
+    The S term is a closed-form Column expression, so the whole spec
+    stays in whole-stage codegen and remains exactly oracle-able."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src).orderBy("row_id")
+
+
 @register("fft_dirty_image", None)
 def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFT imaging tier: distributed exact uv-grid accumulation + driver

@@ -22,6 +22,43 @@ def test_rime_beam_term_composes(spark, sf_dir):
     assert not np.allclose(with_beam.vis_re, plain.vis_re)
 
 
+def test_rime_zernike_term_composes(spark, sf_dir):
+    """'(Kpq, Bpq, Zp)' (ROADMAP #4): the pandas-UDF Zernike gain must
+    scale each (source, row, chan) coherency by the independently
+    computed Zernike sum at that source's (l, m)."""
+    from codex_africanus_spark.operators.zernike import noll_to_nm, zernike_eval
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 59 == 0)
+    src = tpch_ms.source_table(spark, sf_dir)
+    with_z = rp.rime("(Kpq, Bpq, Zp)", vis, src).orderBy("row_id", "chan").toPandas()
+    plain = rp.rime("(Kpq, Bpq)", vis, src).orderBy("row_id", "chan").toPandas()
+    assert len(with_z) == len(plain) > 0
+    assert not np.allclose(with_z.vis_re, plain.vis_re)
+    # single-source sanity: gain factor recomputed driver-side
+    one = src.orderBy("source_id").limit(1).collect()[0]
+    term = rp.ZernikeTerm()
+    lv, mv = one.l / term.extent, one.m / term.extent
+    rho, theta = np.hypot(lv, mv), np.arctan2(mv, lv)
+    gain = sum(
+        c * zernike_eval(*noll_to_nm(j), np.array([rho]), np.array([theta]))[0]
+        for c, j in zip(term.coeffs, term.noll)
+    )
+    vis1 = vis.filter(F.col("row_id") == int(plain.row_id.iloc[0]))
+    src1 = src.orderBy("source_id").limit(1)
+    z1 = rp.rime("(Kpq, Bpq, Zp)", vis1, src1).orderBy("chan").toPandas()
+    p1 = rp.rime("(Kpq, Bpq)", vis1, src1).orderBy("chan").toPandas()
+    np.testing.assert_allclose(z1.vis_re, p1.vis_re * gain, atol=1e-4)
+
+
+def test_rime_shapelet_term_is_expression(spark, sf_dir):
+    """The S term must stay JVM-side: no Python evaluation (BatchEvalPython
+    / ArrowEvalPython) in the physical plan of '(Kpq, Bpq, Sp)'."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    plan = rp.rime("(Kpq, Bpq, Sp)", vis, src)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_rime_custom_term_registration(spark, sf_dir):
     """User extensibility: register a custom term and use it in a spec
     (reference custom_brightness_term example)."""
