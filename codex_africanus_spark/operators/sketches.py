@@ -1,0 +1,129 @@
+"""Distinct-count sketches: exact-deterministic KMV (theta-style) and
+Spark-native HLL (Apache DataSketches).
+
+The reference has no sketch operators (its cardinalities are exact,
+africanus/averaging/support.py:10-117); at 100 TB a training-data
+pipeline needs mergeable approximate distincts — dedup-rate dashboards,
+per-shard vocabulary sizes — where an exact distinct would shuffle the
+full key set. Two tiers:
+
+- ``kmv_distinct``: K-Minimum-Values estimator over the engine-portable
+  60-bit md5 hash (functions/text.hash60). Fully deterministic — the
+  same k smallest hashes exist in any engine — so the driver's DuckDB
+  oracle matches it EXACTLY, sketch included. Scale path: an
+  approx_count_distinct prefilter drops all but the ~50·k smallest
+  hashes per group before the exact per-group sort, so the window sees
+  a bounded set regardless of group cardinality.
+- ``hll_distinct`` / ``hll_rollup_union``: Spark's hll_sketch_agg /
+  hll_union_agg (DataSketches HLL). The binary sketch is partial
+  aggregation state — map-side combine ships ~1.5 KB per group per
+  partition instead of the key set, and pre-aggregated sub-sketches
+  (e.g. per day) re-aggregate to coarser groups (per month) WITHOUT
+  rescanning, the property the rollup query demonstrates. Estimates are
+  implementation-defined → rows-only checks + error-bound tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.text import hash60, hash60_sql
+
+TWO60 = float(1 << 60)  # 2^60 is exactly representable as a double
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: list[str],
+    col: Column | str,
+    k: int = 64,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Per-group KMV distinct estimate: (k-1) / U_(k) with U_(k) the k-th
+    smallest distinct hash normalized to (0, 1); groups with fewer than k
+    distinct values report the exact count.
+
+    Deterministic by construction (order statistics of a fixed hash), so
+    exactly reproducible in any engine — see ``KMV_SQL`` for the DuckDB
+    mirror.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    d = df.select(*keys, hash60(col).alias("h")).distinct()
+    if prefilter:
+        # Scale guard: keep ~50·k smallest hashes per group (≥ k with
+        # overwhelming margin), estimated from a cheap mergeable HLL
+        # pass. Semantics-preserving: the k smallest survive any
+        # threshold that keeps ≥ k values, so the result is unchanged.
+        bounds = d.groupBy(*keys).agg(F.approx_count_distinct("h").alias("an"))
+        floor_ = F.greatest(F.col("an"), F.lit(50 * k))
+        d = d.join(F.broadcast(bounds), keys).filter(
+            F.col("h") < F.lit(TWO60) * F.lit(float(50 * k)) / floor_
+        )
+    w = Window.partitionBy(*keys).orderBy("h")
+    ranked = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.count("*").alias("nk"),
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"),
+        )
+        .select(
+            *keys,
+            F.round(
+                F.when(F.col("nk") < k, F.col("nk").cast("double")).otherwise(
+                    F.lit(float(k - 1)) * F.lit(TWO60) / F.col("hk")
+                ),
+                6,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def KMV_SQL(table_expr: str, keys: list[str], col_expr: str, k: int = 64) -> str:
+    """DuckDB mirror of kmv_distinct (no prefilter — it is semantics-
+    preserving, so both sides produce identical order statistics)."""
+    ks = ", ".join(keys)
+    return f"""
+    WITH kmv_d AS (
+      SELECT DISTINCT {ks}, {hash60_sql(col_expr)} AS h FROM {table_expr}
+    ), kmv_r AS (
+      SELECT {ks}, h, row_number() OVER (PARTITION BY {ks} ORDER BY h) AS rk
+      FROM kmv_d
+    )
+    SELECT {ks},
+           round(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {float(k - 1)!r}e0 * {TWO60!r} / MAX(CASE WHEN rk = {k} THEN h END)
+                 END, 6) AS est_distinct
+    FROM kmv_r WHERE rk <= {k}
+    GROUP BY {ks}
+    ORDER BY {ks}
+    """
+
+
+def hll_distinct(df: DataFrame, keys: list[str], col: str, lgk: int = 12) -> DataFrame:
+    """Per-group DataSketches-HLL distinct estimate (hll_sketch_agg →
+    hll_sketch_estimate). The sketch is mergeable partial-agg state: at
+    100 TB each map task ships one ~2^lgk-register sketch per group."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lgk))).alias(
+            "est_distinct"
+        )
+    )
+
+
+def hll_rollup_union(
+    df: DataFrame, fine_keys: list[str], coarse_keys: list[str], col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Sketch once at fine granularity, merge up with hll_union_agg — the
+    re-aggregation-without-rescan property. For HLL the union of
+    sub-sketches has register-wise identical state to sketching the
+    union directly, so estimates agree exactly with hll_distinct at the
+    coarse level (asserted in tests)."""
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sk")
+    )
+    return fine.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct")
+    )

@@ -1975,6 +1975,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from codex_africanus_spark.operators import fft_imaging as fft_op  # noqa: E402
 
 
+from codex_africanus_spark.operators import sketches as sketch_op  # noqa: E402
+
+_KMV_ORACLE = sketch_op.KMV_SQL(
+    "orders", ["o_orderpriority"], "CAST(o_custkey AS VARCHAR)", k=64
+)
+
+
+@register("kmv_theta_distinct_customers", _KMV_ORACLE)
+def kmv_theta_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) distinct-customer estimate per order priority —
+    a mergeable sketch whose order-statistic definition makes it exactly
+    reproducible across engines (oracle matches the ESTIMATE, not just
+    the true count). ROADMAP #6."""
+    orders = load(spark, "orders", sf_dir)
+    return sketch_op.kmv_distinct(
+        orders, ["o_orderpriority"], F.col("o_custkey").cast("string"), k=64
+    ).orderBy("o_orderpriority")
+
+
+@register("hll_sketch_distinct_parts", None)
+def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches-HLL distinct l_partkey per returnflag (rows-only:
+    estimates are implementation-defined; error bound asserted in
+    tests/test_sketches.py). Partial sketches merge map-side — at 100 TB
+    each task ships ~KB of registers, never the key set."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        sketch_op.hll_distinct(li, ["l_returnflag"], "l_partkey")
+        .withColumn("est_distinct", F.col("est_distinct").cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register("hll_union_rollup", None)
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-union rollup: per-(returnflag, linestatus) sub-sketches
+    merged to per-returnflag with hll_union_agg — re-aggregation without
+    rescanning the fact table (the sketch IS the partial state)."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        sketch_op.hll_rollup_union(
+            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
+        )
+        .withColumn("est_distinct", F.col("est_distinct").cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
 _RIME_SHAPELET_ORACLE = _with_ms(
     """
     , coh AS (

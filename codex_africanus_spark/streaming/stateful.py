@@ -24,6 +24,96 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, n_events long, value_sum_q long"
 STATE_SCHEMA = "n long, vq long"
 
+BDA_OUTPUT_SCHEMA = (
+    "antenna1 int, antenna2 int, bin_idx long, n_rows long, "
+    "time_start double, time_end double, vis_re_avg double, "
+    "vis_im_avg double, weight_sum double, closed boolean"
+)
+# the open bin's full accumulator — what the reference's Binner jitclass
+# holds between add_row calls (bda_mapping.py:111-186), persisted here in
+# the state store between micro-batches
+BDA_STATE_SCHEMA = (
+    "bin_idx long, start_t double, prev_u double, prev_v double, "
+    "prev_w double, acc_motion double, n long, t_min double, t_max double, "
+    "wsum double, vre_w double, vim_w double"
+)
+
+
+def streaming_bda(
+    vis_stream: DataFrame,
+    decorr_tol: float = 500.0,
+    max_span_secs: float = 2_592_000.0,
+) -> DataFrame:
+    """True streaming BDA (ROADMAP #3): the decorrelation accumulator of
+    operators/bda.py carried across micro-batches per baseline via
+    applyInPandasWithState.
+
+    Same closure rule as the batch operator — accumulate rows while
+    Σ|Δuvw| ≤ decorr_tol and the span ≤ max_span_secs — with the open
+    bin's accumulator persisted in the state store, so a baseline's bin
+    can span any number of micro-batches. Closed bins are emitted with
+    ``closed=true`` (immutable thereafter); the open bin is re-emitted
+    each batch with ``closed=false`` (update-mode upsert). Rows must
+    arrive time-ordered per key across batches (the reference's
+    monotone-time row contract, predict.py:688 / SURVEY §2.10 — late
+    rows would belong to an emitted bin and are the flagged-row case)."""
+
+    def update(key, pdfs, state: GroupState):
+        # self-contained closure (executors cannot import this package)
+        import pandas as _pd
+
+        if state.exists:
+            (bin_idx, start_t, pu, pv, pw, acc, n,
+             t_min, t_max, wsum, vre_w, vim_w) = state.get
+        else:
+            bin_idx, start_t = 0, None
+            pu = pv = pw = acc = 0.0
+            n, t_min, t_max, wsum, vre_w, vim_w = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+        a1, a2 = key
+        out = []
+
+        def emit(is_closed):
+            out.append((int(a1), int(a2), int(bin_idx), int(n), t_min, t_max,
+                        vre_w / wsum, vim_w / wsum, wsum, is_closed))
+
+        for pdf in pdfs:
+            for r in pdf.sort_values(["time", "row_id"]).itertuples():
+                if start_t is None:
+                    start_t, acc = r.time, 0.0
+                else:
+                    acc += abs(r.u - pu) + abs(r.v - pv) + abs(r.w - pw)
+                    if acc > decorr_tol or (r.time - start_t) > max_span_secs:
+                        emit(True)
+                        bin_idx += 1
+                        start_t, acc = r.time, 0.0
+                        n, wsum, vre_w, vim_w = 0, 0.0, 0.0, 0.0
+                if n == 0:
+                    t_min = t_max = r.time
+                n += 1
+                t_min, t_max = min(t_min, r.time), max(t_max, r.time)
+                wsum += r.weight
+                vre_w += r.vis_re * r.weight
+                vim_w += r.vis_im * r.weight
+                pu, pv, pw = r.u, r.v, r.w
+        if n > 0:
+            emit(False)  # provisional open bin — upserted next batch
+        state.update((bin_idx, start_t if start_t is not None else 0.0,
+                      pu, pv, pw, acc, n, t_min, t_max, wsum, vre_w, vim_w))
+        yield _pd.DataFrame(
+            out,
+            columns=["antenna1", "antenna2", "bin_idx", "n_rows",
+                     "time_start", "time_end", "vis_re_avg", "vis_im_avg",
+                     "weight_sum", "closed"],
+        )
+
+    return vis_stream.groupBy("antenna1", "antenna2").applyInPandasWithState(
+        update,
+        outputStructType=BDA_OUTPUT_SCHEMA,
+        stateStructType=BDA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """events: streaming frame with (user_id, value). Emits cumulative

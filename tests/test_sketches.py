@@ -1,0 +1,80 @@
+"""Distinct-count sketches: KMV determinism + error bounds, HLL merge
+identity (ROADMAP #6)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from codex_africanus_spark.operators import sketches
+from codex_africanus_spark.sources.tables import load
+
+
+def _exact(df, keys, col):
+    return {
+        tuple(r[k] for k in keys): r.n
+        for r in df.groupBy(*keys).agg(F.countDistinct(col).alias("n")).collect()
+    }
+
+
+def test_kmv_error_bound(spark, sf_dir):
+    """KMV std error ≈ 1/sqrt(k) ≈ 12.5% at k=64; assert 4σ."""
+    orders = load(spark, "orders", sf_dir)
+    col = F.col("o_custkey").cast("string")
+    est = {
+        (r.o_orderpriority,): r.est_distinct
+        for r in sketches.kmv_distinct(orders, ["o_orderpriority"], col).collect()
+    }
+    exact = _exact(orders, ["o_orderpriority"], col)
+    assert est.keys() == exact.keys()
+    for key, n in exact.items():
+        assert est[key] == pytest.approx(n, rel=0.5)
+
+
+def test_kmv_prefilter_is_semantics_preserving(spark, sf_dir):
+    """The approx-count prefilter (the 100 TB scale guard) must not
+    change a single estimate."""
+    orders = load(spark, "orders", sf_dir)
+    col = F.col("o_custkey").cast("string")
+    with_f = sketches.kmv_distinct(orders, ["o_orderpriority"], col, prefilter=True)
+    without = sketches.kmv_distinct(orders, ["o_orderpriority"], col, prefilter=False)
+    assert sorted(map(tuple, with_f.collect())) == sorted(map(tuple, without.collect()))
+
+
+def test_kmv_small_group_exact(spark, sf_dir):
+    """Groups with < k distinct values report the exact count."""
+    nation = load(spark, "nation", sf_dir)
+    out = sketches.kmv_distinct(
+        nation, ["n_regionkey"], F.col("n_name"), k=64
+    ).collect()
+    exact = _exact(nation, ["n_regionkey"], F.col("n_name"))
+    for r in out:
+        assert r.est_distinct == exact[(r.n_regionkey,)]
+
+
+def test_hll_error_bound(spark, sf_dir):
+    """DataSketches HLL at lgK=12 → ~1.6% std error; assert 10%."""
+    li = load(spark, "lineitem", sf_dir)
+    est = {
+        (r.l_returnflag,): float(r.est_distinct)
+        for r in sketches.hll_distinct(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    exact = _exact(li, ["l_returnflag"], F.col("l_partkey"))
+    for key, n in exact.items():
+        assert est[key] == pytest.approx(n, rel=0.1)
+
+
+def test_hll_union_rollup_matches_direct(spark, sf_dir):
+    """HLL union of sub-sketches has identical register state to
+    sketching the union — rollup estimates equal direct estimates
+    exactly (the lossless-merge property)."""
+    li = load(spark, "lineitem", sf_dir)
+    direct = {
+        (r.l_returnflag,): float(r.est_distinct)
+        for r in sketches.hll_distinct(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    rolled = {
+        (r.l_returnflag,): float(r.est_distinct)
+        for r in sketches.hll_rollup_union(
+            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
+        ).collect()
+    }
+    assert direct == rolled

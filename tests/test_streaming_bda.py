@@ -1,0 +1,77 @@
+"""Streaming BDA (ROADMAP #3): the decorrelation accumulator carried
+across micro-batches must reproduce the batch operator exactly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from codex_africanus_spark.operators import bda as bda_op
+from codex_africanus_spark.sources import tpch_ms
+from codex_africanus_spark.streaming import stateful
+
+TOL = 120.0  # small tolerance → several bins per baseline at sf0.001
+
+
+def _final_bins(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Memory sink keeps every update-mode emission; the final state of
+    each bin is its emission with the most rows."""
+    idx = pdf.groupby(["antenna1", "antenna2", "bin_idx"])["n_rows"].idxmax()
+    return (
+        pdf.loc[idx]
+        .drop(columns=["closed"])
+        .sort_values(["antenna1", "antenna2", "bin_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_streaming_bda_matches_batch_across_microbatches(spark, sf_dir, tmp_path):
+    vis = tpch_ms.vis_table(spark, sf_dir).filter("antenna1 < 3 AND antenna2 < 6")
+    cols = ["row_id", "time", "antenna1", "antenna2", "u", "v", "w",
+            "vis_re", "vis_im", "weight"]
+    batch = (
+        bda_op.bda_average(vis, decorr_tol=TOL)
+        .toPandas()
+        .sort_values(["antenna1", "antenna2", "bin_idx"])
+        .reset_index(drop=True)
+    )
+    assert batch.bin_idx.max() > 0  # the rule actually closes bins
+
+    # Split time-ordered into 4 files → 4 micro-batches; the global time
+    # split keeps every baseline's rows time-ordered across batches.
+    src = tmp_path / "vis_stream"
+    src.mkdir()
+    pdf = vis.select(*cols).toPandas().sort_values(["time", "row_id"])
+    for i, chunk in enumerate(np.array_split(pdf, 4)):
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                       src / f"part-{i:03d}.parquet")
+
+    schema = ("row_id long, time double, antenna1 int, antenna2 int, "
+              "u double, v double, w double, vis_re double, vis_im double, "
+              "weight double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful.streaming_bda(stream, decorr_tol=TOL)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bda_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    raw = spark.sql("SELECT * FROM bda_stream").toPandas()
+    assert raw.closed.any() and (~raw.closed).any()
+    got = _final_bins(raw)
+
+    assert len(got) == len(batch)
+    for c in ["antenna1", "antenna2", "bin_idx", "n_rows"]:
+        assert (got[c].to_numpy() == batch[c].to_numpy()).all(), c
+    for c in ["time_start", "time_end", "vis_re_avg", "vis_im_avg", "weight_sum"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), batch[c].to_numpy(), rtol=1e-9, err_msg=c
+        )
