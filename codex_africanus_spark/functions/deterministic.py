@@ -17,6 +17,7 @@ addend, which dominates float roundoff anyway at these scales.
 
 from __future__ import annotations
 
+import pandas
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -44,6 +45,30 @@ def qsum(col: Column, scale: float = 1e6) -> Column:
 
 def qsum_double(col: Column, scale: float = 1e6) -> Column:
     return (qsum(col, scale) / F.lit(scale)).cast("double")
+
+
+def fsum_udaf():
+    """Exactly-rounded float sum as a grouped-agg pandas UDF — the
+    unbounded-dynamic-range alternative to qsum (ROADMAP quality item).
+
+    The reference uses ordered Kahan folds for reproducibility
+    (fused/core.py:97-118); Kahan still depends on order. math.fsum is
+    Shewchuk's exact accumulation: the result is the correctly-rounded
+    true sum, hence order-independent and partitioning-independent by
+    *exactness*, with no quantization grid and no n·B·s < 2^63 bound.
+
+    Cost: the whole group ships to one task (grouped-agg UDFs have no
+    partial aggregation). For skewed/huge groups compose with
+    skew.salted_sum-style two-level keys — each level stays exactly
+    rounded, so the composition is deterministic to 1 ulp per level."""
+    @F.pandas_udf("double")
+    def fsum(v: pandas.Series) -> float:
+        # self-contained closure (executors cannot import this package)
+        import math
+
+        return math.fsum(v.dropna())
+
+    return fsum
 
 
 def qsum_sql(expr: str, scale: float = 1e6) -> str:

@@ -24,6 +24,72 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_sessionize(
+    events: DataFrame,
+    gap_us: int = 1_800_000_000,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Two-level-key sessionize for pathological key skew (ROADMAP
+    quality item): the sequential gap rule runs per (user, coarse time
+    bucket) — bounding any applyInPandas task to one bucket of one user —
+    and bucket-boundary sessions are stitched relationally afterwards.
+
+    Repair rule: per (user, bucket) summarize (first_ts, last_ts,
+    n_sessions); ordered by bucket, a bucket MERGES into the previous
+    chain when first_ts − lag(last_ts) ≤ gap_us (valid for any bucket
+    width: buckets absent from the summary contain no events, so the lag
+    spans them correctly). Each bucket's global offset is
+    Σ prior n_sessions − cumulative merges, making the merged bucket's
+    local session 0 continue the previous chain's last index.
+
+    Exactly equivalent to the unsalted operator (asserted in tests) —
+    the stitch summary is one row per (user, bucket), negligible beside
+    the event shuffle it de-skews."""
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "event_id", "user_id", "ts_us",
+        (F.col("ts_us") / F.lit(bucket_us)).cast("long").alias("__bucket"),
+    )
+
+    def per_group(pdf):
+        # self-contained closure (executors cannot import this package)
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        pdf["local_idx"] = (pdf["ts_us"].diff().fillna(0) > gap_us).cumsum().astype("int64")
+        return pdf
+
+    local = ev.groupBy("user_id", "__bucket").applyInPandas(
+        per_group,
+        "event_id long, user_id long, ts_us long, __bucket long, local_idx long",
+    )
+    summary = local.groupBy("user_id", "__bucket").agg(
+        F.min("ts_us").alias("first_ts"),
+        F.max("ts_us").alias("last_ts"),
+        (F.max("local_idx") + 1).alias("n_sessions"),
+    )
+    wb = W.partitionBy("user_id").orderBy("__bucket")
+    prev_last = F.lag("last_ts").over(wb)
+    merged = (
+        prev_last.isNotNull() & ((F.col("first_ts") - prev_last) <= gap_us)
+    ).cast("long")
+    offsets = (
+        summary.withColumn("__m", merged)
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("n_sessions").over(wb.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("__m").over(wb.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("user_id", "__bucket", "__offset")
+    )
+    return local.join(offsets, ["user_id", "__bucket"]).select(
+        "event_id", "user_id", "ts_us",
+        (F.col("__offset") + F.col("local_idx")).alias("session_idx"),
+    )
+
+
 def salted_sum(
     df: DataFrame,
     keys: list[str],

@@ -1745,6 +1745,18 @@ def events_sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bda_op.sessionize_relational(ev).orderBy("user_id", "ts_us", "event_id")
 
 
+@register("events_sessionize_salted", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level sessionize: the sequential rule runs per
+    (user, day-bucket) with relational boundary stitching — bounds every
+    applyInPandas task for pathological hot keys. Exactly equivalent to
+    the single-level operator, hence the identical oracle."""
+    from codex_africanus_spark.operators import skew as skew_op
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return skew_op.salted_sessionize(ev).orderBy("user_id", "ts_us", "event_id")
+
+
 _MERGE_FLAGS_ORACLE = _with_ms(
     """
     , per_row AS (
