@@ -166,6 +166,59 @@ def ann_lsh_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 3) ->
     )
 
 
+def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-suite member):
+    candidate pairs from the LSH bucket join (id_a < id_b canonical),
+    kept when exact quantized cosine ≥ threshold.
+
+    At 100 TB the bucket id is the shuffle key — candidate generation is
+    a self-join co-partitioned on bucket (≈N²/2^P pairs instead of N²),
+    and P scales with log₂(N) to hold per-bucket cost flat."""
+    buckets = lsh_bucket(embeddings)
+    withb = embeddings.join(buckets, "vec_id").withColumn(
+        "norm_q", _qdot("embedding", "embedding")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "bucket", F.sqrt(F.col("norm_q")).alias("na"),
+    )
+    b = withb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"), F.sqrt(F.col("norm_q")).alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    sim = F.round(_qdot("ea", "eb") / (F.col("na") * F.col("nb")), 9)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def NEAR_DUP_SQL(threshold: float = 0.9) -> str:
+    fp = " + ".join(
+        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    dot = _qdot_sql("a.embedding", "b.embedding")
+    aa = _qdot_sql("a.embedding", "a.embedding")
+    bb = _qdot_sql("b.embedding", "b.embedding")
+    return f"""
+      WITH bk AS (
+        SELECT vec_id, embedding, CAST({fp} AS INT) AS bucket FROM embeddings
+      ),
+      sims AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({dot} / (sqrt({aa}) * sqrt({bb})), 9) AS cosine_sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT id_a, id_b, cosine_sim FROM sims
+      WHERE cosine_sim >= {threshold!r}e0
+      ORDER BY id_a, id_b
+    """
+
+
 def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
     fp = " + ".join(
         f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"

@@ -695,6 +695,15 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ann_lsh_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
 
 
+@register("embedding_near_dup_pairs", sim_op.NEAR_DUP_SQL(0.35))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup suite): LSH-bucket
+    candidate self-join, exact quantized-cosine filter at 0.35."""
+    return sim_op.near_dup_pairs(
+        load(spark, "embeddings", sf_dir), threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
 _TOKEN_QUALITY_SQL = f"""
   SELECT doc_id,
          len(string_split(text, ' '))                          AS n_tokens,
