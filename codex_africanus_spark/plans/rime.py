@@ -204,6 +204,29 @@ class ZernikeTerm(Term):
         return z * F.col("__zernike_gain")
 
 
+class FeedRotationTerm(Term):
+    """L: feed rotation (reference terms/feed_rotation.py / feeds.py).
+    Circular feeds are a phase diagonal, so the composed p·qᴴ factor on
+    the scalar coherency is e^{-i(pa1 - pa2)} — the first *sided* term:
+    it samples per-antenna state (PA at (time, antenna1) and
+    (time, antenna2)) rather than per-baseline columns. The 'test'
+    ephemeris backend is closed-form, so the term stays in codegen and
+    specs containing it remain exactly oracle-able; real ephemeris
+    backends swap in the broadcast PA table via prepare()
+    (functions/feeds.parallactic_angle_table)."""
+
+    required_columns = ("time", "antenna1", "antenna2")
+
+    def apply(self, z: Cplx) -> Cplx:
+        from codex_africanus_spark.functions.feeds import (
+            parallactic_angles_test_backend as pa_of,
+        )
+
+        pa1 = pa_of(F.col("time"), F.col("antenna1"))
+        pa2 = pa_of(F.col("time"), F.col("antenna2"))
+        return z * cexp_i(-(pa1 - pa2))
+
+
 TERM_MAP: dict[str, type[Term]] = {
     "K": PhaseTerm,
     "B": BrightnessTerm,
@@ -211,6 +234,7 @@ TERM_MAP: dict[str, type[Term]] = {
     "D": BeamCubeTerm,
     "S": ShapeletTerm,
     "Z": ZernikeTerm,
+    "L": FeedRotationTerm,
 }
 
 

@@ -2074,6 +2074,43 @@ def rime_shapelet_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src).orderBy("row_id")
 
 
+def _pa_sql(ant: str) -> str:
+    """'test' ephemeris backend PA (feeds.parallactic_angles_test_backend)."""
+    return (
+        f"sin(fmod(v.time, 86400.0e0) / 86400.0e0 * 6.283185307179586e0)"
+        f" * (0.1e0 + v.{ant} / 100.0e0)"
+    )
+
+
+_RIME_FEED_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency
+               - ({pa1} - {pa2}) AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """.format(pa1=_pa_sql("antenna1"), pa2=_pa_sql("antenna2"))
+)
+
+
+@register("rime_feed_rotation_predict", _RIME_FEED_ORACLE)
+def rime_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'(Kpq, Bpq, Lpq)': circular-feed rotation phase composed in the
+    spec compiler — the first sided term (per-antenna PA sampling, the
+    q side conjugated), still pure codegen and exactly oracled."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return rime_plan.rime("(Kpq, Bpq, Lpq)", vis, src).orderBy("row_id")
+
+
 @register("fft_dirty_image", None)
 def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFT imaging tier: distributed exact uv-grid accumulation + driver
