@@ -219,6 +219,152 @@ def NEAR_DUP_SQL(threshold: float = 0.9) -> str:
     """
 
 
+N_CELLS = 8
+N_PROBE = 2
+CSCALE = "1000000"  # centroid fixed-point grid (1e6)
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantizer, deterministically: seed cell = vec_id %
+    N_CELLS, centroid = per-dim fixed-point mean of the cell's vectors.
+    One distributed pass (posexplode → qsum per (cell, dim) → rebuild
+    arrays); exact-integer sums make every centroid component
+    bit-identical in any engine."""
+    dims = embeddings.select(
+        (F.col("vec_id") % N_CELLS).alias("cid"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    per_dim = dims.groupBy("cid", "pos").agg(
+        F.sum(F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {CSCALE}) AS BIGINT)")).alias("vq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("cid").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, vq, n))), "
+            f"x -> x.vq / (CAST({CSCALE} AS DOUBLE) * x.n))"
+        ).alias("centroid")
+    )
+
+
+def _qdist2(vec: str, cent: str) -> F.Column:
+    """Quantized squared L2 distance Σ round((xᵢ−cᵢ)²·1e12) (exact)."""
+    return F.expr(
+        f"aggregate(zip_with({vec}, {cent}, (x, c) -> "
+        f"CAST(ROUND((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) * {DOT_SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_modulus: int = 125, k: int = 3
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (broadcast N_CELLS-row quantizer), probe the query's N_PROBE nearest
+    cells, exact quantized-cosine rerank within the probed cells.
+
+    At 100 TB: the centroid table stays tiny (cells × dims), assignment
+    is a broadcast nested-loop over N_CELLS per vector, and the
+    candidate join co-partitions on cell id — the N² term shrinks to
+    N·(probed share). Deterministic end-to-end → exactly oracled."""
+    cent = _centroids(embeddings)
+    dists = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", _qdist2("embedding", "centroid").alias("dist")
+    )
+    ranked_cells = dists.withColumn(
+        "cell_rank",
+        F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+    )
+    assign = ranked_cells.filter(F.col("cell_rank") == 1).withColumn(
+        "norm_q", _qdot("embedding", "embedding")
+    )
+    probes = ranked_cells.filter(
+        (F.col("cell_rank") <= N_PROBE) & (F.col("vec_id") % query_modulus == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    q = probes.join(
+        assign.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+            F.sqrt(F.col("norm_q")).alias("qnorm"),
+        ),
+        "query_id",
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        F.col("cid").alias("ccid"), F.sqrt(F.col("norm_q")).alias("cnorm"),
+    )
+    pairs = q.join(
+        c, (F.col("pcid") == F.col("ccid")) & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", "cosine_sim"
+    )
+
+
+def IVF_SQL(query_modulus: int = 125, k: int = 3) -> str:
+    dist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    dot = _qdot_sql("q.qe", "c.ce")
+    return f"""
+      WITH dims AS (
+        SELECT vec_id % {N_CELLS} AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM dims GROUP BY cid, pos
+      ),
+      cent AS (
+        SELECT cid, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS centroid
+        FROM per_dim GROUP BY cid
+      ),
+      ranked_cells AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS cell_rank
+        FROM embeddings e, cent c
+      ),
+      assign AS (
+        SELECT vec_id, embedding, cid,
+               sqrt({_qdot_sql("embedding", "embedding")}) AS nrm
+        FROM ranked_cells WHERE cell_rank = 1
+      ),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS pcid
+        FROM ranked_cells WHERE cell_rank <= {N_PROBE} AND vec_id % {query_modulus} = 0
+      ),
+      q AS (
+        SELECT p.query_id, p.pcid, a.embedding AS qe, a.nrm AS qnorm
+        FROM probes p JOIN assign a ON a.vec_id = p.query_id
+      ),
+      pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({dot} / (q.qnorm * c.nrm), 9) AS cosine_sim
+        FROM q JOIN (SELECT vec_id, embedding AS ce, cid, nrm FROM assign) c
+          ON q.pcid = c.cid AND q.query_id <> c.vec_id
+      ),
+      topk AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, rank, neighbor_id, cosine_sim
+      FROM topk WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """
+
+
 def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
     fp = " + ".join(
         f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"

@@ -695,6 +695,17 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ann_lsh_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
 
 
+@register("ann_ivf_topk", sim_op.IVF_SQL())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier: deterministic fixed-point coarse quantizer
+    (broadcast), nearest-cell assignment, 2-probe exact rerank —
+    the inverted-file scale path beside the LSH one, exactly oracled
+    including the learned centroids."""
+    return sim_op.ivf_topk(load(spark, "embeddings", sf_dir)).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("embedding_near_dup_pairs", sim_op.NEAR_DUP_SQL(0.35))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup suite): LSH-bucket
@@ -2072,6 +2083,48 @@ def rime_shapelet_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
     return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src).orderBy("row_id")
+
+
+@register(
+    "exact_quantiles_price",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def exact_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark percentile ==
+    DuckDB quantile_cont, both the linear-interpolation 'type 7'
+    definition). The exact tier of the quantile family — the scale path
+    is approx_percentile_price below."""
+    li = load(spark, "lineitem", sf_dir)
+    aggs = [
+        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"p{int(q*100)}")
+        for q in (0.25, 0.50, 0.75, 0.99)
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+@register("approx_percentile_price", None)
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via Spark's Greenwald-Khanna sketch
+    (approx_percentile, accuracy 10^4) — mergeable partial state, the
+    100 TB path where exact percentile would sort each group. Rows-only;
+    the error bound vs the exact tier is asserted in tests."""
+    li = load(spark, "lineitem", sf_dir)
+    aggs = [
+        F.expr(
+            f"approx_percentile(l_extendedprice, {q}, 10000)"
+        ).alias(f"p{int(q*100)}")
+        for q in (0.25, 0.50, 0.75, 0.99)
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
 
 
 def _pa_sql(ant: str) -> str:

@@ -1,0 +1,31 @@
+"""IVF ANN tier: recall floor, determinism, broadcast plan shape."""
+
+from codex_africanus_spark.operators import similarity as sim
+from codex_africanus_spark.sources.tables import load
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """2-of-8 probes on unclustered uniform vectors: recall@3 vs brute
+    force must clear the probe share (empirically ~0.5 here)."""
+    emb = load(spark, "embeddings", sf_dir)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, k=3).collect()}
+    assert len(ivf) == len(bf) > 0
+    assert len(bf & ivf) / len(bf) >= 1 / 3
+
+
+def test_ivf_partition_invariant(spark, sf_dir):
+    """Fixed-point centroid sums ⇒ identical index and results under any
+    input partitioning."""
+    emb = load(spark, "embeddings", sf_dir)
+    a = sorted(map(tuple, sim.ivf_topk(emb).collect()))
+    b = sorted(map(tuple, sim.ivf_topk(emb.repartition(7)).collect()))
+    assert a == b
+
+
+def test_ivf_centroids_broadcast(spark, sf_dir):
+    """The coarse quantizer must reach assignment as a broadcast — no
+    shuffle of the big side against an 8-row table."""
+    emb = load(spark, "embeddings", sf_dir)
+    plan = sim.ivf_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -62,6 +62,19 @@ def test_hll_error_bound(spark, sf_dir):
         assert est[key] == pytest.approx(n, rel=0.1)
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """GK sketch at accuracy 10^4 → rank error ≤ 1/10^4; generous 1%
+    value-relative bound on this data."""
+    from codex_africanus_spark.queries import registry
+
+    r = registry()
+    exact = r["exact_quantiles_price"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
+    approx = r["approx_percentile_price"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
+    for col in ["p25", "p50", "p75", "p99"]:
+        rel = ((approx[col] - exact[col]).abs() / exact[col]).max()
+        assert rel < 0.01, (col, rel)
+
+
 def test_hll_union_rollup_matches_direct(spark, sf_dir):
     """HLL union of sub-sketches has identical register state to
     sketching the union — rollup estimates equal direct estimates
