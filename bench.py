@@ -37,6 +37,11 @@ HEADLINE = [
     "minhash_lsh_near_dup_pairs",
     "embedding_cosine_topk",
     "events_sessionize_relational",
+    # round-1 extension operators
+    "rime_compiled_predict",
+    "kmv_theta_distinct_customers",
+    "ann_ivf_topk",
+    "approx_percentile_price",  # the mergeable-sketch scale path (exact tier stays in the registry)
 ]
 
 
