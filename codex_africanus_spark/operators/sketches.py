@@ -101,6 +101,56 @@ def KMV_SQL(table_expr: str, keys: list[str], col_expr: str, k: int = 64) -> str
     """
 
 
+def kmv_merge_global(
+    df: DataFrame, group_keys: list[str], col: Column | str, k: int = 64
+) -> DataFrame:
+    """Global distinct estimate by MERGING per-group KMV sketches — the
+    re-aggregation property: k-min(∪ sets) == k-min(∪ k-min(set_i)), so
+    sub-sketches roll up losslessly without rescanning. The oracle
+    computes the global k-min directly from the full table and matches
+    the merged estimate EXACTLY (KMV_GLOBAL_SQL)."""
+    col = F.col(col) if isinstance(col, str) else col
+    d = df.select(*group_keys, hash60(col).alias("h")).distinct()
+    wg = Window.partitionBy(*group_keys).orderBy("h")
+    per_group = (
+        d.withColumn("rk", F.row_number().over(wg)).filter(F.col("rk") <= k)
+    )
+    # merge: pool the sketches, de-dup hashes shared across groups, take
+    # the global k smallest (the pooled input is #groups × k rows)
+    pooled = per_group.select("h").distinct()
+    wall = Window.orderBy("h")
+    ranked = pooled.withColumn("rk", F.row_number().over(wall)).filter(
+        F.col("rk") <= k
+    )
+    return ranked.agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"),
+    ).select(
+        F.round(
+            F.when(F.col("nk") < k, F.col("nk").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(TWO60) / F.col("hk")
+            ),
+            6,
+        ).alias("est_distinct")
+    )
+
+
+def KMV_GLOBAL_SQL(table_expr: str, col_expr: str, k: int = 64) -> str:
+    """Direct (un-merged) global k-min estimate — identical to the merged
+    rollup by the lossless-merge property."""
+    return f"""
+    WITH kmv_d AS (
+      SELECT DISTINCT {hash60_sql(col_expr)} AS h FROM {table_expr}
+    ), kmv_r AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rk FROM kmv_d
+    )
+    SELECT round(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE {float(k - 1)!r}e0 * {TWO60!r} / MAX(CASE WHEN rk = {k} THEN h END)
+                 END, 6) AS est_distinct
+    FROM kmv_r WHERE rk <= {k}
+    """
+
+
 def hll_distinct(df: DataFrame, keys: list[str], col: str, lgk: int = 12) -> DataFrame:
     """Per-group DataSketches-HLL distinct estimate (hll_sketch_agg →
     hll_sketch_estimate). The sketch is mergeable partial-agg state: at

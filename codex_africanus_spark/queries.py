@@ -2026,6 +2026,21 @@ def kmv_theta_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+@register(
+    "kmv_merge_rollup_customers",
+    sketch_op.KMV_GLOBAL_SQL("orders", "CAST(o_custkey AS VARCHAR)", k=64),
+)
+def kmv_merge_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE: per-priority sketches pooled into the global
+    distinct-customer estimate. k-min(∪ sets) == k-min(∪ k-min sets), so
+    the oracle's direct global computation matches the rollup exactly —
+    the lossless re-aggregation that makes sketches the 100 TB answer."""
+    orders = load(spark, "orders", sf_dir)
+    return sketch_op.kmv_merge_global(
+        orders, ["o_orderpriority"], F.col("o_custkey").cast("string"), k=64
+    )
+
+
 @register("hll_sketch_distinct_parts", None)
 def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches-HLL distinct l_partkey per returnflag (rows-only:
@@ -2125,6 +2140,81 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in (0.25, 0.50, 0.75, 0.99)
     ]
     return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+_PIPELINE_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s WHERE s.source_type = 'POINT'
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_re,
+             SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS model_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    ), corrupted AS (
+      SELECT m.row_id, m.antenna1, m.antenna2, m.chan,
+             round((g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_re
+                   + (g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_im, 6) AS c_re,
+             round((g1.gain_re*m.model_im + g1.gain_im*m.model_re) * g2.gain_re
+                   - (g1.gain_re*m.model_re - g1.gain_im*m.model_im) * g2.gain_im, 6) AS c_im
+      FROM model m
+      JOIN gains g1 ON g1.antenna = m.antenna1 AND g1.chan = m.chan
+      JOIN gains g2 ON g2.antenna = m.antenna2 AND g2.chan = m.chan
+    )
+    SELECT c.antenna1, c.antenna2,
+           CAST(FLOOR(v.time / 604800.0) AS BIGINT) AS time_bin,
+           CAST(c.chan // 2 AS INT)                 AS chan_bin,
+           COUNT(*) AS nsamples,
+           SUM(CAST(ROUND(c.c_re * v.weight * 1000000) AS BIGINT))
+             / SUM(CAST(ROUND(v.weight * 1000000) AS BIGINT)) AS vis_re_avg,
+           SUM(CAST(ROUND(c.c_im * v.weight * 1000000) AS BIGINT))
+             / SUM(CAST(ROUND(v.weight * 1000000) AS BIGINT)) AS vis_im_avg
+    FROM corrupted c
+    JOIN vis v ON v.row_id = c.row_id AND v.antenna1 = c.antenna1
+              AND v.antenna2 = c.antenna2 AND v.chan = c.chan
+    WHERE NOT (v.flag OR v.flag_row)
+    GROUP BY c.antenna1, c.antenna2, time_bin, chan_bin
+    ORDER BY c.antenna1, c.antenna2, time_bin, chan_bin
+    """
+)
+
+
+@register("pipeline_predict_corrupt_average", _PIPELINE_ORACLE)
+def pipeline_predict_corrupt_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MS pipeline: point-source predict → G·V·Gᴴ corruption →
+    flag-gated weighted time/channel averaging — three operator families
+    composed with the fixed-point discipline carried through every
+    stage, so even the 3-deep pipeline hash-matches the oracle exactly
+    (the reference runs this chain as separate dask graphs;
+    here it is ONE Catalyst plan end to end)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    gains = tpch_ms.gains_table(spark)
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    corrupted = predict_op.apply_gains(model, gains)
+    joined = corrupted.join(
+        vis.select("row_id", "antenna1", "antenna2", "chan",
+                   "time", "weight", "flag", "flag_row"),
+        ["row_id", "antenna1", "antenna2", "chan"],
+    ).filter(~(F.col("flag") | F.col("flag_row")))
+    return (
+        joined.groupBy(
+            "antenna1", "antenna2",
+            F.floor(F.col("time") / F.lit(604800.0)).cast("long").alias("time_bin"),
+            F.expr("chan DIV 2").cast("int").alias("chan_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nsamples"),
+            (qsum(F.col("corrupted_re") * F.col("weight"), 1e6)
+             / qsum(F.col("weight"), 1e6)).alias("vis_re_avg"),
+            (qsum(F.col("corrupted_im") * F.col("weight"), 1e6)
+             / qsum(F.col("weight"), 1e6)).alias("vis_im_avg"),
+        )
+        .orderBy("antenna1", "antenna2", "time_bin", "chan_bin")
+    )
 
 
 def _pa_sql(ant: str) -> str:
