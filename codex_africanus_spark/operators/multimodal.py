@@ -118,6 +118,94 @@ def frame_sample(with_payload: DataFrame, frame_size: int = 64, stride: int = 12
     )
 
 
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, distinct_bytes int, entropy_milli long, "
+    "printable_ratio_milli long"
+)
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over binary payloads — REAL (no
+    codec needed): byte-histogram Shannon entropy, printable ratio,
+    distinct-byte count. The content-quality signals a training-data
+    pipeline uses to separate text from binary junk before decode.
+
+    mapInPandas + NumPy bincount per payload; ratios quantized to
+    integer millis so results are engine/partition independent."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (executors cannot import this package)
+        import numpy as np
+
+        def feats(p: bytes):
+            if not p:
+                return (0, 0, 0, 0)
+            a = np.frombuffer(p, dtype=np.uint8)
+            counts = np.bincount(a, minlength=256)
+            nz = counts[counts > 0]
+            prob = nz / len(a)
+            ent = float(-(prob * np.log2(prob)).sum())
+            printable = int(((a >= 32) & (a < 127)).sum())
+            return (
+                len(a),
+                int((counts > 0).sum()),
+                int(round(ent * 1000.0)),
+                int(round(printable * 1000.0 / len(a))),
+            )
+
+        for pdf in it:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [r[0] for r in rows],
+                    "distinct_bytes": [r[1] for r in rows],
+                    "entropy_milli": [r[2] for r in rows],
+                    "printable_ratio_milli": [r[3] for r in rows],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, out_bytes long, out_width int, out_height int, resized binary"
+
+
+def resize_image(with_payload: DataFrame, factor: int = 4, fake: bool = True) -> DataFrame:
+    """STUB resize: real deployments decode → interpolate → re-encode
+    (PIL/libvips — absent here). The deterministic fake keeps every
+    `factor`-th payload byte (a 1-D 'nearest' subsample) and scales the
+    fake dims, preserving the real operator's shape: binary in → smaller
+    binary out + typed metadata, Arrow-batched."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this container; pass fake=True "
+            "for the deterministic stand-in resizer"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (executors cannot import this package)
+        def rz(p: bytes):
+            out = p[::factor]
+            n = len(p)
+            w, h = n % 640 + 1, (n * 7) % 480 + 1
+            return (len(out), max(1, w // factor), max(1, h // factor), out)
+
+        for pdf in it:
+            rows = [rz(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": [r[0] for r in rows],
+                    "out_width": [r[1] for r in rows],
+                    "out_height": [r[2] for r in rows],
+                    "resized": [r[3] for r in rows],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 # DuckDB substring() does not accept BLOB: frame length is pure integer
 # arithmetic and the head byte reads the (ASCII) text directly.
 FRAME_SAMPLE_SQL = """

@@ -2254,6 +2254,17 @@ def rime_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rime_plan.rime("(Kpq, Bpq, Lpq)", vis, src).orderBy("row_id")
 
 
+@register("multimodal_extract_features", None)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level content features over binary payloads (entropy,
+    printable ratio, distinct bytes) — the decode-free quality gate of a
+    multimodal ingest pipeline; Arrow-batched mapInPandas, integer-milli
+    quantized (rows-only; NumPy backend-equivalence in
+    tests/test_multimodal_features.py)."""
+    docs = load(spark, "documents", sf_dir)
+    return mm_op.extract_features(mm_op.attach_binary_payload(docs)).orderBy("doc_id")
+
+
 @register("fft_dirty_image", None)
 def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFT imaging tier: distributed exact uv-grid accumulation + driver
