@@ -2254,6 +2254,63 @@ def rime_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rime_plan.rime("(Kpq, Bpq, Lpq)", vis, src).orderBy("row_id")
 
 
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey, SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 150
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING over a 3-way join (the
+    group-filter-after-agg pattern; dims broadcast, one fact shuffle)."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "events_lag_lead_deltas",
+    _with_ms(
+        """
+        SELECT event_id, user_id,
+               ts_us - lag(ts_us) OVER w AS dt_us,
+               CAST(ROUND((value - lag(value) OVER w) * 1000000) AS BIGINT) AS dv_micro,
+               lead(event_id) OVER w AS next_event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ORDER BY user_id, ts_us, event_id
+        """
+    ),
+)
+def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead frame analytics: per-user inter-event time and value
+    deltas (integer-exact) plus the successor id — the ordered-window
+    family beyond the binning scans."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("dt_us"),
+        F.round((F.col("value") - F.lag("value").over(w)) * 1e6)
+        .cast("long").alias("dv_micro"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
 @register("multimodal_extract_features", None)
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level content features over binary payloads (entropy,
