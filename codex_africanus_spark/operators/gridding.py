@@ -63,6 +63,70 @@ def degrid(vis: DataFrame) -> DataFrame:
     )
 
 
+# Separable 3-tap triangle kernel: weights exactly representable doubles
+# (the reference's conv-kernel policies, perleypolyhedron/policies/
+# convolution_filters.py; any separable tap table drops in here)
+KERNEL_1D = [(-1, 0.25), (0, 0.5), (1, 0.25)]
+
+
+def grid_convolved(vis: DataFrame) -> DataFrame:
+    """Kernel-footprint gridding (reference gridder.py:13-170): each
+    visibility scatter-adds into its 3×3 kernel footprint with separable
+    triangle weights, then one histogram aggregate.
+
+    The footprint is a generated-column explode — 9 literal (du, dv, w)
+    structs per row, fused by codegen — so the operator is exactly the
+    nearest-cell plan with a 9× row expansion before the same single
+    shuffle. Exact: kernel weights are dyadic rationals, products
+    quantized per tap."""
+    taps = F.array(*[
+        F.struct(F.lit(du).alias("du"), F.lit(dv).alias("dv"),
+                 F.lit(wu * wv).alias("kw"))
+        for du, wu in KERNEL_1D for dv, wv in KERNEL_1D
+    ])
+    g = (
+        _cells(vis.filter(~(F.col("flag") | F.col("flag_row"))))
+        .select("u_cell", "v_cell", "vis_re", "vis_im", "weight",
+                F.explode(taps).alias("t"))
+    )
+    return (
+        g.groupBy(
+            (F.col("u_cell") + F.col("t.du")).alias("u_cell"),
+            (F.col("v_cell") + F.col("t.dv")).alias("v_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ntaps"),
+            qsum(F.col("vis_re") * F.col("weight") * F.col("t.kw"), 100.0).alias("grid_re_q"),
+            qsum(F.col("vis_im") * F.col("weight") * F.col("t.kw"), 100.0).alias("grid_im_q"),
+            qsum(F.col("weight") * F.col("t.kw"), 100.0).alias("wsum_q"),
+        )
+    )
+
+
+CONV_GRID_SQL = """
+    , taps AS (
+      SELECT * FROM (VALUES (-1, 0.25e0), (0, 0.5e0), (1, 0.25e0)) AS t1(d, w)
+    ),
+    footprint AS (
+      SELECT tu.d AS du, tv.d AS dv, tu.w * tv.w AS kw FROM taps tu, taps tv
+    ),
+    gated AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             vis_re, vis_im, weight
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT g.u_cell + f.du AS u_cell, g.v_cell + f.dv AS v_cell,
+           COUNT(*) AS ntaps,
+           SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS grid_re_q,
+           SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS grid_im_q,
+           SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS wsum_q
+    FROM gated g, footprint f
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 DEGRID_SQL = """
     , cells AS (
       SELECT row_id, CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,

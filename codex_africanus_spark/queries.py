@@ -962,6 +962,16 @@ def degrid_nearest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_op.degrid(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
 
 
+@register("grid_kernel_footprint", _with_ms(grid_op.CONV_GRID_SQL))
+def grid_kernel_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convolution-kernel gridding: 3×3 separable triangle footprint per
+    visibility (reference perleypolyhedron gridder) — a generated-column
+    explode before the same single histogram shuffle."""
+    return grid_op.grid_convolved(tpch_ms.vis_table(spark, sf_dir)).orderBy(
+        "u_cell", "v_cell"
+    )
+
+
 @register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
 def briggs_robust_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Briggs/robust imaging weights — two-pass cell-density reweighting."""
