@@ -127,6 +127,76 @@ CONV_GRID_SQL = """
 """
 
 
+def degrid_convolved(vis: DataFrame) -> DataFrame:
+    """Kernel-footprint degridding (reference degridder.py:78-176, the
+    gather dual): each row samples its 3×3 footprint from the broadcast
+    grid and combines taps with the same separable weights. Exact: the
+    grid values are integer-derived; tap combination re-quantizes."""
+    grid = grid_convolved(vis)
+    taps = F.array(*[
+        F.struct(F.lit(du).alias("du"), F.lit(dv).alias("dv"),
+                 F.lit(wu * wv).alias("kw"))
+        for du, wu in KERNEL_1D for dv, wv in KERNEL_1D
+    ])
+    rows = _cells(vis).select("row_id", "u_cell", "v_cell", F.explode(taps).alias("t"))
+    joined = rows.join(
+        F.broadcast(grid),
+        (rows.u_cell + F.col("t.du") == grid.u_cell)
+        & (rows.v_cell + F.col("t.dv") == grid.v_cell),
+        "left",
+    )
+    val_re = F.coalesce(F.col("grid_re_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))
+    val_im = F.coalesce(F.col("grid_im_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))
+    return (
+        joined.groupBy("row_id", rows.u_cell, rows.v_cell)
+        .agg(
+            (qsum(val_re * F.col("t.kw"), 1e6) / F.lit(1e6)).alias("degrid_re"),
+            (qsum(val_im * F.col("t.kw"), 1e6) / F.lit(1e6)).alias("degrid_im"),
+        )
+    )
+
+
+DEGRID_CONV_SQL = """
+    , taps AS (
+      SELECT * FROM (VALUES (-1, 0.25e0), (0, 0.5e0), (1, 0.25e0)) AS t1(d, w)
+    ),
+    footprint AS (
+      SELECT tu.d AS du, tv.d AS dv, tu.w * tv.w AS kw FROM taps tu, taps tv
+    ),
+    gated AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             vis_re, vis_im, weight
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    cgrid AS (
+      SELECT g.u_cell + f.du AS u_cell, g.v_cell + f.dv AS v_cell,
+             SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS grid_im_q,
+             SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS wsum_q
+      FROM gated g, footprint f GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT row_id, CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell
+      FROM vis
+    ),
+    sampled AS (
+      SELECT c.row_id, c.u_cell, c.v_cell,
+             CAST(ROUND(COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100) * f.kw * 1000000) AS BIGINT) AS re_q,
+             CAST(ROUND(COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100) * f.kw * 1000000) AS BIGINT) AS im_q
+      FROM cells c
+      CROSS JOIN footprint f
+      LEFT JOIN cgrid g ON g.u_cell = c.u_cell + f.du AND g.v_cell = c.v_cell + f.dv
+    )
+    SELECT row_id, u_cell, v_cell,
+           SUM(re_q) / 1000000.0 AS degrid_re,
+           SUM(im_q) / 1000000.0 AS degrid_im
+    FROM sampled GROUP BY 1, 2, 3
+    ORDER BY row_id
+"""
+
+
 DEGRID_SQL = """
     , cells AS (
       SELECT row_id, CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,

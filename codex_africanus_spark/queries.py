@@ -972,6 +972,14 @@ def grid_kernel_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("degrid_kernel_footprint", _with_ms(grid_op.DEGRID_CONV_SQL))
+def degrid_kernel_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-footprint degridding — the gather dual: each row samples
+    its 3×3 footprint from the broadcast convolved grid and recombines
+    taps with the separable weights (reference degridder.py:78-176)."""
+    return grid_op.degrid_convolved(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+
+
 @register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
 def briggs_robust_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Briggs/robust imaging weights — two-pass cell-density reweighting."""
