@@ -244,6 +244,122 @@ def register_term(char: str, cls: type[Term]) -> None:
     TERM_MAP[char] = cls
 
 
+def rime2x2(
+    spec: str,
+    vis: DataFrame,
+    sources: DataFrame,
+    gains: DataFrame | None = None,
+) -> DataFrame:
+    """Matrix-valued RIME compiler — the reference's fused RIME is 2×2
+    Jones-valued (fused/core.py: per-corr sampler chain with Hermitian
+    transpose of right terms); this compiles the same spec grammar into
+    the full-correlation plan:
+
+        V_pq = G_p · ( Σ_s  z_s · B_s ) · G_qᴴ
+
+    where z_s is the product of the spec's scalar terms (K phase,
+    E gaussian, S shapelet, Z/D samplers, L feed phase — the TERM_MAP
+    plugins compose unchanged), B_s the 2×2 brightness from (I,Q,U,V)
+    with spectral scaling (XX=I·s+Q, XY=U+iV, YX=U−iV, YY=I·s−Q), and
+    G the sided diagonal gain sandwich applied after the source
+    reduction. ``"(Kpq, Bpq, Gpq)"`` reproduces
+    operators/predict.predict_full_corr bit-for-bit (tested).
+
+    Scale shape: brightness is hoisted to the broadcast side
+    (source × chan rows), one shuffle at the source reduction, gains
+    broadcast twice — identical to the hand-written full-corr plan.
+    """
+    from codex_africanus_spark.sources.tables import fan_out
+
+    parsed = parse_rime(spec)
+    chars = [c for c, _ in parsed.terms]
+    if "B" not in chars:
+        raise ValueError("2x2 RIME requires a brightness term 'B' in the spec")
+    if ("G" in chars) and gains is None:
+        raise ValueError("spec contains gain term 'G' but no gains table given")
+    scalar_terms = []
+    for c in chars:
+        if c in ("B", "G"):
+            continue
+        if c not in TERM_MAP:
+            raise ValueError(f"unknown RIME term {c!r}; register it first")
+        scalar_terms.append(TERM_MAP[c]())
+
+    # brightness hoisted to the broadcast side (source × chan)
+    chan_freq = vis.select("chan", "frequency").distinct()
+    src_chan = (
+        sources.crossJoin(chan_freq)
+        .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))
+        .drop("frequency")
+    )
+    joined = fan_out(vis).join(F.broadcast(src_chan), "chan")
+    for t in scalar_terms:
+        t.validate(joined)
+    for t in scalar_terms:
+        joined = t.prepare(joined)
+    z = Cplx(F.lit(1.0), F.lit(0.0))
+    for t in scalar_terms:
+        z = t.apply(z)
+
+    bxx = F.col("flux_i") * F.col("__s") + F.col("flux_q")
+    byy = F.col("flux_i") * F.col("__s") - F.col("flux_q")
+    corr = {
+        "xx": Cplx(bxx, F.lit(0.0)) * z,
+        "xy": Cplx(F.col("flux_u"), F.col("flux_v")) * z,
+        "yx": Cplx(F.col("flux_u"), -F.col("flux_v")) * z,
+        "yy": Cplx(byy, F.lit(0.0)) * z,
+    }
+    coh = joined.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        *[c.re.alias(f"{k}_re") for k, c in corr.items()],
+        *[c.im.alias(f"{k}_im") for k, c in corr.items()],
+    )
+    model = coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+        *[
+            (qsum(F.col(f"{k}_{p}"), QSCALE) / F.lit(QSCALE)).alias(f"{k}_{p}")
+            for k in ("xx", "xy", "yx", "yy")
+            for p in ("re", "im")
+        ]
+    )
+    if "G" not in chars:
+        return model
+
+    g1 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna1"), "chan",
+            F.col("gain_re").alias("g1x_re"), F.col("gain_im").alias("g1x_im"),
+            F.col("gain_y_re").alias("g1y_re"), F.col("gain_y_im").alias("g1y_im"),
+        )
+    )
+    g2 = F.broadcast(
+        gains.select(
+            F.col("antenna").alias("antenna2"), "chan",
+            F.col("gain_re").alias("g2x_re"), F.col("gain_im").alias("g2x_im"),
+            F.col("gain_y_re").alias("g2y_re"), F.col("gain_y_im").alias("g2y_im"),
+        )
+    )
+    df = model.join(g1, ["antenna1", "chan"]).join(g2, ["antenna2", "chan"])
+
+    def sandwich(corr_key, g1p, g2p):
+        m = Cplx(F.col(f"{corr_key}_re"), F.col(f"{corr_key}_im"))
+        out = (
+            Cplx(F.col(f"{g1p}_re"), F.col(f"{g1p}_im"))
+            * m
+            * Cplx(F.col(f"{g2p}_re"), F.col(f"{g2p}_im")).conj()
+        )
+        return F.round(out.re, 6), F.round(out.im, 6)
+
+    xx, xy = sandwich("xx", "g1x", "g2x"), sandwich("xy", "g1x", "g2y")
+    yx, yy = sandwich("yx", "g1y", "g2x"), sandwich("yy", "g1y", "g2y")
+    return df.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        xx[0].alias("vxx_re"), xx[1].alias("vxx_im"),
+        xy[0].alias("vxy_re"), xy[1].alias("vxy_im"),
+        yx[0].alias("vyx_re"), yx[1].alias("vyx_im"),
+        yy[0].alias("vyy_re"), yy[1].alias("vyy_im"),
+    )
+
+
 def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
     """Compile a RIME spec into one select + one deterministic aggregate.
 

@@ -1879,6 +1879,21 @@ def predict_full_corr_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_op.predict_full_corr(vis, src, gains).orderBy("row_id")
 
 
+@register("rime2x2_compiled_predict", _FULL_CORR_ORACLE)
+def rime2x2_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matrix-valued RIME compiler: '(Kpq, Bpq, Gpq)' → full-corr
+    predict with dual-pol gain sandwich (the reference's fused RIME is
+    2×2 Jones-valued; scalar TERM_MAP plugins compose as the z factor).
+    Bit-identical to the hand-written predict_full_corr plan, same
+    oracle."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    gains = tpch_ms.gains_table(spark)
+    return rime_plan.rime2x2(
+        "(Kpq, Bpq, Gpq): [I,Q,U,V] -> [XX,XY,YX,YY]", vis, src, gains
+    ).orderBy("row_id")
+
+
 @register(
     "stokes_convert_partial_schema",
     _with_ms(

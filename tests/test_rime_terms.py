@@ -59,6 +59,39 @@ def test_rime_shapelet_term_is_expression(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_rime2x2_matches_handwritten_full_corr(spark, sf_dir):
+    """'(Kpq, Bpq, Gpq)' through the matrix compiler must equal the
+    hand-written predict_full_corr bit-for-bit (same expressions, same
+    quantization)."""
+    from codex_africanus_spark.operators import predict as predict_op
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    gains = tpch_ms.gains_table(spark)
+    a = (
+        rp.rime2x2("(Kpq, Bpq, Gpq)", vis, src, gains)
+        .orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    )
+    b = (
+        predict_op.predict_full_corr(vis, src, gains)
+        .orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    )
+    assert len(a) == len(b) > 0
+    for c in ["vxx_re", "vxx_im", "vxy_re", "vxy_im", "vyx_re", "vyx_im", "vyy_re", "vyy_im"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_rime2x2_scalar_terms_compose(spark, sf_dir):
+    """Adding the gaussian E term to the 2x2 spec scales coherencies by
+    the same envelope on every correlation."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 97 == 0)
+    src = tpch_ms.source_table(spark, sf_dir)
+    with_e = rp.rime2x2("(Kpq, Bpq, Epq)", vis, src).orderBy("row_id", "chan").toPandas()
+    plain = rp.rime2x2("(Kpq, Bpq)", vis, src).orderBy("row_id", "chan").toPandas()
+    assert len(with_e) == len(plain) > 0
+    assert not np.allclose(with_e.xx_re, plain.xx_re)
+
+
 def test_rime_custom_term_registration(spark, sf_dir):
     """User extensibility: register a custom term and use it in a spec
     (reference custom_brightness_term example)."""
