@@ -43,6 +43,7 @@ def streaming_bda(
     vis_stream: DataFrame,
     decorr_tol: float = 500.0,
     max_span_secs: float = 2_592_000.0,
+    idle_timeout_secs: float | None = None,
 ) -> DataFrame:
     """True streaming BDA (ROADMAP #3): the decorrelation accumulator of
     operators/bda.py carried across micro-batches per baseline via
@@ -56,12 +57,24 @@ def streaming_bda(
     each batch with ``closed=false`` (update-mode upsert). Rows must
     arrive time-ordered per key across batches (the reference's
     monotone-time row contract, predict.py:688 / SURVEY §2.10 — late
-    rows would belong to an emitted bin and are the flagged-row case)."""
+    rows would belong to an emitted bin and are the flagged-row case).
+
+    With ``idle_timeout_secs`` set, a baseline whose watermark passes
+    `last row time + idle_timeout_secs` without new rows has its open
+    bin FLUSHED as closed via GroupState event-time timeout — the input
+    stream must then carry a watermarked ``event_time`` timestamp
+    column built as timestamp_seconds(time) (caller does
+    ``withWatermark``); without a timeout, idle baselines hold their
+    last bin open until more data arrives."""
 
     def update(key, pdfs, state: GroupState):
         # self-contained closure (executors cannot import this package)
         import pandas as _pd
 
+        cols = ["antenna1", "antenna2", "bin_idx", "n_rows",
+                "time_start", "time_end", "vis_re_avg", "vis_im_avg",
+                "weight_sum", "closed"]
+        a1, a2 = key
         if state.exists:
             (bin_idx, start_t, pu, pv, pw, acc, n,
              t_min, t_max, wsum, vre_w, vim_w) = state.get
@@ -69,12 +82,19 @@ def streaming_bda(
             bin_idx, start_t = 0, None
             pu = pv = pw = acc = 0.0
             n, t_min, t_max, wsum, vre_w, vim_w = 0, 0.0, 0.0, 0.0, 0.0, 0.0
-        a1, a2 = key
         out = []
 
         def emit(is_closed):
             out.append((int(a1), int(a2), int(bin_idx), int(n), t_min, t_max,
                         vre_w / wsum, vim_w / wsum, wsum, is_closed))
+
+        if idle_timeout_secs is not None and state.hasTimedOut:
+            # idle flush: the watermark passed the open bin's deadline
+            if n > 0:
+                emit(True)
+            state.remove()
+            yield _pd.DataFrame(out, columns=cols)
+            return
 
         for pdf in pdfs:
             for r in pdf.sort_values(["time", "row_id"]).itertuples():
@@ -99,19 +119,22 @@ def streaming_bda(
             emit(False)  # provisional open bin — upserted next batch
         state.update((bin_idx, start_t if start_t is not None else 0.0,
                       pu, pv, pw, acc, n, t_min, t_max, wsum, vre_w, vim_w))
-        yield _pd.DataFrame(
-            out,
-            columns=["antenna1", "antenna2", "bin_idx", "n_rows",
-                     "time_start", "time_end", "vis_re_avg", "vis_im_avg",
-                     "weight_sum", "closed"],
-        )
+        if idle_timeout_secs is not None and n > 0:
+            # flush deadline in event time: last row + idle window
+            state.setTimeoutTimestamp(int((t_max + idle_timeout_secs) * 1000))
+        yield _pd.DataFrame(out, columns=cols)
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_timeout_secs is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return vis_stream.groupBy("antenna1", "antenna2").applyInPandasWithState(
         update,
         outputStructType=BDA_OUTPUT_SCHEMA,
         stateStructType=BDA_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -25,6 +25,66 @@ def _final_bins(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def test_streaming_bda_idle_timeout_flushes_open_bin(spark, tmp_path):
+    """ROADMAP #3 remainder: a baseline idle past the event-time timeout
+    has its open bin flushed as closed when the watermark passes its
+    deadline (GroupState EventTimeTimeout)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "vis"
+    src.mkdir()
+    cols = ["row_id", "time", "antenna1", "antenna2", "u", "v", "w",
+            "vis_re", "vis_im", "weight"]
+
+    def w(path, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=cols).astype(
+            {"antenna1": "int32", "antenna2": "int32"}
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    # baseline (0,1): 3 rows early, then silence → must be flushed
+    # baseline (1,2): keeps the watermark moving
+    # (times start well above 0: a t=0 event collides with the initial
+    # watermark and is discarded as late)
+    w(src / "p0.parquet",
+      [(i, 1000.0 + 10.0 * i, 0, 1, 1.0, 1.0, 0.0, 1.0, 0.5, 1.0) for i in range(3)]
+      + [(10, 1020.0, 1, 2, 5.0, 5.0, 0.0, 2.0, 1.0, 1.0)], 1_000_000_000)
+    w(src / "p1.parquet",
+      [(11, 100_000.0, 1, 2, 5.0, 5.0, 0.0, 2.0, 1.0, 1.0)], 1_000_000_100)
+    w(src / "p2.parquet",
+      [(12, 100_010.0, 1, 2, 5.0, 5.0, 0.0, 2.0, 1.0, 1.0)], 1_000_000_200)
+
+    schema = ("row_id long, time double, antenna1 int, antenna2 int, "
+              "u double, v double, w double, vis_re double, vis_im double, "
+              "weight double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_seconds(F.col("time")))
+        .withWatermark("event_time", "1 second")
+    )
+    out = stateful.streaming_bda(stream, decorr_tol=1e9, idle_timeout_secs=500.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bda_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql(
+        "SELECT * FROM bda_timeout WHERE antenna1 = 0 AND antenna2 = 1"
+    ).toPandas()
+    closed = res[res.closed]
+    assert len(closed) == 1  # the idle flush, and nothing else
+    assert closed.iloc[0].n_rows == 3 and closed.iloc[0].time_end == 1020.0
+
+
 def test_streaming_bda_matches_batch_across_microbatches(spark, sf_dir, tmp_path):
     vis = tpch_ms.vis_table(spark, sf_dir).filter("antenna1 < 3 AND antenna2 < 6")
     cols = ["row_id", "time", "antenna1", "antenna2", "u", "v", "w",
