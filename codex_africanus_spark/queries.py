@@ -1879,6 +1879,96 @@ def predict_full_corr_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_op.predict_full_corr(vis, src, gains).orderBy("row_id")
 
 
+def _pa_sql(ant: str) -> str:
+    """'test' ephemeris backend PA (feeds.parallactic_angles_test_backend)."""
+    return (
+        f"sin(fmod(v.time, 86400.0e0) / 86400.0e0 * 6.283185307179586e0)"
+        f" * (0.1e0 + v.{ant} / 100.0e0)"
+    )
+
+
+_FEED_SANDWICH_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) + s.flux_q AS bxx,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) - s.flux_q AS byy,
+             s.flux_u AS bu, s.flux_v AS bv,
+             cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS ct,
+             sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS st
+      FROM vis v, src s
+    ), model AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             SUM(CAST(ROUND((bxx * ct) * 1000000) AS BIGINT)) / 1000000.0 AS xx_re,
+             SUM(CAST(ROUND((bxx * st) * 1000000) AS BIGINT)) / 1000000.0 AS xx_im,
+             SUM(CAST(ROUND((bu * ct - bv * st) * 1000000) AS BIGINT)) / 1000000.0 AS xy_re,
+             SUM(CAST(ROUND((bu * st + bv * ct) * 1000000) AS BIGINT)) / 1000000.0 AS xy_im,
+             SUM(CAST(ROUND((bu * ct - (-bv) * st) * 1000000) AS BIGINT)) / 1000000.0 AS yx_re,
+             SUM(CAST(ROUND((bu * st + (-bv) * ct) * 1000000) AS BIGINT)) / 1000000.0 AS yx_im,
+             SUM(CAST(ROUND((byy * ct) * 1000000) AS BIGINT)) / 1000000.0 AS yy_re,
+             SUM(CAST(ROUND((byy * st) * 1000000) AS BIGINT)) / 1000000.0 AS yy_im
+      FROM coh GROUP BY row_id, antenna1, antenna2, chan
+    ), rot AS (
+      SELECT m.*,
+             cos({pa1}) AS c1, sin({pa1}) AS s1,
+             cos({pa2}) AS c2, sin({pa2}) AS s2
+      FROM model m JOIN vis v ON v.row_id = m.row_id AND v.antenna1 = m.antenna1
+                            AND v.antenna2 = m.antenna2 AND v.chan = m.chan
+    ), t AS (
+      SELECT row_id, antenna1, antenna2, chan, c2, s2,
+             c1*xx_re + s1*yx_re AS txx_re, c1*xx_im + s1*yx_im AS txx_im,
+             c1*xy_re + s1*yy_re AS txy_re, c1*xy_im + s1*yy_im AS txy_im,
+             (-s1)*xx_re + c1*yx_re AS tyx_re, (-s1)*xx_im + c1*yx_im AS tyx_im,
+             (-s1)*xy_re + c1*yy_re AS tyy_re, (-s1)*xy_im + c1*yy_im AS tyy_im
+      FROM rot
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           round(txx_re*c2 + txy_re*s2, 6) AS rxx_re, round(txx_im*c2 + txy_im*s2, 6) AS rxx_im,
+           round(txx_re*(-s2) + txy_re*c2, 6) AS rxy_re, round(txx_im*(-s2) + txy_im*c2, 6) AS rxy_im,
+           round(tyx_re*c2 + tyy_re*s2, 6) AS ryx_re, round(tyx_im*c2 + tyy_im*s2, 6) AS ryx_im,
+           round(tyx_re*(-s2) + tyy_re*c2, 6) AS ryy_re, round(tyx_im*(-s2) + tyy_im*c2, 6) AS ryy_im
+    FROM t ORDER BY row_id
+    """.format(pa1=_pa_sql("antenna1"), pa2=_pa_sql("antenna2"))
+)
+
+
+@register("feed_rotation_full_sandwich", _FEED_SANDWICH_ORACLE)
+def feed_rotation_full_sandwich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL (non-diagonal) 2×2 Jones chain: R(pa1)·V·R(pa2)ᴴ with linear-
+    feed rotation matrices on the predicted coherency — the third
+    jones_mul specialization (reference predict.py:56-190 'full' case;
+    the scalar and diagonal cases are rime/predict_full_corr). Composed
+    entirely from the Jones2x2 expression bundle; exact-oracled."""
+    from codex_africanus_spark.functions.complex_algebra import Cplx
+    from codex_africanus_spark.functions.feeds import (
+        feed_rotation,
+        parallactic_angles_test_backend as pa_of,
+    )
+    from codex_africanus_spark.functions.jones import Jones2x2
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    model = rime_plan.rime2x2("(Kpq, Bpq)", vis, src)
+    keyed = model.join(
+        vis.select("row_id", "antenna1", "antenna2", "chan", "time"),
+        ["row_id", "antenna1", "antenna2", "chan"],
+    )
+    r1 = feed_rotation(pa_of(F.col("time"), F.col("antenna1")), "linear")
+    r2 = feed_rotation(pa_of(F.col("time"), F.col("antenna2")), "linear")
+    V = Jones2x2(
+        Cplx(F.col("xx_re"), F.col("xx_im")), Cplx(F.col("xy_re"), F.col("xy_im")),
+        Cplx(F.col("yx_re"), F.col("yx_im")), Cplx(F.col("yy_re"), F.col("yy_im")),
+    )
+    out = (r1 @ V) @ r2.hermitian()
+    return keyed.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.round(out.xx.re, 6).alias("rxx_re"), F.round(out.xx.im, 6).alias("rxx_im"),
+        F.round(out.xy.re, 6).alias("rxy_re"), F.round(out.xy.im, 6).alias("rxy_im"),
+        F.round(out.yx.re, 6).alias("ryx_re"), F.round(out.yx.im, 6).alias("ryx_im"),
+        F.round(out.yy.re, 6).alias("ryy_re"), F.round(out.yy.im, 6).alias("ryy_im"),
+    ).orderBy("row_id")
+
+
 @register("rime2x2_compiled_predict", _FULL_CORR_ORACLE)
 def rime2x2_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matrix-valued RIME compiler: '(Kpq, Bpq, Gpq)' → full-corr
@@ -2247,14 +2337,6 @@ def pipeline_predict_corrupt_average(spark: SparkSession, sf_dir: str) -> DataFr
              / qsum(F.col("weight"), 1e6)).alias("vis_im_avg"),
         )
         .orderBy("antenna1", "antenna2", "time_bin", "chan_bin")
-    )
-
-
-def _pa_sql(ant: str) -> str:
-    """'test' ephemeris backend PA (feeds.parallactic_angles_test_backend)."""
-    return (
-        f"sin(fmod(v.time, 86400.0e0) / 86400.0e0 * 6.283185307179586e0)"
-        f" * (0.1e0 + v.{ant} / 100.0e0)"
     )
 
 
