@@ -91,6 +91,91 @@ def SESSIONIZE_SQL(gap_us: int = 1_800_000_000) -> str:
     """
 
 
+def bda_ragged(
+    vis: DataFrame,
+    decorr_tol: float = 500.0,
+    max_span_secs: float = 2_592_000.0,
+    nchan: int = 4,
+) -> DataFrame:
+    """BDA with the reference's per-bin CHANNEL factor (ragged output,
+    bda_mapping.py:192-277 finalise_bin + bda_avg row_chan path): each
+    time-bin additionally chooses how many channels to average based on
+    its accumulated uvw motion — slow baselines (low decorrelation)
+    compress channels harder. Output cardinality is data-dependent per
+    bin: bin_idx × ceil(nchan / factor) rows, the offsets/ragged shape
+    relational form makes natural (SURVEY §1.2 ragged row).
+
+    factor(bin) = 4 if motion ≤ tol/4, 2 if ≤ tol/2, else 1 (integer
+    factors of nchan, mirroring the reference's factor-of-nchan rule)."""
+
+    schema = (
+        "antenna1 int, antenna2 int, bin_idx long, chan_factor int, "
+        "chan_out int, n_samples long, vis_re_avg double, vis_im_avg double, "
+        "weight_sum double"
+    )
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bin assignment over the unique time grid (chan-collapsed)
+        times = (
+            pdf[["time", "row_id", "u", "v", "w"]]
+            .drop_duplicates(["time", "row_id"])
+            .sort_values(["time", "row_id"])
+            .reset_index(drop=True)
+        )
+        bins, motions = [], []
+        bin_idx, acc, start_t, prev = 0, 0.0, None, None
+        bin_motion = {}
+        for r in times.itertuples():
+            if start_t is None:
+                start_t, acc = r.time, 0.0
+            else:
+                acc += abs(r.u - prev.u) + abs(r.v - prev.v) + abs(r.w - prev.w)
+                if acc > decorr_tol or (r.time - start_t) > max_span_secs:
+                    bin_idx += 1
+                    start_t, acc = r.time, 0.0
+            bins.append(bin_idx)
+            bin_motion[bin_idx] = acc
+            prev = r
+        times["bin_idx"] = bins
+        merged = pdf.merge(times[["time", "row_id", "bin_idx"]], on=["time", "row_id"])
+        # per-bin channel factor from the bin's final accumulated motion
+        factor = {
+            b: (4 if m <= decorr_tol / 4 else (2 if m <= decorr_tol / 2 else 1))
+            for b, m in bin_motion.items()
+        }
+        merged["chan_factor"] = merged["bin_idx"].map(factor)
+        merged["chan_out"] = merged["chan"] // merged["chan_factor"]
+        g = merged.groupby(["bin_idx", "chan_factor", "chan_out"])
+        out = pd.DataFrame(
+            {
+                "antenna1": g["antenna1"].first(),
+                "antenna2": g["antenna2"].first(),
+                "n_samples": g.size(),
+                "vis_re_avg": g.apply(
+                    lambda x: (x.vis_re * x.weight).sum() / x.weight.sum(),
+                    include_groups=False,
+                ),
+                "vis_im_avg": g.apply(
+                    lambda x: (x.vis_im * x.weight).sum() / x.weight.sum(),
+                    include_groups=False,
+                ),
+                "weight_sum": g["weight"].sum(),
+            }
+        ).reset_index()
+        return out[["antenna1", "antenna2", "bin_idx", "chan_factor",
+                    "chan_out", "n_samples", "vis_re_avg", "vis_im_avg",
+                    "weight_sum"]]
+
+    return (
+        vis.select(
+            "row_id", "time", "antenna1", "antenna2", "u", "v", "w", "chan",
+            "vis_re", "vis_im", "weight",
+        )
+        .groupBy("antenna1", "antenna2")
+        .applyInPandas(per_baseline, schema)
+    )
+
+
 def bda_average(
     vis: DataFrame,
     decorr_tol: float = 500.0,

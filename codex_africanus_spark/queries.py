@@ -2426,6 +2426,18 @@ def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts_us", "event_id")
 
 
+@register("bda_ragged_channel_factor", None)
+def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDA with per-bin channel compression factor — the reference's
+    ragged output (finalise_bin chooses nchan per bin from
+    decorrelation): slow baselines average more channels. Rows-only
+    (data-dependent sequential rule); invariants tested in
+    tests/test_bda_clean_equivalence.py."""
+    return bda_op.bda_ragged(tpch_ms.vis_table(spark, sf_dir)).orderBy(
+        "antenna1", "antenna2", "bin_idx", "chan_out"
+    )
+
+
 @register("multimodal_extract_features", None)
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level content features over binary payloads (entropy,

@@ -66,6 +66,27 @@ def test_bda_bins_respect_bounds(spark, sf_dir):
     assert (got.n_rows >= 1).all()
 
 
+def test_bda_ragged_invariants(spark, sf_dir):
+    """Ragged channel-factor BDA: weight conservation, bin agreement
+    with the plain binner, factor variety, valid chan mapping."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter("antenna1 < 4")
+    ragged = bda_op.bda_ragged(vis).toPandas()
+    plain = bda_op.bda_average(vis).toPandas()
+    # same bin boundaries as the chan-lumped binner
+    rb = ragged.groupby(["antenna1", "antenna2"]).bin_idx.max()
+    pb = plain.groupby(["antenna1", "antenna2"]).bin_idx.max()
+    assert (rb.sort_index() == pb.sort_index()).all()
+    # total weight conserved
+    wtot = vis.toPandas().groupby(["antenna1", "antenna2"]).weight.sum()
+    rtot = ragged.groupby(["antenna1", "antenna2"]).weight_sum.sum()
+    np.testing.assert_allclose(rtot.sort_index(), wtot.sort_index(), rtol=1e-9)
+    # the factor rule actually varies (ragged cardinality is real)
+    assert ragged.chan_factor.nunique() >= 2
+    # chan_out consistent with the factor (16 input channels)
+    assert (ragged.chan_out < np.ceil(16 / ragged.chan_factor)).all()
+    assert (ragged.n_samples >= 1).all()
+
+
 def test_hogbom_components_shrink(spark, sf_dir):
     vis = tpch_ms.vis_table(spark, sf_dir)
     comps = clean_op.hogbom_clean(
