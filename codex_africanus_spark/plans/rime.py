@@ -244,6 +244,101 @@ def register_term(char: str, cls: type[Term]) -> None:
     TERM_MAP[char] = cls
 
 
+class MatrixTerm:
+    """Sided 2×2 Jones factor applied in the post-source-reduction
+    sandwich:
+
+        V_pq = (Π_i J_i,p) · M_pq · (Π_i J_i,q)ᴴ
+
+    with the product taken in spec order and the q side Hermitian-
+    transposed — the reference's automatic transpose of right terms
+    (specification.py:203-214) lifted to matrix-valued terms. The
+    compiler specializes on Jones shape exactly like the reference's
+    jones_mul factories (predict.py:56-190 scalar/diagonal/full cases):
+    an all-diagonal chain keeps the cheap per-corr scalar sandwich;
+    any full term engages the general 2×2 matmul chain."""
+
+    diagonal = False
+    required_columns: tuple[str, ...] = ()
+
+    def prepare(self, df: DataFrame, vis: DataFrame,
+                gains: DataFrame | None) -> DataFrame:
+        """Attach any per-row/per-antenna state this factor samples
+        (time for ephemeris terms, gain columns for G)."""
+        return df
+
+    def jones(self, side: int) -> "Jones2x2":  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class FeedRotationMatrixTerm(MatrixTerm):
+    """R: FULL (non-diagonal) linear-feed rotation
+    [[cos pa, sin pa], [−sin pa, cos pa]] per antenna (reference
+    feeds.py:14-115 linear case) — the compiler's first full-2×2 sided
+    term. The 'test' ephemeris backend keeps it a pure expression, so
+    specs containing it stay exactly oracle-able."""
+
+    required_columns = ("time",)
+
+    def prepare(self, df, vis, gains):
+        if "time" in df.columns:
+            return df
+        return df.join(
+            vis.select("row_id", "antenna1", "antenna2", "chan", "time"),
+            ["row_id", "antenna1", "antenna2", "chan"],
+        )
+
+    def jones(self, side: int):
+        from codex_africanus_spark.functions.feeds import (
+            feed_rotation,
+            parallactic_angles_test_backend as pa_of,
+        )
+
+        pa = pa_of(F.col("time"), F.col(f"antenna{side}"))
+        return feed_rotation(pa, "linear")
+
+
+class GainMatrixTerm(MatrixTerm):
+    """G: per-(antenna, chan) dual-polarization diagonal gain — the
+    DIAG case of the reference's jones_mul specialization."""
+
+    diagonal = True
+
+    def prepare(self, df, vis, gains):
+        for side in (1, 2):
+            g = F.broadcast(
+                gains.select(
+                    F.col("antenna").alias(f"antenna{side}"), "chan",
+                    F.col("gain_re").alias(f"g{side}x_re"),
+                    F.col("gain_im").alias(f"g{side}x_im"),
+                    F.col("gain_y_re").alias(f"g{side}y_re"),
+                    F.col("gain_y_im").alias(f"g{side}y_im"),
+                )
+            )
+            df = df.join(g, [f"antenna{side}", "chan"])
+        return df
+
+    def jones(self, side: int):
+        from codex_africanus_spark.functions.complex_algebra import Cplx
+        from codex_africanus_spark.functions.jones import Jones2x2
+
+        return Jones2x2.diagonal(
+            Cplx(F.col(f"g{side}x_re"), F.col(f"g{side}x_im")),
+            Cplx(F.col(f"g{side}y_re"), F.col(f"g{side}y_im")),
+        )
+
+
+MATRIX_TERM_MAP: dict[str, type[MatrixTerm]] = {
+    "G": GainMatrixTerm,
+    "R": FeedRotationMatrixTerm,
+}
+
+
+def register_matrix_term(char: str, cls: type[MatrixTerm]) -> None:
+    """Extensibility hook for sided matrix-valued terms."""
+    MATRIX_TERM_MAP[char] = cls
+
+
 def rime2x2(
     spec: str,
     vis: DataFrame,
@@ -277,9 +372,10 @@ def rime2x2(
         raise ValueError("2x2 RIME requires a brightness term 'B' in the spec")
     if ("G" in chars) and gains is None:
         raise ValueError("spec contains gain term 'G' but no gains table given")
+    matrix_chars = [c for c in chars if c != "B" and c in MATRIX_TERM_MAP]
     scalar_terms = []
     for c in chars:
-        if c in ("B", "G"):
+        if c == "B" or c in MATRIX_TERM_MAP:
             continue
         if c not in TERM_MAP:
             raise ValueError(f"unknown RIME term {c!r}; register it first")
@@ -321,9 +417,37 @@ def rime2x2(
             for p in ("re", "im")
         ]
     )
-    if "G" not in chars:
+    if not matrix_chars:
         return model
+    if matrix_chars != ["G"]:
+        # general full-2×2 sided chain (any non-diagonal term present,
+        # or a multi-term chain): V = (Π J_p) · M · (Π J_q)ᴴ
+        from codex_africanus_spark.functions.jones import Jones2x2
 
+        mterms = [MATRIX_TERM_MAP[c]() for c in matrix_chars]
+        df = model
+        for t in mterms:
+            df = t.prepare(df, vis, gains)
+        left = right = None
+        for t in mterms:
+            j1, j2 = t.jones(1), t.jones(2)
+            left = j1 if left is None else left @ j1
+            right = j2 if right is None else right @ j2
+        V = Jones2x2(
+            Cplx(F.col("xx_re"), F.col("xx_im")), Cplx(F.col("xy_re"), F.col("xy_im")),
+            Cplx(F.col("yx_re"), F.col("yx_im")), Cplx(F.col("yy_re"), F.col("yy_im")),
+        )
+        out = (left @ V) @ right.hermitian()
+        return df.select(
+            "row_id", "antenna1", "antenna2", "chan",
+            F.round(out.xx.re, 6).alias("vxx_re"), F.round(out.xx.im, 6).alias("vxx_im"),
+            F.round(out.xy.re, 6).alias("vxy_re"), F.round(out.xy.im, 6).alias("vxy_im"),
+            F.round(out.yx.re, 6).alias("vyx_re"), F.round(out.yx.im, 6).alias("vyx_im"),
+            F.round(out.yy.re, 6).alias("vyy_re"), F.round(out.yy.im, 6).alias("vyy_im"),
+        )
+
+    # all-diagonal fast path (G alone): per-corr scalar sandwich —
+    # bit-identical to the hand-written predict_full_corr plan
     g1 = F.broadcast(
         gains.select(
             F.col("antenna").alias("antenna1"), "chan",

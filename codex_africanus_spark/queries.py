@@ -1984,6 +1984,24 @@ def rime2x2_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+@register("rime2x2_feed_rotation_predict", _FEED_SANDWICH_ORACLE)
+def rime2x2_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiler's first FULL (non-diagonal) sided matrix term:
+    '(Kpq, Bpq, Rpq)' compiles the linear-feed rotation sandwich
+    R(pa1)·V·R(pa2)ᴴ via the MatrixTerm chain (plans/rime.py) — same
+    exact oracle as the hand-written feed_rotation_full_sandwich,
+    which this plan reproduces bit-for-bit (tested)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    out = rime_plan.rime2x2("(Kpq, Bpq, Rpq)", vis, src)
+    renames = {f"v{k}_{p}": f"r{k}_{p}"
+               for k in ("xx", "xy", "yx", "yy") for p in ("re", "im")}
+    return out.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        *[F.col(old).alias(new) for old, new in renames.items()],
+    ).orderBy("row_id")
+
+
 @register(
     "stokes_convert_partial_schema",
     _with_ms(

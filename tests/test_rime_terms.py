@@ -92,6 +92,90 @@ def test_rime2x2_scalar_terms_compose(spark, sf_dir):
     assert not np.allclose(with_e.xx_re, plain.xx_re)
 
 
+def test_rime2x2_full_feed_rotation_matches_handwritten(spark, sf_dir):
+    """'(Kpq, Bpq, Rpq)' through the MatrixTerm chain must reproduce the
+    hand-written R(pa1)·V·R(pa2)ᴴ sandwich bit-for-bit (same Jones2x2
+    expressions, same join, same rounding)."""
+    from codex_africanus_spark.functions.complex_algebra import Cplx
+    from codex_africanus_spark.functions.feeds import (
+        feed_rotation,
+        parallactic_angles_test_backend as pa_of,
+    )
+    from codex_africanus_spark.functions.jones import Jones2x2
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    a = (
+        rp.rime2x2("(Kpq, Bpq, Rpq)", vis, src)
+        .orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    )
+    model = rp.rime2x2("(Kpq, Bpq)", vis, src)
+    keyed = model.join(
+        vis.select("row_id", "antenna1", "antenna2", "chan", "time"),
+        ["row_id", "antenna1", "antenna2", "chan"],
+    )
+    r1 = feed_rotation(pa_of(F.col("time"), F.col("antenna1")), "linear")
+    r2 = feed_rotation(pa_of(F.col("time"), F.col("antenna2")), "linear")
+    V = Jones2x2(
+        Cplx(F.col("xx_re"), F.col("xx_im")), Cplx(F.col("xy_re"), F.col("xy_im")),
+        Cplx(F.col("yx_re"), F.col("yx_im")), Cplx(F.col("yy_re"), F.col("yy_im")),
+    )
+    out = (r1 @ V) @ r2.hermitian()
+    b = keyed.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        *[F.round(getattr(out, k).re, 6).alias(f"v{k}_re")
+          for k in ("xx", "xy", "yx", "yy")],
+        *[F.round(getattr(out, k).im, 6).alias(f"v{k}_im")
+          for k in ("xx", "xy", "yx", "yy")],
+    ).orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    assert len(a) == len(b) > 0
+    for c in ["vxx_re", "vxx_im", "vxy_re", "vxy_im", "vyx_re", "vyx_im", "vyy_re", "vyy_im"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_rime2x2_mixed_matrix_chain(spark, sf_dir):
+    """'(Kpq, Bpq, Rpq, Gpq)': the general chain composes in spec order,
+    V = R1·G1·M·G2ᴴ·R2ᴴ — verified against a driver-side NumPy
+    recomputation of the sandwich from the compiled '(Kpq, Bpq)' model."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 97 == 0)
+    src = tpch_ms.source_table(spark, sf_dir)
+    gains = tpch_ms.gains_table(spark)
+    got = (
+        rp.rime2x2("(Kpq, Bpq, Rpq, Gpq)", vis, src, gains)
+        .orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    )
+    model = (
+        rp.rime2x2("(Kpq, Bpq)", vis, src)
+        .join(vis.select("row_id", "antenna1", "antenna2", "chan", "time"),
+              ["row_id", "antenna1", "antenna2", "chan"])
+        .orderBy("row_id", "antenna1", "antenna2", "chan").toPandas()
+    )
+    gp = gains.toPandas().set_index(["antenna", "chan"])
+    assert len(got) == len(model) > 0
+
+    def pa(t, ant):
+        return np.sin(np.mod(t, 86400.0) / 86400.0 * 2 * np.pi) * (0.1 + ant / 100.0)
+
+    M = np.empty((len(model), 2, 2), dtype=complex)
+    M[:, 0, 0] = model.xx_re + 1j * model.xx_im
+    M[:, 0, 1] = model.xy_re + 1j * model.xy_im
+    M[:, 1, 0] = model.yx_re + 1j * model.yx_im
+    M[:, 1, 1] = model.yy_re + 1j * model.yy_im
+    out = np.empty_like(M)
+    for i, row in enumerate(model.itertuples()):
+        g1 = gp.loc[(row.antenna1, row.chan)]
+        g2 = gp.loc[(row.antenna2, row.chan)]
+        G1 = np.diag([g1.gain_re + 1j * g1.gain_im, g1.gain_y_re + 1j * g1.gain_y_im])
+        G2 = np.diag([g2.gain_re + 1j * g2.gain_im, g2.gain_y_re + 1j * g2.gain_y_im])
+        p1, p2 = pa(row.time, row.antenna1), pa(row.time, row.antenna2)
+        R1 = np.array([[np.cos(p1), np.sin(p1)], [-np.sin(p1), np.cos(p1)]])
+        R2 = np.array([[np.cos(p2), np.sin(p2)], [-np.sin(p2), np.cos(p2)]])
+        out[i] = R1 @ G1 @ M[i] @ G2.conj().T @ R2.conj().T
+    for k, (r, c) in {"xx": (0, 0), "xy": (0, 1), "yx": (1, 0), "yy": (1, 1)}.items():
+        np.testing.assert_allclose(got[f"v{k}_re"], out[:, r, c].real, atol=2e-6)
+        np.testing.assert_allclose(got[f"v{k}_im"], out[:, r, c].imag, atol=2e-6)
+
+
 def test_rime_custom_term_registration(spark, sf_dir):
     """User extensibility: register a custom term and use it in a spec
     (reference custom_brightness_term example)."""
