@@ -101,6 +101,83 @@ def shapelet_1d_sql(x: str, coeffs: list[float], beta: float) -> str:
     return total
 
 
+def shapelet_2d_sql_columns(
+    u: str,
+    v: str,
+    freq: str,
+    bu: str,
+    bv: str,
+    coeffs,
+    delta_l: float = 0.01,
+    delta_m: float = 0.01,
+) -> str:
+    """DuckDB mirror of operators/shapelets.shapelet_2d (fixed-matrix
+    path): emits a comma-joined list of stepwise computed SELECT aliases
+    (DuckDB lateral column references) ending in `sh_re`, `sh_im`, with
+    term order, operation order, and scalar literals identical to the
+    UDF's NumPy arithmetic — so results hash-match exactly after the
+    caller's round()."""
+    from codex_africanus_spark.operators.shapelets import (
+        LIGHTSPEED,
+        TWO_PI,
+        basis_konstants,
+    )
+
+    C = [[float(c) for c in row] for row in coeffs]
+    K1, K2 = len(C), len(C[0])
+    tp, ls = _dlit(TWO_PI), _dlit(LIGHTSPEED)
+    cols: list[str] = []
+
+    def dim(tag: str, coord: str, beta: str, kmax: int, delta: float) -> None:
+        konsts = basis_konstants(kmax)
+        flit = _dlit(math.sqrt(TWO_PI) / delta)
+        cols.append(f"(({coord}) * {tp}) * ({freq}) / {ls} AS fx{tag}")
+        cols.append(f"{tp} * fx{tag} AS x{tag}")
+        cols.append(
+            f"1.0 / (CASE WHEN ({beta}) = 0.0 THEN 1.0 ELSE ({beta}) END) AS s{tag}"
+        )
+        cols.append(f"x{tag} / s{tag} AS xs{tag}")
+        cols.append(
+            f"exp(-(x{tag} * x{tag}) / ((2.0 * s{tag}) * s{tag})) AS env{tag}"
+        )
+        cols.append(f"1.0 AS h0{tag}")
+        if kmax > 1:
+            cols.append(f"2.0 * xs{tag} AS h1{tag}")
+        for n in range(2, kmax):
+            cols.append(
+                f"((2.0 * xs{tag}) * h{n - 1}{tag})"
+                f" - ({_dlit(2.0 * (n - 1))} * h{n - 2}{tag}) AS h{n}{tag}"
+            )
+        for n, k in enumerate(konsts):
+            cols.append(
+                f"(((1.0 / sqrt({_dlit(k)} * s{tag})) * h{n}{tag})"
+                f" * env{tag}) * {flit} AS r{n}{tag}"
+            )
+
+    dim("u", u, bu, K1, delta_l)
+    dim("v", v, bv, K2, delta_m)
+    re_expr, im_expr = "0.0", "0.0"
+    for n1 in range(K1):
+        for n2 in range(K2):
+            c = C[n1][n2]
+            if c == 0.0:
+                continue
+            t = f"(({_dlit(c)} * r{n1}u) * r{n2}v)"
+            k = (n1 + n2) % 4
+            if k == 0:
+                re_expr = f"({re_expr} + {t})"
+            elif k == 1:
+                im_expr = f"({im_expr} + {t})"
+            elif k == 2:
+                re_expr = f"({re_expr} - {t})"
+            else:
+                im_expr = f"({im_expr} - {t})"
+    zero = f"(({bu}) = 0.0 OR ({bv}) = 0.0)"
+    cols.append(f"CASE WHEN {zero} THEN 1.0 ELSE {re_expr} END AS sh_re")
+    cols.append(f"CASE WHEN {zero} THEN 0.0 ELSE {im_expr} END AS sh_im")
+    return ",\n             ".join(cols)
+
+
 def gaussian_sql(u: str, v: str, freq: str, emaj: str, emin: str, angle: str) -> str:
     gs = repr(GAUSS_SCALE)
     u1 = (

@@ -2241,6 +2241,82 @@ def rime_shapelet_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src).orderBy("row_id")
 
 
+# Orders 6x4 — beyond the expression path's 0..3 limit (ROADMAP #4:
+# "shapelet orders > 3 take the UDF path"); a few zeros exercise the
+# reference's zero-coefficient skip (shapelets.py:91-97).
+SH2D_COEFFS = [
+    [((n1 * 4 + n2) * 7 % 11 - 5) / 8.0 if (n1 * 4 + n2) * 7 % 11 != 5 else 0.0
+     for n2 in range(4)]
+    for n1 in range(6)
+]
+_SH2D_BU = "CASE WHEN s.source_id = 13 THEN 0.0 ELSE (1 + s.source_id % 3) * 0.05e0 END"
+_SH2D_BV = "(1 + s.source_id % 2) * 0.04e0"
+
+
+def _sh2d_oracle() -> str:
+    from codex_africanus_spark.functions.shapes import shapelet_2d_sql_columns
+
+    cols = shapelet_2d_sql_columns(
+        "v.u / 500.0", "v.v / 500.0", "v.frequency",
+        _SH2D_BU, _SH2D_BV, SH2D_COEFFS,
+    )
+    return _with_ms(
+        f"""
+        , sh AS (
+          SELECT v.row_id, v.chan, s.source_id,
+             cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS ct,
+             sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS st,
+             {cols}
+          FROM vis v, src s
+          WHERE v.row_id % 53 = 0
+        )
+        SELECT row_id, source_id, chan,
+               round(sh_re * ct - sh_im * st, 6) AS w_re,
+               round(sh_re * st + sh_im * ct, 6) AS w_im
+        FROM sh ORDER BY row_id, source_id, chan
+        """
+    )
+
+
+@register("shapelet_2d_w_term", _sh2d_oracle())
+def shapelet_2d_w_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-order (6x4) 2-D complex shapelet envelope times the
+    w-correction phase (reference shapelet_with_w_term,
+    shapelets.py:102-149). The Hermite recursion runs in an
+    Arrow-batched pandas UDF (operators/shapelets.py); the phase steer
+    stays a Column expression — and the whole thing is still EXACTLY
+    oracled because the generated DuckDB SQL mirrors the UDF's
+    arithmetic term-for-term (shapes.shapelet_2d_sql_columns)."""
+    from codex_africanus_spark.functions.complex_algebra import Cplx as _Cplx
+    from codex_africanus_spark.functions.complex_algebra import cexp_i
+    from codex_africanus_spark.operators.shapelets import shapelet_2d
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 53 == 0)
+    src = tpch_ms.source_table(spark, sf_dir).select(
+        "source_id", "l", "m", "n",
+        F.when(F.col("source_id") == 13, F.lit(0.0))
+        .otherwise((1 + F.col("source_id") % 3) * F.lit(0.05)).alias("beta_u"),
+        ((1 + F.col("source_id") % 2) * F.lit(0.04)).alias("beta_v"),
+    )
+    joined = (
+        vis.crossJoin(F.broadcast(src))
+        .withColumn("u_coord", F.col("u") / F.lit(500.0))
+        .withColumn("v_coord", F.col("v") / F.lit(500.0))
+    )
+    env = shapelet_2d(joined, SH2D_COEFFS)
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"),
+                   F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"), "fourier",
+    )
+    out = _Cplx(F.col("sh_re"), F.col("sh_im")) * cexp_i(theta)
+    return env.select(
+        "row_id", "source_id", "chan",
+        F.round(out.re, 6).alias("w_re"),
+        F.round(out.im, 6).alias("w_im"),
+    ).orderBy("row_id", "source_id", "chan")
+
+
 @register(
     "exact_quantiles_price",
     """
