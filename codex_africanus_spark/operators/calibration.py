@@ -171,3 +171,81 @@ def gauss_newton_phase_only(
     joined.unpersist()
     history[-1]["phases"] = dict(phases)
     return history
+
+
+def compute_and_corrupt_vis(
+    vis: DataFrame,
+    src: DataFrame,
+    gains: DataFrame,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Fused model evaluation + per-direction corruption (reference
+    compute_and_corrupt_vis.py:76-170; DIAG_DIAG jones_mul :14-23):
+
+        V[r,c] = Σ_s  g₁[t,a1,c,s] · (M_s · e^{iθ_s} / n_s) · g₂*[t,a2,c,s]
+
+    Unlike corrupt_vis / apply_gains (where the gain sandwich wraps the
+    already-summed model), DDE gains are *direction-dependent*, so the
+    sandwich sits INSIDE the source reduction — the join against the
+    (time_bin, antenna, chan, source_id)-keyed gains table happens on the
+    expanded source×row×chan frame, then the deterministic fixed-point
+    sum collapses the source axis. Note the reference's /n factor on the
+    model (compute_and_corrupt_vis.py:22 `source_vis = ... / n`), absent
+    from plain phase-delay predict.
+
+    Scale: `gains` is bins × n_ant × n_chan × n_dir — broadcast both
+    sides of the double equi-join; the only shuffle is the final
+    source-collapse groupBy, which AQE-coalesces per partition count.
+
+    `vis` must carry a `time_bin` column (the utime axis analogue,
+    utils.py:45-70); `src` needs l, m, n, flux_i, spi, ref_freq and
+    `source_id` matching the gains' direction key.
+    """
+    from codex_africanus_spark.functions.deterministic import qsum
+    from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+
+    g1 = F.broadcast(
+        gains.select(
+            "time_bin", F.col("antenna").alias("antenna1"), "chan", "source_id",
+            F.col("g_re").alias("g1_re"), F.col("g_im").alias("g1_im"),
+        )
+    )
+    g2 = F.broadcast(
+        gains.select(
+            "time_bin", F.col("antenna").alias("antenna2"), "chan", "source_id",
+            F.col("g_re").alias("g2_re"), F.col("g_im").alias("g2_im"),
+        )
+    )
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"),
+                   F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"), "fourier",
+    )
+    flux = (
+        F.col("flux_i")
+        * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
+        / F.col("n")
+    )
+    expanded = (
+        vis.crossJoin(F.broadcast(src))
+        .join(g1, ["time_bin", "antenna1", "chan", "source_id"])
+        .join(g2, ["time_bin", "antenna2", "chan", "source_id"])
+        .withColumn("sv_re", flux * F.cos(theta))
+        .withColumn("sv_im", flux * F.sin(theta))
+    )
+    # g1 · sv · conj(g2), expanded so the oracle SQL mirrors it literally
+    t_re = F.col("g1_re") * F.col("sv_re") - F.col("g1_im") * F.col("sv_im")
+    t_im = F.col("g1_re") * F.col("sv_im") + F.col("g1_im") * F.col("sv_re")
+    out_re = t_re * F.col("g2_re") + t_im * F.col("g2_im")
+    out_im = t_im * F.col("g2_re") - t_re * F.col("g2_im")
+    return (
+        expanded.select(
+            "row_id", "antenna1", "antenna2", "time_bin", "chan",
+            out_re.alias("term_re"), out_im.alias("term_im"),
+        )
+        .groupBy("row_id", "antenna1", "antenna2", "time_bin", "chan")
+        .agg(
+            (qsum(F.col("term_re"), scale) / F.lit(scale)).alias("cc_re"),
+            (qsum(F.col("term_im"), scale) / F.lit(scale)).alias("cc_im"),
+        )
+    )

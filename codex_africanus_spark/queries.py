@@ -946,6 +946,73 @@ def residual_vis_data_minus_model(spark: SparkSession, sf_dir: str) -> DataFrame
     return cal_op.residual_vis(vis, model).orderBy("row_id")
 
 
+_CC_ORACLE = _with_ms(
+    f"""
+    , tb AS (
+      SELECT DISTINCT CAST(FLOOR(time / 604800.0) AS BIGINT) AS time_bin FROM vis
+    ), dirs AS (
+      SELECT * FROM src WHERE source_id % 6 = 1
+    ), dg AS ({tpch_ms.dde_gains_sql("tb", "dirs")})
+    , term AS (
+      SELECT v.row_id, v.antenna1, v.antenna2,
+             CAST(FLOOR(v.time / 604800.0) AS BIGINT) AS time_bin, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) / s.n AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta,
+             g1.g_re AS g1_re, g1.g_im AS g1_im,
+             g2.g_re AS g2_re, g2.g_im AS g2_im
+      FROM vis v
+      CROSS JOIN dirs s
+      JOIN dg g1 ON g1.time_bin = CAST(FLOOR(v.time / 604800.0) AS BIGINT)
+                AND g1.antenna = v.antenna1 AND g1.chan = v.chan
+                AND g1.source_id = s.source_id
+      JOIN dg g2 ON g2.time_bin = CAST(FLOOR(v.time / 604800.0) AS BIGINT)
+                AND g2.antenna = v.antenna2 AND g2.chan = v.chan
+                AND g2.source_id = s.source_id
+    ), per AS (
+      SELECT row_id, antenna1, antenna2, time_bin, chan,
+             g1_re, g1_im, g2_re, g2_im,
+             flux * cos(theta) AS sv_re,
+             flux * sin(theta) AS sv_im
+      FROM term
+    )
+    SELECT row_id, antenna1, antenna2, time_bin, chan,
+           SUM(CAST(ROUND(((g1_re*sv_re - g1_im*sv_im) * g2_re
+                           + (g1_re*sv_im + g1_im*sv_re) * g2_im) * 1000000) AS BIGINT))
+             / 1000000.0 AS cc_re,
+           SUM(CAST(ROUND(((g1_re*sv_im + g1_im*sv_re) * g2_re
+                           - (g1_re*sv_re - g1_im*sv_im) * g2_im) * 1000000) AS BIGINT))
+             / 1000000.0 AS cc_im
+    FROM per
+    GROUP BY row_id, antenna1, antenna2, time_bin, chan
+    ORDER BY row_id, antenna1, antenna2, time_bin, chan
+    """
+)
+
+
+@register("compute_and_corrupt_vis_dde", _CC_ORACLE)
+def compute_and_corrupt_vis_dde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused model-eval + per-direction (DDE) corruption: the gain
+    sandwich sits INSIDE the source sum, and the model carries the /n
+    factor (reference compute_and_corrupt_vis.py:76-170, jones_mul
+    :14-23). Gains are keyed (time_bin, antenna, chan, direction) — the
+    calibration-grouped lookup of utils.py:45-70 — and broadcast."""
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+        "time_bin", F.floor(F.col("time") / F.lit(604800.0)).cast("long")
+    )
+    dirs = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_id") % 6 == 1)
+    # Distinct bins collected to the driver (SURVEY §2.4 "statistics for
+    # binning" pattern): one narrow column scan instead of re-scanning the
+    # fact table inside BOTH broadcast-gains subtrees of the double join.
+    bins = [r[0] for r in vis.select("time_bin").distinct().collect()]
+    time_bins = spark.createDataFrame(
+        [(b,) for b in sorted(bins)], "time_bin long"
+    )
+    gains = tpch_ms.dde_gains_table(spark, time_bins, dirs)
+    return cal_op.compute_and_corrupt_vis(vis, dirs, gains).orderBy(
+        "row_id", "antenna1", "antenna2", "time_bin", "chan"
+    )
+
+
 @register("dft_vis_to_im_adjoint", _with_ms(dft_op.VIS_TO_IM_SQL))
 def dft_vis_to_im_adjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjoint DFT: flag-gated Σ_rows Re(e^{iφ}·V) per (source, chan)

@@ -174,6 +174,66 @@ GAINS_SQL = """
 
 
 # --------------------------------------------------------------------------
+# DDE gains table  (time_bin × antenna × chan × direction; the gains shape
+# of the calibration kernels — reference corrupt_vis/compute_and_corrupt_vis
+# index jones as [utime, ant, chan, dir])
+# --------------------------------------------------------------------------
+
+def dde_gains_table(
+    spark: SparkSession, time_bins: DataFrame, dirs: DataFrame
+) -> DataFrame:
+    """Direction-dependent, time-binned diagonal gains.
+
+    `time_bins` is the distinct-bin frame derived from vis (the analogue of
+    the reference's `unique_time` axis, utils.py:45-70); `dirs` carries one
+    `source_id` per calibration direction. The product is still a small
+    dimension table (bins × 7 ant × 7 chan × n_dir) — always broadcast."""
+    ant = spark.range(N_ANT).select(F.col("id").cast("int").alias("antenna"))
+    chan = spark.range(N_CHAN_BASE - 1).select(F.col("id").cast("int").alias("chan"))
+    g = time_bins.crossJoin(ant).crossJoin(chan).crossJoin(dirs.select("source_id"))
+    amp = (
+        F.lit(1.0)
+        + F.col("antenna") / F.lit(40.0)
+        + F.col("chan") / F.lit(90.0)
+        + F.col("source_id") / F.lit(30.0)
+        + (F.col("time_bin") % 7) / F.lit(60.0)
+    )
+    ph = (
+        (F.col("time_bin") % 5) * F.lit(0.13)
+        + F.col("antenna") * F.lit(0.11)
+        + F.col("chan") * F.lit(0.07)
+        + F.col("source_id") * F.lit(0.19)
+    )
+    # 9dp quantization: engine-reproducible trig (see gains_table note)
+    return g.select(
+        "time_bin",
+        "antenna",
+        "chan",
+        "source_id",
+        F.round(amp * F.cos(ph), 9).alias("g_re"),
+        F.round(amp * F.sin(ph), 9).alias("g_im"),
+    )
+
+
+def dde_gains_sql(time_bins_cte: str, dirs_cte: str) -> str:
+    """DuckDB mirror of dde_gains_table; `time_bins_cte`/`dirs_cte` name
+    CTEs providing (time_bin) and (source_id) rows."""
+    return f"""
+  SELECT t.time_bin,
+         CAST(a.range AS INT) AS antenna,
+         CAST(c.range AS INT) AS chan,
+         d.source_id,
+         round((1.0 + a.range / 40.0 + c.range / 90.0 + d.source_id / 30.0 + (t.time_bin % 7) / 60.0)
+               * cos((t.time_bin % 5) * CAST(0.13 AS DOUBLE) + a.range * CAST(0.11 AS DOUBLE)
+                     + c.range * CAST(0.07 AS DOUBLE) + d.source_id * CAST(0.19 AS DOUBLE)), 9) AS g_re,
+         round((1.0 + a.range / 40.0 + c.range / 90.0 + d.source_id / 30.0 + (t.time_bin % 7) / 60.0)
+               * sin((t.time_bin % 5) * CAST(0.13 AS DOUBLE) + a.range * CAST(0.11 AS DOUBLE)
+                     + c.range * CAST(0.07 AS DOUBLE) + d.source_id * CAST(0.19 AS DOUBLE)), 9) AS g_im
+  FROM {time_bins_cte} t, range(7) a, range(7) c, {dirs_cte} d
+"""
+
+
+# --------------------------------------------------------------------------
 # events-as-stream table (timestamps as exact integer microseconds)
 # --------------------------------------------------------------------------
 
