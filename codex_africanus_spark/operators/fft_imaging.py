@@ -141,3 +141,104 @@ def dirty_image_direct(vis_rows, nx: int = 64, ny: int = 64, cell: float = 10.0)
                 g * np.exp(2j * np.pi * (vc * ly / ny + uc * lx / nx))
             ).real
     return (img / wsum if wsum > 0 else img), wsum
+
+
+# ---------------------------------------------------------------------------
+# dirty2ms / residual / hessian (the remaining wgridder reductions:
+# im2vis.py:16-110, im2residim.py:40-110, hessian.py:36-110)
+# ---------------------------------------------------------------------------
+
+def model_vis_from_image(
+    vis: DataFrame, image: np.ndarray, cell: float = 10.0, round_dp: int = 9
+) -> DataFrame:
+    """Degrid a model image onto vis rows — the dirty2ms analogue
+    (reference im2vis.py:16-110) in this module's architecture split:
+    the driver forward-FFTs the (small) image, the resulting uv samples
+    broadcast as a (v_cell, u_cell, m_re, m_im) table, and each vis row
+    picks up its model value by nearest-cell equi-join (broadcast hash
+    join — zero shuffle of the fact table).
+
+    The model grid is rounded to `round_dp` decimals so the frame is
+    engine-reproducible (same rationale as the gains tables; FFT vs
+    closed-form trig differ at ~1e-15)."""
+    ny, nx = image.shape
+    G = np.fft.fft2(image)
+    rows = [
+        (
+            vc,
+            uc,
+            round(float(G[vc, uc].real), round_dp) + 0.0,
+            round(float(G[vc, uc].imag), round_dp) + 0.0,
+        )
+        for vc in range(ny)
+        for uc in range(nx)
+    ]
+    mdf = vis.sparkSession.createDataFrame(
+        rows, "v_cell long, u_cell long, m_re double, m_im double"
+    )
+    ucell = F.pmod(F.round(F.col("u") / F.lit(cell)).cast("long"), F.lit(nx))
+    vcell = F.pmod(F.round(F.col("v") / F.lit(cell)).cast("long"), F.lit(ny))
+    return (
+        vis.withColumn("u_cell", ucell)
+        .withColumn("v_cell", vcell)
+        .join(F.broadcast(mdf), ["v_cell", "u_cell"])
+    )
+
+
+def residual_grid(vis: DataFrame, image: np.ndarray, cell: float = 10.0) -> DataFrame:
+    """Distributed O(n_vis) stage of the residual: accumulate
+    grid(vis − dirty2ms(image)) with exact fixed-point sums
+    (im2residim.py:40-76 computes ms2dirty(vis − dirty2ms(image)))."""
+    mv = model_vis_from_image(vis, image, cell)
+    gated = mv.filter(~(F.col("flag") | F.col("flag_row")))
+    return gated.groupBy("u_cell", "v_cell").agg(
+        qsum((F.col("vis_re") - F.col("m_re")) * F.col("weight"), GRID_SCALE).alias("r_re_q"),
+        qsum((F.col("vis_im") - F.col("m_im")) * F.col("weight"), GRID_SCALE).alias("r_im_q"),
+        qsum(F.col("weight"), GRID_SCALE).alias("w_q"),
+    )
+
+
+def _ifft_collect(rows, ny: int, nx: int, re_f: str, im_f: str):
+    grid = np.zeros((ny, nx), dtype=np.complex128)
+    wsum = 0.0
+    for r in rows:
+        grid[int(r.v_cell), int(r.u_cell)] += (
+            getattr(r, re_f) + 1j * getattr(r, im_f)
+        ) / GRID_SCALE
+        wsum += r.w_q / GRID_SCALE
+    img = np.fft.ifft2(grid).real * (nx * ny)
+    if wsum > 0:
+        img /= wsum
+    return img, wsum
+
+
+def residual_image(
+    vis: DataFrame, image: np.ndarray, cell: float = 10.0
+) -> tuple[np.ndarray, float]:
+    """residim = ms2dirty(vis − dirty2ms(image)) (im2residim.py:40-110):
+    distributed residual-grid accumulation, then the driver's
+    O(n_pix log n_pix) inverse FFT."""
+    ny, nx = image.shape
+    rows = residual_grid(vis, image, cell).collect()
+    return _ifft_collect(rows, ny, nx, "r_re_q", "r_im_q")
+
+
+def hessian_image(
+    vis: DataFrame, image: np.ndarray, cell: float = 10.0
+) -> tuple[np.ndarray, float]:
+    """convolvedim = ms2dirty(dirty2ms(image)) (hessian.py:36-110): the
+    PSF-convolution normal operator applied to an image — vis
+    contributes only its uv-coverage and weights."""
+    ny, nx = image.shape
+    mv = model_vis_from_image(vis, image, cell)
+    gated = mv.filter(~(F.col("flag") | F.col("flag_row")))
+    rows = (
+        gated.groupBy("u_cell", "v_cell")
+        .agg(
+            qsum(F.col("m_re") * F.col("weight"), GRID_SCALE).alias("h_re_q"),
+            qsum(F.col("m_im") * F.col("weight"), GRID_SCALE).alias("h_im_q"),
+            qsum(F.col("weight"), GRID_SCALE).alias("w_q"),
+        )
+        .collect()
+    )
+    return _ifft_collect(rows, ny, nx, "h_re_q", "h_im_q")

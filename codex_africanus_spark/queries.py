@@ -2628,3 +2628,57 @@ def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"y": ys, "x": xs, "value": [round(float(img[y, x]), 6) for y, x in zip(ys, xs)]}
     )
     return spark.createDataFrame(pdf)
+
+
+# Fixed 8×8 two-pixel model image for the residual query: its forward
+# FFT has the closed form G[vc,uc] = e^{-iπ(vc+2uc)/4} + 0.5·e^{-iπ(5vc+3uc)/4},
+# which the DuckDB oracle evaluates directly — so the whole distributed
+# residual-grid stage is EXACTLY oracled even though the Spark side runs
+# a genuine np.fft.fft2 (both sides 9dp-quantize the model grid).
+_RESID_ORACLE = _with_ms(
+    """
+    , mg AS (
+      SELECT v.range AS v_cell, u.range AS u_cell,
+             round(cos(pi() * (v.range + 2 * u.range) / 4.0)
+                   + 0.5e0 * cos(pi() * (5 * v.range + 3 * u.range) / 4.0), 9) + 0.0 AS m_re,
+             round(-sin(pi() * (v.range + 2 * u.range) / 4.0)
+                   - 0.5e0 * sin(pi() * (5 * v.range + 3 * u.range) / 4.0), 9) + 0.0 AS m_im
+      FROM range(8) v, range(8) u
+    ), cells AS (
+      SELECT ((CAST(ROUND(u / 10.0) AS BIGINT) % 8) + 8) % 8 AS u_cell,
+             ((CAST(ROUND(v / 10.0) AS BIGINT) % 8) + 8) % 8 AS v_cell,
+             vis_re, vis_im, weight
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT c.u_cell, c.v_cell,
+           SUM(CAST(ROUND((c.vis_re - m.m_re) * c.weight * 1000000) AS BIGINT)) / 1000000.0 AS res_re,
+           SUM(CAST(ROUND((c.vis_im - m.m_im) * c.weight * 1000000) AS BIGINT)) / 1000000.0 AS res_im,
+           SUM(CAST(ROUND(c.weight * 1000000) AS BIGINT)) / 1000000.0 AS wsum
+    FROM cells c JOIN mg m ON m.u_cell = c.u_cell AND m.v_cell = c.v_cell
+    GROUP BY c.u_cell, c.v_cell
+    ORDER BY c.u_cell, c.v_cell
+    """
+)
+
+
+@register("fft_residual_grid", _RESID_ORACLE)
+def fft_residual_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stage of the wgridder residual (im2residim.py:40-110):
+    model image → driver forward FFT → broadcast uv samples → per-row
+    subtraction → exact fixed-point grid accumulation. The driver-side
+    inverse FFT (residual_image) is O(n_pix log n_pix) and covered by
+    tests/test_fft_residual.py."""
+    import numpy as np
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    image = np.zeros((8, 8))
+    image[1, 2] = 1.0
+    image[5, 3] = 0.5
+    g = fft_op.residual_grid(vis, image, cell=10.0)
+    return g.select(
+        "u_cell",
+        "v_cell",
+        (F.col("r_re_q") / F.lit(1e6)).alias("res_re"),
+        (F.col("r_im_q") / F.lit(1e6)).alias("res_im"),
+        (F.col("w_q") / F.lit(1e6)).alias("wsum"),
+    ).orderBy("u_cell", "v_cell")
