@@ -177,3 +177,67 @@ def hll_rollup_union(
     return fine.groupBy(*coarse_keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (the KLL role, ROADMAP item 6 remainder)
+# ---------------------------------------------------------------------------
+
+def grid_quantile_sketch(
+    df: DataFrame, keys: list[str], value_expr: str, step: int, nbuckets: int
+) -> DataFrame:
+    """Mergeable quantile sketch: deterministic fixed-grid histogram over
+    an integer value domain (bucket = value DIV step, capped).
+
+    This fills the KLL slot with a different trade-off: KLL's randomized
+    compaction gives rank-error guarantees but is non-deterministic and
+    partition-order-dependent; the fixed grid gives *value*-error ≤ step,
+    is bit-deterministic (⇒ exact DuckDB oracles, partition invariance),
+    and its merge is plain count-sum — sub-sketches re-aggregate to any
+    coarser grouping LOSSLESSLY (bit-equal to sketching the coarse group
+    directly, unlike KLL whose merged compaction paths differ). Size is
+    ≤ nbuckets rows per group regardless of group cardinality — the same
+    bounded-state argument as KMV/HLL above.
+
+    `value_expr` must be an integer-typed SQL expression: all bucket /
+    rank arithmetic stays in BIGINT, so engine parity is trivial."""
+    b = F.least(
+        F.expr(f"({value_expr}) DIV {step}"), F.lit(nbuckets - 1).cast("long")
+    ).alias("bucket")
+    return df.groupBy(*[F.col(k) for k in keys], b).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def grid_quantile_rollup(sketch: DataFrame, coarse_keys: list[str]) -> DataFrame:
+    """Merge sub-sketches up to coarser keys: count-sum per bucket —
+    the lossless re-aggregation-without-rescan property."""
+    return sketch.groupBy(*coarse_keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def grid_quantile_estimate(
+    sketch: DataFrame,
+    keys: list[str],
+    quantiles: list[tuple[str, int, int]],
+    step: int,
+) -> DataFrame:
+    """Estimate quantiles from a grid sketch: for q = num/den, the
+    estimate is the upper edge (bucket+1)·step of the first bucket whose
+    cumulative count reaches rank ceil(q·n) — a conservative upper bound
+    with error ≤ step. `quantiles` is [(out_name, num, den), ...];
+    integer rank arithmetic: ceil(a/b) = (a + b − 1) DIV b."""
+    wc = Window.partitionBy(*keys).orderBy("bucket")
+    wt = Window.partitionBy(*keys)
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wt))
+    )
+    aggs = [F.max("n").alias("n")]
+    for name, num, den in quantiles:
+        rank = F.expr(f"({num} * n + {den - 1}) DIV {den}")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, (F.col("bucket") + 1) * F.lit(step))
+            ).alias(name)
+        )
+    return c.groupBy(*keys).agg(*aggs)

@@ -2249,6 +2249,87 @@ def kmv_merge_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_KLL_ORACLE = f"""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             LEAST({_KLL_CENTS} // 50000, 199) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT l_returnflag, l_linestatus, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+                                 ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT l_returnflag, l_linestatus, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN (bucket + 1) * 50000 END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                         THEN (bucket + 1) * 50000 END) AS BIGINT) AS p95_cents
+    FROM c GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+_KLL_QUANTILES = [("p50_cents", 1, 2), ("p95_cents", 19, 20)]
+
+
+@register("kll_grid_quantiles_price", _KLL_ORACLE)
+def kll_grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (the KLL role, ROADMAP #6): per-group
+    fixed-grid histogram in integer cents → rank-crossing estimate with
+    value error ≤ $500. Deterministic ⇒ exactly oracled; sketch state is
+    ≤ 200 rows per group regardless of cardinality."""
+    li = load(spark, "lineitem", sf_dir)
+    sk = sketch_op.grid_quantile_sketch(
+        li, ["l_returnflag", "l_linestatus"], _KLL_CENTS, 50000, 200
+    )
+    return sketch_op.grid_quantile_estimate(
+        sk, ["l_returnflag", "l_linestatus"], _KLL_QUANTILES, 50000
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "kll_quantile_rollup",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             LEAST({_KLL_CENTS} // 50000, 199) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN (bucket + 1) * 50000 END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                         THEN (bucket + 1) * 50000 END) AS BIGINT) AS p95_cents
+    FROM c GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGE: per-(returnflag, linestatus, supplier-shard)
+    sub-sketches count-summed up to per-returnflag, then estimated. The
+    oracle computes the coarse sketch DIRECTLY from the fact table —
+    equality proves the rollup is lossless (bit-equal merge), the
+    re-aggregation-without-rescan property at 100 TB."""
+    li = load(spark, "lineitem", sf_dir).withColumn(
+        "supp_shard", (F.col("l_suppkey") % 7).cast("int")
+    )
+    fine = sketch_op.grid_quantile_sketch(
+        li, ["l_returnflag", "l_linestatus", "supp_shard"], _KLL_CENTS, 50000, 200
+    )
+    merged = sketch_op.grid_quantile_rollup(fine, ["l_returnflag"])
+    return sketch_op.grid_quantile_estimate(
+        merged, ["l_returnflag"], _KLL_QUANTILES, 50000
+    ).orderBy("l_returnflag")
+
+
 @register("hll_sketch_distinct_parts", None)
 def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches-HLL distinct l_partkey per returnflag (rows-only:

@@ -91,3 +91,72 @@ def test_hll_union_rollup_matches_direct(spark, sf_dir):
         ).collect()
     }
     assert direct == rolled
+
+
+# ---------------------------------------------------------------------------
+# Grid quantile sketch (KLL role)
+# ---------------------------------------------------------------------------
+
+def test_grid_quantile_error_bound(spark, sf_dir):
+    """Estimate is an upper bound within one grid step of the exact
+    percentile (value-error guarantee of the fixed grid)."""
+    from codex_africanus_spark.operators import sketches
+    from codex_africanus_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir)
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    sk = sketches.grid_quantile_sketch(li, ["l_returnflag"], cents, 50000, 200)
+    est = {
+        r.l_returnflag: r.p50_cents
+        for r in sketches.grid_quantile_estimate(
+            sk, ["l_returnflag"], [("p50_cents", 1, 2)], 50000
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: r.p50
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile({cents}, 0.5)").alias("p50"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert 0 <= est[k] - e <= 50000, (k, est[k], e)
+
+
+def test_grid_quantile_rollup_lossless(spark, sf_dir):
+    """Merging fine sub-sketches == sketching the coarse group directly,
+    bit-for-bit (the property KLL's randomized merge lacks)."""
+    from codex_africanus_spark.operators import sketches
+    from codex_africanus_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir).withColumn(
+        "supp_shard", (F.col("l_suppkey") % 7).cast("int")
+    )
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    fine = sketches.grid_quantile_sketch(
+        li, ["l_returnflag", "l_linestatus", "supp_shard"], cents, 50000, 200
+    )
+    merged = sketches.grid_quantile_rollup(fine, ["l_returnflag"])
+    direct = sketches.grid_quantile_sketch(li, ["l_returnflag"], cents, 50000, 200)
+    a = {(r.l_returnflag, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.l_returnflag, r.bucket): r.cnt for r in direct.collect()}
+    assert a == b
+
+
+def test_grid_quantile_partition_invariant(spark, sf_dir):
+    from codex_africanus_spark.operators import sketches
+    from codex_africanus_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir)
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    qs = [("p50_cents", 1, 2), ("p95_cents", 19, 20)]
+    a = sketches.grid_quantile_estimate(
+        sketches.grid_quantile_sketch(li, ["l_returnflag"], cents, 50000, 200),
+        ["l_returnflag"], qs, 50000,
+    ).collect()
+    b = sketches.grid_quantile_estimate(
+        sketches.grid_quantile_sketch(
+            li.repartition(17), ["l_returnflag"], cents, 50000, 200
+        ),
+        ["l_returnflag"], qs, 50000,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
