@@ -244,6 +244,88 @@ def register_term(char: str, cls: type[Term]) -> None:
     TERM_MAP[char] = cls
 
 
+class Transformer:
+    """Derives missing argument columns from provided ones at plan-build
+    time — the reference's Transformer API (transformers/core.py:18-155),
+    where dask_schema-declared outputs satisfy term argument dependencies
+    (fused/core.py:152-207). Spark-first, a transformer is a projection
+    rule: if a term requires a column the joined frame lacks, and a
+    registered transformer can produce it from columns that ARE present,
+    its Column expressions are attached before term validation — still
+    one fused select under whole-stage codegen."""
+
+    outputs: tuple[str, ...] = ()
+    inputs: tuple[str, ...] = ()
+
+    def can_run(self, df: DataFrame) -> bool:
+        return all(c in df.columns for c in self.inputs)
+
+    def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LMTransformer(Transformer):
+    """radec + phase centre → (l, m, n) (reference transformers/lm.py:8-50;
+    n additionally derived since PhaseTerm consumes it, phase.py:48-52).
+
+    l and m are quantized to 9 decimals (repo-wide engine-reproducibility
+    practice for trig outputs — JVM vs libm differ at 1 ULP, which theta's
+    ~1e9 frequency scaling would amplify past the aggregate's fixed-point
+    grid); n is sqrt of the rounded pair, IEEE-exact hence reproducible
+    without further rounding."""
+
+    outputs = ("l", "m", "n")
+    inputs = ("ra", "dec", "ra0", "dec0")
+    round_dp = 9
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from codex_africanus_spark.functions.coordinates import radec_to_lmn
+
+        l, m, _ = radec_to_lmn(
+            F.col("ra"), F.col("dec"), F.col("ra0"), F.col("dec0")
+        )
+        df = df.withColumn("l", F.round(l, self.round_dp)).withColumn(
+            "m", F.round(m, self.round_dp)
+        )
+        n = F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.col("l") * F.col("l") - F.col("m") * F.col("m"),
+            )
+        )
+        return df.withColumn("n", n)
+
+
+TRANSFORMERS: list[type[Transformer]] = [LMTransformer]
+
+
+def register_transformer(cls: type[Transformer]) -> None:
+    """Register a derived-column rule; conflicting output claims are an
+    error (the schema-conflict check of fused/core.py:191-199)."""
+    for existing in TRANSFORMERS:
+        clash = set(existing.outputs) & set(cls.outputs)
+        if clash:
+            raise ValueError(
+                f"transformer {cls.__name__} claims outputs {sorted(clash)} "
+                f"already provided by {existing.__name__}"
+            )
+    TRANSFORMERS.append(cls)
+
+
+def _apply_transformers(df: DataFrame, needed: set[str]) -> DataFrame:
+    """Attach derivable missing columns before term validation."""
+    missing = needed - set(df.columns)
+    if not missing:
+        return df
+    for cls in TRANSFORMERS:
+        if missing & set(cls.outputs):
+            t = cls()
+            if t.can_run(df):
+                df = t.transform(df)
+                missing -= set(cls.outputs)
+    return df
+
+
 class MatrixTerm:
     """Sided 2×2 Jones factor applied in the post-source-reduction
     sandwich:
@@ -498,9 +580,14 @@ def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
     for char, _side in parsed.terms:
         if char not in TERM_MAP:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
-        term = TERM_MAP[char]()
+        terms.append(TERM_MAP[char]())
+    # argument-dependency resolution: transformers fill derivable gaps
+    # before schema validation (fused/core.py:152-207)
+    joined = _apply_transformers(
+        joined, {c for t in terms for c in t.required_columns}
+    )
+    for term in terms:
         term.validate(joined)
-        terms.append(term)
     for term in terms:
         joined = term.prepare(joined)
     z = Cplx(F.lit(1.0), F.lit(0.0))

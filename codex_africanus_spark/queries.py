@@ -1094,6 +1094,59 @@ def rime_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+def _lmt_oracle() -> str:
+    from codex_africanus_spark.functions.coordinates import radec_to_lmn_sql
+
+    l, m, _ = radec_to_lmn_sql("ra", "dec", "0.0", "((-17) / 25.0)")
+    return _with_ms(
+        f"""
+        , src2 AS (
+          SELECT source_id, flux_i, spi, ref_freq,
+                 round({l}, 9) AS l,
+                 round({m}, 9) AS m,
+                 sqrt(greatest(0.0, 1.0 - round({l}, 9) * round({l}, 9)
+                                  - round({m}, 9) * round({m}, 9))) AS n
+          FROM (
+            SELECT source_id, flux_i, spi, ref_freq,
+                   (source_id - 12) / 100.0       AS ra,
+                   ((source_id % 7) - 20) / 25.0  AS dec
+            FROM src
+          )
+        ), coh AS (
+          SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+                 s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+                 -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+          FROM vis v, src2 s
+        )
+        SELECT row_id, antenna1, antenna2, chan,
+               SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+               SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+        FROM coh
+        GROUP BY row_id, antenna1, antenna2, chan
+        ORDER BY row_id
+        """
+    )
+
+
+@register("rime_lm_transformer_predict", _lmt_oracle())
+def rime_lm_transformer_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transformer API (§2.11): the source frame carries only (ra, dec)
+    plus the phase centre — the compiler's LMTransformer derives (l, m, n)
+    at plan build before PhaseTerm validation, the argument-dependency
+    resolution of the reference's transformers/lm.py:8-50 +
+    fused/core.py:152-207, expressed as Catalyst projections."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = (
+        tpch_ms.source_table(spark, sf_dir)
+        .drop("l", "m", "n")
+        .withColumn("ra", (F.col("source_id") - F.lit(12)) / F.lit(100.0))
+        .withColumn("dec", ((F.col("source_id") % 7) - F.lit(20)) / F.lit(25.0))
+        .withColumn("ra0", F.lit(0.0))
+        .withColumn("dec0", F.lit(-17) / F.lit(25.0))
+    )
+    return rime_plan.rime("(Kpq, Bpq)", vis, src).orderBy("row_id")
+
+
 @register(
     "fit_spi_components",
     _with_ms(

@@ -197,3 +197,54 @@ def test_rime_custom_term_registration(spark, sf_dir):
         np.testing.assert_allclose(halved.vis_re, plain.vis_re * 0.5, atol=1e-4)
     finally:
         del rp.TERM_MAP["H"]
+
+
+# ---------------------------------------------------------------------------
+# Transformer API (argument-dependency resolution)
+# ---------------------------------------------------------------------------
+
+def test_lm_transformer_derives_missing_lmn(spark, sf_dir):
+    """A radec-only source frame works with the K term: LMTransformer
+    fills (l, m, n) before validation (reference transformers/lm.py)."""
+    import numpy as np
+    from codex_africanus_spark.plans import rime as rime_plan
+    from codex_africanus_spark.sources import tpch_ms
+
+    vis = tpch_ms.vis_table(spark, sf_dir).limit(50)
+    src = (
+        tpch_ms.source_table(spark, sf_dir)
+        .drop("l", "m", "n")
+        .withColumn("ra", (F.col("source_id") - F.lit(12)) / F.lit(100.0))
+        .withColumn("dec", ((F.col("source_id") % 7) - F.lit(20)) / F.lit(25.0))
+        .withColumn("ra0", F.lit(0.0))
+        .withColumn("dec0", F.lit(-17) / F.lit(25.0))
+    )
+    out = rime_plan.rime("(Kpq, Bpq)", vis, src)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(np.isfinite(r.vis_re) and np.isfinite(r.vis_im) for r in rows)
+
+
+def test_missing_and_nonderivable_column_still_errors(spark, sf_dir):
+    """Without radec inputs the transformer cannot run and validation
+    fails with the schema error."""
+    import pytest
+    from codex_africanus_spark.plans import rime as rime_plan
+    from codex_africanus_spark.sources import tpch_ms
+
+    vis = tpch_ms.vis_table(spark, sf_dir).limit(10)
+    src = tpch_ms.source_table(spark, sf_dir).drop("l", "m", "n")
+    with pytest.raises(ValueError, match="requires columns"):
+        rime_plan.rime("(Kpq, Bpq)", vis, src)
+
+
+def test_register_transformer_conflict_rejected():
+    import pytest
+    from codex_africanus_spark.plans.rime import Transformer, register_transformer
+
+    class Clash(Transformer):
+        outputs = ("l",)
+        inputs = ()
+
+    with pytest.raises(ValueError, match="already provided"):
+        register_transformer(Clash)
