@@ -94,3 +94,74 @@ def test_write_model_data_roundtrip(spark, sf_dir, tmp_path):
     one = back.filter(F.col("chan") == 3)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() == vis.filter(F.col("chan") == 3).count()
+
+
+def test_merge_column_update_partition_scoped(spark, sf_dir, tmp_path):
+    """MERGE-style MODEL_DATA update: only touched partitions rewritten,
+    matched rows updated, unmatched rows and untouched partitions intact."""
+    import os
+
+    from codex_africanus_spark.sources.sink import merge_column_update
+
+    path = str(tmp_path / "ms_table")
+    vis = (
+        tpch_ms.vis_table(spark, sf_dir)
+        .filter("row_id % 5 = 0")
+        # lineitem carries duplicate (row_id, a1, a2, chan) keys
+        # (FIXTURES.md) — a MERGE key must be unique
+        .dropDuplicates(["row_id", "antenna1", "antenna2", "chan"])
+        .select(
+            "row_id", "antenna1", "antenna2", "chan", "vis_re", "vis_im",
+            (F.expr("row_id DIV 8") % 4).cast("int").alias("scan_number"),
+            F.lit(0.0).alias("model_re"),
+        )
+    )
+    vis.write.partitionBy("scan_number").parquet(path)
+
+    before = {
+        (r.row_id, r.antenna1, r.antenna2, r.chan): r
+        for r in spark.read.parquet(path).collect()
+    }
+    untouched_dir = os.path.join(path, "scan_number=3")
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+
+    updates = (
+        spark.read.parquet(path)
+        .filter("scan_number IN (0, 1) AND chan = 2")
+        .select(
+            "row_id", "antenna1", "antenna2", "chan", "scan_number",
+            (F.col("vis_re") * 2).alias("model_re"),
+        )
+    )
+    n_updates = updates.count()
+    assert n_updates > 0
+    touched = merge_column_update(
+        spark, path, updates,
+        keys=["row_id", "antenna1", "antenna2", "chan"],
+        update_cols=["model_re"],
+        partition_by=["scan_number"],
+    )
+    assert sorted(t[0] for t in touched) == [0, 1]
+
+    after = spark.read.parquet(path).collect()
+    assert len(after) == len(before)
+    changed = 0
+    for r in after:
+        b = before[(r.row_id, r.antenna1, r.antenna2, r.chan)]
+        if r.scan_number in (0, 1) and r.chan == 2:
+            assert r.model_re == b.vis_re * 2
+            changed += 1
+        else:
+            assert r.model_re == b.model_re
+        assert r.vis_re == b.vis_re  # non-target columns untouched
+    assert changed == n_updates
+
+    # untouched partition files were not rewritten
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    assert mtimes_after == mtimes_before
