@@ -69,20 +69,23 @@ def degrid(vis: DataFrame) -> DataFrame:
 KERNEL_1D = [(-1, 0.25), (0, 0.5), (1, 0.25)]
 
 
-def grid_convolved(vis: DataFrame) -> DataFrame:
+def grid_convolved(vis: DataFrame, kernel: list[tuple[int, float]] | None = None) -> DataFrame:
     """Kernel-footprint gridding (reference gridder.py:13-170): each
-    visibility scatter-adds into its 3×3 kernel footprint with separable
-    triangle weights, then one histogram aggregate.
+    visibility scatter-adds into its kernel footprint with separable
+    weights (default: 3×3 triangle taps; any separable tap table from
+    operators/gridding_kernels.taps_to_pairs drops in), then one
+    histogram aggregate.
 
     The footprint is a generated-column explode — 9 literal (du, dv, w)
     structs per row, fused by codegen — so the operator is exactly the
     nearest-cell plan with a 9× row expansion before the same single
     shuffle. Exact: kernel weights are dyadic rationals, products
     quantized per tap."""
+    k1d = KERNEL_1D if kernel is None else kernel
     taps = F.array(*[
         F.struct(F.lit(du).alias("du"), F.lit(dv).alias("dv"),
                  F.lit(wu * wv).alias("kw"))
-        for du, wu in KERNEL_1D for dv, wv in KERNEL_1D
+        for du, wu in k1d for dv, wv in k1d
     ])
     g = (
         _cells(vis.filter(~(F.col("flag") | F.col("flag_row"))))
@@ -127,16 +130,19 @@ CONV_GRID_SQL = """
 """
 
 
-def degrid_convolved(vis: DataFrame) -> DataFrame:
+def degrid_convolved(
+    vis: DataFrame, kernel: list[tuple[int, float]] | None = None
+) -> DataFrame:
     """Kernel-footprint degridding (reference degridder.py:78-176, the
-    gather dual): each row samples its 3×3 footprint from the broadcast
+    gather dual): each row samples its footprint from the broadcast
     grid and combines taps with the same separable weights. Exact: the
     grid values are integer-derived; tap combination re-quantizes."""
-    grid = grid_convolved(vis)
+    grid = grid_convolved(vis, kernel)
+    k1d = KERNEL_1D if kernel is None else kernel
     taps = F.array(*[
         F.struct(F.lit(du).alias("du"), F.lit(dv).alias("dv"),
                  F.lit(wu * wv).alias("kw"))
-        for du, wu in KERNEL_1D for dv, wv in KERNEL_1D
+        for du, wu in k1d for dv, wv in k1d
     ])
     rows = _cells(vis).select("row_id", "u_cell", "v_cell", F.explode(taps).alias("t"))
     joined = rows.join(
@@ -292,4 +298,35 @@ ESTIMATE_CELL_SQL = f"""
            round({648000.0 / 3.141592653589793!r} / (2.0 * MAX(ABS(u)) * MAX(frequency) / 299792458.0), 9) AS u_cell_asec,
            round({648000.0 / 3.141592653589793!r} / (2.0 * MAX(ABS(v)) * MAX(frequency) / 299792458.0), 9) AS v_cell_asec
     FROM vis
+"""
+
+
+def conv_grid_sql(kernel: list[tuple[int, float]]) -> str:
+    """CONV_GRID_SQL generator for arbitrary separable tap tables —
+    weights emitted as forced-DOUBLE literals so the DuckDB product
+    matches Spark's bit-for-bit."""
+    from codex_africanus_spark.functions.shapes import _dlit
+
+    vals = ", ".join(f"({d}, {_dlit(w)})" for d, w in kernel)
+    return f"""
+    , taps AS (
+      SELECT * FROM (VALUES {vals}) AS t1(d, w)
+    ),
+    footprint AS (
+      SELECT tu.d AS du, tv.d AS dv, tu.w * tv.w AS kw FROM taps tu, taps tv
+    ),
+    gated AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             vis_re, vis_im, weight
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT g.u_cell + f.du AS u_cell, g.v_cell + f.dv AS v_cell,
+           COUNT(*) AS ntaps,
+           SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS grid_re_q,
+           SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS grid_im_q,
+           SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS wsum_q
+    FROM gated g, footprint f
+    GROUP BY 1, 2
+    ORDER BY 1, 2
 """

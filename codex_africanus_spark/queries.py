@@ -1047,6 +1047,69 @@ def degrid_kernel_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_op.degrid_convolved(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
 
 
+def _sinc_taps() -> list[tuple[int, float]]:
+    from codex_africanus_spark.operators import gridding_kernels as gk
+
+    return gk.taps_to_pairs(gk.sinc_kernel(3, oversample=1, a=0.5), 3)
+
+
+@register("grid_kernel_sinc", _with_ms(grid_op.conv_grid_sql(_sinc_taps())))
+def grid_kernel_sinc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint gridding with a sinc anti-aliasing window from the
+    kernel library (reference kernels.py:36-42 sinc; taps generated at
+    integer sampling and dropped into the same literal-struct explode) —
+    demonstrates the pluggable-window half of the perleypolyhedron
+    gridder's policy system."""
+    return grid_op.grid_convolved(
+        tpch_ms.vis_table(spark, sf_dir), kernel=_sinc_taps()
+    ).orderBy("u_cell", "v_cell")
+
+
+def _facet_oracle() -> str:
+    from codex_africanus_spark.functions.uvw import (
+        uvw_planar_w_approx_sql,
+        uvw_rotate_sql,
+    )
+
+    args = ("u", "v", "w", "0.0", "((-17) / 25.0)", "(1 / 50.0)", "((-33) / 50.0)")
+    ru, rv, rw = uvw_rotate_sql(*args)
+    pu, pv = uvw_planar_w_approx_sql(*args)
+    return _with_ms(
+        f"""
+        SELECT row_id, antenna1, antenna2, chan,
+               round({ru}, 6) AS rot_u, round({rv}, 6) AS rot_v,
+               round({rw}, 6) AS rot_w,
+               round({pu}, 6) AS wlin_u, round({pv}, 6) AS wlin_v
+        FROM vis WHERE row_id % 7 = 0
+        ORDER BY row_id, antenna1, antenna2, chan
+        """
+    )
+
+
+@register("uvw_facet_transforms", _facet_oracle())
+def uvw_facet_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet baseline-transform policies (reference perleypolyhedron
+    policies/baseline_transform_policies.py): full tangent-plane uvw
+    rotation and the Kogan/Greisen planar w-approximation, both as pure
+    Column expressions whose facet-centre trig constant-folds."""
+    from codex_africanus_spark.functions.uvw import uvw_planar_w_approx, uvw_rotate
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 7 == 0)
+    args = (
+        F.col("u"), F.col("v"), F.col("w"),
+        F.lit(0.0), F.lit(-17) / F.lit(25.0),
+        F.lit(1) / F.lit(50.0), F.lit(-33) / F.lit(50.0),
+    )
+    ru, rv, rw = uvw_rotate(*args)
+    pu, pv = uvw_planar_w_approx(*args)
+    return vis.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.round(ru, 6).alias("rot_u"), F.round(rv, 6).alias("rot_v"),
+        F.round(rw, 6).alias("rot_w"),
+        F.round(pu, 6).alias("wlin_u"), F.round(pv, 6).alias("wlin_v"),
+    ).orderBy("row_id", "antenna1", "antenna2", "chan")
+
+
 @register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
 def briggs_robust_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Briggs/robust imaging weights — two-pass cell-density reweighting."""
