@@ -40,3 +40,46 @@ def covariance_frame(
         F.col("xi"), F.col("xj"), F.lit(sigma_f), F.lit(length)
     )
     return pairs.select("i", "j", F.round(k, 9).alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic phase screen (the reference's GP-sampled gain screens:
+# gps/examples/generate_phase_only_gains.py + calibration/utils/examples/
+# apply_phase_screen_to_ms.py — sampling replaced by a fixed coefficient
+# field so the screen is reproducible and exactly oracle-able)
+# ---------------------------------------------------------------------------
+
+N_INDUCING = 9
+INDUCING_SPACING = 0.25
+SCREEN_LENGTH = 0.5
+
+
+def phase_screen(t_norm: Column, antenna: Column) -> Column:
+    """Smooth per-antenna phase screen φ(t, a) = Σ_k k(t, t_k)·c_{a,k}:
+    the exponential-squared kernel against fixed inducing points t_k with
+    a deterministic per-antenna coefficient field. Rounded to 9dp for
+    engine reproducibility (exp differs at 1 ULP between libms)."""
+    acc = None
+    for k in range(N_INDUCING):
+        tk = k * INDUCING_SPACING
+        kern = exponential_squared(
+            t_norm, F.lit(tk), F.lit(1.0), F.lit(SCREEN_LENGTH)
+        )
+        coeff = ((antenna + F.lit(k)) % 5 - F.lit(2)) / F.lit(10.0)
+        term = kern * coeff
+        acc = term if acc is None else acc + term
+    return F.round(acc, 9)
+
+
+def phase_screen_sql(t_norm: str, antenna: str) -> str:
+    """DuckDB mirror with identical term order and literal forms."""
+    terms = []
+    for k in range(N_INDUCING):
+        tk = repr(k * INDUCING_SPACING)
+        kern = (
+            f"1.0 * 1.0 * exp(-((({t_norm}) - {tk}) * (({t_norm}) - {tk}))"
+            f" / ((2.0 * {SCREEN_LENGTH!r}) * {SCREEN_LENGTH!r}))"
+        )
+        coeff = f"((({antenna}) + {k}) % 5 - 2) / 10.0"
+        terms.append(f"({kern} * ({coeff}))")
+    return f"round({' + '.join(terms)}, 9)"

@@ -946,6 +946,50 @@ def residual_vis_data_minus_model(spark: SparkSession, sf_dir: str) -> DataFrame
     return cal_op.residual_vis(vis, model).orderBy("row_id")
 
 
+def _screen_oracle() -> str:
+    from codex_africanus_spark.functions.gp import phase_screen_sql
+
+    tn = "((time - 700000000.0) / 100000000.0)"
+    p1 = phase_screen_sql(tn, "antenna1")
+    p2 = phase_screen_sql(tn, "antenna2")
+    return _with_ms(
+        f"""
+        , ph AS (
+          SELECT row_id, antenna1, antenna2, chan, vis_re, vis_im,
+                 {p1} AS ph1, {p2} AS ph2
+          FROM vis WHERE row_id % 3 = 0
+        )
+        SELECT row_id, antenna1, antenna2, chan,
+               round(vis_re * cos(ph1 - ph2) - vis_im * sin(ph1 - ph2), 6) AS scr_re,
+               round(vis_re * sin(ph1 - ph2) + vis_im * cos(ph1 - ph2), 6) AS scr_im
+        FROM ph ORDER BY row_id, antenna1, antenna2, chan
+        """
+    )
+
+
+@register("gp_phase_screen_corrupt", _screen_oracle())
+def gp_phase_screen_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end phase-screen corruption (reference examples
+    apply_phase_screen_to_ms.py + generate_phase_only_gains.py): a
+    smooth per-antenna GP-kernel screen φ(t, a) over fixed inducing
+    points (deterministic coefficients in place of sampling) applied as
+    phase-only gains — V' = V·e^{i(φ₁−φ₂)}. Pure codegen expressions;
+    the screen evaluation is the exponential-squared kernel of
+    functions/gp.py against 9 inducing points."""
+    from codex_africanus_spark.functions.gp import phase_screen
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 3 == 0)
+    tn = (F.col("time") - F.lit(700000000.0)) / F.lit(100000000.0)
+    ph1 = phase_screen(tn, F.col("antenna1"))
+    ph2 = phase_screen(tn, F.col("antenna2"))
+    d = ph1 - ph2
+    return vis.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.round(F.col("vis_re") * F.cos(d) - F.col("vis_im") * F.sin(d), 6).alias("scr_re"),
+        F.round(F.col("vis_re") * F.sin(d) + F.col("vis_im") * F.cos(d), 6).alias("scr_im"),
+    ).orderBy("row_id", "antenna1", "antenna2", "chan")
+
+
 _CC_ORACLE = _with_ms(
     f"""
     , tb AS (
