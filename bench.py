@@ -42,6 +42,9 @@ HEADLINE = [
     "kmv_theta_distinct_customers",
     "ann_ivf_topk",
     "approx_percentile_price",  # the mergeable-sketch scale path (exact tier stays in the registry)
+    # round-1 late-extension operators
+    "compute_and_corrupt_vis_dde",  # double broadcast-join + source collapse
+    "gp_phase_screen_corrupt",      # pure-codegen expression throughput
 ]
 
 
