@@ -103,3 +103,42 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE {db_table}")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_dde_corrupt_gains_joins_broadcast_single_collapse(spark, sf_dir):
+    """compute_and_corrupt: both (time_bin, antenna, chan, dir) gains
+    joins must be broadcast hash joins, and the only fact-table shuffles
+    are the source-collapse aggregate and the output sort."""
+    plan = plan_of(registry()["compute_and_corrupt_vis_dde"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= 1, f"expected at most one hash exchange, plan has {hash_ex}"
+
+
+def test_fft_residual_model_join_broadcast(spark, sf_dir):
+    """dirty2ms degrid: the model uv-sample table joins broadcast; the
+    residual accumulation is one partial+final hash aggregate."""
+    plan = plan_of(registry()["fft_residual_grid"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan
+
+
+def test_kll_sketch_single_bucket_shuffle(spark, sf_dir):
+    """Grid quantile sketch: one hash exchange for the bucket aggregate;
+    the estimate window runs over the tiny sketch, not the fact table."""
+    plan = plan_of(registry()["kll_grid_quantiles_price"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2 and "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phase_screen_is_pure_projection(spark, sf_dir):
+    """The GP screen corruption must stay a scan + project (plus the
+    output sort) — no joins, no aggregates on the hot path."""
+    plan = plan_of(registry()["gp_phase_screen_corrupt"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    # the screen folded to literal inducing offsets (constant folding):
+    # 2·ℓ² became the single /0.5 divisor in the projected expression
+    assert "/ 0.5)" in plan
