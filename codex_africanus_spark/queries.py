@@ -2799,6 +2799,168 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C4 = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+       " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))")
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT sn.n_nationkey AS supp_nation, cn.n_nationkey AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           SUM({_C4}) AS revenue_c4
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_nationkey = 3 AND cn.n_nationkey = 9)
+        OR (sn.n_nationkey = 9 AND cn.n_nationkey = 3))
+      AND l.l_shipdate >= DATE '1995-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume through a 6-way join
+    (two broadcast nation lookups, supplier/customer dims broadcast, one
+    fact shuffle for the final aggregate); exact integer-cents⁴ revenue."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    sn = n.select(F.col("n_nationkey").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cust_nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("supp_nation"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cust_nation"))
+        .filter(
+            ((F.col("supp_nation") == 3) & (F.col("cust_nation") == 9))
+            | ((F.col("supp_nation") == 9) & (F.col("cust_nation") == 3))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(c4).alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation over a filtered LEFT join
+    (customers with zero orders stay in the distribution)."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_C4} ELSE 0 END) AS promo_c4,
+           SUM({_C4}) AS total_c4,
+           round(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_C4} ELSE 0 END)
+                 / SUM({_C4}), 9) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast part
+    join; the share divides two exact integers (deterministic double)."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load(spark, "part", sf_dir)
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), c4).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).alias("promo_c4"),
+        F.sum(c4).alias("total_c4"),
+        F.round(
+            F.lit(100.0) * F.sum(promo) / F.sum(c4), 9
+        ).alias("promo_share_pct"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_C4}) AS total_revenue_c4
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery max against a derived revenue
+    view (exact integer revenue makes the max well-defined — ties kept)."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(c4).alias("total_revenue_c4")
+    )
+    best = rev.agg(F.max("total_revenue_c4").alias("m"))
+    s = load(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue_c4 == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+        .orderBy("s_suppkey")
+    )
+
+
 @register(
     "events_lag_lead_deltas",
     _with_ms(
