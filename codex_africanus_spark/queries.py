@@ -1471,11 +1471,75 @@ def transform_sources_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("time", "source_id")
 
 
-@register("beam_cube_dde_sampling", None)
+def _beam_cube_oracle() -> str:
+    """Exact SQL mirror of the trilinear sampling: the synthetic cube is
+    closed-form (make_test_beam_cube), linspace grids are affine with a
+    dyadic-exact delta (2·0.1 and /32 are both exact), and searchsorted
+    is MAX(i) FILTER (g ≤ x) over the same float grid values — so DuckDB
+    reproduces the pandas-UDF gather bit-for-bit before the 9dp round."""
+
+    def lg(e):  # l/m grid value at index e (linspace(-0.1, 0.1, 33))
+        return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
+
+    def fgv(e):  # freq grid value at index e (linspace(856e6, 1712e6, 5))
+        return f"(({e}) * (856000000.0 / 4) + 856000000.0)"
+
+    def cube(li, mi, fi):
+        return (
+            f"(cos(({lg(li)} / 0.1e0) * 1.2e0) * cos(({lg(mi)} / 0.1e0) * 1.1e0))"
+            f" * (1.0 - 0.1e0 * (({fgv(fi)} / 856000000.0) - 1.0))"
+        )
+
+    corners = []
+    for dl in (0, 1):
+        for dm in (0, 1):
+            for df_ in (0, 1):
+                w = (
+                    f"({'lw' if dl else '(1.0 - lw)'}"
+                    f" * {'mw' if dm else '(1.0 - mw)'})"
+                    f" * {'fw' if df_ else '(1.0 - fw)'}"
+                )
+                corners.append(f"({w} * ({cube(f'li + {dl}', f'mi + {dm}', f'fi + {df_}')}))")
+    # corner order (dl, dm, df) outer-to-inner == the UDF's tuple order
+    # ((0,0,0), (0,0,1), (0,1,0), ...) — summation sequence matches
+    total = corners[0]
+    for c in corners[1:]:
+        total = f"({total} + {c})"
+    return _with_ms(
+        f"""
+        , chan AS (SELECT CAST(range AS INT) AS chan FROM range(7))
+        , pairs AS (
+          SELECT s.source_id, c.chan, s.l, s.m,
+                 856000000.0 * (1 + c.chan / 8.0) AS freq
+          FROM src s, chan c
+        ), idx AS (
+          SELECT p.*,
+            LEAST(GREATEST(COALESCE((SELECT MAX(g.range) FROM range(33) g
+              WHERE {lg('g.range')} <= p.l), -1), 0), 31) AS li,
+            LEAST(GREATEST(COALESCE((SELECT MAX(g.range) FROM range(33) g
+              WHERE {lg('g.range')} <= p.m), -1), 0), 31) AS mi,
+            LEAST(GREATEST(COALESCE((SELECT MAX(g.range) FROM range(5) g
+              WHERE {fgv('g.range')} <= p.freq), -1), 0), 3) AS fi
+          FROM pairs p
+        ), wts AS (
+          SELECT *,
+            LEAST(GREATEST((l - {lg('li')}) / ({lg('li + 1')} - {lg('li')}), 0.0), 1.0) AS lw,
+            LEAST(GREATEST((m - {lg('mi')}) / ({lg('mi + 1')} - {lg('mi')}), 0.0), 1.0) AS mw,
+            LEAST(GREATEST((freq - {fgv('fi')}) / ({fgv('fi + 1')} - {fgv('fi')}), 0.0), 1.0) AS fw
+          FROM idx
+        )
+        SELECT source_id, chan, round({total}, 9) AS beam_gain
+        FROM wts ORDER BY source_id, chan
+        """
+    )
+
+
+@register("beam_cube_dde_sampling", _beam_cube_oracle())
 def beam_cube_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trilinear beam-cube interpolation per (source, chan) via broadcast
     cube + Arrow pandas UDF (reference fast_beam_cubes.py:58-301) —
-    gather-heavy, rows-only check (NumPy-oracle unit test instead)."""
+    gather-heavy in general; for the closed-form test cube the DuckDB
+    oracle reproduces the gather exactly (see _beam_cube_oracle)."""
     src = tpch_ms.source_table(spark, sf_dir)
     chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
     pairs = src.crossJoin(chan).select(
@@ -3013,12 +3077,41 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.extract_features(mm_op.attach_binary_payload(docs)).orderBy("doc_id")
 
 
-@register("fft_dirty_image", None)
+_FFT_DIRTY_ORACLE = _with_ms(
+    """
+    , grid AS (
+      SELECT ((CAST(ROUND(u / 10.0) AS BIGINT) % 32) + 32) % 32 AS u_cell,
+             ((CAST(ROUND(v / 10.0) AS BIGINT) % 32) + 32) % 32 AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 1000000) AS BIGINT)) / 1000000.0 AS g_re,
+             SUM(CAST(ROUND(vis_im * weight * 1000000) AS BIGINT)) / 1000000.0 AS g_im
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    ), wsum AS (
+      SELECT SUM(CAST(ROUND(weight * 1000000) AS BIGINT)) / 1000000.0 AS w
+      FROM vis WHERE NOT (flag OR flag_row)
+    ), pix AS (
+      SELECT CAST(y.range AS INT) AS y, CAST(x.range AS INT) AS x
+      FROM range(32) y, range(32) x
+    )
+    SELECT p.y, p.x,
+           round(SUM(g.g_re * cos(2 * pi() * (g.v_cell * p.y / 32.0 + g.u_cell * p.x / 32.0))
+                     - g.g_im * sin(2 * pi() * (g.v_cell * p.y / 32.0 + g.u_cell * p.x / 32.0)))
+                 / MAX(w.w), 6) AS value
+    FROM pix p CROSS JOIN grid g CROSS JOIN wsum w
+    GROUP BY p.y, p.x
+    ORDER BY p.y, p.x
+    """
+)
+
+
+@register("fft_dirty_image", _FFT_DIRTY_ORACLE)
 def fft_dirty_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFT imaging tier: distributed exact uv-grid accumulation + driver
     FFT → dirty image (the wgridder architecture, vis2im.py:16-130, with
-    NumPy standing in for ducc0) — rows-only (machine-precision DFT
-    identity covered by tests/test_fft_imaging.py)."""
+    NumPy standing in for ducc0). The oracle recomputes the image as a
+    direct DFT over the same fixed-point grid — the FFT and the DFT agree
+    to ~1e-12, far inside the 6dp output round (the engine-side identity
+    is also machine-precision-tested in tests/test_fft_imaging.py)."""
     import pandas as _pd
 
     vis = tpch_ms.vis_table(spark, sf_dir)
