@@ -1874,11 +1874,38 @@ def salted_skew_safe_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 from codex_africanus_spark.operators import zernike as zernike_op  # noqa: E402
 
 
-@register("zernike_dde_sampling", None)
+# Exact SQL mirror of the Zernike UDF for the fixed Noll set [1,2,3,4]
+# (Z1=piston, Z2=ρcosθ tilt, Z3=ρsinθ tilt, Z4=2ρ²−1 defocus): radial
+# polynomials written with explicit products (no pow), accumulation
+# order matching the sampler's coefficient loop.
+_ZERNIKE_ORACLE = _with_ms(
+    """
+    , pol AS (
+      SELECT source_id,
+             sqrt((l / 0.1e0) * (l / 0.1e0) + (m / 0.1e0) * (m / 0.1e0)) AS rho,
+             atan2(m / 0.1e0, l / 0.1e0) AS theta
+      FROM src
+    ), rc AS (
+      SELECT source_id, theta, LEAST(GREATEST(rho, 0.0), 1.0) AS rc FROM pol
+    )
+    SELECT source_id,
+           round((((1.0e0 * (1.0 * cos(0.0 * theta)))
+                   + (0.3e0 * (rc * cos(theta))))
+                  + ((-0.2e0) * (rc * sin(theta))))
+                 + (0.1e0 * (((2.0 * (rc * rc)) - 1.0) * cos(0.0 * theta))), 9)
+             AS zernike_gain
+    FROM rc ORDER BY source_id
+    """
+)
+
+
+@register("zernike_dde_sampling", _ZERNIKE_ORACLE)
 def zernike_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zernike-polynomial beam DDE at each catalogue pointing (reference
     rime/zernike.py:110-198) — pandas UDF with broadcast Noll
-    coefficients; rows-only (NumPy-oracle unit test covers values)."""
+    coefficients; for the fixed Noll set the polynomial expansion is
+    closed-form, so the DuckDB oracle reproduces the sampler exactly
+    (NumPy-oracle unit test additionally covers arbitrary indices)."""
     src = tpch_ms.source_table(spark, sf_dir)
     out = zernike_op.zernike_dde(
         src.select("source_id", "l", "m"), [1.0, 0.3, -0.2, 0.1], [1, 2, 3, 4]
@@ -3066,13 +3093,40 @@ def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_extract_features", None)
+# Exact SQL mirror of the byte-feature UDF: the demo payload is the
+# utf-8 bytes of ASCII text, so the byte histogram is a char-unnest
+# GROUP BY; python round() is half-even ⇒ round_even; the entropy sum
+# differs from NumPy's pairwise order at ~1e-13 — far inside the 0.5
+# milli rounding margin.
+_MM_FEATURES_ORACLE = """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+             ascii(UNNEST(string_split(text, ''))) AS b
+      FROM documents WHERE length(text) > 0
+    ), hist AS (
+      SELECT doc_id, n, b, COUNT(*) AS c FROM chars GROUP BY doc_id, n, b
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS INT) AS distinct_bytes,
+           CAST(round_even(-SUM((c / CAST(n AS DOUBLE))
+                * log2(c / CAST(n AS DOUBLE))) * 1e3, 0) AS BIGINT) AS entropy_milli,
+           CAST(round_even((SUM(CASE WHEN b >= 32 AND b < 127 THEN c ELSE 0 END) * 1e3)
+                / n, 0) AS BIGINT) AS printable_ratio_milli
+    FROM hist GROUP BY doc_id, n
+    UNION ALL
+    SELECT doc_id, 0, 0, 0, 0 FROM documents WHERE length(text) = 0
+    ORDER BY doc_id
+"""
+
+
+@register("multimodal_extract_features", _MM_FEATURES_ORACLE)
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level content features over binary payloads (entropy,
     printable ratio, distinct bytes) — the decode-free quality gate of a
     multimodal ingest pipeline; Arrow-batched mapInPandas, integer-milli
-    quantized (rows-only; NumPy backend-equivalence in
-    tests/test_multimodal_features.py)."""
+    quantized. Exactly oracled for the ASCII demo payload (NumPy
+    backend-equivalence in tests/test_multimodal_features.py covers
+    arbitrary bytes)."""
     docs = load(spark, "documents", sf_dir)
     return mm_op.extract_features(mm_op.attach_binary_payload(docs)).orderBy("doc_id")
 
