@@ -2409,12 +2409,55 @@ def parts_never_returned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("time_bin_sequential_exact", None)
+# The sequential scan is expressible as a RECURSIVE CTE: the working
+# table advances one row per baseline per iteration, carrying
+# (time_bin, bin_start) — exactly the applyInPandas loop. The bin
+# aggregates are sums of integer-valued doubles (quantity, small
+# weights), hence order-independent-exact without quantization.
+_SEQ_BIN_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, vis_re, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    rec AS (
+      SELECT antenna1, antenna2, rn, time, vis_re, weight,
+             CAST(0 AS BIGINT) AS time_bin, time AS bin_start
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.antenna1, o.antenna2, o.rn, o.time, o.vis_re, o.weight,
+             CASE WHEN o.time - r.bin_start > 1209600.0
+                  THEN r.time_bin + 1 ELSE r.time_bin END,
+             CASE WHEN o.time - r.bin_start > 1209600.0
+                  THEN o.time ELSE r.bin_start END
+      FROM rec r
+      JOIN ordered o ON o.antenna1 = r.antenna1 AND o.antenna2 = r.antenna2
+                    AND o.rn = r.rn + 1
+    )
+    SELECT antenna1, antenna2, time_bin,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_first,
+           MAX(time) AS time_last,
+           SUM(vis_re * weight) / SUM(weight) AS vis_re_avg,
+           SUM(weight) AS weight_sum
+    FROM rec
+    GROUP BY antenna1, antenna2, time_bin
+    ORDER BY antenna1, antenna2, time_bin
+"""
+
+
+@register("time_bin_sequential_exact", _SEQ_BIN_ORACLE)
 def time_bin_sequential_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bin-start-anchored sequential time binning per baseline
-    (reference time_and_channel_mapping.py:249-316) — rows-only
-    (pandas-equivalence test covers values)."""
-    vis = tpch_ms.vis_table(spark, sf_dir)
+    (reference time_and_channel_mapping.py:249-316) — the applyInPandas
+    scan, exactly oracled by a recursive-CTE replay of the same rule
+    (pandas-equivalence test additionally covers values). The oracle's
+    recursion advances one row per baseline per iteration, so the exact
+    gate runs on a row slice to bound its depth; the pandas twin covers
+    the full table."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
     return avg_op.time_bin_sequential(vis).orderBy("antenna1", "antenna2", "time_bin")
 
 
