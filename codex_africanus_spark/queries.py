@@ -3181,16 +3181,82 @@ def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts_us", "event_id")
 
 
-@register("bda_ragged_channel_factor", None)
+# Ragged BDA mirror: the same bit-identical recursion as _BDA_ORACLE,
+# plus the per-bin channel factor taken from the bin's FINAL accumulated
+# motion (arg_max(acc, rn)) and the chan DIV factor regrouping. The
+# (baseline, time, row_id) key is unique in this data, so the pandas
+# drop_duplicates step is an identity both sides.
+_BDA_RAGGED_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, row_id, u, v, w, chan,
+             vis_re, vis_im, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    rec AS (
+      SELECT antenna1, antenna2, rn, time, u, v, w,
+             CAST(0 AS BIGINT) AS bin_idx, time AS start_t,
+             CAST(0.0 AS DOUBLE) AS acc
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.antenna1, o.antenna2, o.rn, o.time, o.u, o.v, o.w,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN r.bin_idx + 1 ELSE r.bin_idx END,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN o.time ELSE r.start_t END,
+             CASE WHEN r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) > 500.0
+                       OR (o.time - r.start_t) > 2592000.0
+                  THEN 0.0 ELSE r.acc + (abs(o.u - r.u) + abs(o.v - r.v) + abs(o.w - r.w)) END
+      FROM rec r
+      JOIN ordered o ON o.antenna1 = r.antenna1 AND o.antenna2 = r.antenna2
+                    AND o.rn = r.rn + 1
+    ),
+    fct AS (
+      SELECT antenna1, antenna2, bin_idx, arg_max(acc, rn) AS motion
+      FROM rec GROUP BY antenna1, antenna2, bin_idx
+    ),
+    assigned AS (
+      SELECT o.antenna1, o.antenna2, r.bin_idx, o.chan,
+             o.vis_re, o.vis_im, o.weight,
+             CAST(CASE WHEN f.motion <= 125.0 THEN 4
+                       WHEN f.motion <= 250.0 THEN 2 ELSE 1 END AS INT) AS chan_factor
+      FROM ordered o
+      JOIN rec r ON r.antenna1 = o.antenna1 AND r.antenna2 = o.antenna2
+                AND r.rn = o.rn
+      JOIN fct f ON f.antenna1 = o.antenna1 AND f.antenna2 = o.antenna2
+                AND f.bin_idx = r.bin_idx
+    )
+    SELECT antenna1, antenna2, bin_idx, chan_factor,
+           CAST(chan // chan_factor AS INT) AS chan_out,
+           COUNT(*) AS n_samples,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM assigned
+    GROUP BY antenna1, antenna2, bin_idx, chan_factor, chan_out
+    ORDER BY antenna1, antenna2, bin_idx, chan_out
+"""
+
+
+@register("bda_ragged_channel_factor", _BDA_RAGGED_ORACLE)
 def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BDA with per-bin channel compression factor — the reference's
     ragged output (finalise_bin chooses nchan per bin from
-    decorrelation): slow baselines average more channels. Rows-only
-    (data-dependent sequential rule); invariants tested in
-    tests/test_bda_clean_equivalence.py."""
-    return bda_op.bda_ragged(tpch_ms.vis_table(spark, sf_dir)).orderBy(
-        "antenna1", "antenna2", "bin_idx", "chan_out"
-    )
+    decorrelation): slow baselines average more channels. Exactly
+    oracled by the recursive replay plus the arg_max motion lookup
+    (invariants additionally tested in test_bda_clean_equivalence.py)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    out = bda_op.bda_ragged(vis)
+    return out.select(
+        "antenna1", "antenna2", "bin_idx", "chan_factor", "chan_out", "n_samples",
+        F.round(F.col("vis_re_avg"), 6).alias("vis_re_avg"),
+        F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
+        "weight_sum",
+    ).orderBy("antenna1", "antenna2", "bin_idx", "chan_out")
 
 
 # Exact SQL mirror of the byte-feature UDF: the demo payload is the
