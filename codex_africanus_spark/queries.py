@@ -1610,18 +1610,101 @@ def beam_cube_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_id", "chan")
 
 
-@register("spline_smooth_user_series", None)
+# Natural-cubic-spline oracle: the tridiagonal system is solved by a
+# Thomas forward/backward pair of RECURSIVE CTEs (the engine uses a
+# LAPACK dense solve — different algorithm, same diagonally-dominant
+# solution to ~1e-13, absorbed by the 6dp output round). The evaluation
+# grid mirrors np.linspace bit-for-bit (j·step + x0, endpoint forced).
+_SPLINE_ORACLE = f"""
+    WITH RECURSIVE ev AS ({tpch_ms.EVENTS_SQL}),
+    knots AS MATERIALIZED (
+      SELECT user_id AS key, ts_us / 1e6 AS x, value AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM ev WHERE user_id < 8 AND event_id % 5 = 0
+    ),
+    sys AS MATERIALIZED (
+      SELECT key, i, x, y, n,
+             lead(x) OVER w - x AS h,
+             x - lag(x) OVER w AS hm,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE x - lag(x) OVER w END AS sub,
+             CASE WHEN i = 0 OR i = n - 1 THEN 1.0
+                  ELSE 2.0 * ((x - lag(x) OVER w) + (lead(x) OVER w - x)) END AS diag,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE lead(x) OVER w - x END AS sup,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE 3.0 * ((lead(y) OVER w - y) / (lead(x) OVER w - x)
+                              - (y - lag(y) OVER w) / (x - lag(x) OVER w)) END AS rhs
+      FROM knots
+      WINDOW w AS (PARTITION BY key ORDER BY i)
+    ),
+    fwd AS (
+      SELECT key, i, sup, n, diag AS dp, rhs AS rp FROM sys WHERE i = 0
+      UNION ALL
+      SELECT s.key, s.i, s.sup, s.n,
+             s.diag - (s.sub / f.dp) * f.sup,
+             s.rhs - (s.sub / f.dp) * f.rp
+      FROM fwd f JOIN sys s ON s.key = f.key AND s.i = f.i + 1
+    ),
+    bwd AS (
+      SELECT key, i, rp / dp AS c FROM fwd WHERE i = n - 1
+      UNION ALL
+      SELECT f.key, f.i, (f.rp - f.sup * b.c) / f.dp
+      FROM bwd b JOIN fwd f ON f.key = b.key AND f.i = b.i - 1
+    ),
+    coeff AS (
+      SELECT s.key, s.i, s.x, s.y, s.h,
+             (lead(s.y) OVER w2 - s.y) / s.h
+               - s.h * (2.0 * b.c + lead(b.c) OVER w2) / 3.0 AS b,
+             b.c AS c,
+             (lead(b.c) OVER w2 - b.c) / (3.0 * s.h) AS d
+      FROM sys s JOIN bwd b ON b.key = s.key AND b.i = s.i
+      WINDOW w2 AS (PARTITION BY s.key ORDER BY s.i)
+    ),
+    extent AS (
+      SELECT key, MIN(x) AS x0, MAX(x) AS xl FROM knots GROUP BY key
+    ),
+    grid AS (
+      SELECT e.key, CAST(j.range AS INT) AS j,
+             CASE WHEN j.range = 15 THEN e.xl
+                  ELSE j.range * ((e.xl - e.x0) / 15) + e.x0 END AS x_eval
+      FROM extent e, range(16) j
+    ),
+    picked AS (
+      SELECT g.key, g.x_eval,
+             (SELECT LEAST(GREATEST(COALESCE(MAX(k.i), -1), 0), MAX(k.n) - 2)
+              FROM knots k WHERE k.key = g.key AND k.x <= g.x_eval) AS idx
+      FROM grid g
+    )
+    SELECT p.key, p.x_eval,
+           round(co.y + co.b * (p.x_eval - co.x)
+                 + co.c * ((p.x_eval - co.x) * (p.x_eval - co.x))
+                 + co.d * (((p.x_eval - co.x) * (p.x_eval - co.x)) * (p.x_eval - co.x)),
+                 6) AS y_eval
+    FROM picked p JOIN coeff co ON co.key = p.key AND co.i = p.idx
+    ORDER BY p.key, p.x_eval
+"""
+
+
+@register("spline_smooth_user_series", _SPLINE_ORACLE)
 def spline_smooth_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural cubic-spline fit + dense evaluation per user over the
-    events series (reference averaging/splines.py:14-140) — rows-only
-    (knot-interpolation property covered by unit test)."""
-    ev = tpch_ms.events_table(spark, sf_dir).filter(F.col("user_id") < 8)
+    events series (reference averaging/splines.py:14-140) — exactly
+    oracled: a Thomas-recursion twin solves the same tridiagonal system
+    in DuckDB (knot-interpolation property additionally unit-tested)."""
+    ev = tpch_ms.events_table(spark, sf_dir).filter(
+        (F.col("user_id") < 8) & (F.col("event_id") % 5 == 0)
+    )
     samples = ev.select(
         F.col("user_id").alias("key"),
         (F.col("ts_us") / F.lit(1e6)).alias("x"),
         F.col("value").alias("y"),
     )
-    return spline_op.evaluate_spline_dense(samples).orderBy("key", "x_eval")
+    out = spline_op.evaluate_spline_dense(samples)
+    return out.select(
+        "key", "x_eval", F.round(F.col("y_eval"), 6).alias("y_eval")
+    ).orderBy("key", "x_eval")
 
 
 _CORR_TO_STOKES_ORACLE = _with_ms(
