@@ -149,10 +149,18 @@ def gauss_newton_phase_only(
             F.col("antenna2").alias("antenna"), "chan",
             z_q.alias("jhr"), m2.alias("jhj"),
         )
+        # fixed-point reductions: the per-iteration gradient sums are
+        # order-independent, so the whole solve (and its convergence
+        # trace) is bit-identical under any partitioning / AQE re-plan
+        from codex_africanus_spark.functions.deterministic import qsum
+
         upd = (
             per_p.unionByName(per_q)
             .groupBy("antenna", "chan")
-            .agg(F.sum("jhr").alias("jhr"), F.sum("jhj").alias("jhj"))
+            .agg(
+                (qsum(F.col("jhr"), 1e9) / F.lit(1e9)).alias("jhr"),
+                (qsum(F.col("jhj"), 1e9) / F.lit(1e9)).alias("jhj"),
+            )
             .collect()
         )
         max_delta = 0.0

@@ -61,6 +61,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.files.maxPartitionBytes", "8m"),
         ("spark.sql.files.openCostInBytes", "1m"),
+        # the driver's session keeps the 200/400 default; at bench scale
+        # the right pre-AQE width is the core count (AQE still coalesces
+        # down, but over-wide shuffles pay task-launch overhead in the
+        # iterative solvers' per-iteration joins)
+        ("spark.sql.shuffle.partitions", DEFAULT_CPUS),
     ]:
         try:
             spark.conf.set(k, v)

@@ -90,3 +90,29 @@ def test_streaming_session_windows_run(spark, sf_dir, tmp_path):
     n = spark.sql("SELECT count(*) FROM session_test").collect()[0][0]
     total = spark.sql("SELECT sum(n_events) FROM session_test").collect()[0][0]
     assert n > 0 and total == 1000  # every event lands in exactly one session
+
+
+def test_gauss_newton_bit_deterministic_across_partitioning(spark, sf_dir):
+    """qsum gradient reductions make each iteration's (jhr, jhj) — and
+    therefore the whole damped-update trajectory — bit-identical under
+    any partitioning (the deterministic-mode guarantee extended to the
+    iterative solver)."""
+    from codex_africanus_spark.operators.calibration import gauss_newton_phase_only
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("chan") == 0)
+    src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
+    model = predict_op.predict_point_vis(vis, src, with_shape=False)
+    phase = F.col("antenna") * F.lit(0.35)
+    gains = tpch_ms.gains_table(spark).filter(F.col("chan") == 0).select(
+        "antenna", "chan", F.cos(phase).alias("gain_re"), F.sin(phase).alias("gain_im")
+    )
+    corrupted = predict_op.apply_gains(model, gains).select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.col("corrupted_re").alias("vis_re"), F.col("corrupted_im").alias("vis_im"),
+    )
+    h1 = gauss_newton_phase_only(corrupted, model, n_ant=7, maxiter=3)
+    h2 = gauss_newton_phase_only(
+        corrupted.repartition(13), model.repartition(7), n_ant=7, maxiter=3
+    )
+    assert [h["max_delta"] for h in h1] == [h["max_delta"] for h in h2]
+    assert h1[-1]["phases"] == h2[-1]["phases"]
