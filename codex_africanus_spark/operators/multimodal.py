@@ -217,3 +217,53 @@ FRAME_SAMPLE_SQL = """
        unnest(generate_series(0, CAST((octet_length(encode(d.text)) + 127) // 128 AS INT) - 1)) AS t(j)
   ORDER BY d.doc_id, frame_idx
 """
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win int, n_bytes int, sum_b long, sumsq_b long, peak int"
+)
+
+
+def audio_window_stats(
+    with_payload: DataFrame, window: int = 256, hop: int = 128
+) -> DataFrame:
+    """Overlapping fixed-hop windowing over a binary payload — the audio
+    analogue of frame_sample (hop < window ⇒ each byte lands in up to
+    window/hop frames, the STFT-style segmentation a speech pipeline
+    feeds to its featurizer). The decode-free per-window statistics
+    (byte count, sum, energy/sum-of-squares, peak) are pure integers,
+    so results are engine- and partition-exact with no quantization.
+
+    Arrow-batched mapInPandas (NumPy frombuffer per window); the real
+    featurizer (mel/MFCC — audio libs absent here) would slot into the
+    same batch loop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (executors cannot import this package)
+        import numpy as np
+
+        def stats(p: bytes):
+            a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            n = len(a)
+            out = []
+            w = 0
+            while w * hop < n:
+                seg = a[w * hop : w * hop + window]
+                out.append(
+                    (w, len(seg), int(seg.sum()), int((seg * seg).sum()),
+                     int(seg.max()) if len(seg) else 0)
+                )
+                w += 1
+            return out
+
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for w, nb, sb, sq, pk in stats(p):
+                    rows.append((doc_id, w, nb, sb, sq, pk))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win", "n_bytes", "sum_b", "sumsq_b", "peak"]
+            )
+
+    return with_payload.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

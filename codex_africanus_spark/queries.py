@@ -3135,6 +3135,62 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    f"""
+    WITH all_lines AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_C4} AS volume_c4,
+             s.s_nationkey AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_type = 'STANDARD' AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 9 THEN volume_c4 ELSE 0 END) AS BIGINT) AS nation_c4,
+           CAST(SUM(volume_c4) AS BIGINT) AS total_c4,
+           round(CAST(SUM(CASE WHEN supp_nation = 9 THEN volume_c4 ELSE 0 END) AS DOUBLE)
+                 / SUM(volume_c4), 9) AS mkt_share
+    FROM all_lines GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share of a part-type segment
+    (STANDARD, the testdata's type vocabulary) per order year —
+    conditional-aggregate ratio over a 4-way join with all dims
+    broadcast; exact integer volumes, deterministic share division."""
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_type") == "STANDARD")
+    s = load(spark, "supplier", sf_dir)
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    nat = F.when(F.col("s_nationkey") == 9, c4).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nat).alias("nation_c4"),
+            F.sum(c4).alias("total_c4"),
+            F.round(
+                F.sum(nat).cast("double") / F.sum(c4), 9
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
     "q13_customer_distribution",
     """
     SELECT c_count, COUNT(*) AS custdist FROM (
@@ -3340,6 +3396,45 @@ def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
         "weight_sum",
     ).orderBy("antenna1", "antenna2", "bin_idx", "chan_out")
+
+
+_AUDIO_WIN_ORACLE = """
+    WITH bytes AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             ascii(substr(text, CAST(i AS INT), 1)) AS b
+      FROM (SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS i
+            FROM documents)
+    ), wins AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(CAST(ceil(n / 128.0) AS BIGINT))) AS INT) AS win
+      FROM (SELECT doc_id, length(text) AS n FROM documents
+            WHERE length(text) > 0)
+    )
+    SELECT w.doc_id, w.win,
+           CAST(COUNT(*) AS INT) AS n_bytes,
+           CAST(SUM(b.b) AS BIGINT) AS sum_b,
+           CAST(SUM(b.b * b.b) AS BIGINT) AS sumsq_b,
+           CAST(MAX(b.b) AS INT) AS peak
+    FROM wins w
+    JOIN bytes b ON b.doc_id = w.doc_id
+               AND b.i > w.win * 128 AND b.i <= w.win * 128 + 256
+    GROUP BY w.doc_id, w.win
+    ORDER BY w.doc_id, w.win
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_WIN_ORACLE)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-hop audio-style windowing over binary payloads
+    (window 256, hop 128 — each byte reaches up to 2 frames) with pure
+    integer per-window statistics; the Arrow batch loop is where a real
+    mel/MFCC featurizer slots in. Exactly oracled: the window band-join
+    over the unnested bytes reproduces the segmentation, and all stats
+    are integers."""
+    docs = load(spark, "documents", sf_dir)
+    return mm_op.audio_window_stats(
+        mm_op.attach_binary_payload(docs)
+    ).orderBy("doc_id", "win")
 
 
 # Exact SQL mirror of the byte-feature UDF: the demo payload is the
