@@ -64,7 +64,14 @@ def hogbom_clean(
     fitted PSF patch (psf_fit, reference clean.py:40-72) — the loop
     structure (argmax → subtract γ·peak → record component) is identical.
     """
-    pdf = grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q").toPandas()
+    # canonical cell order: argmax tie-breaks become deterministic
+    # (toPandas order is partition-dependent otherwise)
+    pdf = (
+        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
+        .toPandas()
+        .sort_values(["u_cell", "v_cell"])
+        .reset_index(drop=True)
+    )
     if pdf.empty:
         return spark.createDataFrame(
             [], "iteration int, u_cell long, v_cell long, flux double"

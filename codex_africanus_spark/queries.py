@@ -1341,10 +1341,52 @@ def fit_spi_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_id")
 
 
-@register("hogbom_clean_components", None)
+# CLEAN oracle: with a delta PSF, hitting a cell multiplies its residual
+# by (1−γ) — computed as val − γ·val, mirrored with the same float op —
+# and the decayed magnitudes of one cell are strictly decreasing, so the
+# loop's peak sequence equals the GLOBAL descending-magnitude ranking of
+# per-cell decay candidates (per-cell recursion, no cross-row aggregate
+# inside the recursion). The image values are ratios of exact integer
+# qsums, identical in both engines; ties break on canonical cell order,
+# matching the operator's sorted argmax.
+_CLEAN_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    grid AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wsum_q
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT u_cell, v_cell, CAST(grid_re_q AS DOUBLE) / wsum_q AS v FROM grid
+    ),
+    decay AS (
+      SELECT u_cell, v_cell, 0 AS k, v AS val FROM cells
+      UNION ALL
+      SELECT u_cell, v_cell, k + 1, val - 0.1e0 * val FROM decay WHERE k < 49
+    ),
+    thresh AS (SELECT 0.2e0 * MAX(abs(v)) AS t FROM cells),
+    ranked AS (
+      SELECT u_cell, v_cell, val,
+             row_number() OVER (ORDER BY abs(val) DESC, u_cell, v_cell) AS rnk
+      FROM decay
+    )
+    SELECT CAST(r.rnk - 1 AS INT) AS iteration, r.u_cell, r.v_cell,
+           0.1e0 * r.val AS flux
+    FROM ranked r, thresh t
+    WHERE r.rnk <= 50 AND abs(r.val) > t.t
+    ORDER BY iteration
+"""
+
+
+@register("hogbom_clean_components", _CLEAN_ORACLE)
 def hogbom_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hogbom CLEAN minor cycle over the collected uv-grid (driver loop,
-    reference deconv/hogbom/clean.py:122-200) — rows-only (iterative)."""
+    reference deconv/hogbom/clean.py:122-200) — exactly oracled: the
+    delta-PSF decay structure turns the iterative peak sequence into a
+    global candidate ranking (see _CLEAN_ORACLE)."""
     vis = tpch_ms.vis_table(spark, sf_dir)
     return clean_op.hogbom_clean(spark, grid_op.grid_natural(vis))
 
