@@ -1391,12 +1391,84 @@ def hogbom_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_op.hogbom_clean(spark, grid_op.grid_natural(vis))
 
 
-@register("gauss_newton_phase_solve", None)
+def _gn_oracle() -> str:
+    """Recursive replay of the Gauss-Newton solve: the working row
+    carries the 7 phases as a DOUBLE[] list (the anchor's literals MUST
+    be cast — a recursive CTE fixes column types from the anchor, and
+    bare 0.0 types the list DECIMAL(2,1), silently quantizing every
+    iteration); each step recomputes the fixed-point-quantized gradient
+    sums with the same complex-algebra expression structure as the
+    solver, so the damped trajectory and the tol-based stop both match.
+    NOTE: correlated subqueries inside the recursion silently return
+    NULL when the referenced CTE is AS MATERIALIZED — keep them plain."""
+    g1r, g1i = "cos(i.ph[c.antenna1+1])", "sin(i.ph[c.antenna1+1])"
+    g2r, g2i = "cos(i.ph[c.antenna2+1])", "sin(i.ph[c.antenna2+1])"
+    pr = f"(({g1r}*c.m_re - {g1i}*c.m_im) * {g2r} + ({g1r}*c.m_im + {g1i}*c.m_re) * {g2i})"
+    pi = f"(({g1r}*c.m_im + {g1i}*c.m_re) * {g2r} - ({g1r}*c.m_re - {g1i}*c.m_im) * {g2i})"
+    zp = f"({pr} * (c.vis_im - {pi}) - {pi} * (c.vis_re - {pr}))"
+    zq = f"(- {zp})"
+    jhr = (
+        f"((COALESCE((SELECT SUM(CAST(ROUND({zp} * 1000000000) AS BIGINT))"
+        f" FROM corrupted c WHERE c.antenna1 = j.antenna), 0)"
+        f" + COALESCE((SELECT SUM(CAST(ROUND({zq} * 1000000000) AS BIGINT))"
+        f" FROM corrupted c WHERE c.antenna2 = j.antenna), 0)) / 1000000000.0)"
+    )
+    delta = f"CASE WHEN j.jhj > 0 THEN (0.7e0 * {jhr}) / j.jhj ELSE 0.0 END"
+    m2q = "SUM(CAST(ROUND((m_re*m_re + m_im*m_im) * 1000000000) AS BIGINT))"
+    return f"""
+    WITH RECURSIVE vis0 AS (
+      SELECT * FROM ({tpch_ms.VIS_SQL}) WHERE chan = 0
+    ),
+    model AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS m_re,
+             SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS m_im
+      FROM vis0 v, (SELECT * FROM ({tpch_ms.SOURCE_SQL}) WHERE source_type = 'POINT') s
+      GROUP BY v.row_id, v.antenna1, v.antenna2, v.chan
+    ),
+    corrupted AS (
+      SELECT row_id, antenna1, antenna2, chan, m_re, m_im,
+             ((cos(antenna1 * 0.35e0)*m_re - sin(antenna1 * 0.35e0)*m_im) * cos(antenna2 * 0.35e0)
+              + (cos(antenna1 * 0.35e0)*m_im + sin(antenna1 * 0.35e0)*m_re) * sin(antenna2 * 0.35e0)) AS vis_re,
+             ((cos(antenna1 * 0.35e0)*m_im + sin(antenna1 * 0.35e0)*m_re) * cos(antenna2 * 0.35e0)
+              - (cos(antenna1 * 0.35e0)*m_re - sin(antenna1 * 0.35e0)*m_im) * sin(antenna2 * 0.35e0)) AS vis_im
+      FROM model
+    ),
+    jhj AS (
+      SELECT a.range AS antenna,
+             (COALESCE((SELECT {m2q} FROM corrupted c WHERE c.antenna1 = a.range), 0)
+              + COALESCE((SELECT {m2q} FROM corrupted c WHERE c.antenna2 = a.range), 0)) / 1000000000.0 AS jhj
+      FROM range(7) a
+    ),
+    it AS (
+      SELECT 0 AS step,
+             CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS ph,
+             CAST(1.0 AS DOUBLE) AS md
+      UNION ALL
+      SELECT i.step + 1,
+             (SELECT list(d.np ORDER BY d.antenna)
+              FROM (SELECT j.antenna, i.ph[j.antenna + 1] + ({delta}) AS np FROM jhj j) d),
+             (SELECT MAX(abs(d.dd))
+              FROM (SELECT ({delta}) AS dd FROM jhj j) d)
+      FROM it i WHERE i.step < 15 AND i.md >= 1e-8
+    ),
+    fin AS (SELECT ph FROM it ORDER BY step DESC LIMIT 1)
+    SELECT CAST(a.range AS INT) AS antenna, CAST(0 AS INT) AS chan,
+           round_even(fin.ph[CAST(a.range AS INT) + 1] - fin.ph[1], 4) AS phase_rel
+    FROM range(7) a, fin
+    ORDER BY antenna
+    """
+
+
+@register("gauss_newton_phase_solve", _gn_oracle())
 def gauss_newton_phase_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase-only Gauss-Newton calibration loop (reference
     phase_only.py:243-340): corrupt model vis with known phases
     φ_a = 0.35·a, solve them back, report re-referenced estimates —
-    rows-only (iterative driver loop)."""
+    exactly oracled by a recursive replay of the damped fixed-point-
+    gradient iterations (see _gn_oracle)."""
     vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("chan") == 0)
     src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
     model = predict_op.predict_point_vis(vis, src, with_shape=False)
