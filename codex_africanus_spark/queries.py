@@ -1101,13 +1101,12 @@ def compute_and_corrupt_vis_dde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_bin", F.floor(F.col("time") / F.lit(604800.0)).cast("long")
     )
     dirs = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_id") % 6 == 1)
-    # Distinct bins collected to the driver (SURVEY §2.4 "statistics for
-    # binning" pattern): one narrow column scan instead of re-scanning the
-    # fact table inside BOTH broadcast-gains subtrees of the double join.
-    bins = [r[0] for r in vis.select("time_bin").distinct().collect()]
-    time_bins = spark.createDataFrame(
-        [(b,) for b in sorted(bins)], "time_bin long"
-    )
+    # Bin RANGE collected to the driver (SURVEY §2.4 "statistics for
+    # binning" pattern): min/max is a partial-aggregate scan — cheaper
+    # than a distinct (no value shuffle) — and a dense-range gains table
+    # joins identically (gains for absent bins simply never match).
+    lo, hi = vis.agg(F.min("time_bin"), F.max("time_bin")).collect()[0]
+    time_bins = spark.range(lo, hi + 1).select(F.col("id").alias("time_bin"))
     gains = tpch_ms.dde_gains_table(spark, time_bins, dirs)
     return cal_op.compute_and_corrupt_vis(vis, dirs, gains).orderBy(
         "row_id", "antenna1", "antenna2", "time_bin", "chan"
