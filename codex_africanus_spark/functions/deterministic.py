@@ -72,8 +72,12 @@ def fsum_udaf():
 
 
 def qsum_sql(expr: str, scale: float = 1e6) -> str:
-    """The DuckDB/ANSI mirror of qsum(), for oracle parity."""
-    return f"SUM(CAST(ROUND(({expr}) * {scale:.0f}) AS BIGINT))"
+    """The DuckDB/ANSI mirror of qsum(), for oracle parity.
+
+    The outer CAST matters: DuckDB types SUM(BIGINT) as HUGEINT (int128),
+    which its client fetches as float64 — diverging from Spark's int64
+    under a type-sensitive value hash even when every value is equal."""
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale:.0f}) AS BIGINT)) AS BIGINT)"
 
 
 def qsum_double_sql(expr: str, scale: float = 1e6) -> str:

@@ -121,9 +121,9 @@ CONV_GRID_SQL = """
     )
     SELECT g.u_cell + f.du AS u_cell, g.v_cell + f.dv AS v_cell,
            COUNT(*) AS ntaps,
-           SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS grid_re_q,
-           SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS grid_im_q,
-           SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS wsum_q
+           CAST(SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS grid_re_q,
+           CAST(SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS grid_im_q,
+           CAST(SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS wsum_q
     FROM gated g, footprint f
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -323,9 +323,9 @@ def conv_grid_sql(kernel: list[tuple[int, float]]) -> str:
     )
     SELECT g.u_cell + f.du AS u_cell, g.v_cell + f.dv AS v_cell,
            COUNT(*) AS ntaps,
-           SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS grid_re_q,
-           SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS grid_im_q,
-           SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS wsum_q
+           CAST(SUM(CAST(ROUND(g.vis_re * g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS grid_re_q,
+           CAST(SUM(CAST(ROUND(g.vis_im * g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS grid_im_q,
+           CAST(SUM(CAST(ROUND(g.weight * f.kw * 100) AS BIGINT)) AS BIGINT) AS wsum_q
     FROM gated g, footprint f
     GROUP BY 1, 2
     ORDER BY 1, 2

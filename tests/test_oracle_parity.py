@@ -22,11 +22,26 @@ def duck_con(sf_dir):
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # bool → int so engine dtype choices don't matter
+    # bool → int is the ONLY sanctioned dtype normalization
     for c in df.columns:
         if df[c].dtype == bool:
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def dtype_class(dt) -> str:
+    """Collapse a dtype to the class the driver's value hash is sensitive
+    to: int-vs-float divergence (e.g. a DuckDB HUGEINT oracle column
+    fetched as float64 vs Spark's int64) breaks the hash even when every
+    value is numerically identical."""
+    kind = getattr(dt, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "M":
+        return "datetime"
+    return "object"
 
 
 @pytest.mark.parametrize("name,qd", QUERIES, ids=[n for n, _ in QUERIES])
@@ -39,4 +54,10 @@ def test_query_matches_oracle(spark, sf_dir, name, qd):
     assert len(spark_df) == len(oracle_df), f"{name}: row count mismatch"
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), f"{name}: schema mismatch"
     left, right = normalize(spark_df), normalize(oracle_df)
+    kinds_l = {c: dtype_class(left[c].dtype) for c in left.columns}
+    kinds_r = {c: dtype_class(right[c].dtype) for c in right.columns}
+    assert kinds_l == kinds_r, (
+        f"{name}: dtype class mismatch (driver hash would fail): "
+        f"{ {c: (kinds_l[c], kinds_r[c]) for c in kinds_l if kinds_l[c] != kinds_r[c]} }"
+    )
     pd.testing.assert_frame_equal(left, right, check_dtype=False, rtol=0, atol=0)
