@@ -674,6 +674,7 @@ _R1_FIXED = (
 
 # New operators added in round 2 — also ahead of the window.
 _R2_NEW = (
+    "tigger_model_reader",
     "tigger_model_predict",
     "fft_dirty_image_wstack",
     "parallactic_angles_astropy",
@@ -2395,6 +2396,185 @@ def wsclean_predict_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (qsum(F.col("flux_i") * F.cos(theta), 1e6) / F.lit(1e6)).alias("vis_re"),
             (qsum(F.col("flux_i") * F.sin(theta), 1e6) / F.lit(1e6)).alias("vis_im"),
+        )
+        .orderBy("row_id", "chan")
+    )
+
+
+# ===========================================================================
+# Tigger LSM model file → point/gauss frames → predict (the reference's
+# primary CLI ingest path, examples/predict.py:248-347 + 531-586)
+# ===========================================================================
+
+from codex_africanus_spark.sources import tigger as tigger_src  # noqa: E402
+
+
+def _write_tigger_file(sf_dir: str) -> str:
+    """Deterministic Tigger `.lsm.html` model derived from nation keys
+    (every parsed value is recomputable by the SQL oracle). Exercises the
+    format corners parse_sky_model handles: point vs gaussian typecodes,
+    sources with and without a Spectrum (model-level freq0 fallback),
+    quoted and bare attribute values."""
+    import duckdb as _duckdb
+
+    rows = _duckdb.sql(
+        f"SELECT n_nationkey FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey"
+    ).fetchall()
+    path = _os.path.join(_tempfile.gettempdir(), "codex_africanus_tigger_model.lsm.html")
+    with open(path, "w") as fh:
+        fh.write("<HTML><BODY mdltype=SkyModel freq0=856000000.0>\n")
+        for (n,) in rows:
+            gau = n % 3 == 0
+            ra = repr(0.3 + n * 0.01)
+            dec = repr(-0.2 + n * 0.005)
+            i = repr(float(1 + n % 5))
+            q = repr((n % 3) * 0.1)
+            u = repr((n % 4) * 0.05)
+            parts = [
+                f'<A mdltype=Source name="s{n}" typecode={"gau" if gau else "pnt"}>',
+                f"<A mdltype=Position ra={ra} dec={dec}>",
+                f"<A mdltype=Flux I={i} Q={q} U={u} V=0.0>",
+            ]
+            if n % 2 == 0:
+                spi = repr(-0.7 + n * 0.01)
+                parts.append(f"<A mdltype=Spectrum spi={spi} freq0=1400000000.0>")
+            if gau:
+                ex = repr((1 + n % 4) * 0.004)
+                ey = repr((1 + n % 4) * 0.002)
+                pa = repr(n * 0.1)
+                parts.append(f"<A mdltype=Gaussian ex={ex} ey={ey} pa={pa}>")
+            fh.write(" ".join(parts) + "\n")
+        fh.write("</BODY></HTML>\n")
+    return path
+
+
+_TIGGER_SRC_SQL = """
+      SELECT concat('s', n_nationkey) AS name,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'gau' ELSE 'pnt' END AS source_type,
+             0.3e0 + n_nationkey * 0.01e0   AS ra,
+             -0.2e0 + n_nationkey * 0.005e0 AS dec,
+             CAST(1 + n_nationkey % 5 AS DOUBLE) AS flux_i,
+             (n_nationkey % 3) * 0.1e0  AS flux_q,
+             (n_nationkey % 4) * 0.05e0 AS flux_u,
+             0.0e0 AS flux_v,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN -0.7e0 + n_nationkey * 0.01e0 ELSE 0.0e0 END AS spi,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN 1400000000.0e0 ELSE 856000000.0e0 END AS ref_freq,
+             CASE WHEN n_nationkey % 3 = 0
+                  THEN (1 + n_nationkey % 4) * 0.004e0 END AS emaj,
+             CASE WHEN n_nationkey % 3 = 0
+                  THEN (1 + n_nationkey % 4) * 0.002e0 END AS emin,
+             CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey * 0.1e0 END AS position_angle
+      FROM nation
+"""
+
+
+_TIGGER_READER_ORACLE = f"""
+    WITH tsrc AS ({_TIGGER_SRC_SQL})
+    SELECT name, source_type, round(ra, 9) AS ra, round(dec, 9) AS dec,
+           flux_i, round(flux_q, 9) AS flux_q, round(flux_u, 9) AS flux_u,
+           flux_v, round(spi, 9) AS spi, ref_freq,
+           round(emaj, 9) AS emaj, round(emin, 9) AS emin,
+           round(position_angle, 9) AS position_angle
+    FROM tsrc ORDER BY name
+"""
+
+
+@register("tigger_model_reader", _TIGGER_READER_ORACLE)
+def tigger_model_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tigger `.lsm.html` sky-model ingest: typecode routing, per-source
+    Spectrum with model-level freq0 fallback, gaussian ex/ey/pa — regexp
+    Column expressions only (reference examples/predict.py:248-347)."""
+    path = _write_tigger_file(sf_dir)
+    src = tigger_src.read_tigger_model(spark, path)
+    return src.select(
+        "name",
+        "source_type",
+        F.round(F.col("ra"), 9).alias("ra"),
+        F.round(F.col("dec"), 9).alias("dec"),
+        "flux_i",
+        F.round(F.col("flux_q"), 9).alias("flux_q"),
+        F.round(F.col("flux_u"), 9).alias("flux_u"),
+        "flux_v",
+        F.round(F.col("spi"), 9).alias("spi"),
+        "ref_freq",
+        F.round(F.col("emaj"), 9).alias("emaj"),
+        F.round(F.col("emin"), 9).alias("emin"),
+        F.round(F.col("position_angle"), 9).alias("position_angle"),
+    ).orderBy("name")
+
+
+_TIGGER_PREDICT_ORACLE = _with_ms(
+    f"""
+    , tsrc AS ({_TIGGER_SRC_SQL}),
+    lmn AS (
+      SELECT flux_i, spi, ref_freq, source_type, emaj, emin, position_angle,
+             cos(dec) * sin(ra - 0.5) AS l,
+             sin(dec) * cos(CAST(0.1 AS DOUBLE))
+               - cos(dec) * sin(CAST(0.1 AS DOUBLE)) * cos(ra - 0.5) AS m,
+             sqrt(greatest(0.0, 1.0
+               - (cos(dec) * sin(ra - 0.5)) * (cos(dec) * sin(ra - 0.5))
+               - (sin(dec) * cos(CAST(0.1 AS DOUBLE))
+                  - cos(dec) * sin(CAST(0.1 AS DOUBLE)) * cos(ra - 0.5))
+                 * (sin(dec) * cos(CAST(0.1 AS DOUBLE))
+                    - cos(dec) * sin(CAST(0.1 AS DOUBLE)) * cos(ra - 0.5)))) AS n
+      FROM tsrc
+    )
+    SELECT v.row_id, v.chan,
+           SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+             * (CASE WHEN s.source_type = 'gau'
+                     THEN {gaussian_sql('v.u', 'v.v', 'v.frequency', 's.emaj', 's.emin', 's.position_angle')}
+                     ELSE 1.0 END)
+             * cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency)
+             * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+             * (CASE WHEN s.source_type = 'gau'
+                     THEN {gaussian_sql('v.u', 'v.v', 'v.frequency', 's.emaj', 's.emin', 's.position_angle')}
+                     ELSE 1.0 END)
+             * sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency)
+             * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM vis v, lmn s
+    WHERE v.row_id % 23 = 0
+    GROUP BY v.row_id, v.chan
+    ORDER BY v.row_id, v.chan
+    """
+)
+
+
+@register("tigger_model_predict", _TIGGER_PREDICT_ORACLE)
+def tigger_model_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference CLI's Tigger workflow in one Catalyst plan: `.lsm.html`
+    parse → radec_to_lmn → spectral scaling (flux·(ν/ν₀)^spi) → gaussian
+    envelope for 'gau' sources → phase-delay cross join → deterministic
+    source reduction (examples/predict.py:248-347 + 531-586)."""
+    path = _write_tigger_file(sf_dir)
+    src = tigger_src.read_tigger_model(spark, path)
+    l, m, n = radec_to_lmn(F.col("ra"), F.col("dec"), F.lit(0.5), F.lit(0.1))
+    lmn = src.select(
+        "flux_i", "spi", "ref_freq", "source_type", "emaj", "emin",
+        "position_angle", l.alias("l"), m.alias("m"), n.alias("n"),
+    )
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 23 == 0)
+    j = vis.crossJoin(F.broadcast(lmn))
+    envelope = F.when(
+        F.col("source_type") == "gau",
+        gaussian(
+            F.col("u"), F.col("v"), F.col("frequency"),
+            F.col("emaj"), F.col("emin"), F.col("position_angle"),
+        ),
+    ).otherwise(F.lit(1.0))
+    flux = F.col("flux_i") * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+        "fourier",
+    )
+    return (
+        j.groupBy("row_id", "chan")
+        .agg(
+            (qsum(flux * envelope * F.cos(theta), 1e6) / F.lit(1e6)).alias("vis_re"),
+            (qsum(flux * envelope * F.sin(theta), 1e6) / F.lit(1e6)).alias("vis_im"),
         )
         .orderBy("row_id", "chan")
     )
