@@ -107,6 +107,79 @@ def dirty_image_bands(
     return out
 
 
+def accumulate_grid_wstack(
+    vis: DataFrame,
+    nx: int = 64,
+    ny: int = 64,
+    cell: float = 10.0,
+    w_step: float = 2.0,
+) -> DataFrame:
+    """w-stacking distributed stage: one pass groups on
+    (w_plane, u_cell, v_cell) — same single-shuffle shape as the band
+    loop, the plane axis just multiplies the (still tiny) grid
+    cardinality. w discretizes to nearest plane, matching the reference
+    wgridder's w-quantization onto nplanes (vis2im.py:16-130 via ducc0
+    ms2dirty, which selects nplanes from the w range and ε)."""
+    ucell = F.pmod(F.round(F.col("u") / F.lit(cell)).cast("long"), F.lit(nx))
+    vcell = F.pmod(F.round(F.col("v") / F.lit(cell)).cast("long"), F.lit(ny))
+    wplane = F.round(F.col("w") / F.lit(w_step)).cast("long")
+    gated = vis.filter(~(F.col("flag") | F.col("flag_row")))
+    return (
+        gated.groupBy(wplane.alias("w_plane"), ucell.alias("u_cell"), vcell.alias("v_cell"))
+        .agg(
+            qsum(F.col("vis_re") * F.col("weight"), GRID_SCALE).alias("g_re_q"),
+            qsum(F.col("vis_im") * F.col("weight"), GRID_SCALE).alias("g_im_q"),
+            qsum(F.col("weight"), GRID_SCALE).alias("w_q"),
+        )
+    )
+
+
+def _lm_grid(nx: int, ny: int, cell: float):
+    """Centered (l, m) image coordinates on the FFT's reciprocal grid:
+    pixel lx carries l = wrap(lx)/(nx·cell), so e^{2πi·uc·lx/nx}
+    == e^{2πi·(uc·cell)·l} — physical u·l phase."""
+    lx = (np.arange(nx) + nx // 2) % nx - nx // 2
+    ly = (np.arange(ny) + ny // 2) % ny - ny // 2
+    l = lx / (nx * cell)
+    m = ly / (ny * cell)
+    mm, ll = np.meshgrid(m, l, indexing="ij")
+    return ll, mm
+
+
+def dirty_image_wstack(
+    vis: DataFrame,
+    nx: int = 64,
+    ny: int = 64,
+    cell: float = 10.0,
+    w_step: float = 2.0,
+) -> tuple[np.ndarray, float]:
+    """Wide-field dirty image via w-stacking (the reference wgridder's
+    w-correction, vis2im.py:16-130): vis partitioned into w-planes, one
+    distributed (plane, cell) accumulation, then per-plane driver FFT
+    multiplied by the w-screen e^{2πi·w_p·(n(l,m)−1)} and summed.
+
+    The cluster still does all O(n_vis) work in ONE shuffle; the driver
+    does O(n_planes · n_pix log n_pix) — n_planes is O(w_range/w_step),
+    independent of data size, so the split holds at 100 TB."""
+    rows = accumulate_grid_wstack(vis, nx, ny, cell, w_step).collect()
+    grids: dict[int, np.ndarray] = {}
+    wsum = 0.0
+    for r in rows:
+        g = grids.setdefault(int(r.w_plane), np.zeros((ny, nx), dtype=np.complex128))
+        g[int(r.v_cell), int(r.u_cell)] += (r.g_re_q + 1j * r.g_im_q) / GRID_SCALE
+        wsum += r.w_q / GRID_SCALE
+    ll, mm = _lm_grid(nx, ny, cell)
+    n_minus_1 = np.sqrt(np.maximum(0.0, 1.0 - ll * ll - mm * mm)) - 1.0
+    img = np.zeros((ny, nx))
+    for p, g in sorted(grids.items()):
+        plane_img = np.fft.ifft2(g) * (nx * ny)
+        screen = np.exp(2j * np.pi * (p * w_step) * n_minus_1)
+        img += (plane_img * screen).real
+    if wsum > 0:
+        img /= wsum
+    return img, wsum
+
+
 def dirty_image_direct(vis_rows, nx: int = 64, ny: int = 64, cell: float = 10.0):
     """Driver-side direct-DFT oracle over the same discretized grid (the
     explicit_gridder analogue) — for tests only."""
