@@ -58,11 +58,12 @@ def main() -> None:
     for name in HEADLINE:
         if name not in reg:
             continue
-        # two runs, report the steady-state (min): the first execution of a
-        # heavy expression pipeline pays one-off whole-stage-codegen JIT
-        # cost that a long-running cluster amortizes away
+        # three runs, report the steady-state (min): the first execution of
+        # a heavy expression pipeline pays one-off whole-stage-codegen JIT
+        # cost that a long-running cluster amortizes away, and min-of-3
+        # bounds run-to-run load drift to well under the 25% target
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = reg[name].fn(spark, SF_DIR)
             # noop sink forces full evaluation of every output column

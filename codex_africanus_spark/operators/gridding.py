@@ -203,6 +203,98 @@ DEGRID_CONV_SQL = """
 """
 
 
+# Phase-transform policy (reference perleypolyhedron/policies/
+# phase_transform_policies.py:10-36, Perley & Cornwell 1992): after
+# degridding at the original phase centre, rotate each sampled visibility
+# to a new delay centre by e^{i·s·2π·ν/c·(u·Δl + v·Δm + w·Δn)} where the
+# delta direction cosines come from the old/new centres. The centres are
+# driver-side scalars, so (Δl, Δm, Δn) are computed in Python and reach
+# the plan as foldable literals — the policy adds zero shuffles on top of
+# the degrid join.
+
+TWO_PI_OVER_C = 2.0958450219516816e-08  # matches functions/phase.py
+
+
+def _phase_rotate_lmn(ra0: float, dec0: float, ra: float, dec: float):
+    import math
+
+    ll = math.cos(dec) * math.sin(ra - ra0)
+    mm = math.sin(dec) * math.cos(dec0) - math.cos(dec) * math.sin(dec0) * math.cos(
+        ra - ra0
+    )
+    nn = -(1.0 - math.sqrt(1.0 - ll * ll - mm * mm))
+    return ll, mm, nn
+
+
+def degrid_phase_rotated(
+    vis: DataFrame,
+    ra0: float = 0.1,
+    dec0: float = 0.05,
+    ra: float = 0.102,
+    dec: float = 0.052,
+    phasesign: float = 1.0,
+) -> DataFrame:
+    """Policy-parameterized degridding: nearest-cell gather + the
+    phase_rotate policy applied to the sampled visibility."""
+    ll, mm, nn = _phase_rotate_lmn(ra0, dec0, ra, dec)
+    grid = grid_natural(vis)
+    rows = _cells(vis)
+    j = rows.join(F.broadcast(grid), ["u_cell", "v_cell"], "left")
+    dre = F.coalesce(F.col("grid_re_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))
+    dim = F.coalesce(F.col("grid_im_q"), F.lit(0)) / F.coalesce(F.col("wsum_q"), F.lit(100))
+    x = (
+        F.lit(phasesign * TWO_PI_OVER_C)
+        * (F.col("u") * F.lit(ll) + F.col("v") * F.lit(mm) + F.col("w") * F.lit(nn))
+        * F.col("frequency")
+    )
+    return j.select(
+        "row_id",
+        "u_cell",
+        "v_cell",
+        F.round(dre * F.cos(x) - dim * F.sin(x), 6).alias("rot_re"),
+        F.round(dre * F.sin(x) + dim * F.cos(x), 6).alias("rot_im"),
+    )
+
+
+def degrid_phase_rotated_sql(
+    ra0: float = 0.1,
+    dec0: float = 0.05,
+    ra: float = 0.102,
+    dec: float = 0.052,
+    phasesign: float = 1.0,
+) -> str:
+    ll, mm, nn = _phase_rotate_lmn(ra0, dec0, ra, dec)
+    x = (
+        f"(CAST({phasesign * TWO_PI_OVER_C!r} AS DOUBLE)"
+        f" * (c.u * CAST({ll!r} AS DOUBLE) + c.v * CAST({mm!r} AS DOUBLE)"
+        f" + c.w * CAST({nn!r} AS DOUBLE)) * c.frequency)"
+    )
+    return f"""
+    , cells AS (
+      SELECT row_id, u, v, w, frequency,
+             CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell
+      FROM vis
+    ),
+    grid AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(vis_im * weight * 100) AS BIGINT)) AS grid_im_q,
+             SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wsum_q
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    )
+    SELECT c.row_id, c.u_cell, c.v_cell,
+           round((COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100)) * cos({x})
+                 - (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * sin({x}), 6) AS rot_re,
+           round((COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100)) * sin({x})
+                 + (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * cos({x}), 6) AS rot_im
+    FROM cells c LEFT JOIN grid g ON c.u_cell = g.u_cell AND c.v_cell = g.v_cell
+    ORDER BY c.row_id
+    """
+
+
 DEGRID_SQL = """
     , cells AS (
       SELECT row_id, CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,

@@ -50,6 +50,26 @@ def _with_ms(sql: str) -> str:
     return f"WITH {_MS_CTES} {sql}"
 
 
+def dense_or_distinct_bins(
+    df: DataFrame, col: str, max_dense: int = 1 << 16
+) -> DataFrame:
+    """One-column bin-axis frame for synthesizing dimension tables.
+
+    Dense `spark.range(lo, hi+1)` when the span is bounded (min/max is a
+    partial-aggregate scan — no value shuffle), falling back to
+    `distinct` when the axis is sparse or wide (a dense range over a
+    10⁶-wide time axis would silently explode the synthesized
+    bins×ant×chan×dir gains table). Empty/fully-filtered input yields an
+    empty axis rather than a TypeError on a None bound."""
+    lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+    spark = df.sparkSession
+    if lo is None:
+        return spark.range(0).select(F.col("id").alias(col))
+    if hi - lo + 1 > max_dense:
+        return df.select(col).distinct()
+    return spark.range(lo, hi + 1).select(F.col("id").alias(col))
+
+
 REGISTRY: dict[str, QueryDef] = {}
 
 
@@ -677,7 +697,7 @@ _R2_NEW = (
     "tigger_model_reader",
     "tigger_model_predict",
     "fft_dirty_image_wstack",
-    "parallactic_angles_astropy",
+    "parallactic_angles_geometric",
     "degrid_policy_phase_rotate",
 )
 
@@ -1161,8 +1181,7 @@ def compute_and_corrupt_vis_dde(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binning" pattern): min/max is a partial-aggregate scan — cheaper
     # than a distinct (no value shuffle) — and a dense-range gains table
     # joins identically (gains for absent bins simply never match).
-    lo, hi = vis.agg(F.min("time_bin"), F.max("time_bin")).collect()[0]
-    time_bins = spark.range(lo, hi + 1).select(F.col("id").alias("time_bin"))
+    time_bins = dense_or_distinct_bins(vis, "time_bin")
     gains = tpch_ms.dde_gains_table(spark, time_bins, dirs)
     return cal_op.compute_and_corrupt_vis(vis, dirs, gains).orderBy(
         "row_id", "antenna1", "antenna2", "time_bin", "chan"
@@ -1695,6 +1714,57 @@ def transform_sources_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lt, 9).alias("l_rot"),
         F.round(mt, 9).alias("m_rot"),
     ).orderBy("time", "source_id")
+
+
+_PA_FIELD = (0.1, -0.6)  # field centre (ra, dec) in rad — southern site
+
+_PA_GEO_ORACLE = _with_ms(
+    f"""
+    , ant AS ({tpch_ms.ANTENNA_SQL})
+    SELECT t.time, a.antenna,
+           round({feeds_fn.parallactic_angle_geometric_sql(
+               't.time', 'a.ant_x', 'a.ant_y', 'a.ant_z',
+               f'CAST({_PA_FIELD[0]!r} AS DOUBLE)',
+               f'CAST({_PA_FIELD[1]!r} AS DOUBLE)')}, 9) AS pa
+    FROM (SELECT DISTINCT time FROM vis) t, ant a
+    ORDER BY t.time, a.antenna
+    """
+)
+
+
+@register("parallactic_angles_geometric", _PA_GEO_ORACLE)
+def parallactic_angles_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ephemeris-free parallactic angles over the distinct (time, antenna)
+    grid: GMST-from-time + ITRF-derived lat/lon + the hour-angle PA
+    formula — the production stand-in for the reference's casa/astropy
+    backends (parangles.py:21-68, parangles_astropy.py:22-41; exact
+    CIRS path available via feeds.astropy_parallactic_angle_table when
+    astropy is installed). Distinct times are one partial-agg shuffle at
+    n_utime cardinality; antennas broadcast."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    times = vis.select("time").distinct()
+    ants = tpch_ms.antenna_table(spark)
+    pa = feeds_fn.parallactic_angle_geometric(
+        F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),
+        F.lit(_PA_FIELD[0]), F.lit(_PA_FIELD[1]),
+    )
+    return (
+        times.crossJoin(F.broadcast(ants))
+        .select("time", "antenna", F.round(pa, 9).alias("pa"))
+        .orderBy("time", "antenna")
+    )
+
+
+@register("degrid_policy_phase_rotate", _with_ms(grid_op.degrid_phase_rotated_sql()))
+def degrid_policy_phase_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-parameterized degridding: nearest-cell gather composed with
+    the Perley & Cornwell phase-rotate policy (reference
+    perleypolyhedron/policies/phase_transform_policies.py:10-36) — the
+    delta-lmn literals constant-fold, so the policy costs nothing beyond
+    the broadcast degrid join."""
+    return grid_op.degrid_phase_rotated(tpch_ms.vis_table(spark, sf_dir)).orderBy(
+        "row_id"
+    )
 
 
 def _beam_cube_oracle() -> str:

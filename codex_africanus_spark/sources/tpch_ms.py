@@ -174,6 +174,35 @@ GAINS_SQL = """
 
 
 # --------------------------------------------------------------------------
+# antenna table  (ITRF XYZ positions; MS ANTENNA subtable analogue — the
+# POSITION column consumed by the reference's parallactic-angle backends,
+# parangles.py:31-33: "(ant, 3) in metres in the ITRF frame")
+# --------------------------------------------------------------------------
+
+def antenna_table(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """N_ANT rows of deterministic ITRF-ish XYZ near a southern-hemisphere
+    site (KAT-7-like geocentric magnitudes) — integer-derived offsets so
+    the frame is engine-reproducible without trig."""
+    a = spark.range(N_ANT).select(F.col("id").cast("int").alias("antenna"))
+    k = F.col("antenna").cast("long")
+    return a.select(
+        "antenna",
+        (F.lit(5109224.0) + k * F.lit(13.5)).alias("ant_x"),
+        (F.lit(2006790.0) + ((k * k) % 11) * F.lit(7.25)).alias("ant_y"),
+        (F.lit(-3239100.0) + k * F.lit(5.75)).alias("ant_z"),
+    )
+
+
+ANTENNA_SQL = """
+  SELECT CAST(a.range AS INT)                       AS antenna,
+         5109224.0 + a.range * 13.5                 AS ant_x,
+         2006790.0 + ((a.range * a.range) % 11) * 7.25 AS ant_y,
+         -3239100.0 + a.range * 5.75                AS ant_z
+  FROM range(7) a
+"""
+
+
+# --------------------------------------------------------------------------
 # DDE gains table  (time_bin × antenna × chan × direction; the gains shape
 # of the calibration kernels — reference corrupt_vis/compute_and_corrupt_vis
 # index jones as [utime, ant, chan, dir])

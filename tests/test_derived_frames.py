@@ -40,3 +40,7 @@ def test_frame_parity(spark, sf_dir, builder, sql, key):
 
 def test_gains_parity(spark, sf_dir):
     compare(tpch_ms.gains_table(spark), duck(sf_dir), tpch_ms.GAINS_SQL, ["antenna", "chan"])
+
+
+def test_antenna_parity(spark, sf_dir):
+    compare(tpch_ms.antenna_table(spark), duck(sf_dir), tpch_ms.ANTENNA_SQL, "antenna")
