@@ -114,6 +114,60 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every doc
+    gets a cluster_id (= min doc_id reachable through near-dup edges) and
+    a canonical flag — the dedup ladder's final "keep one per cluster"
+    step.
+
+    Implementation: iterative min-label propagation. Each round joins the
+    symmetric edge list against current labels, takes the per-node min of
+    neighbour labels, and stops when no label changed (the convergence
+    probe is one count() at doc cardinality). Rounds needed = graph
+    diameter; near-dup components are shallow (pairwise-similar docs form
+    dense blobs, not chains), so this is a handful of rounds of
+    edge-cardinality shuffles — the standard Spark CC shape. Labels are
+    integers throughout: exact, no float discipline needed."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels.unpersist()
+        labels = new_labels.select("doc_id", "label").persist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+        )
+    )
+    return out
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """16-bit SimHash: per token-hash bit position, vote +1/−1 weighted by
     presence; fingerprint bit b = 1 iff the vote is positive."""
@@ -219,6 +273,34 @@ MINHASH_LSH_SQL = f"""
   SELECT doc_a, doc_b, n_sig_match,
          n_sig_match / {len(MINHASH_A)} AS est_jaccard
   FROM pairs ORDER BY doc_a, doc_b
+"""
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+  WITH RECURSIVE {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT rr.doc, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+  ),
+  cc AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+  SELECT c.doc_id, c.cluster_id,
+         s.cluster_size,
+         CAST(c.doc_id = c.cluster_id AS INT) AS is_canonical
+  FROM cc c
+  JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) s
+    USING (cluster_id)
+  ORDER BY c.doc_id
 """
 
 _VOTES = ", ".join(

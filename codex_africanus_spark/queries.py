@@ -699,6 +699,7 @@ _R2_NEW = (
     "fft_dirty_image_wstack",
     "parallactic_angles_geometric",
     "degrid_policy_phase_rotate",
+    "near_dup_clusters",
 )
 
 
@@ -745,6 +746,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded candidate near-duplicate pairs + estimated Jaccard."""
     return dedup_op.minhash_lsh_pairs(load(spark, "documents", sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@register("near_dup_clusters", dedup_op.NEAR_DUP_CLUSTERS_SQL)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over LSH near-dup pairs → cluster id, size,
+    canonical flag (iterative min-label propagation; DuckDB oracle is the
+    recursive-CTE transitive closure)."""
+    return dedup_op.near_dup_clusters(load(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
 @register("simhash_fingerprints", dedup_op.SIMHASH_SQL)
@@ -4050,3 +4059,513 @@ def fft_residual_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_im_q") / F.lit(1e6)).alias("res_im"),
         (F.col("w_q") / F.lit(1e6)).alias("wsum"),
     ).orderBy("u_cell", "v_cell")
+
+
+# ===========================================================================
+# TPC-H completion (q2/q9/q11/q12/q16/q17/q19/q20/q21/q22 shapes, adapted
+# to the driver's reduced star schema). The testdata has no partsupp
+# table and lacks some columns (l_shipmode, l_receiptdate, c_phone,
+# p_container), so each query keeps the REFERENCE OPERATOR SHAPE —
+# correlated min subquery, scalar-aggregate comparison, nested semi/anti
+# joins, disjunctive pushdown — with deterministic substitutions.
+# partsupp is reconstructed as the distinct supply relationships observed
+# in lineitem, with integer-derived supplycost/availqty so every oracle
+# stays exact. All money math is integer cents; avg comparisons are
+# integer cross-multiplications (never float division before compare).
+# ===========================================================================
+
+from codex_africanus_spark.sources import tables as tables_mod  # noqa: E402
+
+_PS_CTE = """
+  ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           (l_partkey * 31 + l_suppkey * 17) % 100000 AS ps_supplycost_c,
+           (l_partkey * 7 + l_suppkey * 13) % 1000    AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  )
+"""
+
+
+def _ps_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp reconstruction: distinct (part, supplier) pairs from the
+    fact table with key-derived cost/qty (engine-independent integers).
+    One distinct-shuffle at supply-relationship cardinality."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 100000)
+            .alias("ps_supplycost_c"),
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000)
+            .alias("ps_availqty"),
+        )
+    )
+
+
+def _cents():
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _disc_c():
+    return F.round(F.col("l_discount") * 100).cast("long")
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PS_CTE},
+    eligible AS (
+      SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+             ps.ps_supplycost_c
+      FROM ps
+      JOIN part p     ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'STANDARD'
+    ),
+    mc AS (SELECT p_partkey, MIN(ps_supplycost_c) AS min_cost_c
+           FROM eligible GROUP BY p_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey,
+           e.ps_supplycost_c AS supplycost_c
+    FROM eligible e JOIN mc ON mc.p_partkey = e.p_partkey
+                           AND e.ps_supplycost_c = mc.min_cost_c
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated min-cost subquery over the supply relation,
+    rewritten as group-min + equality join (what Catalyst does to the
+    subquery anyway); dims broadcast."""
+    ps = _ps_frame(spark, sf_dir)
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name",
+                "ps_supplycost_c")
+    )
+    mc = eligible.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost_c").alias("min_cost_c")
+    )
+    return (
+        eligible.join(
+            F.broadcast(mc),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                F.col("ps_supplycost_c").alias("supplycost_c"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    WITH {_PS_CTE}
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    - ps.ps_supplycost_c * 100 * CAST(l.l_quantity AS BIGINT))
+                AS BIGINT) AS profit_c4
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN ps         ON ps.ps_partkey = l.l_partkey
+                   AND ps.ps_suppkey = l.l_suppkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (revenue − supply cost) per nation per year across
+    a five-way join; part/supplier/nation broadcast, orders co-keyed on
+    orderkey, ps broadcast (supply-relationship cardinality ≪ fact)."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    o = load(spark, "orders", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    ps = _ps_frame(spark, sf_dir)
+    profit = (
+        _cents() * (F.lit(100) - _disc_c())
+        - F.col("ps_supplycost_c") * 100 * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_c4"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {_PS_CTE},
+    natps AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_supplycost_c * ps.ps_availqty AS BIGINT) AS val_c
+      FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      WHERE s.s_nationkey = 7
+    ),
+    tot AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total_c FROM natps),
+    grp AS (SELECT ps_partkey, CAST(SUM(val_c) AS BIGINT) AS value_c
+            FROM natps GROUP BY ps_partkey)
+    SELECT g.ps_partkey, g.value_c
+    FROM grp g, tot t
+    WHERE g.value_c * 1000 > t.total_c
+    ORDER BY g.value_c DESC, g.ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part stock value filtered against a scalar fraction
+    of the global total — the scalar aggregate is a 1-row broadcast cross
+    join; the comparison is an exact integer cross-multiply."""
+    ps = _ps_frame(spark, sf_dir)
+    s = load(spark, "supplier", sf_dir).filter(F.col("s_nationkey") == 7)
+    natps = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("val_c"),
+    )
+    grp = natps.groupBy("ps_partkey").agg(F.sum("val_c").alias("value_c"))
+    tot = natps.agg(F.sum("val_c").alias("total_c"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.col("value_c").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    """
+    SELECT CAST(FLOOR(date_diff('day', o.o_orderdate, l.l_shipdate) / 30.0)
+                AS BIGINT) AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (priority × lateness conditional counts); the schema has
+    no l_shipmode/l_receiptdate, so the class axis is the ship-vs-order
+    delay bucket. One join keyed on orderkey + one agg at bucket
+    cardinality."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    o = load(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.floor(F.datediff("l_shipdate", "o_orderdate") / 30.0)
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part class with an
+    exclusion anti-join (the reference's complaints filter becomes an
+    acctbal filter on the reduced schema). Anti side broadcast."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 100.0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_rev_c,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa     ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pa.cnt < pa.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: rows below 20% of their part's average quantity —
+    the correlated avg subquery becomes a per-part aggregate join, and
+    the 0.2·avg comparison an integer cross-multiply (qty·5·cnt <
+    sum_qty), so the filter is exact."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    p = load(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    pa = (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa.withColumnRenamed("l_partkey", "pa_partkey")),
+              li.l_partkey == F.col("pa_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(_cents()).alias("small_rev_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs across both join sides. The part-only
+    conjuncts (brand OR-set) are pushed below the join by Catalyst; the
+    mixed ones evaluate post-join — assert via .explain that the scan of
+    part carries a brand IN filter."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    p = load(spark, "part", sf_dir)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(_cents() * (F.lit(100) - _disc_c())).alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    f"""
+    WITH {_PS_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM ps
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND CAST(ps.ps_availqty AS BIGINT) * 2 > sh.sq
+    ) AND s.s_nationkey < 13
+    ORDER BY s.s_name
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN subqueries → a chain of semi-joins (part-type
+    semi into ps, shipped-quantity join with the half-stock integer
+    comparison, then semi into supplier)."""
+    ps = _ps_frame(spark, sf_dir)
+    promo = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = load(spark, "lineitem", sf_dir)
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    qual = (
+        ps.join(F.broadcast(promo), ps.ps_partkey == promo.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty").cast("long") * 2 > F.col("sq"))
+        .select("ps_suppkey")
+    )
+    s = load(spark, "supplier", sf_dir).filter(F.col("s_nationkey") < 13)
+    return (
+        s.join(qual, s.s_suppkey == qual.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_blocking_returns",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_blocking_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the correlated EXISTS / NOT EXISTS pair is rewritten as
+    one per-order aggregate (distinct suppliers, distinct returning
+    suppliers) joined back — one extra agg at order cardinality instead
+    of two correlated scans, the scalable form of the same predicate:
+    EXISTS(other supp) ⟺ n_supps > 1; NOT EXISTS(other R supp) ⟺
+    n_ret_supps = 1 (this row's supplier returned)."""
+    li = tables_mod.fan_out(load(spark, "lineitem", sf_dir))
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supps"),
+    )
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    s = load(spark, "supplier", sf_dir)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(per_order, li.l_orderkey == F.col("po_orderkey"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_custkey % 7 AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_c
+    FROM customer c, avg_bal a
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * a.n > a.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average balance (scalar subquery → 1-row
+    broadcast, integer cross-multiplied compare) + NOT EXISTS recent
+    orders (anti-join; every customer has SOME order in this data, so
+    'idle' means none since 2000); country code derived from the key on
+    the reduced schema."""
+    c = load(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents).alias("totacctbal_c"),
+        )
+        .orderBy("cntrycode")
+    )
