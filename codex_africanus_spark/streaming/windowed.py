@@ -66,6 +66,29 @@ def tumbling_window_stats(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_window_stats(stream: DataFrame, window: str = "1 hour",
+                         slide: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding (hopping) windows: each event contributes to
+    window/slide overlapping windows — the streaming form of overlapped
+    binning (the batch twin is queries.events_sliding_window, same
+    Column expressions, Kappa parity)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy("event_type", F.window("event_time", window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_window_stats(stream: DataFrame, gap: str = "30 minutes",
                          watermark: str = "2 hours") -> DataFrame:
     """Session windows with gap timeout — the streaming analogue of the

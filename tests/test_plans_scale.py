@@ -142,3 +142,44 @@ def test_phase_screen_is_pure_projection(spark, sf_dir):
     # the screen folded to literal inducing offsets (constant folding):
     # 2·ℓ² became the single /0.5 divisor in the projected expression
     assert "/ 0.5)" in plan
+
+
+def test_q19_part_predicates_pushed(spark, sf_dir):
+    """The part-only disjunct (brand OR-set) must reach the part scan;
+    the part side must broadcast."""
+    plan = plan_of(registry()["q19_disjunctive_pushdown"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Brand#" in plan  # brand disjunction evaluated pre-agg
+    assert "SortMergeJoin" not in plan
+
+
+def test_degrid_policy_adds_no_shuffle_over_degrid(spark, sf_dir):
+    """The phase-rotate policy must not add an Exchange beyond the plain
+    nearest-cell degrid (constant-folded Δlmn rides the same broadcast
+    join)."""
+    base = plan_of(registry()["degrid_nearest_cell"].fn(spark, sf_dir))
+    pol = plan_of(registry()["degrid_policy_phase_rotate"].fn(spark, sf_dir))
+    assert pol.count("Exchange") <= base.count("Exchange")
+    assert "BroadcastHashJoin" in pol
+
+
+def test_parallactic_angles_broadcasts_antennas(spark, sf_dir):
+    """PA grid = distinct-times × broadcast antenna table: exactly one
+    aggregate exchange (the distinct), no sort-merge join."""
+    plan = plan_of(registry()["parallactic_angles_geometric"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_avg_subquery_is_broadcast_join(spark, sf_dir):
+    """The correlated-avg rewrite must broadcast the per-part aggregate,
+    not shuffle the fact table against it."""
+    plan = plan_of(registry()["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sliding_window_single_agg_shuffle(spark, sf_dir):
+    """window() expansion happens before ONE partial+final aggregate."""
+    plan = plan_of(registry()["events_sliding_window"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan

@@ -75,6 +75,35 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     np.testing.assert_array_equal(got.hb.to_numpy(), batch.hour_bin.to_numpy() * 3600)
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    """AvailableNow sliding-window stream == batch twin (Kappa parity);
+    every event lands in exactly window/slide = 2 windows."""
+    stream = windowed.read_events_stream(spark, sf_dir)
+    agg = windowed.sliding_window_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, CAST(window_start AS LONG) * 1000000 AS win_start_us, "
+        "n_events, value_sum FROM sliding_test"
+    ).toPandas()
+    batch = registry()["events_sliding_window"].fn(spark, sf_dir).toPandas()
+    assert len(got) == len(batch)
+    key = ["event_type", "win_start_us"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    np.testing.assert_array_equal(got.win_start_us.to_numpy(), batch.win_start_us.to_numpy())
+    np.testing.assert_array_equal(got.n_events.to_numpy(), batch.n_events.to_numpy())
+    np.testing.assert_allclose(got.value_sum.to_numpy(), batch.value_sum.to_numpy())
+    assert got.n_events.sum() == 2 * 1000  # 2 windows per event at sf0.001
+
+
 def test_streaming_session_windows_run(spark, sf_dir, tmp_path):
     stream = windowed.read_events_stream(spark, sf_dir)
     agg = windowed.session_window_stats(stream)
