@@ -743,6 +743,8 @@ _R2_NEW = (
     "near_dup_clusters",
     "events_sliding_window",
     "bpe_token_estimate",
+    "stratified_sample_documents",
+    "corpus_curation_pipeline",
 )
 
 
@@ -947,6 +949,86 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fingerprint"),
         text_fn.hash60(F.col("text")).alias("fingerprint_int"),
     ).orderBy("doc_id")
+
+
+_SAMPLE_RATES = {"en": 50, "fr": 35, "de": 35, "es": 35}  # % kept per stratum
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+    SELECT doc_id, lang,
+           {text_fn.hash31_sql('text')} % 100 AS sample_bucket
+    FROM documents
+    WHERE {text_fn.hash31_sql('text')} % 100 <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+          ELSE 20 END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling for training-data curation:
+    per-language keep rates applied through a CONTENT-hash bucket (not
+    rand()), so the sample is deterministic across engines, retries, and
+    re-partitioning — a pure pushdown-able filter, zero shuffles."""
+    docs = load(spark, "documents", sf_dir)
+    bucket = text_fn.hash31(F.col("text")) % 100
+    rate = F.lit(20)
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+    ),
+    canon AS (
+      SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id
+      FROM quality GROUP BY md5(text)
+    )
+    SELECT q.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM quality q
+    JOIN canon c ON c.digest = md5(q.text) AND c.canonical_doc_id = q.doc_id
+    GROUP BY q.lang ORDER BY q.lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: token-count quality gate →
+    exact dedup (keep the canonical copy) → per-language corpus stats.
+    One digest groupBy + one broadcast join back + one tiny agg — the
+    integration shape of a real corpus pipeline, all JVM expressions."""
+    docs = load(spark, "documents", sf_dir)
+    quality = docs.withColumn(
+        "n_tokens", text_fn.token_count(F.col("text")).cast("long")
+    ).filter(F.col("n_tokens").between(20, 200))
+    canon = quality.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("canonical_doc_id")
+    )
+    kept = quality.join(
+        F.broadcast(canon),
+        (F.md5(quality.text) == canon.digest)
+        & (quality.doc_id == canon.canonical_doc_id),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
 
 
 _BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
