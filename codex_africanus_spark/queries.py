@@ -745,6 +745,7 @@ _R2_NEW = (
     "bpe_token_estimate",
     "stratified_sample_documents",
     "corpus_curation_pipeline",
+    "grid_kernel_kbsinc",
 )
 
 
@@ -1406,6 +1407,27 @@ def grid_kernel_sinc(spark: SparkSession, sf_dir: str) -> DataFrame:
     gridder's policy system."""
     return grid_op.grid_convolved(
         tpch_ms.vis_table(spark, sf_dir), kernel=_sinc_taps()
+    ).orderBy("u_cell", "v_cell")
+
+
+def _kbsinc_taps() -> list[tuple[int, float]]:
+    from codex_africanus_spark.operators import gridding_kernels as gk
+
+    return gk.taps_to_pairs(
+        gk.kaiser_bessel_sinc_kernel(3, b=2.1, oversample=1), 3
+    )
+
+
+@register("grid_kernel_kbsinc", _with_ms(grid_op.conv_grid_sql(_kbsinc_taps())))
+def grid_kernel_kbsinc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint gridding with the modified Kaiser-Bessel-sinc
+    anti-aliasing window (reference kernels.py:52-66 kbsinc; Bessel J_n
+    via quadrature since scipy is absent). The driver-side tap values
+    are shared verbatim between the Column literals and the SQL oracle,
+    so the kernel swap costs nothing in the plan — same explode, same
+    single histogram shuffle."""
+    return grid_op.grid_convolved(
+        tpch_ms.vis_table(spark, sf_dir), kernel=_kbsinc_taps()
     ).orderBy("u_cell", "v_cell")
 
 
