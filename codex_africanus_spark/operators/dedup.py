@@ -188,6 +188,45 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidate pairs: band the 16-bit fingerprint into
+    4 nibbles — by pigeonhole, any pair within Hamming distance 3 shares
+    at least one intact nibble — bucket-join on (band, nibble), then
+    verify bit_count(xor) ≤ max_hamming. Same single-shuffle LSH shape
+    as the MinHash tier; at production scale widen to a 64-bit simhash
+    with byte bands (identical plan, bigger keys)."""
+    fp = simhash_fingerprints(docs)
+    bands = [
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("bkey"),
+        )
+        for b in range(4)
+    ]
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a, bb = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, probe_modulus: int = 53) -> DataFrame:
     """Exact n-gram Jaccard similarity of probe docs (doc_id ≡ 0 mod m)
     against all docs — the verification tier for LSH candidates.
@@ -319,6 +358,30 @@ SIMHASH_SQL = f"""
   SELECT doc_id, CAST({_FPRINT} AS BIGINT) AS simhash
   FROM votes ORDER BY doc_id
 """
+
+SIMHASH_PAIRS_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id, {hash31_sql('t')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  ),
+  votes AS (SELECT doc_id, {_VOTES} FROM tok GROUP BY doc_id),
+  fp AS (SELECT doc_id, CAST({_FPRINT} AS BIGINT) AS simhash FROM votes),
+  banded AS (
+    SELECT doc_id, simhash, b.range AS band,
+           (simhash >> (4 * b.range)) & 15 AS bkey
+    FROM fp, range(4) b
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+  FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+  ORDER BY doc_a, doc_b
+"""
+
 
 NGRAM_JACCARD_SQL = f"""
   WITH {_SHINGLE_CTE},

@@ -746,6 +746,7 @@ _R2_NEW = (
     "stratified_sample_documents",
     "corpus_curation_pipeline",
     "grid_kernel_kbsinc",
+    "simhash_near_dup_pairs",
 )
 
 
@@ -792,6 +793,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded candidate near-duplicate pairs + estimated Jaccard."""
     return dedup_op.minhash_lsh_pairs(load(spark, "documents", sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@register("simhash_near_dup_pairs", dedup_op.SIMHASH_PAIRS_SQL)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs (nibble LSH + bit_count
+    verify) — completes the simhash tier with the same single-shuffle
+    bucket-join shape as the MinHash LSH."""
+    return dedup_op.simhash_near_dup_pairs(load(spark, "documents", sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register("near_dup_clusters", dedup_op.NEAR_DUP_CLUSTERS_SQL)
