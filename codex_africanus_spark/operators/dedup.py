@@ -29,6 +29,8 @@ from codex_africanus_spark.functions.text import (
     HASH_P,
     hash31,
     hash31_sql,
+    hash60,
+    hash60_sql,
     word_3gram_shingles,
     WORD_3GRAM_SQL,
 )
@@ -129,9 +131,12 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     edge-cardinality shuffles — the standard Spark CC shape. Labels are
     integers throughout: exact, no float discipline needed."""
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # materialize the edge list ONCE — without this every iteration's join
+    # re-executes the whole shingle→minhash→LSH pipeline upstream
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).persist()
+    edges.count()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
     labels.count()
     for _ in range(max_iters):
@@ -150,11 +155,15 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
             .persist()
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        nxt = new_labels.select("doc_id", "label").persist()
+        nxt.count()  # materialize BEFORE dropping the parents it derives from
         labels.unpersist()
-        labels = new_labels.select("doc_id", "label").persist()
         new_labels.unpersist()
+        labels = nxt
         if changed == 0:
             break
+    labels.count()  # materialize the converged labels before dropping edges
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (
         labels.join(F.broadcast(sizes), "label")
@@ -188,22 +197,47 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidate pairs: band the 16-bit fingerprint into
-    4 nibbles — by pigeonhole, any pair within Hamming distance 3 shares
-    at least one intact nibble — bucket-join on (band, nibble), then
-    verify bit_count(xor) ≤ max_hamming. Same single-shuffle LSH shape
-    as the MinHash tier; at production scale widen to a 64-bit simhash
-    with byte bands (identical plan, bigger keys)."""
-    fp = simhash_fingerprints(docs)
+SIMHASH_WIDE_BITS = 48  # production-width fingerprint for the pairing tier
+SIMHASH_N_BANDS = 6     # 6 bands × 8 bits; pigeonhole covers hamming ≤ 5
+
+
+def simhash_wide(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash over 60-bit token hashes — the production-width
+    fingerprint for near-dup PAIRING (the 16-bit simhash_fingerprints
+    stays as the compact per-doc signature; 16 bits over-collides once
+    the corpus outgrows ~2^8 docs)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select("doc_id", hash60(F.col("token")).alias("h"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_WIDE_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_WIDE_BITS)
+    )
+    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """SimHash near-dup candidate pairs: band the 48-bit fingerprint into
+    6 bytes — by pigeonhole, any pair within Hamming distance 5 shares at
+    least one intact byte band — bucket-join on (band, byte), then verify
+    bit_count(xor) ≤ max_hamming. Same single-shuffle LSH shape as the
+    MinHash tier; band keys are hash-derived ⇒ uniform, no skew."""
+    fp = simhash_wide(docs)
     bands = [
         fp.select(
             "doc_id",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("bkey"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bkey"),
         )
-        for b in range(4)
+        for b in range(SIMHASH_N_BANDS)
     ]
     banded = bands[0]
     for b in bands[1:]:
@@ -359,17 +393,25 @@ SIMHASH_SQL = f"""
   FROM votes ORDER BY doc_id
 """
 
+_WIDE_VOTES = ", ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(SIMHASH_WIDE_BITS)
+)
+_WIDE_FPRINT = " + ".join(
+    f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_WIDE_BITS)
+)
+
 SIMHASH_PAIRS_SQL = f"""
   WITH tok AS (
-    SELECT doc_id, {hash31_sql('t')} AS h
+    SELECT doc_id, {hash60_sql('t')} AS h
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
   ),
-  votes AS (SELECT doc_id, {_VOTES} FROM tok GROUP BY doc_id),
-  fp AS (SELECT doc_id, CAST({_FPRINT} AS BIGINT) AS simhash FROM votes),
+  votes AS (SELECT doc_id, {_WIDE_VOTES} FROM tok GROUP BY doc_id),
+  fp AS (SELECT doc_id, CAST({_WIDE_FPRINT} AS BIGINT) AS simhash FROM votes),
   banded AS (
     SELECT doc_id, simhash, b.range AS band,
-           (simhash >> (4 * b.range)) & 15 AS bkey
-    FROM fp, range(4) b
+           (simhash >> (8 * b.range)) & 255 AS bkey
+    FROM fp, range({SIMHASH_N_BANDS}) b
   ),
   pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -378,7 +420,7 @@ SIMHASH_PAIRS_SQL = f"""
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   )
   SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-  FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+  FROM pairs WHERE bit_count(xor(sa, sb)) <= 5
   ORDER BY doc_a, doc_b
 """
 
