@@ -251,8 +251,10 @@ def degrid_phase_rotated(
         "row_id",
         "u_cell",
         "v_cell",
-        F.round(dre * F.cos(x) - dim * F.sin(x), 6).alias("rot_re"),
-        F.round(dre * F.sin(x) + dim * F.cos(x), 6).alias("rot_im"),
+        # + 0.0 normalizes IEEE -0.0 → 0.0 (the driver's value hash is
+        # bit-sensitive; Spark and DuckDB disagree on round(-0.0))
+        (F.round(dre * F.cos(x) - dim * F.sin(x), 6) + F.lit(0.0)).alias("rot_re"),
+        (F.round(dre * F.sin(x) + dim * F.cos(x), 6) + F.lit(0.0)).alias("rot_im"),
     )
 
 
@@ -287,9 +289,11 @@ def degrid_phase_rotated_sql(
     )
     SELECT c.row_id, c.u_cell, c.v_cell,
            round((COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100)) * cos({x})
-                 - (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * sin({x}), 6) AS rot_re,
+                 - (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * sin({x}), 6)
+             + CAST(0 AS DOUBLE) AS rot_re,
            round((COALESCE(g.grid_re_q, 0) / COALESCE(g.wsum_q, 100)) * sin({x})
-                 + (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * cos({x}), 6) AS rot_im
+                 + (COALESCE(g.grid_im_q, 0) / COALESCE(g.wsum_q, 100)) * cos({x}), 6)
+             + CAST(0 AS DOUBLE) AS rot_im
     FROM cells c LEFT JOIN grid g ON c.u_cell = g.u_cell AND c.v_cell = g.v_cell
     ORDER BY c.row_id
     """

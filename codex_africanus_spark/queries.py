@@ -699,71 +699,78 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Queries the round-1 driver already verified green (CORRECTNESS_r01.json,
-# hash_match=true). The driver checks the first ~50 registered queries per
-# round, so registry() orders never-yet-verified queries (and the 7 whose
-# oracles were fixed after round 1) ahead of these — across rounds every
-# query then accumulates a CORRECTNESS row.
-_R1_GREEN = frozenset({
-    "union_source_catalogues", "time_index_dense_rank", "unique_times_counts",
-    "phase_delay_factor", "radec_to_lm_transform", "spectral_model_flux",
-    "gaussian_shape_envelope", "stokes_to_corr_conversion",
-    "predict_vis_point_gauss", "corrupt_vis_apply_gains",
-    "time_and_channel_average", "events_tumbling_window",
-    "exact_dedup_documents", "minhash_signatures", "minhash_lsh_near_dup_pairs",
-    "simhash_fingerprints", "ngram_jaccard_pairs", "embedding_cosine_topk",
-    "ann_lsh_bucketed_topk", "ann_ivf_topk", "embedding_near_dup_pairs",
-    "doc_token_quality", "lang_id_heuristic", "doc_fingerprints",
-    "multimodal_decode_metadata", "events_sessionize",
-    "bda_baseline_dependent_average", "correct_vis_inverse_gains",
-    "residual_vis_data_minus_model", "gp_phase_screen_corrupt",
-    "compute_and_corrupt_vis_dde", "dft_vis_to_im_adjoint",
-    "degrid_nearest_cell", "degrid_kernel_footprint", "uvw_facet_transforms",
-    "briggs_robust_weights", "estimate_cell_size", "rime_compiled_predict",
-    "rime_lm_transformer_predict", "fit_spi_components",
-    "hogbom_clean_components", "gauss_newton_phase_solve",
-    "wsclean_model_reader",
+# Queries a driver round already verified green (hash_match=true, or
+# rows-only queries with rows_match=true — union of CORRECTNESS_r01/r02).
+# The driver checks the first ~50 registered queries per round, so
+# registry() orders repaired + never-yet-verified queries ahead of these —
+# across rounds every query then accumulates a CORRECTNESS row.
+_DRIVER_GREEN = frozenset({
+    "ann_ivf_topk", "ann_lsh_bucketed_topk", "asof_freq_grid_interp",
+    "bda_baseline_dependent_average", "beam_cube_dde_sampling",
+    "bpe_token_estimate", "briggs_robust_weights", "casa_stokes_id_mapping",
+    "compute_and_corrupt_vis_dde", "corpus_curation_pipeline",
+    "corr_to_stokes_roundtrip", "correct_vis_inverse_gains",
+    "corrupt_vis_apply_gains", "degrid_kernel_footprint",
+    "degrid_nearest_cell", "dft_im_to_vis_forward", "dft_vis_to_im_adjoint",
+    "doc_fingerprints", "doc_token_quality", "embedding_cosine_topk",
+    "embedding_near_dup_pairs", "estimate_cell_size", "events_sessionize",
+    "events_tumbling_window", "exact_dedup_documents",
+    "feed_rotation_full_sandwich", "fft_dirty_image_wstack",
+    "fit_spi_components", "gauss_newton_phase_solve",
+    "gaussian_shape_envelope", "gp_exponential_squared_kernel",
+    "gp_phase_screen_corrupt", "grid_kernel_footprint", "grid_kernel_kbsinc",
+    "grid_kernel_sinc", "hogbom_clean_components", "lang_id_heuristic",
+    "lm_to_radec_inverse", "merge_flags_row_chan",
+    "minhash_lsh_near_dup_pairs", "minhash_signatures",
+    "multimodal_decode_metadata", "multimodal_frame_sample",
+    "near_dup_clusters", "ngram_jaccard_pairs",
+    "parallactic_angles_geometric", "parts_never_returned_anti",
+    "phase_delay_factor", "predict_full_corr_2x2", "predict_vis_point_gauss",
+    "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority_exists", "q5_region_revenue", "q6_forecast_revenue",
+    "radec_to_lm_transform", "residual_vis_data_minus_model",
+    "rime2x2_compiled_predict", "rime2x2_feed_rotation_predict",
+    "rime_compiled_predict", "rime_lm_transformer_predict",
+    "salted_skew_safe_aggregate", "shapelet_basis_eval",
+    "simhash_fingerprints", "simhash_near_dup_pairs", "spectral_model_flux",
+    "stokes_convert_partial_schema", "stokes_to_corr_conversion",
+    "stratified_sample_documents", "tigger_model_predict",
+    "tigger_model_reader", "time_and_channel_average",
+    "time_bin_sequential_exact", "time_index_dense_rank",
+    "topk_parts_by_revenue", "transform_sources_rotation",
+    "union_source_catalogues", "unique_times_counts", "uv_grid_histogram",
+    "uvw_facet_transforms", "wsclean_model_reader",
+    "wsclean_polynomial_spectra", "wsclean_predict_end_to_end",
+    "zernike_dde_sampling",
 })
 
-# Round-1 hash failures whose oracles were repaired (HUGEINT outer cast) —
+# Round-2 failures repaired this round (events ts→TIMESTAMP_NTZ reader fix;
+# -0.0 normalization in feed_rotation_jones / degrid_policy_phase_rotate) —
 # re-verify these before anything else.
-_R1_FIXED = (
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "topk_parts_by_revenue", "uv_grid_histogram", "grid_kernel_footprint",
-    "grid_kernel_sinc",
+_R2_FIXED = (
+    "events_sliding_window", "spline_smooth_user_series",
+    "events_rollup_grouping_sets", "distinct_user_counts",
+    "events_sessionize_relational", "events_sessionize_salted",
+    "degrid_policy_phase_rotate", "feed_rotation_jones",
 )
 
-# New operators added in round 2 — also ahead of the window.
-_R2_NEW = (
-    "tigger_model_reader",
-    "tigger_model_predict",
-    "fft_dirty_image_wstack",
-    "parallactic_angles_geometric",
-    "degrid_policy_phase_rotate",
-    "near_dup_clusters",
-    "events_sliding_window",
-    "bpe_token_estimate",
-    "stratified_sample_documents",
-    "corpus_curation_pipeline",
-    "grid_kernel_kbsinc",
-    "simhash_near_dup_pairs",
-)
+# New operators added in round 3 — fill the remaining verification slots.
+_R3_NEW: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, QueryDef]:
     """Full query registry, ordered for the driver's bounded verification
-    window: repaired round-1 failures and this round's new operators
-    first, then driver-unverified queries in registration order, then
-    the round-1-green remainder."""
-    head = {
-        n: REGISTRY[n] for n in (*_R1_FIXED, *_R2_NEW) if n in REGISTRY
-    }
+    window: repaired round-2 failures first, then driver-unverified
+    queries in registration order, then this round's new operators, then
+    the driver-green remainder."""
+    head = {n: REGISTRY[n] for n in _R2_FIXED if n in REGISTRY}
+    new = {n: REGISTRY[n] for n in _R3_NEW if n in REGISTRY}
     fresh = {
         n: qd for n, qd in REGISTRY.items()
-        if n not in _R1_GREEN and n not in head
+        if n not in _DRIVER_GREEN and n not in head and n not in new
     }
-    green = {n: qd for n, qd in REGISTRY.items() if n in _R1_GREEN}
-    return {**head, **fresh, **green}
+    green = {n: qd for n, qd in REGISTRY.items() if n in _DRIVER_GREEN}
+    return {**head, **fresh, **new, **green}
 
 
 # ===========================================================================
@@ -1857,10 +1864,10 @@ _FEED_ROT_ORACLE = _with_ms(
       FROM (SELECT DISTINCT time FROM vis) t, range(7) a
     )
     SELECT time, CAST(antenna AS INT) AS antenna,
-           round(cos(pa), 9)  AS fr_xx_re,
-           round(sin(pa), 9)  AS fr_xy_re,
-           round(-sin(pa), 9) AS fr_yx_re,
-           round(cos(pa), 9)  AS fr_yy_re
+           round(cos(pa), 9) + CAST(0 AS DOUBLE)  AS fr_xx_re,
+           round(sin(pa), 9) + CAST(0 AS DOUBLE)  AS fr_xy_re,
+           round(-sin(pa), 9) + CAST(0 AS DOUBLE) AS fr_yx_re,
+           round(cos(pa), 9) + CAST(0 AS DOUBLE)  AS fr_yy_re
     FROM pa ORDER BY time, antenna
     """
 )
@@ -1874,13 +1881,14 @@ def feed_rotation_jones(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = tpch_ms.vis_table(spark, sf_dir)
     pa = feeds_fn.parallactic_angle_table(vis, n_ant=7)
     jones = feeds_fn.feed_rotation(F.col("pa"), "linear")
+    # + 0.0 normalizes IEEE -0.0 → 0.0 on both engines (bit-sensitive hash)
     return pa.select(
         "time",
         "antenna",
-        F.round(jones.xx.re, 9).alias("fr_xx_re"),
-        F.round(jones.xy.re, 9).alias("fr_xy_re"),
-        F.round(jones.yx.re, 9).alias("fr_yx_re"),
-        F.round(jones.yy.re, 9).alias("fr_yy_re"),
+        (F.round(jones.xx.re, 9) + F.lit(0.0)).alias("fr_xx_re"),
+        (F.round(jones.xy.re, 9) + F.lit(0.0)).alias("fr_xy_re"),
+        (F.round(jones.yx.re, 9) + F.lit(0.0)).alias("fr_yx_re"),
+        (F.round(jones.yy.re, 9) + F.lit(0.0)).alias("fr_yy_re"),
     ).orderBy("time", "antenna")
 
 

@@ -18,7 +18,7 @@ it fuses into the parquet scan under whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codex_africanus_spark.sources.tables import load
@@ -266,14 +266,29 @@ def dde_gains_sql(time_bins_cte: str, dirs_cte: str) -> str:
 # events-as-stream table (timestamps as exact integer microseconds)
 # --------------------------------------------------------------------------
 
+def events_ts_us(ev: DataFrame) -> Column:
+    """Exact integer epoch-µs from whatever physical type `ts` landed as:
+    TIMESTAMP(MICROS) parquet reads as timestamp_ntz (or timestamp when NTZ
+    inference is off — internally UTC µs either way), legacy TIMESTAMP(NANOS)
+    reads as nanos-as-long. All three give the same integer grid DuckDB's
+    epoch_us(ts) produces, with no session-timezone dependence."""
+    t = dict(ev.dtypes).get("ts")
+    if t == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    if t == "timestamp":
+        return F.unix_micros(F.col("ts"))
+    return F.expr("ts DIV 1000")  # nanos-as-long legacy read
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as exact integer epoch-microseconds (the parquet is
-    TIMESTAMP(NANOS); Spark reads nanos-as-long, DuckDB truncates to µs —
-    µs is the common exact grid)."""
+    """events with ts as exact integer epoch-microseconds — the common
+    exact grid between Spark and the DuckDB oracle (see events_ts_us)."""
     ev = load(spark, "events", sf_dir)
     return ev.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),  # exact integer µs (ns DIV 1000)
+        events_ts_us(ev).alias("ts_us"),
         "user_id",
         "event_type",
         "value",

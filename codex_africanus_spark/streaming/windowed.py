@@ -36,13 +36,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file source requires a directory; glob-filter to the one table
-    return (
-        spark.readStream.schema(batch_schema)
+    stream = (
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    from codex_africanus_spark.sources.tpch_ms import events_ts_us
+
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(events_ts_us(stream))
     )
 
 

@@ -3,6 +3,7 @@ at sf0.001, compare row counts, column names, and values (order-insensitive,
 exact) — a local rehearsal of the driver's CORRECTNESS gate."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -61,3 +62,15 @@ def test_query_matches_oracle(spark, sf_dir, name, qd):
         f"{ {c: (kinds_l[c], kinds_r[c]) for c in kinds_l if kinds_l[c] != kinds_r[c]} }"
     )
     pd.testing.assert_frame_equal(left, right, check_dtype=False, rtol=0, atol=0)
+    # Bit-exact float check: the driver's value hash is bit-sensitive, so
+    # -0.0 vs 0.0 (e.g. Spark round(-0.0) → 0.0, DuckDB → -0.0) fails there
+    # even though == comparison passes. Mirror that strictness here.
+    for c in left.columns:
+        if left[c].dtype.kind == "f" and right[c].dtype.kind == "f":
+            lb = left[c].to_numpy().view(np.int64)
+            rb = right[c].to_numpy().view(np.int64)
+            bad = int((lb != rb).sum())
+            assert bad == 0, (
+                f"{name}.{c}: {bad} bit-level float mismatches "
+                "(likely -0.0 vs 0.0 — normalize with + 0.0 on both sides)"
+            )
