@@ -1,0 +1,343 @@
+"""Corpus-curation operators for 100 TB training-data pipelines.
+
+Four additions to the dedup ladder in operators/dedup.py, each shaped for
+a 1000-executor cluster:
+
+1. **Chunk-level corpus dedup** (C4/RefinedWeb-style): split every document
+   into fixed-size word chunks, drop every chunk whose exact content
+   appeared earlier in the corpus (first occurrence by (doc_id, chunk_idx)
+   wins), and reassemble the surviving text per document. One shuffle keyed
+   by chunk digest (uniform — it's a hash), one shuffle back by doc_id.
+2. **Repetition quality flags** (Gopher-style): per-document duplicate-word
+   fraction, top-word fraction, and top-bigram fraction — the cheap
+   "is this page boilerplate/spam" signals. Pure explode + two
+   partial-aggregated shuffles at word/bigram cardinality.
+3. **Keep-best-per-cluster**: the final step of near-dup dedup — from each
+   MinHash-LSH connected component keep the single highest-quality member
+   (longest text, ties to lowest doc_id). Reuses the cluster operator;
+   adds one doc-cardinality argmax shuffle.
+4. **Eval-set decontamination**: flag corpus documents that contain too
+   much of any held-out eval document, by word-3-gram shingle containment.
+   The eval side is tiny by construction → broadcast; the corpus side is
+   one distinct-shingle aggregation. No O(n²) pair explosion.
+
+All tiers are engine-portable integer/md5 expressions → every operator is
+exactly DuckDB-oracle-checkable; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.functions.text import hash31, hash31_sql
+from codex_africanus_spark.operators import dedup as dedup_op
+
+CHUNK_WORDS = 10
+
+
+# --------------------------------------------------------------------------
+# 1. chunk-level exact dedup across the corpus
+# --------------------------------------------------------------------------
+
+def _chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): consecutive CHUNK_WORDS-word spans.
+    The last chunk may be short; empty docs produce zero chunks."""
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {CHUNK_WORDS}.0) "
+        f"AS INT) - 1), i -> concat_ws(' ', slice(split(text, ' '), "
+        f"i * {CHUNK_WORDS} + 1, {CHUNK_WORDS})))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def chunk_dedup(docs: DataFrame) -> DataFrame:
+    """C4-style chunk-level corpus dedup: per doc, the number of chunks
+    kept/dropped and the md5 of the deduplicated reassembled text.
+
+    First-occurrence-wins is a row_number over (chunk digest) ordered by
+    (doc_id, chunk_idx): one shuffle keyed by the digest (uniform), then
+    one shuffle by doc_id to reassemble — the same two-shuffle shape at
+    any corpus size. All docs survive in the output (a fully-duplicated
+    doc keeps 0 chunks and reassembles to the empty string).
+    """
+    ch = _chunk_frame(docs)
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+            )
+        ).alias("dedup_digest"),
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("dedup_digest"), F.md5(F.lit(""))).alias("dedup_digest"),
+        )
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+  WITH chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(w[i * {CHUNK_WORDS} + 1 : (i + 1) * {CHUNK_WORDS}], ' ') AS chunk
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         UNNEST(range(0, CAST(ceil(len(w) / {CHUNK_WORDS}.0) AS BIGINT))) AS t(i)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+                                 ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ),
+  kept AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS dedup_digest
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+  ),
+  totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+  SELECT d.doc_id,
+         COALESCE(t.n_chunks, 0) AS n_chunks,
+         COALESCE(k.n_kept, 0) AS n_kept,
+         COALESCE(k.dedup_digest, md5('')) AS dedup_digest
+  FROM documents d
+  LEFT JOIN totals t USING (doc_id)
+  LEFT JOIN kept k USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Gopher-style repetition quality flags
+# --------------------------------------------------------------------------
+
+def repetition_flags(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals: duplicate-word fraction,
+    top-word fraction, top-bigram fraction (each round 6).
+
+    Two explode pipelines (words, adjacent bigrams), each one
+    partial-aggregated groupBy at (doc, term) then (doc) cardinality —
+    map-side combine keeps the shuffles at distinct-term size."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    wstats = (
+        words.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round((F.col("n_words") - F.col("n_unique")) / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_bc") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+REPETITION_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  wc AS (SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY doc_id, t),
+  wstats AS (
+    SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_unique, MAX(c) AS top_c
+    FROM wc GROUP BY doc_id
+  ),
+  bigrams AS (
+    SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS b
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         UNNEST(range(1, len(w))) AS t(i)
+  ),
+  bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b),
+  bstats AS (
+    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bc GROUP BY doc_id
+  )
+  SELECT w.doc_id,
+         CAST(w.n_words AS BIGINT) AS n_words,
+         round((w.n_words - w.n_unique) / CAST(w.n_words AS DOUBLE), 6) AS dup_word_frac,
+         round(w.top_c / CAST(w.n_words AS DOUBLE), 6) AS top_word_frac,
+         round(COALESCE(b.top_bc / CAST(b.n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac
+  FROM wstats w LEFT JOIN bstats b USING (doc_id)
+  ORDER BY w.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. keep-best-per-cluster (near-dup dedup final step)
+# --------------------------------------------------------------------------
+
+def keep_best_per_cluster(docs: DataFrame) -> DataFrame:
+    """From each MinHash-LSH near-dup cluster keep the best document
+    (max n_chars, ties → min doc_id): (cluster_id, cluster_size,
+    best_doc_id, best_n_chars, n_dropped).
+
+    The cluster assignment is the iterative label-propagation operator
+    (dedup.near_dup_clusters); the argmax is one groupBy at cluster
+    cardinality via max(struct) — no window, no second pass."""
+    clusters = dedup_op.near_dup_clusters(docs)
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = joined.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size"),
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))).alias("b"),
+    )
+    return best.select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("b.neg_id")).alias("best_doc_id"),
+        F.col("b.n_chars").alias("best_n_chars"),
+        (F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+
+
+# The cluster CTE chain is dedup.NEAR_DUP_CLUSTERS_SQL's recursive
+# connected-components; strip its trailing SELECT and extend with the argmax.
+KEEP_BEST_SQL = f"""
+  WITH RECURSIVE {dedup_op._SHINGLE_CTE},
+  sigs AS ({dedup_op._sig_select()}),
+  banded AS ({dedup_op._BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT rr.doc, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+  ),
+  cc AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+  sized AS (
+    SELECT c.doc_id, c.cluster_id, s.cluster_size, d.n_chars
+    FROM cc c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) s
+      USING (cluster_id)
+    JOIN documents d USING (doc_id)
+  )
+  SELECT cluster_id, cluster_size,
+         doc_id AS best_doc_id, n_chars AS best_n_chars,
+         cluster_size - 1 AS n_dropped
+  FROM sized
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) = 1
+  ORDER BY cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. eval-set decontamination by shingle containment
+# --------------------------------------------------------------------------
+
+EVAL_MODULUS = 50  # doc_id % 50 == 0 plays the held-out eval set
+CONTAIN_TAU = 0.05
+
+
+def eval_decontamination(docs: DataFrame) -> DataFrame:
+    """Flag (corpus doc, eval doc) pairs whose word-3-gram shingle
+    containment |sh(doc) ∩ sh(eval)| / |sh(doc)| ≥ τ — the standard
+    test-set-decontamination sweep before training.
+
+    The eval set (here doc_id % {EVAL_MODULUS} == 0) is tiny relative to
+    the corpus → its distinct-shingle frame broadcasts; the corpus side
+    is one distinct + one broadcast-join + one (doc, eval_doc) count —
+    no pairwise corpus×corpus work at any scale."""
+    sh = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2), "
+                    "j -> concat_ws(' ', slice(split(text, ' '), j, 3)))"
+                )
+            ).alias("sh"),
+        )
+        .select("doc_id", hash31(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MODULUS == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+    )
+    corpus = sh.filter(F.col("doc_id") % EVAL_MODULUS != 0)
+    doc_sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        corpus.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(doc_sizes, "doc_id")
+        .withColumn("containment", F.round(F.col("n_overlap") / F.col("n_sh"), 6))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select("doc_id", "eval_doc_id", "n_overlap", "containment")
+    )
+
+
+DECONTAM_SQL = f"""
+  WITH sh AS (
+    SELECT DISTINCT doc_id, {hash31_sql('sh')} AS h
+    FROM (
+      SELECT doc_id,
+             unnest([concat_ws(' ', w[j], w[j+1], w[j+2])
+                     for j in generate_series(1, len(w) - 2)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3)
+    )
+  ),
+  ev AS (SELECT doc_id AS eval_doc_id, h FROM sh WHERE doc_id % {EVAL_MODULUS} = 0),
+  corpus AS (SELECT * FROM sh WHERE doc_id % {EVAL_MODULUS} != 0),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+  overlap AS (
+    SELECT c.doc_id, e.eval_doc_id, COUNT(*) AS n_overlap
+    FROM corpus c JOIN ev e USING (h)
+    GROUP BY c.doc_id, e.eval_doc_id
+  )
+  SELECT o.doc_id, o.eval_doc_id, o.n_overlap,
+         round(o.n_overlap / CAST(s.n_sh AS DOUBLE), 6) AS containment
+  FROM overlap o JOIN sizes s USING (doc_id)
+  WHERE round(o.n_overlap / CAST(s.n_sh AS DOUBLE), 6) >= {CONTAIN_TAU}
+  ORDER BY o.doc_id, o.eval_doc_id
+"""

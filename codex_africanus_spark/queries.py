@@ -755,7 +755,11 @@ _R2_FIXED = (
 )
 
 # New operators added in round 3 — fill the remaining verification slots.
-_R3_NEW: tuple[str, ...] = ()
+_R3_NEW: tuple[str, ...] = (
+    "chunk_dedup_corpus", "repetition_quality_flags",
+    "dedup_keep_best_quality", "eval_decontamination",
+    "events_asof_prior_join", "ms_sink_roundtrip",
+)
 
 
 def registry() -> dict[str, QueryDef]:
@@ -4769,4 +4773,140 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("totacctbal_c"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ===========================================================================
+# Round 3: corpus curation (chunk dedup, repetition flags, keep-best,
+# decontamination), events as-of join, MS sink round-trip
+# ===========================================================================
+
+from codex_africanus_spark.operators import curation as cur_op  # noqa: E402
+from codex_africanus_spark.sources import sink as sink_mod  # noqa: E402
+
+
+@register("chunk_dedup_corpus", cur_op.CHUNK_DEDUP_SQL)
+def chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-level exact dedup across the corpus: 10-word chunks,
+    first occurrence wins, per-doc kept counts + md5 of the reassembled
+    deduplicated text (operators/curation.py — two uniform-key shuffles,
+    no pairwise work)."""
+    return cur_op.chunk_dedup(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("repetition_quality_flags", cur_op.REPETITION_SQL)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals: duplicate-word
+    fraction, top-word fraction, top-bigram fraction — the cheap
+    boilerplate/spam filters of a web-scale curation pipeline."""
+    return cur_op.repetition_flags(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("dedup_keep_best_quality", cur_op.KEEP_BEST_SQL)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup final step: per MinHash-LSH cluster keep the longest
+    document (ties → lowest doc_id) via one max(struct) argmax groupBy on
+    top of the label-propagation cluster operator."""
+    return cur_op.keep_best_per_cluster(load(spark, "documents", sf_dir)).orderBy(
+        "cluster_id"
+    )
+
+
+@register("eval_decontamination", cur_op.DECONTAM_SQL)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination sweep: flag corpus docs whose word-3-gram
+    shingle containment against any held-out eval doc (doc_id % 50 == 0)
+    reaches τ — broadcast eval shingles, no corpus×corpus pairs."""
+    return cur_op.eval_decontamination(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id", "eval_doc_id"
+    )
+
+
+@register(
+    "events_asof_prior_join",
+    _with_ms(
+        """
+        SELECT event_id, user_id, ts_us,
+               COALESCE(prior_view_ts, -1) AS prior_view_ts,
+               COALESCE(ts_us - prior_view_ts, -1) AS gap_us
+        FROM (
+          SELECT event_id, user_id, ts_us, event_type,
+                 MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prior_view_ts
+          FROM ev
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
+        """
+    ),
+)
+def events_asof_prior_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the event stream: each purchase picks up the most
+    recent strictly-earlier 'view' timestamp of the same user.
+
+    The scalable as-of shape: both sides live in ONE partition-by-user
+    window pass (RANGE to the previous value — deterministic under
+    timestamp ties), instead of a per-row subquery or a sort-merge
+    band join. One shuffle keyed by user_id; -1 marks no-prior-view."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_ts", prior)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(F.col("prior_view_ts"), F.lit(-1)).alias("prior_view_ts"),
+            F.coalesce(
+                F.col("ts_us") - F.col("prior_view_ts"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_SINK_ROUNDTRIP_ORACLE = f"""
+  SELECT antenna1,
+         COUNT(*) AS n_bins,
+         CAST(SUM(nsamples) AS BIGINT) AS total_samples,
+         CAST(SUM(CAST(ROUND(weight_sum * 100) AS BIGINT)) AS BIGINT) AS weight_c2
+  FROM ({_AVG_ORACLE}) GROUP BY antenna1 ORDER BY antenna1
+"""
+
+
+@register("ms_sink_roundtrip", _SINK_ROUNDTRIP_ORACLE)
+def ms_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS write-back sink round-trip (reference xds_to_table,
+    examples/predict.py:576-586): the averaged main table is written to
+    partitioned parquet via sources/sink.write_model_data (partitioned by
+    antenna1, sorted within partitions by time_bin — the layout downstream
+    scans prune on), read back through a fresh scan, and re-aggregated.
+    Matching the direct-path oracle proves the sink preserves values,
+    schema, and row multiplicity through the partition layout."""
+    import tempfile
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    avg = avg_op.time_and_channel(vis, 604800.0, 2)
+    path = tempfile.mkdtemp(prefix="cas_sink_roundtrip_") + "/avg"
+    sink_mod.write_model_data(
+        avg, path, partition_by=["antenna1"], sort_within=["time_bin"]
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("antenna1").cast("int").alias("antenna1"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("nsamples").alias("total_samples"),
+            F.sum(F.round(F.col("weight_sum") * 100).cast("long")).alias("weight_c2"),
+        )
+        .orderBy("antenna1")
     )
