@@ -290,7 +290,7 @@ def time_index_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return vis.select("row_id", "time").join(F.broadcast(unique_times), "time").select(
         "row_id", "time", "time_index"
-    ).orderBy("row_id")
+    )
 
 
 @register(
@@ -492,7 +492,9 @@ def predict_vis_point_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict.py:566-649 + examples/predict.py:475-526)."""
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
-    return predict_op.predict_point_vis(vis, src).orderBy("row_id")
+    # no output sort: the correctness compare is order-insensitive, and a
+    # global sort of a fact-sized result is exactly what dies at 100 TB
+    return predict_op.predict_point_vis(vis, src)
 
 
 _CORRUPT_ORACLE = _with_ms(
@@ -530,7 +532,7 @@ def corrupt_vis_apply_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
     gains = tpch_ms.gains_table(spark)
     model = predict_op.predict_point_vis(vis, src, with_shape=False)
-    return predict_op.apply_gains(model, gains).orderBy("row_id")
+    return predict_op.apply_gains(model, gains)
 
 
 # ===========================================================================
@@ -580,9 +582,7 @@ def time_and_channel_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference time_and_channel_avg.py:764-860; two-tier flag semantics
     of time_and_channel_mapping.py:80-87)."""
     vis = tpch_ms.vis_table(spark, sf_dir)
-    return avg_op.time_and_channel(vis, 604800.0, 2).orderBy(
-        "antenna1", "antenna2", "time_bin", "chan_bin"
-    )
+    return avg_op.time_and_channel(vis, 604800.0, 2)
 
 
 # ===========================================================================
@@ -1230,7 +1230,7 @@ def correct_vis_inverse_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains = tpch_ms.gains_table(spark)
     model = predict_op.predict_point_vis(vis, src, with_shape=False)
     corrupted = predict_op.apply_gains(model, gains)
-    return cal_op.correct_vis(corrupted, gains).orderBy("row_id")
+    return cal_op.correct_vis(corrupted, gains)
 
 
 _RESIDUAL_ORACLE = _with_ms(
@@ -1268,7 +1268,7 @@ def residual_vis_data_minus_model(spark: SparkSession, sf_dir: str) -> DataFrame
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_type") == "POINT")
     model = predict_op.predict_point_vis(vis, src, with_shape=False)
-    return cal_op.residual_vis(vis, model).orderBy("row_id")
+    return cal_op.residual_vis(vis, model)
 
 
 def _screen_oracle() -> str:
@@ -1312,7 +1312,7 @@ def gp_phase_screen_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id", "antenna1", "antenna2", "chan",
         F.round(F.col("vis_re") * F.cos(d) - F.col("vis_im") * F.sin(d), 6).alias("scr_re"),
         F.round(F.col("vis_re") * F.sin(d) + F.col("vis_im") * F.cos(d), 6).alias("scr_im"),
-    ).orderBy("row_id", "antenna1", "antenna2", "chan")
+    )
 
 
 _CC_ORACLE = _with_ms(
@@ -1375,9 +1375,7 @@ def compute_and_corrupt_vis_dde(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins identically (gains for absent bins simply never match).
     time_bins = dense_or_distinct_bins(vis, "time_bin")
     gains = tpch_ms.dde_gains_table(spark, time_bins, dirs)
-    return cal_op.compute_and_corrupt_vis(vis, dirs, gains).orderBy(
-        "row_id", "antenna1", "antenna2", "time_bin", "chan"
-    )
+    return cal_op.compute_and_corrupt_vis(vis, dirs, gains)
 
 
 @register("dft_vis_to_im_adjoint", _with_ms(dft_op.VIS_TO_IM_SQL))
@@ -1393,7 +1391,7 @@ def dft_vis_to_im_adjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def degrid_nearest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degridding: gather dual of the histogram gridder (reference
     degridder.py:78-176) — broadcast grid joined back onto rows."""
-    return grid_op.degrid(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+    return grid_op.degrid(tpch_ms.vis_table(spark, sf_dir))
 
 
 @register("grid_kernel_footprint", _with_ms(grid_op.CONV_GRID_SQL))
@@ -1411,7 +1409,7 @@ def degrid_kernel_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel-footprint degridding — the gather dual: each row samples
     its 3×3 footprint from the broadcast convolved grid and recombines
     taps with the separable weights (reference degridder.py:78-176)."""
-    return grid_op.degrid_convolved(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+    return grid_op.degrid_convolved(tpch_ms.vis_table(spark, sf_dir))
 
 
 def _sinc_taps() -> list[tuple[int, float]]:
@@ -1501,7 +1499,7 @@ def uvw_facet_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
 def briggs_robust_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Briggs/robust imaging weights — two-pass cell-density reweighting."""
-    return grid_op.briggs_weights(tpch_ms.vis_table(spark, sf_dir)).orderBy("row_id")
+    return grid_op.briggs_weights(tpch_ms.vis_table(spark, sf_dir))
 
 
 @register("estimate_cell_size", _with_ms(grid_op.ESTIMATE_CELL_SQL))
@@ -1542,7 +1540,7 @@ def rime_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tpch_ms.source_table(spark, sf_dir)
     return rime_plan.rime(
         "(Kpq, Bpq, Epq): [I,Q,U,V] -> [XX,XY,YX,YY]", vis, src
-    ).orderBy("row_id")
+    )
 
 
 def _lmt_oracle() -> str:
@@ -1595,7 +1593,7 @@ def rime_lm_transformer_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ra0", F.lit(0.0))
         .withColumn("dec0", F.lit(-17) / F.lit(25.0))
     )
-    return rime_plan.rime("(Kpq, Bpq)", vis, src).orderBy("row_id")
+    return rime_plan.rime("(Kpq, Bpq)", vis, src)
 
 
 @register(
@@ -1976,9 +1974,7 @@ def degrid_policy_phase_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     perleypolyhedron/policies/phase_transform_policies.py:10-36) — the
     delta-lmn literals constant-fold, so the policy costs nothing beyond
     the broadcast degrid join."""
-    return grid_op.degrid_phase_rotated(tpch_ms.vis_table(spark, sf_dir)).orderBy(
-        "row_id"
-    )
+    return grid_op.degrid_phase_rotated(tpch_ms.vis_table(spark, sf_dir))
 
 
 def _beam_cube_oracle() -> str:
@@ -2916,7 +2912,7 @@ def merge_flags_row_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antenna2",
         ((F.col("any_flag_row") == 1) | (F.col("all_chan_flagged") == 1)).alias("merged_flag_row"),
         (F.col("all_chan_flagged") == 1).alias("derived_from_chans"),
-    ).orderBy("row_id", "antenna1", "antenna2")
+    )
 
 
 _FULL_CORR_ORACLE = _with_ms(
@@ -2966,7 +2962,7 @@ def predict_full_corr_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
     gains = tpch_ms.gains_table(spark)
-    return predict_op.predict_full_corr(vis, src, gains).orderBy("row_id")
+    return predict_op.predict_full_corr(vis, src, gains)
 
 
 def _pa_sql(ant: str) -> str:
@@ -3056,7 +3052,7 @@ def feed_rotation_full_sandwich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(out.xy.re, 6).alias("rxy_re"), F.round(out.xy.im, 6).alias("rxy_im"),
         F.round(out.yx.re, 6).alias("ryx_re"), F.round(out.yx.im, 6).alias("ryx_im"),
         F.round(out.yy.re, 6).alias("ryy_re"), F.round(out.yy.im, 6).alias("ryy_im"),
-    ).orderBy("row_id")
+    )
 
 
 @register("rime2x2_compiled_predict", _FULL_CORR_ORACLE)
@@ -3071,7 +3067,7 @@ def rime2x2_compiled_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains = tpch_ms.gains_table(spark)
     return rime_plan.rime2x2(
         "(Kpq, Bpq, Gpq): [I,Q,U,V] -> [XX,XY,YX,YY]", vis, src, gains
-    ).orderBy("row_id")
+    )
 
 
 @register("rime2x2_feed_rotation_predict", _FEED_SANDWICH_ORACLE)
@@ -3089,7 +3085,7 @@ def rime2x2_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "row_id", "antenna1", "antenna2", "chan",
         *[F.col(old).alias(new) for old, new in renames.items()],
-    ).orderBy("row_id")
+    )
 
 
 @register(
@@ -3452,7 +3448,7 @@ def rime_shapelet_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in whole-stage codegen and remains exactly oracle-able."""
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
-    return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src).orderBy("row_id")
+    return rime_plan.rime("(Kpq, Bpq, Sp)", vis, src)
 
 
 # Orders 6x4 — beyond the expression path's 0..3 limit (ROADMAP #4:
@@ -3674,7 +3670,7 @@ def rime_feed_rotation_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     q side conjugated), still pure codegen and exactly oracled."""
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
-    return rime_plan.rime("(Kpq, Bpq, Lpq)", vis, src).orderBy("row_id")
+    return rime_plan.rime("(Kpq, Bpq, Lpq)", vis, src)
 
 
 @register(
