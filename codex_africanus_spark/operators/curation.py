@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.functions.text import hash31, hash31_sql
 from codex_africanus_spark.operators import dedup as dedup_op
+from codex_africanus_spark.sources.tables import fan_out
 
 CHUNK_WORDS = 10
 
@@ -63,7 +64,7 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
     any corpus size. All docs survive in the output (a fully-duplicated
     doc keeps 0 chunks and reassembles to the empty string).
     """
-    ch = _chunk_frame(docs)
+    ch = _chunk_frame(fan_out(docs))
     w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "chunk_idx")
     ranked = ch.withColumn("rn", F.row_number().over(w))
     kept = ranked.filter(F.col("rn") == 1)
@@ -130,6 +131,7 @@ def repetition_flags(docs: DataFrame) -> DataFrame:
     Two explode pipelines (words, adjacent bigrams), each one
     partial-aggregated groupBy at (doc, term) then (doc) cardinality —
     map-side combine keeps the shuffles at distinct-term size."""
+    docs = fan_out(docs)
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     )
@@ -284,7 +286,7 @@ def eval_decontamination(docs: DataFrame) -> DataFrame:
     is one distinct + one broadcast-join + one (doc, eval_doc) count —
     no pairwise corpus×corpus work at any scale."""
     sh = (
-        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3)
         .select(
             "doc_id",
             F.explode(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from codex_africanus_spark.sources.tables import fan_out
 from codex_africanus_spark.functions.text import (
     HASH_P,
     hash31,
@@ -60,35 +61,49 @@ def _shingle_frame(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """k=8 permutation MinHash signature per document: one groupBy with
-    k min-aggregations (no pivot, no UDF)."""
-    sh = _shingle_frame(docs)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"sig_{i}")
+    """k=8 permutation MinHash signature per document.
+
+    MinHash is per-document state, so it is computed as a PURE PROJECTION:
+    hash the shingle array once into an intermediate column, then each
+    signature is an array_min over a transform — zero shuffles, the
+    whole thing rides the scan. (The earlier explode + groupBy form paid
+    a doc-cardinality shuffle for what is row-local arithmetic.)"""
+    eligible = fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    hashed = eligible.select(
+        "doc_id", F.transform(word_3gram_shingles("text"), hash31).alias("hs")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *sig_cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (bands of 2 signature rows):
     docs sharing any band key are candidates; estimated Jaccard = fraction
-    of matching signature components."""
+    of matching signature components.
+
+    The banded frame is one posexplode over an array of band keys (not a
+    4-way union, which re-executed the signature pipeline per band), and
+    the self-join's two sides are identical subtrees shuffled on the same
+    (band, band_key) key, so Spark's ReuseExchange computes the banded
+    frame once. Net: the first and only fact-scale work before the
+    candidate join is the parquet scan itself."""
     sigs = minhash_signatures(docs)
-    bands = []
-    for band in range(N_BANDS):
-        i, j = 2 * band, 2 * band + 1
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.concat_ws("_", F.col(f"sig_{i}"), F.col(f"sig_{j}")).alias("band_key"),
-                *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -179,17 +194,31 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """16-bit SimHash: per token-hash bit position, vote +1/−1 weighted by
-    presence; fingerprint bit b = 1 iff the vote is positive."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).select("doc_id", hash31(F.col("token")).alias("h"))
+    presence; fingerprint bit b = 1 iff the vote is positive.
+
+    Like MinHash, SimHash is per-document state → pure projection: hash
+    the token array once, then each bit's vote is 2·count(bit set) − n
+    over the array. No explode, no shuffle (fan_out is a testdata-only
+    split of the unsplittable single-row-group scan)."""
+    hashed = fan_out(docs).select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), hash31).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
     votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        (
+            F.lit(2)
+            * F.size(
+                F.filter(
+                    F.col("hs"),
+                    lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            - n
         ).alias(f"v_{b}")
         for b in range(SIMHASH_BITS)
     ]
-    per_doc = tok.groupBy("doc_id").agg(*votes)
+    per_doc = hashed.select("doc_id", *votes)
     fingerprint = sum(
         F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         for b in range(SIMHASH_BITS)
@@ -205,8 +234,11 @@ def simhash_wide(docs: DataFrame) -> DataFrame:
     """48-bit SimHash over 60-bit token hashes — the production-width
     fingerprint for near-dup PAIRING (the 16-bit simhash_fingerprints
     stays as the compact per-doc signature; 16 bits over-collides once
-    the corpus outgrows ~2^8 docs)."""
-    tok = docs.select(
+    the corpus outgrows ~2^8 docs). This wide tier keeps explode +
+    partial-aggregated groupBy: at 48 bits the per-row array-HOF form
+    re-walks the token array 48×, measurably slower than one pass with
+    48 map-side sum counters."""
+    tok = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).select("doc_id", hash60(F.col("token")).alias("h"))
     votes = [
