@@ -343,3 +343,154 @@ DECONTAM_SQL = f"""
   WHERE round(o.n_overlap / CAST(s.n_sh AS DOUBLE), 6) >= {CONTAIN_TAU}
   ORDER BY o.doc_id, o.eval_doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# 5. TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """Top-k TF-IDF terms per document (score = tf · ln(N/df), ties → term
+    asc): the classic keyword-extraction / feature-weighting primitive.
+
+    Shuffle shape: (doc, term) count agg, term-level df agg (vocab-sized →
+    broadcast back), then one window at doc cardinality for the top-k.
+    The corpus-size scalar N rides a 1-row broadcast cross join."""
+    docs = fan_out(docs)
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("t"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term_rank", F.col("t").alias("term"), "tfidf")
+    )
+
+
+TFIDF_SQL = f"""
+  WITH tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY doc_id, t
+  ),
+  df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+  n AS (SELECT COUNT(*) AS n_docs FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.t,
+           round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df USING (t), n
+  ),
+  ranked AS (
+    SELECT doc_id, t, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, t) AS term_rank
+    FROM scored
+  )
+  SELECT doc_id, term_rank, t AS term, tfidf
+  FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
+  ORDER BY doc_id, term_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # window of word-3-gram hashes; guarantee: any match of
+              # length ≥ w+2 words shares a selected fingerprint
+
+_POS_BITS = 20  # doc positions < 2^20; key = h·2^20 + (2^20-1-pos)
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints: per window of w consecutive
+    word-3-gram hashes select the RIGHTMOST minimal hash; the distinct
+    selected (position, hash) set is the document's fingerprint sketch.
+
+    The rightmost-min tie rule packs (hash, reversed position) into one
+    BIGINT so the selection is a plain min() over a ROWS window — no
+    struct ordering needed, portable to the SQL oracle verbatim. One
+    window pass per document partition, then a distinct at sketch
+    cardinality (~n/w per doc)."""
+    sh = fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2), "
+                "j -> concat_ws(' ', slice(split(text, ' '), j, 3)))"
+            )
+        ).alias("pos", "sh"),
+    )
+    keyed = sh.select(
+        "doc_id",
+        "pos",
+        (
+            hash31(F.col("sh")) * F.lit(1 << _POS_BITS)
+            + (F.lit((1 << _POS_BITS) - 1) - F.col("pos"))
+        ).alias("key"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = keyed.withColumn("wmin", F.min("key").over(w)).filter(
+        F.col("pos") <= F.col("n_sh") - WINNOW_W  # full windows only
+    )
+    return (
+        wins.select(
+            "doc_id",
+            (F.lit((1 << _POS_BITS) - 1) - F.col("wmin") % F.lit(1 << _POS_BITS)).alias(
+                "sel_pos"
+            ),
+            F.expr(f"wmin DIV {1 << _POS_BITS}").alias("sel_hash"),
+        )
+        .distinct()
+    )
+
+
+WINNOWING_SQL = f"""
+  WITH sh AS (
+    SELECT doc_id, j - 1 AS pos,
+           concat_ws(' ', w[j], w[j+1], w[j+2]) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+         UNNEST(range(1, len(w) - 1)) AS t(j)
+  ),
+  keyed AS (
+    SELECT doc_id, pos,
+           {hash31_sql('gram')} * {1 << _POS_BITS}
+             + ({(1 << _POS_BITS) - 1} - pos) AS key,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM sh
+  ),
+  wins AS (
+    SELECT doc_id,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+    FROM keyed
+    QUALIFY pos <= n_sh - {WINNOW_W}
+  )
+  SELECT DISTINCT doc_id,
+         {(1 << _POS_BITS) - 1} - (wmin % {1 << _POS_BITS}) AS sel_pos,
+         wmin // {1 << _POS_BITS} AS sel_hash
+  FROM wins
+  ORDER BY doc_id, sel_pos
+"""

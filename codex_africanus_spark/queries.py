@@ -759,6 +759,8 @@ _R3_NEW: tuple[str, ...] = (
     "chunk_dedup_corpus", "repetition_quality_flags",
     "dedup_keep_best_quality", "eval_decontamination",
     "events_asof_prior_join", "ms_sink_roundtrip",
+    "tfidf_top_terms", "winnowing_fingerprints",
+    "events_user_set_ops", "ann_lsh_recall_eval",
 )
 
 
@@ -4905,4 +4907,127 @@ def ms_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("weight_sum") * 100).cast("long")).alias("weight_c2"),
         )
         .orderBy("antenna1")
+    )
+
+
+@register("tfidf_top_terms", cur_op.TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), ties → term asc) —
+    keyword extraction / feature weighting over the corpus."""
+    return cur_op.tfidf_top_terms(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+@register("winnowing_fingerprints", cur_op.WINNOWING_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch per document (Schleimer, Wilkerson &
+    Aiken 2003): rightmost-minimal 3-gram hash per sliding window of 4,
+    packed (hash, reversed-pos) keys making the tie rule a plain window
+    min — the plagiarism-detection/MOSS-style local fingerprinting tier
+    between exact hashing and MinHash."""
+    return cur_op.winnowing_fingerprints(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id", "sel_pos"
+    )
+
+
+@register(
+    "events_user_set_ops",
+    _with_ms(
+        """
+        SELECT user_id, 'both' AS cohort FROM (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT user_id, 'click_only' AS cohort FROM (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+          EXCEPT
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        )
+        ORDER BY cohort, user_id
+        """
+    ),
+)
+def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (SURVEY §2.7 beyond union):
+    clicker∩purchaser and clicker∖purchaser user cohorts — both sides
+    reduce to distinct user sets (partial-agg shuffles at user
+    cardinality) before the set op."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).select("user_id", F.lit("both").alias("cohort"))
+    only = clicks.exceptAll(buys).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return both.unionByName(only).orderBy("cohort", "user_id")
+
+
+def _ann_recall_oracle(modulus: int = 125, k: int = 3) -> str:
+    from codex_africanus_spark.operators.similarity import (
+        N_PLANES,
+        _plane_sql,
+        _qdot_sql,
+    )
+
+    fp = " + ".join(
+        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    dot = _qdot_sql("q.embedding", "c.embedding")
+    qq = _qdot_sql("q.embedding", "q.embedding")
+    cc = _qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      WITH exact_ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id % {modulus} = 0 AND q.vec_id <> c.vec_id
+      ),
+      exact_topk AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {k}),
+      b AS (SELECT vec_id, embedding, CAST({fp} AS INT) AS bucket FROM embeddings),
+      ann_ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC, c.vec_id
+               ) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {modulus} = 0
+      ),
+      ann_topk AS (SELECT query_id, neighbor_id FROM ann_ranked WHERE rank <= {k})
+      SELECT e.query_id,
+             COUNT(a.neighbor_id) AS n_hits,
+             round(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 6) AS recall_at_k
+      FROM exact_topk e
+      LEFT JOIN ann_topk a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+      ORDER BY e.query_id
+    """
+
+
+@register("ann_lsh_recall_eval", _ann_recall_oracle())
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH-bucketed ANN tier against the exact brute-force
+    top-3, per probe — the standard ANN quality gate a production
+    similarity index ships with. Reuses both tiers' deterministic
+    ranking, so the measurement itself is exactly oracle-checkable."""
+    emb = load(spark, "embeddings", sf_dir)
+    exact = sim_op.cosine_topk(emb, 125, 3).select("query_id", "neighbor_id")
+    ann = sim_op.ann_lsh_topk(emb, 125, 3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )
