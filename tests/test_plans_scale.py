@@ -183,3 +183,47 @@ def test_sliding_window_single_agg_shuffle(spark, sf_dir):
     plan = plan_of(registry()["events_sliding_window"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
+
+
+def test_minhash_signatures_zero_shuffle_projection(spark, sf_dir):
+    """MinHash signatures must be a pure projection over the scan — any
+    Generate (explode) or aggregation exchange here multiplies the
+    fact-table volume before the LSH join."""
+    from codex_africanus_spark.operators import dedup as dedup_op
+
+    plan = plan_of(dedup_op.minhash_signatures(load(spark, "documents", sf_dir)))
+    assert "Generate" not in plan           # no shingle explode
+    assert "HashAggregate" not in plan      # no per-doc groupBy
+    # the only exchange allowed is fan_out's testdata-only round-robin
+    assert plan.count("Exchange") <= 1
+
+
+def test_minhash_lsh_scans_docs_at_most_twice(spark, sf_dir):
+    """The banded frame is one posexplode over band keys; the old 4-band
+    union × 2 join sides re-ran the signature pipeline 8×."""
+    plan = plan_of(registry()["minhash_lsh_near_dup_pairs"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # one per self-join side
+    assert "Union" not in plan
+
+
+def test_chunk_dedup_shuffles_by_digest_then_doc(spark, sf_dir):
+    """Chunk dedup = window over chunk digest + reassembly groupBy —
+    no cartesian, no broadcast of the fact side."""
+    plan = plan_of(registry()["chunk_dedup_corpus"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_eval_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast — a shuffle join here would
+    move the whole corpus shingle frame for a tiny eval set."""
+    plan = plan_of(registry()["eval_decontamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    """The events as-of join must be one window over user_id — not a
+    self-join (range/band joins explode at scale)."""
+    plan = plan_of(registry()["events_asof_prior_join"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # no join at all
