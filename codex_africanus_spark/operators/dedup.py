@@ -81,6 +81,24 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *sig_cols)
 
 
+def lsh_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..k, band, band_key): one posexplode over the array
+    of band keys — the shared candidate-generation frame for LSH pairing
+    and for seeding connected-components labels."""
+    sigs = minhash_signatures(docs)
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (bands of 2 signature rows):
     docs sharing any band key are candidates; estimated Jaccard = fraction
@@ -92,18 +110,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     (band, band_key) key, so Spark's ReuseExchange computes the banded
     frame once. Net: the first and only fact-scale work before the
     candidate join is the parquet scan itself."""
-    sigs = minhash_signatures(docs)
-    band_keys = F.array(
-        *[
-            F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id",
-        *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
-        F.posexplode(band_keys).alias("band", "band_key"),
-    )
+    banded = lsh_banded(docs)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -144,7 +151,14 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     diameter; near-dup components are shallow (pairwise-similar docs form
     dense blobs, not chains), so this is a handful of rounds of
     edge-cardinality shuffles — the standard Spark CC shape. Labels are
-    integers throughout: exact, no float discipline needed."""
+    integers throughout: exact, no float discipline needed.
+
+    Labels are SEEDED with each doc's min bucket-mate (min doc_id over
+    its LSH buckets): bucket-mates are exactly the candidate edges, so
+    the seed equals one whole propagation round, computed as a groupBy
+    co-partitioned with the bucket key instead of an edge join — dense
+    star-shaped components converge immediately and the loop usually
+    only runs its convergence probe."""
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     # materialize the edge list ONCE — without this every iteration's join
     # re-executes the whole shingle→minhash→LSH pipeline upstream
@@ -152,7 +166,26 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     edges.count()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    banded = lsh_banded(docs).select("doc_id", "band", "band_key")
+    bucket_min = banded.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    seed = (
+        banded.join(bucket_min, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("seed_label"))
+    )
+    labels = (
+        docs.select("doc_id")
+        .join(seed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("seed_label"), F.col("doc_id"))
+            ).alias("label"),
+        )
+        .persist()
+    )
     labels.count()
     for _ in range(max_iters):
         neigh = (
