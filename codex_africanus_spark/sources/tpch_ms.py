@@ -48,7 +48,7 @@ def vis_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     chan = (F.col("l_linenumber") - 1).cast("int")
     return li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
-        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(1000000))
+        (epoch_us_expr(li, "l_shipdate") / F.lit(1000000))
         .cast("long")
         .cast("double")
         .alias("time"),
@@ -266,20 +266,26 @@ def dde_gains_sql(time_bins_cte: str, dirs_cte: str) -> str:
 # events-as-stream table (timestamps as exact integer microseconds)
 # --------------------------------------------------------------------------
 
-def events_ts_us(ev: DataFrame) -> Column:
-    """Exact integer epoch-µs from whatever physical type `ts` landed as:
-    TIMESTAMP(MICROS) parquet reads as timestamp_ntz (or timestamp when NTZ
-    inference is off — internally UTC µs either way), legacy TIMESTAMP(NANOS)
-    reads as nanos-as-long. All three give the same integer grid DuckDB's
-    epoch_us(ts) produces, with no session-timezone dependence."""
-    t = dict(ev.dtypes).get("ts")
+def epoch_us_expr(df: DataFrame, col: str) -> Column:
+    """Exact integer epoch-µs from whatever physical type a timestamp
+    column landed as: TIMESTAMP(MICROS) parquet reads as timestamp_ntz
+    (or timestamp when NTZ inference is off — internally UTC µs either
+    way), legacy TIMESTAMP(NANOS) reads as nanos-as-long. All three give
+    the same integer grid DuckDB's epoch_us() produces, with no
+    session-timezone dependence (an NTZ→TZ cast would silently shift by
+    the session zone if the engine confs ever fail to apply)."""
+    t = dict(df.dtypes).get(col)
     if t == "timestamp_ntz":
         return F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
         )
     if t == "timestamp":
-        return F.unix_micros(F.col("ts"))
-    return F.expr("ts DIV 1000")  # nanos-as-long legacy read
+        return F.unix_micros(F.col(col))
+    return F.expr(f"{col} DIV 1000")  # nanos-as-long legacy read
+
+
+def events_ts_us(ev: DataFrame) -> Column:
+    return epoch_us_expr(ev, "ts")
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
