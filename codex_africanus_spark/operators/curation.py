@@ -494,3 +494,55 @@ WINNOWING_SQL = f"""
   FROM wins
   ORDER BY doc_id, sel_pos
 """
+
+
+# --------------------------------------------------------------------------
+# 7. unigram log-probability quality (CCNet-style LM filter, self-trained)
+# --------------------------------------------------------------------------
+
+def unigram_logprob_quality(docs: DataFrame) -> DataFrame:
+    """Per-document mean token surprisal −log₂ p(t) under the corpus's own
+    unigram model — the CCNet/perplexity-bucket quality filter with the
+    LM degenerate to unigrams so the whole pipeline stays in SQL. Low
+    score ⇒ common boilerplate tokens; high ⇒ rare-token noise.
+
+    Each surprisal term is fixed-point-quantized (1e-9) before summing so
+    the per-doc mean is partition-order-independent and exactly
+    oracle-checkable. The unigram table is vocab-sized → broadcast; the
+    corpus-total N rides a 1-row cross join."""
+    docs = fan_out(docs)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    vocab = words.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    surprisal_q = F.round(
+        (F.log2(F.col("n_total")) - F.log2(F.col("c"))) * 1e9
+    ).cast("long")
+    return (
+        words.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(surprisal_q) / 1e9 / F.count(F.lit(1)), 6).alias(
+                "mean_surprisal_bits"
+            ),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+  WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  vocab AS (SELECT t, COUNT(*) AS c FROM words GROUP BY t),
+  total AS (SELECT SUM(c) AS n_total FROM vocab)
+  SELECT w.doc_id,
+         COUNT(*) AS n_tokens,
+         round(SUM(CAST(ROUND((log2(tt.n_total) - log2(v.c)) * 1e9) AS BIGINT))
+               / 1e9 / COUNT(*), 6) AS mean_surprisal_bits
+  FROM words w JOIN vocab v USING (t), total tt
+  GROUP BY w.doc_id
+  ORDER BY w.doc_id
+"""

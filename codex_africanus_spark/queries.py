@@ -761,6 +761,7 @@ _R3_NEW: tuple[str, ...] = (
     "events_asof_prior_join", "ms_sink_roundtrip",
     "tfidf_top_terms", "winnowing_fingerprints",
     "events_user_set_ops", "ann_lsh_recall_eval",
+    "unigram_logprob_quality",
 )
 
 
@@ -5030,4 +5031,14 @@ def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+@register("unigram_logprob_quality", cur_op.UNIGRAM_LOGPROB_SQL)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter with a self-trained unigram
+    LM: per-doc mean token surprisal in bits, fixed-point-quantized for
+    partition-order independence."""
+    return cur_op.unigram_logprob_quality(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
     )
