@@ -546,3 +546,81 @@ UNIGRAM_LOGPROB_SQL = """
   GROUP BY w.doc_id
   ORDER BY w.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# 8. sequence packing (concat-and-chunk into fixed token budgets)
+# --------------------------------------------------------------------------
+
+SEQ_BUDGET = 512    # tokens per packed training sequence
+PREFIX_BUCKET = 64  # docs per prefix-sum bucket (two-phase scan)
+
+
+def sequence_packing(docs: DataFrame) -> DataFrame:
+    """Pack the corpus (in doc_id order) into fixed-budget training
+    sequences — the concat-and-chunk step of an LLM data pipeline. Each
+    doc gets its global token offset, its starting sequence id, its
+    offset within that sequence, and how many sequences it spans.
+
+    The global prefix sum is the scale trap here: a naive
+    `sum().over(Window.orderBy(...))` collapses to ONE task. This uses
+    the textbook two-phase scan instead — per-bucket local cumsums run
+    in parallel (window partitioned by bucket), bucket totals form a
+    tiny frame whose own prefix sum is cheap, and the broadcast join of
+    bucket offsets restores the global scan. Identical values to the
+    single-window form, cluster-parallel execution."""
+    toks = fan_out(docs).select(
+        "doc_id",
+        (F.col("doc_id") / F.lit(PREFIX_BUCKET)).cast("long").alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+    )
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "bucket_off", F.coalesce(F.sum("btok").over(wb), F.lit(0))
+    ).select("bucket", "bucket_off")
+    packed = local.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bucket_off") + F.col("local_off")).alias("global_off"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "global_off",
+        F.expr(f"global_off DIV {SEQ_BUDGET}").alias("seq_id"),
+        (F.col("global_off") % SEQ_BUDGET).alias("seq_off"),
+        (
+            F.expr(f"(global_off + n_tokens - 1) DIV {SEQ_BUDGET}")
+            - F.expr(f"global_off DIV {SEQ_BUDGET}")
+            + F.lit(1)
+        ).alias("n_seqs_spanned"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  ),
+  packed AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_off
+    FROM toks
+  )
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(global_off AS BIGINT) AS global_off,
+         CAST(global_off // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+         CAST(global_off % {SEQ_BUDGET} AS BIGINT) AS seq_off,
+         CAST((global_off + n_tokens - 1) // {SEQ_BUDGET}
+              - global_off // {SEQ_BUDGET} + 1 AS BIGINT) AS n_seqs_spanned
+  FROM packed ORDER BY doc_id
+"""

@@ -761,7 +761,7 @@ _R3_NEW: tuple[str, ...] = (
     "events_asof_prior_join", "ms_sink_roundtrip",
     "tfidf_top_terms", "winnowing_fingerprints",
     "events_user_set_ops", "ann_lsh_recall_eval",
-    "unigram_logprob_quality",
+    "unigram_logprob_quality", "sequence_packing",
 )
 
 
@@ -5042,3 +5042,12 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur_op.unigram_logprob_quality(load(spark, "documents", sf_dir)).orderBy(
         "doc_id"
     )
+
+
+@register("sequence_packing", cur_op.SEQUENCE_PACKING_SQL)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into fixed 512-token training
+    sequences via the two-phase (bucket-parallel) prefix sum — the
+    single-window form the oracle uses collapses to one task on a
+    cluster; this one doesn't."""
+    return cur_op.sequence_packing(load(spark, "documents", sf_dir)).orderBy("doc_id")
