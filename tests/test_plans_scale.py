@@ -227,3 +227,14 @@ def test_asof_join_is_single_window_pass(spark, sf_dir):
     plan = plan_of(registry()["events_asof_prior_join"].fn(spark, sf_dir))
     assert "Window" in plan
     assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # no join at all
+
+
+def test_sequence_packing_prefix_sum_is_bucket_parallel(spark, sf_dir):
+    """The doc-level cumsum window must partition by bucket (parallel);
+    only the bucket-totals frame (corpus/64 rows) may use the
+    single-partition global window."""
+    plan = plan_of(registry()["sequence_packing"].fn(spark, sf_dir))
+    # doc-level window spec carries the bucket partition key
+    assert "partitionBy" not in plan  # physical plans spell it differently
+    assert plan.count("Window") >= 2  # local cumsum + bucket prefix
+    assert "BroadcastHashJoin" in plan  # bucket offsets broadcast back
