@@ -762,6 +762,7 @@ _R3_NEW: tuple[str, ...] = (
     "tfidf_top_terms", "winnowing_fingerprints",
     "events_user_set_ops", "ann_lsh_recall_eval",
     "unigram_logprob_quality", "sequence_packing",
+    "packed_sequence_manifest", "embedding_centroid_outliers",
 )
 
 
@@ -5051,3 +5052,133 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window form the oracle uses collapses to one task on a
     cluster; this one doesn't."""
     return cur_op.sequence_packing(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "packed_sequence_manifest",
+    f"""
+  WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  ),
+  packed AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS global_off
+    FROM toks
+  )
+  SELECT CAST(global_off // {cur_op.SEQ_BUDGET} AS BIGINT) AS seq_id,
+         COUNT(*) AS n_docs_starting,
+         CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+  FROM packed GROUP BY 1 ORDER BY seq_id
+    """,
+)
+def packed_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest view of sequence packing: per 512-token training sequence,
+    the docs that START in it and their token mass — the reader-side
+    index a packed dataset ships with."""
+    packed = cur_op.sequence_packing(load(spark, "documents", sf_dir))
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_starting"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@register(
+    "embedding_centroid_outliers",
+    """
+  WITH e AS (
+    SELECT vec_id, label,
+           [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS xq
+    FROM embeddings
+  ),
+  comp AS (
+    SELECT label, i, SUM(xq[i]) AS s, COUNT(*) AS n
+    FROM e, UNNEST(generate_series(1, 64)) AS t(i)
+    GROUP BY label, i
+  ),
+  cent AS (
+    SELECT label, list(cq ORDER BY i) AS cq, MAX(n) AS n_label
+    FROM (SELECT label, i, n,
+                 CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS cq
+          FROM comp)
+    GROUP BY label
+  ),
+  dist AS (
+    SELECT e.vec_id, e.label,
+           list_sum([(e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i])
+                     FOR i IN generate_series(1, 64)]) AS d2q,
+           c.n_label
+    FROM e JOIN cent c USING (label)
+  ),
+  lab AS (SELECT label, SUM(d2q) AS sum_d2 FROM dist GROUP BY label)
+  SELECT d.vec_id, d.label,
+         round(d.d2q / 1e12, 6) AS centroid_dist2
+  FROM dist d JOIN lab l USING (label)
+  WHERE d.d2q * d.n_label * 100 > 108 * l.sum_d2
+  ORDER BY d.vec_id
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC screen: vectors whose squared distance to their
+    label's centroid exceeds 1.08x the label mean — the malformed/mislabeled
+    vector filter before similarity indexing. All arithmetic is
+    fixed-point (1e-6 components, floored integer centroid, integer
+    cross-multiplied threshold) so the screen is engine-exact with no
+    float-summation order sensitivity. Centroids are a (label, dim)
+    partial-agg shuffle; the per-label centroid table broadcasts back."""
+    emb = load(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    comp = (
+        e.select("label", F.posexplode(F.col("xq")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        comp.withColumn(
+            "cq", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, cq))), p -> p.cq)").alias(
+                "cq"
+            ),
+            F.max("n").alias("n_label"),
+        )
+    )
+    dist = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d2q"),
+            "n_label",
+        )
+    )
+    lab = dist.groupBy("label").agg(F.sum("d2q").alias("sum_d2"))
+    return (
+        dist.join(F.broadcast(lab), "label")
+        .filter(F.col("d2q") * F.col("n_label") * 100 > 108 * F.col("sum_d2"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("d2q") / F.lit(1e12), 6).alias("centroid_dist2"),
+        )
+        .orderBy("vec_id")
+    )
