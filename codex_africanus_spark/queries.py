@@ -763,6 +763,7 @@ _R3_NEW: tuple[str, ...] = (
     "events_user_set_ops", "ann_lsh_recall_eval",
     "unigram_logprob_quality", "sequence_packing",
     "packed_sequence_manifest", "embedding_centroid_outliers",
+    "fft_psf_image",
 )
 
 
@@ -5182,3 +5183,51 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_FFT_PSF_ORACLE = _with_ms(
+    """
+    , grid AS (
+      SELECT ((CAST(ROUND(u / 10.0) AS BIGINT) % 32) + 32) % 32 AS u_cell,
+             ((CAST(ROUND(v / 10.0) AS BIGINT) % 32) + 32) % 32 AS v_cell,
+             SUM(CAST(ROUND(weight * 1000000) AS BIGINT)) / 1000000.0 AS g_re
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    ), wsum AS (
+      SELECT SUM(CAST(ROUND(weight * 1000000) AS BIGINT)) / 1000000.0 AS w
+      FROM vis WHERE NOT (flag OR flag_row)
+    ), pix AS (
+      SELECT CAST(y.range AS INT) AS y, CAST(x.range AS INT) AS x
+      FROM range(32) y, range(32) x
+    )
+    SELECT p.y, p.x,
+           round(SUM(g.g_re * cos(2 * pi() * (g.v_cell * p.y / 32.0 + g.u_cell * p.x / 32.0)))
+                 / MAX(w.w), 6) AS value
+    FROM pix p CROSS JOIN grid g CROSS JOIN wsum w
+    GROUP BY p.y, p.x
+    ORDER BY p.y, p.x
+    """
+)
+
+
+@register("fft_psf_image", _FFT_PSF_ORACLE)
+def fft_psf_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-spread function image: the dirty-image path with unit
+    visibilities (weights-only grid → driver FFT → normalize), the third
+    member of the imaging triple next to fft_dirty_image and
+    fft_residual_grid (reference wgridder vis2im with vis≡1; PSF peak
+    normalizes to 1 at the phase centre)."""
+    import pandas as _pd
+
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+        "vis_re", F.lit(1.0)
+    ).withColumn("vis_im", F.lit(0.0))
+    img, wsum = fft_op.dirty_image(vis, nx=32, ny=32)
+    ys, xs = [], []
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            ys.append(y), xs.append(x)
+    pdf = _pd.DataFrame(
+        {"y": ys, "x": xs, "value": [round(float(img[y, x]), 6) for y, x in zip(ys, xs)]}
+    )
+    return spark.createDataFrame(pdf)
