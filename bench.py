@@ -55,6 +55,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in reg:
             continue
@@ -63,14 +64,20 @@ def main() -> None:
         # cost that a long-running cluster amortizes away, and min-of-3
         # bounds run-to-run load drift to well under the 25% target
         best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = reg[name].fn(spark, SF_DIR)
-            # noop sink forces full evaluation of every output column
-            # (count() alone would let Catalyst prune the aggregates)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = reg[name].fn(spark, SF_DIR)
+                # noop sink forces full evaluation of every output column
+                # (count() alone would let Catalyst prune the aggregates)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001 — one broken query must not
+            # zero out the whole round's measurement (it did in round 2)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -82,6 +89,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
 
