@@ -763,7 +763,7 @@ _R3_NEW: tuple[str, ...] = (
     "events_user_set_ops", "ann_lsh_recall_eval",
     "unigram_logprob_quality", "sequence_packing",
     "packed_sequence_manifest", "embedding_centroid_outliers",
-    "fft_psf_image",
+    "fft_psf_image", "psf_gaussian_fit",
 )
 
 
@@ -5229,5 +5229,57 @@ def fft_psf_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             ys.append(y), xs.append(x)
     pdf = _pd.DataFrame(
         {"y": ys, "x": xs, "value": [round(float(img[y, x]), 6) for y, x in zip(ys, xs)]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+_PSF_FIT_ORACLE = f"""
+  WITH px AS (SELECT y, x, value FROM ({_FFT_PSF_ORACLE})),
+  peak AS (SELECT y AS py, x AS qx FROM px ORDER BY abs(value) DESC, y, x LIMIT 1),
+  q AS (SELECT y, x, CAST(ROUND(abs(value) * 1000000) AS BIGINT) AS wq, value FROM px),
+  s AS (
+    SELECT CAST(SUM(q.wq) AS BIGINT) AS a,
+           CAST(SUM(q.wq * (q.y - pk.py) * (q.y - pk.py)) AS BIGINT) AS mu,
+           CAST(SUM(q.wq * (q.x - pk.qx) * (q.x - pk.qx)) AS BIGINT) AS mv
+    FROM q, peak pk
+  )
+  SELECT (SELECT round(px.value, 6) FROM px, peak pk
+          WHERE px.y = pk.py AND px.x = pk.qx) AS amp,
+         round(sqrt(CAST(mu AS DOUBLE) / a), 6) AS sigma_u,
+         round(sqrt(CAST(mv AS DOUBLE) / a), 6) AS sigma_v
+  FROM s
+"""
+
+
+@register("psf_gaussian_fit", _PSF_FIT_ORACLE)
+def psf_gaussian_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-beam (restoring beam) fit from the PSF second moments —
+    the restore-prep step of Hogbom CLEAN (reference
+    deconv/hogbom/clean.py:40-72). Weights are quantized (1e-6) over the
+    6dp-rounded PSF pixels so both engines sum identical integers; the
+    peak tie-break is (|value| desc, y, x)."""
+    import pandas as _pd
+
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+        "vis_re", F.lit(1.0)
+    ).withColumn("vis_im", F.lit(0.0))
+    img, _ = fft_op.dirty_image(vis, nx=32, ny=32)
+    p = [
+        (y, x, round(float(img[y, x]), 6))
+        for y in range(img.shape[0])
+        for x in range(img.shape[1])
+    ]
+    # peak tie-break: |value| desc, then smallest y, x (matches the oracle)
+    py, qx, amp = sorted(p, key=lambda t: (-abs(t[2]), t[0], t[1]))[0]
+    wq = [(y, x, int(round(abs(v) * 1000000))) for y, x, v in p]
+    a = sum(w for _, _, w in wq)
+    mu = sum(w * (y - py) ** 2 for y, _, w in wq)
+    mv = sum(w * (x - qx) ** 2 for _, x, w in wq)
+    pdf = _pd.DataFrame(
+        {
+            "amp": [round(amp, 6)],
+            "sigma_u": [round((mu / a) ** 0.5, 6)],
+            "sigma_v": [round((mv / a) ** 0.5, 6)],
+        }
     )
     return spark.createDataFrame(pdf)
