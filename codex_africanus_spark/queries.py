@@ -742,44 +742,56 @@ _DRIVER_GREEN = frozenset({
     "uvw_facet_transforms", "wsclean_model_reader",
     "wsclean_polynomial_spectra", "wsclean_predict_end_to_end",
     "zernike_dde_sampling",
-})
-
-# Round-2 failures repaired this round (events ts→TIMESTAMP_NTZ reader fix;
-# -0.0 normalization in feed_rotation_jones / degrid_policy_phase_rotate) —
-# re-verify these before anything else.
-_R2_FIXED = (
+    # Round-3 green rows (CORRECTNESS_r03.json, hash_match=true):
     "events_sliding_window", "spline_smooth_user_series",
     "events_rollup_grouping_sets", "distinct_user_counts",
     "events_sessionize_relational", "events_sessionize_salted",
     "degrid_policy_phase_rotate", "feed_rotation_jones",
-)
-
-# New operators added in round 3 — fill the remaining verification slots.
-_R3_NEW: tuple[str, ...] = (
+    "kmv_theta_distinct_customers", "kmv_merge_rollup_customers",
+    "kll_grid_quantiles_price", "kll_quantile_rollup",
+    "rime_shapelet_predict", "shapelet_2d_w_term",
+    "exact_quantiles_price", "pipeline_predict_corrupt_average",
+    "rime_feed_rotation_predict", "q18_large_volume_customers",
+    "q7_volume_shipping", "q8_market_share", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "events_lag_lead_deltas",
+    "bda_ragged_channel_factor", "multimodal_audio_windows",
+    "multimodal_extract_features", "fft_dirty_image", "fft_residual_grid",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q12_shipping_delay", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q19_disjunctive_pushdown",
+    "q20_promo_part_suppliers", "q21_blocking_returns", "q22_idle_customers",
     "chunk_dedup_corpus", "repetition_quality_flags",
     "dedup_keep_best_quality", "eval_decontamination",
-    "events_asof_prior_join", "ms_sink_roundtrip",
-    "tfidf_top_terms", "winnowing_fingerprints",
-    "events_user_set_ops", "ann_lsh_recall_eval",
-    "unigram_logprob_quality", "sequence_packing",
-    "packed_sequence_manifest", "embedding_centroid_outliers",
+    "events_asof_prior_join", "ms_sink_roundtrip", "tfidf_top_terms",
+    "winnowing_fingerprints",
+})
+
+# Round-4 verification head: the 8 queries that have never been inside a
+# driver window across rounds 1–3 (locally bit-exact-parity green, but no
+# CORRECTNESS row), followed by the sketch queries reworked this round
+# from engine-opaque (no_oracle) to expression-level exact-oracle forms.
+_R4_HEAD: tuple[str, ...] = (
+    "sequence_packing", "packed_sequence_manifest",
+    "unigram_logprob_quality", "events_user_set_ops",
+    "ann_lsh_recall_eval", "embedding_centroid_outliers",
     "fft_psf_image", "psf_gaussian_fit",
+    "hll_sketch_distinct_parts", "hll_union_rollup",
+    "approx_percentile_price",
 )
 
 
 def registry() -> dict[str, QueryDef]:
     """Full query registry, ordered for the driver's bounded verification
-    window: repaired round-2 failures first, then driver-unverified
-    queries in registration order, then this round's new operators, then
-    the driver-green remainder."""
-    head = {n: REGISTRY[n] for n in _R2_FIXED if n in REGISTRY}
-    new = {n: REGISTRY[n] for n in _R3_NEW if n in REGISTRY}
+    window: never-driver-tested queries first, then this round's reworked
+    sketches, then any other driver-unverified queries in registration
+    order, then the driver-green remainder."""
+    head = {n: REGISTRY[n] for n in _R4_HEAD if n in REGISTRY}
     fresh = {
         n: qd for n, qd in REGISTRY.items()
-        if n not in _DRIVER_GREEN and n not in head and n not in new
+        if n not in _DRIVER_GREEN and n not in head
     }
     green = {n: qd for n, qd in REGISTRY.items() if n in _DRIVER_GREEN}
-    return {**head, **fresh, **new, **green}
+    return {**head, **fresh, **green}
 
 
 # ===========================================================================
