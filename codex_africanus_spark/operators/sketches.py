@@ -1,5 +1,5 @@
 """Distinct-count sketches: exact-deterministic KMV (theta-style) and
-Spark-native HLL (Apache DataSketches).
+expression-level HyperLogLog.
 
 The reference has no sketch operators (its cardinalities are exact,
 africanus/averaging/support.py:10-117); at 100 TB a training-data
@@ -14,13 +14,17 @@ full key set. Two tiers:
   approx_count_distinct prefilter drops all but the ~50·k smallest
   hashes per group before the exact per-group sort, so the window sees
   a bounded set regardless of group cardinality.
-- ``hll_distinct`` / ``hll_rollup_union``: Spark's hll_sketch_agg /
-  hll_union_agg (DataSketches HLL). The binary sketch is partial
-  aggregation state — map-side combine ships ~1.5 KB per group per
-  partition instead of the key set, and pre-aggregated sub-sketches
-  (e.g. per day) re-aggregate to coarser groups (per month) WITHOUT
-  rescanning, the property the rollup query demonstrates. Estimates are
-  implementation-defined → rows-only checks + error-bound tests.
+- ``hll_distinct`` / ``hll_rollup_union``: HyperLogLog (Flajolet et al.
+  2007) built from portable expressions over the same hash60: bucket =
+  top 6 hash bits, register = max rank-of-first-one over the remaining
+  54 bits, estimate = bias-corrected harmonic mean. Register state is a
+  bounded m=64-row group (partial-agg map-side combine ships registers,
+  never the key set) and union-rollup is an element-wise register MAX —
+  the re-aggregation-without-rescan property, exactly lossless because
+  max is associative. Every step is integer/string arithmetic plus ONE
+  correctly-rounded IEEE division, so DuckDB reproduces the estimate
+  BIT-EXACTLY (``HLL_SQL``) — same oracle discipline as KMV, unlike the
+  engine-opaque DataSketches hll_sketch_agg this replaces.
 """
 
 from __future__ import annotations
@@ -151,32 +155,109 @@ def KMV_GLOBAL_SQL(table_expr: str, col_expr: str, k: int = 64) -> str:
     """
 
 
-def hll_distinct(df: DataFrame, keys: list[str], col: str, lgk: int = 12) -> DataFrame:
-    """Per-group DataSketches-HLL distinct estimate (hll_sketch_agg →
-    hll_sketch_estimate). The sketch is mergeable partial-agg state: at
-    100 TB each map task ships one ~2^lgk-register sketch per group."""
-    return df.groupBy(*keys).agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lgk))).alias(
-            "est_distinct"
+# Expression-level HyperLogLog geometry: 60-bit hash = 6 bucket bits
+# (m = 64 registers) + 54 remainder bits. rho(rem) = leading zeros + 1 =
+# 55 - bit_length(rem) ∈ [1, 55] (rem = 0 → 55). The harmonic-mean sum
+# Σ 2^-reg is kept EXACT by scaling with 2^55: each term 2^(55-reg) is an
+# integer, Σ ≤ m·2^55 = 2^61 < 2^63, and integer addition is
+# order-independent — no float-summation drift between engines.
+HLL_M = 64
+_HLL_REM_BITS = 54
+_HLL_RHO_MAX = _HLL_REM_BITS + 1
+_HLL_SCALE = 1 << _HLL_RHO_MAX
+# Classic alpha_64 bias constant (Flajolet et al. 2007, Fig. 3); the
+# numerator alpha·m²·2^55 is a single Python float literal embedded
+# identically on both engines.
+_HLL_NUM = 0.709 * HLL_M * HLL_M * float(_HLL_SCALE)
+
+
+def hll_registers(df: DataFrame, keys: list[str], col: Column | str) -> DataFrame:
+    """HLL register state: per (group, bucket) the max rank-of-first-one.
+    One partial-aggregating shuffle at ≤ m rows per group; bit_length via
+    length(bin(x)), identical unpadded semantics in Spark and DuckDB."""
+    col = F.col(col) if isinstance(col, str) else col
+    h = hash60(col)
+    rem = h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))
+    rho = F.when(rem == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(
+            *keys,
+            F.shiftrightunsigned(h, _HLL_REM_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Bias-corrected harmonic-mean estimate from register state. Empty
+    buckets (register 0) contribute 2^55 each via the (m - occupied)
+    term, so the grouped sum never needs a bucket dimension table."""
+    return (
+        registers.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - reg)")
+            ).alias("s_occ"),
+        )
+        .select(
+            *keys,
+            F.round(
+                F.lit(_HLL_NUM)
+                / (
+                    F.col("s_occ")
+                    + (F.lit(HLL_M) - F.col("occ")) * F.lit(_HLL_SCALE)
+                ).cast("double"),
+                6,
+            ).alias("est_distinct"),
         )
     )
 
 
+def hll_distinct(df: DataFrame, keys: list[str], col: Column | str) -> DataFrame:
+    """Per-group HLL distinct estimate — registers then harmonic mean."""
+    return hll_estimate(hll_registers(df, keys, col), keys)
+
+
 def hll_rollup_union(
-    df: DataFrame, fine_keys: list[str], coarse_keys: list[str], col: str,
-    lgk: int = 12,
+    df: DataFrame, fine_keys: list[str], coarse_keys: list[str], col: Column | str
 ) -> DataFrame:
-    """Sketch once at fine granularity, merge up with hll_union_agg — the
-    re-aggregation-without-rescan property. For HLL the union of
-    sub-sketches has register-wise identical state to sketching the
-    union directly, so estimates agree exactly with hll_distinct at the
-    coarse level (asserted in tests)."""
-    fine = df.groupBy(*fine_keys).agg(
-        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sk")
+    """Sketch once at fine granularity, merge up with an element-wise
+    register MAX — re-aggregation without rescanning the fact table.
+    max(max(a), max(b)) == max(a ∪ b), so the merged state is IDENTICAL
+    to sketching the coarse group directly and the direct-computation
+    oracle (HLL_SQL at coarse keys) matches bit-exactly."""
+    fine = hll_registers(df, fine_keys, col)
+    merged = fine.groupBy(*coarse_keys, "bucket").agg(F.max("reg").alias("reg"))
+    return hll_estimate(merged, coarse_keys)
+
+
+def HLL_SQL(table_expr: str, keys: list[str], col_expr: str) -> str:
+    """DuckDB mirror of hll_distinct — and of hll_rollup_union at the
+    coarse keys, by the lossless register-max merge property."""
+    ks = ", ".join(keys)
+    mask = (1 << _HLL_REM_BITS) - 1
+    return f"""
+    WITH hll_h AS (
+      SELECT {ks}, {hash60_sql(col_expr)} AS h FROM {table_expr}
+    ), hll_rho AS (
+      SELECT {ks}, h // {1 << _HLL_REM_BITS} AS bucket,
+             CASE WHEN h % {1 << _HLL_REM_BITS} = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h & {mask})) END AS rho
+      FROM hll_h
+    ), hll_reg AS (
+      SELECT {ks}, bucket, MAX(rho) AS reg FROM hll_rho GROUP BY {ks}, bucket
     )
-    return fine.groupBy(*coarse_keys).agg(
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct")
-    )
+    SELECT {ks},
+           round({_HLL_NUM!r} / CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - reg))
+                 + ({HLL_M} - COUNT(*)) * {_HLL_SCALE} AS DOUBLE), 6) AS est_distinct
+    FROM hll_reg GROUP BY {ks}
+    ORDER BY {ks}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -3409,33 +3409,40 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-@register("hll_sketch_distinct_parts", None)
+_HLL_ORACLE = sketch_op.HLL_SQL(
+    "lineitem", ["l_returnflag"], "CAST(l_partkey AS VARCHAR)"
+)
+
+
+@register("hll_sketch_distinct_parts", _HLL_ORACLE)
 def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataSketches-HLL distinct l_partkey per returnflag (rows-only:
-    estimates are implementation-defined; error bound asserted in
-    tests/test_sketches.py). Partial sketches merge map-side — at 100 TB
-    each task ships ~KB of registers, never the key set."""
+    """Expression-level HyperLogLog distinct l_partkey per returnflag:
+    64 registers from hash60 bucket/rank-of-first-one, harmonic-mean
+    estimate. Bit-deterministic (integer register state + one IEEE
+    division) ⇒ the DuckDB oracle reproduces the ESTIMATE exactly. At
+    100 TB each map task ships ≤ 64 register rows per group, never the
+    key set. Error bound vs true count asserted in tests/test_sketches.py."""
     li = load(spark, "lineitem", sf_dir)
-    return (
-        sketch_op.hll_distinct(li, ["l_returnflag"], "l_partkey")
-        .withColumn("est_distinct", F.col("est_distinct").cast("double"))
-        .orderBy("l_returnflag")
-    )
+    return sketch_op.hll_distinct(
+        li, ["l_returnflag"], F.col("l_partkey").cast("string")
+    ).orderBy("l_returnflag")
 
 
-@register("hll_union_rollup", None)
+@register("hll_union_rollup", _HLL_ORACLE)
 def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-union rollup: per-(returnflag, linestatus) sub-sketches
-    merged to per-returnflag with hll_union_agg — re-aggregation without
-    rescanning the fact table (the sketch IS the partial state)."""
+    """HLL sketch-union rollup: per-(returnflag, linestatus) register
+    states merged to per-returnflag by element-wise register MAX —
+    re-aggregation without rescanning the fact table. The merge is
+    LOSSLESS (max associativity), so the oracle's direct per-returnflag
+    sketch matches the rollup bit-exactly — the same oracle discipline
+    as kmv_merge_rollup_customers."""
     li = load(spark, "lineitem", sf_dir)
-    return (
-        sketch_op.hll_rollup_union(
-            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
-        )
-        .withColumn("est_distinct", F.col("est_distinct").cast("double"))
-        .orderBy("l_returnflag")
-    )
+    return sketch_op.hll_rollup_union(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag"],
+        F.col("l_partkey").cast("string"),
+    ).orderBy("l_returnflag")
 
 
 _RIME_SHAPELET_ORACLE = _with_ms(
@@ -3570,20 +3577,56 @@ def exact_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
 
 
-@register("approx_percentile_price", None)
+# Approximate percentiles via the deterministic grid sketch (step $100
+# in integer cents, 1200 buckets ⇒ value error ≤ $100) — unlike Spark's
+# Greenwald-Khanna approx_percentile, whose merge state is engine-opaque
+# and partition-order-dependent, this mergeable sketch is exactly
+# reproducible in DuckDB. GK itself stays exercised (error-bound vs the
+# exact tier) in tests/test_sketches.py.
+_APPROX_PCT_STEP = 10000
+_APPROX_PCT_NB = 1200
+_APPROX_PCT_QS = [("p25_cents", 1, 4), ("p50_cents", 1, 2),
+                  ("p75_cents", 3, 4), ("p99_cents", 99, 100)]
+_APPROX_PCT_ORACLE = f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             LEAST({_KLL_CENTS} // {_APPROX_PCT_STEP}, {_APPROX_PCT_NB - 1}) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 3) // 4
+                         THEN (bucket + 1) * {_APPROX_PCT_STEP} END) AS BIGINT) AS p25_cents,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN (bucket + 1) * {_APPROX_PCT_STEP} END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4
+                         THEN (bucket + 1) * {_APPROX_PCT_STEP} END) AS BIGINT) AS p75_cents,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                         THEN (bucket + 1) * {_APPROX_PCT_STEP} END) AS BIGINT) AS p99_cents
+    FROM c GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register("approx_percentile_price", _APPROX_PCT_ORACLE)
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles via Spark's Greenwald-Khanna sketch
-    (approx_percentile, accuracy 10^4) — mergeable partial state, the
-    100 TB path where exact percentile would sort each group. Rows-only;
-    the error bound vs the exact tier is asserted in tests."""
+    """Approximate per-group quantiles from the mergeable fixed-grid
+    sketch ($100 buckets over integer cents): bounded state per group,
+    count-sum merge, value error ≤ one step — the 100 TB path where
+    exact percentile would sort each group, with an EXACT DuckDB oracle
+    (deterministic, unlike GK's partition-order-dependent state)."""
     li = load(spark, "lineitem", sf_dir)
-    aggs = [
-        F.expr(
-            f"approx_percentile(l_extendedprice, {q}, 10000)"
-        ).alias(f"p{int(q*100)}")
-        for q in (0.25, 0.50, 0.75, 0.99)
-    ]
-    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+    sk = sketch_op.grid_quantile_sketch(
+        li, ["l_returnflag"], _KLL_CENTS, _APPROX_PCT_STEP, _APPROX_PCT_NB
+    )
+    return sketch_op.grid_quantile_estimate(
+        sk, ["l_returnflag"], _APPROX_PCT_QS, _APPROX_PCT_STEP
+    ).orderBy("l_returnflag")
 
 
 _PIPELINE_ORACLE = _with_ms(

@@ -51,43 +51,108 @@ def test_kmv_small_group_exact(spark, sf_dir):
 
 
 def test_hll_error_bound(spark, sf_dir):
-    """DataSketches HLL at lgK=12 → ~1.6% std error; assert 10%."""
+    """Expression-level HLL at m=64 → ~13% std error (1.04/√64);
+    assert a 3σ 40% relative bound against the exact distinct."""
     li = load(spark, "lineitem", sf_dir)
+    col = F.col("l_partkey").cast("string")
     est = {
         (r.l_returnflag,): float(r.est_distinct)
-        for r in sketches.hll_distinct(li, ["l_returnflag"], "l_partkey").collect()
+        for r in sketches.hll_distinct(li, ["l_returnflag"], col).collect()
     }
     exact = _exact(li, ["l_returnflag"], F.col("l_partkey"))
     for key, n in exact.items():
-        assert est[key] == pytest.approx(n, rel=0.1)
+        assert est[key] == pytest.approx(n, rel=0.4)
+
+
+def test_hll_partition_invariant(spark, sf_dir):
+    """Register state (max per bucket) is partition-order independent —
+    the property that makes the estimate exactly oracle-checkable."""
+    li = load(spark, "lineitem", sf_dir)
+    col = F.col("l_partkey").cast("string")
+    a = sketches.hll_distinct(li, ["l_returnflag"], col).collect()
+    b = sketches.hll_distinct(li.repartition(17), ["l_returnflag"], col).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):
-    """GK sketch at accuracy 10^4 → rank error ≤ 1/10^4; generous 1%
-    value-relative bound on this data."""
+    """Grid-sketch percentiles: within one $100 step of the RANK (type-1)
+    quantile by construction; the exact tier interpolates (type 7), which
+    can land one order statistic past the grid's target rank, so assert
+    the one-step bound against the rank quantile computed directly."""
     from codex_africanus_spark.queries import registry
 
-    r = registry()
-    exact = r["exact_quantiles_price"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
-    approx = r["approx_percentile_price"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
+    li = load(spark, "lineitem", sf_dir)
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    qs = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p99", 99, 100)]
+    rank_aggs = []
+    for name, num, den in qs:
+        # value at rank ceil(q*n): max of the smallest ceil(q*n) values
+        rank_aggs.append(
+            F.expr(
+                f"max(c) FILTER (WHERE rk <= ({num} * n + {den - 1}) DIV {den})"
+            ).alias(name)
+        )
+    from pyspark.sql import Window
+
+    ranked = (
+        li.select(F.expr(cents).alias("c"), "l_returnflag")
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("c")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+    )
+    rank_q = ranked.groupBy("l_returnflag").agg(*rank_aggs).toPandas().set_index(
+        "l_returnflag"
+    )
+    approx = (
+        registry()["approx_percentile_price"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for name, _, _ in qs:
+        diff = approx[f"{name}_cents"] - rank_q[name]
+        assert (diff >= 0).all() and (diff <= 10000).all(), (name, diff)
+
+
+def test_gk_approx_percentile_error_bound(spark, sf_dir):
+    """Spark's native GK sketch (accuracy 10^4, rank error ≤ 1/10^4)
+    stays exercised against the exact tier even though the registered
+    headline query uses the deterministic grid sketch."""
+    from codex_africanus_spark.queries import registry
+
+    li = load(spark, "lineitem", sf_dir)
+    aggs = [
+        F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)").alias(
+            f"p{int(q * 100)}"
+        )
+        for q in (0.25, 0.50, 0.75, 0.99)
+    ]
+    gk = li.groupBy("l_returnflag").agg(*aggs).toPandas().set_index("l_returnflag")
+    exact = (
+        registry()["exact_quantiles_price"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
     for col in ["p25", "p50", "p75", "p99"]:
-        rel = ((approx[col] - exact[col]).abs() / exact[col]).max()
+        rel = ((gk[col] - exact[col]).abs() / exact[col]).max()
         assert rel < 0.01, (col, rel)
 
 
 def test_hll_union_rollup_matches_direct(spark, sf_dir):
     """HLL union of sub-sketches has identical register state to
     sketching the union — rollup estimates equal direct estimates
-    exactly (the lossless-merge property)."""
+    exactly (the lossless register-max merge property)."""
     li = load(spark, "lineitem", sf_dir)
+    col = F.col("l_partkey").cast("string")
     direct = {
         (r.l_returnflag,): float(r.est_distinct)
-        for r in sketches.hll_distinct(li, ["l_returnflag"], "l_partkey").collect()
+        for r in sketches.hll_distinct(li, ["l_returnflag"], col).collect()
     }
     rolled = {
         (r.l_returnflag,): float(r.est_distinct)
         for r in sketches.hll_rollup_union(
-            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
+            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], col
         ).collect()
     }
     assert direct == rolled
