@@ -43,7 +43,10 @@ CHUNK_WORDS = 10
 
 def _chunk_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, chunk): consecutive CHUNK_WORDS-word spans.
-    The last chunk may be short; empty docs produce zero chunks."""
+    The last chunk may be short. Note split('', ' ') is [''] in BOTH
+    Spark and DuckDB, so a truly empty doc yields ONE empty chunk (and
+    an empty doc whose text duplicates another's keeps 0 of 1 chunks) —
+    engine-consistent, so oracle parity holds."""
     chunks = F.expr(
         f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {CHUNK_WORDS}.0) "
         f"AS INT) - 1), i -> concat_ws(' ', slice(split(text, ' '), "
@@ -144,13 +147,19 @@ def repetition_flags(docs: DataFrame) -> DataFrame:
             F.max("c").alias("top_c"),
         )
     )
+    # Guard the 0/1-word case: sequence(1, 0) is DESCENDING in Spark
+    # (step -1 → [1, 0]) and element_at(w, 0) throws, where the oracle's
+    # range(1, len(w)) is simply empty — gate the transform so both
+    # engines yield no bigrams (explode drops the empty array).
     bigrams = docs.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
                 "transform(sequence(1, size(split(text, ' ')) - 1), "
                 "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1)))"
+                "element_at(split(text, ' '), i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("b"),
     )
@@ -415,7 +424,11 @@ TFIDF_SQL = f"""
 WINNOW_W = 4  # window of word-3-gram hashes; guarantee: any match of
               # length ≥ w+2 words shares a selected fingerprint
 
-_POS_BITS = 20  # doc positions < 2^20; key = h·2^20 + (2^20-1-pos)
+# Position field width for the packed (hash, reversed-pos) key:
+# key = hash31·2^32 + (2^32-1-pos). hash31 ≤ 2^31-2, so key ≤ 2^63-2^32-1
+# stays inside signed BIGINT, and the cap of 2^32 shingle positions per
+# document (~4 billion words) exceeds any real document.
+_POS_BITS = 32
 
 
 def winnowing_fingerprints(docs: DataFrame) -> DataFrame:

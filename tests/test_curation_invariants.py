@@ -22,6 +22,27 @@ def test_chunk_dedup_conservation(spark, sf_dir):
     assert len(out) == docs.count()  # every doc survives
 
 
+def test_repetition_flags_degenerate_docs(spark):
+    """0/1-word documents must not crash the bigram branch (Spark's
+    sequence(1, 0) is descending → element_at(w, 0) throws unguarded)
+    and must report top_bigram_frac = 0 like the oracle's empty
+    range(1, len(w))."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two words")], ["doc_id", "text"]
+    )
+    out = (
+        cur_op.repetition_flags(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "top_bigram_frac"] == 0.0  # '' → 1 empty word
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    assert out.loc[3, "top_bigram_frac"] == 1.0
+    assert out.loc[3, "n_words"] == 2
+
+
 def test_winnowing_window_coverage_guarantee(spark, sf_dir):
     """The defining winnowing property: every w-window of grams contains
     a selected fingerprint, so consecutive selections per doc are at
