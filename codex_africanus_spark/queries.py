@@ -776,7 +776,7 @@ _R4_HEAD: tuple[str, ...] = (
     "ann_lsh_recall_eval", "embedding_centroid_outliers",
     "fft_psf_image", "psf_gaussian_fit",
     "hll_sketch_distinct_parts", "hll_union_rollup",
-    "approx_percentile_price",
+    "approx_percentile_price", "ann_ivf_recall_eval",
 )
 
 
@@ -5084,6 +5084,48 @@ def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_IVF_RECALL_ORACLE = f"""
+  WITH exact_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.COSINE_TOPK_SQL(125, 3)})
+  ),
+  ivf_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.IVF_SQL(125, 3)})
+  )
+  SELECT e.query_id,
+         COUNT(a.neighbor_id) AS n_hits,
+         round(COUNT(a.neighbor_id) / CAST(3 AS DOUBLE), 6) AS recall_at_k
+  FROM exact_topk e
+  LEFT JOIN ivf_topk a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+  ORDER BY e.query_id
+"""
+
+
+@register("ann_ivf_recall_eval", _ANN_IVF_RECALL_ORACLE)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF ANN tier against the exact brute-force top-3,
+    per probe — the same quality gate as ann_lsh_recall_eval for the
+    inverted-file scale path, so BOTH ANN tiers ship a driver-checkable
+    recall measurement. Deterministic end-to-end (fixed-point centroids
+    + quantized cosine) ⇒ exactly oracled."""
+    emb = load(spark, "embeddings", sf_dir)
+    exact = sim_op.cosine_topk(emb, 125, 3).select("query_id", "neighbor_id")
+    ivf = sim_op.ivf_topk(emb, 125, 3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("hit").alias("n_hits"),

@@ -14,6 +14,28 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 1 / 3
 
 
+def test_recall_eval_queries_clear_fixed_floor(spark, sf_dir):
+    """Both registered recall@3 queries (LSH and IVF tiers) must clear a
+    fixed mean-recall floor — the accuracy-parametrized oracle style of
+    the reference's wgridder tests (test_wgridder.py:49-108), applied to
+    the ANN quality gates the driver checks.
+
+    The testdata embeddings are uniform-random (no cluster structure —
+    the ANN worst case) and the probe set is 4 vectors, so absolute
+    recall is inherently low and noisy here; the floor's job is to catch
+    a bucketing/candidate-join regression, which manifests as recall 0
+    (no candidate ever shares the query's bucket) or an empty result."""
+    from codex_africanus_spark.queries import registry
+
+    r = registry()
+    for name, floor in [("ann_lsh_recall_eval", 0.08), ("ann_ivf_recall_eval", 0.08)]:
+        out = r[name].fn(spark, sf_dir).toPandas()
+        assert len(out) > 0, name
+        assert out.recall_at_k.between(0.0, 1.0).all(), name
+        mean_recall = out.recall_at_k.mean()
+        assert mean_recall >= floor, (name, mean_recall)
+
+
 def test_ivf_partition_invariant(spark, sf_dir):
     """Fixed-point centroid sums ⇒ identical index and results under any
     input partitioning."""
