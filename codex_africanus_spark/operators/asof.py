@@ -20,7 +20,7 @@ Spark strategy by grid size:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,30 +35,38 @@ def asof_grid_interp(
 
     rows below the grid clamp to the first interval (weight 0), above to
     the last (weight 1) — the reference's clamping (:30-43).
-    """
+
+    The clamp bounds (grid min/max and the point below the max) ride the
+    plan as a broadcast 1-row aggregate of the tiny grid side — no driver
+    collect, no extra Spark job; the whole operator is one job whose only
+    fact-side shuffle is the interval groupBy."""
     keys = keys or rows.columns
     g = grid.select(F.col(grid_col).alias("__g")).distinct()
-    bounds = g.agg(F.min("__g").alias("gmin"), F.max("__g").alias("gmax")).collect()[0]
-    second = (
-        g.filter(F.col("__g") > bounds.gmin).agg(F.min("__g")).collect()[0][0]
+    # 1-row bounds frame: gmin, gmax, and the grid point just below gmax
+    # (the single-partition window is over the grid side only — tens of
+    # points by the SURVEY §1.4 side-input contract)
+    rn = F.row_number().over(Window.orderBy(F.col("__g").desc()))
+    bounds = (
+        g.withColumn("__rn", rn)
+        .agg(
+            F.min("__g").alias("__gmin"),
+            F.max("__g").alias("__gmax"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__g"))).alias("__prelast"),
+        )
     )
-    prelast = (
-        g.filter(F.col("__g") < bounds.gmax).agg(F.max("__g")).collect()[0][0]
+    r = rows.crossJoin(F.broadcast(bounds)).withColumn(
+        "__v",
+        F.least(F.greatest(F.col(value_col), F.col("__gmin")), F.col("__gmax")),
     )
-    clamped = F.least(
-        F.greatest(F.col(value_col), F.lit(float(bounds.gmin))),
-        F.lit(float(bounds.gmax)),
-    )
-    r = rows.withColumn("__v", clamped)
     lo = (
         r.crossJoin(F.broadcast(g))
         .filter(F.col("__g") <= F.col("__v"))
-        .groupBy(*keys, "__v")
+        .groupBy(*keys, "__v", "__gmax", "__prelast")
         .agg(F.max("__g").alias("grid_lo"))
         # the top grid point has no upper interval: step down one
         .withColumn(
             "grid_lo",
-            F.when(F.col("grid_lo") >= float(bounds.gmax), F.lit(float(prelast)))
+            F.when(F.col("grid_lo") >= F.col("__gmax"), F.col("__prelast"))
             .otherwise(F.col("grid_lo")),
         )
     )
