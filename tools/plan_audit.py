@@ -1,0 +1,46 @@
+"""Regenerate the PLANS.md physical-plan audit table (round 4, sf0.1)."""
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+from codex_africanus_spark.queries import registry
+
+QUERIES = [
+    "predict_vis_point_gauss", "predict_full_corr_2x2",
+    "corrupt_vis_apply_gains", "time_and_channel_average",
+    "uv_grid_histogram", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "topk_parts_by_revenue", "events_tumbling_window",
+    "time_index_dense_rank", "minhash_lsh_near_dup_pairs",
+    "embedding_cosine_topk", "events_sessionize_relational",
+    "rime_compiled_predict", "kmv_theta_distinct_customers", "ann_ivf_topk",
+    "approx_percentile_price", "compute_and_corrupt_vis_dde",
+    "gp_phase_screen_corrupt", "chunk_dedup_corpus", "eval_decontamination",
+    "events_asof_prior_join", "winnowing_fingerprints", "sequence_packing",
+    "unigram_logprob_quality", "tfidf_top_terms",
+    # round-4 additions
+    "hll_sketch_distinct_parts", "hll_union_rollup", "ann_ivf_recall_eval",
+    "asof_freq_grid_interp",
+]
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+reg = registry()
+print("| query | Exch | BcastExch | BHJ/BNLJ | SMJ | scans | global Sort |")
+print("|---|---|---|---|---|---|---|")
+for name in QUERIES:
+    df = reg[name].fn(spark, "/root/testdata/sf0.1")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    exch = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition", p))
+    bcast = p.count("BroadcastExchange")
+    bj = p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin")
+    smj = p.count("SortMergeJoin")
+    scans = p.count("Scan parquet")
+    gsort = len(re.findall(r"Sort \[[^\]]*\], true", p))
+    print(f"| {name} | {exch} | {bcast} | {bj} | {smj} | {scans} | {gsort} |")
+spark.stop()
