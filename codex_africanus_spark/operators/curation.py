@@ -637,3 +637,141 @@ SEQUENCE_PACKING_SQL = f"""
               - global_off // {SEQ_BUDGET} + 1 AS BIGINT) AS n_seqs_spanned
   FROM packed ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# 9. cross-document duplicated-span fraction (Lee et al. 2021,
+#    "Deduplicating Training Data Makes Language Models Better")
+# --------------------------------------------------------------------------
+
+SPAN_WORDS = 5  # word-5-gram spans — the substring-dedup granularity
+
+
+def cross_doc_dup_spans(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of word-5-gram spans that also occur in at
+    least one OTHER document — the substring-level duplication signal
+    used to drive exact-substring dedup at corpus scale.
+
+    Shuffle structure (the 100 TB shape): (1) distinct (doc, span-hash)
+    pairs — one shuffle at pair cardinality, uniform keys (md5); (2)
+    span document-frequency = count over the pair frame — partial-agg,
+    immune to hot boilerplate spans because the per-doc distinct already
+    collapsed within-doc repeats; (3) co-keyed equi-join of the span
+    instances back onto the df table (both sides hash-partitioned on the
+    span hash → ReuseExchange); (4) per-doc conditional count. No
+    self-join of the corpus, no window.
+
+    Docs shorter than SPAN_WORDS words emit zero spans and report
+    dup_frac = 0 via the left join (the 0/1-word guard discipline of
+    repetition_flags)."""
+    docs = fan_out(docs)
+    spans = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= SPAN_WORDS
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {SPAN_WORDS - 1}), "
+                f"j -> concat_ws(' ', slice(split(text, ' '), j, {SPAN_WORDS})))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", hash31(F.col("gram")).alias("h"))
+    df_per_span = (
+        spans.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    )
+    per_doc = (
+        spans.join(df_per_span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias("n_dup_spans"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup_spans") / F.col("n_spans"), F.lit(0.0)), 6
+        ).alias("dup_span_frac"),
+    )
+
+
+CROSS_DOC_DUP_SQL = f"""
+  WITH spans AS (
+    SELECT doc_id, {hash31_sql("concat_ws(' ', w[j], w[j+1], w[j+2], w[j+3], w[j+4])")} AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {SPAN_WORDS}),
+         UNNEST(range(1, len(w) - {SPAN_WORDS - 2})) AS t(j)
+  ),
+  df_per_span AS (
+    SELECT h, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY h
+  ),
+  per_doc AS (
+    SELECT s.doc_id, COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE f.nd > 1) AS n_dup_spans
+    FROM spans s JOIN df_per_span f USING (h)
+    GROUP BY s.doc_id
+  )
+  SELECT d.doc_id,
+         COALESCE(p.n_spans, 0) AS n_spans,
+         COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+         round(COALESCE(p.n_dup_spans / CAST(p.n_spans AS DOUBLE), 0.0), 6) AS dup_span_frac
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+BOILERPLATE_TOP_K = 20
+
+
+def boilerplate_top_spans(docs: DataFrame) -> DataFrame:
+    """Top-K most widespread word-5-gram spans across the corpus (by
+    document frequency, ties → span text asc) — the boilerplate /
+    template detector that feeds stop-span lists for substring dedup.
+
+    Grouping is by span TEXT (not hash) so the output is directly
+    actionable; keys are long strings but the aggregation is still
+    partial (map-side combine ships (span, count) pairs), and the final
+    top-K is a K-row total order — sorting 20 rows, not the corpus."""
+    docs = fan_out(docs)
+    spans = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= SPAN_WORDS
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {SPAN_WORDS - 1}), "
+                f"j -> concat_ws(' ', slice(split(text, ' '), j, {SPAN_WORDS})))"
+            )
+        ).alias("gram"),
+    )
+    df_counts = (
+        spans.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("gram"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BOILERPLATE_TOP_K)
+        .select("rank", "gram", "n_docs")
+    )
+
+
+BOILERPLATE_TOP_SQL = f"""
+  WITH spans AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', w[j], w[j+1], w[j+2], w[j+3], w[j+4]) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {SPAN_WORDS}),
+         UNNEST(range(1, len(w) - {SPAN_WORDS - 2})) AS t(j)
+  ),
+  counts AS (SELECT gram, COUNT(*) AS n_docs FROM spans GROUP BY gram),
+  ranked AS (
+    SELECT gram, n_docs,
+           row_number() OVER (ORDER BY n_docs DESC, gram) AS rank
+    FROM counts
+  )
+  SELECT rank, gram, n_docs FROM ranked WHERE rank <= {BOILERPLATE_TOP_K}
+  ORDER BY rank
+"""

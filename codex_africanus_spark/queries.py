@@ -777,6 +777,7 @@ _R4_HEAD: tuple[str, ...] = (
     "fft_psf_image", "psf_gaussian_fit",
     "hll_sketch_distinct_parts", "hll_union_rollup",
     "approx_percentile_price", "ann_ivf_recall_eval",
+    "cross_doc_dup_spans", "boilerplate_top_spans",
 )
 
 
@@ -4967,6 +4968,27 @@ def ms_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("weight_sum") * 100).cast("long")).alias("weight_c2"),
         )
         .orderBy("antenna1")
+    )
+
+
+@register("cross_doc_dup_spans", cur_op.CROSS_DOC_DUP_SQL)
+def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of word-5-gram spans shared with another
+    document (Lee et al. 2021 substring-dedup signal): distinct
+    (doc, span) pairs → span document frequency → co-keyed join back —
+    no corpus self-join."""
+    return cur_op.cross_doc_dup_spans(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register("boilerplate_top_spans", cur_op.BOILERPLATE_TOP_SQL)
+def boilerplate_top_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most widespread word-5-gram spans by document frequency —
+    the boilerplate/template detector feeding stop-span lists for
+    substring dedup. K-row total order only."""
+    return cur_op.boilerplate_top_spans(load(spark, "documents", sf_dir)).orderBy(
+        "rank"
     )
 
 

@@ -1,8 +1,12 @@
+import os
+
 import pytest
 
 from codex_africanus_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Override to rehearse the suite at another scale factor, e.g. the
+# driver's correctness scale: SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

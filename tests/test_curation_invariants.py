@@ -43,6 +43,45 @@ def test_repetition_flags_degenerate_docs(spark):
     assert out.loc[3, "n_words"] == 2
 
 
+def test_cross_doc_dup_spans_hand_computed(spark):
+    """Known-answer check: doc 1 and 2 share exactly their first 5-word
+    span; doc 3 is unique; doc 4 is too short for any span."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y"),       # spans: abcde, bcdex, cdexy
+            (2, "a b c d e p q"),       # spans: abcde, bcdep, cdepq
+            (3, "u v w x y z"),         # spans: uvwxy, vwxyz (unique)
+            (4, "too short"),           # no spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = cur_op.cross_doc_dup_spans(docs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_spans"] == 3 and out.loc[1, "n_dup_spans"] == 1
+    assert out.loc[2, "n_spans"] == 3 and out.loc[2, "n_dup_spans"] == 1
+    assert round(out.loc[1, "dup_span_frac"], 6) == round(1 / 3, 6)
+    assert out.loc[3, "n_dup_spans"] == 0 and out.loc[3, "dup_span_frac"] == 0.0
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_span_frac"] == 0.0
+    # every document appears exactly once, spans or not
+    assert sorted(out.index) == [1, 2, 3, 4]
+
+
+def test_boilerplate_top_spans_counts_doc_frequency_not_instances(spark):
+    """A span repeated many times INSIDE one doc must count once — the
+    detector ranks by document frequency."""
+    docs = spark.createDataFrame(
+        [
+            (1, "s p a m x " * 4),        # 'spamx' repeated within doc 1
+            (2, "s p a m x only here"),
+            (3, "n o i s e words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cur_op.boilerplate_top_spans(docs).toPandas()
+    top = out.iloc[0]
+    assert top["gram"] == "s p a m x"
+    assert top["n_docs"] == 2  # docs 1 and 2, not 5 instances
+
+
 def test_winnowing_window_coverage_guarantee(spark, sf_dir):
     """The defining winnowing property: every w-window of grams contains
     a selected fingerprint, so consecutive selections per doc are at
