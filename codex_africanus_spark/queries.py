@@ -5404,3 +5404,75 @@ def psf_gaussian_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.createDataFrame(pdf)
+
+
+# ===========================================================================
+# Transactional snapshot sink (Delta-style manifest log) — sources/snapshot.py
+# ===========================================================================
+
+from codex_africanus_spark.sources import snapshot as snap_mod  # noqa: E402
+
+_SNAPSHOT_ORACLE = """
+  WITH versions AS (
+    SELECT 1 AS version, l_returnflag, l_quantity
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT 2 AS version, l_returnflag, l_quantity FROM lineitem
+    UNION ALL
+    SELECT 3 AS version, l_returnflag, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R'
+  )
+  SELECT version, l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c2
+  FROM versions
+  GROUP BY version, l_returnflag
+  ORDER BY version, l_returnflag
+"""
+
+
+@register("snapshot_sink_time_travel", _SNAPSHOT_ORACLE)
+def snapshot_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional snapshot sink round-trip with time travel (the
+    Delta/Iceberg-shaped replacement for the reference's locked in-place
+    MS writes, xds_to_table in examples/predict.py:576-586):
+
+    v1 overwrite = lineitem rows with l_linenumber <= 2;
+    v2 append    = the remaining rows (head snapshot == full lineitem);
+    v3 overwrite = only the returned ('R') rows.
+
+    All three retained versions are then read back through the manifest
+    log — each a pinned historical snapshot — and re-aggregated.
+    Matching the oracle (which recomputes each version's row set straight
+    from lineitem) proves commit atomicity bookkeeping, append/overwrite
+    log replay, and time-travel reads preserve values and multiplicity.
+    At 100 TB: commits move manifest metadata only; readers plan from the
+    manifest (no data-tree listing); see sources/snapshot.py."""
+    import shutil
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = f"{tempfile.gettempdir()}/cas_snapshot/lineitem"
+    # deterministic version numbers per run; fixed per-boot path (no
+    # mkdtemp leak — same policy as ms_sink_roundtrip)
+    shutil.rmtree(root, ignore_errors=True)
+    snap_mod.commit(li.filter(F.col("l_linenumber") <= 2), root, mode="overwrite")
+    snap_mod.commit(li.filter(F.col("l_linenumber") > 2), root, mode="append")
+    snap_mod.commit(li.filter(F.col("l_returnflag") == "R"), root, mode="overwrite")
+
+    reads = [
+        snap_mod.read_snapshot(spark, root, version=v)
+        .select(F.lit(v).alias("version"), "l_returnflag", "l_quantity")
+        for v in (1, 2, 3)
+    ]
+    allv = reads[0].unionByName(reads[1]).unionByName(reads[2])
+    return (
+        allv.groupBy("version", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c2"),
+        )
+        .orderBy("version", "l_returnflag")
+    )
