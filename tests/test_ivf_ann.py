@@ -51,3 +51,39 @@ def test_ivf_centroids_broadcast(spark, sf_dir):
     emb = load(spark, "embeddings", sf_dir)
     plan = sim.ivf_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup semantics: canonical points down, keepers are mutually
+    sub-threshold within a cell, and every drop has a kept justification."""
+    from codex_africanus_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.semantic_dedup(emb).toPandas()
+    assert (out.canonical_id <= out.vec_id).all()
+    dups = out[out.is_dup == 1]
+    assert len(dups) > 0, "threshold should bite on the test corpus"
+    assert (dups.canonical_id < dups.vec_id).all()
+    keep = out[out.is_dup == 0]
+    assert (keep.canonical_id == keep.vec_id).all()
+
+    # brute-force check on the keep-set: no within-cell pair of keepers
+    # may exceed the threshold (else one of them should have been dropped)
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cell = dict(zip(out.vec_id, out.cid))
+    keep_ids = sorted(keep.vec_id)
+    for i, a in enumerate(keep_ids):
+        va = vecs[a]
+        na = np.sqrt(
+            sum(round(x * x * 1e12) for x in va) / 1e12
+        )
+        for b in keep_ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            vb = vecs[b]
+            nb = np.sqrt(sum(round(x * x * 1e12) for x in vb) / 1e12)
+            dot = sum(round(x * y * 1e12) for x, y in zip(va, vb)) / 1e12
+            assert round(dot / (na * nb), 9) < sim.SEMDEDUP_THRESHOLD, (a, b)
