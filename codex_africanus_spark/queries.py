@@ -5489,3 +5489,29 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup(load(spark, "embeddings", sf_dir)).orderBy(
         "vec_id"
     )
+
+
+# ===========================================================================
+# Hashing-trick linear quality classifier — operators/classifier.py
+# ===========================================================================
+
+from codex_africanus_spark.operators import classifier as clf_op  # noqa: E402
+
+
+@register("quality_classifier_scores", clf_op.CLASSIFY_SQL)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear quality classifier over hashed bag-of-words:
+    token → hash bucket → weight, fused into one integer accumulator per
+    document (the bucket vector is never materialized) + rational
+    fast-sigmoid probability. Pure projection — zero shuffle; the model
+    rides the corpus scan at 100 TB."""
+    return clf_op.classify(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("quality_classifier_source_rollup", clf_op.SOURCE_ROLLUP_SQL)
+def quality_classifier_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report from the classifier (doc counts, keep
+    rate, fixed-point mean quality): scores stay scan-resident (source
+    carried through the projection, no join) and the rollup collapses
+    map-side to dimension cardinality."""
+    return clf_op.source_rollup(load(spark, "documents", sf_dir))
