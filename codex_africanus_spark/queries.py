@@ -5515,3 +5515,31 @@ def quality_classifier_source_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     carried through the projection, no join) and the rollup collapses
     map-side to dimension cardinality."""
     return clf_op.source_rollup(load(spark, "documents", sf_dir))
+
+
+@register(
+    "events_attribution_interval_join",
+    _with_ms(
+        """
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               p.ts_us - v.ts_us AS gap_us, p.value AS purchase_value
+        FROM ev v JOIN ev p
+          ON p.user_id = v.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+        ORDER BY view_id, purchase_id
+        """
+    ),
+)
+def events_attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution interval join (batch twin of the
+    stream-stream join in streaming/joins.py — same condition, same
+    schema, Kappa parity locked by tests/test_stream_stream_join.py).
+    One user_id-keyed shuffle; at 100 TB the streaming form bounds state
+    to ingest-rate x horizon per side via the watermark."""
+    ev = tpch_ms.events_table(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    from codex_africanus_spark.streaming import joins as sj
+
+    return sj.attribution_batch(ev).orderBy("view_id", "purchase_id")

@@ -7,7 +7,7 @@ mapping of its binning semantics:
   tumbling event-time windows with a watermark;
 - BDA's data-dependent per-baseline bins (bda_mapping.py:111-186) →
   session windows with a gap timeout (the decorrelation-bounded variant
-  runs через applyInPandasWithState; the gap-based tier is built-in).
+  runs through applyInPandasWithState; the gap-based tier is built-in).
 
 Batch/stream parity: the aggregation expressions are the *same Columns*
 as the batch queries (queries.events_tumbling_window), so a backfill run
