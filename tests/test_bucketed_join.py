@@ -1,0 +1,113 @@
+"""Persisted bucketed tables: the co-located join path.
+
+At 100 TB the orders⋈lineitem class of join is shuffle-dominated; writing
+both fact tables bucketed by the join key (same bucket count) lets Spark
+plan a SortMergeJoin with NO Exchange on either side — the shuffle is
+paid once at layout time and amortized over every subsequent join. This
+test persists bucketed twins of lineitem/orders and asserts the plan is
+genuinely exchange-free, plus value parity with the plain-join result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def bucketed_db(spark, sf_dir, tmp_path):
+    db = "bucketdemo"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/warehouse'")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _joined(spark, db):
+    li = spark.table(f"{db}.lineitem_b")
+    orders = spark.table(f"{db}.orders_b")
+    return li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c2"),
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_db):
+    """Both sides bucketed on the join key at the same bucket count →
+    the join itself must run with zero shuffles (the one Exchange in the
+    full plan belongs to the groupBy after it, keyed differently)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _joined(spark, bucketed_db)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan, plan
+        # nothing below the join may shuffle: scan→(sort)→join, no Exchange
+        assert "Exchange" not in join_part, join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_db):
+    got = {
+        (r.o_orderdate, r.n, r.qty_c2)
+        for r in _joined(spark, bucketed_db).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        (r.o_orderdate, r.n, r.qty_c2)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c2"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed_db, sf_dir):
+    """Joining a bucketed table against a plain frame shuffles ONLY the
+    plain side (Spark aligns it to the bucketed layout)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table(f"{bucketed_db}.lineitem_b")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            F.sum("o_totalprice").alias("s")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly one Exchange hashpartitioning for the join inputs
+        joins_block = plan.split("SortMergeJoin")[-1]
+        n_exchanges = joins_block.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
