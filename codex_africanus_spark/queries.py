@@ -5543,3 +5543,20 @@ def events_attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
     from codex_africanus_spark.streaming import joins as sj
 
     return sj.attribution_batch(ev).orderBy("view_id", "purchase_id")
+
+
+# ===========================================================================
+# Corpus lexical statistics — operators/corpus_stats.py
+# ===========================================================================
+
+from codex_africanus_spark.operators import corpus_stats as cstat_op  # noqa: E402
+
+
+@register("zipf_lexical_stats", cstat_op.ZIPF_SQL)
+def zipf_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary shape + least-squares Zipf exponent over the
+    top-100 ranks (the corpus-health signal curation dashboards watch).
+    Explode + vocab-cardinality groupBy (map-side partial collapse),
+    within-source window ranking, closed-form regression on 1e-6-quantized
+    ln values so both engines sum identical integers."""
+    return cstat_op.zipf_lexical_stats(load(spark, "documents", sf_dir))
