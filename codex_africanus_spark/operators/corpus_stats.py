@@ -119,3 +119,94 @@ ZIPF_SQL = f"""
   FROM shape s JOIN reg r ON r.source = s.source
   ORDER BY s.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-pair contamination: shingle-set Jaccard between corpus sources
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise shingle-set Jaccard between sources — the provenance-
+    contamination signal (two "independent" crawls sharing big shingle
+    sets means duplicated provenance, template reuse, or leakage).
+
+    Plan: distinct (source, 3-gram-shingle-hash) → self-join keyed on the
+    shingle hash (co-partitioned; pairs per shingle bounded by #sources²,
+    a constant) → groupBy at source-pair cardinality (#sources²/2 rows).
+    The corpus-sized explode collapses at the distinct; nothing after it
+    exceeds vocabulary scale. Output: source_a < source_b, intersection
+    size, per-source set sizes, exact Jaccard (9 dp).
+    """
+    from codex_africanus_spark.functions.text import hash60, word_3gram_shingles
+
+    sh = (
+        documents.filter(F.size(F.split("text", " ")) >= 3)
+        .select("source", F.explode(word_3gram_shingles("text")).alias("g"))
+        .select("source", hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def SOURCE_OVERLAP_SQL() -> str:
+    from codex_africanus_spark.functions.text import WORD_3GRAM_SQL, hash60_sql
+
+    return f"""
+      WITH sh AS (
+        SELECT DISTINCT source, {hash60_sql('g')} AS h FROM (
+          SELECT source, unnest({WORD_3GRAM_SQL}) AS g FROM (
+            SELECT source, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+          )
+        )
+      ),
+      sizes AS (
+        SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY source
+      ),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT i.source_a, i.source_b, i.n_common,
+             sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+             round(i.n_common / CAST(sa.n_shingles + sb.n_shingles
+                                     - i.n_common AS DOUBLE), 9) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+      ORDER BY i.source_a, i.source_b
+    """

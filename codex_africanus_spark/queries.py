@@ -5560,3 +5560,12 @@ def zipf_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-source window ranking, closed-form regression on 1e-6-quantized
     ln values so both engines sum identical integers."""
     return cstat_op.zipf_lexical_stats(load(spark, "documents", sf_dir))
+
+
+@register("source_overlap_matrix", cstat_op.SOURCE_OVERLAP_SQL())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle-set Jaccard (provenance contamination matrix):
+    distinct (source, shingle-hash) collapses the corpus to vocabulary
+    scale, the self-join is keyed on shingle hash (pairs per shingle
+    bounded by #sources^2), and the rollup lands at pair cardinality."""
+    return cstat_op.source_overlap_matrix(load(spark, "documents", sf_dir))

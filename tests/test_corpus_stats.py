@@ -45,3 +45,29 @@ def test_shape_invariants(spark, sf_dir):
     assert out.ttr.between(0, 1).all()
     assert out.hapax_frac.between(0, 1).all()
     assert (out.zipf_slope < 0).all()  # frequency must decay with rank
+
+
+def test_source_overlap_known_answer(spark):
+    """Two sources sharing exactly one 3-gram out of 2 each -> J=1/3;
+    a third disjoint source pairs at J=0 (or is absent entirely)."""
+    rows = [
+        (1, "a b c d", "s1", ""),   # shingles: abc, bcd
+        (2, "b c d e", "s2", ""),   # shingles: bcd, cde
+        (3, "x y z", "s3", ""),     # shingle: xyz (disjoint)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s, _ in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = cs.source_overlap_matrix(df).toPandas().set_index(["source_a", "source_b"])
+    assert out.loc[("s1", "s2")].n_common == 1
+    assert out.loc[("s1", "s2")].jaccard == round(1 / 3, 9)
+    # disjoint pairs produce no row (inner join) — absence is the assertion
+    assert ("s1", "s3") not in out.index and ("s2", "s3") not in out.index
+
+
+def test_source_overlap_bounds(spark, sf_dir):
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cs.source_overlap_matrix(doc).toPandas()
+    assert (out.n_common <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert out.jaccard.between(0, 1).all()
