@@ -5569,3 +5569,76 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, the self-join is keyed on shingle hash (pairs per shingle
     bounded by #sources^2), and the rollup lands at pair cardinality."""
     return cstat_op.source_overlap_matrix(load(spark, "documents", sf_dir))
+
+
+_FUNNEL_ORACLE = f"""
+  WITH scored AS (
+    SELECT doc_id, keep AS keep_q
+    FROM ({clf_op.CLASSIFY_SQL.replace("ORDER BY doc_id", "")})
+  ),
+  canon AS (
+    SELECT doc_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS keep_exact
+    FROM documents
+  ),
+  sem AS (
+    SELECT vec_id AS doc_id, 1 - is_dup AS keep_sem
+    FROM ({sim_op.SEMDEDUP_SQL().replace("ORDER BY a.vec_id", "")})
+  ),
+  f AS (
+    SELECT d.source, s.keep_q, c.keep_exact, m.keep_sem
+    FROM documents d
+    JOIN scored s ON s.doc_id = d.doc_id
+    JOIN canon c ON c.doc_id = d.doc_id
+    JOIN sem m ON m.doc_id = d.doc_id
+  )
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(keep_q) AS BIGINT) AS n_quality,
+         CAST(SUM(keep_q * keep_exact) AS BIGINT) AS n_quality_unique,
+         CAST(SUM(keep_q * keep_exact * keep_sem) AS BIGINT) AS n_final
+  FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("curation_funnel_multimodal", _FUNNEL_ORACLE)
+def curation_funnel_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over BOTH modalities: linear-classifier
+    quality gate (text), exact content dedup (text), SemDeDup semantic
+    dedup (embedding) — per-source survivor counts at each stage.
+
+    Composition stays relational: the classifier is a scan projection,
+    canonical-copy detection is one digest window, semantic dedup is the
+    cell-bounded pair join; the three per-doc flags meet in doc_id-keyed
+    joins and collapse to source cardinality. The funnel ordering
+    (quality -> exact-dup -> semantic-dup) mirrors production pipelines
+    where each stage prunes the next stage's input."""
+    doc = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    scored = clf_op.classify(doc, carry=["source"]).select(
+        "doc_id", "source", F.col("keep").alias("keep_q")
+    )
+    canon = doc.select("doc_id", F.md5("text").alias("dg")).select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("dg"))
+        ).cast("int").alias("keep_exact"),
+    )
+    sem = sim_op.semantic_dedup(emb).select(
+        F.col("vec_id").alias("doc_id"),
+        (1 - F.col("is_dup")).alias("keep_sem"),
+    )
+    funnel = scored.join(canon, "doc_id").join(sem, "doc_id")
+    return (
+        funnel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep_q").alias("n_quality"),
+            F.sum(F.col("keep_q") * F.col("keep_exact")).alias("n_quality_unique"),
+            F.sum(
+                F.col("keep_q") * F.col("keep_exact") * F.col("keep_sem")
+            ).alias("n_final"),
+        )
+        .orderBy("source")
+    )
