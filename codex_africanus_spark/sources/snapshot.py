@@ -271,3 +271,55 @@ def foreach_batch_committer(root: str, mode: str = "append"):
         raise SnapshotConflictError("streaming commit lost 20 races")
 
     return _commit
+
+
+# ---------------------------------------------------------------------------
+# Incremental reads (append-only CDC) and compaction
+# ---------------------------------------------------------------------------
+
+
+def read_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows *added* in versions (from_version, to_version] — the
+    incremental-consumption path (downstream jobs resume from the last
+    version they processed instead of rescanning the table).
+
+    Only append commits stream incrementally; an overwrite in the range
+    is a history rewrite the consumer cannot diff file-wise, so it
+    raises rather than silently double-counting.
+    """
+    head = latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {root}")
+    to_version = head if to_version is None else to_version
+    if not (0 <= from_version <= to_version <= head):
+        raise ValueError(
+            f"bad version range ({from_version}, {to_version}] with head {head}"
+        )
+    files: list[str] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(root, v)
+        if m["action"] != "append":
+            raise ValueError(
+                f"version {v} is {m['action']!r}; incremental reads are only "
+                "defined over append-only ranges"
+            )
+        files.extend(m["files"])
+    if not files:
+        return read_snapshot(spark, root, to_version).limit(0)
+    return spark.read.parquet(*[f"{root}/{f}" for f in files])
+
+
+def compact(spark: SparkSession, root: str, target_partitions: int = 1) -> int:
+    """OPTIMIZE-style compaction: rewrite the current snapshot's file set
+    into `target_partitions` files as a new overwrite commit. Data is
+    unchanged (same rows, fresh layout); old versions stay time-travelable
+    until vacuumed. Returns the committed version.
+
+    At 100 TB compaction is the antidote to streaming's small-file
+    problem: many per-batch appends → one scan-efficient file set, paid
+    as one background rewrite, atomically swapped in.
+    """
+    current = read_snapshot(spark, root)
+    return commit(current.coalesce(target_partitions), root, mode="overwrite")

@@ -168,3 +168,36 @@ def test_streaming_foreach_batch_exactly_once(spark, root, tmp_path):
     committer(batch_df, 1)
     assert snap.read_snapshot(spark, root).count() == 6
     assert snap.committed_batch_ids(root) == {0, 1}
+
+
+def test_incremental_reads_append_only(spark, root):
+    snap.commit(_df(spark, 0, 10, "a"), root, mode="overwrite")
+    snap.commit(_df(spark, 10, 15, "b"), root, mode="append")
+    snap.commit(_df(spark, 15, 22, "c"), root, mode="append")
+    # consumer resumes after v1: sees exactly v2+v3's rows
+    inc = snap.read_changes(spark, root, from_version=1)
+    assert inc.count() == 12
+    assert {r.tag for r in inc.select("tag").distinct().collect()} == {"b", "c"}
+    # empty range -> empty frame with the right schema
+    none = snap.read_changes(spark, root, from_version=3)
+    assert none.count() == 0 and "tag" in none.columns
+    # a range crossing an overwrite must refuse, not double-count
+    snap.commit(_df(spark, 0, 2, "d"), root, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        snap.read_changes(spark, root, from_version=2)
+
+
+def test_compaction_preserves_data_and_history(spark, root):
+    for i in range(5):
+        snap.commit(_df(spark, i * 10, (i + 1) * 10, f"t{i}"), root, mode="append")
+    files_before = len(snap.snapshot_files(root))
+    total_before = snap.read_snapshot(spark, root).agg(F.sum("val")).first()[0]
+    v = snap.compact(spark, root, target_partitions=1)
+    assert v == 6
+    assert len(snap.snapshot_files(root)) < files_before
+    assert (
+        snap.read_snapshot(spark, root).agg(F.sum("val")).first()[0]
+        == total_before
+    )
+    # pre-compaction version still time-travels
+    assert snap.read_snapshot(spark, root, version=3).count() == 30
