@@ -5642,3 +5642,65 @@ def curation_funnel_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SNAPSHOT_MERGE_ORACLE = """
+  WITH base AS (
+    SELECT o_orderkey AS k,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c2,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'upd' ELSE 'base' END AS tag,
+           CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS mult
+    FROM orders
+  ),
+  merged AS (
+    SELECT tag, price_c2 * mult AS price_c2 FROM base
+    UNION ALL
+    SELECT 'ins' AS tag, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c2
+    FROM orders WHERE o_orderkey % 1000 = 1
+  )
+  SELECT tag, COUNT(*) AS n_rows, CAST(SUM(price_c2) AS BIGINT) AS price_c2
+  FROM merged GROUP BY tag ORDER BY tag
+"""
+
+
+@register("snapshot_merge_upsert", _SNAPSHOT_MERGE_ORACLE)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot table with file-range pruning: base =
+    all orders (range-partitioned by key so file footers carry disjoint
+    key ranges), updates double the price of every key % 10 == 0 row,
+    inserts add shifted-key copies of key % 1000 == 1 rows. The merged
+    snapshot is read back and rolled up by row provenance. Matching the
+    oracle (recomputed straight from orders) proves upsert row semantics
+    through the manifest log; the pruning itself is plan-asserted in
+    tests/test_snapshot_sink.py."""
+    import shutil
+    import tempfile
+
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c2"),
+    )
+    base = orders.withColumn("tag", F.lit("base"))
+    root = f"{tempfile.gettempdir()}/cas_snapshot/orders_merge"
+    shutil.rmtree(root, ignore_errors=True)
+    snap_mod.commit_with_stats(
+        base.repartitionByRange(8, "k"), root, stats_cols=["k"],
+        mode="overwrite",
+    )
+    upd = orders.filter(F.col("k") % 10 == 0).select(
+        "k", (F.col("price_c2") * 2).alias("price_c2"), F.lit("upd").alias("tag")
+    )
+    ins = orders.filter(F.col("k") % 1000 == 1).select(
+        (F.col("k") + 1000000000).alias("k"), "price_c2",
+        F.lit("ins").alias("tag"),
+    )
+    snap_mod.merge_into(spark, root, upd.unionByName(ins), key="k")
+    return (
+        snap_mod.read_snapshot(spark, root)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_c2").alias("price_c2"),
+        )
+        .orderBy("tag")
+    )

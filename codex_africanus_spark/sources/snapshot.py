@@ -323,3 +323,180 @@ def compact(spark: SparkSession, root: str, target_partitions: int = 1) -> int:
     """
     current = read_snapshot(spark, root)
     return commit(current.coalesce(target_partitions), root, mode="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# File-level statistics, data-skipping reads, and pruned MERGE INTO
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(root: str, rel_files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max for `cols`, read from the parquet footers (no data
+    scan — the footer already carries row-group statistics)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(f"{root}/{rel}").metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in names:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(names[c]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[c] = [lo, hi]
+        out[rel] = stats
+    return out
+
+
+def commit_with_stats(
+    df: DataFrame, root: str, stats_cols: list[str], mode: str = "append"
+) -> int:
+    """Commit + attach per-file min/max for `stats_cols` to the manifest
+    (footer reads only). Readers and MERGE use these to skip files."""
+    version = commit(df, root, mode=mode)
+    m = _read_manifest(root, version)
+    m["stats"] = _file_stats(root, m["files"], stats_cols)
+    # manifests are immutable once published; stats are derived metadata
+    # computed before anyone can reference this version's stats, so the
+    # single rewrite here is safe (same content + stats key)
+    _manifest_path(root, version).write_text(json.dumps(m, indent=1))
+    return version
+
+
+def _all_stats(root: str, version: int | None) -> dict:
+    """rel_file -> stats for every file in the snapshot (files committed
+    without stats map to {} and can never be skipped)."""
+    stats: dict[str, dict] = {}
+    head = latest_version(root)
+    v_end = head if version is None else version
+    for v in range(1, v_end + 1):
+        m = _read_manifest(root, v)
+        stats.update(m.get("stats", {}))
+    files = snapshot_files(root, version)
+    return {f: stats.get(f, {}) for f in files}
+
+
+def read_snapshot_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read: only files whose [min,max] for `col` intersects
+    [lo, hi] are opened; the residual filter still applies row-level.
+    With stats on the layout key this is manifest-level partition pruning
+    without directory layout — the Delta/Iceberg scan-planning shape."""
+    from pyspark.sql import functions as F
+
+    stats = _all_stats(root, version)
+    keep = [
+        f for f, s in stats.items()
+        if col not in s or not (s[col][0] > hi or s[col][1] < lo)
+    ]
+    if not keep:
+        return read_snapshot(spark, root, version).limit(0).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+    df = spark.read.parquet(*[f"{root}/{f}" for f in keep])
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """MERGE INTO (upsert by `key`): rows in `updates` replace same-key
+    rows; unmatched keys insert. File-pruned like Delta's MERGE — only
+    files whose key-range intersects the updates' key-range are
+    rewritten; every other live file is carried into the new version
+    untouched (metadata move, no IO).
+
+    The new manifest is an `overwrite` listing carried + rewritten +
+    inserted files, so log replay needs no new action type.
+    """
+    from pyspark.sql import functions as F
+
+    klo, khi = updates.agg(F.min(key), F.max(key)).first()
+    if klo is None:
+        raise ValueError("empty updates frame")
+    stats = _all_stats(root, None)
+
+    # Pruning precision: a global [min,max] of the update keys is wrecked
+    # by a single far-away insert (range spans everything). For update
+    # sets up to a collectable bound, test each file against the exact
+    # sorted key set instead (bisect); beyond it, fall back to the range.
+    _EXACT_PRUNE_MAX = 100_000
+    keys_exact = None
+    if updates.select(key).limit(_EXACT_PRUNE_MAX + 1).count() <= _EXACT_PRUNE_MAX:
+        import bisect
+
+        keys_exact = sorted(
+            r[0] for r in updates.select(key).distinct().collect()
+        )
+
+    def _intersects(s: dict) -> bool:
+        if key not in s:
+            return True  # no stats — can never be skipped
+        lo, hi = s[key]
+        if keys_exact is not None:
+            i = bisect.bisect_left(keys_exact, lo)
+            return i < len(keys_exact) and keys_exact[i] <= hi
+        return not (lo > khi or hi < klo)
+
+    touched = [f for f, s in stats.items() if _intersects(s)]
+    carried = [f for f in stats if f not in touched]
+
+    if touched:
+        existing = spark.read.parquet(*[f"{root}/{f}" for f in touched])
+        remaining = existing.join(
+            updates.select(key).distinct(), key, "left_anti"
+        )
+        rewritten = remaining.unionByName(updates)
+    else:
+        rewritten = updates
+
+    txn = f"txn-{uuid.uuid4().hex}"
+    data_dir = Path(root) / _DATA_DIR / txn
+    rewritten.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        f"{_DATA_DIR}/{txn}/{p.relative_to(data_dir)}"
+        for p in data_dir.rglob("*.parquet")
+    )
+    log = _log_dir(root)
+    log.mkdir(parents=True, exist_ok=True)
+    for _ in range(20):
+        head = latest_version(root) or 0
+        manifest = {
+            "version": head + 1,
+            "action": "overwrite",
+            "files": carried + new_files,
+            "schema": rewritten.schema.json(),
+            "merge": {"key": key, "rewrote": len(touched),
+                      "carried": len(carried)},
+        }
+        tmp = log / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        if _publish(tmp, _manifest_path(root, head + 1)):
+            version = head + 1
+            m = _read_manifest(root, version)
+            m["stats"] = {
+                **{f: stats.get(f, {}) for f in carried},
+                **_file_stats(root, new_files, stats_cols or [key]),
+            }
+            _manifest_path(root, version).write_text(json.dumps(m, indent=1))
+            return version
+    raise SnapshotConflictError("merge lost 20 commit races")

@@ -201,3 +201,70 @@ def test_compaction_preserves_data_and_history(spark, root):
     )
     # pre-compaction version still time-travels
     assert snap.read_snapshot(spark, root, version=3).count() == 30
+
+
+def test_stats_and_data_skipping(spark, root):
+    """Files whose key range cannot match are never opened: verify via
+    the file list driving the skipped read (inputFiles)."""
+    snap.commit_with_stats(_df(spark, 0, 100, "a").repartitionByRange(4, "id"),
+                           root, stats_cols=["id"], mode="overwrite")
+    all_files = snap.snapshot_files(root)
+    assert len(all_files) == 4
+    st = snap._all_stats(root, None)
+    assert all("id" in s for s in st.values())
+    df = snap.read_snapshot_where(spark, root, "id", 10, 20)
+    opened = df.inputFiles()
+    assert 0 < len(opened) < len(all_files), opened
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(10, 21))
+
+
+def test_merge_into_prunes_untouched_files(spark, root):
+    snap.commit_with_stats(_df(spark, 0, 100, "base").repartitionByRange(4, "id"),
+                           root, stats_cols=["id"], mode="overwrite")
+    before = set(snap.snapshot_files(root))
+    # update ids 5..9 (one range file) + insert ids 200..204
+    upd = spark.range(5, 10).select(
+        F.col("id"), F.lit("upd").alias("tag"), (F.col("id") * 100).alias("val")
+    ).unionByName(
+        spark.range(200, 205).select(
+            F.col("id"), F.lit("new").alias("tag"), (F.col("id") * 100).alias("val")
+        )
+    )
+    v = snap.merge_into(spark, root, upd, key="id")
+    after = set(snap.snapshot_files(root, v))
+    carried = before & after
+    assert carried, "files outside the key range must be carried, not rewritten"
+    m = snap._read_manifest(root, v)
+    assert m["merge"]["carried"] == len(carried)
+    assert m["merge"]["rewrote"] == len(before) - len(carried)
+
+    cur = snap.read_snapshot(spark, root).toPandas().set_index("id").sort_index()
+    assert len(cur) == 105
+    assert (cur.loc[5:9].tag == "upd").all()
+    assert (cur.loc[5:9].val == [i * 100 for i in range(5, 10)]).all()
+    assert (cur.loc[200:204].tag == "new").all()
+    assert cur.loc[42].tag == "base"  # untouched row survives
+    # pre-merge version still time-travels to the old values
+    old = snap.read_snapshot(spark, root, version=1).toPandas().set_index("id")
+    assert len(old) == 100 and (old.loc[5:9].tag == "base").all()
+
+
+def test_merge_stats_survive_for_next_merge(spark, root):
+    """Carried files keep their stats; rewritten files get fresh ones —
+    a second merge must still prune."""
+    snap.commit_with_stats(_df(spark, 0, 100, "a").repartitionByRange(4, "id"),
+                           root, stats_cols=["id"], mode="overwrite")
+    upd1 = spark.range(0, 3).select(
+        F.col("id"), F.lit("u1").alias("tag"), F.col("id").alias("val"))
+    v1 = snap.merge_into(spark, root, upd1, key="id")
+    st = snap._all_stats(root, v1)
+    assert all("id" in s for s in st.values())
+    upd2 = spark.range(95, 98).select(
+        F.col("id"), F.lit("u2").alias("tag"), F.col("id").alias("val"))
+    v2 = snap.merge_into(spark, root, upd2, key="id")
+    m = snap._read_manifest(root, v2)
+    assert m["merge"]["carried"] > 0
+    cur = snap.read_snapshot(spark, root).toPandas().set_index("id")
+    assert (cur.loc[95:97].tag == "u2").all() and (cur.loc[0:2].tag == "u1").all()
+    assert len(cur) == 100
