@@ -22,6 +22,11 @@ QUERIES = [
     # round-4 additions
     "hll_sketch_distinct_parts", "hll_union_rollup", "ann_ivf_recall_eval",
     "asof_freq_grid_interp",
+    # round-4 continuation additions
+    "semantic_dedup_embeddings", "quality_classifier_scores",
+    "quality_classifier_source_rollup", "zipf_lexical_stats",
+    "source_overlap_matrix", "events_attribution_interval_join",
+    "curation_funnel_multimodal",
 ]
 
 spark = (
