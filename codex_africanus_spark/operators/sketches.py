@@ -322,3 +322,90 @@ def grid_quantile_estimate(
             ).alias(name)
         )
     return c.groupBy(*keys).agg(*aggs)
+
+
+def kmv_intersection(
+    df: DataFrame, seg_col: str, col: Column | str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch set algebra: estimated distinct-value overlap between
+    every pair of segments, from per-segment KMV sketches alone.
+
+    Standard theta intersection: each segment retains its k smallest
+    hashes and a threshold θ (the k-th smallest, or 2^60 when the segment
+    has < k distinct values and the sketch IS the exact set); for a pair,
+    θ∩ = min(θa, θb) and the estimate is |{h in both sketches, h < θ∩}| ·
+    2^60 / θ∩ (which degrades gracefully to the exact intersection count
+    when both sides are exact). Deterministic end-to-end — order
+    statistics of the portable hash — so the DuckDB oracle reproduces the
+    estimate bit-for-bit.
+
+    Scale: sketches are k-row groups (partial-agg friendly); the pair
+    join touches #segments × k rows, never the base table — the whole
+    point of sketch algebra at 100 TB is that segment-overlap dashboards
+    never rescan the fact table.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    d = df.select(F.col(seg_col).alias("seg"), hash60(col).alias("h")).distinct()
+    w = Window.partitionBy("seg").orderBy("h")
+    sk = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    theta = sk.groupBy("seg").agg(
+        F.when(F.count("*") < k, F.lit(TWO60))
+        .otherwise(F.max(F.when(F.col("rk") == k, F.col("h"))).cast("double"))
+        .alias("theta")
+    )
+    a = sk.select(F.col("seg").alias("seg_a"), "h").join(
+        F.broadcast(theta.select(F.col("seg").alias("seg_a"), F.col("theta").alias("ta"))),
+        "seg_a",
+    )
+    b = sk.select(F.col("seg").alias("seg_b"), "h").join(
+        F.broadcast(theta.select(F.col("seg").alias("seg_b"), F.col("theta").alias("tb"))),
+        "seg_b",
+    )
+    pairs = a.join(b, "h").filter(F.col("seg_a") < F.col("seg_b"))
+    tmin = F.least(F.col("ta"), F.col("tb"))
+    common = (
+        pairs.filter(F.col("h") < tmin)
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("n_common"), F.first(tmin).alias("theta"))
+    )
+    return common.select(
+        "seg_a",
+        "seg_b",
+        F.round(F.col("n_common") * F.lit(TWO60) / F.col("theta"), 6).alias(
+            "est_common"
+        ),
+    ).orderBy("seg_a", "seg_b")
+
+
+def KMV_INTERSECT_SQL(table_expr: str, seg_expr: str, col_expr: str, k: int = 64) -> str:
+    return f"""
+    WITH ki_d AS (
+      SELECT DISTINCT {seg_expr} AS seg, {hash60_sql(col_expr)} AS h
+      FROM {table_expr}
+    ),
+    ki_r AS (
+      SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rk
+      FROM ki_d
+    ),
+    ki_sk AS (SELECT seg, h, rk FROM ki_r WHERE rk <= {k}),
+    ki_th AS (
+      SELECT seg,
+             CASE WHEN COUNT(*) < {k} THEN {TWO60!r}
+                  ELSE CAST(MAX(CASE WHEN rk = {k} THEN h END) AS DOUBLE)
+             END AS theta
+      FROM ki_sk GROUP BY seg
+    ),
+    ki_pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b, a.h AS h,
+             least(ta.theta, tb.theta) AS theta
+      FROM ki_sk a
+      JOIN ki_sk b ON a.h = b.h AND a.seg < b.seg
+      JOIN ki_th ta ON ta.seg = a.seg
+      JOIN ki_th tb ON tb.seg = b.seg
+    )
+    SELECT seg_a, seg_b,
+           round(COUNT(*) * {TWO60!r} / ANY_VALUE(theta), 6) AS est_common
+    FROM ki_pairs WHERE h < theta
+    GROUP BY seg_a, seg_b
+    ORDER BY seg_a, seg_b
+    """

@@ -5704,3 +5704,112 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+@register(
+    "kmv_intersection_customers",
+    sketch_op.KMV_INTERSECT_SQL(
+        "orders", "o_orderpriority", "CAST(o_custkey AS VARCHAR)", k=64
+    ),
+)
+def kmv_intersection_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection: estimated distinct-customer overlap
+    between every pair of order priorities, computed from the k=64
+    per-segment KMV sketches alone (the pair join touches #segments x k
+    rows, never the fact table). Deterministic order statistics ->
+    the ESTIMATE itself is exactly oracled."""
+    orders = load(spark, "orders", sf_dir)
+    return sketch_op.kmv_intersection(
+        orders, "o_orderpriority", F.col("o_custkey").cast("string"), k=64
+    )
+
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_EVENTS_FUNNEL_ORACLE = _with_ms(
+    """
+    , per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT p.user_id, p.t1,
+             MIN(CASE WHEN e.event_type = 'view' AND e.ts_us > p.t1
+                       AND e.ts_us <= p.t1 + 86400000000
+                      THEN e.ts_us END) AS t2
+      FROM per_user p JOIN ev e ON e.user_id = p.user_id
+      GROUP BY p.user_id, p.t1
+    ),
+    s3 AS (
+      SELECT s.user_id, s.t1, s.t2,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts_us > s.t2
+                       AND e.ts_us <= s.t2 + 86400000000
+                      THEN e.ts_us END) AS t3
+      FROM s2 s JOIN ev e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.t1, s.t2
+    ),
+    s4 AS (
+      SELECT s.user_id, s.t1, s.t2, s.t3,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s.t3
+                       AND e.ts_us <= s.t3 + 86400000000
+                      THEN e.ts_us END) AS t4
+      FROM s3 s JOIN ev e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.t1, s.t2, s.t3
+    )
+    SELECT COUNT(t1) AS n_signup,
+           COUNT(t2) AS n_view_after,
+           COUNT(t3) AS n_click_after,
+           COUNT(t4) AS n_purchase_after,
+           round(COUNT(t4) / CAST(COUNT(t1) AS DOUBLE), 9) AS conversion
+    FROM s4
+    """
+)
+
+
+@register("events_funnel_conversion", _EVENTS_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> view -> click -> purchase):
+    stage k counts users whose first stage-k event falls within one day
+    after their stage-(k-1) entry time. The cascade is four window minima over
+    the SAME user partitioning — Spark plans ONE user-keyed shuffle and
+    reuses it for every stage (no per-stage re-join of the fact table,
+    which is what the oracle's self-join formulation would cost at
+    100 TB). Final rollup is a single global aggregate row."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(wu)
+    ev1 = ev.withColumn("t1", t1)
+    H = 86400000000  # 1-day step horizon (unbounded saturates on dense data)
+    t2 = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("ts_us") > F.col("t1"))
+               & (F.col("ts_us") <= F.col("t1") + H), F.col("ts_us"))
+    ).over(wu)
+    ev2 = ev1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t2"))
+               & (F.col("ts_us") <= F.col("t2") + H), F.col("ts_us"))
+    ).over(wu)
+    ev3 = ev2.withColumn("t3", t3)
+    t4 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t3"))
+            & (F.col("ts_us") <= F.col("t3") + H),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    per_user = (
+        ev3.withColumn("t4", t4)
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"), F.min("t4").alias("t4"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after"),
+        F.count("t3").alias("n_click_after"),
+        F.count("t4").alias("n_purchase_after"),
+        F.round(F.count("t4") / F.count("t1"), 9).alias("conversion"),
+    )

@@ -225,3 +225,25 @@ def test_grid_quantile_partition_invariant(spark, sf_dir):
         ["l_returnflag"], qs, 50000,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_intersection_accuracy(spark, sf_dir):
+    """Theta-intersection estimates must land within sketch error of the
+    exact overlaps (k=64 -> RSE ~ 1/sqrt(k-2) ~ 12.6%; assert 3 sigma)."""
+    from pyspark.sql import functions as F
+    from codex_africanus_spark.operators import sketches as sk
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = sk.kmv_intersection(
+        orders, "o_orderpriority", F.col("o_custkey").cast("string"), k=64
+    ).toPandas().set_index(["seg_a", "seg_b"])
+    segs = orders.select(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    ).distinct().toPandas()
+    by_seg = {s: set(g.o_custkey) for s, g in segs.groupby("seg")}
+    names = sorted(by_seg)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            exact = len(by_seg[a] & by_seg[b])
+            got = est.loc[(a, b)].est_common
+            assert abs(got - exact) <= max(0.4 * exact, 10), (a, b, got, exact)
