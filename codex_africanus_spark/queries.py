@@ -5813,3 +5813,62 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t4").alias("n_purchase_after"),
         F.round(F.count("t4") / F.count("t1"), 9).alias("conversion"),
     )
+
+
+_WEEK_US = 604800000000  # 7 * 86400 * 1e6
+
+_COHORT_ORACLE = _with_ms(
+    f"""
+    , cohort AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+               // {_WEEK_US} AS cohort_week
+      FROM ev GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             e.ts_us // {_WEEK_US} - c.cohort_week AS week_offset
+      FROM ev e JOIN cohort c ON c.user_id = e.user_id
+      WHERE c.cohort_week IS NOT NULL
+        AND e.ts_us // {_WEEK_US} >= c.cohort_week
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """
+)
+
+
+@register("events_cohort_retention", _COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by their first
+    signup week; each later week of any activity marks them retained at
+    that offset. One user-keyed shuffle computes the cohort (window min
+    reuses the same partitioning for the offset projection), the distinct
+    collapses to (cohort, offset, user), and the rollup is matrix-sized.
+    The classic growth-analytics shape, exactly oracled."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    cohort = F.floor(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(wu)
+        / _WEEK_US
+    )
+    withc = ev.withColumn("cohort_week", cohort).filter(
+        F.col("cohort_week").isNotNull()
+    )
+    act = (
+        withc.select(
+            "user_id",
+            "cohort_week",
+            (F.floor(F.col("ts_us") / _WEEK_US) - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
