@@ -116,3 +116,36 @@ def test_interval_and_state_eviction(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert removed > 0, "watermark advance must evict buffered join state"
+
+
+def test_attribution_stream_lands_in_snapshot_table(spark, sf_dir, tmp_path):
+    """Full streaming-lakehouse path: the stream-stream join's output is
+    committed to the transactional snapshot table via the exactly-once
+    foreachBatch committer, and the table's content matches the batch
+    twin computed directly."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "attr_table")
+    stream = windowed.read_events_stream(spark, sf_dir)
+    out = joins.attribution_stream(stream)
+    q = (
+        out.writeStream.foreachBatch(snap.foreach_batch_committer(root))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = snap.read_snapshot(spark, root).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from codex_africanus_spark.sources.tpch_ms import events_ts_us
+
+    ev = ev.withColumn("event_time", F.timestamp_micros(events_ts_us(ev)))
+    want = joins.attribution_batch(ev).toPandas()
+    key = ["user_id", "view_id", "purchase_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values(key).reset_index(drop=True)[sorted(want.columns)],
+        check_dtype=False,
+    )
+    assert snap.committed_batch_ids(root), "commits must carry batch ids"
