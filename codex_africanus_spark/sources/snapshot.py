@@ -500,3 +500,57 @@ def merge_into(
             _manifest_path(root, version).write_text(json.dumps(m, indent=1))
             return version
     raise SnapshotConflictError("merge lost 20 commit races")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-column data skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_column(col_a, col_b, bits: int = 16):
+    """Morton interleave of two non-negative integer columns (rank-space
+    is the caller's job — pass ntile/percent-rank-scaled values for
+    skewed domains). Pure bit arithmetic, JVM-side.
+
+    Range-partitioning by this value clusters BOTH dimensions: each file
+    covers a Z-curve segment, so its [min,max] footprint in either
+    column is narrow and `read_snapshot_where` can skip files on either
+    predicate — the Delta OPTIMIZE ZORDER effect, without a sort on any
+    single dimension dominating the other.
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    # disjoint bit fields, so integer addition == bitwise OR (Column `|`
+    # is boolean OR in the Python API). (a & 2^i) = bit_i(a)·2^i; bit i
+    # of a lands at position 2i+1 (× 2^(i+1)), bit i of b at 2i (× 2^i).
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + a.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << (i + 1))
+            + b.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << i)
+        )
+    return z
+
+
+def commit_zordered(
+    df: DataFrame,
+    root: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> int:
+    """Commit `df` laid out along the Z-curve of (col_a, col_b), with
+    file stats on both columns — multi-dimensional data skipping."""
+    z = zorder_column(col_a, col_b, bits=bits).alias("__z")
+    laid = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return commit_with_stats(laid, root, stats_cols=[col_a, col_b], mode=mode)

@@ -268,3 +268,53 @@ def test_merge_stats_survive_for_next_merge(spark, root):
     cur = snap.read_snapshot(spark, root).toPandas().set_index("id")
     assert (cur.loc[95:97].tag == "u2").all() and (cur.loc[0:2].tag == "u1").all()
     assert len(cur) == 100
+
+
+def test_zorder_skips_on_both_dimensions(spark, root, tmp_path):
+    """Z-ordered layout must let BOTH columns' point-range reads skip
+    most files; a single-column sort skips on that column only."""
+    import pyspark.sql.functions as F2
+
+    n = 1 << 12
+    grid = spark.range(n).select(
+        (F2.col("id") % 64).alias("x"),
+        (F2.col("id") / 64).cast("long").alias("y"),
+        F2.col("id").alias("payload"),
+    )
+    snap.commit_zordered(grid, root, "x", "y", n_files=16, bits=8)
+    n_files = len(snap.snapshot_files(root))
+    assert n_files > 4
+
+    opened_x = len(snap.read_snapshot_where(spark, root, "x", 3, 4).inputFiles())
+    opened_y = len(snap.read_snapshot_where(spark, root, "y", 3, 4).inputFiles())
+    assert opened_x < n_files / 2, (opened_x, n_files)
+    assert opened_y < n_files / 2, (opened_y, n_files)
+
+    # control: x-sorted layout cannot skip on y
+    root2 = str(tmp_path / "xsorted")
+    laid = grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+    snap.commit_with_stats(laid, root2, stats_cols=["x", "y"], mode="overwrite")
+    ctrl_files = len(snap.snapshot_files(root2))
+    ctrl_y = len(snap.read_snapshot_where(spark, root2, "y", 3, 4).inputFiles())
+    assert ctrl_y >= ctrl_files - 1, (ctrl_y, ctrl_files)  # no y-skipping
+
+    # correctness: same rows either way
+    a = snap.read_snapshot_where(spark, root, "y", 3, 4).count()
+    b = snap.read_snapshot_where(spark, root2, "y", 3, 4).count()
+    assert a == b == 128
+
+
+def test_zorder_interleave_known_values(spark):
+    """zorder(3, 5, bits=3): a=011, b=101 interleave to 011011 = 27."""
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (7, 7)], "a long, b long")
+    out = df.select(snap.zorder_column("a", "b", bits=3).alias("z")).collect()
+    def ref(a, b, bits=3):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+    assert [r.z for r in out] == [ref(3, 5), 0, ref(7, 7)]
+    assert ref(3, 5) == 27
