@@ -55,3 +55,33 @@ def test_weights_are_spread(spark):
     column constant; the Knuth spread must produce both signs."""
     assert min(clf.WEIGHTS) < 0 < max(clf.WEIGHTS)
     assert len(set(w % clf.N_BUCKETS for w in range(clf.N_BUCKETS))) == clf.N_BUCKETS
+
+
+def test_scoring_portable_over_random_corpora(spark):
+    """Property check: for randomized corpora (varied token shapes,
+    unicode, repeats), the Spark pipeline must agree exactly with the
+    independent Python scorer — one batched example, no per-doc jobs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x024F
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    doc = st.lists(token, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=40))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = clf.classify(df).orderBy("doc_id").toPandas()
+        for (i, t), (_, r) in zip(rows, out.iterrows()):
+            raw, score = _py_score(t)
+            assert r.raw_score == raw, repr(t)
+            assert r.quality_score == score, repr(t)
+
+    run()
