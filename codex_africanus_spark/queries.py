@@ -5872,3 +5872,39 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_LANG_CONFUSION_SQL = f"""
+  WITH preds AS ({_LANG_ID_SQL.replace("ORDER BY doc_id", "")}),
+  cells AS (
+    SELECT lang, lang_pred, COUNT(*) AS n FROM preds GROUP BY lang, lang_pred
+  ),
+  totals AS (SELECT lang, SUM(n) AS total FROM cells GROUP BY lang)
+  SELECT c.lang, c.lang_pred, c.n,
+         round(c.n / CAST(t.total AS DOUBLE), 9) AS frac_of_lang
+  FROM cells c JOIN totals t ON t.lang = c.lang
+  ORDER BY c.lang, c.lang_pred
+"""
+
+
+@register("lang_id_confusion_matrix", _LANG_CONFUSION_SQL)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the n-gram
+    language-ID heuristic against the labeled lang column, with each
+    cell's share of its true language (row-normalized recall view).
+    Predictions stay scan-resident; the matrix is #langs^2-bounded, and
+    the per-language totals re-aggregate from the matrix itself (no
+    second corpus scan)."""
+    preds = lang_id_heuristic(spark, sf_dir).select("lang", "lang_pred")
+    cells = preds.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("total"), 9).alias("frac_of_lang"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -127,7 +127,11 @@ def read_snapshot(
         v = latest_version(root) if version is None else version
         schema = StructType.fromJson(json.loads(_read_manifest(root, v)["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[f"{root}/{f}" for f in files])
+    # mergeSchema: additive schema evolution — an append that introduced
+    # new columns unions by name; rows from older files read them as NULL
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f"{root}/{f}" for f in files]
+    )
 
 
 def _publish(tmp: Path, final: Path) -> bool:

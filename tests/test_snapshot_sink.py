@@ -318,3 +318,19 @@ def test_zorder_interleave_known_values(spark):
         return z
     assert [r.z for r in out] == [ref(3, 5), 0, ref(7, 7)]
     assert ref(3, 5) == 27
+
+
+def test_additive_schema_evolution(spark, root):
+    """An append introducing a new column unions by name; older rows
+    read the new column as NULL, and time travel shows each version's
+    own schema."""
+    snap.commit(_df(spark, 0, 5, "a"), root, mode="overwrite")
+    widened = _df(spark, 5, 8, "b").withColumn("score", F.col("id") * 10)
+    snap.commit(widened, root, mode="append")
+    cur = snap.read_snapshot(spark, root)
+    assert "score" in cur.columns
+    pdf = cur.toPandas().set_index("id").sort_index()
+    assert pdf.loc[0:4].score.isna().all()
+    assert list(pdf.loc[5:7].score) == [50, 60, 70]
+    # v1 time travel: the old schema, no phantom column
+    assert "score" not in snap.read_snapshot(spark, root, version=1).columns
