@@ -5908,3 +5908,75 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = _with_ms(
+    """
+    SELECT (ts_us // 86400000000) % 7 AS weekday,
+    """
+    + ",\n    ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM ev GROUP BY weekday ORDER BY weekday
+    """
+)
+
+
+@register("events_pivot_weekday", _PIVOT_ORACLE)
+def events_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot: event counts by weekday x event_type, with the
+    pivot VALUES declared explicitly (no extra distinct-scan job, stable
+    column order for the oracle compare). Pivot compiles to conditional
+    aggregates — one shuffle at cell cardinality."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    piv = (
+        ev.groupBy(
+            (F.expr("ts_us DIV 86400000000") % 7).alias("weekday")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "weekday",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return out.orderBy("weekday")
+
+
+_NTILE_ORACLE = _with_ms(
+    """
+    , tiles AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM ev
+    )
+    SELECT event_type, decile, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS value_sum
+    FROM tiles GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """
+)
+
+
+@register("events_value_deciles", _NTILE_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning via ntile window per event type (ties broken by
+    event_id so the tiling is deterministic), rolled up to per-decile
+    counts and quantized sums — one event_type-keyed shuffle for the
+    window, reused by the aggregation."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    tiles = ev.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiles.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .orderBy("event_type", "decile")
+    )
