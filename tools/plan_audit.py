@@ -26,7 +26,10 @@ QUERIES = [
     "semantic_dedup_embeddings", "quality_classifier_scores",
     "quality_classifier_source_rollup", "zipf_lexical_stats",
     "source_overlap_matrix", "events_attribution_interval_join",
-    "curation_funnel_multimodal",
+    "curation_funnel_multimodal", "kmv_intersection_customers",
+    "events_funnel_conversion", "events_cohort_retention",
+    "lang_id_confusion_matrix", "events_pivot_weekday",
+    "events_value_deciles",
 ]
 
 spark = (
