@@ -5980,3 +5980,40 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+_JSON_PROPS_ORACLE = """
+  WITH parsed AS (
+    SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+  )
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(k) AS BIGINT) AS k_sum,
+         CAST(MIN(k) AS BIGINT) AS k_min,
+         CAST(MAX(k) AS BIGINT) AS k_max,
+         CAST(COUNT(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+  FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_json_props_stats", _JSON_PROPS_ORACLE)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON string is
+    parsed in the scan projection (get_json_object — JVM-side, no UDF)
+    and aggregated per event type. At 100 TB the parse rides the scan;
+    nothing materializes the parsed form before the partial aggregate."""
+    ev = load(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
