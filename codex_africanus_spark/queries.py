@@ -6017,3 +6017,57 @@ def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_GAP_FILL_ORACLE = _with_ms(
+    """
+    , per_day AS (
+      SELECT user_id, ts_us // 86400000000 AS day_bin, COUNT(*) AS n
+      FROM ev GROUP BY user_id, day_bin
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day_bin) AS lo, MAX(day_bin) AS hi
+      FROM per_day GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi)) AS day_bin
+      FROM bounds b
+    )
+    SELECT g.user_id, g.day_bin,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_events,
+           CASE WHEN p.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN per_day p
+      ON p.user_id = g.user_id AND p.day_bin = g.day_bin
+    ORDER BY g.user_id, g.day_bin
+    """
+)
+
+
+@register("events_gap_fill_daily", _GAP_FILL_ORACLE)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user daily activity with silent
+    days materialized as zero rows (the resample/gap-fill primitive
+    under retention and anomaly pipelines). The day grid comes from
+    sequence() over each user's own [first, last] bounds — generated at
+    bound cardinality, never a global calendar cross join — and the
+    fill join is co-keyed on (user, day)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    per_day = ev.groupBy(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = per_day.groupBy("user_id").agg(
+        F.min("day_bin").alias("lo"), F.max("day_bin").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day_bin")
+    )
+    return (
+        grid.join(per_day, ["user_id", "day_bin"], "left")
+        .select(
+            "user_id",
+            "day_bin",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("user_id", "day_bin")
+    )
