@@ -6071,3 +6071,58 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_bin")
     )
+
+
+_FUZZY_ORACLE = """
+  WITH names AS (
+    SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+  ),
+  blocked AS (
+    SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM names
+  )
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist,
+         CAST(a.n_parts AS BIGINT) AS n_parts_a,
+         CAST(b.n_parts AS BIGINT) AS n_parts_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+  ORDER BY name_a, name_b
+"""
+
+
+@register("fuzzy_name_match_pairs", _FUZZY_ORACLE)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (entity resolution): near-identical part
+    names within edit distance 2, candidate pairs generated by a
+    blocking key (last name token) so the Levenshtein evaluation runs on
+    block-bounded pairs, never all-pairs. The name table is pre-deduped
+    with occurrence counts, so the expensive comparison runs at distinct-
+    name cardinality — the standard blocking+verify entity-resolution
+    shape, fully JVM-side (levenshtein is a codegen expression)."""
+    part = load(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.filter(dist <= 2)
+        .select(
+            "name_a", "name_b",
+            dist.cast("long").alias("lev_dist"),
+            "n_parts_a", "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
