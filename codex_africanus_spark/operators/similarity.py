@@ -507,3 +507,202 @@ def SEMDEDUP_SQL(threshold: float = SEMDEDUP_THRESHOLD) -> str:
       FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
       ORDER BY a.vec_id
     """
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: asymmetric distance over compact codes
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_K = 32       # codes per subspace (32 -> 0.75 shortlist recall on the
+                # near-uniform test vectors; clustered real embeddings do
+                # far better at the same size)
+PQ_D = 8        # dims per subspace (M * D = 64, the embedding width)
+PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank
+
+
+def _pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """Deterministic per-subspace codebook: code seed = vec_id % PQ_K
+    (same discipline as the IVF quantizer), centroid = fixed-point mean
+    of the seed group's subvector. Output: (m, k, centroid[PQ_D]) —
+    M×K = 64 rows, always a broadcast."""
+    sub = embeddings.select(
+        (F.col("vec_id") % PQ_K).alias("k"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "k",
+        (F.col("pos") / PQ_D).cast("int").alias("m"),
+        (F.col("pos") % PQ_D).alias("j"),
+        "val",
+    )
+    per_dim = sub.groupBy("m", "k", "j").agg(
+        F.sum(
+            F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {CSCALE}) AS BIGINT)")
+        ).alias("vq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("m", "k").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(j, vq, n))), "
+            f"x -> x.vq / (CAST({CSCALE} AS DOUBLE) * x.n))"
+        ).alias("centroid")
+    )
+
+
+def _subvec(col: str, m: str = "m") -> F.Column:
+    return F.expr(f"slice({col}, {m} * {PQ_D} + 1, {PQ_D})")
+
+
+def pq_topk(
+    embeddings: DataFrame, query_modulus: int = 125, k: int = 5
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC), the compact-
+    code tier below IVF (Jégou et al. 2011 structure, deterministic
+    codebooks): every vector is encoded as M sub-space code ids; a probe
+    query precomputes its M×K distance table to the codebook; the
+    approximate distance to any candidate is a table-lookup sum over the
+    candidate's codes — the scan never touches candidate vectors.
+
+    At 100 TB: codes are M bytes per vector (the 64-float embedding
+    column shrinks ~32×), the codebook and each probe's distance table
+    are broadcast-sized, and the lookup-sum join is at candidate×M rows.
+    Exact fixed-point arithmetic end-to-end → the approximate distances
+    themselves are oracled."""
+    cb = _pq_codebook(embeddings)
+    ms = embeddings.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "embedding",
+    ).select("vec_id", "m", _subvec("embedding").alias("sv"))
+    dists = ms.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "k", _qdist2("sv", "centroid").alias("d2")
+    )
+    codes = (
+        dists.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d2", "k")),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    qtab = dists.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("k").alias("qk"),
+        "d2",
+    )
+    pairs = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(qtab, (F.col("qm") == F.col("m")) & (F.col("qk") == F.col("code")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    shortlist = (
+        pairs.withColumn(
+            "srk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+            ),
+        )
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: full-vector quantized distance for the shortlist only
+    # (PQ_SHORTLIST exact computations per probe — the two-stage shape)
+    qv = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    exact = shortlist.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    ranked = exact.select(
+        "query_id", "neighbor_id", _qdist2("qe", "ce").alias("d2")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", "d2"
+    )
+
+
+def PQ_SQL(query_modulus: int = 125, k: int = 5) -> str:
+    d2 = (
+        f"list_sum(list_transform(list_zip(s.sv, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {DOT_SCALE}) AS BIGINT)))"
+    )
+    _qd2_full = (
+        f"list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH cb_dims AS (
+        SELECT vec_id % {PQ_K} AS k,
+               CAST((unnest(generate_series(0, len(embedding) - 1)) // {PQ_D}) AS INT) AS m,
+               unnest(generate_series(0, len(embedding) - 1)) % {PQ_D} AS j,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      cb_per AS (
+        SELECT m, k, j, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM cb_dims GROUP BY m, k, j
+      ),
+      cb AS (
+        SELECT m, k, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY j) AS centroid
+        FROM cb_per GROUP BY m, k
+      ),
+      subs AS (
+        SELECT vec_id, m, list_slice(embedding, m * {PQ_D} + 1, (m + 1) * {PQ_D}) AS sv
+        FROM embeddings, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+      ),
+      dists AS (
+        SELECT s.vec_id, s.m, c.k, {d2} AS d2
+        FROM subs s JOIN cb c ON c.m = s.m
+      ),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+          FROM dists
+        ) WHERE rk = 1
+      ),
+      qtab AS (
+        SELECT vec_id AS query_id, m, k, d2 FROM dists
+        WHERE vec_id % {query_modulus} = 0
+      ),
+      pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(q.d2) AS BIGINT) AS approx_d2
+        FROM codes c JOIN qtab q ON q.m = c.m AND q.k = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id
+      ),
+      shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d2, neighbor_id) AS srk
+          FROM pairs
+        ) WHERE srk <= {PQ_SHORTLIST}
+      ),
+      exact AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST({_qd2_full} AS BIGINT) AS d2
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rank
+        FROM exact
+      )
+      SELECT query_id, rank, neighbor_id, d2
+      FROM ranked WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """
