@@ -409,3 +409,96 @@ def KMV_INTERSECT_SQL(table_expr: str, seg_expr: str, col_expr: str, k: int = 64
     GROUP BY seg_a, seg_b
     ORDER BY seg_a, seg_b
     """
+
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # cells per row (state 4x1024 cells; tight at the test
+               # vocabulary, still partial-agg-sized at any corpus scale)
+
+
+def _cms_cell(col: Column, row: int) -> Column:
+    """Row-specific cell index: salt the portable hash with the row id."""
+    return hash60(F.concat(F.lit(f"r{row}|"), col)) % CMS_W
+
+
+def _cms_cell_sql(expr: str, row: int) -> str:
+    salted = "concat('r" + str(row) + "|', " + expr + ")"
+    return f"({hash60_sql(salted)} % {CMS_W})"
+
+
+def cms_token_estimates(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's true top-N
+    tokens — the frequency member of the sketch family (distinct = KMV /
+    HLL / theta, quantiles = grid-KLL, frequency = CMS).
+
+    The sketch is D×W = 256 cells of token-occurrence counts (cell =
+    salted-hash of the token per row; estimate = MIN over rows); cells
+    are plain conditional-sum aggregates, so the state is partial-agg
+    friendly and two sketches merge by cell-wise addition (lossless for
+    the estimate definition — at 100 TB per-shard sketches roll up
+    without rescanning). Deterministic hash → the ESTIMATES are exactly
+    oracled, and CMS's one-sided guarantee (estimate ≥ true) is assertable
+    row by row. Output: token, true count, estimate, overestimate."""
+    tok = documents.select(F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = tf.orderBy(F.col("true_count").desc(), "token").limit(top_n)
+    cells = tok.groupBy(
+        *[_cms_cell(F.col("token"), r).alias(f"c{r}") for r in range(CMS_D)]
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # fold the D cell tables: for each row r, per-cell totals
+    rows = [
+        cells.groupBy(F.col(f"c{r}").alias("cell")).agg(F.sum("n").alias(f"n{r}"))
+        for r in range(CMS_D)
+    ]
+    probe = top
+    for r in range(CMS_D):
+        probe = probe.join(
+            F.broadcast(
+                rows[r].select(F.col("cell").alias(f"cell{r}"), f"n{r}")
+            ),
+            _cms_cell(F.col("token"), r) == F.col(f"cell{r}"),
+        )
+    est = F.least(*[F.col(f"n{r}") for r in range(CMS_D)])
+    return probe.select(
+        "token",
+        "true_count",
+        est.alias("cms_estimate"),
+        (est - F.col("true_count")).alias("overestimate"),
+    ).orderBy(F.col("true_count").desc(), "token")
+
+
+def CMS_SQL(top_n: int = 20) -> str:
+    cell_defs = ",\n           ".join(
+        f"{_cms_cell_sql('token', r)} AS c{r}" for r in range(CMS_D)
+    )
+    row_ctes = ",\n      ".join(
+        f"row{r} AS (SELECT c{r} AS cell, CAST(SUM(n) AS BIGINT) AS n{r} "
+        f"FROM cells GROUP BY c{r})"
+        for r in range(CMS_D)
+    )
+    joins = "\n      ".join(
+        f"JOIN row{r} ON row{r}.cell = {_cms_cell_sql('t.token', r)}"
+        for r in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"n{r}" for r in range(CMS_D)) + ")"
+    return f"""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ),
+      tf AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY token),
+      top AS (
+        SELECT token, true_count FROM tf
+        ORDER BY true_count DESC, token LIMIT {top_n}
+      ),
+      cells AS (
+        SELECT {cell_defs}, COUNT(*) AS n
+        FROM tok GROUP BY ALL
+      ),
+      {row_ctes}
+      SELECT t.token, CAST(t.true_count AS BIGINT) AS true_count,
+             {least} AS cms_estimate,
+             {least} - t.true_count AS overestimate
+      FROM top t
+      {joins}
+      ORDER BY t.true_count DESC, t.token
+    """

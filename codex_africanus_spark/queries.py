@@ -6142,3 +6142,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.pq_topk(load(spark, "embeddings", sf_dir)).orderBy(
         "query_id", "rank"
     )
+
+
+@register("cms_token_frequency", sketch_op.CMS_SQL())
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's true top-20
+    tokens — the frequency member of the sketch family (distinct =
+    KMV/HLL/theta, quantiles = grid-KLL, frequency = CMS). D=4 salted
+    hash rows x W=1024 cells of conditional-sum state (partial-agg
+    friendly; shards merge by cell-wise addition without rescanning);
+    estimate = MIN over rows, one-sided (>= true) by construction.
+    Deterministic hash -> the estimates are exactly oracled."""
+    return sketch_op.cms_token_estimates(load(spark, "documents", sf_dir))

@@ -247,3 +247,28 @@ def test_kmv_intersection_accuracy(spark, sf_dir):
             exact = len(by_seg[a] & by_seg[b])
             got = est.loc[(a, b)].est_common
             assert abs(got - exact) <= max(0.4 * exact, 10), (a, b, got, exact)
+
+
+def test_cms_one_sided_and_merge(spark, sf_dir):
+    """CMS invariants: estimate >= true for every probed token, and the
+    merged sketch of two corpus halves equals the whole-corpus sketch
+    (cell-wise additivity)."""
+    from pyspark.sql import functions as F
+    from codex_africanus_spark.operators import sketches as sk
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = sk.cms_token_estimates(doc).toPandas()
+    assert (est.overestimate >= 0).all()
+    assert (est.cms_estimate >= est.true_count).all()
+
+    # additivity: per-cell counts over halves sum to the whole
+    tok = doc.select(F.explode(F.split("text", " ")).alias("token"),
+                     (F.col("doc_id") % 2).alias("half"))
+    whole = tok.groupBy(sk._cms_cell(F.col("token"), 0).alias("c")).count()
+    halves = (
+        tok.groupBy("half", sk._cms_cell(F.col("token"), 0).alias("c")).count()
+        .groupBy("c").agg(F.sum("count").alias("count"))
+    )
+    w = {r.c: r["count"] for r in whole.collect()}
+    h = {r.c: r["count"] for r in halves.collect()}
+    assert w == h
