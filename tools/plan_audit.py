@@ -29,7 +29,9 @@ QUERIES = [
     "curation_funnel_multimodal", "kmv_intersection_customers",
     "events_funnel_conversion", "events_cohort_retention",
     "lang_id_confusion_matrix", "events_pivot_weekday",
-    "events_value_deciles",
+    "events_value_deciles", "ann_pq_topk", "cms_token_frequency",
+    "fuzzy_name_match_pairs", "events_gap_fill_daily",
+    "events_json_props_stats", "snapshot_merge_upsert",
 ]
 
 spark = (
