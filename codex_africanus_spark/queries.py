@@ -6154,3 +6154,81 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate = MIN over rows, one-sided (>= true) by construction.
     Deterministic hash -> the estimates are exactly oracled."""
     return sketch_op.cms_token_estimates(load(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# User-registered RIME term: ionospheric TEC phase screen (extensibility
+# demo through the public register_term hook — the reference's custom-term
+# flow, fused/examples/custom_brightness_term.py)
+# ---------------------------------------------------------------------------
+
+_KTEC = 1.0e9  # dispersive scale so the differential phase is O(10) rad
+
+
+class TecScreenTerm(rime_plan.Term):
+    """T: ionospheric TEC dispersive phase, the classic *user* term the
+    reference's plugin API exists for. Sided like feed rotation — each
+    antenna sees its own TEC along its line of sight — and dispersive
+    (phase ~ 1/frequency, where geometry's K term is ~ frequency). The
+    deterministic closed-form screen stands in for a measured TEC table;
+    swapping in real data is a broadcast join via prepare(). Defined
+    OUTSIDE plans/rime.py and attached with register_term('T', ...) —
+    the user-side extension flow."""
+
+    required_columns = ("time", "antenna1", "antenna2", "frequency")
+
+    @staticmethod
+    def _tec(ant: F.Column, time: F.Column) -> F.Column:
+        day = (time % F.lit(86400.0)) / F.lit(86400.0)
+        return (
+            F.lit(10.0)
+            + ant / F.lit(2.0)
+            + F.lit(5.0) * F.sin(day * F.lit(6.283185307179586))
+        )
+
+    def apply(self, z):
+        phi1 = F.lit(_KTEC) * self._tec(F.col("antenna1"), F.col("time")) / F.col("frequency")
+        phi2 = F.lit(_KTEC) * self._tec(F.col("antenna2"), F.col("time")) / F.col("frequency")
+        return z * rime_plan.cexp_i(-(phi1 - phi2))
+
+
+rime_plan.register_term("T", TecScreenTerm)
+
+
+def _tec_sql(ant: str) -> str:
+    return (
+        f"1.0e9 * (10.0e0 + v.{ant} / 2.0e0 + 5.0e0 * "
+        f"sin(fmod(v.time, 86400.0e0) / 86400.0e0 * 6.283185307179586e0))"
+        f" / v.frequency"
+    )
+
+
+_RIME_TEC_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency
+               - ({phi1} - {phi2}) AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """.format(phi1=_tec_sql("antenna1"), phi2=_tec_sql("antenna2"))
+)
+
+
+@register("rime_tec_screen_predict", _RIME_TEC_ORACLE)
+def rime_tec_screen_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'(Kpq, Bpq, Tpq)' with T a USER-registered ionospheric TEC term
+    (register_term('T', TecScreenTerm) above): the spec compiler fuses
+    the plugin's dispersive sided phase into the same single-select
+    codegen pipeline as the built-ins — the extension point costs no
+    plan structure. Exactly oracled like every built-in term."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return rime_plan.rime("(Kpq, Bpq, Tpq)", vis, src)
