@@ -267,3 +267,53 @@ def audio_window_stats(
             )
 
     return with_payload.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+SCENE_CHANGE_SQL = """
+  WITH frames AS (
+    SELECT d.doc_id,
+           CAST(t.j AS INT) AS frame_idx,
+           CAST(ascii(substring(d.text, CAST(t.j AS INT) * 128 + 1, 1)) AS INT)
+             AS frame_head
+    FROM documents d,
+         unnest(generate_series(0,
+           CAST((octet_length(encode(d.text)) + 127) // 128 AS INT) - 1)) AS t(j)
+  ),
+  deltas AS (
+    SELECT doc_id, frame_idx, frame_head,
+           abs(frame_head - lag(frame_head) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+    FROM frames
+  )
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(COUNT(CASE WHEN delta >= 8 THEN 1 END) AS BIGINT) AS n_cuts,
+         CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+  FROM deltas GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def scene_changes(with_payload: DataFrame, threshold: int = 8) -> DataFrame:
+    """Shot-boundary detection analog over the frame stream: a frame
+    whose head-byte statistic jumps >= threshold versus the previous
+    frame is a cut candidate (real deployments swap the head-byte stat
+    for a decoded frame histogram distance inside the same plan). The
+    lag window shares the frame explode's doc partitioning — one
+    doc-keyed shuffle covers windowing and the per-doc rollup; integer
+    arithmetic end to end."""
+    from pyspark.sql import Window as W
+
+    frames = frame_sample(with_payload)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "delta", F.abs(F.col("frame_head") - F.lag("frame_head").over(w))
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count(F.when(F.col("delta") >= threshold, 1)).alias("n_cuts"),
+            F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias("max_delta"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6232,3 +6232,15 @@ def rime_tec_screen_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     vis = tpch_ms.vis_table(spark, sf_dir)
     src = tpch_ms.source_table(spark, sf_dir)
     return rime_plan.rime("(Kpq, Bpq, Tpq)", vis, src)
+
+
+@register("multimodal_scene_changes", mm_op.SCENE_CHANGE_SQL)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection analog: frame stream from the
+    binary payload, lag-window head-statistic deltas, per-doc cut counts.
+    The lag window and rollup share the frame explode's doc partitioning
+    (one shuffle); decoded-histogram distances slot into the same plan
+    when codecs exist."""
+    return mm_op.scene_changes(
+        mm_op.attach_binary_payload(load(spark, "documents", sf_dir))
+    )
