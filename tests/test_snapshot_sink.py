@@ -334,3 +334,20 @@ def test_additive_schema_evolution(spark, root):
     assert list(pdf.loc[5:7].score) == [50, 60, 70]
     # v1 time travel: the old schema, no phantom column
     assert "score" not in snap.read_snapshot(spark, root, version=1).columns
+
+
+def test_concurrent_committers_all_land(spark, root):
+    """8 threads commit simultaneously: the hard-link publish must give
+    every writer a distinct version with no lost updates — the optimistic
+    protocol under a real race, not a simulated one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = [_df(spark, i * 10, (i + 1) * 10, f"w{i}") for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(lambda d: snap.commit(d, root, mode="append"), dfs))
+    assert sorted(versions) == list(range(1, 9)), versions
+    assert snap.latest_version(root) == 8
+    final = snap.read_snapshot(spark, root)
+    assert final.count() == 80
+    tags = {r.tag for r in final.select("tag").distinct().collect()}
+    assert tags == {f"w{i}" for i in range(8)}
