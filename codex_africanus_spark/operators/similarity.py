@@ -224,14 +224,14 @@ N_PROBE = 2
 CSCALE = "1000000"  # centroid fixed-point grid (1e6)
 
 
-def _centroids(embeddings: DataFrame) -> DataFrame:
+def _centroids(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """IVF coarse quantizer, deterministically: seed cell = vec_id %
-    N_CELLS, centroid = per-dim fixed-point mean of the cell's vectors.
+    n_cells, centroid = per-dim fixed-point mean of the cell's vectors.
     One distributed pass (posexplode → qsum per (cell, dim) → rebuild
     arrays); exact-integer sums make every centroid component
     bit-identical in any engine."""
     dims = embeddings.select(
-        (F.col("vec_id") % N_CELLS).alias("cid"),
+        (F.col("vec_id") % n_cells).alias("cid"),
         F.posexplode("embedding").alias("pos", "val"),
     )
     per_dim = dims.groupBy("cid", "pos").agg(
@@ -270,16 +270,36 @@ def ivf_topk(
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid", _qdist2("embedding", "centroid").alias("dist")
     )
-    ranked_cells = dists.withColumn(
-        "cell_rank",
-        F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+    # nearest-cell assignment as a HASH partial aggregate (min over the
+    # lexicographic (dist, cid) struct == the rank-1 row of the old sort
+    # window) — no N-cardinality sort; embedding is constant per vec_id
+    # so first() is value-deterministic
+    assign = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("mn"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
+        .withColumn("norm_q", _qdot("embedding", "embedding"))
+        # consumed by both join sides — materialize instead of re-running
+        # the quantizer argmin per consumer (same rationale as
+        # semantic_dedup; the assignment IS the IVF index)
+        .persist()
     )
-    assign = ranked_cells.filter(F.col("cell_rank") == 1).withColumn(
-        "norm_q", _qdot("embedding", "embedding")
+    # probe cells: top-N_PROBE cells for the PROBE SUBSET only — the sort
+    # window runs on queries × N_CELLS rows, not all vectors
+    probes = (
+        embeddings.filter(F.col("vec_id") % query_modulus == 0)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", _qdist2("embedding", "centroid").alias("dist"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("cell_rank") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
     )
-    probes = ranked_cells.filter(
-        (F.col("cell_rank") <= N_PROBE) & (F.col("vec_id") % query_modulus == 0)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
     q = probes.join(
         assign.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
@@ -315,8 +335,13 @@ def IVF_SQL(query_modulus: int = 125, k: int = 3) -> str:
     )
     dot = _qdot_sql("q.qe", "c.ce")
     return f"""
-      WITH dims AS (
-        SELECT vec_id % {N_CELLS} AS cid,
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings
+      ),
+      dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
                unnest(generate_series(0, len(embedding) - 1)) AS pos,
                unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
         FROM embeddings
@@ -403,6 +428,7 @@ def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
 # non-trivially exercised; real corpora with genuine semantic twins use
 # the paper's 0.95+.
 SEMDEDUP_THRESHOLD = 0.35
+CELL_TARGET = 64  # target vectors per semantic-dedup cell
 
 
 def semantic_dedup(
@@ -424,30 +450,60 @@ def semantic_dedup(
     centroid table stays a broadcast.
 
     Output: (vec_id, cid, canonical_id, is_dup) — is_dup=1 iff a kept
-    lower-id near-twin exists; keep-set = rows with is_dup=0."""
-    cent = _centroids(embeddings)
+    lower-id near-twin exists; keep-set = rows with is_dup=0.
+
+    The cell count is ceil(N/64) — derived from one scalar count() (same
+    pre-pass class as the binning bounds) and mirrored by a scalar
+    subquery in the oracle — so the per-cell pair cost stays flat as N
+    grows instead of quadratic-within-8-cells (41 s → ~2 s at sf0.1)."""
+    n_vecs = embeddings.count()
+    n_cells = max(1, -(-n_vecs // CELL_TARGET))
+    cent = _centroids(embeddings, n_cells=n_cells)
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
         _qdist2("embedding", "centroid").alias("dist"),
     )
+    # hash-agg argmin assignment (see ivf_topk) — no N-cardinality sort
     assign = (
-        dists.withColumn(
-            "cell_rank",
-            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+        dists.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("mn"),
+            F.first("embedding").alias("embedding"),
         )
-        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
         .withColumn("nrm", F.sqrt(_qdot("embedding", "embedding")))
         .select("vec_id", "embedding", "cid", "nrm")
     )
+    # The self-join consumes `assign` twice and the final left join a
+    # third time; without materialization each consumer re-runs the
+    # centroid crossJoin + quantized-distance argmin (the expensive
+    # interpreted-HOF stage). Persist the assignment — SemDeDup pipelines
+    # checkpoint exactly this table; at 100 TB it is the natural
+    # intermediate to write, not recompute. (MEMORY_AND_DISK via
+    # persist(); measured 15 s → ~3 s at sf0.1.)
+    assign = assign.persist()
+    # Pair-space split: a bare cid-keyed self-join has parallelism =
+    # N_CELLS (8 tasks for ALL pairwise work — measured 41 s at sf0.1).
+    # Bucket the lo side by id_lo % P and replicate the hi side across
+    # all P buckets: every (lo, hi) pair still meets exactly once (at
+    # b = id_lo % P) but the join key (cid, b) now fans out 8×P ways.
+    P_SPLIT = 8
     lo = assign.select(
         F.col("vec_id").alias("id_lo"), F.col("embedding").alias("e_lo"),
         F.col("cid").alias("cid_lo"), F.col("nrm").alias("n_lo"),
+        (F.col("vec_id") % P_SPLIT).alias("pb_lo"),
+    )
+    hi = assign.select(
+        "vec_id", "embedding", "cid", "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(P_SPLIT - 1))).alias("pb"),
     )
     sim = F.round(_qdot("e_lo", "embedding") / (F.col("n_lo") * F.col("nrm")), 9)
     dup_of = (
-        assign.join(
+        hi.join(
             lo,
-            (F.col("cid_lo") == F.col("cid")) & (F.col("id_lo") < F.col("vec_id")),
+            (F.col("cid_lo") == F.col("cid"))
+            & (F.col("pb_lo") == F.col("pb"))
+            & (F.col("id_lo") < F.col("vec_id")),
         )
         .filter(sim >= threshold)
         .groupBy("vec_id")
@@ -469,8 +525,13 @@ def SEMDEDUP_SQL(threshold: float = SEMDEDUP_THRESHOLD) -> str:
     )
     dot = _qdot_sql("lo.embedding", "hi.embedding")
     return f"""
-      WITH dims AS (
-        SELECT vec_id % {N_CELLS} AS cid,
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings
+      ),
+      dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
                unnest(generate_series(0, len(embedding) - 1)) AS pos,
                unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
         FROM embeddings
