@@ -109,3 +109,22 @@ def test_pq_rerank_recall_floor(spark, sf_dir):
         mine = set(got[got.query_id == q].neighbor_id)
         recalls.append(len(exact5 & mine) / 5)
     assert sum(recalls) / len(recalls) >= 0.55, recalls
+
+
+def test_unrolled_kernels_match_hof_forms(spark, sf_dir):
+    """The codegen (unrolled, truncation-round) kernels must be value-
+    identical to the generic HOF forms on real data — this equality is
+    what lets the hot paths swap forms without touching any oracle."""
+    from pyspark.sql import functions as F
+    from codex_africanus_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = (
+        emb.limit(100).select(F.col("embedding").alias("ea"))
+        .crossJoin(emb.limit(40).select(F.col("embedding").alias("eb")))
+    )
+    diff = pairs.select(
+        (sim._qdot("ea", "eb") - sim._qdot_unrolled("ea", "eb")).alias("dd"),
+        (sim._qdist2("ea", "eb") - sim._qdist2_unrolled("ea", "eb")).alias("dq"),
+    ).agg(F.max(F.abs("dd")), F.max(F.abs("dq"))).first()
+    assert tuple(diff) == (0, 0), diff
