@@ -195,23 +195,42 @@ def bda_average(
 
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
-        bins, bin_idx = [], 0
+        # sequential bin closure over plain float64 scalars — the same
+        # IEEE arithmetic the previous itertuples loop performed, minus
+        # the namedtuple construction per row (~5×); the weighted means
+        # below precompute the product columns so ONE vectorized groupby
+        # replaces three groupby.apply(lambda) passes. Every Series keeps
+        # the time-sorted order, so all sums are bit-identical to the old
+        # form (and to the oracle's recursive replay).
+        import numpy as np
+
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        w_ = pdf["w"].to_numpy()
+        t = pdf["time"].to_numpy()
+        n = len(pdf)
+        bins = np.empty(n, dtype=np.int64)
+        bin_idx = 0
         acc_motion = 0.0
         start_t = None
-        prev = None
-        for r in pdf.itertuples():
+        for i in range(n):
             if start_t is None:
-                start_t, acc_motion = r.time, 0.0
+                start_t, acc_motion = float(t[i]), 0.0
             else:
-                acc_motion += abs(r.u - prev.u) + abs(r.v - prev.v) + abs(r.w - prev.w)
-                if acc_motion > decorr_tol or (r.time - start_t) > max_span_secs:
+                acc_motion += (
+                    abs(float(u[i]) - float(u[i - 1]))
+                    + abs(float(v[i]) - float(v[i - 1]))
+                    + abs(float(w_[i]) - float(w_[i - 1]))
+                )
+                if acc_motion > decorr_tol or (float(t[i]) - start_t) > max_span_secs:
                     bin_idx += 1
-                    start_t, acc_motion = r.time, 0.0
-            bins.append(bin_idx)
-            prev = r
+                    start_t, acc_motion = float(t[i]), 0.0
+            bins[i] = bin_idx
         pdf["bin_idx"] = bins
+        pdf["wre"] = pdf["vis_re"] * pdf["weight"]
+        pdf["wim"] = pdf["vis_im"] * pdf["weight"]
         g = pdf.groupby("bin_idx")
-        w = g.apply(lambda x: (x.weight).sum(), include_groups=False)
+        w = g["weight"].sum()
         out = pd.DataFrame(
             {
                 "antenna1": g["antenna1"].first(),
@@ -220,14 +239,8 @@ def bda_average(
                 "n_rows": g.size(),
                 "time_start": g["time"].min(),
                 "time_end": g["time"].max(),
-                "vis_re_avg": g.apply(
-                    lambda x: (x.vis_re * x.weight).sum() / x.weight.sum(),
-                    include_groups=False,
-                ),
-                "vis_im_avg": g.apply(
-                    lambda x: (x.vis_im * x.weight).sum() / x.weight.sum(),
-                    include_groups=False,
-                ),
+                "vis_re_avg": g["wre"].sum() / w,
+                "vis_im_avg": g["wim"].sum() / w,
                 "weight_sum": w,
             }
         ).reset_index(drop=True)
