@@ -52,15 +52,49 @@ def salted_sessionize(
         (F.col("ts_us") / F.lit(bucket_us)).cast("long").alias("__bucket"),
     )
 
-    def per_group(pdf):
-        # self-contained closure (executors cannot import this package)
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        pdf["local_idx"] = (pdf["ts_us"].diff().fillna(0) > gap_us).cumsum().astype("int64")
-        return pdf
+    # Sorted-stream mapInPandas instead of per-group applyInPandas: the
+    # two-level key multiplies the group count (users × buckets — 45k
+    # tiny groups at sf0.1, ~5 ms of per-group Python overhead each ⇒
+    # 216 s measured). One vectorized pass per Arrow batch with carry
+    # state across batch boundaries costs seconds; at 100 TB per-group
+    # Python calls are the anti-pattern, ordered streaming is the shape.
+    def stream(batches):
+        prev_key, prev_ts, prev_idx = None, None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key = list(zip(pdf["user_id"].to_numpy(), pdf["__bucket"].to_numpy()))
+            gaps = pdf["ts_us"].diff().fillna(0) > gap_us
+            same_group = pdf[["user_id", "__bucket"]].diff().fillna(0).abs().sum(axis=1) == 0
+            inc = (gaps & same_group).astype("int64")
+            inc.iloc[0] = 0
+            grp = pdf["user_id"].astype(str) + "|" + pdf["__bucket"].astype(str)
+            local = inc.groupby(grp.to_numpy()).cumsum()
+            if prev_key is not None and key[0] == prev_key:
+                base = prev_idx + (
+                    1 if (int(pdf["ts_us"].iloc[0]) - prev_ts) > gap_us else 0
+                )
+                import numpy as np
 
-    local = ev.groupBy("user_id", "__bucket").applyInPandas(
-        per_group,
-        "event_id long, user_id long, ts_us long, __bucket long, local_idx long",
+                mask = np.array([k == prev_key for k in key], dtype=np.int64)
+                local = local + mask * base
+            out = pdf[["event_id", "user_id", "ts_us", "__bucket"]].copy()
+            out["local_idx"] = local.astype("int64").to_numpy()
+            prev_key = key[-1]
+            prev_ts = int(pdf["ts_us"].iloc[-1])
+            prev_idx = int(out["local_idx"].iloc[-1])
+            yield out
+
+    local = (
+        # partition by BOTH keys: a hot user's buckets spread across
+        # tasks (the salting guarantee), and a (user, bucket) group never
+        # spans partitions, so the in-partition carry state suffices
+        ev.repartition("user_id", "__bucket")
+        .sortWithinPartitions("user_id", "__bucket", "ts_us", "event_id")
+        .mapInPandas(
+            stream,
+            "event_id long, user_id long, ts_us long, __bucket long, local_idx long",
+        )
     )
     summary = local.groupBy("user_id", "__bucket").agg(
         F.min("ts_us").alias("first_ts"),

@@ -80,3 +80,29 @@ def test_salted_sum_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_sessionize_carry_across_arrow_batches(spark, sf_dir):
+    """Tiny Arrow batches force (user, bucket) groups to straddle batch
+    boundaries; the carry state must keep the salted result equal to the
+    relational sessionizer (+ stitch) output."""
+    import pandas as pd
+
+    from codex_africanus_spark.operators import bda as bda_op
+    from codex_africanus_spark.operators import skew as skew_op
+    from codex_africanus_spark.sources.tpch_ms import events_table
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ev = events_table(spark, sf_dir)
+        key = ["user_id", "ts_us", "event_id"]
+        got = skew_op.salted_sessionize(ev).toPandas()
+        want = bda_op.sessionize_relational(ev).toPandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[sorted(got.columns)],
+            want.sort_values(key).reset_index(drop=True)[sorted(want.columns)],
+            check_dtype=False,
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

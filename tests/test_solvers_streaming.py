@@ -145,3 +145,28 @@ def test_gauss_newton_bit_deterministic_across_partitioning(spark, sf_dir):
     )
     assert [h["max_delta"] for h in h1] == [h["max_delta"] for h in h2]
     assert h1[-1]["phases"] == h2[-1]["phases"]
+
+
+def test_sessionize_stream_carry_across_arrow_batches(spark, sf_dir):
+    """The mapInPandas sessionizer carries (user, ts, session) across
+    Arrow batch boundaries; with a tiny batch size every user straddles
+    batches, and the result must still equal the relational twin."""
+    from codex_africanus_spark.operators import bda as bda_op
+    from codex_africanus_spark.sources.tpch_ms import events_table
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ev = events_table(spark, sf_dir)
+        got = bda_op.sessionize(ev).toPandas()
+        want = bda_op.sessionize_relational(ev).toPandas()
+        key = ["user_id", "ts_us", "event_id"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[sorted(got.columns)],
+            want.sort_values(key).reset_index(drop=True)[sorted(want.columns)],
+            check_dtype=False,
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
