@@ -294,19 +294,16 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 5) -> DataFrame:
     least one intact byte band — bucket-join on (band, byte), then verify
     bit_count(xor) ≤ max_hamming. Same single-shuffle LSH shape as the
     MinHash tier; band keys are hash-derived ⇒ uniform, no skew."""
-    fp = simhash_wide(docs)
-    bands = [
-        fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bkey"),
-        )
-        for b in range(SIMHASH_N_BANDS)
-    ]
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # one explode instead of an N-way union of selects: the union form
+    # re-evaluated the whole shingle→48-bit-simhash pipeline once per
+    # band per join side (~12×); the fingerprint table is also tiny
+    # (doc_id + int64), so materialize it once for the self-join
+    fp = simhash_wide(docs).persist()
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_N_BANDS - 1))).alias("band"),
+    ).withColumn("bkey", F.expr("shiftright(simhash, band * 8) & 255"))
     a, bb = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
