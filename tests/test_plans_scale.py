@@ -239,3 +239,45 @@ def test_sequence_packing_prefix_sum_is_bucket_parallel(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(bucket#\d+L?, doc_id#\d+L? ASC", plan), plan
     assert plan.count("Window") >= 2  # local cumsum + bucket prefix
     assert "BroadcastHashJoin" in plan  # bucket offsets broadcast back
+
+
+def test_sessionizers_use_stream_not_per_group_pandas(spark, sf_dir):
+    """Round-4 fix lock: both pandas-tier sessionizers must plan
+    MapInPandas (sorted-stream, cross-batch carry), NOT
+    FlatMapGroupsInPandas — per-group pandas with many tiny groups cost
+    216 s at sf0.1 before the rewrite."""
+    from codex_africanus_spark.operators import bda as bda_op
+    from codex_africanus_spark.operators import skew as skew_op
+    from codex_africanus_spark.sources.tpch_ms import events_table
+
+    ev = events_table(spark, sf_dir)
+    for df in (bda_op.sessionize(ev), skew_op.salted_sessionize(ev)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan
+        assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_cell_assignment_is_hash_agg_not_window(spark, sf_dir):
+    """Round-4 fix lock: the IVF/SemDeDup nearest-cell assignment must be
+    a hash aggregate (min over the (dist, cid) struct), not an
+    N-cardinality sort window."""
+    from codex_africanus_spark.operators import similarity as sim
+    from codex_africanus_spark.sources.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    plan = sim.semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    # windows remain only in tiny probe/topk stages of OTHER queries;
+    # semantic_dedup's plan must have none at vector cardinality
+    assert "Window" not in plan, plan
+
+
+def test_simhash_banding_single_pipeline(spark, sf_dir):
+    """Round-4 fix lock: simhash banding explodes the persisted
+    fingerprint table — the plan must contain NO union of per-band
+    branches (which re-ran the fingerprint pipeline per band)."""
+    from codex_africanus_spark.operators import dedup as dd
+    from codex_africanus_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    plan = dd.simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
