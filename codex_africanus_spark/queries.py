@@ -1117,7 +1117,9 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_sessionize", _with_ms(bda_op.SESSIONIZE_SQL()))
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization via applyInPandas (custom stateful op),
+    """Gap-based sessionization via sorted-stream mapInPandas (custom
+    stateful op with cross-Arrow-batch carry — the round-4 replacement
+    for per-group applyInPandas, which pays per-group Python overhead),
     oracle-checked against the gaps-and-islands SQL identity."""
     ev = tpch_ms.events_table(spark, sf_dir)
     return bda_op.sessionize(ev).orderBy("user_id", "ts_us", "event_id")
@@ -2891,7 +2893,7 @@ def events_sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-level sessionize: the sequential rule runs per
     (user, day-bucket) with relational boundary stitching — bounds every
-    applyInPandas task for pathological hot keys. Exactly equivalent to
+    pandas task for pathological hot keys. Exactly equivalent to
     the single-level operator, hence the identical oracle."""
     from codex_africanus_spark.operators import skew as skew_op
 
