@@ -210,3 +210,191 @@ def SOURCE_OVERLAP_SQL() -> str:
       JOIN sizes sb ON sb.source = i.source_b
       ORDER BY i.source_a, i.source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture temperature weights (per-source sampling proportions)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_BUDGET = 1_000_000_000  # token budget the epoch column is quoted at
+_WQ = "1000000"  # 1e-6 fixed-point grid for the pow() term
+
+
+def mixture_temperature_weights(documents: DataFrame) -> DataFrame:
+    """Per-source temperature-scaled sampling weights for training-data
+    mixing: w_i ∝ t_i^α with α=0.7 (the multilingual-sampling standard —
+    upweights small sources relative to their raw share), plus the
+    expected epoch count each source runs at a 1B-token budget.
+
+    Plan: one groupBy at source cardinality (partial-agg collapses the
+    corpus scan map-side), a 1-row broadcast of the normalization sums —
+    nothing here exceeds #sources rows after the scan. Exactness: the
+    pow() term is quantized to a 1e-6 integer before the normalizing sum
+    (libm pow drift ~1e-16 relative ≪ quantum), so both engines divide
+    identical integers; divisions round to 9/6 dp."""
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens")
+    )
+    wq = F.expr(
+        f"CAST(ROUND(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) * {_WQ}) AS BIGINT)"
+    )
+    per_src = per_src.select("source", "total_tokens", wq.alias("wq"))
+    norms = per_src.agg(
+        F.sum("total_tokens").alias("grand_tokens"), F.sum("wq").alias("wq_sum")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(norms))
+        .select(
+            "source",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("grand_tokens"), 9).alias("raw_share"),
+            F.round(F.col("wq") / F.col("wq_sum"), 9).alias("temp_weight"),
+            F.round(
+                F.col("wq") / F.col("wq_sum") * MIX_BUDGET / F.col("total_tokens"), 6
+            ).alias("epochs_at_1b"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = f"""
+  WITH per_src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+  ),
+  wqs AS (
+    SELECT source, total_tokens,
+           CAST(ROUND(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) * {_WQ})
+                AS BIGINT) AS wq
+    FROM per_src
+  ),
+  norms AS (
+    SELECT SUM(total_tokens) AS grand_tokens, SUM(wq) AS wq_sum FROM wqs
+  )
+  SELECT w.source, w.total_tokens,
+         round(w.total_tokens / CAST(n.grand_tokens AS DOUBLE), 9) AS raw_share,
+         round(w.wq / CAST(n.wq_sum AS DOUBLE), 9) AS temp_weight,
+         round(w.wq / CAST(n.wq_sum AS DOUBLE) * {MIX_BUDGET} / w.total_tokens, 6)
+           AS epochs_at_1b
+  FROM wqs w, norms n
+  ORDER BY w.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter source signatures + pairwise bitmap overlap
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 63  # bits per BIGINT word (63 keeps 1<<bit in signed range)
+BLOOM_N_WORDS = 16
+BLOOM_M = BLOOM_WORD_BITS * BLOOM_N_WORDS  # 1008-bit filter
+BLOOM_K = 4  # hash functions per document
+
+
+def bloom_source_overlap(documents: DataFrame) -> DataFrame:
+    """Per-source Bloom-filter signatures over document texts, compared
+    pairwise by bitmap AND-popcount — the constant-size sketch answer to
+    "which sources share content?" (the exact-set twin is
+    source_overlap_matrix; this is the form that ships between clusters:
+    16 BIGINTs per source regardless of corpus size).
+
+    Each document sets k=4 bit positions (independent salted hashes of
+    the full text, mod 1008); per-source state is bit_or-aggregated into
+    16 63-bit words — a partial-agg-native reduction like the HLL
+    registers. The pairwise stage joins 16-row signatures (#sources × 16
+    rows total): trivially broadcastable at any corpus size.
+    """
+    from codex_africanus_spark.functions.text import hash60
+
+    pos = [
+        (hash60(F.concat(F.lit(f"{j}|"), F.col("text"))) % BLOOM_M).alias(f"p{j}")
+        for j in range(BLOOM_K)
+    ]
+    cells = documents.select(
+        "source", F.explode(F.array(*pos)).alias("p")
+    ).select(
+        "source",
+        F.expr("p DIV 63").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("mask"),
+    )
+    bloom = cells.groupBy("source", "word_idx").agg(F.bit_or("mask").alias("bits"))
+    sizes = bloom.groupBy("source").agg(
+        F.sum(F.bit_count("bits")).alias("n_bits")
+    )
+    a, b = bloom.alias("a"), bloom.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word_idx") == F.col("b.word_idx"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))
+            ).alias("n_common_bits")
+        )
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_bits").alias("bits_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_bits").alias("bits_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "bits_a",
+            "bits_b",
+            "n_common_bits",
+            F.round(
+                F.col("n_common_bits")
+                / (F.col("bits_a") + F.col("bits_b") - F.col("n_common_bits")),
+                9,
+            ).alias("bitmap_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def BLOOM_OVERLAP_SQL() -> str:
+    from codex_africanus_spark.functions.text import hash60_sql
+
+    pos_list = ", ".join(
+        "({h} % {m})".format(h=hash60_sql(f"concat('{j}|', text)"), m=BLOOM_M)
+        for j in range(BLOOM_K)
+    )
+    return f"""
+      WITH cells AS (
+        SELECT source, unnest([{pos_list}]) AS p FROM documents
+      ),
+      bloom AS (
+        SELECT source, p // {BLOOM_WORD_BITS} AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT))
+                 AS bits
+        FROM cells GROUP BY source, p // {BLOOM_WORD_BITS}
+      ),
+      sizes AS (
+        SELECT source, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits
+        FROM bloom GROUP BY source
+      ),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_common_bits
+        FROM bloom a JOIN bloom b
+          ON a.word_idx = b.word_idx AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT i.source_a, i.source_b,
+             sa.n_bits AS bits_a, sb.n_bits AS bits_b, i.n_common_bits,
+             round(i.n_common_bits / CAST(sa.n_bits + sb.n_bits
+                                          - i.n_common_bits AS DOUBLE), 9)
+               AS bitmap_jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+      ORDER BY i.source_a, i.source_b
+    """

@@ -506,3 +506,112 @@ NGRAM_JACCARD_SQL = f"""
   WHERE n_common * 50 >= na.n_shingles + nb.n_shingles - n_common
   ORDER BY doc_a, doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# LSH candidate-quality evaluation: precision/recall vs exact Jaccard truth
+# --------------------------------------------------------------------------
+
+PR_JACCARD_NUM = 1  # truth threshold: jaccard >= 1/2
+PR_JACCARD_DEN = 2
+
+
+def lsh_precision_recall(docs: DataFrame) -> DataFrame:
+    """Candidate-quality report for the MinHash-LSH tier: precision and
+    recall of the banded candidate pairs against exact ground truth
+    (all pairs with shingle-set Jaccard >= 0.5).
+
+    This closes the dedup ladder's eval loop the same way
+    ann_lsh_recall_eval / ann_ivf_recall_eval close the ANN ladder's —
+    the number a pipeline operator actually tunes bands/rows against.
+
+    The truth tier joins distinct shingles against themselves (pair
+    cardinality bounded by shingle co-occurrence — docs sharing no
+    shingle never pair). At 100 TB the truth tier runs on a sampled
+    stratum (it is an EVAL, not a production path); candidates reuse
+    the production LSH plan unchanged. Output is one row of exact
+    integer counts + two 9-dp ratios (guarded against empty sets with
+    greatest(n, 1) on both engines).
+    """
+    sh = _shingle_frame(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("p")
+        .join(
+            sh.alias("d"),
+            (F.col("p.h") == F.col("d.h")) & (F.col("p.doc_id") < F.col("d.doc_id")),
+        )
+        .groupBy(F.col("p.doc_id").alias("doc_a"), F.col("d.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * PR_JACCARD_DEN
+            >= (F.col("na") + F.col("nb") - F.col("n_common")) * PR_JACCARD_NUM
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_cand.crossJoin(n_truth)
+        .crossJoin(n_hits)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 9
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_truth"), F.lit(1)), 9
+            ).alias("recall"),
+        )
+    )
+
+
+LSH_PR_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dsh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_id AS doc_a, d.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM dsh p JOIN dsh d ON p.h = d.h AND p.doc_id < d.doc_id
+    GROUP BY p.doc_id, d.doc_id
+  ),
+  truth AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common * {PR_JACCARD_DEN}
+          >= (na.n_shingles + nb.n_shingles - n_common) * {PR_JACCARD_NUM}
+  ),
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth),
+  counts AS (
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hits) AS n_hits
+  )
+  SELECT n_candidates, n_truth, n_hits,
+         round(n_hits / CAST(greatest(n_candidates, 1) AS DOUBLE), 9) AS precision,
+         round(n_hits / CAST(greatest(n_truth, 1) AS DOUBLE), 9) AS recall
+  FROM counts
+"""

@@ -1,0 +1,178 @@
+"""Tokenizer-training primitives: BPE merge induction and bigram-LM scoring.
+
+Large-scale training pipelines train their tokenizer on (a sample of) the
+corpus itself. The two kernels a distributed tokenizer trainer needs are
+exactly the two here:
+
+- **BPE pair counting** (`bpe_pair_merge_counts`): the inner loop of
+  byte-pair-encoding training is "count adjacent symbol pairs weighted by
+  word frequency, take the argmax, merge" (Sennrich et al. 2016). One
+  induction round is a pure two-stage aggregation: corpus → word-frequency
+  table (vocabulary cardinality — Zipf head collapses in the map-side
+  partial agg) → adjacent character pairs weighted by word count (pair-
+  vocabulary cardinality) → top-N. Driver-side iteration over rounds
+  re-runs this on the merged symbol table; the per-round Spark shape below
+  is the scalable part.
+
+- **Bigram-LM surprisal** (`bigram_surprisal_quality`): the CCNet-style
+  perplexity quality filter one order up from the unigram tier
+  (`curation.unigram_logprob_quality`). Per document, the mean of
+  −log₂ P(w_i | w_{i−1}) under the corpus's own add-one-smoothed bigram
+  model: P = (c(w₁w₂)+1) / (c(w₁·)+V). Low scores flag boilerplate,
+  high scores flag noise; the bigram tier additionally penalizes
+  scrambled word salad that a unigram model scores as normal.
+
+Exactness discipline (same as the rest of the curation family): every
+log term is fixed-point-quantized to a 1e-9 integer BEFORE summing, so
+per-document means are partition-order-independent and bit-exactly
+reproducible in the DuckDB oracle; libm cross-engine drift (~1 ULP,
+1e-15 relative) is far below the quantum.
+
+Scale shapes (100 TB): the word-frequency and bigram-count tables are
+vocabulary-sized, orders of magnitude below corpus size — their groupBys
+collapse map-side. The per-document bigram scoring joins token-cardinality
+bigrams against the count table: the context (unigram) table broadcasts;
+the bigram table join is left to AQE (shuffle-hash at TB vocab, broadcast
+below the threshold). Top-N is a TakeOrdered (per-partition heap + driver
+merge of N), never a global sort.
+
+Reference analogue: the reference engine has no tokenizer surface — this
+extends the training-data-pipeline tier the same way dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.sources.tables import fan_out
+
+TOP_PAIRS = 20
+_Q = "1000000000"  # 1e-9 fixed-point quantum for log terms
+
+
+def bpe_pair_merge_counts(docs: DataFrame, top_n: int = TOP_PAIRS) -> DataFrame:
+    """One BPE induction round at character level: the top-N adjacent
+    character pairs by corpus frequency (weighted by word count) — the
+    merge candidates a BPE trainer would fuse next.
+
+    Words of length < 2 are filtered BEFORE the pair transform: Spark's
+    sequence(1, 0) yields a descending [1, 0] and substring at 0 is a
+    latent crash class (see curation.repetition bigram guard).
+    """
+    words = fan_out(docs).select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("c").alias("merge_count"))
+    top = counts.orderBy(F.col("merge_count").desc(), "pair").limit(top_n)
+    # rank window runs on top_n rows post-limit — bounded, not a global sort
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("merge_count").desc(), "pair"))
+        .alias("rank"),
+        "pair",
+        "merge_count",
+    )
+
+
+BPE_PAIR_SQL = f"""
+  WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ),
+  vocab AS (
+    SELECT word, COUNT(*) AS c FROM words GROUP BY word HAVING len(word) >= 2
+  ),
+  pairs AS (
+    SELECT substr(word, i, 2) AS pair, c
+    FROM (SELECT word, c, unnest(generate_series(1, len(word) - 1)) AS i
+          FROM vocab)
+  ),
+  counts AS (
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS merge_count
+    FROM pairs GROUP BY pair
+  ),
+  top AS (
+    SELECT pair, merge_count FROM counts
+    ORDER BY merge_count DESC, pair LIMIT {TOP_PAIRS}
+  )
+  SELECT CAST(row_number() OVER (ORDER BY merge_count DESC, pair) AS BIGINT)
+           AS rank,
+         pair, merge_count
+  FROM top ORDER BY rank
+"""
+
+
+def bigram_surprisal_quality(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram surprisal −log₂ P(w_i | w_{i−1}) under the
+    corpus's own add-one-smoothed bigram model (see module docstring).
+    Documents with < 2 tokens have no bigrams and are dropped (the SQL
+    mirror drops them identically); V counts distinct tokens over the
+    same bigram-eligible population on both sides."""
+    docs = fan_out(docs).filter(F.size(F.split("text", " ")) >= 2)
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    bg = docs.select("doc_id", F.explode(bigram_expr).alias("bgram")).withColumn(
+        "w1", F.element_at(F.split("bgram", " "), 1)
+    )
+    bgc = bg.groupBy("bgram").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # V = distinct token count over the bigram-eligible documents
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    surprisal_q = F.round(
+        (F.log2(F.col("c1") + F.col("v")) - F.log2(F.col("c12") + F.lit(1))) * float(_Q)
+    ).cast("long")
+    return (
+        bg.join(bgc, "bgram")
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(surprisal_q) / float(_Q) / F.count(F.lit(1)), 6
+            ).alias("mean_bigram_surprisal"),
+        )
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+  ),
+  bg AS (
+    SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS bgram, w[i] AS w1
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM d)
+  ),
+  bgc AS (SELECT bgram, COUNT(*) AS c12 FROM bg GROUP BY bgram),
+  ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+  vocab AS (
+    SELECT COUNT(DISTINCT t) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS t
+          FROM documents WHERE len(string_split(text, ' ')) >= 2)
+  )
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         round(SUM(CAST(ROUND((log2(c.c1 + vv.v) - log2(g.c12 + 1)) * {_Q})
+                        AS BIGINT))
+               / {_Q} / COUNT(*), 6) AS mean_bigram_surprisal
+  FROM bg b JOIN bgc g USING (bgram) JOIN ctx c USING (w1), vocab vv
+  GROUP BY b.doc_id
+  ORDER BY b.doc_id
+"""

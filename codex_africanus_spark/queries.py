@@ -5573,6 +5573,65 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cstat_op.source_overlap_matrix(load(spark, "documents", sf_dir))
 
 
+@register("mixture_temperature_weights", cstat_op.MIXTURE_SQL)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-scaled (α=0.7) data-mixture sampling weights
+    + expected epochs at a 1B-token budget. One source-cardinality groupBy
+    with map-side partial collapse; normalization sums ride a 1-row
+    broadcast; the pow() term is 1e-6-quantized so both engines normalize
+    identical integers."""
+    return cstat_op.mixture_temperature_weights(load(spark, "documents", sf_dir))
+
+
+@register("bloom_source_overlap", cstat_op.BLOOM_OVERLAP_SQL())
+def bloom_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1008-bit Bloom signatures (bit_or-aggregated 63-bit
+    words, k=4 salted hashes per doc) compared pairwise by AND-popcount —
+    the constant-size sketch twin of source_overlap_matrix: 16 BIGINTs
+    per source regardless of corpus size, partial-agg-native like the
+    HLL registers."""
+    return cstat_op.bloom_source_overlap(load(spark, "documents", sf_dir))
+
+
+# ===========================================================================
+# Tokenizer training + bigram LM quality — operators/tokenizer.py
+# ===========================================================================
+
+from codex_africanus_spark.operators import tokenizer as tok_op  # noqa: E402
+
+
+@register("bpe_pair_merge_counts", tok_op.BPE_PAIR_SQL)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE induction round: top-20 adjacent character pairs by corpus
+    frequency weighted by word count (Sennrich et al. 2016 inner loop).
+    Corpus → vocab-cardinality word counts (Zipf head collapses map-side)
+    → pair-cardinality agg → TakeOrdered top-N; the rank window runs on
+    20 rows post-limit."""
+    return tok_op.bpe_pair_merge_counts(load(spark, "documents", sf_dir))
+
+
+@register("bigram_surprisal_quality", tok_op.BIGRAM_SURPRISAL_SQL)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own add-one-
+    smoothed bigram LM — the CCNet perplexity filter one order above the
+    unigram tier. Context table broadcasts; the bigram-count join is
+    vocabulary-sized and left to AQE; every log term is 1e-9-quantized
+    before summing."""
+    return tok_op.bigram_surprisal_quality(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register("lsh_dedup_pr_eval", dedup_op.LSH_PR_SQL)
+def lsh_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate tier against exact
+    shingle-Jaccard ≥ 0.5 ground truth — the dedup ladder's analogue of
+    the ANN recall evals (the number bands/rows are tuned against). Truth
+    tier is eval-only (sampled stratum at scale); candidates reuse the
+    production LSH plan."""
+    return dedup_op.lsh_precision_recall(load(spark, "documents", sf_dir))
+
+
 _FUNNEL_ORACLE = f"""
   WITH scored AS (
     SELECT doc_id, keep AS keep_q

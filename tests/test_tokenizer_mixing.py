@@ -1,0 +1,83 @@
+"""Unit tests for the tokenizer-training / mixture / Bloom-overlap /
+LSH-PR-eval operators (exact-value parity vs DuckDB is covered by
+test_oracle_parity.py; these pin the semantic invariants)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.operators import corpus_stats as cs
+from codex_africanus_spark.operators import dedup as dd
+from codex_africanus_spark.operators import tokenizer as tk
+from codex_africanus_spark.sources.tables import load
+
+
+def toy_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_bpe_top_pair_matches_hand_count(spark):
+    # "aaab" x3 + "ab" x1: pairs aa(2x3=6), aa? word freq weighting:
+    # vocab = {aaab: 3, ab: 1}; pairs(aaab) = [aa, aa, ab] -> aa: 6, ab: 3+1=4
+    docs = toy_docs(
+        spark,
+        [(1, "s", "aaab aaab"), (2, "s", "aaab ab")],
+    )
+    out = {r["pair"]: r["merge_count"] for r in tk.bpe_pair_merge_counts(docs).collect()}
+    assert out == {"aa": 6, "ab": 4}
+
+
+def test_bpe_single_char_words_no_crash(spark):
+    # 1-char words must be filtered BEFORE the pair transform (the
+    # sequence(1, 0) descending trap)
+    docs = toy_docs(spark, [(1, "s", "a b c"), (2, "s", "xy")])
+    out = {r["pair"]: r["merge_count"] for r in tk.bpe_pair_merge_counts(docs).collect()}
+    assert out == {"xy": 1}
+
+
+def test_bigram_surprisal_drops_short_docs_and_counts(spark):
+    docs = toy_docs(
+        spark,
+        [(1, "s", "the cat sat"), (2, "s", "solo"), (3, "s", "the cat")],
+    )
+    rows = {r["doc_id"]: r for r in tk.bigram_surprisal_quality(docs).collect()}
+    assert set(rows) == {1, 3}  # doc 2 has no bigrams
+    assert rows[1]["n_bigrams"] == 2 and rows[3]["n_bigrams"] == 1
+    # repeated bigram ("the cat" x2) must score below the unique one
+    assert rows[3]["mean_bigram_surprisal"] < rows[1]["mean_bigram_surprisal"]
+
+
+def test_mixture_weights_normalize_and_flatten(spark, sf_dir):
+    out = cs.mixture_temperature_weights(load(spark, "documents", sf_dir)).collect()
+    assert abs(sum(r["temp_weight"] for r in out) - 1.0) < 1e-6
+    assert abs(sum(r["raw_share"] for r in out) - 1.0) < 1e-6
+    smallest = min(out, key=lambda r: r["total_tokens"])
+    largest = max(out, key=lambda r: r["total_tokens"])
+    if smallest["total_tokens"] < largest["total_tokens"]:
+        # temperature < 1 flattens: small sources gain share, large lose
+        assert smallest["temp_weight"] >= smallest["raw_share"]
+        assert largest["temp_weight"] <= largest["raw_share"]
+
+
+def test_bloom_overlap_bounds(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    n_per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = cs.bloom_source_overlap(docs).collect()
+    assert len(out) == len(n_per_src) * (len(n_per_src) - 1) // 2
+    for r in out:
+        assert 0 <= r["n_common_bits"] <= min(r["bits_a"], r["bits_b"])
+        assert r["bits_a"] <= cs.BLOOM_K * n_per_src[r["source_a"]]
+        assert 0.0 <= r["bitmap_jaccard"] <= 1.0
+
+
+def test_lsh_pr_eval_invariants(spark, sf_dir):
+    row = dd.lsh_precision_recall(load(spark, "documents", sf_dir)).collect()[0]
+    assert row["n_hits"] <= min(row["n_candidates"], row["n_truth"])
+    assert 0.0 <= row["precision"] <= 1.0
+    assert 0.0 <= row["recall"] <= 1.0
+    # near-dup testdata contains genuine duplicate pairs — the eval must
+    # see a non-degenerate truth set, and the LSH tier must catch some
+    assert row["n_truth"] > 0
+    assert row["recall"] > 0.5
