@@ -5493,6 +5493,18 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_lloyd_stats", sim_op.KMEANS_SQL())
+def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over embeddings: hash-seeded centroids (IVF iteration 0)
+    + 2 full Lloyd rounds + final per-cluster size/inertia — the
+    clustering primitive under IVF builds and SemDeDup cells, as an
+    iterative driver loop (k-row centroid broadcast per round, hash-agg
+    argmin, (cell,dim)-cardinality update agg). 1e-6-quantized centroid
+    sums and 1e-12-quantized distances make the inertia an exact BIGINT,
+    mirrored by an unrolled-CTE oracle."""
+    return sim_op.kmeans_lloyd_stats(load(spark, "embeddings", sf_dir))
+
+
 # ===========================================================================
 # Hashing-trick linear quality classifier — operators/classifier.py
 # ===========================================================================

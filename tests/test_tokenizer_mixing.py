@@ -81,3 +81,16 @@ def test_lsh_pr_eval_invariants(spark, sf_dir):
     # see a non-degenerate truth set, and the LSH tier must catch some
     assert row["n_truth"] > 0
     assert row["recall"] > 0.5
+
+
+def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
+    from codex_africanus_spark.operators import similarity as sim
+
+    emb = load(spark, "embeddings", sf_dir)
+    n = emb.count()
+    refined = sim.kmeans_lloyd_stats(emb, iters=2).collect()
+    seed = sim.kmeans_lloyd_stats(emb, iters=0).collect()
+    assert sum(r["n_vectors"] for r in refined) == n
+    assert len(refined) <= sim.KM_K
+    # Lloyd iterations are monotone non-increasing in total inertia
+    assert sum(r["inertia_q"] for r in refined) <= sum(r["inertia_q"] for r in seed)
