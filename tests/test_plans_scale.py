@@ -281,3 +281,40 @@ def test_simhash_banding_single_pipeline(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     plan = dd.simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan, plan
+
+
+def test_bigram_surprisal_broadcasts_context_table(spark, sf_dir):
+    """The unigram context table and the V scalar must broadcast; the
+    only sort-merge-eligible join is the bigram-count join (AQE's call
+    at real scale)."""
+    plan = plan_of(registry()["bigram_surprisal_quality"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row V cross join
+
+
+def test_bpe_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-N merge candidates must plan TakeOrdered (per-partition heap),
+    never a corpus-wide Sort before the limit."""
+    plan = plan_of(registry()["bpe_pair_merge_counts"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_signatures_are_single_partial_agg(spark, sf_dir):
+    """Bloom register build must be partial+final bit_or aggregation (the
+    HLL-register shape); the pairwise stage joins broadcast-sized
+    signature frames."""
+    plan = plan_of(registry()["bloom_source_overlap"].fn(spark, sf_dir))
+    assert "partial_" in plan and "bit_or" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_broadcast_argmin_not_window(spark, sf_dir):
+    """Each Lloyd round must assign via broadcast-NLJ + hash-agg
+    min-struct — no vector-cardinality sort window, no SMJ."""
+    from codex_africanus_spark.operators import similarity as sim
+
+    emb = load(spark, "embeddings", sf_dir)
+    plan = plan_of(sim.kmeans_lloyd_stats(emb, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
