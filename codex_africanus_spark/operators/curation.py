@@ -775,3 +775,60 @@ BOILERPLATE_TOP_SQL = f"""
   SELECT rank, gram, n_docs FROM ranked WHERE rank <= {BOILERPLATE_TOP_K}
   ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# 8. PII-shape token redaction (structural scrubbing pass)
+# --------------------------------------------------------------------------
+
+PII_MIN_DIGITS = 7  # all-digit runs this long are phone/account-shaped
+REDACTED = "<REDACTED>"
+
+
+def pii_redaction_stats(docs: DataFrame) -> DataFrame:
+    """Structural PII scrub: replace email-shaped tokens (containing '@')
+    and long all-digit tokens (≥ 7 digits — phone/account numbers) with a
+    redaction marker; emit per-doc counts and the digest of the redacted
+    text. The downstream corpus consumes the digest/text, the counts
+    feed the compliance dashboard.
+
+    Pure projection — the transform/filter array HOFs ride the scan with
+    zero shuffles at any corpus size. Detection is deliberately
+    engine-portable (contains + translate-empties arithmetic, no regex:
+    regex dialects differ between engines and 100 TB scans want codegen,
+    not an NFA per token). The synthetic testdata contains no PII-shaped
+    tokens, so the driver row checks the plumbing at zero redactions;
+    the toy-data unit tests pin the actual redaction behavior."""
+    is_pii = (
+        "t -> contains(t, '@') OR "
+        f"(translate(t, '0123456789', '') = '' AND length(t) >= {PII_MIN_DIGITS})"
+    )
+    w = "split(text, ' ')"
+    return fan_out(docs).select(
+        "doc_id",
+        F.expr(f"size({w})").alias("n_tokens"),
+        F.expr(f"size(filter({w}, {is_pii}))").alias("n_redacted"),
+        F.expr(
+            f"md5(concat_ws(' ', transform({w}, t -> "
+            f"CASE WHEN contains(t, '@') OR (translate(t, '0123456789', '') = '' "
+            f"AND length(t) >= {PII_MIN_DIGITS}) THEN '{REDACTED}' ELSE t END)))"
+        ).alias("redacted_digest"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> contains(t, '@') OR
+                  (translate(t, '0123456789', '') = '' AND len(t) >= {PII_MIN_DIGITS})))
+           AS n_redacted,
+         md5(array_to_string(list_transform(string_split(text, ' '),
+             t -> CASE WHEN contains(t, '@') OR
+                            (translate(t, '0123456789', '') = ''
+                             AND len(t) >= {PII_MIN_DIGITS})
+                       THEN '{REDACTED}' ELSE t END), ' '))
+           AS redacted_digest
+  FROM documents
+  ORDER BY doc_id
+"""

@@ -94,3 +94,50 @@ def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
     assert len(refined) <= sim.KM_K
     # Lloyd iterations are monotone non-increasing in total inertia
     assert sum(r["inertia_q"] for r in refined) <= sum(r["inertia_q"] for r in seed)
+
+
+def test_pii_redaction_on_toy_docs(spark):
+    from codex_africanus_spark.operators import curation as cur
+
+    docs = toy_docs(
+        spark,
+        [
+            (1, "s", "contact me at bob@example.com or 5551234567 thanks"),
+            (2, "s", "call 123456 not long enough and a1b2c3 mixed"),
+            (3, "s", "clean text only"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in cur.pii_redaction_stats(docs).collect()}
+    assert rows[1]["n_redacted"] == 2  # email + 10-digit phone
+    assert rows[2]["n_redacted"] == 0  # 6 digits < threshold; mixed alnum kept
+    assert rows[3]["n_redacted"] == 0
+    # digest must change only where something was redacted
+    import hashlib
+
+    def digest(text):
+        return hashlib.md5(text.encode()).hexdigest()
+
+    assert rows[3]["redacted_digest"] == digest("clean text only")
+    assert rows[1]["redacted_digest"] == digest(
+        "contact me at <REDACTED> or <REDACTED> thanks"
+    )
+
+
+def test_registry_orders_unverified_queries_first():
+    """The driver checks ~the first 50 registered queries per round:
+    every query without a green driver CORRECTNESS row must come before
+    every query with one, and the computed green set must reflect the
+    recorded CORRECTNESS files (a failing row evicts)."""
+    from codex_africanus_spark.queries import REGISTRY, _driver_green_now, registry
+
+    green = _driver_green_now()
+    names = list(registry())
+    assert set(names) == set(REGISTRY)
+    first_green = next(i for i, n in enumerate(names) if n in green)
+    assert all(n in green for n in names[first_green:])
+    assert all(n not in green for n in names[:first_green])
+    # r03 recorded hash-green rows and three no_oracle rows; the
+    # no_oracle queries were reworked and must sit in the unverified head
+    assert "events_sliding_window" in green
+    for reworked in ("hll_sketch_distinct_parts", "approx_percentile_price"):
+        assert reworked not in green

@@ -32,6 +32,10 @@ QUERIES = [
     "events_value_deciles", "ann_pq_topk", "cms_token_frequency",
     "fuzzy_name_match_pairs", "events_gap_fill_daily",
     "events_json_props_stats", "snapshot_merge_upsert",
+    # round-4 session additions
+    "bpe_pair_merge_counts", "bigram_surprisal_quality",
+    "mixture_temperature_weights", "bloom_source_overlap",
+    "lsh_dedup_pr_eval", "kmeans_lloyd_stats", "pii_redaction_stats",
 ]
 
 spark = (
