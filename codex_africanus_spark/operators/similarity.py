@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from codex_africanus_spark.sources.tables import fan_out
+
 DOT_SCALE = "1000000000000"  # 1e12 as exact integer literal
 N_PLANES = 4
 
@@ -206,6 +208,12 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     At 100 TB the bucket id is the shuffle key — candidate generation is
     a self-join co-partitioned on bucket (≈N²/2^P pairs instead of N²),
     and P scales with log₂(N) to hold per-bucket cost flat."""
+    # single-row-group testdata scans as ONE partition; when the bucket
+    # join broadcasts, the 64-term pair scoring then runs single-threaded
+    # on the probe side (measured 20 s vs 2.4 s at sf0.1) — fan the
+    # narrow scan out to cluster parallelism first (no-op on real
+    # many-file sources)
+    embeddings = fan_out(embeddings)
     buckets = lsh_bucket(embeddings)
     # materialize signatures+norms once (both join sides consume them —
     # without persist each side re-runs the hyperplane projections and
