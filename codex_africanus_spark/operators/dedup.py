@@ -158,15 +158,36 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     the seed equals one whole propagation round, computed as a groupBy
     co-partitioned with the bucket key instead of an edge join — dense
     star-shaped components converge immediately and the loop usually
-    only runs its convergence probe."""
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    only runs its convergence probe.
+
+    The banded LSH frame is materialized ONCE and feeds BOTH the pair
+    join and the bucket-minima seed (previously the signature pipeline
+    executed three times: once per union branch of the edge list, once
+    for the seed). Iteration state is cut with eager localCheckpoint(),
+    not persist(): persist caches partitions but keeps the logical
+    lineage, which DOUBLES per propagation round (labels joins itself
+    via neigh) — AQE re-renders the exploding plan string on every
+    stage update, which measured 3-4× the operator's wall time at sf0.1
+    and OOMs the driver inside explainString when composed into larger
+    queries (dedup_keep_best_quality). Checkpointed frames start a fresh
+    plan, keeping every round's plan constant-size."""
+    banded = lsh_banded(docs).select("doc_id", "band", "band_key").localCheckpoint()
+    left, right = banded.alias("a"), banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     # materialize the edge list ONCE — without this every iteration's join
-    # re-executes the whole shingle→minhash→LSH pipeline upstream
+    # re-executes the candidate join upstream
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    edges.count()
-    banded = lsh_banded(docs).select("doc_id", "band", "band_key")
+    ).localCheckpoint()
     bucket_min = banded.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("bmin")
     )
@@ -184,9 +205,8 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.col("doc_id"), F.coalesce(F.col("seed_label"), F.col("doc_id"))
             ).alias("label"),
         )
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -200,18 +220,12 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
                 F.col("label").alias("old_label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        nxt = new_labels.select("doc_id", "label").persist()
-        nxt.count()  # materialize BEFORE dropping the parents it derives from
-        labels.unpersist()
-        new_labels.unpersist()
-        labels = nxt
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
-    labels.count()  # materialize the converged labels before dropping edges
-    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (
         labels.join(F.broadcast(sizes), "label")
