@@ -141,3 +141,20 @@ def test_registry_orders_unverified_queries_first():
     assert "events_sliding_window" in green
     for reworked in ("hll_sketch_distinct_parts", "approx_percentile_price"):
         assert reworked not in green
+
+
+@pytest.mark.parametrize("op", ["bpe", "mixture", "bloom", "bigram"])
+def test_partition_independence(spark, sf_dir, op):
+    """The quantize-before-aggregate discipline must make results
+    identical under any partitioning (the 1000-executor guarantee)."""
+    docs = load(spark, "documents", sf_dir)
+    fns = {
+        "bpe": tk.bpe_pair_merge_counts,
+        "mixture": cs.mixture_temperature_weights,
+        "bloom": cs.bloom_source_overlap,
+        "bigram": tk.bigram_surprisal_quality,
+    }
+    fn = fns[op]
+    a = sorted(map(tuple, fn(docs.repartition(3)).collect()))
+    b = sorted(map(tuple, fn(docs.repartition(13)).collect()))
+    assert a == b
