@@ -341,9 +341,15 @@ def bloom_source_overlap(documents: DataFrame) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n_bits").alias("bits_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n_bits").alias("bits_b"))
+    # full upper-triangle matrix: pairs whose signatures share no word_idx
+    # row must still report n_common_bits = 0 (zero overlap is an answer,
+    # not a missing comparison) — cross the size frames and left-join the
+    # AND-popcount totals
     return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_common_bits", F.coalesce(F.col("n_common_bits"), F.lit(0)))
         .select(
             "source_a",
             "source_b",
@@ -388,13 +394,15 @@ def BLOOM_OVERLAP_SQL() -> str:
           ON a.word_idx = b.word_idx AND a.source < b.source
         GROUP BY a.source, b.source
       )
-      SELECT i.source_a, i.source_b,
-             sa.n_bits AS bits_a, sb.n_bits AS bits_b, i.n_common_bits,
-             round(i.n_common_bits / CAST(sa.n_bits + sb.n_bits
-                                          - i.n_common_bits AS DOUBLE), 9)
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n_bits AS bits_a, sb.n_bits AS bits_b,
+             COALESCE(i.n_common_bits, 0) AS n_common_bits,
+             round(COALESCE(i.n_common_bits, 0)
+                   / CAST(sa.n_bits + sb.n_bits
+                          - COALESCE(i.n_common_bits, 0) AS DOUBLE), 9)
                AS bitmap_jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.source = i.source_a
-      JOIN sizes sb ON sb.source = i.source_b
-      ORDER BY i.source_a, i.source_b
+      FROM sizes sa
+      JOIN sizes sb ON sa.source < sb.source
+      LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+      ORDER BY source_a, source_b
     """

@@ -799,35 +799,34 @@ def pii_redaction_stats(docs: DataFrame) -> DataFrame:
     not an NFA per token). The synthetic testdata contains no PII-shaped
     tokens, so the driver row checks the plumbing at zero redactions;
     the toy-data unit tests pin the actual redaction behavior."""
-    is_pii = (
-        "t -> contains(t, '@') OR "
-        f"(translate(t, '0123456789', '') = '' AND length(t) >= {PII_MIN_DIGITS})"
-    )
     w = "split(text, ' ')"
     return fan_out(docs).select(
         "doc_id",
         F.expr(f"size({w})").alias("n_tokens"),
-        F.expr(f"size(filter({w}, {is_pii}))").alias("n_redacted"),
+        F.expr(f"size(filter({w}, t -> {_pii_cond('t')}))").alias("n_redacted"),
         F.expr(
             f"md5(concat_ws(' ', transform({w}, t -> "
-            f"CASE WHEN contains(t, '@') OR (translate(t, '0123456789', '') = '' "
-            f"AND length(t) >= {PII_MIN_DIGITS}) THEN '{REDACTED}' ELSE t END)))"
+            f"CASE WHEN {_pii_cond('t')} THEN '{REDACTED}' ELSE t END)))"
         ).alias("redacted_digest"),
+    )
+
+
+def _pii_cond(tok: str) -> str:
+    """The ONE place the PII-shape predicate lives (both engines: Spark
+    `length`/DuckDB `len` — use the shared `length`, valid in both)."""
+    return (
+        f"contains({tok}, '@') OR (translate({tok}, '0123456789', '') = '' "
+        f"AND length({tok}) >= {PII_MIN_DIGITS})"
     )
 
 
 PII_REDACTION_SQL = f"""
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
-         len(list_filter(string_split(text, ' '),
-             t -> contains(t, '@') OR
-                  (translate(t, '0123456789', '') = '' AND len(t) >= {PII_MIN_DIGITS})))
+         len(list_filter(string_split(text, ' '), t -> {_pii_cond('t')}))
            AS n_redacted,
          md5(array_to_string(list_transform(string_split(text, ' '),
-             t -> CASE WHEN contains(t, '@') OR
-                            (translate(t, '0123456789', '') = ''
-                             AND len(t) >= {PII_MIN_DIGITS})
-                       THEN '{REDACTED}' ELSE t END), ' '))
+             t -> CASE WHEN {_pii_cond('t')} THEN '{REDACTED}' ELSE t END), ' '))
            AS redacted_digest
   FROM documents
   ORDER BY doc_id

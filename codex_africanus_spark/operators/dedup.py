@@ -99,6 +99,56 @@ def lsh_banded(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize `df` AND truncate its logical lineage (what
+    iterative loops need; persist alone keeps the plan, which doubles
+    per round). Uses the RELIABLE checkpoint when the session has a
+    checkpoint directory configured — fault-tolerant on a real cluster,
+    where an executor loss must recompute, and cleaned per
+    spark.cleaner.referenceTracking.cleanCheckpoints — and falls back to
+    localCheckpoint for local/dev sessions where no durable store is
+    available (executor loss there means the whole app died anyway)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc._jsc.sc().checkpointDir().isDefined()
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _pairs_from_banded(banded: DataFrame, with_sig_match: bool) -> DataFrame:
+    """Distinct candidate pairs from a banded frame: docs sharing any
+    (band, band_key) with doc_a < doc_b canonical orientation. The ONE
+    place the LSH candidate-join condition lives — minhash_lsh_pairs and
+    near_dup_clusters both build on it, so banding changes cannot make
+    the cluster graph diverge from the pair report."""
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    if with_sig_match:
+        cols.append(
+            sum(
+                (F.col(f"a.sig_{k}") == F.col(f"b.sig_{k}")).cast("int")
+                for k in range(len(MINHASH_A))
+            ).alias("n_sig_match")
+        )
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(*cols)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (bands of 2 signature rows):
     docs sharing any band key are candidates; estimated Jaccard = fraction
@@ -110,26 +160,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     (band, band_key) key, so Spark's ReuseExchange computes the banded
     frame once. Net: the first and only fact-scale work before the
     candidate join is the parquet scan itself."""
-    banded = lsh_banded(docs)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            sum(
-                (F.col(f"a.sig_{k}") == F.col(f"b.sig_{k}")).cast("int")
-                for k in range(len(MINHASH_A))
-            ).alias("n_sig_match"),
-        )
-        .distinct()
-    )
+    pairs = _pairs_from_banded(lsh_banded(docs), with_sig_match=True)
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -163,31 +194,30 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
     The banded LSH frame is materialized ONCE and feeds BOTH the pair
     join and the bucket-minima seed (previously the signature pipeline
     executed three times: once per union branch of the edge list, once
-    for the seed). Iteration state is cut with eager localCheckpoint(),
+    for the seed). Iteration state is cut with _cut_lineage (checkpoint),
     not persist(): persist caches partitions but keeps the logical
     lineage, which DOUBLES per propagation round (labels joins itself
     via neigh) — AQE re-renders the exploding plan string on every
     stage update, which measured 3-4× the operator's wall time at sf0.1
     and OOMs the driver inside explainString when composed into larger
     queries (dedup_keep_best_quality). Checkpointed frames start a fresh
-    plan, keeping every round's plan constant-size."""
-    banded = lsh_banded(docs).select("doc_id", "band", "band_key").localCheckpoint()
-    left, right = banded.alias("a"), banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    plan, keeping every round's plan constant-size.
+
+    Checkpoint state is bounded: rounds ≈ component diameter (the
+    bucket-minima seed collapses star components immediately, so 2-3 in
+    practice), and each round's block is the (doc_id, label) table —
+    16 bytes/doc, NOT corpus-sized. Blocks are released by the context
+    cleaner as the loop drops its references; with a checkpoint dir set
+    (see _cut_lineage) cleanup follows spark.cleaner settings."""
+    banded = _cut_lineage(lsh_banded(docs).select("doc_id", "band", "band_key"))
+    pairs = _pairs_from_banded(banded, with_sig_match=False)
     # materialize the edge list ONCE — without this every iteration's join
     # re-executes the candidate join upstream
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    edges = _cut_lineage(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     bucket_min = banded.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("bmin")
     )
@@ -205,22 +235,21 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.col("doc_id"), F.coalesce(F.col("seed_label"), F.col("doc_id"))
             ).alias("label"),
         )
-        .localCheckpoint()
     )
+    labels = _cut_lineage(labels)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _cut_lineage(
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "label")

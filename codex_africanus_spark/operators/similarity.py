@@ -875,9 +875,16 @@ def kmeans_lloyd_stats(
     + two aggregates instead of an iters-deep nested-aggregate lineage
     (which re-compiles a growing codegen tree every round — measured
     11.6 s vs 2 s at 500 vectors). Doubles survive the collect bit-for-
-    bit, so the literal re-broadcast changes nothing numerically."""
+    bit, so the literal re-broadcast changes nothing numerically.
+
+    Distance uses the HOF form, not _qdist2_unrolled: the unrolled
+    64-term expression recompiles in every round's fresh plan and
+    measured SLOWER end-to-end (4.8 vs 3.0 s at sf0.1) — unrolling pays
+    off on candidate-pair hot paths compiled once, not in driver loops.
+    The scan is fanned out so assignment parallelizes under the
+    broadcast join (single-row-group testdata; no-op on real sources)."""
     spark = embeddings.sparkSession
-    emb = embeddings.select("vec_id", "embedding")
+    emb = fan_out(embeddings).select("vec_id", "embedding")
 
     def _lit_frame(rows):
         return spark.createDataFrame(

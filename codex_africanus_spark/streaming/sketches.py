@@ -42,13 +42,7 @@ def streaming_cms_cells(stream: DataFrame) -> DataFrame:
     return cells.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
 
 
-def batch_cms_cells(docs: DataFrame) -> DataFrame:
-    """Batch twin of `streaming_cms_cells` over a frame at rest — same
-    expressions, used by the parity tests and as the backfill path."""
-    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    cells = tok.select(
-        F.posexplode(
-            F.array(*[_cms_cell(F.col("token"), r) for r in range(CMS_D)])
-        ).alias("row", "cell")
-    )
-    return cells.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
+# Batch twin over a frame at rest (parity tests, backfill path): the
+# pipeline is expression-identical by CONSTRUCTION — it IS the same
+# function, applied to a batch frame instead of a stream.
+batch_cms_cells = streaming_cms_cells
