@@ -60,17 +60,20 @@ def _shingle_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """k=8 permutation MinHash signature per document.
 
     MinHash is per-document state, so it is computed as a PURE PROJECTION:
     hash the shingle array once into an intermediate column, then each
     signature is an array_min over a transform — zero shuffles, the
     whole thing rides the scan. (The earlier explode + groupBy form paid
-    a doc-cardinality shuffle for what is row-local arithmetic.)"""
+    a doc-cardinality shuffle for what is row-local arithmetic.)
+
+    `keep` passes extra columns through the projection (e.g. the event
+    time for the streaming candidate gate) without a re-join."""
     eligible = fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3)
     hashed = eligible.select(
-        "doc_id", F.transform(word_3gram_shingles("text"), hash31).alias("hs")
+        "doc_id", *keep, F.transform(word_3gram_shingles("text"), hash31).alias("hs")
     )
     sig_cols = [
         F.array_min(
@@ -78,14 +81,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return hashed.select("doc_id", *sig_cols)
+    return hashed.select("doc_id", *keep, *sig_cols)
 
 
-def lsh_banded(docs: DataFrame) -> DataFrame:
+def lsh_banded(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, sig_0..k, band, band_key): one posexplode over the array
     of band keys — the shared candidate-generation frame for LSH pairing
-    and for seeding connected-components labels."""
-    sigs = minhash_signatures(docs)
+    and for seeding connected-components labels. `keep` columns ride
+    through (see minhash_signatures)."""
+    sigs = minhash_signatures(docs, keep=keep)
     band_keys = F.array(
         *[
             F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
@@ -94,6 +98,7 @@ def lsh_banded(docs: DataFrame) -> DataFrame:
     )
     return sigs.select(
         "doc_id",
+        *keep,
         *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
         F.posexplode(band_keys).alias("band", "band_key"),
     )
