@@ -348,7 +348,7 @@ def bloom_source_overlap(documents: DataFrame) -> DataFrame:
     return (
         sa.crossJoin(F.broadcast(sb))
         .filter(F.col("source_a") < F.col("source_b"))
-        .join(inter, ["source_a", "source_b"], "left")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
         .withColumn("n_common_bits", F.coalesce(F.col("n_common_bits"), F.lit(0)))
         .select(
             "source_a",
