@@ -663,3 +663,39 @@ LSH_PR_SQL = f"""
          round(n_hits / CAST(greatest(n_truth, 1) AS DOUBLE), 9) AS recall
   FROM counts
 """
+
+
+# --------------------------------------------------------------------------
+# Horizon-bounded LSH candidates (batch surface of the streaming gate)
+# --------------------------------------------------------------------------
+
+INGEST_HORIZON_DOCS = 60  # ingest-order horizon (docs arrive 1/minute)
+
+
+def lsh_candidates_horizon(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs restricted to documents ingested within
+    the dedup horizon of each other — the batch/backfill surface of the
+    streaming LSH gate (streaming/lsh.py), with ingest order derived
+    from doc_id (the synthetic corpus ingests one doc per minute, so a
+    1-hour horizon is |doc_a − doc_b| ≤ 60).
+
+    Plan: the shared _pairs_from_banded candidate join with the horizon
+    predicate (Catalyst folds the filter into the join condition) — at
+    scale the horizon prunes the candidate set exactly like the stream's
+    state-store eviction bounds it."""
+    return _pairs_from_banded(lsh_banded(docs), with_sig_match=False).filter(
+        F.col("doc_b") - F.col("doc_a") <= INGEST_HORIZON_DOCS
+    )
+
+
+LSH_HORIZON_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION})
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+   AND b.doc_id - a.doc_id <= {INGEST_HORIZON_DOCS}
+  ORDER BY doc_a, doc_b
+"""

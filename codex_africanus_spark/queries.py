@@ -5684,6 +5684,17 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lsh_candidates_horizon", dedup_op.LSH_HORIZON_SQL)
+def lsh_candidates_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates restricted to the ingest horizon (|Δdoc| ≤ 60
+    at 1 doc/min) — the batch/backfill surface of the streaming LSH gate
+    (streaming/lsh.py): same banded candidate join, horizon predicate in
+    place of the stream's watermark-bounded state eviction."""
+    return dedup_op.lsh_candidates_horizon(load(spark, "documents", sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 @register("lsh_dedup_pr_eval", dedup_op.LSH_PR_SQL)
 def lsh_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate tier against exact
