@@ -406,3 +406,66 @@ def BLOOM_OVERLAP_SQL() -> str:
       LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
       ORDER BY source_a, source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted reservoir sampling (A-ES keys from hash uniforms)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 64
+_KQ = "1000000000000"  # 1e-12 fixed-point grid for the A-ES log-key
+
+
+def weighted_sample_documents(documents: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Weight-proportional document sample (Efraimidis-Spirakis A-ES):
+    each doc draws a deterministic uniform u from the portable hash and
+    takes key = ln(u)/w with w = token count; the top-k keys ARE a
+    weighted sample without replacement — the reproducible "sample the
+    mixture" primitive (long docs proportionally more likely, rerunnable
+    bit-for-bit on any cluster, mergeable across shards by keeping each
+    shard's top-k).
+
+    Plan: pure projection + TakeOrdered top-k (per-partition heap) — no
+    shuffle beyond the k-row merge. The log-key is 1e-12-quantized with
+    doc_id tie-break, so the cut is engine-exact."""
+    from codex_africanus_spark.functions.text import hash60
+
+    u = (hash60(F.col("text")) + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.size(F.split("text", " ")).cast("double")
+    qkey = F.round(F.log(u) / w * F.lit(float(_KQ))).cast("long")
+    keyed = documents.select(
+        "doc_id", "source", w.cast("long").alias("weight_tokens"), qkey.alias("qkey")
+    )
+    top = keyed.orderBy(F.col("qkey").desc(), "doc_id").limit(k)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("qkey").desc(), "doc_id"))
+        .alias("rank"),
+        "doc_id",
+        "source",
+        "weight_tokens",
+        "qkey",
+    )
+
+
+def WEIGHTED_SAMPLE_SQL(k: int = SAMPLE_K) -> str:
+    from codex_africanus_spark.functions.text import hash60_sql
+
+    return f"""
+      WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS weight_tokens,
+               CAST(ROUND(ln(({hash60_sql('text')} + 1)
+                             / CAST({1 << 60} AS DOUBLE))
+                          / len(string_split(text, ' ')) * {_KQ}) AS BIGINT)
+                 AS qkey
+        FROM documents
+      ),
+      top AS (
+        SELECT * FROM keyed ORDER BY qkey DESC, doc_id LIMIT {k}
+      )
+      SELECT CAST(row_number() OVER (ORDER BY qkey DESC, doc_id) AS BIGINT)
+               AS rank,
+             doc_id, source, weight_tokens, qkey
+      FROM top ORDER BY rank
+    """

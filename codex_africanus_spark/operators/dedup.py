@@ -699,3 +699,104 @@ LSH_HORIZON_SQL = f"""
    AND b.doc_id - a.doc_id <= {INGEST_HORIZON_DOCS}
   ORDER BY doc_a, doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# PageRank over the near-dup candidate graph (integer-exact iterations)
+# --------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # rank fixed-point grid (1e-9)
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank_lsh_graph(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over the undirected LSH candidate graph — duplicate-hub
+    scoring: documents whose content recurs across many near-dup
+    partners rank high (a copy-count-robust signal for choosing cluster
+    canonicals and for boilerplate triage), dangling docs keep the base
+    rank.
+
+    Entirely INTEGER arithmetic: ranks live on a 1e-9 fixed-point grid,
+    each edge contribution is (r·85) DIV (100·outdeg) (integer division,
+    deterministic mass loss identical in both engines), the per-node sum
+    is an exact BIGINT — every iteration is bit-reproducible under any
+    partitioning, so the unrolled-CTE oracle matches exactly.
+
+    Plan shape per iteration: one edge-cardinality join + one node-
+    cardinality aggregate (the standard Spark PageRank shape); the
+    lineage grows linearly with iters (r enters each round once), so no
+    checkpoint is needed at this fixed depth."""
+    nodes = docs.select("doc_id")
+    pairs = _pairs_from_banded(lsh_banded(docs), with_sig_match=False)
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    outdeg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_docs = nodes.count()
+    base_q = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n_docs)
+    r = nodes.select("doc_id", F.lit(PR_SCALE // n_docs).alias("r_q"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(outdeg, "doc_a")
+            .join(r, edges.doc_a == r.doc_id)
+            .select(
+                F.col("doc_b").alias("dst"),
+                F.expr(f"(r_q * {PR_D_NUM}) DIV ({PR_D_DEN} * outdeg)").alias("c_q"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c_q").alias("in_q"))
+        )
+        r = nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+            "doc_id",
+            (F.lit(base_q) + F.coalesce(F.col("in_q"), F.lit(0))).alias("r_q"),
+        )
+    return r.select("doc_id", F.col("r_q").alias("pagerank_q"))
+
+
+def PAGERANK_SQL(iters: int = PR_ITERS) -> str:
+    ctes = [
+        f"""nodes AS (SELECT doc_id FROM documents),
+      {_SHINGLE_CTE},
+      sigs AS ({_sig_select()}),
+      banded AS ({_BAND_UNION}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+      ),
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ),
+      outdeg AS (SELECT doc_a, COUNT(*) AS outdeg FROM edges GROUP BY doc_a),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (
+        SELECT doc_id, CAST({PR_SCALE} // n AS BIGINT) AS r_q FROM nodes, nn
+      )"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.doc_b AS dst,
+               CAST(SUM((r.r_q * {PR_D_NUM}) // ({PR_D_DEN} * o.outdeg))
+                    AS BIGINT) AS in_q
+        FROM edges e
+        JOIN outdeg o ON o.doc_a = e.doc_a
+        JOIN r{i} r ON r.doc_id = e.doc_a
+        GROUP BY e.doc_b
+      ),
+      r{i + 1} AS (
+        SELECT n.doc_id,
+               CAST((CAST({PR_SCALE} AS BIGINT) * {PR_D_DEN - PR_D_NUM})
+                    // ({PR_D_DEN} * (SELECT n FROM nn))
+                    + COALESCE(c.in_q, 0) AS BIGINT) AS r_q
+        FROM nodes n LEFT JOIN c{i} c ON c.dst = n.doc_id
+      )"""
+        )
+    body = ",\n      ".join(ctes)
+    return f"""
+      WITH {body}
+      SELECT doc_id, r_q AS pagerank_q FROM r{iters} ORDER BY doc_id
+    """

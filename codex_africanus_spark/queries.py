@@ -5695,6 +5695,28 @@ def lsh_candidates_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pagerank_lsh_graph", dedup_op.PAGERANK_SQL())
+def pagerank_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected LSH candidate graph (duplicate-hub
+    scoring, 3 iterations) — entirely integer arithmetic on a 1e-9
+    fixed-point grid, so every iteration is bit-reproducible and the
+    unrolled-CTE oracle matches exactly. One edge join + one node agg
+    per round, linear lineage."""
+    return dedup_op.pagerank_lsh_graph(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register("weighted_sample_documents", cstat_op.WEIGHTED_SAMPLE_SQL())
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (Efraimidis-Spirakis
+    A-ES with hash uniforms, weight = token count): top-64 quantized
+    log-keys ARE a weighted sample without replacement — reproducible
+    on any cluster, mergeable across shards. Pure projection +
+    TakeOrdered."""
+    return cstat_op.weighted_sample_documents(load(spark, "documents", sf_dir))
+
+
 @register("lsh_dedup_pr_eval", dedup_op.LSH_PR_SQL)
 def lsh_dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate tier against exact

@@ -158,3 +158,33 @@ def test_partition_independence(spark, sf_dir, op):
     a = sorted(map(tuple, fn(docs.repartition(3)).collect()))
     b = sorted(map(tuple, fn(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_pagerank_mass_and_hub_ordering(spark, sf_dir):
+    from codex_africanus_spark.operators import dedup as dd2
+
+    docs = load(spark, "documents", sf_dir)
+    pr = {r["doc_id"]: r["pagerank_q"] for r in dd2.pagerank_lsh_graph(docs).collect()}
+    n = len(pr)
+    base = (dd2.PR_SCALE * (dd2.PR_D_DEN - dd2.PR_D_NUM)) // (dd2.PR_D_DEN * n)
+    # dangling docs sit at the base rank; connected docs strictly above
+    assert min(pr.values()) == base
+    assert max(pr.values()) > base
+    # total mass never exceeds the initial 1.0 (integer division only loses)
+    assert sum(pr.values()) <= dd2.PR_SCALE
+    # every doc in a candidate pair must rank above base
+    pairs = dd2.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    linked = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert all(pr[d] > base for d in linked)
+
+
+def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    s1 = [tuple(r) for r in cs.weighted_sample_documents(docs).collect()]
+    s2 = [tuple(r) for r in cs.weighted_sample_documents(docs.repartition(11)).collect()]
+    assert s1 == s2  # reproducible under any partitioning
+    sample_mean = sum(r[3] for r in s1) / len(s1)
+    corpus_mean = (
+        docs.selectExpr("avg(size(split(text, ' '))) AS m").collect()[0]["m"]
+    )
+    assert sample_mean > corpus_mean  # weight-proportional: long docs favored
