@@ -1733,6 +1733,80 @@ def hogbom_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_op.hogbom_clean(spark, grid_op.grid_natural(vis))
 
 
+# Restore oracle: residual after n picks = the decay table at k = n (the
+# loop's resid -= γ·resid IS the decay recursion), restore terms are
+# 1e-9-quantized Gaussian splats summed as BIGINTs, 2σ² = 4.5 (σ=1.5).
+_RESTORE_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    grid AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wsum_q
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT u_cell, v_cell, CAST(grid_re_q AS DOUBLE) / wsum_q AS v FROM grid
+    ),
+    decay AS (
+      SELECT u_cell, v_cell, 0 AS k, v AS val FROM cells
+      UNION ALL
+      SELECT u_cell, v_cell, k + 1, val - 0.1e0 * val FROM decay WHERE k < 50
+    ),
+    thresh AS (SELECT 0.2e0 * MAX(abs(v)) AS t FROM cells),
+    ranked AS (
+      SELECT u_cell, v_cell, val,
+             row_number() OVER (ORDER BY abs(val) DESC, u_cell, v_cell) AS rnk
+      FROM decay
+    ),
+    comps AS (
+      SELECT r.u_cell AS cu, r.v_cell AS cv, 0.1e0 * r.val AS flux
+      FROM ranked r, thresh t
+      WHERE r.rnk <= 50 AND abs(r.val) > t.t
+    ),
+    picks AS (SELECT cu, cv, COUNT(*) AS n FROM comps GROUP BY cu, cv),
+    residf AS (
+      SELECT c.u_cell, c.v_cell,
+             CAST(COALESCE(p.n, 0) AS INT) AS n_picks,
+             d.val AS residual
+      FROM cells c
+      LEFT JOIN picks p ON p.cu = c.u_cell AND p.cv = c.v_cell
+      JOIN decay d ON d.u_cell = c.u_cell AND d.v_cell = c.v_cell
+                  AND d.k = COALESCE(p.n, 0)
+    ),
+    beam AS (
+      SELECT r.u_cell, r.v_cell,
+             CAST(SUM(CAST(ROUND(m.flux * exp(
+               -((r.u_cell - m.cu) * (r.u_cell - m.cu)
+                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / 4.5e0) * 1000000000)
+               AS BIGINT)) AS BIGINT) AS bq
+      FROM residf r, comps m
+      GROUP BY r.u_cell, r.v_cell
+    )
+    SELECT r.u_cell, r.v_cell, r.n_picks,
+           round(r.residual, 6) AS residual,
+           round(r.residual + COALESCE(b.bq, 0) / 1000000000.0, 6) AS restored
+    FROM residf r
+    LEFT JOIN beam b ON b.u_cell = r.u_cell AND b.v_cell = r.v_cell
+    ORDER BY r.u_cell, r.v_cell
+"""
+
+
+@register("clean_restore_image", _RESTORE_ORACLE)
+def clean_restore_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end imaging minor cycle: distributed natural-weight grid →
+    driver Hogbom CLEAN → restoring-beam convolution of the components +
+    residual (reference deconv/hogbom/clean.py:122-246 composed with the
+    gridder) — the full dirty→model→restored loop as one query, exactly
+    oracled via the decay-table identity (residual after n picks = decay
+    at k=n) and 1e-9-quantized Gaussian splats."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return clean_op.clean_restore(spark, grid_op.grid_natural(vis)).orderBy(
+        "u_cell", "v_cell"
+    )
+
+
 def _gn_oracle() -> str:
     """Recursive replay of the Gauss-Newton solve: the working row
     carries the 7 phases as a DOUBLE[] list (the anchor's literals MUST
