@@ -36,6 +36,8 @@ QUERIES = [
     "bpe_pair_merge_counts", "bigram_surprisal_quality",
     "mixture_temperature_weights", "bloom_source_overlap",
     "lsh_dedup_pr_eval", "kmeans_lloyd_stats", "pii_redaction_stats",
+    "lsh_candidates_horizon", "pagerank_lsh_graph",
+    "weighted_sample_documents", "clean_restore_image",
 ]
 
 spark = (
