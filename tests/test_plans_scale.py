@@ -318,3 +318,21 @@ def test_kmeans_assignment_is_broadcast_argmin_not_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_weighted_sample_is_shuffle_free_takeordered(spark, sf_dir):
+    """A-ES sampling must plan as projection + TakeOrdered — zero
+    exchanges (the per-partition-heap property that makes it mergeable
+    across shards)."""
+    plan = plan_of(registry()["weighted_sample_documents"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pagerank_loop_reuses_materialized_edges(spark, sf_dir):
+    """The LSH pipeline must appear ONCE (checkpointed edge list), not
+    once per propagation round — re-embedding it audited at 25
+    exchanges / 28 scans before the cut."""
+    plan = plan_of(registry()["pagerank_lsh_graph"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4
+    assert plan.count("Exchange") <= 12
