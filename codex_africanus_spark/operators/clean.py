@@ -136,17 +136,24 @@ def clean_restore(
         comps.append((int(cells[p, 0]), int(cells[p, 1]), float(gamma * peak)))
         picks[p] += 1
         resid[p] -= gamma * peak
+    # Quantization = sign·floor(|x|·grid + 0.5) on BOTH engines (the
+    # oracle spells the identical float ops), so even exact .5 and
+    # epsilon-below-.5 boundaries agree bit-for-bit: np.round is
+    # banker's, SQL ROUND is half-away, and grid ratios are dyadic
+    # rationals where the difference is REACHED in real data — sharing
+    # the op sequence sidesteps both engines' rounding modes entirely.
+    def q_half_away(x: np.ndarray, grid: float) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * grid + 0.5)
+
     beam_q = np.zeros(len(resid), dtype=np.int64)
     for cu, cv, flux in comps:
         du = cells[:, 0] - cu
         dv = cells[:, 1] - cv
         term = flux * np.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
-        beam_q += np.round(term * 1e9).astype(np.int64)
+        beam_q += q_half_away(term, 1e9).astype(np.int64)
 
     def round6_half_away(x: np.ndarray) -> np.ndarray:
-        # SQL ROUND is half-AWAY-from-zero; np.round is banker's — grid
-        # ratios are dyadic rationals, so exact .5 at 6 dp DOES occur
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        return q_half_away(x, 1e6) / 1e6
 
     out = pd.DataFrame(
         {

@@ -741,8 +741,16 @@ def pagerank_lsh_graph(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # frame per round instead of two
     edges = _cut_lineage(edges.join(outdeg, "doc_a"))
     n_docs = nodes.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, pagerank_q long"
+        )
     base_q = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n_docs)
-    r = nodes.select("doc_id", F.lit(PR_SCALE // n_docs).alias("r_q"))
+    # cast to long: an int32 initial rank overflows at r_q * 85 for
+    # corpora under ~40 docs (the oracle's r0 is BIGINT)
+    r = nodes.select(
+        "doc_id", F.lit(PR_SCALE // n_docs).cast("long").alias("r_q")
+    )
     for _ in range(iters):
         contrib = (
             edges.join(r, edges.doc_a == r.doc_id)

@@ -1736,6 +1736,13 @@ def hogbom_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Restore oracle: residual after n picks = the decay table at k = n (the
 # loop's resid -= γ·resid IS the decay recursion), restore terms are
 # 1e-9-quantized Gaussian splats summed as BIGINTs, 2σ² = 4.5 (σ=1.5).
+# Quantization is sign·floor(|x|·grid + 0.5) — the IDENTICAL float-op
+# sequence the operator runs in numpy, so half-even/half-away rounding
+# modes never enter (dyadic grid ratios DO land on exact .5 at 6 dp).
+def _q_away_sql(expr: str, grid: str) -> str:
+    return f"(sign({expr}) * floor(abs({expr}) * {grid} + 0.5))"
+
+
 _RESTORE_ORACLE = f"""
     WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
     grid AS (
@@ -1777,16 +1784,17 @@ _RESTORE_ORACLE = f"""
     ),
     beam AS (
       SELECT r.u_cell, r.v_cell,
-             CAST(SUM(CAST(ROUND(m.flux * exp(
+             CAST(SUM(CAST({_q_away_sql('''m.flux * exp(
                -((r.u_cell - m.cu) * (r.u_cell - m.cu)
-                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / 4.5e0) * 1000000000)
+                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / 4.5e0)''', '1000000000')}
                AS BIGINT)) AS BIGINT) AS bq
       FROM residf r, comps m
       GROUP BY r.u_cell, r.v_cell
     )
     SELECT r.u_cell, r.v_cell, r.n_picks,
-           round(r.residual, 6) AS residual,
-           round(r.residual + COALESCE(b.bq, 0) / 1000000000.0, 6) AS restored
+           {_q_away_sql('r.residual', '1000000')} / 1000000.0 AS residual,
+           {_q_away_sql('(r.residual + COALESCE(b.bq, 0) / 1000000000.0)', '1000000')}
+             / 1000000.0 AS restored
     FROM residf r
     LEFT JOIN beam b ON b.u_cell = r.u_cell AND b.v_cell = r.v_cell
     ORDER BY r.u_cell, r.v_cell

@@ -42,50 +42,22 @@ def _banded_stream(docs: DataFrame, time_col: str) -> DataFrame:
     )
 
 
-def streaming_lsh_candidates(
-    stream: DataFrame,
-    time_col: str = "event_time",
-    horizon: str = HORIZON,
-    watermark: str = WATERMARK,
-) -> DataFrame:
-    """Near-dup candidate pairs among documents arriving within `horizon`
-    of each other: stream-stream self-join on (band, band_key), bounded
-    by watermarks. Emits (doc_a, doc_b) with doc_a < doc_b, distinct
-    across bands — the streaming twin of minhash_lsh_pairs' candidate
-    set restricted to the horizon."""
-    a = (
-        _banded_stream(stream, time_col)
-        .withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed(time_col, "t_a")
-        .withWatermark("t_a", watermark)
-    )
-    b = (
-        _banded_stream(stream, time_col)
-        .select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("band").alias("band_b"),
-            F.col("band_key").alias("band_key_b"),
-            F.col(time_col).alias("t_b"),
-        )
-        .withWatermark("t_b", watermark)
-    )
-    pairs = a.join(
-        b,
+def _horizon_join_cond(horizon: str):
+    """The ONE place the horizon-bounded candidate-join condition lives
+    (shared by the stream and its batch twin — parity by construction,
+    same discipline as operators/dedup._pairs_from_banded). Expects the
+    sides to expose (band, band_key, doc_a, t_a) / (band_b, band_key_b,
+    doc_b, t_b)."""
+    return (
         (F.col("band") == F.col("band_b"))
         & (F.col("band_key") == F.col("band_key_b"))
         & (F.col("doc_a") < F.col("doc_b"))
         & (F.col("t_b") >= F.col("t_a") - F.expr(f"INTERVAL {horizon}"))
-        & (F.col("t_b") <= F.col("t_a") + F.expr(f"INTERVAL {horizon}")),
+        & (F.col("t_b") <= F.col("t_a") + F.expr(f"INTERVAL {horizon}"))
     )
-    return pairs.select("doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
 
 
-def lsh_candidates_batch(
-    docs: DataFrame, time_col: str = "event_time", horizon: str = HORIZON
-) -> DataFrame:
-    """Batch twin over a frame at rest: identical banding expressions
-    and join condition, for backfill and the parity tests."""
-    banded = _banded_stream(docs, time_col)
+def _pair_sides(banded: DataFrame, time_col: str):
     a = banded.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key",
         F.col(time_col).alias("t_a"),
@@ -96,12 +68,43 @@ def lsh_candidates_batch(
         F.col("band_key").alias("band_key_b"),
         F.col(time_col).alias("t_b"),
     )
-    pairs = a.join(
-        b,
-        (F.col("band") == F.col("band_b"))
-        & (F.col("band_key") == F.col("band_key_b"))
-        & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("t_b") >= F.col("t_a") - F.expr(f"INTERVAL {horizon}"))
-        & (F.col("t_b") <= F.col("t_a") + F.expr(f"INTERVAL {horizon}")),
+    return a, b
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    horizon: str = HORIZON,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Near-dup candidate pairs among documents arriving within `horizon`
+    of each other: stream-stream self-join on (band, band_key), bounded
+    by watermarks. Emits (doc_a, doc_b, t_a) with doc_a < doc_b; the
+    cross-band dedup uses dropDuplicatesWithinWatermark so its state
+    store is ALSO horizon-bounded (a plain dropDuplicates would retain
+    every pair ever emitted — unbounded state on a production stream,
+    the exact failure the module exists to avoid)."""
+    banded_a, banded_b = (
+        _banded_stream(stream, time_col),
+        _banded_stream(stream, time_col),
     )
+    a, _ = _pair_sides(banded_a, time_col)
+    _, b = _pair_sides(banded_b, time_col)
+    pairs = a.withWatermark("t_a", watermark).join(
+        b.withWatermark("t_b", watermark), _horizon_join_cond(horizon)
+    )
+    return pairs.select("doc_a", "doc_b", "t_a").dropDuplicatesWithinWatermark(
+        ["doc_a", "doc_b"]
+    )
+
+
+def lsh_candidates_batch(
+    docs: DataFrame, time_col: str = "event_time", horizon: str = HORIZON
+) -> DataFrame:
+    """Batch twin over a frame at rest: identical banding expressions
+    and join condition (shared helpers), for backfill and the parity
+    tests. Pair-distinct here is global — frames at rest have no state
+    bound to respect."""
+    a, b = _pair_sides(_banded_stream(docs, time_col), time_col)
+    pairs = a.join(b, _horizon_join_cond(horizon))
     return pairs.select("doc_a", "doc_b").distinct()

@@ -188,3 +188,18 @@ def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
         docs.selectExpr("avg(size(split(text, ' '))) AS m").collect()[0]["m"]
     )
     assert sample_mean > corpus_mean  # weight-proportional: long docs favored
+
+
+def test_pagerank_small_corpus_no_overflow(spark):
+    # int32 initial ranks overflow at r_q * 85 for corpora under ~40
+    # docs — the regression this pins used F.lit without a long cast
+    from codex_africanus_spark.operators import dedup as dd2
+
+    docs = toy_docs(
+        spark,
+        [(i, "s", f"alpha beta gamma delta epsilon doc{i % 2}") for i in range(10)],
+    )
+    pr = {r["doc_id"]: r["pagerank_q"] for r in dd2.pagerank_lsh_graph(docs).collect()}
+    assert len(pr) == 10
+    assert all(v > 0 for v in pr.values())
+    assert sum(pr.values()) <= dd2.PR_SCALE
