@@ -74,3 +74,48 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
     assert (1, 5) in got and (1, 3) in got
     assert not any(6 in pair for pair in got)
     assert all(a < b for a, b in got)
+
+
+def test_streaming_lsh_drops_late_arrivals(spark, tmp_path):
+    """A duplicate arriving with an event time far behind the advanced
+    watermark must be evicted, not paired — the state bound in action."""
+    src = tmp_path / "docs_late"
+    src.mkdir()
+    M = 60_000_000
+    B = 1_000_000_000_000_000
+    # batch 0 advances the watermark to ~(B+300min − 2h); batch 1 lets
+    # the join EVICT the B+0 state under that watermark (eviction lands
+    # at batch boundaries, one batch behind the max event time); batch 2
+    # then delivers a copy of DUP stamped at B+1min — hours behind the
+    # watermark, in the guaranteed-drop region with no state to meet
+    _write(src / "b0.parquet", [(1, DUP, B + 0 * M), (2, DUP, B + 300 * M)],
+           1_000_000_000)
+    _write(src / "b1.parquet", [(5, OTHER, B + 301 * M)], 1_000_000_100)
+    _write(src / "b2.parquet", [(9, DUP, B + 1 * M)], 1_000_000_200)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    from codex_africanus_spark.streaming import lsh as slsh2
+
+    q = (
+        slsh2.streaming_lsh_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM lsh_late").collect()
+    }
+    # doc 9 is late beyond the watermark: no pair involving it survives;
+    # 1↔2 are 300 min apart (outside the horizon) so nothing is emitted
+    assert not any(9 in p for p in got)
+    assert (1, 2) not in got
