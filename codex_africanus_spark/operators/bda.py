@@ -302,3 +302,140 @@ def bda_average(
         .groupBy("antenna1", "antenna2")
         .applyInPandas(per_baseline, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sinc-bounded BDA (the reference's actual decorrelation physics)
+# ---------------------------------------------------------------------------
+
+# Decorrelation-bound constants, precomputed once in Python and
+# interpolated as the SAME double literals into both the pandas kernel
+# and the DuckDB oracle (constant-parity discipline): the bin-closure
+# decision sinc(Δψ/2) >= sinc(decorrelation) is then bit-identical
+# across engines, quantized to a 1e-9 grid.
+BDA_LIGHTSPEED = 299792458.0
+BDA_DECORRELATION = 0.98
+BDA_MAX_FOV_DEG = 0.05  # synthetic uvw units — keeps bins multi-row
+BDA_MAX_LM = 0.0008726646259971648  # radians(BDA_MAX_FOV_DEG)
+BDA_N_MAX = 3.8077184716378554e-07  # |sqrt(1 - max_lm^2) - 1|
+BDA_MAX_CHAN_FREQ = 856000000.0 * 1.875  # top of the 8-chan synthetic band
+# K = max_chan_freq * sin(max_lm) * pi / c  (bda_mapping.py:152-158)
+BDA_SINC_K = 0.014677480880217962
+BDA_SINC_GRID = 1e9
+# sinc(decorrelation) = sin(pi*0.98)/(pi*0.98), quantized to the grid
+BDA_SINC_TOL_Q = 20394738
+BDA_TIME_BIN_SECS = 2592000.0
+
+
+def bda_sinc_average(vis: DataFrame, time_bin_secs: float = BDA_TIME_BIN_SECS) -> DataFrame:
+    """BDA with the reference's sinc decorrelation bound
+    (bda_mapping.py:111-186 Binner.add_row): per (antenna1, antenna2)
+    scan rows in time order; a candidate row joins the current bin iff
+
+        sin(Δψ/2)/(Δψ/2) >= sinc(decorrelation)   and   Δt <= time_bin_secs
+
+    where Δψ/2 = |uvw_row − uvw_bin_start| · f_max · sin(max_lm) · π/c
+    + 1e-8 and Δt spans the bin's first-row leading interval edge to the
+    candidate's trailing edge. Auto-correlated baselines always extend
+    the bin (add_row's fast path, :131-143). Bin outputs follow
+    finalise_bin (:193-277): centroid TIME over the interval-padded
+    span, summed INTERVAL = span, weighted vis means, all-flagged flag,
+    and the Atemkeng eq.40 decorrelation bandwidth Δν from the bin's
+    central uvw (−1 for autocorrelations / degenerate geometry).
+
+    The sinc decision value is quantized to a 1e-9 grid with constants
+    interpolated from this module, so the DuckDB recursive-CTE oracle
+    replays every closure decision bit-identically."""
+    import math
+
+    import numpy as np
+
+    schema = (
+        "antenna1 int, antenna2 int, bin_idx long, n_rows long, n_flagged long, "
+        "time_avg double, interval_out double, vis_re_avg double, "
+        "vis_im_avg double, weight_sum double, bin_flagged boolean, "
+        "delta_nu double"
+    )
+    K, GRID, TOL_Q, TBS = BDA_SINC_K, BDA_SINC_GRID, BDA_SINC_TOL_Q, time_bin_secs
+    ML, NM, C, DECORR = BDA_MAX_LM, BDA_N_MAX, BDA_LIGHTSPEED, BDA_DECORRELATION
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        w_ = pdf["w"].to_numpy()
+        t = pdf["time"].to_numpy()
+        iv = pdf["interval"].to_numpy()
+        auto = bool(pdf["antenna1"].iloc[0] == pdf["antenna2"].iloc[0])
+        n = len(pdf)
+        bins = np.empty(n, dtype=np.int64)
+        bin_idx = 0
+        us = vs = ws = ts = ivs = 0.0
+        started = False
+        for i in range(n):
+            if not started:
+                started = True
+            elif not auto:
+                du = float(u[i]) - us
+                dv = float(v[i]) - vs
+                dw = float(w_[i]) - ws
+                half = math.sqrt(du * du + dv * dv + dw * dw) * K + 1e-8
+                s = math.sin(half) / half
+                q = int(math.floor(abs(s) * GRID + 0.5)) * (1 if s >= 0 else -1)
+                dt = (float(t[i]) + float(iv[i]) / 2.0) - (ts - ivs / 2.0)
+                if q < TOL_Q or dt > TBS:
+                    bin_idx += 1
+                    started = True
+                else:
+                    bins[i] = bin_idx
+                    continue
+            else:
+                bins[i] = bin_idx
+                continue
+            us, vs, ws = float(u[i]), float(v[i]), float(w_[i])
+            ts, ivs = float(t[i]), float(iv[i])
+            bins[i] = bin_idx
+        pdf["bin_idx"] = bins
+        pdf["wre"] = pdf["vis_re"] * pdf["weight"]
+        pdf["wim"] = pdf["vis_im"] * pdf["weight"]
+        g = pdf.groupby("bin_idx")
+        wsum = g["weight"].sum()
+        t_first, iv_first = g["time"].first(), g["interval"].first()
+        t_last, iv_last = g["time"].last(), g["interval"].last()
+        t_start = t_first - iv_first / 2.0
+        t_end = t_last + iv_last / 2.0
+        cu = (g["u"].first() + g["u"].last()) / 2.0
+        cv = (g["v"].first() + g["v"].last()) / 2.0
+        cw = (g["w"].first() + g["w"].last()) / 2.0
+        cuv = np.sqrt(cu * cu + cv * cv)
+        mad = np.sqrt(np.abs(cuv) * ML + np.abs(cw) * NM)
+        delta_nu = np.where(
+            auto | (mad == 0.0), -1.0, (C / (2.0 * math.pi)) * (DECORR / mad)
+        )
+        nflag = g["flag_row"].sum()
+        out = pd.DataFrame(
+            {
+                "antenna1": g["antenna1"].first(),
+                "antenna2": g["antenna2"].first(),
+                "bin_idx": wsum.index,
+                "n_rows": g.size(),
+                "n_flagged": nflag.astype("int64"),
+                "time_avg": (t_start + t_end) / 2.0,
+                "interval_out": t_end - t_start,
+                "vis_re_avg": g["wre"].sum() / wsum,
+                "vis_im_avg": g["wim"].sum() / wsum,
+                "weight_sum": wsum,
+                "bin_flagged": nflag.astype("int64") == g.size(),
+                "delta_nu": delta_nu,
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return (
+        vis.select(
+            "row_id", "time", "antenna1", "antenna2", "u", "v", "w",
+            "interval", "flag_row", "vis_re", "vis_im", "weight",
+        )
+        .groupBy("antenna1", "antenna2")
+        .applyInPandas(per_baseline, schema)
+    )

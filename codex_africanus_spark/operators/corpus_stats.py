@@ -316,8 +316,10 @@ def bloom_source_overlap(documents: DataFrame) -> DataFrame:
         "source", F.explode(F.array(*pos)).alias("p")
     ).select(
         "source",
-        F.expr("p DIV 63").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("mask"),
+        F.expr(f"p DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
     )
     bloom = cells.groupBy("source", "word_idx").agg(F.bit_or("mask").alias("bits"))
     sizes = bloom.groupBy("source").agg(

@@ -119,6 +119,27 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     except Exception:
         has_dir = False
     if has_dir:
+        # Reliable checkpoints are NOT garbage-collected unless the
+        # cleaner conf is on (it defaults to false): every propagation
+        # round would leave files behind on a long-lived cluster.
+        cleaner = sc.getConf().get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+        if cleaner.lower() != "true" and not getattr(
+            _cut_lineage, "_warned_cleaner", False
+        ):
+            import warnings
+
+            warnings.warn(
+                "checkpointDir is set but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is false: "
+                "iterative-loop checkpoints will accumulate on disk. Set it "
+                "to true (before session start) or clean the checkpoint "
+                "directory after runs.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _cut_lineage._warned_cleaner = True
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

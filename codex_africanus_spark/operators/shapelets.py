@@ -23,8 +23,7 @@ be mirrored exactly by a generated DuckDB SQL oracle
 (functions/shapes.shapelet_2d_sql_columns).
 
 UDF bodies are self-contained closures over plain scalars/lists only —
-executors cannot import this package (driver contract; see
-.claude/skills/verify/SKILL.md gotchas).
+executors cannot import this package (driver harness contract).
 """
 
 from __future__ import annotations

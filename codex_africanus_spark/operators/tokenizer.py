@@ -31,9 +31,10 @@ reproducible in the DuckDB oracle; libm cross-engine drift (~1 ULP,
 Scale shapes (100 TB): the word-frequency and bigram-count tables are
 vocabulary-sized, orders of magnitude below corpus size — their groupBys
 collapse map-side. The per-document bigram scoring joins token-cardinality
-bigrams against the count table: the context (unigram) table broadcasts;
-the bigram table join is left to AQE (shuffle-hash at TB vocab, broadcast
-below the threshold). Top-N is a TakeOrdered (per-partition heap + driver
+bigrams against the count tables: both the unigram-context and bigram
+joins are left to AQE (shuffle-hash at TB vocab, broadcast below the
+threshold) — both sides are vocabulary-cardinality, so a forced
+broadcast would OOM at scale. Top-N is a TakeOrdered (per-partition heap + driver
 merge of N), never a global sort.
 
 Reference analogue: the reference engine has no tokenizer surface — this
@@ -138,7 +139,7 @@ def bigram_surprisal_quality(docs: DataFrame) -> DataFrame:
     ).cast("long")
     return (
         bg.join(bgc, "bgram")
-        .join(F.broadcast(ctx), "w1")
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(

@@ -585,6 +585,110 @@ def time_and_channel_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avg_op.time_and_channel(vis, 604800.0, 2)
 
 
+def _tt_sql(expr: str, scale: str = "100") -> str:
+    """Two-tier exact-fixed-point SUM (SQL mirror of qsum under the
+    mapping.py:80-87 flag semantics): unflagged-tier sum when any sample
+    in the group is unflagged, flagged-tier sum otherwise."""
+    return (
+        "(CASE WHEN MIN(CAST(f AS INT)) = 1 "
+        f"THEN SUM(CAST(ROUND(CASE WHEN f THEN {expr} ELSE 0.0 END * {scale}) AS BIGINT)) "
+        f"ELSE SUM(CAST(ROUND(CASE WHEN NOT f THEN {expr} ELSE 0.0 END * {scale}) AS BIGINT)) END)"
+    )
+
+
+_N_MATCH_SQL = (
+    "(CASE WHEN MIN(CAST(f AS INT)) = 1 THEN COUNT(*) "
+    "ELSE SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) END)"
+)
+
+_TTW = _tt_sql("weight")
+_TTS2 = _tt_sql("sigma*sigma*weight*weight")
+
+_ROW_AVG_FULL_ORACLE = _with_ms(
+    f"""
+    , binned AS (
+      SELECT antenna1, antenna2,
+             CAST(FLOOR(time / 604800.0) AS BIGINT) AS time_bin,
+             time, time + (row_id % 7) / 10.0 AS time_centroid,
+             interval, interval * 0.875 AS exposure,
+             u, v, w, weight, sigma, flag_row AS f
+      FROM vis
+    )
+    SELECT antenna1, antenna2, time_bin,
+           COUNT(*) AS n_rows,
+           {_tt_sql("time", "1.0")} / {_N_MATCH_SQL} AS time_avg,
+           {_tt_sql("interval")} / 100.0 AS interval_sum,
+           ({_tt_sql("time_centroid")} / 100.0) / {_N_MATCH_SQL} AS time_centroid_avg,
+           {_tt_sql("exposure")} / 100.0 AS exposure_sum,
+           ({_tt_sql("u")} / 100.0) / {_N_MATCH_SQL} AS u_avg,
+           ({_tt_sql("v")} / 100.0) / {_N_MATCH_SQL} AS v_avg,
+           ({_tt_sql("w")} / 100.0) / {_N_MATCH_SQL} AS w_avg,
+           {_TTW} / 100.0 AS weight_sum,
+           CASE WHEN {_TTW} / 100.0 = 0
+                THEN SQRT({_TTS2} / 100.0)
+                ELSE SQRT(({_TTS2} / 100.0)
+                          / (({_TTW} / 100.0) * ({_TTW} / 100.0)))
+           END AS sigma_avg,
+           (MIN(CAST(f AS INT)) = 1) AS bin_flag_row
+    FROM binned
+    GROUP BY antenna1, antenna2, time_bin
+    """
+)
+
+
+@register("ms_row_average_full", _ROW_AVG_FULL_ORACLE)
+def ms_row_average_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-column MS row averaging — UVW / TIME_CENTROID / EXPOSURE /
+    WEIGHT / SIGMA per (baseline, time-bin), reference row_average
+    (time_and_channel_avg.py:76-266): two-tier flag-matching
+    contributions, uvw+centroid means, exposure+weight sums, and
+    sigma = sqrt(Σσ²w²/(Σw)²)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumns(
+        {
+            "time_centroid": F.col("time") + (F.col("row_id") % 7) / F.lit(10.0),
+            "exposure": F.col("interval") * F.lit(0.875),
+        }
+    )
+    return avg_op.row_average_full(vis, 604800.0)
+
+
+_AVG_FULL_ORACLE = _with_ms(
+    f"""
+    , binned AS (
+      SELECT antenna1, antenna2,
+             CAST(FLOOR(time / 604800.0) AS BIGINT) AS time_bin,
+             CAST(chan // 2 AS INT)                 AS chan_bin,
+             vis_re, vis_im, weight, sigma,
+             (flag OR flag_row) AS f
+      FROM vis
+    )
+    SELECT antenna1, antenna2, time_bin, chan_bin,
+           COUNT(*) AS nsamples,
+           {_tt_sql("vis_re*weight")} / {_TTW} AS vis_re_avg,
+           {_tt_sql("vis_im*weight")} / {_TTW} AS vis_im_avg,
+           {_TTW} / 100.0 AS weight_sum,
+           CASE WHEN {_TTW} / 100.0 = 0
+                THEN SQRT({_TTS2} / 100.0)
+                ELSE SQRT(({_TTS2} / 100.0)
+                          / (({_TTW} / 100.0) * ({_TTW} / 100.0)))
+           END AS sigma_spectrum_avg,
+           (MIN(CAST(f AS INT)) = 1) AS bin_flag
+    FROM binned
+    GROUP BY antenna1, antenna2, time_bin, chan_bin
+    """
+)
+
+
+@register("time_and_channel_average_full", _AVG_FULL_ORACLE)
+def time_and_channel_average_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-chan averaging with SIGMA_SPECTRUM (reference row-chan
+    averager, time_and_channel_avg.py:414-640): vis weighted means,
+    weight sum and sigma_spectrum = sqrt(Σσ²w²/(Σw)²) per (baseline,
+    time-bin, chan-bin) under two-tier flag semantics."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return avg_op.time_and_channel_full(vis, 604800.0, 2)
+
+
 # ===========================================================================
 # Gridding as histogram aggregation (SURVEY §2.4 grid accumulation)
 # ===========================================================================
@@ -781,13 +885,21 @@ _R4_HEAD: tuple[str, ...] = (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _driver_green_now() -> frozenset:
     """Driver-green set, self-maintaining: start from the hand-audited
     baseline above, then replay every CORRECTNESS_r*.json the driver has
     written into the repo root in round order — a green row adds the
     query, a failing/erroring row REMOVES it (so regressions cycle back
     into the verification head automatically, with no hand-edited round
-    lists to go stale — the round-3 verdict's `registry()` complaint)."""
+    lists to go stale — the round-3 verdict's `registry()` complaint).
+    A rows-only (no-oracle) row with no failure is NEUTRAL: it neither
+    promotes nor evicts, so a query verified green in an earlier round
+    is not permanently pinned into the bounded head by a later weaker
+    check. Cached per process — the files only change between rounds."""
     import glob
     import json
     import os
@@ -807,10 +919,15 @@ def _driver_green_now() -> frozenset:
                 continue
             if rec.get("err") is None and rec.get("hash_match") is True:
                 green.add(name)
-            else:
-                # failed, errored, or unverifiable (no_oracle) — keep it
-                # (or put it back) in the head for the next window
+            elif (
+                rec.get("err") is not None
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or rec.get("hash_match") is False
+            ):
+                # genuinely failed or errored — back into the head
                 green.discard(name)
+            # else: rows-only check with no failure — neutral
     return frozenset(green)
 
 
@@ -1208,6 +1325,102 @@ _BDA_ORACLE = f"""
     GROUP BY antenna1, antenna2, bin_idx
     ORDER BY antenna1, antenna2, bin_idx
 """
+
+
+# Sinc-bounded BDA oracle: the closure decision replays in a recursive
+# CTE carrying the bin-start row (the reference compares candidate rows
+# against the bin's FIRST row, bda_mapping.py:144-158), with the sinc
+# value quantized to a 1e-9 grid using constants interpolated from
+# operators/bda.py — identical literals, identical op sequence, so every
+# data-dependent closure decision is bit-equal across engines.
+_BDA_SINC_HALF = (
+    "(SQRT((o.u - r.u_s)*(o.u - r.u_s) + (o.v - r.v_s)*(o.v - r.v_s) "
+    f"+ (o.w - r.w_s)*(o.w - r.w_s)) * {bda_op.BDA_SINC_K!r} + 1e-8)"
+)
+_BDA_SINC_CLOSE = (
+    "((o.antenna1 <> o.antenna2) AND ("
+    f"CAST(ROUND((SIN({_BDA_SINC_HALF}) / {_BDA_SINC_HALF}) * {bda_op.BDA_SINC_GRID!r}) AS BIGINT)"
+    f" < {bda_op.BDA_SINC_TOL_Q} "
+    "OR ((o.time + o.interval/2.0) - (r.t_s - r.iv_s/2.0)) > "
+    f"{bda_op.BDA_TIME_BIN_SECS!r}))"
+)
+_BDA_SINC_MAD = (
+    "SQRT(ABS(SQRT(((arg_min(u, rn) + arg_max(u, rn))/2.0)*((arg_min(u, rn) + arg_max(u, rn))/2.0)"
+    " + ((arg_min(v, rn) + arg_max(v, rn))/2.0)*((arg_min(v, rn) + arg_max(v, rn))/2.0)))"
+    f" * {bda_op.BDA_MAX_LM!r}"
+    f" + ABS((arg_min(w, rn) + arg_max(w, rn))/2.0) * {bda_op.BDA_N_MAX!r})"
+)
+_BDA_SINC_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, u, v, w, interval, flag_row,
+             vis_re, vis_im, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    rec AS (
+      SELECT antenna1, antenna2, rn, time, u, v, w, interval, flag_row,
+             vis_re, vis_im, weight,
+             CAST(0 AS BIGINT) AS bin_idx,
+             u AS u_s, v AS v_s, w AS w_s, time AS t_s, interval AS iv_s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.antenna1, o.antenna2, o.rn, o.time, o.u, o.v, o.w,
+             o.interval, o.flag_row, o.vis_re, o.vis_im, o.weight,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN r.bin_idx + 1 ELSE r.bin_idx END,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN o.u ELSE r.u_s END,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN o.v ELSE r.v_s END,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN o.w ELSE r.w_s END,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN o.time ELSE r.t_s END,
+             CASE WHEN {_BDA_SINC_CLOSE} THEN o.interval ELSE r.iv_s END
+      FROM rec r
+      JOIN ordered o ON o.antenna1 = r.antenna1 AND o.antenna2 = r.antenna2
+                    AND o.rn = r.rn + 1
+    )
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ((arg_min(time, rn) - arg_min(interval, rn)/2.0)
+            + (arg_max(time, rn) + arg_max(interval, rn)/2.0)) / 2.0 AS time_avg,
+           (arg_max(time, rn) + arg_max(interval, rn)/2.0)
+            - (arg_min(time, rn) - arg_min(interval, rn)/2.0) AS interval_out,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum,
+           (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
+           CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
+                THEN -1.0
+                ELSE round(({bda_op.BDA_LIGHTSPEED!r} / (2.0 * PI()))
+                           * ({bda_op.BDA_DECORRELATION!r} / {_BDA_SINC_MAD}), 6)
+           END AS delta_nu
+    FROM rec
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+
+
+@register("bda_sinc_decorrelation", _BDA_SINC_ORACLE)
+def bda_sinc_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDA with the reference's actual sinc(Δψ/2) ≥ sinc(decorrelation)
+    bin-closure physics (bda_mapping.py:111-186) plus finalise_bin
+    outputs (:193-277: interval-padded centroid time/span, all-flagged
+    flag, Atemkeng eq.40 decorrelation bandwidth). The L1 uvw-motion
+    proxy (`bda_baseline_dependent_average`) remains as the fast tier.
+    Sliced to row_id % 17 to bound the oracle's recursion depth; the
+    pandas path covers the full table in tests."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    out = bda_op.bda_sinc_average(vis)
+    return out.select(
+        "antenna1", "antenna2", "bin_idx", "n_rows", "n_flagged",
+        "time_avg", "interval_out",
+        F.round(F.col("vis_re_avg"), 6).alias("vis_re_avg"),
+        F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
+        "weight_sum", "bin_flagged",
+        F.when(F.col("delta_nu") < 0, F.lit(-1.0))
+        .otherwise(F.round(F.col("delta_nu"), 6))
+        .alias("delta_nu"),
+    ).orderBy("antenna1", "antenna2", "bin_idx")
 
 
 @register("bda_baseline_dependent_average", _BDA_ORACLE)
