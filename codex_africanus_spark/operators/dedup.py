@@ -392,11 +392,32 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 5) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, probe_modulus: int = 53) -> DataFrame:
+NGRAM_DF_MAX = 256  # stop-shingle document-frequency cap
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, probe_modulus: int = 53, df_max: int = NGRAM_DF_MAX
+) -> DataFrame:
     """Exact n-gram Jaccard similarity of probe docs (doc_id ≡ 0 mod m)
     against all docs — the verification tier for LSH candidates.
-    Intersection via equi-join on distinct shingle hashes."""
+    Intersection via equi-join on distinct shingle hashes.
+
+    Stop-shingle cap: shingles present in more than `df_max` distinct
+    documents are dropped from the universe BEFORE the probe join (and
+    before the per-doc sizes, so jaccard stays a consistent measure over
+    the filtered universe). Without it one boilerplate shingle shared by
+    K docs emits K pairs per probe occurrence — a skewed-key shuffle
+    that melts a stage at corpus scale; with it per-shingle fan-out is
+    bounded by df_max and the similarity signal sharpens (ubiquitous
+    shingles carry no discriminative information)."""
     sh = _shingle_frame(docs).distinct()
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_max)
+        .select("h")
+    )
+    sh = sh.join(rare, "h")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     probes = sh.filter(F.col("doc_id") % probe_modulus == 0)
     probe_sizes = sizes.filter(F.col("doc_id") % probe_modulus == 0)
@@ -558,7 +579,9 @@ SIMHASH_PAIRS_SQL = f"""
 
 NGRAM_JACCARD_SQL = f"""
   WITH {_SHINGLE_CTE},
-  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  dsh0 AS (SELECT DISTINCT doc_id, h FROM shingles),
+  rare AS (SELECT h FROM dsh0 GROUP BY h HAVING COUNT(*) <= {NGRAM_DF_MAX}),
+  dsh AS (SELECT dsh0.doc_id, dsh0.h FROM dsh0 JOIN rare ON dsh0.h = rare.h),
   sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dsh GROUP BY doc_id),
   inter AS (
     SELECT p.doc_id AS doc_a, d.doc_id AS doc_b, COUNT(*) AS n_common

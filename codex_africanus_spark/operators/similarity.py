@@ -333,8 +333,14 @@ def ivf_topk(
     At 100 TB: the centroid table stays tiny (cells × dims), assignment
     is a broadcast nested-loop over N_CELLS per vector, and the
     candidate join co-partitions on cell id — the N² term shrinks to
-    N·(probed share). Deterministic end-to-end → exactly oracled."""
-    cent = _centroids(embeddings)
+    N·(probed share). Deterministic end-to-end → exactly oracled.
+
+    The cell count is N-scaled exactly as the SQL twin's `p` CTE
+    (ceil(n/CELL_TARGET)) — a constant cell count would silently desync
+    the engines away from the one SF where they coincide."""
+    n_vecs = embeddings.count()
+    n_cells = max(1, -(-n_vecs // CELL_TARGET))
+    cent = _centroids(embeddings, n_cells=n_cells)
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
         _qdist2_unrolled("embedding", "centroid").alias("dist"),
@@ -487,6 +493,123 @@ def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
       FROM topk WHERE rank <= {k}
       ORDER BY query_id, rank
     """
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once through the snapshot sink, probe many
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(embeddings: DataFrame, root: str) -> None:
+    """Materialize the IVF index — the nearest-cell ASSIGNMENT table
+    (vec_id, embedding, cid, norm_q) plus the centroid table — through
+    the transactional snapshot sink. This is the build-once half of the
+    deployment SCALE.md describes: the expensive quantizer construction
+    and N×cells assignment pass run once per corpus version; every probe
+    afterwards reads the committed snapshot and touches no raw
+    embedding parquet. All index values are exact fixed-point
+    (deterministic under any partitioning), so a probe over the
+    persisted index is bit-identical to the build-inline `ivf_topk`."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    n_vecs = embeddings.count()
+    n_cells = max(1, -(-n_vecs // CELL_TARGET))
+    cent = _centroids(embeddings, n_cells=n_cells)
+    dists = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid",
+        _qdist2_unrolled("embedding", "centroid").alias("dist"),
+    )
+    assign = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("mn"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
+        .withColumn("norm_q", _qdot("embedding", "embedding"))
+    )
+    snap.commit(cent, f"{root}/centroids", mode="overwrite")
+    snap.commit(assign, f"{root}/assign", mode="overwrite")
+
+
+def ivf_probe_topk(
+    spark, root: str, query_modulus: int = 125, k: int = 3
+) -> DataFrame:
+    """Probe-only IVF top-k over a persisted index: snapshot-read the
+    assignment and centroid tables, rank the probe subset's cells, and
+    rerank candidates within the probed cells. No quantizer build, no
+    raw-embedding scan — the plan is two hash exchanges (probe-cell
+    window + final top-k window); the assignment fact table is never
+    shuffled because the probe batch broadcasts. Probe batches are
+    assumed bounded (a query workload, not a corpus self-join — use
+    `ivf_topk` for the all-pairs evaluation form)."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    assign = snap.read_snapshot(spark, f"{root}/assign")
+    cent = snap.read_snapshot(spark, f"{root}/centroids")
+    queries = assign.filter(F.col("vec_id") % query_modulus == 0)
+    probes = (
+        queries.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid",
+            _qdist2_unrolled("embedding", "centroid").alias("dist"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("cell_rank") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    )
+    q = probes.join(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.sqrt(F.col("norm_q")).alias("qnorm"),
+        ),
+        "query_id",
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        F.col("cid").alias("ccid"), F.sqrt(F.col("norm_q")).alias("cnorm"),
+    )
+    pairs = F.broadcast(q).join(
+        c, (F.col("pcid") == F.col("ccid")) & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", "cosine_sim"
+    )
+
+
+def ivf_persisted_topk(
+    spark, embeddings: DataFrame, root: str, query_modulus: int = 125, k: int = 3
+) -> DataFrame:
+    """Build-once/probe-many entry: (re)build the persisted index only
+    when absent or stale (assignment row count ≠ corpus row count), then
+    answer from the snapshot. The staleness check is two driver-side
+    scalar counts — bounded at any corpus size."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    try:
+        stale = (
+            snap.read_snapshot(spark, f"{root}/assign").count()
+            != embeddings.count()
+        )
+    except Exception:
+        stale = True
+    if stale:
+        build_ivf_index(embeddings, root)
+    return ivf_probe_topk(spark, root, query_modulus=query_modulus, k=k)
+
 
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023): cluster-bounded cosine prune

@@ -1031,6 +1031,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_persisted_topk", sim_op.IVF_SQL())
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF: the quantizer + assignment tables are
+    committed through the transactional snapshot sink on first use (or
+    when stale) and every probe answers from the persisted index —
+    no per-query index build (the deployment SCALE.md describes; the
+    probe plan is two hash exchanges and never shuffles the assignment
+    fact table). Exactly the same result as `ann_ivf_topk` because the
+    index is deterministic fixed-point — the DuckDB twin recomputes it
+    inline and hash-matches."""
+    import os
+    import tempfile
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{tempfile.gettempdir()}/cas_ann_ivf/{tag}"
+    return sim_op.ivf_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
+
+
 @register("embedding_near_dup_pairs", sim_op.NEAR_DUP_SQL(0.35))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup suite): LSH-bucket

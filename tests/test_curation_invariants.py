@@ -130,3 +130,29 @@ def test_keep_best_covers_every_cluster_once(spark, sf_dir):
     pd.testing.assert_series_equal(
         got.sort_index(), mx.sort_index(), check_names=False
     )
+
+
+def test_ngram_jaccard_stop_shingle_cap_bounds_fanout(spark):
+    """One boilerplate trigram shared by ALL docs must not pair every
+    probe with every doc: with the df cap the hot shingle is dropped
+    from the universe, so only genuinely-similar pairs survive."""
+    from codex_africanus_spark.operators import dedup as dd
+
+    boiler = "click here to subscribe"
+    rows = [
+        # docs 0 and 53 are probes (doc_id % 53 == 0); doc 0 and 1 share
+        # real content, every doc shares the boilerplate
+        (0, "s", f"alpha beta gamma delta {boiler}"),
+        (1, "s", f"alpha beta gamma delta {boiler}"),
+    ] + [(i, "s", f"unique{i} filler{i} junk{i} noise{i} {boiler}") for i in range(2, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    capped = dd.ngram_jaccard_pairs(docs, df_max=10).collect()
+    uncapped = dd.ngram_jaccard_pairs(docs, df_max=10**9).collect()
+    # without the cap the hot shingle makes every doc a candidate of
+    # probe 0 (39 join hits); with it, only the true near-dup survives
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, 1)}
+    # the capped universe drops the boilerplate shingles from the sizes
+    # too, so jaccard over the filtered universe is exact 1.0
+    assert capped[0]["jaccard"] == 1.0
+    assert len(uncapped) >= len(capped)

@@ -128,3 +128,27 @@ def test_unrolled_kernels_match_hof_forms(spark, sf_dir):
         (sim._qdist2("ea", "eb") - sim._qdist2_unrolled("ea", "eb")).alias("dq"),
     ).agg(F.max(F.abs("dd")), F.max(F.abs("dq"))).first()
     assert tuple(diff) == (0, 0), diff
+
+
+def test_persisted_ivf_probe_plan_and_parity(spark, sf_dir, tmp_path):
+    """Build-once/probe-many: the probe-only plan must have at most 3
+    hash exchanges (probe-cell window + final top-k; never a shuffle of
+    the assignment fact table), and its results must be bit-identical
+    to the build-inline ivf_topk."""
+    emb = load(spark, "embeddings", sf_dir)
+    root = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, root)
+    probe = sim.ivf_probe_topk(spark, root)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, sim.ivf_topk(emb).collect()))
+    assert a == b
+    # staleness guard: same count ⇒ no rebuild (same snapshot version)
+    from codex_africanus_spark.sources import snapshot as snap
+
+    v_before = snap.latest_version(f"{root}/assign")
+    sim.ivf_persisted_topk(spark, emb, root).collect()
+    assert snap.latest_version(f"{root}/assign") == v_before
