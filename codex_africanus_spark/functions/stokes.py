@@ -96,6 +96,124 @@ def convert(
     return out
 
 
+class MissingConversionInputs(MissingStokesError):
+    pass
+
+
+def _as_cplx(v) -> Cplx:
+    return v if isinstance(v, Cplx) else Cplx(v, F.lit(0.0))
+
+
+def _jmul(c: Cplx) -> Cplx:  # c * 1j
+    return Cplx(-c.im, c.re)
+
+
+def _jdiv(c: Cplx) -> Cplx:  # c / 1j == -1j * c
+    return Cplx(c.im, -c.re)
+
+
+def _half(c: Cplx) -> Cplx:
+    return Cplx(c.re * 0.5, c.im * 0.5)
+
+
+def _add(a: Cplx, b: Cplx) -> Cplx:
+    return Cplx(a.re + b.re, a.im + b.im)
+
+
+def _sub(a: Cplx, b: Cplx) -> Cplx:
+    return Cplx(a.re - b.re, a.im - b.im)
+
+
+# The reference's full CONVERSION_SCHEMA (conversion.py:19-51): every
+# producible quantity with its candidate input pairs, in the reference's
+# dict order (which decides ties — first option with the highest priority
+# wins, conversion.py:167-205 heap).
+CONVERSION_SCHEMA: dict[str, list[tuple[tuple[str, str], object]]] = {
+    "RR": [(("I", "V"), _add)],
+    "RL": [(("Q", "U"), lambda q, u: _add(q, _jmul(u)))],
+    "LR": [(("Q", "U"), lambda q, u: _sub(q, _jmul(u)))],
+    "LL": [(("I", "V"), _sub)],
+    "XX": [(("I", "Q"), _add)],
+    "XY": [(("U", "V"), lambda u, v: _add(u, _jmul(v)))],
+    "YX": [(("U", "V"), lambda u, v: _sub(u, _jmul(v)))],
+    "YY": [(("I", "Q"), _sub)],
+    "I": [
+        (("XX", "YY"), lambda a, b: _half(_add(a, b))),
+        (("RR", "LL"), lambda a, b: _half(_add(a, b))),
+    ],
+    "Q": [
+        (("XX", "YY"), lambda a, b: _half(_sub(a, b))),
+        (("RL", "LR"), lambda a, b: _half(_add(a, b))),
+    ],
+    "U": [
+        (("XY", "YX"), lambda a, b: _half(_add(a, b))),
+        (("RL", "LR"), lambda a, b: _half(_jdiv(_sub(a, b)))),
+    ],
+    "V": [
+        (("XY", "YX"), lambda a, b: _half(_jdiv(_sub(a, b)))),
+        (("RR", "LL"), lambda a, b: _half(_sub(a, b))),
+    ],
+}
+
+_STOKES_TO_CORR_OUTPUTS = frozenset("RR RL LR LL XX XY YX YY".split())
+
+
+def convert_general(
+    available: dict[str, "Column | Cplx"],
+    outputs: list[str],
+    implicit_stokes: bool = True,
+) -> dict[str, Cplx]:
+    """Fully general any-subset → any-output conversion compiler — the
+    priority scheme of reference conversion.py:56-205: for each
+    requested output, every candidate input pair is scored by how many
+    of its inputs are actually available (priority 2 > 1 > 0); absent
+    STOKES inputs may substitute a 0 default ONLY when the output is a
+    correlation and `implicit_stokes` is set (the reference's
+    can_substitute_defaults, :167-170 — this is what makes
+    ['I'] → ['XX','XY','YX','YY'] legal); correlation inputs never
+    default. The highest-priority satisfiable mapping compiles to Cplx
+    Catalyst expressions; an unsatisfiable output raises
+    MissingConversionInputs, an unknown output name ValueError.
+
+    Unlike `stokes_to_corr`/`corr_to_stokes` (the four standard full
+    forms), mixed and partial schemas work: e.g. Q and U from a partial
+    circular set {RR, LL, RL, LR}, or XX/YY from {I} alone."""
+    out: dict[str, Cplx] = {}
+    for okey in outputs:
+        try:
+            options = CONVERSION_SCHEMA[okey]
+        except KeyError:
+            raise ValueError(
+                f"Unknown output {okey!r}. Known outputs: "
+                f"{list(CONVERSION_SCHEMA)}"
+            )
+        can_default = implicit_stokes and okey in _STOKES_TO_CORR_OUTPUTS
+        best = None  # (priority, fn, args)
+        for (c1, c2), fn in options:
+            args, priority = [], 0
+            ok = True
+            for name in (c1, c2):
+                if name in available:
+                    args.append(_as_cplx(available[name]))
+                    priority += 1
+                elif can_default:
+                    args.append(Cplx(F.lit(0.0), F.lit(0.0)))
+                else:
+                    ok = False
+                    break
+            if ok and (best is None or priority > best[0]):
+                best = (priority, fn, args)
+        if best is None:
+            raise MissingConversionInputs(
+                f"None of the supplied inputs {sorted(available)} can "
+                f"produce output {okey!r}. It can be produced by the "
+                f"following combinations "
+                f"{[pair for pair, _ in options]}."
+            )
+        out[okey] = best[1](*best[2])
+    return out
+
+
 def corr_to_stokes(
     xx: Cplx, xy: Cplx, yx: Cplx, yy: Cplx, feed_type: str = "linear"
 ) -> dict[str, Column]:

@@ -3488,6 +3488,52 @@ def stokes_convert_partial_schema(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stokes_general_circular_subset",
+    _with_ms(
+        """
+        SELECT source_id,
+               flux_i + flux_v AS rr_re,
+               flux_q AS rl_re,
+               flux_u AS rl_im,
+               ((flux_i + flux_v) + (flux_i - flux_v)) * CAST(0.5 AS DOUBLE) AS i_out,
+               (flux_q + flux_q) * CAST(0.5 AS DOUBLE) AS q_out,
+               (flux_u - (-flux_u)) * CAST(0.5 AS DOUBLE) AS u_out,
+               ((flux_i + flux_v) - (flux_i - flux_v)) * CAST(0.5 AS DOUBLE) AS v_out
+        FROM src ORDER BY source_id
+        """
+    ),
+)
+def stokes_general_circular_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully general conversion schema (reference conversion.py:56-205
+    priority compiler): Stokes → circular correlations, then ALL FOUR
+    Stokes recovered from the circular-only set — every output's
+    first-listed candidate pair (the linear XX/YY · XY/YX forms) is
+    unavailable, so the priority scheme must fall through to the
+    circular combinations; corr inputs never substitute defaults."""
+    from codex_africanus_spark.functions.stokes import convert_general
+
+    src = tpch_ms.source_table(spark, sf_dir)
+    fwd = convert_general(
+        {
+            "I": F.col("flux_i"), "Q": F.col("flux_q"),
+            "U": F.col("flux_u"), "V": F.col("flux_v"),
+        },
+        ["RR", "RL", "LR", "LL"],
+    )
+    inv = convert_general(fwd, ["I", "Q", "U", "V"], implicit_stokes=False)
+    return src.select(
+        "source_id",
+        fwd["RR"].re.alias("rr_re"),
+        fwd["RL"].re.alias("rl_re"),
+        fwd["RL"].im.alias("rl_im"),
+        inv["I"].re.alias("i_out"),
+        inv["Q"].re.alias("q_out"),
+        inv["U"].re.alias("u_out"),
+        inv["V"].re.alias("v_out"),
+    ).orderBy("source_id")
+
+
+@register(
     "q4_order_priority_exists",
     """
     SELECT o.o_orderpriority, COUNT(*) AS order_count

@@ -101,3 +101,51 @@ def test_convert_schema_compiler_errors_and_defaults(spark):
     # unknown corr raises
     with pytest.raises(ValueError):
         convert({"I": F.lit(1.0)}, ["RR"], "linear")
+
+
+def test_convert_general_priority_and_errors(spark):
+    """Any-subset → any-output compiler (reference conversion.py:56-205):
+    priority prefers real inputs over defaults, falls through to the
+    second candidate pair when the first is unavailable, and refuses to
+    default correlation inputs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from codex_africanus_spark.functions.stokes import (
+        MissingConversionInputs,
+        convert_general,
+    )
+
+    # ['I'] -> full linear corr set via implicit defaults (the
+    # reference's motivating example)
+    out = convert_general({"I": F.lit(3.0)}, ["XX", "XY", "YX", "YY"])
+    r = spark.range(1).select(
+        out["XX"].re.alias("xx"), out["YY"].re.alias("yy"),
+        out["XY"].re.alias("xyr"), out["XY"].im.alias("xyi"),
+    ).collect()[0]
+    assert (r.xx, r.yy, r.xyr, r.xyi) == (3.0, 3.0, 0.0, 0.0)
+
+    # partial circular {RR, LL, RL}: I and V satisfiable via (RR,LL);
+    # Q needs (XX,YY) or (RL,LR) — LR is missing and corr inputs never
+    # default, so Q must raise
+    avail = {"RR": F.lit(2.0), "LL": F.lit(1.0), "RL": F.lit(0.5)}
+    out = convert_general(avail, ["I", "V"], implicit_stokes=False)
+    r = spark.range(1).select(
+        out["I"].re.alias("i"), out["V"].re.alias("v")
+    ).collect()[0]
+    assert (r.i, r.v) == (1.5, 0.5)
+    with pytest.raises(MissingConversionInputs):
+        convert_general(avail, ["Q"], implicit_stokes=False)
+    # implicit_stokes does NOT rescue corr->stokes outputs either
+    with pytest.raises(MissingConversionInputs):
+        convert_general(avail, ["Q"], implicit_stokes=True)
+
+    # priority: with BOTH linear and circular inputs available, I uses
+    # the first-listed (XX,YY) pair, not (RR,LL)
+    both = {"XX": F.lit(10.0), "YY": F.lit(4.0), "RR": F.lit(100.0), "LL": F.lit(0.0)}
+    out = convert_general(both, ["I"], implicit_stokes=False)
+    assert spark.range(1).select(out["I"].re.alias("i")).collect()[0].i == 7.0
+
+    # unknown output name
+    with pytest.raises(ValueError):
+        convert_general({"I": F.lit(1.0)}, ["ZZ"])
