@@ -175,3 +175,84 @@ def clean_restore(
             }
         )
     )
+
+
+def clean_restore_beam_sweep(
+    spark: SparkSession,
+    grid: DataFrame,
+    sigmas: tuple = (1.0, 1.5, 2.5),
+    gamma: float = 0.1,
+    threshold_frac: float = 0.2,
+    maxiter: int = 50,
+) -> DataFrame:
+    """Restoring-beam WIDTH SWEEP over one CLEAN solution: the Hogbom
+    minor cycle runs ONCE (components are beam-independent), then the
+    restore convolution is evaluated at each σ — the fitted-vs-forced
+    beam comparison an imaging pipeline runs when choosing its
+    restoring beam (reference restore takes the beam as an input
+    parameter, deconv/hogbom/clean.py:200-246). Output is the full
+    restored image per σ, tagged by the 2σ² divisor's exact value.
+
+    Same exactness contract as clean_restore: decay-identity residuals,
+    1e-9-quantized Gaussian splats, sign·floor(|x|·g+0.5) quantization
+    spelled identically in the oracle."""
+    pdf = (
+        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
+        .toPandas()
+        .sort_values(["u_cell", "v_cell"])
+        .reset_index(drop=True)
+    )
+    schema = (
+        "sigma double, u_cell long, v_cell long, n_picks int, "
+        "residual double, restored double"
+    )
+    if pdf.empty:
+        return spark.createDataFrame([], schema)
+    resid = (pdf.grid_re_q / pdf.wsum_q).to_numpy(dtype=np.float64)
+    cells = pdf[["u_cell", "v_cell"]].to_numpy()
+    thresh = threshold_frac * np.abs(resid).max()
+    comps = []
+    picks = np.zeros(len(resid), dtype=np.int64)
+    for _ in range(maxiter):
+        p = int(np.abs(resid).argmax())
+        peak = resid[p]
+        if abs(peak) <= thresh:
+            break
+        comps.append((int(cells[p, 0]), int(cells[p, 1]), float(gamma * peak)))
+        picks[p] += 1
+        resid[p] -= gamma * peak
+
+    def q_half_away(x: np.ndarray, g: float) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * g + 0.5)
+
+    frames = []
+    for sigma in sigmas:
+        beam_q = np.zeros(len(resid), dtype=np.int64)
+        for cu, cv, flux in comps:
+            du = cells[:, 0] - cu
+            dv = cells[:, 1] - cv
+            term = flux * np.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
+            beam_q += q_half_away(term, 1e9).astype(np.int64)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "sigma": float(sigma),
+                    "u_cell": cells[:, 0],
+                    "v_cell": cells[:, 1],
+                    "n_picks": picks,
+                    "residual": q_half_away(resid, 1e6) / 1e6,
+                    "restored": q_half_away(resid + beam_q / 1e9, 1e6) / 1e6,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True).astype(
+        {
+            "sigma": "float64",
+            "u_cell": "int64",
+            "v_cell": "int64",
+            "n_picks": "int32",
+            "residual": "float64",
+            "restored": "float64",
+        }
+    )
+    return spark.createDataFrame(out)

@@ -1145,3 +1145,16 @@ def KMEANS_SQL(k: int = KM_K, iters: int = KM_ITERS) -> str:
                AS mean_dist
       FROM final GROUP BY cid ORDER BY cid
     """
+
+
+def KMEANS_NSCALED_SQL(iters: int = KM_ITERS) -> str:
+    """KMEANS_SQL with the cell count N-scaled exactly like the IVF
+    quantizer's `p` CTE (k = ceil(n/CELL_TARGET)): the oracle for
+    `kmeans_nscaled_stats`, which holds |cluster| flat as the corpus
+    grows instead of letting clusters grow with N."""
+    body = KMEANS_SQL(k="(SELECT cells FROM p)", iters=iters)
+    p_cte = (
+        f"p AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) "
+        f"AS BIGINT)) AS cells FROM embeddings),\n      "
+    )
+    return body.replace("WITH ", "WITH " + p_cte, 1)

@@ -502,3 +502,88 @@ def CMS_SQL(top_n: int = 20) -> str:
       {joins}
       ORDER BY t.true_count DESC, t.token
     """
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key: Column | str, ppm_threshold: int = 7000
+) -> DataFrame:
+    """Heavy-hitter detection THROUGH the sketch — the production probe
+    surface of the CMS (the streaming twin keeps the same 4×1024 cell
+    state across micro-batches): a key is reported heavy when its CMS
+    estimate clears `ppm_threshold` parts-per-million of the stream
+    total. The decision uses integer cross-multiplication
+    (est·10⁶ ≥ N·ppm) — no float compare, so the report is exactly
+    oracled even at the threshold boundary.
+
+    The candidate set probed here is the distinct keys (exact at test
+    scale); at 100 TB the candidate set is whatever bounded working set
+    the pipeline tracks (e.g. keys of the current window) — the probe
+    itself stays D broadcast joins against W-cell row tables regardless
+    of stream size. Output includes the exact count so the one-sided
+    error (estimate ≥ true) is assertable per row."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    keyed = df.select(key_col.cast("string").alias("key"))
+    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_count"))
+    cells = keyed.groupBy(
+        *[_cms_cell(F.col("key"), r).alias(f"c{r}") for r in range(CMS_D)]
+    ).agg(F.count(F.lit(1)).alias("n"))
+    probe = truth
+    for r in range(CMS_D):
+        row_tbl = cells.groupBy(F.col(f"c{r}").alias(f"cell{r}")).agg(
+            F.sum("n").alias(f"n{r}")
+        )
+        probe = probe.join(
+            F.broadcast(row_tbl), _cms_cell(F.col("key"), r) == F.col(f"cell{r}")
+        )
+    est = F.least(*[F.col(f"n{r}") for r in range(CMS_D)])
+    return (
+        probe.crossJoin(F.broadcast(total))
+        .filter(est * 1000000 >= F.col("n_total") * ppm_threshold)
+        .select(
+            "key",
+            "true_count",
+            est.alias("cms_estimate"),
+            (est - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_estimate").desc(), "key")
+    )
+
+
+def CMS_HEAVY_SQL(
+    table_expr: str, key_expr: str, ppm_threshold: int = 7000
+) -> str:
+    cell_defs = ",\n           ".join(
+        f"{_cms_cell_sql('key', r)} AS c{r}" for r in range(CMS_D)
+    )
+    row_ctes = ",\n      ".join(
+        f"row{r} AS (SELECT c{r} AS cell, CAST(SUM(n) AS BIGINT) AS n{r} "
+        f"FROM cells GROUP BY c{r})"
+        for r in range(CMS_D)
+    )
+    joins = "\n      ".join(
+        f"JOIN row{r} ON row{r}.cell = {_cms_cell_sql('t.key', r)}"
+        for r in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"n{r}" for r in range(CMS_D)) + ")"
+    return f"""
+      WITH keyed AS (
+        SELECT CAST({key_expr} AS VARCHAR) AS key FROM {table_expr}
+      ),
+      total AS (SELECT COUNT(*) AS n_total FROM keyed),
+      truth AS (SELECT key, COUNT(*) AS true_count FROM keyed GROUP BY key),
+      cells AS (
+        SELECT {cell_defs}, COUNT(*) AS n
+        FROM keyed
+        GROUP BY ALL
+      ),
+      {row_ctes}
+      SELECT t.key, t.true_count,
+             {least} AS cms_estimate,
+             {least} - t.true_count AS overestimate
+      FROM truth t
+      {joins}
+      , total
+      WHERE {least} * 1000000 >= total.n_total * {ppm_threshold}
+      ORDER BY cms_estimate DESC, t.key
+    """

@@ -177,3 +177,124 @@ BIGRAM_SURPRISAL_SQL = f"""
   GROUP BY b.doc_id
   ORDER BY b.doc_id
 """
+
+
+def trigram_backoff_quality(docs: DataFrame) -> DataFrame:
+    """Trigram stupid-backoff surprisal quality tier (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the order-3
+    member of the unigram/bigram LM-quality ladder.
+
+    The model corpus is the even-doc_id half (a deterministic holdout
+    split, so the backoff chain is actually exercised: odd documents
+    contain trigrams the model never saw). All counts derive from the
+    model's trigram-occurrence table, keeping every tier self-consistent:
+
+        S(w₃|w₁w₂) = c₁₂₃/c₁₂                    if the trigram was seen
+                   = 0.4 · c₂₃/c₂                elif the (w₂,w₃) suffix was
+                   = 0.16 · (c₃+1)/(N+V)         else (add-one unigram floor)
+
+    Per document: n_trigrams, how many fell off the top tier
+    (n_backoff), and the mean −log₂ S, each log term fixed-point
+    quantized before summing (bit-exact under any partitioning, exactly
+    mirrored in SQL).
+
+    Scale: all count tables are vocabulary-cardinality (map-side
+    collapse); the scoring joins are token-cardinality vs vocabulary —
+    left to AQE, same rationale as the bigram tier. The branch decision
+    is NULL-presence (integer-exact), never a float compare."""
+    docs = fan_out(docs).filter(F.size(F.split("text", " ")) >= 3)
+    tri_expr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> struct(element_at(split(text, ' '), i) AS w1, "
+        "element_at(split(text, ' '), i + 1) AS w2, "
+        "element_at(split(text, ' '), i + 2) AS w3))"
+    )
+    tg = docs.select("doc_id", F.explode(tri_expr).alias("t")).select(
+        "doc_id",
+        F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3"),
+    )
+    model = tg.filter(F.col("doc_id") % 2 == 0)
+    tgc = model.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    bg12 = model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bg23 = model.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    c2m = model.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    c3t = model.groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
+    nv = model.agg(
+        F.count(F.lit(1)).alias("n_model"),
+        F.count_distinct("w3").alias("v_model"),
+    )
+    s = (
+        F.when(F.col("c123").isNotNull(), F.col("c123") / F.col("c12"))
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(0.4) * F.col("c23") / F.col("c2"),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1))
+            / (F.col("n_model") + F.col("v_model"))
+        )
+    )
+    surprisal_q = F.round((-F.log2(s)) * float(_Q)).cast("long")
+    backoff = F.when(F.col("c123").isNull(), 1).otherwise(0)
+    return (
+        tg.join(tgc, ["w1", "w2", "w3"], "left")
+        .join(bg12, ["w1", "w2"], "left")
+        .join(bg23, ["w2", "w3"], "left")
+        .join(c2m, ["w2"], "left")
+        .join(c3t, ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(backoff).alias("n_backoff"),
+            F.round(
+                F.sum(surprisal_q) / float(_Q) / F.count(F.lit(1)), 6
+            ).alias("mean_backoff_surprisal"),
+        )
+    )
+
+
+TRIGRAM_BACKOFF_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ),
+  tg AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM d)
+  ),
+  model AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
+  tgc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM model GROUP BY w1, w2, w3),
+  bg12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM model GROUP BY w1, w2),
+  bg23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM model GROUP BY w2, w3),
+  c2m AS (SELECT w2, COUNT(*) AS c2 FROM model GROUP BY w2),
+  c3t AS (SELECT w3, COUNT(*) AS c3 FROM model GROUP BY w3),
+  nv AS (SELECT COUNT(*) AS n_model, COUNT(DISTINCT w3) AS v_model FROM model),
+  scored AS (
+    SELECT t.doc_id,
+           CASE WHEN g.c123 IS NOT NULL THEN CAST(g.c123 AS DOUBLE) / b12.c12
+                WHEN b23.c23 IS NOT NULL
+                  THEN CAST(0.4 AS DOUBLE) * b23.c23 / cm.c2
+                ELSE CAST(0.16 AS DOUBLE) * (COALESCE(ct.c3, 0) + 1)
+                     / (vv.n_model + vv.v_model)
+           END AS s,
+           CASE WHEN g.c123 IS NULL THEN 1 ELSE 0 END AS backoff
+    FROM tg t
+    LEFT JOIN tgc g USING (w1, w2, w3)
+    LEFT JOIN bg12 b12 USING (w1, w2)
+    LEFT JOIN bg23 b23 USING (w2, w3)
+    LEFT JOIN c2m cm USING (w2)
+    LEFT JOIN c3t ct USING (w3)
+    , nv vv
+  )
+  SELECT doc_id,
+         COUNT(*) AS n_trigrams,
+         CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+         round(SUM(CAST(ROUND((-log2(s)) * {_Q}) AS BIGINT)) / {_Q} / COUNT(*), 6)
+           AS mean_backoff_surprisal
+  FROM scored
+  GROUP BY doc_id
+  ORDER BY doc_id
+"""

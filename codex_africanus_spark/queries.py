@@ -2033,6 +2033,56 @@ _RESTORE_ORACLE = f"""
 """
 
 
+def _restore_sweep_oracle(sigmas: tuple = (1.0, 1.5, 2.5)) -> str:
+    """Beam-width-sweep oracle: the decay/comps/residf machinery of
+    _RESTORE_ORACLE once, then one beam CTE + tagged SELECT per σ
+    (2σ² spelled as an exact double literal), UNION ALL'd."""
+    common = _RESTORE_ORACLE.split("beam AS (")[0].rstrip().rstrip(",")
+    beams, selects = [], []
+    for i, s in enumerate(sigmas):
+        denom = repr(2.0 * s * s)
+        beams.append(
+            f"""beam{i} AS (
+      SELECT r.u_cell, r.v_cell,
+             CAST(SUM(CAST({_q_away_sql(f'''m.flux * exp(
+               -((r.u_cell - m.cu) * (r.u_cell - m.cu)
+                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / {denom}e0)''', '1000000000')}
+               AS BIGINT)) AS BIGINT) AS bq
+      FROM residf r, comps m
+      GROUP BY r.u_cell, r.v_cell
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({s!r} AS DOUBLE) AS sigma,
+           r.u_cell, r.v_cell, r.n_picks,
+           {_q_away_sql('r.residual', '1000000')} / 1000000.0 AS residual,
+           {_q_away_sql('(r.residual + COALESCE(b.bq, 0) / 1000000000.0)', '1000000')}
+             / 1000000.0 AS restored
+    FROM residf r
+    LEFT JOIN beam{i} b ON b.u_cell = r.u_cell AND b.v_cell = r.v_cell"""
+        )
+    return (
+        common
+        + ",\n    "
+        + ",\n    ".join(beams)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY sigma, u_cell, v_cell"
+    )
+
+
+@register("clean_restore_beam_sweep", _restore_sweep_oracle())
+def clean_restore_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restoring-beam width sweep over one CLEAN solution (σ ∈ {1.0,
+    1.5, 2.5} cell units): the minor cycle runs once, the restore
+    convolution per beam — the fitted-vs-forced beam comparison of an
+    imaging pipeline, exactly oracled per σ."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return clean_op.clean_restore_beam_sweep(
+        spark, grid_op.grid_natural(vis)
+    ).orderBy("sigma", "u_cell", "v_cell")
+
+
 @register("clean_restore_image", _RESTORE_ORACLE)
 def clean_restore_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end imaging minor cycle: distributed natural-weight grid →
@@ -5915,6 +5965,19 @@ def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.kmeans_lloyd_stats(load(spark, "embeddings", sf_dir))
 
 
+@register("kmeans_nscaled_stats", sim_op.KMEANS_NSCALED_SQL())
+def kmeans_nscaled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means with the cell count N-SCALED (k = ceil(n/CELL_TARGET),
+    the IVF/SemDeDup discipline): cluster population stays ~CELL_TARGET
+    as the corpus grows instead of clusters growing with N — the form a
+    100 TB corpus-bucketing run actually uses. Same exact fixed-point
+    Lloyd rounds as kmeans_lloyd_stats; the oracle N-scales in its own
+    `p` CTE so both engines derive k from the data."""
+    emb = load(spark, "embeddings", sf_dir)
+    n_cells = max(1, -(-emb.count() // sim_op.CELL_TARGET))
+    return sim_op.kmeans_lloyd_stats(emb, k=n_cells)
+
+
 # ===========================================================================
 # Hashing-trick linear quality classifier — operators/classifier.py
 # ===========================================================================
@@ -6040,6 +6103,18 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and left to AQE; every log term is 1e-9-quantized
     before summing."""
     return tok_op.bigram_surprisal_quality(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register("trigram_backoff_quality", tok_op.TRIGRAM_BACKOFF_SQL)
+def trigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 LM quality tier: per-document mean trigram stupid-backoff
+    surprisal against a model built from the even-doc_id holdout half
+    (so unseen trigrams genuinely back off through the
+    trigram→suffix-bigram→add-one-unigram chain). Branch selection is
+    NULL-presence (integer-exact); every log term 1e-9-quantized."""
+    return tok_op.trigram_backoff_quality(load(spark, "documents", sf_dir)).orderBy(
         "doc_id"
     )
 
@@ -6670,6 +6745,22 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate = MIN over rows, one-sided (>= true) by construction.
     Deterministic hash -> the estimates are exactly oracled."""
     return sketch_op.cms_token_estimates(load(spark, "documents", sf_dir))
+
+
+@register(
+    "cms_heavy_hitter_users",
+    sketch_op.CMS_HEAVY_SQL("events", "user_id", 7000),
+)
+def cms_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report THROUGH the Count-Min sketch — the probe
+    surface a streaming pipeline actually serves (its stateful twin
+    keeps the same 4x1024 cell state across micro-batches): users whose
+    CMS estimate clears 0.7% of the event stream, decided by integer
+    cross-multiplication so the threshold boundary is exactly oracled;
+    true counts ride along to assert the one-sided error."""
+    return sketch_op.cms_heavy_hitters(
+        load(spark, "events", sf_dir), "user_id", ppm_threshold=7000
+    )
 
 
 # ---------------------------------------------------------------------------
