@@ -257,3 +257,85 @@ def compute_and_corrupt_vis(
             (qsum(F.col("term_im"), scale) / F.lit(scale)).alias("cc_im"),
         )
     )
+
+
+def closure_phases(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """Closure phases over antenna triangles — arg(V_ab) + arg(V_bc)
+    − arg(V_ac) for every a<b<c — the calibration-independent quantity
+    interferometry diagnostics are built on (antenna-based gain phases
+    cancel on the triangle; see e.g. TMS ch.10; the reference's
+    phase-only solver exploits the same antenna decomposition,
+    phase_only.py:243-340).
+
+    Shape: one groupBy collapses rows to (time-bin, baseline) exact
+    fixed-point vis sums — O(#bins·#baselines), tiny relative to the
+    fact table at any scale — then a TRIPLE self-join on the time bin
+    stitches the a-b, b-c, a-c legs. Per-leg phases are 1e-9-quantized
+    before the closure sum, so the triangle sum is an exact integer
+    combination in both engines; atan2 operands are the exact BIGINT
+    sums cast to double (no intermediate division)."""
+    from codex_africanus_spark.functions.deterministic import qsum, quantize
+
+    chan0 = vis.filter(F.col("chan") == 0)
+    base = (
+        chan0.withColumn(
+            "tbin", F.floor(F.col("time") / F.lit(bin_secs)).cast("long")
+        )
+        .filter(F.col("antenna1") < F.col("antenna2"))
+        .groupBy("tbin", "antenna1", "antenna2")
+        .agg(
+            qsum(F.col("vis_re"), 1e6).alias("re_q"),
+            qsum(F.col("vis_im"), 1e6).alias("im_q"),
+        )
+    )
+    # sign-aware half-away quantization (quantize), NOT F.round: phases
+    # are signed and Spark ROUND is HALF_UP where DuckDB is half-away
+    ph_q = quantize(
+        F.atan2(F.col("im_q").cast("double"), F.col("re_q").cast("double")), 1e9
+    )
+    legs = base.select("tbin", "antenna1", "antenna2", ph_q.alias("ph_q"))
+    ab = legs.select(
+        "tbin", F.col("antenna1").alias("a"), F.col("antenna2").alias("b"),
+        F.col("ph_q").alias("ph_ab"),
+    )
+    bc = legs.select(
+        "tbin", F.col("antenna1").alias("b"), F.col("antenna2").alias("c"),
+        F.col("ph_q").alias("ph_bc"),
+    )
+    ac = legs.select(
+        "tbin", F.col("antenna1").alias("a"), F.col("antenna2").alias("c"),
+        F.col("ph_q").alias("ph_ac"),
+    )
+    tri = ab.join(bc, ["tbin", "b"]).join(ac, ["tbin", "a", "c"])
+    return tri.select(
+        "tbin", "a", "b", "c",
+        ((F.col("ph_ab") + F.col("ph_bc") - F.col("ph_ac")) / F.lit(1e9)).alias(
+            "closure_rad"
+        ),
+    )
+
+
+CLOSURE_PHASES_SQL = """
+    , base AS (
+      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+             antenna1, antenna2,
+             SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS re_q,
+             SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS im_q
+      FROM vis
+      WHERE chan = 0 AND antenna1 < antenna2
+      GROUP BY 1, 2, 3
+    ),
+    legs AS (
+      SELECT tbin, antenna1, antenna2,
+             CAST(ROUND(atan2(CAST(im_q AS DOUBLE), CAST(re_q AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS ph_q
+      FROM base
+    )
+    SELECT ab.tbin AS tbin, ab.antenna1 AS a, ab.antenna2 AS b, bc.antenna2 AS c,
+           (ab.ph_q + bc.ph_q - ac.ph_q) / 1000000000.0 AS closure_rad
+    FROM legs ab
+    JOIN legs bc ON bc.tbin = ab.tbin AND bc.antenna1 = ab.antenna2
+    JOIN legs ac ON ac.tbin = ab.tbin AND ac.antenna1 = ab.antenna1
+                AND ac.antenna2 = bc.antenna2
+    ORDER BY tbin, a, b, c
+"""

@@ -831,3 +831,70 @@ PII_REDACTION_SQL = f"""
   FROM documents
   ORDER BY doc_id
 """
+
+
+SLIDE_W = 32   # window length in tokens
+SLIDE_S = 24   # stride (overlap = W - S = 8 tokens)
+
+
+def sliding_window_chunks(docs: DataFrame) -> DataFrame:
+    """Overlapping sliding-window chunker — the RAG/context-window
+    chunking form (stride < window so consecutive chunks share W−S
+    tokens), vs the disjoint C4 chunks of `_chunk_frame`. Per doc:
+    chunk_idx, the token span [start, end], token count and digest of
+    each chunk. The last window clamps to the document end; documents
+    shorter than one window yield a single clamped chunk.
+
+    Pure array-HOF projection (zero shuffle at any corpus size):
+    n_chunks = 1 + max(0, ceil((n−W)/S)) materialized with integer
+    arithmetic identically in both engines."""
+    toks = "split(text, ' ')"
+    n = f"size({toks})"
+    n_extra = f"greatest(0, CAST(ceil(({n} - {SLIDE_W}) / {SLIDE_S}.0) AS INT))"
+    chunk_struct = (
+        f"transform(sequence(0, {n_extra}), i -> struct("
+        f"i AS chunk_idx, "
+        f"i * {SLIDE_S} + 1 AS tok_start, "
+        f"least(i * {SLIDE_S} + {SLIDE_W}, {n}) AS tok_end, "
+        f"concat_ws(' ', slice({toks}, i * {SLIDE_S} + 1, {SLIDE_W})) AS chunk))"
+    )
+    return (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.expr(chunk_struct)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.tok_start").cast("int").alias("tok_start"),
+            F.col("c.tok_end").cast("int").alias("tok_end"),
+            (F.col("c.tok_end") - F.col("c.tok_start") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(F.col("c.chunk")).alias("chunk_digest"),
+        )
+    )
+
+
+SLIDING_CHUNKS_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  ),
+  expanded AS (
+    SELECT doc_id,
+           unnest(generate_series(0,
+             GREATEST(0, CAST(ceil((len(w) - {SLIDE_W}) / {SLIDE_S}.0) AS INT))))
+             AS chunk_idx,
+           w
+    FROM d
+  )
+  SELECT doc_id,
+         CAST(chunk_idx AS INT) AS chunk_idx,
+         CAST(chunk_idx * {SLIDE_S} + 1 AS INT) AS tok_start,
+         CAST(LEAST(chunk_idx * {SLIDE_S} + {SLIDE_W}, len(w)) AS INT) AS tok_end,
+         CAST(LEAST(chunk_idx * {SLIDE_S} + {SLIDE_W}, len(w))
+              - (chunk_idx * {SLIDE_S} + 1) + 1 AS INT) AS n_tokens,
+         md5(array_to_string(w[(chunk_idx * {SLIDE_S} + 1):
+                               (chunk_idx * {SLIDE_S} + {SLIDE_W})], ' '))
+           AS chunk_digest
+  FROM expanded
+  ORDER BY doc_id, chunk_idx
+"""

@@ -348,6 +348,58 @@ def phase_delay_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id", "source_id")
 
 
+_REPHASE_DL, _REPHASE_DM, _REPHASE_DN = 0.01, -0.02, 0.9997499687421851
+
+
+@register(
+    "rephase_visibilities",
+    _with_ms(
+        f"""
+        SELECT row_id,
+               round(vis_re * cos(-2.0958450219516816e-08
+                     * (u*{_REPHASE_DL!r} + v*({_REPHASE_DM!r}) + w*({_REPHASE_DN!r} - 1.0))
+                     * frequency)
+                   - vis_im * sin(-2.0958450219516816e-08
+                     * (u*{_REPHASE_DL!r} + v*({_REPHASE_DM!r}) + w*({_REPHASE_DN!r} - 1.0))
+                     * frequency), 6) AS re_new,
+               round(vis_re * sin(-2.0958450219516816e-08
+                     * (u*{_REPHASE_DL!r} + v*({_REPHASE_DM!r}) + w*({_REPHASE_DN!r} - 1.0))
+                     * frequency)
+                   + vis_im * cos(-2.0958450219516816e-08
+                     * (u*{_REPHASE_DL!r} + v*({_REPHASE_DM!r}) + w*({_REPHASE_DN!r} - 1.0))
+                     * frequency), 6) AS im_new
+        FROM vis WHERE row_id % 17 = 0 ORDER BY row_id
+        """
+    ),
+)
+def rephase_visibilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-centre shift (chgcentre analogue): rotate every visibility
+    by the phase-delay factor of the (Δl, Δm) offset —
+    V' = V·e^{-2πi(uΔl + vΔm + w(Δn−1))ν/c}. Pure projection, zero
+    shuffle at any scale (the same hoisted path-term machinery as the
+    RIME phase term, reference phase.py:12-63)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    theta = phase_delay_angle(
+        phase_path(
+            F.col("u"), F.col("v"), F.col("w"),
+            F.lit(_REPHASE_DL), F.lit(_REPHASE_DM), F.lit(_REPHASE_DN),
+        ),
+        F.col("frequency"),
+        "fourier",
+    )
+    return vis.select(
+        "row_id",
+        F.round(
+            F.col("vis_re") * F.cos(theta) - F.col("vis_im") * F.sin(theta), 6
+        ).alias("re_new"),
+        F.round(
+            F.col("vis_re") * F.sin(theta) + F.col("vis_im") * F.cos(theta), 6
+        ).alias("im_new"),
+    ).orderBy("row_id")
+
+
+
+
 @register(
     "radec_to_lm_transform",
     """
@@ -1520,6 +1572,17 @@ def correct_vis_inverse_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = predict_op.predict_point_vis(vis, src, with_shape=False)
     corrupted = predict_op.apply_gains(model, gains)
     return cal_op.correct_vis(corrupted, gains)
+
+
+@register("closure_phases_triangles", _with_ms(cal_op.CLOSURE_PHASES_SQL))
+def closure_phases_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure phases arg(V_ab)+arg(V_bc)−arg(V_ac) over every antenna
+    triangle per time bin — the gain-phase-cancelling diagnostic
+    (antenna terms cancel on the triangle). One O(#bins·#baselines)
+    collapse then a triple self-join on the time bin; per-leg phases
+    1e-9-quantized before the exact integer closure sum."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.closure_phases(vis).orderBy("tbin", "a", "b", "c")
 
 
 _RESIDUAL_ORACLE = _with_ms(
@@ -5298,6 +5361,16 @@ def chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated text (operators/curation.py — two uniform-key shuffles,
     no pairwise work)."""
     return cur_op.chunk_dedup(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+@register("sliding_window_chunks", cur_op.SLIDING_CHUNKS_SQL)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (W=32 tokens, stride 24) —
+    the RAG/context-window chunk form with spans and digests per chunk;
+    a pure array-HOF projection, zero shuffle at any corpus size."""
+    return cur_op.sliding_window_chunks(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id", "chunk_idx"
+    )
 
 
 @register("repetition_quality_flags", cur_op.REPETITION_SQL)

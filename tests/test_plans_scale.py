@@ -336,3 +336,29 @@ def test_pagerank_loop_reuses_materialized_edges(spark, sf_dir):
     plan = plan_of(registry()["pagerank_lsh_graph"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") <= 4
     assert plan.count("Exchange") <= 12
+
+
+def test_rephase_is_pure_projection(spark, sf_dir):
+    """Phase-centre rotation must be a scan + projection: no exchange."""
+    plan = plan_of(registry()["rephase_visibilities"].fn(spark, sf_dir))
+    # the orderBy adds a range exchange for output sorting only; there
+    # must be NO hashpartitioning (no join/agg shuffle)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_closure_phases_no_cartesian_single_collapse(spark, sf_dir):
+    """Closure phases: one baseline-collapse shuffle, equi-joins only."""
+    from codex_africanus_spark.operators import calibration as cal_op
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    plan = plan_of(cal_op.closure_phases(vis))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_sliding_chunks_zero_shuffle(spark, sf_dir):
+    from codex_africanus_spark.operators import curation as cur_op
+
+    docs = load(spark, "documents", sf_dir)
+    plan = plan_of(cur_op.sliding_window_chunks(docs))
+    assert "Exchange hashpartitioning" not in plan
