@@ -339,3 +339,95 @@ CLOSURE_PHASES_SQL = """
                 AND ac.antenna2 = bc.antenna2
     ORDER BY tbin, a, b, c
 """
+
+
+def fit_delay_slope(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """Per-(baseline, time-bin) delay fit — the K-Jones diagnostic: the
+    least-squares slope of visibility phase against channel index (a
+    residual delay shows as a linear phase ramp across the band; cf. the
+    reference's phase-only solver operating per-antenna,
+    phase_only.py:243-340 — this is its baseline-resolved precursor).
+
+    Two chained aggregations, no joins: (1) collapse rows to exact
+    fixed-point vis sums per (time-bin, baseline, chan) and take the
+    1e-9-quantized phase; (2) closed-form regression over the ≤n_chan
+    points per baseline from five INTEGER sums (n, Σx, Σx², Σy, Σxy with
+    x = chan index, y = quantized phase) — the slope/intercept are
+    single divisions of exact integers, bit-identical in any engine.
+    Phases near ±π can wrap between channels; the fit is over the
+    principal-value phases on both engines identically (a production
+    K-solver would unwrap — deterministic here by construction)."""
+    from codex_africanus_spark.functions.deterministic import qsum, quantize
+
+    per_chan = (
+        vis.withColumn(
+            "tbin", F.floor(F.col("time") / F.lit(bin_secs)).cast("long")
+        )
+        .groupBy("tbin", "antenna1", "antenna2", "chan")
+        .agg(
+            qsum(F.col("vis_re"), 1e6).alias("re_q"),
+            qsum(F.col("vis_im"), 1e6).alias("im_q"),
+        )
+        .select(
+            "tbin", "antenna1", "antenna2",
+            F.col("chan").cast("long").alias("x"),
+            quantize(
+                F.atan2(F.col("im_q").cast("double"), F.col("re_q").cast("double")),
+                1e9,
+            ).alias("y_q"),
+        )
+    )
+    g = per_chan.groupBy("tbin", "antenna1", "antenna2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.col("x") * F.col("y_q")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den / F.lit(1e9)
+    intercept = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den / F.lit(1e9)
+    )
+    return g.filter(den != 0).select(
+        "tbin", "antenna1", "antenna2",
+        F.col("n").alias("n_chan"),
+        # no rounding: both outputs are divisions of exact integers —
+        # already bit-identical cross-engine; ROUND would reintroduce the
+        # half-up/half-away boundary divergence on signed values
+        slope.alias("phase_slope_rad_per_chan"),
+        intercept.alias("phase_intercept_rad"),
+    )
+
+
+DELAY_FIT_SQL = """
+    , per_chan AS (
+      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+             antenna1, antenna2, CAST(chan AS BIGINT) AS x,
+             CAST(ROUND(atan2(
+               CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS DOUBLE),
+               CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS y_q
+      FROM vis
+      GROUP BY 1, 2, 3, 4
+    ),
+    fit AS (
+      SELECT tbin, antenna1, antenna2,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y_q) AS BIGINT) AS sy,
+             CAST(SUM(x * y_q) AS BIGINT) AS sxy
+      FROM per_chan
+      GROUP BY 1, 2, 3
+    )
+    SELECT tbin, antenna1, antenna2,
+           CAST(n AS BIGINT) AS n_chan,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000000000.0
+             AS phase_slope_rad_per_chan,
+           (sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 1000000000.0
+             AS phase_intercept_rad
+    FROM fit
+    WHERE (n * sxx - sx * sx) <> 0
+    ORDER BY tbin, antenna1, antenna2
+"""

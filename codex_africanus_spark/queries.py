@@ -1585,6 +1585,65 @@ def closure_phases_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal_op.closure_phases(vis).orderBy("tbin", "a", "b", "c")
 
 
+@register(
+    "antenna_flag_statistics",
+    _with_ms(
+        """
+        , roles AS (
+          SELECT antenna1 AS antenna, flag, flag_row FROM vis
+          UNION ALL
+          SELECT antenna2 AS antenna, flag, flag_row FROM vis
+          WHERE antenna1 <> antenna2
+        )
+        SELECT antenna,
+               COUNT(*) AS n_samples,
+               CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_chan_flagged,
+               CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_row_flagged,
+               CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_any_flagged,
+               (CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000) / COUNT(*) AS flagged_ppm
+        FROM roles GROUP BY antenna ORDER BY antenna
+        """
+    ),
+)
+def antenna_flag_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-antenna flag occupancy (the aoflagger-style flagging summary
+    a telescope operator reads first): each sample credits both its
+    antennas (autocorrs once); fractions as integer ppm — no float
+    compare, map-side-combining union+groupBy, O(n_ant) output."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    roles = vis.select(
+        F.col("antenna1").alias("antenna"), "flag", "flag_row"
+    ).unionAll(
+        vis.filter(F.col("antenna1") != F.col("antenna2")).select(
+            F.col("antenna2").alias("antenna"), "flag", "flag_row"
+        )
+    )
+    anyf = F.when(F.col("flag") | F.col("flag_row"), 1).otherwise(0)
+    return (
+        roles.groupBy("antenna")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("n_chan_flagged"),
+            F.sum(F.when(F.col("flag_row"), 1).otherwise(0)).alias("n_row_flagged"),
+            F.sum(anyf).alias("n_any_flagged"),
+            ((F.sum(anyf) * 1000000) / F.count(F.lit(1))).alias("flagged_ppm"),
+        )
+        .orderBy("antenna")
+    )
+
+
+@register("fit_delay_phase_slope", _with_ms(cal_op.DELAY_FIT_SQL))
+def fit_delay_phase_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Jones delay diagnostic: least-squares phase-vs-channel slope
+    per (baseline, time-bin), from five exact integer sums (closed-form
+    regression over 1e-9-quantized phases) — two chained aggregations,
+    no joins, O(#bins·#baselines) output at any scale."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.fit_delay_slope(vis).orderBy("tbin", "antenna1", "antenna2")
+
+
 _RESIDUAL_ORACLE = _with_ms(
     """
     , coh AS (
