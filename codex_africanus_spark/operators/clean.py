@@ -93,6 +93,56 @@ def hogbom_clean(
     )) if comps else spark.createDataFrame([], "iteration int, u_cell long, v_cell long, flux double")
 
 
+def _q_half_away(x: np.ndarray, grid: float) -> np.ndarray:
+    """sign·floor(|x|·grid + 0.5) — the quantization spelled identically
+    in the oracle SQL (the op-sequence-sharing discipline: np.round is
+    banker's, SQL ROUND is half-away; sharing the exact float ops
+    sidesteps both engines' rounding modes entirely)."""
+    return np.sign(x) * np.floor(np.abs(x) * grid + 0.5)
+
+
+def _hogbom_minor_cycle(grid: DataFrame, gamma: float, threshold_frac: float, maxiter: int):
+    """Collect the uv-grid image and run the Hogbom peak/subtract loop
+    ONCE (shared by clean_restore and the beam-width sweep — the
+    pick/subtract arithmetic is the oracle-parity hot spot and must not
+    fork). Returns (cells, resid, comps, picks), or None for an empty
+    grid. The subtraction is resid −= γ·resid, bit-identical to the
+    oracle's decay recursion."""
+    pdf = (
+        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
+        .toPandas()
+        .sort_values(["u_cell", "v_cell"])
+        .reset_index(drop=True)
+    )
+    if pdf.empty:
+        return None
+    resid = (pdf.grid_re_q / pdf.wsum_q).to_numpy(dtype=np.float64)
+    cells = pdf[["u_cell", "v_cell"]].to_numpy()
+    thresh = threshold_frac * np.abs(resid).max()
+    comps = []
+    picks = np.zeros(len(resid), dtype=np.int64)
+    for _ in range(maxiter):
+        p = int(np.abs(resid).argmax())
+        peak = resid[p]
+        if abs(peak) <= thresh:
+            break
+        comps.append((int(cells[p, 0]), int(cells[p, 1]), float(gamma * peak)))
+        picks[p] += 1
+        resid[p] -= gamma * peak
+    return cells, resid, comps, picks
+
+
+def _beam_splat_q(cells: np.ndarray, comps: list, sigma: float) -> np.ndarray:
+    """Σ over components of the 1e-9-quantized restoring-beam Gaussian."""
+    beam_q = np.zeros(len(cells), dtype=np.int64)
+    for cu, cv, flux in comps:
+        du = cells[:, 0] - cu
+        dv = cells[:, 1] - cv
+        term = flux * np.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
+        beam_q += _q_half_away(term, 1e9).astype(np.int64)
+    return beam_q
+
+
 def clean_restore(
     spark: SparkSession,
     grid: DataFrame,
@@ -113,55 +163,21 @@ def clean_restore(
     a 1e-9 integer before summing. Scale shape: gridding is the cluster
     reduction, everything here is O(#cells × #components) driver work on
     the ~10^6-cell image (SURVEY §2.9)."""
-    pdf = (
-        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
-        .toPandas()
-        .sort_values(["u_cell", "v_cell"])
-        .reset_index(drop=True)
-    )
-    if pdf.empty:
+    mc = _hogbom_minor_cycle(grid, gamma, threshold_frac, maxiter)
+    if mc is None:
         return spark.createDataFrame(
             [], "u_cell long, v_cell long, n_picks int, residual double, restored double"
         )
-    resid = (pdf.grid_re_q / pdf.wsum_q).to_numpy(dtype=np.float64)
-    cells = pdf[["u_cell", "v_cell"]].to_numpy()
-    thresh = threshold_frac * np.abs(resid).max()
-    comps = []
-    picks = np.zeros(len(resid), dtype=np.int64)
-    for it in range(maxiter):
-        p = int(np.abs(resid).argmax())
-        peak = resid[p]
-        if abs(peak) <= thresh:
-            break
-        comps.append((int(cells[p, 0]), int(cells[p, 1]), float(gamma * peak)))
-        picks[p] += 1
-        resid[p] -= gamma * peak
-    # Quantization = sign·floor(|x|·grid + 0.5) on BOTH engines (the
-    # oracle spells the identical float ops), so even exact .5 and
-    # epsilon-below-.5 boundaries agree bit-for-bit: np.round is
-    # banker's, SQL ROUND is half-away, and grid ratios are dyadic
-    # rationals where the difference is REACHED in real data — sharing
-    # the op sequence sidesteps both engines' rounding modes entirely.
-    def q_half_away(x: np.ndarray, grid: float) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * grid + 0.5)
-
-    beam_q = np.zeros(len(resid), dtype=np.int64)
-    for cu, cv, flux in comps:
-        du = cells[:, 0] - cu
-        dv = cells[:, 1] - cv
-        term = flux * np.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
-        beam_q += q_half_away(term, 1e9).astype(np.int64)
-
-    def round6_half_away(x: np.ndarray) -> np.ndarray:
-        return q_half_away(x, 1e6) / 1e6
+    cells, resid, comps, picks = mc
+    beam_q = _beam_splat_q(cells, comps, sigma)
 
     out = pd.DataFrame(
         {
             "u_cell": cells[:, 0],
             "v_cell": cells[:, 1],
             "n_picks": picks,
-            "residual": round6_half_away(resid),
-            "restored": round6_half_away(resid + beam_q / 1e9),
+            "residual": _q_half_away(resid, 1e6) / 1e6,
+            "restored": _q_half_away(resid + beam_q / 1e9, 1e6) / 1e6,
         }
     )
     return spark.createDataFrame(
@@ -186,53 +202,24 @@ def clean_restore_beam_sweep(
     maxiter: int = 50,
 ) -> DataFrame:
     """Restoring-beam WIDTH SWEEP over one CLEAN solution: the Hogbom
-    minor cycle runs ONCE (components are beam-independent), then the
-    restore convolution is evaluated at each σ — the fitted-vs-forced
-    beam comparison an imaging pipeline runs when choosing its
-    restoring beam (reference restore takes the beam as an input
-    parameter, deconv/hogbom/clean.py:200-246). Output is the full
-    restored image per σ, tagged by the 2σ² divisor's exact value.
-
-    Same exactness contract as clean_restore: decay-identity residuals,
-    1e-9-quantized Gaussian splats, sign·floor(|x|·g+0.5) quantization
-    spelled identically in the oracle."""
-    pdf = (
-        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
-        .toPandas()
-        .sort_values(["u_cell", "v_cell"])
-        .reset_index(drop=True)
-    )
+    minor cycle runs ONCE (components are beam-independent; shared
+    _hogbom_minor_cycle helper), then the restore convolution is
+    evaluated at each σ — the fitted-vs-forced beam comparison an
+    imaging pipeline runs when choosing its restoring beam (reference
+    restore takes the beam as an input parameter,
+    deconv/hogbom/clean.py:200-246). Output is the full restored image
+    per σ. Same exactness contract as clean_restore."""
     schema = (
         "sigma double, u_cell long, v_cell long, n_picks int, "
         "residual double, restored double"
     )
-    if pdf.empty:
+    mc = _hogbom_minor_cycle(grid, gamma, threshold_frac, maxiter)
+    if mc is None:
         return spark.createDataFrame([], schema)
-    resid = (pdf.grid_re_q / pdf.wsum_q).to_numpy(dtype=np.float64)
-    cells = pdf[["u_cell", "v_cell"]].to_numpy()
-    thresh = threshold_frac * np.abs(resid).max()
-    comps = []
-    picks = np.zeros(len(resid), dtype=np.int64)
-    for _ in range(maxiter):
-        p = int(np.abs(resid).argmax())
-        peak = resid[p]
-        if abs(peak) <= thresh:
-            break
-        comps.append((int(cells[p, 0]), int(cells[p, 1]), float(gamma * peak)))
-        picks[p] += 1
-        resid[p] -= gamma * peak
-
-    def q_half_away(x: np.ndarray, g: float) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * g + 0.5)
-
+    cells, resid, comps, picks = mc
     frames = []
     for sigma in sigmas:
-        beam_q = np.zeros(len(resid), dtype=np.int64)
-        for cu, cv, flux in comps:
-            du = cells[:, 0] - cu
-            dv = cells[:, 1] - cv
-            term = flux * np.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
-            beam_q += q_half_away(term, 1e9).astype(np.int64)
+        beam_q = _beam_splat_q(cells, comps, sigma)
         frames.append(
             pd.DataFrame(
                 {
@@ -240,8 +227,8 @@ def clean_restore_beam_sweep(
                     "u_cell": cells[:, 0],
                     "v_cell": cells[:, 1],
                     "n_picks": picks,
-                    "residual": q_half_away(resid, 1e6) / 1e6,
-                    "restored": q_half_away(resid + beam_q / 1e9, 1e6) / 1e6,
+                    "residual": _q_half_away(resid, 1e6) / 1e6,
+                    "restored": _q_half_away(resid + beam_q / 1e9, 1e6) / 1e6,
                 }
             )
         )

@@ -323,32 +323,22 @@ def _qdist2_unrolled(vec: str, cent: str, dim: int = EMB_DIM) -> F.Column:
     return F.expr(terms)
 
 
-def ivf_topk(
-    embeddings: DataFrame, query_modulus: int = 125, k: int = 3
-) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest coarse centroid
-    (broadcast N_CELLS-row quantizer), probe the query's N_PROBE nearest
-    cells, exact quantized-cosine rerank within the probed cells.
-
-    At 100 TB: the centroid table stays tiny (cells × dims), assignment
-    is a broadcast nested-loop over N_CELLS per vector, and the
-    candidate join co-partitions on cell id — the N² term shrinks to
-    N·(probed share). Deterministic end-to-end → exactly oracled.
-
-    The cell count is N-scaled exactly as the SQL twin's `p` CTE
-    (ceil(n/CELL_TARGET)) — a constant cell count would silently desync
-    the engines away from the one SF where they coincide."""
-    n_vecs = embeddings.count()
+def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
+    """ONE definition of the IVF index arithmetic (shared by the inline
+    ivf_topk and the persisted build_ivf_index — a tie-break or
+    quantization change here cannot desync the two): N-scaled coarse
+    quantizer (cells = ceil(n/CELL_TARGET), matching the SQL twin's `p`
+    CTE at every scale factor) + nearest-cell assignment as a hash
+    partial aggregate (min over the lexicographic (dist, cid) struct —
+    no N-cardinality sort; embedding is constant per vec_id so first()
+    is value-deterministic) with quantized self-norms."""
+    n_vecs = embeddings.count() if n_vecs is None else n_vecs
     n_cells = max(1, -(-n_vecs // CELL_TARGET))
     cent = _centroids(embeddings, n_cells=n_cells)
     dists = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
         _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
-    # nearest-cell assignment as a HASH partial aggregate (min over the
-    # lexicographic (dist, cid) struct == the rank-1 row of the old sort
-    # window) — no N-cardinality sort; embedding is constant per vec_id
-    # so first() is value-deterministic
     assign = (
         dists.groupBy("vec_id")
         .agg(
@@ -357,15 +347,28 @@ def ivf_topk(
         )
         .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
         .withColumn("norm_q", _qdot("embedding", "embedding"))
-        # consumed by both join sides — materialize instead of re-running
-        # the quantizer argmin per consumer (same rationale as
-        # semantic_dedup; the assignment IS the IVF index)
-        .persist()
     )
-    # probe cells: top-N_PROBE cells for the PROBE SUBSET only — the sort
-    # window runs on queries × N_CELLS rows, not all vectors
+    return cent, assign
+
+
+def _ivf_probe(
+    cent: DataFrame,
+    assign: DataFrame,
+    probe_src: DataFrame,
+    query_modulus: int,
+    k: int,
+    broadcast_probe: bool = False,
+) -> DataFrame:
+    """ONE definition of the IVF probe/rerank (shared by ivf_topk and
+    ivf_probe_topk): rank the probe subset's cells (the sort window runs
+    on queries × cells rows, not all vectors), join query embeddings and
+    norms from the assignment, rerank candidates within probed cells by
+    exact quantized cosine. `broadcast_probe` forces the probe batch to
+    broadcast so the assignment fact table is never shuffled (the
+    persisted-index deployment, where probe batches are bounded)."""
     probes = (
-        embeddings.filter(F.col("vec_id") % query_modulus == 0)
+        probe_src.filter(F.col("vec_id") % query_modulus == 0)
+        .select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", _qdist2_unrolled("embedding", "centroid").alias("dist"))
         .withColumn(
@@ -382,6 +385,8 @@ def ivf_topk(
         ),
         "query_id",
     )
+    if broadcast_probe:
+        q = F.broadcast(q)
     c = assign.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
         F.col("cid").alias("ccid"), F.sqrt(F.col("norm_q")).alias("cnorm"),
@@ -401,6 +406,29 @@ def ivf_topk(
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "rank", "neighbor_id", "cosine_sim"
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_modulus: int = 125, k: int = 3
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (broadcast N_CELLS-row quantizer), probe the query's N_PROBE nearest
+    cells, exact quantized-cosine rerank within the probed cells.
+
+    At 100 TB: the centroid table stays tiny (cells × dims), assignment
+    is a broadcast nested-loop over N_CELLS per vector, and the
+    candidate join co-partitions on cell id — the N² term shrinks to
+    N·(probed share). Deterministic end-to-end → exactly oracled.
+
+    The cell count is N-scaled exactly as the SQL twin's `p` CTE
+    (ceil(n/CELL_TARGET)) — a constant cell count would silently desync
+    the engines away from the one SF where they coincide."""
+    cent, assign = _ivf_build(embeddings)
+    # consumed by both join sides — materialize instead of re-running
+    # the quantizer argmin per consumer (same rationale as
+    # semantic_dedup; the assignment IS the IVF index)
+    assign = assign.persist()
+    return _ivf_probe(cent, assign, embeddings, query_modulus, k)
 
 
 def IVF_SQL(query_modulus: int = 125, k: int = 3) -> str:
@@ -499,94 +527,69 @@ def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
-def build_ivf_index(embeddings: DataFrame, root: str) -> None:
-    """Materialize the IVF index — the nearest-cell ASSIGNMENT table
-    (vec_id, embedding, cid, norm_q) plus the centroid table — through
-    the transactional snapshot sink. This is the build-once half of the
-    deployment SCALE.md describes: the expensive quantizer construction
-    and N×cells assignment pass run once per corpus version; every probe
-    afterwards reads the committed snapshot and touches no raw
-    embedding parquet. All index values are exact fixed-point
-    (deterministic under any partitioning), so a probe over the
-    persisted index is bit-identical to the build-inline `ivf_topk`."""
+IVF_INDEX_FORMAT = 1  # bump when quantization/probe constants change
+
+
+def build_ivf_index(
+    embeddings: DataFrame, root: str, n_vecs: int | None = None
+) -> None:
+    """Materialize the IVF index — centroids + nearest-cell assignment
+    (via the shared _ivf_build, so the persisted arithmetic can never
+    fork from the inline ivf_topk's) — through the transactional
+    snapshot sink, then a META fingerprint (format version, corpus row
+    count, CELL_TARGET) committed LAST: a crash mid-build leaves no
+    meta, which reads as stale and triggers a rebuild. All index values
+    are exact fixed-point, so a probe over the persisted index is
+    bit-identical to the build-inline path."""
     from codex_africanus_spark.sources import snapshot as snap
 
-    n_vecs = embeddings.count()
-    n_cells = max(1, -(-n_vecs // CELL_TARGET))
-    cent = _centroids(embeddings, n_cells=n_cells)
-    dists = embeddings.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid",
-        _qdist2_unrolled("embedding", "centroid").alias("dist"),
-    )
-    assign = (
-        dists.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("mn"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
-        .withColumn("norm_q", _qdot("embedding", "embedding"))
-    )
+    spark = embeddings.sparkSession
+    n_vecs = embeddings.count() if n_vecs is None else n_vecs
+    cent, assign = _ivf_build(embeddings, n_vecs=n_vecs)
     snap.commit(cent, f"{root}/centroids", mode="overwrite")
     snap.commit(assign, f"{root}/assign", mode="overwrite")
+    meta = spark.createDataFrame(
+        [(IVF_INDEX_FORMAT, n_vecs, CELL_TARGET)],
+        "format int, n_vecs long, cell_target int",
+    )
+    snap.commit(meta, f"{root}/meta", mode="overwrite")
+
+
+def _ivf_index_fresh(spark, root: str, n_vecs: int) -> bool:
+    """Fingerprint check: the persisted index is served only when its
+    meta matches this code's format version, the corpus row count, and
+    CELL_TARGET — a count-only check would silently serve an index
+    built by older constants over different data of the same size."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    try:
+        rows = snap.read_snapshot(spark, f"{root}/meta").collect()
+    except Exception:
+        return False
+    return (
+        len(rows) == 1
+        and rows[0]["format"] == IVF_INDEX_FORMAT
+        and rows[0]["n_vecs"] == n_vecs
+        and rows[0]["cell_target"] == CELL_TARGET
+    )
 
 
 def ivf_probe_topk(
     spark, root: str, query_modulus: int = 125, k: int = 3
 ) -> DataFrame:
     """Probe-only IVF top-k over a persisted index: snapshot-read the
-    assignment and centroid tables, rank the probe subset's cells, and
-    rerank candidates within the probed cells. No quantizer build, no
-    raw-embedding scan — the plan is two hash exchanges (probe-cell
-    window + final top-k window); the assignment fact table is never
-    shuffled because the probe batch broadcasts. Probe batches are
-    assumed bounded (a query workload, not a corpus self-join — use
-    `ivf_topk` for the all-pairs evaluation form)."""
+    assignment and centroid tables and run the shared probe/rerank with
+    the probe batch broadcast — no quantizer build, no raw-embedding
+    scan, two hash exchanges, and the assignment fact table is never
+    shuffled. Probe batches are assumed bounded (a query workload, not
+    a corpus self-join — use `ivf_topk` for the all-pairs evaluation
+    form)."""
     from codex_africanus_spark.sources import snapshot as snap
 
     assign = snap.read_snapshot(spark, f"{root}/assign")
     cent = snap.read_snapshot(spark, f"{root}/centroids")
-    queries = assign.filter(F.col("vec_id") % query_modulus == 0)
-    probes = (
-        queries.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "cid",
-            _qdist2_unrolled("embedding", "centroid").alias("dist"),
-        )
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
-        )
-        .filter(F.col("cell_rank") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
-    )
-    q = probes.join(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.sqrt(F.col("norm_q")).alias("qnorm"),
-        ),
-        "query_id",
-    )
-    c = assign.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
-        F.col("cid").alias("ccid"), F.sqrt(F.col("norm_q")).alias("cnorm"),
-    )
-    pairs = F.broadcast(q).join(
-        c, (F.col("pcid") == F.col("ccid")) & (F.col("query_id") != F.col("neighbor_id"))
-    )
-    sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
-    ranked = pairs.select(
-        "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id", "rank", "neighbor_id", "cosine_sim"
+    return _ivf_probe(
+        cent, assign, assign, query_modulus, k, broadcast_probe=True
     )
 
 
@@ -594,20 +597,12 @@ def ivf_persisted_topk(
     spark, embeddings: DataFrame, root: str, query_modulus: int = 125, k: int = 3
 ) -> DataFrame:
     """Build-once/probe-many entry: (re)build the persisted index only
-    when absent or stale (assignment row count ≠ corpus row count), then
-    answer from the snapshot. The staleness check is two driver-side
-    scalar counts — bounded at any corpus size."""
-    from codex_africanus_spark.sources import snapshot as snap
-
-    try:
-        stale = (
-            snap.read_snapshot(spark, f"{root}/assign").count()
-            != embeddings.count()
-        )
-    except Exception:
-        stale = True
-    if stale:
-        build_ivf_index(embeddings, root)
+    when the meta fingerprint is absent or mismatched, then answer from
+    the snapshot. One driver-side count is shared between the freshness
+    check and the build."""
+    n_vecs = embeddings.count()
+    if not _ivf_index_fresh(spark, root, n_vecs):
+        build_ivf_index(embeddings, root, n_vecs=n_vecs)
     return ivf_probe_topk(spark, root, query_modulus=query_modulus, k=k)
 
 

@@ -1634,6 +1634,50 @@ def antenna_flag_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bandpass_autocorr_estimate",
+    _with_ms(
+        """
+        SELECT antenna1 AS antenna, chan,
+               COUNT(*) AS n_samples,
+               SUM(CAST(ROUND(sqrt(vis_re * vis_re + vis_im * vis_im)
+                              * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(*)
+                 AS mean_autocorr_amp
+        FROM vis
+        WHERE antenna1 = antenna2 AND NOT (flag OR flag_row)
+        GROUP BY antenna1, chan
+        ORDER BY antenna, chan
+        """
+    ),
+)
+def bandpass_autocorr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial bandpass shape from autocorrelations: per (antenna, chan)
+    mean unflagged autocorr amplitude — the first-look B-Jones estimate
+    a calibration pipeline seeds from. One map-side-combining groupBy at
+    (n_ant × n_chan) output cardinality; amplitudes 1e-6-quantized
+    before the exact integer mean."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    amp = F.sqrt(
+        F.col("vis_re") * F.col("vis_re") + F.col("vis_im") * F.col("vis_im")
+    )
+    return (
+        vis.filter(
+            (F.col("antenna1") == F.col("antenna2"))
+            & ~(F.col("flag") | F.col("flag_row"))
+        )
+        .groupBy(F.col("antenna1").alias("antenna"), "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (qsum(amp, 1e6) / F.lit(1e6) / F.count(F.lit(1))).alias(
+                "mean_autocorr_amp"
+            ),
+        )
+        .orderBy("antenna", "chan")
+    )
+
+
 @register("fit_delay_phase_slope", _with_ms(cal_op.DELAY_FIT_SQL))
 def fit_delay_phase_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Jones delay diagnostic: least-squares phase-vs-channel slope
@@ -2159,16 +2203,19 @@ def _restore_sweep_oracle(sigmas: tuple = (1.0, 1.5, 2.5)) -> str:
     """Beam-width-sweep oracle: the decay/comps/residf machinery of
     _RESTORE_ORACLE once, then one beam CTE + tagged SELECT per σ
     (2σ² spelled as an exact double literal), UNION ALL'd."""
+    assert _RESTORE_ORACLE.count("beam AS (") == 1, "restore oracle reshaped"
     common = _RESTORE_ORACLE.split("beam AS (")[0].rstrip().rstrip(",")
     beams, selects = [], []
     for i, s in enumerate(sigmas):
-        denom = repr(2.0 * s * s)
+        # CAST(repr AS DOUBLE): survives scientific-notation reprs of
+        # small sigmas, unlike a concatenated e0 suffix
+        denom = f"CAST({2.0 * s * s!r} AS DOUBLE)"
         beams.append(
             f"""beam{i} AS (
       SELECT r.u_cell, r.v_cell,
              CAST(SUM(CAST({_q_away_sql(f'''m.flux * exp(
                -((r.u_cell - m.cu) * (r.u_cell - m.cu)
-                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / {denom}e0)''', '1000000000')}
+                 + (r.v_cell - m.cv) * (r.v_cell - m.cv)) / {denom})''', '1000000000')}
                AS BIGINT)) AS BIGINT) AS bq
       FROM residf r, comps m
       GROUP BY r.u_cell, r.v_cell
@@ -6125,6 +6172,146 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast-sigmoid probability. Pure projection — zero shuffle; the model
     rides the corpus scan at 100 TB."""
     return clf_op.classify(load(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+_SWEEP_PPM = tuple(range(300000, 750000, 50000))  # 0.30 ... 0.70
+
+_QSWEEP_SQL = """
+  WITH base AS ({classify}),
+  s2 AS (
+    SELECT doc_id, n_tokens,
+           CAST(ROUND(quality_score * 1000000) AS BIGINT) AS q_ppm
+    FROM base
+  ),
+  th AS (SELECT unnest([{thresholds}]) AS t_ppm),
+  tot AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM s2)
+  SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+         CAST(SUM(CASE WHEN s.q_ppm >= t.t_ppm THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(CASE WHEN s.q_ppm >= t.t_ppm THEN s.n_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept,
+         (CAST(SUM(CASE WHEN s.q_ppm >= t.t_ppm THEN s.n_tokens ELSE 0 END)
+               AS BIGINT) * 1000000) / (SELECT n_tokens FROM tot)
+           AS token_share_ppm
+  FROM s2 s, th t
+  GROUP BY t.t_ppm
+  ORDER BY t_ppm
+""".format(
+    classify=clf_op.CLASSIFY_SQL.replace("ORDER BY doc_id", ""),
+    thresholds=", ".join(str(t) for t in _SWEEP_PPM),
+)
+
+
+@register("quality_threshold_sweep", _QSWEEP_SQL)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of the quality classifier - docs and tokens kept
+    at each candidate threshold (the curve a pipeline operator reads to
+    pick the cut): one pass over the scored corpus crossed with a
+    9-row broadcast threshold axis, map-side-combining conditional
+    sums; comparisons in integer ppm, never float."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    scored = clf_op.classify(load(spark, "documents", sf_dir))
+    s2 = scored.select(
+        "doc_id", "n_tokens", quantize(F.col("quality_score"), 1e6).alias("q_ppm")
+    )
+    th = spark.createDataFrame([(t,) for t in _SWEEP_PPM], "t_ppm long")
+    tot = s2.agg(F.sum("n_tokens").alias("tot_tokens"))
+    kept = F.when(F.col("q_ppm") >= F.col("t_ppm"), 1).otherwise(0)
+    kept_tok = F.when(F.col("q_ppm") >= F.col("t_ppm"), F.col("n_tokens")).otherwise(0)
+    return (
+        s2.crossJoin(F.broadcast(th))
+        .groupBy("t_ppm")
+        .agg(
+            F.sum(kept).alias("docs_kept"),
+            F.sum(kept_tok).alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t_ppm",
+            "docs_kept",
+            "tokens_kept",
+            ((F.col("tokens_kept") * 1000000) / F.col("tot_tokens")).alias(
+                "token_share_ppm"
+            ),
+        )
+        .orderBy("t_ppm")
+    )
+
+
+_BUDGET_NUM, _BUDGET_DEN = 6, 10  # keep the top-quality 60% of tokens
+
+_TOKEN_BUDGET_SQL = """
+  WITH base AS ({classify}),
+  s2 AS (
+    SELECT doc_id, n_tokens,
+           CAST(ROUND(quality_score * 1000000) AS BIGINT) AS q_ppm
+    FROM base
+  ),
+  c AS (
+    SELECT doc_id, q_ppm, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM s2
+  ),
+  t AS (SELECT SUM(n_tokens) AS total FROM s2)
+  SELECT doc_id, q_ppm, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(cum_before AS BIGINT) AS cum_before,
+         ((cum_before + n_tokens) * {den} <= t.total * {num}) AS kept
+  FROM c, t ORDER BY doc_id
+""".format(
+    classify=clf_op.CLASSIFY_SQL.replace("ORDER BY doc_id", ""),
+    num=_BUDGET_NUM,
+    den=_BUDGET_DEN,
+)
+
+
+@register("token_budget_selection", _TOKEN_BUDGET_SQL)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection under a token budget (keep the
+    best docs until 60% of corpus tokens are spent) - the data-mixing
+    cut a token-budgeted training run makes. The global prefix sum over
+    quality order uses the same TWO-PHASE scan as sequence_packing (a
+    naive global-window cumsum collapses to one task): quality-range
+    buckets (monotone in the sort key) carry parallel local cumsums,
+    bucket totals prefix-sum on a tiny frame, broadcast offsets restore
+    the global scan. Budget compare is integer cross-multiplied."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    scored = clf_op.classify(load(spark, "documents", sf_dir))
+    s2 = scored.select(
+        "doc_id", "n_tokens", quantize(F.col("quality_score"), 1e6).alias("q_ppm")
+    ).withColumn("bucket", F.expr("(1000000 - q_ppm) DIV 10000"))
+    wloc = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("q_ppm").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = s2.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+    )
+    btot = s2.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "bucket_off", F.coalesce(F.sum("btok").over(wb), F.lit(0))
+    ).select("bucket", "bucket_off")
+    tot = s2.agg(F.sum("n_tokens").alias("total"))
+    return (
+        local.join(F.broadcast(boff), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "q_ppm",
+            "n_tokens",
+            (F.col("bucket_off") + F.col("local_off")).alias("cum_before"),
+            (
+                (F.col("bucket_off") + F.col("local_off") + F.col("n_tokens"))
+                * _BUDGET_DEN
+                <= F.col("total") * _BUDGET_NUM
+            ).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("quality_classifier_source_rollup", clf_op.SOURCE_ROLLUP_SQL)

@@ -140,9 +140,11 @@ def test_registry_orders_unverified_queries_first():
     # every green name has at least one fully-passing driver row on record
     import glob
     import json
+    import os
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recorded_pass = set()
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rows = json.loads(open(path).read())
         except (OSError, ValueError):
