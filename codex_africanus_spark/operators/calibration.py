@@ -431,3 +431,114 @@ DELAY_FIT_SQL = """
     WHERE (n * sxx - sx * sx) <> 0
     ORDER BY tbin, antenna1, antenna2
 """
+
+
+def uvlin_continuum_subtract(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """UV-plane continuum subtraction (the classic `uvlin`): per
+    (baseline, time-bin), least-squares-fit visibility real and
+    imaginary parts linearly against channel index and subtract the fit
+    — what remains is the spectral-line signal. The fit coefficients
+    come from the same five-integer-sum closed form as fit_delay_slope;
+    the per-sample residual is the raw value minus the exact-rational
+    fit evaluated at the sample's channel.
+
+    Shape: one collapse aggregation to per-(bin, baseline, chan) exact
+    fixed-point means, one fit aggregation at diagnostic cardinality,
+    then the tiny fit table joins back to the per-chan frame (broadcast
+    — O(#bins·#baselines) rows at any scale). Residuals are exact
+    integer-ratio arithmetic; no ROUND crosses the engine boundary."""
+    from codex_africanus_spark.functions.deterministic import qsum, quantize
+
+    per_chan = (
+        vis.withColumn(
+            "tbin", F.floor(F.col("time") / F.lit(bin_secs)).cast("long")
+        )
+        .groupBy("tbin", "antenna1", "antenna2", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samp"),
+            qsum(F.col("vis_re"), 1e6).alias("re_q"),
+            qsum(F.col("vis_im"), 1e6).alias("im_q"),
+        )
+        .select(
+            "tbin", "antenna1", "antenna2",
+            F.col("chan").cast("long").alias("x"),
+            "n_samp",
+            # per-chan MEAN re-quantized to INTEGER micro-units before
+            # the fit aggregation (quantize-before-aggregate: a float
+            # mean summed by the fit agg would be partition-order
+            # dependent at the ULP level)
+            quantize(F.col("re_q") / F.col("n_samp"), 1.0).alias("re_mean"),
+            quantize(F.col("im_q") / F.col("n_samp"), 1.0).alias("im_mean"),
+        )
+    )
+    fit = per_chan.groupBy("tbin", "antenna1", "antenna2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("re_mean").alias("syr"),
+        F.sum(F.col("x") * F.col("re_mean")).alias("sxyr"),
+        F.sum("im_mean").alias("syi"),
+        F.sum(F.col("x") * F.col("im_mean")).alias("sxyi"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fitted = fit.filter(den != 0).select(
+        "tbin", "antenna1", "antenna2",
+        ((F.col("n") * F.col("sxyr") - F.col("sx") * F.col("syr")) / den).alias("br"),
+        ((F.col("syr") * F.col("sxx") - F.col("sx") * F.col("sxyr")) / den).alias("ar"),
+        ((F.col("n") * F.col("sxyi") - F.col("sx") * F.col("syi")) / den).alias("bi"),
+        ((F.col("syi") * F.col("sxx") - F.col("sx") * F.col("sxyi")) / den).alias("ai"),
+    )
+    out = per_chan.join(F.broadcast(fitted), ["tbin", "antenna1", "antenna2"])
+    return out.select(
+        "tbin", "antenna1", "antenna2",
+        F.col("x").alias("chan"),
+        "n_samp",
+        ((F.col("re_mean") - (F.col("ar") + F.col("br") * F.col("x"))) / F.lit(1e6))
+        .alias("line_re"),
+        ((F.col("im_mean") - (F.col("ai") + F.col("bi") * F.col("x"))) / F.lit(1e6))
+        .alias("line_im"),
+    )
+
+
+UVLIN_SQL = """
+    , per_chan AS (
+      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+             antenna1, antenna2, CAST(chan AS BIGINT) AS x,
+             COUNT(*) AS n_samp,
+             CAST(ROUND((CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT))
+               AS BIGINT) / COUNT(*)) * 1.0) AS BIGINT) AS re_mean,
+             CAST(ROUND((CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT))
+               AS BIGINT) / COUNT(*)) * 1.0) AS BIGINT) AS im_mean
+      FROM vis
+      GROUP BY 1, 2, 3, 4
+    ),
+    fit AS (
+      SELECT tbin, antenna1, antenna2,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(re_mean) AS BIGINT) AS syr,
+             CAST(SUM(x * re_mean) AS BIGINT) AS sxyr,
+             CAST(SUM(im_mean) AS BIGINT) AS syi,
+             CAST(SUM(x * im_mean) AS BIGINT) AS sxyi
+      FROM per_chan
+      GROUP BY 1, 2, 3
+    ),
+    fitted AS (
+      SELECT tbin, antenna1, antenna2,
+             (n * sxyr - sx * syr) / (n * sxx - sx * sx) AS br,
+             (syr * sxx - sx * sxyr) / (n * sxx - sx * sx) AS ar,
+             (n * sxyi - sx * syi) / (n * sxx - sx * sx) AS bi,
+             (syi * sxx - sx * sxyi) / (n * sxx - sx * sx) AS ai
+      FROM fit
+      WHERE (n * sxx - sx * sx) <> 0
+    )
+    SELECT p.tbin AS tbin, p.antenna1 AS antenna1, p.antenna2 AS antenna2,
+           p.x AS chan, p.n_samp AS n_samp,
+           (p.re_mean - (f.ar + f.br * p.x)) / 1000000.0 AS line_re,
+           (p.im_mean - (f.ai + f.bi * p.x)) / 1000000.0 AS line_im
+    FROM per_chan p
+    JOIN fitted f ON f.tbin = p.tbin AND f.antenna1 = p.antenna1
+                 AND f.antenna2 = p.antenna2
+    ORDER BY tbin, antenna1, antenna2, chan
+"""
