@@ -816,14 +816,34 @@ def pq_topk(
     Exact fixed-point arithmetic end-to-end → the approximate distances
     themselves are oracled."""
     cb = _pq_codebook(embeddings)
-    ms = embeddings.select(
+    dists = _pq_dists(embeddings, cb)
+    codes = _pq_codes_from_dists(dists)
+    qtab = dists.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("k").alias("qk"),
+        "d2",
+    )
+    return _pq_adc_topk(codes, qtab, embeddings, k)
+
+
+def _pq_dists(frame: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, k, d2): quantized subvector distances of every vector
+    in `frame` to every codebook centroid — ONE definition shared by the
+    inline pq_topk (full corpus, reused for codes AND query tables) and
+    the persisted tiers (full corpus at build, probe subset at query)."""
+    ms = frame.select(
         "vec_id", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
         "embedding",
     ).select("vec_id", "m", _subvec("embedding").alias("sv"))
-    dists = ms.join(F.broadcast(cb), "m").select(
+    return ms.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "k", _qdist2_unrolled("sv", "centroid", dim=PQ_D).alias("d2")
     )
-    codes = (
+
+
+def _pq_codes_from_dists(dists: DataFrame) -> DataFrame:
+    """Nearest-code assignment (vec_id, m, code), (d2, k) tie-break."""
+    return (
         dists.withColumn(
             "rk",
             F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d2", "k")),
@@ -831,12 +851,13 @@ def pq_topk(
         .filter(F.col("rk") == 1)
         .select("vec_id", "m", F.col("k").alias("code"))
     )
-    qtab = dists.filter(F.col("vec_id") % query_modulus == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("m").alias("qm"),
-        F.col("k").alias("qk"),
-        "d2",
-    )
+
+
+def _pq_adc_topk(
+    codes: DataFrame, qtab: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """ADC lookup-sum over the codes, shortlist, exact full-vector
+    rerank — the shared second half of every PQ tier."""
     pairs = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(qtab, (F.col("qm") == F.col("m")) & (F.col("qk") == F.col("code")))
@@ -874,6 +895,65 @@ def pq_topk(
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "rank", "neighbor_id", "d2"
     )
+
+
+def build_pq_index(
+    embeddings: DataFrame, root: str, n_vecs: int | None = None
+) -> None:
+    """Persist the PQ index — codebook + M-byte-per-vector codes (the
+    expensive full-corpus assignment pass) — through the snapshot sink
+    with the META fingerprint committed last (same contract as
+    build_ivf_index)."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    spark = embeddings.sparkSession
+    n_vecs = embeddings.count() if n_vecs is None else n_vecs
+    cb = _pq_codebook(embeddings)
+    codes = _pq_codes_from_dists(_pq_dists(embeddings, cb))
+    snap.commit(cb, f"{root}/codebook", mode="overwrite")
+    snap.commit(codes, f"{root}/codes", mode="overwrite")
+    meta = spark.createDataFrame(
+        [(IVF_INDEX_FORMAT, n_vecs, PQ_M * 1000 + PQ_K)],
+        "format int, n_vecs long, cell_target int",
+    )
+    snap.commit(meta, f"{root}/meta", mode="overwrite")
+
+
+def pq_persisted_topk(
+    spark, embeddings: DataFrame, root: str, query_modulus: int = 125, k: int = 5
+) -> DataFrame:
+    """Build-once/probe-many PQ: codes + codebook come from the
+    snapshot; only the PROBE SUBSET's distance tables are computed at
+    query time (queries × M × K rows — the per-query cost drops from a
+    full-corpus assignment to a probe-sized table build). The exact
+    rerank reads full vectors from the raw corpus scan, as deployment
+    would."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    n_vecs = embeddings.count()
+    fresh = False
+    try:
+        rows = snap.read_snapshot(spark, f"{root}/meta").collect()
+        fresh = (
+            len(rows) == 1
+            and rows[0]["format"] == IVF_INDEX_FORMAT
+            and rows[0]["n_vecs"] == n_vecs
+            and rows[0]["cell_target"] == PQ_M * 1000 + PQ_K
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        build_pq_index(embeddings, root, n_vecs=n_vecs)
+    cb = snap.read_snapshot(spark, f"{root}/codebook")
+    codes = snap.read_snapshot(spark, f"{root}/codes")
+    probes = embeddings.filter(F.col("vec_id") % query_modulus == 0)
+    qtab = _pq_dists(probes, cb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("k").alias("qk"),
+        "d2",
+    )
+    return _pq_adc_topk(codes, qtab, embeddings, k)
 
 
 def PQ_SQL(query_modulus: int = 125, k: int = 5) -> str:

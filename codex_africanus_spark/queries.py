@@ -7138,6 +7138,22 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_persisted_topk", sim_op.PQ_SQL())
+def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many PQ ANN: codebook + per-vector codes served
+    from the snapshot sink (META-fingerprinted, same contract as the
+    persisted IVF tier); only the probe subset's ADC distance tables
+    are built at query time. Same exact oracle as ann_pq_topk — the
+    index is deterministic fixed-point."""
+    import os
+    import tempfile
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{tempfile.gettempdir()}/cas_ann_pq/{tag}"
+    return sim_op.pq_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
+
+
 @register("ann_pq_topk", sim_op.PQ_SQL())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011 structure) with

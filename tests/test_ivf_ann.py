@@ -152,3 +152,16 @@ def test_persisted_ivf_probe_plan_and_parity(spark, sf_dir, tmp_path):
     v_before = snap.latest_version(f"{root}/assign")
     sim.ivf_persisted_topk(spark, emb, root).collect()
     assert snap.latest_version(f"{root}/assign") == v_before
+
+
+def test_persisted_pq_matches_inline_and_skips_rebuild(spark, sf_dir, tmp_path):
+    emb = load(spark, "embeddings", sf_dir)
+    root = str(tmp_path / "pq")
+    a = sorted(map(tuple, sim.pq_persisted_topk(spark, emb, root).collect()))
+    b = sorted(map(tuple, sim.pq_topk(emb).collect()))
+    assert a == b and len(a) > 0
+    from codex_africanus_spark.sources import snapshot as snap
+
+    v = snap.latest_version(f"{root}/codes")
+    sim.pq_persisted_topk(spark, emb, root).collect()
+    assert snap.latest_version(f"{root}/codes") == v
