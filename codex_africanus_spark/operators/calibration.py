@@ -471,6 +471,9 @@ def uvlin_continuum_subtract(vis: DataFrame, bin_secs: float = 2_592_000.0) -> D
             quantize(F.col("im_q") / F.col("n_samp"), 1.0).alias("im_mean"),
         )
     )
+    # consumed by the fit subtree AND as the join probe side —
+    # materialize instead of re-running the full-scan collapse twice
+    per_chan = per_chan.persist()
     fit = per_chan.groupBy("tbin", "antenna1", "antenna2").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -500,9 +503,12 @@ def uvlin_continuum_subtract(vis: DataFrame, bin_secs: float = 2_592_000.0) -> D
     )
 
 
-UVLIN_SQL = """
+def UVLIN_SQL(bin_secs: float = 2_592_000.0) -> str:
+    """DuckDB mirror of uvlin_continuum_subtract, parameterized by the
+    SAME bin width so a non-default call cannot desync the engines."""
+    return f"""
     , per_chan AS (
-      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+      SELECT CAST(FLOOR(time / {bin_secs!r}) AS BIGINT) AS tbin,
              antenna1, antenna2, CAST(chan AS BIGINT) AS x,
              COUNT(*) AS n_samp,
              CAST(ROUND((CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT))
@@ -542,3 +548,94 @@ UVLIN_SQL = """
                  AND f.antenna2 = p.antenna2
     ORDER BY tbin, antenna1, antenna2, chan
 """
+
+
+RFI_K2 = 9  # flag |z| > 3: d² > K²·(nQ − S²)
+
+
+def rfi_zscore_report(
+    vis: DataFrame, k2: int = RFI_K2, bin_secs: float = 2_592_000.0
+) -> DataFrame:
+    """Amplitude-outlier RFI detector (aoflagger-style first pass):
+    within each (baseline, chan, time-bin) population, flag samples
+    whose |z| exceeds √k2 — decided ENTIRELY in exact integers
+    (d² > k2·(nQ−S²) with d = amp_q·n − S). The quadratic terms are
+    computed in 128-bit integer space (Spark DECIMAL(38,0) ↔ DuckDB
+    HUGEINT), so the decision neither overflows nor desyncs even when
+    per-bin populations reach millions of samples; d² stays within
+    10³⁸ for any n·amp_q < 10¹⁹. Two aggregations + one co-partitioned
+    stats join; output is the per-baseline RFI occupancy report."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    samp = vis.select(
+        F.floor(F.col("time") / F.lit(bin_secs)).cast("long").alias("tbin"),
+        "antenna1", "antenna2", "chan", "row_id",
+        quantize(
+            F.sqrt(
+                F.col("vis_re") * F.col("vis_re")
+                + F.col("vis_im") * F.col("vis_im")
+            ),
+            1e3,
+        ).alias("amp_q"),
+    )
+    stats = samp.groupBy("tbin", "antenna1", "antenna2", "chan").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("amp_q").cast(dec)).alias("s"),
+        F.sum((F.col("amp_q") * F.col("amp_q")).cast(dec)).alias("q"),
+    )
+    j = samp.join(stats, ["tbin", "antenna1", "antenna2", "chan"])
+    d = F.col("amp_q").cast(dec) * F.col("n").cast(dec) - F.col("s")
+    rhs = F.lit(k2).cast(dec) * (
+        F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s")
+    )
+    rfi = F.when((F.col("n") > 1) & (d * d > rhs), 1).otherwise(0)
+    return (
+        j.select("antenna1", "antenna2", rfi.alias("rfi"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("rfi").alias("n_rfi_flagged"),
+            ((F.sum("rfi") * 1000000) / F.count(F.lit(1))).alias("rfi_ppm"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+def RFI_SQL(k2: int = RFI_K2, bin_secs: float = 2_592_000.0) -> str:
+    """DuckDB mirror of rfi_zscore_report — the decision arithmetic in
+    HUGEINT matches Spark's DECIMAL(38,0) exactly on these integers."""
+    return f"""
+    , samp AS (
+      SELECT CAST(FLOOR(time / {bin_secs!r}) AS BIGINT) AS tbin,
+             antenna1, antenna2, chan, row_id,
+             CAST(ROUND(sqrt(vis_re * vis_re + vis_im * vis_im) * 1000.0)
+                  AS BIGINT) AS amp_q
+      FROM vis
+    ),
+    stats AS (
+      SELECT tbin, antenna1, antenna2, chan,
+             COUNT(*) AS n,
+             SUM(CAST(amp_q AS HUGEINT)) AS s,
+             SUM(CAST(amp_q AS HUGEINT) * amp_q) AS q
+      FROM samp GROUP BY 1, 2, 3, 4
+    ),
+    flagged AS (
+      SELECT p.antenna1 AS antenna1, p.antenna2 AS antenna2,
+             CASE WHEN t.n > 1 AND
+                  (CAST(p.amp_q AS HUGEINT) * t.n - t.s)
+                    * (CAST(p.amp_q AS HUGEINT) * t.n - t.s)
+                    > {k2} * (t.n * t.q - t.s * t.s)
+                  THEN 1 ELSE 0 END AS rfi
+      FROM samp p
+      JOIN stats t ON t.tbin = p.tbin AND t.antenna1 = p.antenna1
+                  AND t.antenna2 = p.antenna2 AND t.chan = p.chan
+    )
+    SELECT antenna1, antenna2,
+           COUNT(*) AS n_samples,
+           CAST(SUM(rfi) AS BIGINT) AS n_rfi_flagged,
+           (CAST(SUM(rfi) AS BIGINT) * 1000000) / COUNT(*) AS rfi_ppm
+    FROM flagged
+    GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """

@@ -527,51 +527,78 @@ def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
-IVF_INDEX_FORMAT = 1  # bump when quantization/probe constants change
+IVF_INDEX_FORMAT = 1  # bump when IVF quantization/probe constants change
+PQ_INDEX_FORMAT = 1  # bump when PQ codebook/ADC constants change
 
 
-def build_ivf_index(
-    embeddings: DataFrame, root: str, n_vecs: int | None = None
-) -> None:
-    """Materialize the IVF index — centroids + nearest-cell assignment
-    (via the shared _ivf_build, so the persisted arithmetic can never
-    fork from the inline ivf_topk's) — through the transactional
-    snapshot sink, then a META fingerprint (format version, corpus row
-    count, CELL_TARGET) committed LAST: a crash mid-build leaves no
-    meta, which reads as stale and triggers a rebuild. All index values
-    are exact fixed-point, so a probe over the persisted index is
-    bit-identical to the build-inline path."""
+def _corpus_fingerprint(embeddings: DataFrame):
+    """(n_vecs, checksum): an order-independent CONTENT fingerprint of
+    the corpus — sum of xxhash64(vec_id, embedding) — so a persisted
+    index built over different data of the same size (or the same path
+    re-generated) is detected as stale. One narrow scan; far cheaper
+    than the index build it guards."""
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("vec_id", "embedding")).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"] or 0)
+
+
+def _write_index_meta(spark, root: str, fingerprint: tuple) -> None:
+    """Commit the META fingerprint LAST: a crash mid-build leaves no
+    meta, which reads as stale and triggers a rebuild."""
     from codex_africanus_spark.sources import snapshot as snap
 
-    spark = embeddings.sparkSession
-    n_vecs = embeddings.count() if n_vecs is None else n_vecs
-    cent, assign = _ivf_build(embeddings, n_vecs=n_vecs)
-    snap.commit(cent, f"{root}/centroids", mode="overwrite")
-    snap.commit(assign, f"{root}/assign", mode="overwrite")
+    fmt, n_vecs, chk, constants = fingerprint
     meta = spark.createDataFrame(
-        [(IVF_INDEX_FORMAT, n_vecs, CELL_TARGET)],
-        "format int, n_vecs long, cell_target int",
+        [(fmt, n_vecs, chk, constants)],
+        "format int, n_vecs long, checksum long, constants string",
     )
     snap.commit(meta, f"{root}/meta", mode="overwrite")
 
 
-def _ivf_index_fresh(spark, root: str, n_vecs: int) -> bool:
-    """Fingerprint check: the persisted index is served only when its
-    meta matches this code's format version, the corpus row count, and
-    CELL_TARGET — a count-only check would silently serve an index
-    built by older constants over different data of the same size."""
+def _index_fresh(spark, root: str, fingerprint: tuple) -> bool:
+    """The persisted index is served only when its meta matches the
+    full fingerprint (format version, corpus row count, content
+    checksum, constants string) — shared by the IVF and PQ tiers."""
     from codex_africanus_spark.sources import snapshot as snap
 
     try:
         rows = snap.read_snapshot(spark, f"{root}/meta").collect()
     except Exception:
         return False
+    fmt, n_vecs, chk, constants = fingerprint
     return (
         len(rows) == 1
-        and rows[0]["format"] == IVF_INDEX_FORMAT
+        and rows[0]["format"] == fmt
         and rows[0]["n_vecs"] == n_vecs
-        and rows[0]["cell_target"] == CELL_TARGET
+        and rows[0]["checksum"] == chk
+        and rows[0]["constants"] == constants
     )
+
+
+def _ivf_fingerprint(n_vecs: int, chk: int) -> tuple:
+    return (IVF_INDEX_FORMAT, n_vecs, chk, f"cell_target={CELL_TARGET}")
+
+
+def build_ivf_index(
+    embeddings: DataFrame, root: str, fingerprint: tuple | None = None
+) -> None:
+    """Materialize the IVF index — centroids + nearest-cell assignment
+    (via the shared _ivf_build, so the persisted arithmetic can never
+    fork from the inline ivf_topk's) — through the transactional
+    snapshot sink, then the META fingerprint. All index values are
+    exact fixed-point, so a probe over the persisted index is
+    bit-identical to the build-inline path."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    spark = embeddings.sparkSession
+    if fingerprint is None:
+        fingerprint = _ivf_fingerprint(*_corpus_fingerprint(embeddings))
+    cent, assign = _ivf_build(embeddings, n_vecs=fingerprint[1])
+    snap.commit(cent, f"{root}/centroids", mode="overwrite")
+    snap.commit(assign, f"{root}/assign", mode="overwrite")
+    _write_index_meta(spark, root, fingerprint)
 
 
 def ivf_probe_topk(
@@ -597,12 +624,13 @@ def ivf_persisted_topk(
     spark, embeddings: DataFrame, root: str, query_modulus: int = 125, k: int = 3
 ) -> DataFrame:
     """Build-once/probe-many entry: (re)build the persisted index only
-    when the meta fingerprint is absent or mismatched, then answer from
-    the snapshot. One driver-side count is shared between the freshness
-    check and the build."""
-    n_vecs = embeddings.count()
-    if not _ivf_index_fresh(spark, root, n_vecs):
-        build_ivf_index(embeddings, root, n_vecs=n_vecs)
+    when the meta fingerprint (format, row count, CONTENT checksum,
+    constants) is absent or mismatched, then answer from the snapshot.
+    The fingerprint scan is shared between the freshness check and the
+    build."""
+    fp = _ivf_fingerprint(*_corpus_fingerprint(embeddings))
+    if not _index_fresh(spark, root, fp):
+        build_ivf_index(embeddings, root, fingerprint=fp)
     return ivf_probe_topk(spark, root, query_modulus=query_modulus, k=k)
 
 
@@ -897,8 +925,17 @@ def _pq_adc_topk(
     )
 
 
+def _pq_fingerprint(n_vecs: int, chk: int) -> tuple:
+    return (
+        PQ_INDEX_FORMAT,
+        n_vecs,
+        chk,
+        f"pq_m={PQ_M},pq_k={PQ_K},pq_d={PQ_D}",
+    )
+
+
 def build_pq_index(
-    embeddings: DataFrame, root: str, n_vecs: int | None = None
+    embeddings: DataFrame, root: str, fingerprint: tuple | None = None
 ) -> None:
     """Persist the PQ index — codebook + M-byte-per-vector codes (the
     expensive full-corpus assignment pass) — through the snapshot sink
@@ -907,16 +944,13 @@ def build_pq_index(
     from codex_africanus_spark.sources import snapshot as snap
 
     spark = embeddings.sparkSession
-    n_vecs = embeddings.count() if n_vecs is None else n_vecs
+    if fingerprint is None:
+        fingerprint = _pq_fingerprint(*_corpus_fingerprint(embeddings))
     cb = _pq_codebook(embeddings)
     codes = _pq_codes_from_dists(_pq_dists(embeddings, cb))
     snap.commit(cb, f"{root}/codebook", mode="overwrite")
     snap.commit(codes, f"{root}/codes", mode="overwrite")
-    meta = spark.createDataFrame(
-        [(IVF_INDEX_FORMAT, n_vecs, PQ_M * 1000 + PQ_K)],
-        "format int, n_vecs long, cell_target int",
-    )
-    snap.commit(meta, f"{root}/meta", mode="overwrite")
+    _write_index_meta(spark, root, fingerprint)
 
 
 def pq_persisted_topk(
@@ -930,20 +964,9 @@ def pq_persisted_topk(
     would."""
     from codex_africanus_spark.sources import snapshot as snap
 
-    n_vecs = embeddings.count()
-    fresh = False
-    try:
-        rows = snap.read_snapshot(spark, f"{root}/meta").collect()
-        fresh = (
-            len(rows) == 1
-            and rows[0]["format"] == IVF_INDEX_FORMAT
-            and rows[0]["n_vecs"] == n_vecs
-            and rows[0]["cell_target"] == PQ_M * 1000 + PQ_K
-        )
-    except Exception:
-        fresh = False
-    if not fresh:
-        build_pq_index(embeddings, root, n_vecs=n_vecs)
+    fp = _pq_fingerprint(*_corpus_fingerprint(embeddings))
+    if not _index_fresh(spark, root, fp):
+        build_pq_index(embeddings, root, fingerprint=fp)
     cb = snap.read_snapshot(spark, f"{root}/codebook")
     codes = snap.read_snapshot(spark, f"{root}/codes")
     probes = embeddings.filter(F.col("vec_id") % query_modulus == 0)

@@ -1096,8 +1096,12 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import hashlib
+
     emb = load(spark, "embeddings", sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # key by the FULL path (hashed), not the basename: two corpora named
+    # sf0.01 under different parents must not share an index root
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = f"{tempfile.gettempdir()}/cas_ann_ivf/{tag}"
     return sim_op.ivf_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
 
@@ -1634,94 +1638,18 @@ def antenna_flag_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RFI_K2 = 9  # flag |z| > 3: d² > 9·(nQ − S²), all exact integers
-
-_RFI_SQL = _with_ms(
-    """
-    , samp AS (
-      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
-             antenna1, antenna2, chan, row_id,
-             CAST(ROUND(sqrt(vis_re * vis_re + vis_im * vis_im) * 1000.0)
-                  AS BIGINT) AS amp_q
-      FROM vis
-    ),
-    stats AS (
-      SELECT tbin, antenna1, antenna2, chan,
-             COUNT(*) AS n,
-             CAST(SUM(amp_q) AS BIGINT) AS s,
-             CAST(SUM(amp_q * amp_q) AS BIGINT) AS q
-      FROM samp GROUP BY 1, 2, 3, 4
-    ),
-    flagged AS (
-      SELECT p.antenna1 AS antenna1, p.antenna2 AS antenna2,
-             CASE WHEN t.n > 1 AND
-                  (p.amp_q * t.n - t.s) * (p.amp_q * t.n - t.s)
-                    > 9 * (t.n * t.q - t.s * t.s)
-                  THEN 1 ELSE 0 END AS rfi
-      FROM samp p
-      JOIN stats t ON t.tbin = p.tbin AND t.antenna1 = p.antenna1
-                  AND t.antenna2 = p.antenna2 AND t.chan = p.chan
-    )
-    SELECT antenna1, antenna2,
-           COUNT(*) AS n_samples,
-           CAST(SUM(rfi) AS BIGINT) AS n_rfi_flagged,
-           (CAST(SUM(rfi) AS BIGINT) * 1000000) / COUNT(*) AS rfi_ppm
-    FROM flagged
-    GROUP BY antenna1, antenna2
-    ORDER BY antenna1, antenna2
-    """
-)
-
-
-@register("rfi_zscore_flag_report", _RFI_SQL)
+@register("rfi_zscore_flag_report", _with_ms(cal_op.RFI_SQL()))
 def rfi_zscore_flag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amplitude-outlier RFI detector (aoflagger-style first pass):
-    within each (baseline, chan, time-bin) population, flag samples
-    whose |z| exceeds 3 — decided ENTIRELY in exact integers
-    (d² > K²·(nQ−S²) with d = amp_q·n − S), so the report is bit-exact
-    under any partitioning. Two aggregations + one co-partitioned stats
-    join; per-bin populations are bounded by the bin granularity at any
-    corpus size (the d² < 2⁶³ contract — same class of bound as qsum's
-    n·B·s). Output is the per-baseline RFI occupancy report."""
-    from codex_africanus_spark.functions.deterministic import quantize
-
+    flag samples with |z| > 3 within each (baseline, chan, time-bin)
+    population, decided entirely in exact 128-bit integers
+    (DECIMAL(38,0) ↔ HUGEINT — no int64 overflow at any per-bin
+    population); per-baseline occupancy report."""
     vis = tpch_ms.vis_table(spark, sf_dir)
-    samp = vis.select(
-        F.floor(F.col("time") / F.lit(2_592_000.0)).cast("long").alias("tbin"),
-        "antenna1", "antenna2", "chan", "row_id",
-        quantize(
-            F.sqrt(
-                F.col("vis_re") * F.col("vis_re")
-                + F.col("vis_im") * F.col("vis_im")
-            ),
-            1e3,
-        ).alias("amp_q"),
-    )
-    stats = samp.groupBy("tbin", "antenna1", "antenna2", "chan").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("amp_q").alias("s"),
-        F.sum(F.col("amp_q") * F.col("amp_q")).alias("q"),
-    )
-    j = samp.join(stats, ["tbin", "antenna1", "antenna2", "chan"])
-    d = F.col("amp_q") * F.col("n") - F.col("s")
-    rfi = F.when(
-        (F.col("n") > 1)
-        & (d * d > _RFI_K2 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))),
-        1,
-    ).otherwise(0)
-    return (
-        j.select("antenna1", "antenna2", rfi.alias("rfi"))
-        .groupBy("antenna1", "antenna2")
-        .agg(
-            F.count(F.lit(1)).alias("n_samples"),
-            F.sum("rfi").alias("n_rfi_flagged"),
-            ((F.sum("rfi") * 1000000) / F.count(F.lit(1))).alias("rfi_ppm"),
-        )
-        .orderBy("antenna1", "antenna2")
-    )
+    return cal_op.rfi_zscore_report(vis)
 
 
-@register("uvlin_continuum_subtract", _with_ms(cal_op.UVLIN_SQL))
+@register("uvlin_continuum_subtract", _with_ms(cal_op.UVLIN_SQL()))
 def uvlin_continuum_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UV-plane continuum subtraction (uvlin): fit re/im linearly in
     channel per (baseline, time-bin) from exact integer sums, subtract
@@ -6382,6 +6310,9 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = scored.select(
         "doc_id", "n_tokens", quantize(F.col("quality_score"), 1e6).alias("q_ppm")
     ).withColumn("bucket", F.expr("(1000000 - q_ppm) DIV 10000"))
+    # three consumers (local window, bucket totals, corpus total) — score
+    # the corpus once, not three times
+    s2 = s2.persist()
     wloc = (
         W.partitionBy("bucket")
         .orderBy(F.col("q_ppm").desc(), "doc_id")
@@ -7148,8 +7079,10 @@ def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import hashlib
+
     emb = load(spark, "embeddings", sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = f"{tempfile.gettempdir()}/cas_ann_pq/{tag}"
     return sim_op.pq_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
 
