@@ -582,7 +582,10 @@ def rfi_zscore_report(
     stats = samp.groupBy("tbin", "antenna1", "antenna2", "chan").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("amp_q").cast(dec)).alias("s"),
-        F.sum((F.col("amp_q") * F.col("amp_q")).cast(dec)).alias("q"),
+        # cast ONE factor before the multiply (mirrors the SQL twin's
+        # HUGEINT cast): amp_q*amp_q in LongType overflows int64 once
+        # amp_q exceeds ~3.04e9 — the product must form in decimal
+        F.sum(F.col("amp_q").cast(dec) * F.col("amp_q")).alias("q"),
     )
     j = samp.join(stats, ["tbin", "antenna1", "antenna2", "chan"])
     d = F.col("amp_q").cast(dec) * F.col("n").cast(dec) - F.col("s")

@@ -104,24 +104,34 @@ def lsh_banded(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
+_CKPT_ROOT: dict = {}  # applicationId -> base dir for per-frame ckpt subdirs
+
+
+def _cut_lineage(df: DataFrame, supersedes: DataFrame | None = None) -> DataFrame:
     """Eagerly materialize `df` AND truncate its logical lineage (what
     iterative loops need; persist alone keeps the plan, which doubles
     per round). Uses the RELIABLE checkpoint when the session has a
     checkpoint directory configured — fault-tolerant on a real cluster,
-    where an executor loss must recompute, and cleaned per
-    spark.cleaner.referenceTracking.cleanCheckpoints — and falls back to
+    where an executor loss must recompute — and falls back to
     localCheckpoint for local/dev sessions where no durable store is
-    available (executor loss there means the whole app died anyway)."""
+    available (executor loss there means the whole app died anyway).
+
+    Reliable checkpoints land in a per-frame directory (SparkContext
+    appends a fresh UUID on every setCheckpointDir call), recorded on
+    the returned frame, so loops can delete superseded rounds' files:
+    pass `supersedes=<previous checkpointed frame>` once the new frame
+    is safe to stand alone — its files are removed immediately, keeping
+    on-disk state bounded at O(1) rounds instead of O(iterations)
+    (round-5 advice: reliable checkpoints are never GC'd unless
+    spark.cleaner.referenceTracking.cleanCheckpoints is on, and that
+    defaults to false)."""
     sc = df.sparkSession.sparkContext
     try:
-        has_dir = sc._jsc.sc().checkpointDir().isDefined()
+        jssc = sc._jsc.sc()
+        has_dir = jssc.checkpointDir().isDefined()
     except Exception:
         has_dir = False
     if has_dir:
-        # Reliable checkpoints are NOT garbage-collected unless the
-        # cleaner conf is on (it defaults to false): every propagation
-        # round would leave files behind on a long-lived cluster.
         cleaner = sc.getConf().get(
             "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
         )
@@ -133,15 +143,41 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
             warnings.warn(
                 "checkpointDir is set but "
                 "spark.cleaner.referenceTracking.cleanCheckpoints is false: "
-                "iterative-loop checkpoints will accumulate on disk. Set it "
-                "to true (before session start) or clean the checkpoint "
-                "directory after runs.",
+                "non-superseded checkpoints (loop seeds / final frames) "
+                "persist on disk after the app; superseded rounds are "
+                "deleted eagerly by _cut_lineage.",
                 RuntimeWarning,
                 stacklevel=2,
             )
             _cut_lineage._warned_cleaner = True
-        return df.checkpoint(eager=True)
+        # re-setting the dir to a stable per-app root makes Spark mint a
+        # fresh UUID subdir for THIS frame's files — deletable in isolation
+        root = _CKPT_ROOT.setdefault(
+            sc.applicationId, jssc.checkpointDir().get()
+        )
+        sc.setCheckpointDir(root)
+        out = df.checkpoint(eager=True)
+        out._cas_ckpt_dir = jssc.checkpointDir().get()
+        if supersedes is not None:
+            _release_checkpoint(supersedes)
+        return out
+    # local checkpoints: block-manager state, freed by the ContextCleaner
+    # as the superseded frame's references drop — nothing on disk to delete
     return df.localCheckpoint(eager=True)
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Delete the reliable-checkpoint files backing a frame returned by
+    _cut_lineage. Only call once every consumer of `df` has either run
+    or been re-rooted on a NEWER eager checkpoint — after deletion an
+    executor loss cannot recompute from it."""
+    sub = getattr(df, "_cas_ckpt_dir", None)
+    if not sub:
+        return
+    df._cas_ckpt_dir = None
+    sc = df.sparkSession.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(sub)
+    p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def _pairs_from_banded(banded: DataFrame, with_sig_match: bool) -> DataFrame:
@@ -262,25 +298,33 @@ def near_dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
             ).alias("label"),
         )
     )
-    labels = _cut_lineage(labels)
+    # banded fed the edge checkpoint, bucket_min, and the seed — all
+    # consumed once labels materializes, so its files go with this call
+    labels = _cut_lineage(labels, supersedes=banded)
+    prev_ckpt = labels
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # each round's checkpoint supersedes the previous round's — disk
+        # state stays O(1) in iterations (plus edges + the live frame)
         new_labels = _cut_lineage(
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
                 F.col("label").alias("old_label"),
-            )
+            ),
+            supersedes=prev_ckpt,
         )
+        prev_ckpt = new_labels
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    _release_checkpoint(edges)  # the converged labels stand alone now
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (
         labels.join(F.broadcast(sizes), "label")

@@ -132,6 +132,27 @@ def test_keep_best_covers_every_cluster_once(spark, sf_dir):
     )
 
 
+def test_cut_lineage_bounds_checkpoint_disk(spark, sf_dir, tmp_path):
+    """Reliable-checkpoint mode (r5 advice): superseded propagation
+    rounds must be deleted eagerly, leaving O(1) on-disk state (the
+    converged labels) instead of O(iterations) after a clusters run."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        out = dedup_op.near_dup_clusters(load(spark, "documents", sf_dir))
+        assert out.count() > 0
+        root = dedup_op._CKPT_ROOT[spark.sparkContext.applicationId]
+        base = root.replace("file:", "")
+        live = [
+            d for d in os.listdir(base)
+            if os.listdir(os.path.join(base, d))
+        ]
+        assert len(live) <= 1, f"leaked checkpoint dirs: {live}"
+    finally:
+        dedup_op._CKPT_ROOT.clear()
+
+
 def test_ngram_jaccard_stop_shingle_cap_bounds_fanout(spark):
     """One boilerplate trigram shared by ALL docs must not pair every
     probe with every doc: with the df cap the hot shingle is dropped
