@@ -362,3 +362,52 @@ def test_sliding_chunks_zero_shuffle(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     plan = plan_of(cur_op.sliding_window_chunks(docs))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_uvlin_single_fact_shuffle_broadcast_joinback(spark, sf_dir):
+    """UVLIN: ONE fact shuffle to (bin, baseline) keys; the per-channel
+    fit table joins back as a broadcast (diagnostic cardinality), never
+    a second fact-side exchange."""
+    plan = plan_of(registry()["uvlin_continuum_subtract"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delay_fit_is_two_agg_chain_no_join(spark, sf_dir):
+    """Delay/phase-slope fit: bin stats then per-baseline regression —
+    two aggregate exchanges, zero joins of any kind."""
+    plan = plan_of(registry()["fit_delay_phase_slope"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
+def test_cms_heavy_hitters_no_smj_no_cartesian(spark, sf_dir):
+    """CMS heavy hitters composes build + probe + exact verification:
+    everything after the first cell aggregate runs at sketch/hitter
+    cardinality — broadcast joins only, no fact-fact SMJ."""
+    plan = plan_of(registry()["cms_heavy_hitter_users"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_beam_sweep_single_grid_aggregate(spark, sf_dir):
+    """Restore-beam sweep: ONE distributed grid aggregate; the sweep
+    over beam widths is driver minor-cycle reuse, not extra scans."""
+    plan = plan_of(registry()["clean_restore_beam_sweep"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_persisted_ann_probes_bounded_exchanges(spark, sf_dir):
+    """Both persisted-ANN probe plans: ≤3 hash exchanges, broadcast
+    joins only (the assignment/codes fact tables are never shuffled),
+    and the IVF warm probe reads NO raw-corpus parquet at all."""
+    ivf = plan_of(registry()["ann_ivf_persisted_topk"].fn(spark, sf_dir))
+    pq = plan_of(registry()["ann_pq_persisted_topk"].fn(spark, sf_dir))
+    for plan in (ivf, pq):
+        assert plan.count("Exchange hashpartitioning") <= 3
+        assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in ivf

@@ -38,6 +38,17 @@ QUERIES = [
     "lsh_dedup_pr_eval", "kmeans_lloyd_stats", "pii_redaction_stats",
     "lsh_candidates_horizon", "pagerank_lsh_graph",
     "weighted_sample_documents", "clean_restore_image",
+    # round-5 additions
+    "rephase_visibilities", "ms_row_average_full",
+    "time_and_channel_average_full", "bda_sinc_decorrelation",
+    "closure_phases_triangles", "antenna_flag_statistics",
+    "rfi_zscore_flag_report", "uvlin_continuum_subtract",
+    "bandpass_autocorr_estimate", "fit_delay_phase_slope",
+    "stokes_general_circular_subset", "sliding_window_chunks",
+    "kmeans_nscaled_stats", "quality_threshold_sweep",
+    "token_budget_selection", "trigram_backoff_quality",
+    "cms_heavy_hitter_users", "clean_restore_beam_sweep",
+    "ann_ivf_persisted_topk", "ann_pq_persisted_topk",
 ]
 
 spark = (
