@@ -358,6 +358,7 @@ def _ivf_probe(
     query_modulus: int,
     k: int,
     broadcast_probe: bool = False,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """ONE definition of the IVF probe/rerank (shared by ivf_topk and
     ivf_probe_topk): rank the probe subset's cells (the sort window runs
@@ -375,7 +376,7 @@ def _ivf_probe(
             "cell_rank",
             F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
         )
-        .filter(F.col("cell_rank") <= N_PROBE)
+        .filter(F.col("cell_rank") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
     )
     q = probes.join(
@@ -431,7 +432,7 @@ def ivf_topk(
     return _ivf_probe(cent, assign, embeddings, query_modulus, k)
 
 
-def IVF_SQL(query_modulus: int = 125, k: int = 3) -> str:
+def IVF_SQL(query_modulus: int = 125, k: int = 3, n_probe: int = N_PROBE) -> str:
     dist = (
         f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
         f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]) * {DOT_SCALE}) AS BIGINT)))"
@@ -469,7 +470,7 @@ def IVF_SQL(query_modulus: int = 125, k: int = 3) -> str:
       ),
       probes AS (
         SELECT vec_id AS query_id, cid AS pcid
-        FROM ranked_cells WHERE cell_rank <= {N_PROBE} AND vec_id % {query_modulus} = 0
+        FROM ranked_cells WHERE cell_rank <= {n_probe} AND vec_id % {query_modulus} = 0
       ),
       q AS (
         SELECT p.query_id, p.pcid, a.embedding AS qe, a.nrm AS qnorm
@@ -701,6 +702,30 @@ def ivf_probe_topk(
     )
 
 
+def _ensure_ivf_index(spark, embeddings: DataFrame, root: str, deep_check: bool = False) -> None:
+    """Shared freshness gate for every persisted-IVF consumer. Warm
+    path: the driver-side source file-set digest matches the committed
+    META → serve the snapshot with NO scan or aggregate over the raw
+    corpus (the r5 verdict's #3 — probes must be O(probe), not
+    O(corpus)). Cold or mismatched path: fall back to the deep CONTENT
+    fingerprint, rebuild if it too mismatches, and refresh the META's
+    source digest so the next probe takes the warm path. deep_check=True
+    forces the content scan (use when passing a filtered view of the
+    source files)."""
+    src = _source_fingerprint(embeddings)
+    if not deep_check and _index_fresh_source(
+        spark, root, IVF_INDEX_FORMAT, _ivf_fingerprint(0, 0)[3], src
+    ):
+        return
+    fp = _ivf_fingerprint(*_corpus_fingerprint(embeddings))
+    if not _index_fresh(spark, root, fp):
+        build_ivf_index(embeddings, root, fingerprint=fp, source_fp=src)
+    else:
+        # content matches but the file-set digest moved (e.g. the corpus
+        # was rewritten byte-identical): refresh META so probes re-warm
+        _write_index_meta(spark, root, fp, src)
+
+
 def ivf_persisted_topk(
     spark,
     embeddings: DataFrame,
@@ -709,27 +734,163 @@ def ivf_persisted_topk(
     k: int = 3,
     deep_check: bool = False,
 ) -> DataFrame:
-    """Build-once/probe-many entry. Warm path: the driver-side source
-    file-set digest matches the committed META → answer straight from
-    the snapshot with NO scan or aggregate over the raw corpus (the
-    r5 verdict's #3 — probes must be O(probe), not O(corpus)). Cold or
-    mismatched path: fall back to the deep CONTENT fingerprint, rebuild
-    if it too mismatches, and refresh the META's source digest so the
-    next probe takes the warm path. deep_check=True forces the content
-    scan (use when passing a filtered view of the source files)."""
-    src = _source_fingerprint(embeddings)
-    if not deep_check and _index_fresh_source(
-        spark, root, IVF_INDEX_FORMAT, _ivf_fingerprint(0, 0)[3], src
-    ):
-        return ivf_probe_topk(spark, root, query_modulus=query_modulus, k=k)
-    fp = _ivf_fingerprint(*_corpus_fingerprint(embeddings))
-    if not _index_fresh(spark, root, fp):
-        build_ivf_index(embeddings, root, fingerprint=fp, source_fp=src)
-    else:
-        # content matches but the file-set digest moved (e.g. the corpus
-        # was rewritten byte-identical): refresh META so probes re-warm
-        _write_index_meta(spark, root, fp, src)
+    """Build-once/probe-many entry: freshness via _ensure_ivf_index
+    (source-digest warm path, content-fingerprint cold path), then
+    answer from the snapshot."""
+    _ensure_ivf_index(spark, embeddings, root, deep_check=deep_check)
     return ivf_probe_topk(spark, root, query_modulus=query_modulus, k=k)
+
+
+def ivf_recall_vs_probes(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    query_modulus: int = 125,
+    k: int = 3,
+    probe_counts: tuple = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k-vs-n_probes sweep over the PERSISTED index — the tuning
+    curve an operator reads to pick the accuracy/cost point (faiss's
+    nprobe sweep), answered from the committed snapshot so the sweep
+    costs probes, not index rebuilds. The exact brute-force top-k is
+    computed once and each probe level joins against it; every tier is
+    deterministic fixed-point, so the whole curve is exactly oracled.
+
+    Output: (n_probes, n_queries, sum_hits, mean_recall) with
+    mean_recall = sum_hits / (k · n_queries) rounded to 6dp — integer
+    hit counts make the mean engine-independent."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    _ensure_ivf_index(spark, embeddings, root)
+    assign = snap.read_snapshot(spark, f"{root}/assign")
+    cent = snap.read_snapshot(spark, f"{root}/centroids")
+    exact = cosine_topk(embeddings, query_modulus, k).select(
+        "query_id", "neighbor_id"
+    )
+    levels = None
+    for np_ in probe_counts:
+        ivf = _ivf_probe(
+            cent, assign, assign, query_modulus, k,
+            broadcast_probe=True, n_probe=np_,
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        lvl = (
+            exact.join(ivf, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count_distinct("query_id").alias("n_queries"),
+                F.count("hit").alias("sum_hits"),
+            )
+            .select(
+                F.lit(np_).alias("n_probes"),
+                "n_queries",
+                "sum_hits",
+                F.round(
+                    F.col("sum_hits") / F.lit(k) / F.col("n_queries"), 6
+                ).alias("mean_recall"),
+            )
+        )
+        levels = lvl if levels is None else levels.unionByName(lvl)
+    return levels.orderBy("n_probes")
+
+
+def RECALL_VS_PROBES_SQL(
+    query_modulus: int = 125, k: int = 3, probe_counts: tuple = (1, 2, 4)
+) -> str:
+    """DuckDB twin of ivf_recall_vs_probes: recomputes the (identical,
+    deterministic) index inline per probe level and reduces to the same
+    (n_probes, n_queries, sum_hits, mean_recall) rows."""
+    level = """
+      SELECT {np} AS n_probes,
+             COUNT(DISTINCT e.query_id) AS n_queries,
+             COUNT(a.neighbor_id) AS sum_hits,
+             round(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE)
+                   / COUNT(DISTINCT e.query_id), 6) AS mean_recall
+      FROM ({exact}) e
+      LEFT JOIN ({ivf}) a USING (query_id, neighbor_id)
+    """
+    parts = [
+        level.format(
+            np=np_, k=k,
+            exact=COSINE_TOPK_SQL(query_modulus, k),
+            ivf=IVF_SQL(query_modulus, k, n_probe=np_),
+        )
+        for np_ in probe_counts
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY n_probes"
+    )
+
+
+def ivf_cell_balance(spark, embeddings: DataFrame, root: str) -> DataFrame:
+    """Per-cell occupancy report over the PERSISTED IVF assignment — the
+    index-health diagnostic (a skewed quantizer turns probes into
+    scans): (cid, n_vecs, share, skew_x1000 = cell size over the
+    perfectly-balanced mean, as an exact integer ratio). Probe-only:
+    reads the snapshot assignment, never the corpus."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    _ensure_ivf_index(spark, embeddings, root)
+    assign = snap.read_snapshot(spark, f"{root}/assign")
+    per_cell = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    totals = per_cell.agg(
+        F.sum("n_vecs").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(totals))
+        .select(
+            "cid",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
+            # integer-exact skew: 1000·n_vecs·n_cells / total
+            F.floor(
+                F.col("n_vecs") * F.lit(1000) * F.col("n_cells") / F.col("total")
+            ).cast("long").alias("skew_x1000"),
+        )
+        .orderBy("cid")
+    )
+
+
+def IVF_CELL_BALANCE_SQL() -> str:
+    return f"""
+  WITH p AS (
+    SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT)) AS cells
+    FROM embeddings
+  ),
+  dims AS (
+    SELECT vec_id % (SELECT cells FROM p) AS cid,
+           unnest(generate_series(0, len(embedding) - 1)) AS pos,
+           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+    FROM embeddings
+  ),
+  per_dim AS (
+    SELECT cid, pos, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+    FROM dims GROUP BY cid, pos
+  ),
+  cent AS (
+    SELECT cid, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY cid
+  ),
+  ranked_cells AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.embedding, c.centroid),
+               x -> CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2])
+                    * (CAST(x[1] AS DOUBLE) - x[2]) * {DOT_SCALE}) AS BIGINT))), c.cid
+           ) AS cell_rank
+    FROM embeddings e, cent c
+  ),
+  per_cell AS (
+    SELECT cid, COUNT(*) AS n_vecs FROM ranked_cells WHERE cell_rank = 1 GROUP BY cid
+  ),
+  totals AS (SELECT SUM(n_vecs) AS total, COUNT(*) AS n_cells FROM per_cell)
+  SELECT cid, n_vecs,
+         round(n_vecs / CAST(total AS DOUBLE), 6) AS share,
+         CAST(FLOOR(n_vecs * 1000 * n_cells / CAST(total AS DOUBLE)) AS BIGINT) AS skew_x1000
+  FROM per_cell, totals
+  ORDER BY cid
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1094,6 +1255,76 @@ def pq_persisted_topk(
         "d2",
     )
     return _pq_adc_topk(codes, qtab, embeddings, k)
+
+
+def pq_distortion_report(embeddings: DataFrame) -> DataFrame:
+    """Per-subspace PQ quantization distortion — the codebook-quality
+    metric (faiss's imbalance/quantization-error report): for every
+    (vector, subspace) the squared distance to its NEAREST code, reduced
+    to (m, n_vecs, mean_d2). Reuses the shared _pq_codebook/_pq_dists
+    kernels, so the report measures exactly the codebook the ANN tiers
+    serve. The per-cell sum accumulates in decimal(38,0) (quantized d2
+    values are ~1e13 each — a long sum overflows at corpus scale; same
+    lesson as _corpus_fingerprint) and the mean divides out DOT_SCALE."""
+    cb = _pq_codebook(embeddings)
+    mind = (
+        _pq_dists(embeddings, cb)
+        .groupBy("vec_id", "m")
+        .agg(F.min("d2").alias("d2min"))
+    )
+    return (
+        mind.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("d2min").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "m",
+            "n_vecs",
+            F.round(
+                F.col("sq").cast("double") / F.col("n_vecs") / F.lit(float(DOT_SCALE)), 6
+            ).alias("mean_d2"),
+        )
+        .orderBy("m")
+    )
+
+
+def PQ_DISTORTION_SQL() -> str:
+    d2 = (
+        f"list_sum(list_transform(list_zip(s.sv, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH cb_dims AS (
+        SELECT vec_id % {PQ_K} AS k,
+               CAST((unnest(generate_series(0, len(embedding) - 1)) // {PQ_D}) AS INT) AS m,
+               unnest(generate_series(0, len(embedding) - 1)) % {PQ_D} AS j,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      cb_per AS (
+        SELECT m, k, j, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM cb_dims GROUP BY m, k, j
+      ),
+      cb AS (
+        SELECT m, k, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY j) AS centroid
+        FROM cb_per GROUP BY m, k
+      ),
+      subs AS (
+        SELECT vec_id, m, list_slice(embedding, m * {PQ_D} + 1, (m + 1) * {PQ_D}) AS sv
+        FROM embeddings, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+      ),
+      mind AS (
+        SELECT s.vec_id, s.m, MIN({d2}) AS d2min
+        FROM subs s JOIN cb c ON c.m = s.m
+        GROUP BY s.vec_id, s.m
+      )
+      SELECT m, COUNT(*) AS n_vecs,
+             round(CAST(SUM(CAST(d2min AS HUGEINT)) AS DOUBLE) / COUNT(*)
+                   / {DOT_SCALE}, 6) AS mean_d2
+      FROM mind GROUP BY m ORDER BY m
+    """
 
 
 def PQ_SQL(query_modulus: int = 125, k: int = 5) -> str:

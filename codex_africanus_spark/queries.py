@@ -7219,3 +7219,49 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.scene_changes(
         mm_op.attach_binary_payload(load(spark, "documents", sf_dir))
     )
+
+
+# ===========================================================================
+# Round 6: ANN index evaluation tier (recall sweep, cell balance, distortion)
+# ===========================================================================
+
+
+def _ann_root(kind: str, sf_dir: str) -> str:
+    """Persisted-index root for a corpus: keyed by the FULL sf_dir path
+    (hashed) so two corpora with the same basename never share an index."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/cas_ann_{kind}/{tag}"
+
+
+@register("ann_recall_vs_probes_sweep", sim_op.RECALL_VS_PROBES_SQL())
+def ann_recall_vs_probes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 vs n_probes tuning curve over the PERSISTED IVF index
+    (faiss nprobe sweep): one exact brute-force pass, then each probe
+    level answers from the committed snapshot — the sweep costs probes,
+    not rebuilds. Deterministic fixed-point end-to-end, so the whole
+    accuracy/cost curve is exactly oracled."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.ivf_recall_vs_probes(spark, emb, _ann_root("ivf", sf_dir))
+
+
+@register("ann_ivf_cell_balance", sim_op.IVF_CELL_BALANCE_SQL())
+def ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report from the persisted assignment: per-cell
+    occupancy, share, and integer-exact skew vs the balanced mean. A
+    probe-only read of the snapshot — the corpus is never rescanned."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.ivf_cell_balance(spark, emb, _ann_root("ivf", sf_dir))
+
+
+@register("ann_pq_distortion_report", sim_op.PQ_DISTORTION_SQL())
+def ann_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (codebook quality):
+    mean squared distance to the nearest code per subspace, over the
+    shared _pq_codebook/_pq_dists kernels the ANN tiers serve. Sums
+    accumulate in decimal(38,0) (HUGEINT twin) — corpus-scale-safe."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.pq_distortion_report(emb)
