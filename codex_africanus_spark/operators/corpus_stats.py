@@ -471,3 +471,283 @@ def WEIGHTED_SAMPLE_SQL(k: int = SAMPLE_K) -> str:
              doc_id, source, weight_tokens, qkey
       FROM top ORDER BY rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Round 6: stratified sampling, eval split, DSIR weights, embedding dim stats
+# ---------------------------------------------------------------------------
+
+STRAT_K = 8  # A-ES sample size per stratum
+STRAT_BUCKETS = 8  # stage-1 buckets for the two-phase per-stratum top-k
+EVAL_PCT = 10  # stratified split: eval share per stratum, in percent
+
+
+def stratified_sample_per_source(documents: DataFrame, k: int = STRAT_K) -> DataFrame:
+    """Weight-proportional sample of k docs PER SOURCE (per-stratum
+    Efraimidis-Spirakis, the eval-set construction primitive): same
+    deterministic A-ES key as weighted_sample_documents, ranked within
+    each stratum.
+
+    Two-phase top-k so no single stratum ever needs a full sort: stage 1
+    ranks within (source, doc_id%B) buckets — bounded groups — and keeps
+    each bucket's top-k; stage 2 ranks the surviving B·k rows per
+    source. Top-k of a union of per-bucket top-ks IS the global
+    per-source top-k, so the oracle states the direct one-window form
+    and matches bit-for-bit."""
+    from codex_africanus_spark.functions.text import hash60
+
+    u = (hash60(F.col("text")) + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.size(F.split("text", " ")).cast("double")
+    qkey = F.round(F.log(u) / w * F.lit(float(_KQ))).cast("long")
+    keyed = documents.select(
+        "doc_id", "source", w.cast("long").alias("weight_tokens"), qkey.alias("qkey")
+    )
+    w1 = W.partitionBy("source", F.col("doc_id") % STRAT_BUCKETS).orderBy(
+        F.col("qkey").desc(), "doc_id"
+    )
+    survivors = (
+        keyed.withColumn("brn", F.row_number().over(w1))
+        .filter(F.col("brn") <= k)
+        .drop("brn")
+    )
+    w2 = W.partitionBy("source").orderBy(F.col("qkey").desc(), "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "weight_tokens", "qkey")
+    )
+
+
+def STRATIFIED_SAMPLE_SQL(k: int = STRAT_K) -> str:
+    from codex_africanus_spark.functions.text import hash60_sql
+
+    return f"""
+      WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS weight_tokens,
+               CAST(ROUND(ln(({hash60_sql('text')} + 1)
+                             / CAST({1 << 60} AS DOUBLE))
+                          / len(string_split(text, ' ')) * {_KQ}) AS BIGINT)
+                 AS qkey
+        FROM documents
+      ),
+      ranked AS (
+        SELECT source, doc_id, weight_tokens, qkey,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY qkey DESC, doc_id) AS BIGINT) AS rank
+        FROM keyed
+      )
+      SELECT source, rank, doc_id, weight_tokens, qkey
+      FROM ranked WHERE rank <= {k}
+      ORDER BY source, rank
+    """
+
+
+def stratified_eval_split(documents: DataFrame, pct: int = EVAL_PCT) -> DataFrame:
+    """Deterministic stratified train/eval split with EXACT per-stratum
+    proportions: within each source, docs rank by a split-dedicated hash
+    (independent of the A-ES sampling draw) and the first
+    floor(n·pct/100) become eval — integer arithmetic, so every engine
+    and every rerun draws the identical split. Output is the eval
+    assignment (bounded at pct% of the corpus) with its stratum rank.
+
+    Scale shape: one count-per-source partial agg (broadcast back) and
+    one per-stratum rank window — the same two-phase-able shape as the
+    stratified sampler; the output join is broadcast (sources are few)."""
+    from codex_africanus_spark.functions.text import hash60
+
+    skey = hash60(F.concat(F.lit("split|"), F.col("text")))
+    keyed = documents.select("doc_id", "source", skey.alias("skey"))
+    sizes = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("source").orderBy("skey", "doc_id")
+    ranked = keyed.withColumn("strat_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(sizes), "source")
+        .filter(F.col("strat_rank") <= F.floor(F.col("n_docs") * pct / 100))
+        .select(
+            "source", F.col("strat_rank").cast("long").alias("strat_rank"),
+            "doc_id", "n_docs",
+        )
+    )
+
+
+def STRATIFIED_SPLIT_SQL(pct: int = EVAL_PCT) -> str:
+    from codex_africanus_spark.functions.text import hash60_sql
+
+    return f"""
+      WITH keyed AS (
+        SELECT doc_id, source, {hash60_sql("concat('split|', text)")} AS skey
+        FROM documents
+      ),
+      sizes AS (SELECT source, COUNT(*) AS n_docs FROM keyed GROUP BY source),
+      ranked AS (
+        SELECT source, doc_id, skey,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY skey, doc_id) AS BIGINT) AS strat_rank
+        FROM keyed
+      )
+      SELECT r.source, r.strat_rank, r.doc_id, s.n_docs
+      FROM ranked r JOIN sizes s USING (source)
+      WHERE r.strat_rank <= CAST(FLOOR(s.n_docs * {pct} / 100) AS BIGINT)
+      ORDER BY r.source, r.strat_rank
+    """
+
+
+DSIR_BUCKETS = 1024  # hashed-bigram feature space (DSIR, Xie et al. 2023)
+_DSIR_Q = 1000000  # 1e-6 grid for the per-bucket log-ratio
+
+
+def dsir_importance_weights(documents: DataFrame) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    log importance weights: hashed-bigram features; per-doc
+    log w(doc) = Σ_f count_f(doc) · log(p̂_target(f) / p̂_raw(f)) with
+    add-one smoothing over the B-bucket feature space. Target = the
+    held-out eval stratum (doc_id % EVAL_MODULUS == 0), raw = the rest —
+    the "reweight toward the target distribution" curation primitive.
+
+    Exactness discipline: each bucket's log-ratio quantizes to a 1e-6
+    integer grid FIRST (the bigram_surprisal rule), then per-doc sums
+    are exact integer dot products with the doc's bucket counts.
+
+    Scale shape: bucket count tables are ≤B rows (broadcast); the
+    per-doc reduce is one groupBy at doc cardinality. No corpus-side
+    join larger than (doc, bucket) occurrences."""
+    from codex_africanus_spark.functions.text import hash60
+    from codex_africanus_spark.operators.curation import EVAL_MODULUS
+
+    docs = documents.filter(F.size(F.split("text", " ")) >= 2)
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    feats = docs.select(
+        "doc_id", F.explode(bigram_expr).alias("bg")
+    ).select("doc_id", (hash60(F.col("bg")) % DSIR_BUCKETS).alias("b"))
+    tgt = feats.filter(F.col("doc_id") % EVAL_MODULUS == 0)
+    raw = feats.filter(F.col("doc_id") % EVAL_MODULUS != 0)
+    tgt_c = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw_c = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_n = tgt.agg(F.count(F.lit(1)).alias("tn"))
+    raw_n = raw.agg(F.count(F.lit(1)).alias("rn"))
+    # per-bucket quantized log-ratio (buckets with zero mass on either
+    # side still get the smoothed ratio via the left joins below)
+    doc_b = raw.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    lrq = F.round(
+        (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                  / (F.col("tn") + F.lit(DSIR_BUCKETS)))
+            - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("rn") + F.lit(DSIR_BUCKETS)))
+        ) * F.lit(float(_DSIR_Q))
+    ).cast("long")
+    joined = (
+        doc_b.join(F.broadcast(tgt_c), "b", "left")
+        .join(F.broadcast(raw_c), "b", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(raw_n))
+        .select("doc_id", "c", lrq.alias("lrq"))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lrq")).alias("logw_q"),
+        )
+        .select(
+            "doc_id", "n_feats",
+            F.round(F.col("logw_q") / F.lit(float(_DSIR_Q)), 6).alias("log_weight"),
+        )
+    )
+
+
+def DSIR_SQL() -> str:
+    from codex_africanus_spark.functions.text import hash60_sql
+    from codex_africanus_spark.operators.curation import EVAL_MODULUS
+
+    return f"""
+      WITH feats AS (
+        SELECT doc_id, {hash60_sql("concat_ws(' ', w[i], w[i+1])")} % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+             UNNEST(range(1, len(w))) AS t(i)
+      ),
+      tgt AS (SELECT * FROM feats WHERE doc_id % {EVAL_MODULUS} = 0),
+      raw AS (SELECT * FROM feats WHERE doc_id % {EVAL_MODULUS} != 0),
+      tgt_c AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+      raw_c AS (SELECT b, COUNT(*) AS cr FROM raw GROUP BY b),
+      tgt_n AS (SELECT COUNT(*) AS tn FROM tgt),
+      raw_n AS (SELECT COUNT(*) AS rn FROM raw),
+      doc_b AS (SELECT doc_id, b, COUNT(*) AS c FROM raw GROUP BY doc_id, b),
+      joined AS (
+        SELECT d.doc_id, d.c,
+               CAST(ROUND((ln((COALESCE(t.ct, 0) + 1)
+                              / CAST(n1.tn + {DSIR_BUCKETS} AS DOUBLE))
+                           - ln((COALESCE(r.cr, 0) + 1)
+                                / CAST(n2.rn + {DSIR_BUCKETS} AS DOUBLE)))
+                          * {_DSIR_Q}) AS BIGINT) AS lrq
+        FROM doc_b d
+        LEFT JOIN tgt_c t USING (b)
+        LEFT JOIN raw_c r USING (b)
+        CROSS JOIN tgt_n n1 CROSS JOIN raw_n n2
+      )
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             round(SUM(c * lrq) / CAST({_DSIR_Q} AS DOUBLE), 6) AS log_weight
+      FROM joined GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_EMB_Q = 1000000  # 1e-6 per-value grid for dim statistics
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    pre-whitening / index-health pass (a dimension with runaway mean or
+    variance dominates L2 and starves the quantizers): exact fixed-point
+    sums per dim, accumulated in decimal(38,0) (HUGEINT twin) so the
+    pass survives corpus-scale row counts, then engine-identical
+    mean/variance. One posexplode + one partial-agg groupBy at dim
+    cardinality — the _centroids shuffle shape."""
+    dims = embeddings.select(F.posexplode("embedding").alias("pos", "val"))
+    per = dims.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.round(F.col("val").cast("double") * _EMB_Q).cast("decimal(38,0)")
+        ).alias("s1"),
+        F.sum(
+            (F.round(F.col("val").cast("double") * _EMB_Q).cast("decimal(38,0)")
+             * F.round(F.col("val").cast("double") * _EMB_Q).cast("long"))
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_vecs") / F.lit(float(_EMB_Q))
+    ex2 = (
+        F.col("s2").cast("double") / F.col("n_vecs")
+        / F.lit(float(_EMB_Q) * float(_EMB_Q))
+    )
+    return per.select(
+        "pos", "n_vecs",
+        F.round(mean, 9).alias("dim_mean"),
+        F.round(ex2 - mean * mean, 9).alias("dim_var"),
+    ).orderBy("pos")
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+  WITH dims AS (
+    SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+           unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+    FROM embeddings
+  ),
+  per AS (
+    SELECT pos, COUNT(*) AS n_vecs,
+           SUM(CAST(ROUND(val * {_EMB_Q}) AS HUGEINT)) AS s1,
+           SUM(CAST(ROUND(val * {_EMB_Q}) AS HUGEINT)
+               * CAST(ROUND(val * {_EMB_Q}) AS BIGINT)) AS s2
+    FROM dims GROUP BY pos
+  )
+  SELECT pos, n_vecs,
+         round(CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q}, 9) AS dim_mean,
+         round(CAST(s2 AS DOUBLE) / n_vecs / ({_EMB_Q}.0 * {_EMB_Q})
+               - (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q})
+                 * (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q}), 9) AS dim_var
+  FROM per ORDER BY pos
+"""

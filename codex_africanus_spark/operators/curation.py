@@ -354,6 +354,118 @@ DECONTAM_SQL = f"""
 """
 
 
+CONTAM_NGRAM = 3  # shingle width for the positional-overlap tier
+CONTAM_MIN_RUN = 3  # >=3 consecutive trigrams = >=5 shared consecutive words
+CONTAM_DF_MAX = 64  # boilerplate guard: shingles in more docs are dropped
+
+
+def contamination_span_report(docs: DataFrame) -> DataFrame:
+    """Longest VERBATIM shared span between each corpus doc and each
+    eval doc — the suffix-array-style contamination check that catches
+    what set-containment (eval_decontamination) cannot: a doc quoting a
+    50-word eval passage once has low shingle containment but an
+    unmistakable contiguous run.
+
+    Relational suffix-matching: positional trigram shingles on both
+    sides; matches on a (corpus_doc, eval_doc) pair at positions
+    (pc, pe) lie on diagonal d = pc − pe, and CONSECUTIVE matches along
+    a diagonal are exactly the verbatim runs — recovered with the
+    islands trick (pc − row_number() per (pair, d) group is constant
+    within a run). Reported span length in words = run + NGRAM − 1.
+
+    100 TB shape: eval side broadcasts (held-out sets are tiny by
+    definition); a global df-cap (CONTAM_DF_MAX, computed with one
+    partial-agg pass) drops boilerplate shingles so one hot trigram
+    cannot fan every corpus doc into every eval doc — the same guard as
+    the n-gram Jaccard tier's stop-shingle cap. The run window runs at
+    matched-pair cardinality (post-join, post-cap), partitioned by
+    (doc, eval_doc, d) — bounded groups, no corpus-wide sort."""
+    toks = fan_out(docs).filter(
+        F.size(F.split(F.col("text"), " ")) >= CONTAM_NGRAM
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {CONTAM_NGRAM - 1}), "
+                f"j -> concat_ws(' ', slice(split(text, ' '), j, {CONTAM_NGRAM})))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash31(F.col("gram")).alias("h"))
+    df_cap = (
+        sh.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= CONTAM_DF_MAX)
+        .select("h")
+    )
+    sh = sh.join(df_cap, "h")
+    ev = sh.filter(F.col("doc_id") % EVAL_MODULUS == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("pos").alias("pe"), "h"
+    )
+    corpus = sh.filter(F.col("doc_id") % EVAL_MODULUS != 0)
+    m = corpus.join(F.broadcast(ev), "h").select(
+        "doc_id", "eval_doc_id",
+        F.col("pos").alias("pc"),
+        (F.col("pos") - F.col("pe")).alias("d"),
+    )
+    w = Window.partitionBy("doc_id", "eval_doc_id", "d").orderBy("pc")
+    runs = (
+        m.withColumn("island", F.col("pc") - F.row_number().over(w))
+        .groupBy("doc_id", "eval_doc_id", "d", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("doc_id", "eval_doc_id")
+        .agg(
+            F.max("run").alias("max_run"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .filter(F.col("max_run") >= CONTAM_MIN_RUN)
+        .select(
+            "doc_id", "eval_doc_id", "max_run",
+            (F.col("max_run") + F.lit(CONTAM_NGRAM - 1)).alias("span_words"),
+            "n_runs",
+        )
+    )
+
+
+CONTAM_SPAN_SQL = f"""
+  WITH sh0 AS (
+    SELECT doc_id, j AS pos, {hash31_sql("concat_ws(' ', w[j], w[j+1], w[j+2])")} AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}),
+         UNNEST(range(1, len(w) - {CONTAM_NGRAM - 2})) AS t(j)
+  ),
+  keep AS (
+    SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh0)
+    GROUP BY h HAVING COUNT(*) <= {CONTAM_DF_MAX}
+  ),
+  sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (h)),
+  ev AS (SELECT doc_id AS eval_doc_id, pos AS pe, h FROM sh
+         WHERE doc_id % {EVAL_MODULUS} = 0),
+  corpus AS (SELECT * FROM sh WHERE doc_id % {EVAL_MODULUS} != 0),
+  m AS (
+    SELECT c.doc_id, e.eval_doc_id, c.pos AS pc, c.pos - e.pe AS d
+    FROM corpus c JOIN ev e USING (h)
+  ),
+  runs AS (
+    SELECT doc_id, eval_doc_id, d, island, COUNT(*) AS run
+    FROM (
+      SELECT doc_id, eval_doc_id, d, pc,
+             pc - row_number() OVER (
+               PARTITION BY doc_id, eval_doc_id, d ORDER BY pc) AS island
+      FROM m
+    ) GROUP BY doc_id, eval_doc_id, d, island
+  )
+  SELECT doc_id, eval_doc_id, MAX(run) AS max_run,
+         MAX(run) + {CONTAM_NGRAM - 1} AS span_words,
+         COUNT(*) AS n_runs
+  FROM runs GROUP BY doc_id, eval_doc_id
+  HAVING MAX(run) >= {CONTAM_MIN_RUN}
+  ORDER BY doc_id, eval_doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # 5. TF-IDF top terms per document
 # --------------------------------------------------------------------------

@@ -7265,3 +7265,52 @@ def ann_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in decimal(38,0) (HUGEINT twin) — corpus-scale-safe."""
     emb = load(spark, "embeddings", sf_dir)
     return sim_op.pq_distortion_report(emb)
+
+
+@register("contamination_span_report", cur_op.CONTAM_SPAN_SQL)
+def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim shared span per (corpus doc, eval doc) pair —
+    the positional (suffix-array-style) contamination tier that catches
+    contiguous quotation where set-containment dilutes: diagonal islands
+    over positional trigram matches, df-capped against boilerplate."""
+    return cur_op.contamination_span_report(
+        load(spark, "documents", sf_dir)
+    ).orderBy("doc_id", "eval_doc_id")
+
+
+@register("stratified_sample_per_source", cstat_op.STRATIFIED_SAMPLE_SQL())
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum A-ES weighted sample (k docs per source): the
+    deterministic eval-set construction primitive, two-phase top-k so no
+    stratum ever needs a full sort. Bit-rerunnable on any cluster."""
+    return cstat_op.stratified_sample_per_source(
+        load(spark, "documents", sf_dir)
+    ).orderBy("source", "rank")
+
+
+@register("stratified_eval_split", cstat_op.STRATIFIED_SPLIT_SQL())
+def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified train/eval split: within each source,
+    the first floor(n*pct/100) docs by a split-dedicated hash rank go to
+    eval — integer arithmetic end-to-end, identical on every engine."""
+    return cstat_op.stratified_eval_split(
+        load(spark, "documents", sf_dir)
+    ).orderBy("source", "strat_rank")
+
+
+@register("dsir_importance_weights", cstat_op.DSIR_SQL())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (hashed-bigram features, add-one
+    smoothing, target = held-out eval stratum): the reweight-toward-
+    target curation primitive, with per-bucket log-ratios quantized to
+    an integer grid before the per-doc integer dot product."""
+    return cstat_op.dsir_importance_weights(
+        load(spark, "documents", sf_dir)
+    ).orderBy("doc_id")
+
+
+@register("embedding_dim_stats", cstat_op.EMBEDDING_DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/variance (pre-whitening pass) with
+    decimal(38,0)-accumulated fixed-point sums — corpus-scale-safe."""
+    return cstat_op.embedding_dim_stats(load(spark, "embeddings", sf_dir))
