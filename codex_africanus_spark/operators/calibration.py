@@ -642,3 +642,268 @@ def RFI_SQL(k2: int = RFI_K2, bin_secs: float = 2_592_000.0) -> str:
     GROUP BY antenna1, antenna2
     ORDER BY antenna1, antenna2
     """
+
+
+# ---------------------------------------------------------------------------
+# Round 6: 2D fringe fit (delay + rate) and solution-interval gain interp
+# ---------------------------------------------------------------------------
+
+
+def fringe_fit_delay_rate(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """Per-baseline 2D fringe fit — the VLBI fringe-search diagnostic
+    extending fit_delay_slope to TWO regressors: visibility phase
+    against channel index (delay) AND time-bin index (rate),
+    φ ≈ φ₀ + b·chan + c·tbin, solved by Cramer's rule on the 3×3 normal
+    equations of exact integer sums (x's are small ints, y is the
+    1e-9-quantized phase; cf. the reference's per-antenna phase solver,
+    phase_only.py:243-340 — this is its baseline-resolved 2D precursor).
+
+    The time regressor is centred on the per-dataset min tbin (one 1-row
+    broadcast aggregate — the as-of clamp-bounds pattern) to keep the
+    determinant terms small; sums and determinants accumulate in
+    decimal(38,0) (triple products of sums overflow int64; HUGEINT
+    twin), and each output is a division of two exactly-computed
+    integers cast to double — bit-identical cross-engine with NO final
+    rounding (the fit_delay_phase_slope signed-rounding lesson).
+
+    One sample pass, one per-baseline aggregate, zero joins beyond the
+    1-row broadcast: scale-shape identical to fit_delay_slope."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    lo = vis.agg(
+        F.min(F.floor(F.col("time") / F.lit(bin_secs)).cast("long")).alias("lo")
+    )
+    samp = vis.crossJoin(F.broadcast(lo)).select(
+        "antenna1", "antenna2",
+        F.col("chan").cast("long").alias("x1"),
+        (F.floor(F.col("time") / F.lit(bin_secs)).cast("long") - F.col("lo")).alias("x2"),
+        quantize(F.atan2(F.col("vis_im"), F.col("vis_re")), 1e9).alias("y"),
+    )
+    g = samp.groupBy("antenna1", "antenna2").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum((F.col("x1").cast(dec) * F.col("x1"))).alias("s11"),
+        F.sum((F.col("x2").cast(dec) * F.col("x2"))).alias("s22"),
+        F.sum((F.col("x1").cast(dec) * F.col("x2"))).alias("s12"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1").cast(dec) * F.col("y"))).alias("s1y"),
+        F.sum((F.col("x2").cast(dec) * F.col("y"))).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det_b = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s2 * s1y)
+    )
+    # Cramer for c: third column of the normal matrix replaced by the
+    # y moments
+    det_c = (
+        n * (s11 * s2y - s12 * s1y)
+        - s1 * (s1 * s2y - s12 * sy)
+        + s2 * (s1 * s1y - s11 * sy)
+    )
+    det_a = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2)
+    )
+    # Outputs are 1e-12-quantized integers, NOT raw ratio doubles: the
+    # determinants exceed 2^53, and DuckDB's int128→double cast is not
+    # correctly rounded (measured 1-ulp drift vs Java BigDecimal), so the
+    # unrounded ratios differ in the last bit — the quantized grid
+    # absorbs it (picoradian precision).
+    from codex_africanus_spark.functions.deterministic import quantize as _qz
+
+    return g.filter(det != F.lit(0).cast(dec)).select(
+        "antenna1", "antenna2",
+        F.col("n").cast("long").alias("n_samp"),
+        _qz(det_b.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "delay_prad_per_chan"
+        ),
+        _qz(det_c.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "rate_prad_per_bin"
+        ),
+        _qz(det_a.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "phase0_prad"
+        ),
+    )
+
+
+def FRINGE_FIT_SQL(bin_secs: float = 2_592_000.0) -> str:
+    return f"""
+    , lo AS (
+      SELECT MIN(CAST(FLOOR(time / {bin_secs!r}) AS BIGINT)) AS lo FROM vis
+    ),
+    samp AS (
+      SELECT antenna1, antenna2,
+             CAST(chan AS HUGEINT) AS x1,
+             CAST(CAST(FLOOR(time / {bin_secs!r}) AS BIGINT) - lo.lo AS HUGEINT) AS x2,
+             CAST(CAST(ROUND(atan2(vis_im, vis_re) * 1000000000.0) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM vis, lo
+    ),
+    g AS (
+      SELECT antenna1, antenna2,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+             SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM samp GROUP BY antenna1, antenna2
+    )
+    SELECT antenna1, antenna2, CAST(n AS BIGINT) AS n_samp,
+           CAST(ROUND(CAST(n * (s1y * s22 - s12 * s2y)
+                - s1 * (sy * s22 - s2 * s2y)
+                + s2 * (sy * s12 - s2 * s1y) AS DOUBLE)
+             / CAST(n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+             / 1000000000.0 * 1000000000000.0) AS BIGINT) AS delay_prad_per_chan,
+           CAST(ROUND(CAST(n * (s11 * s2y - s12 * s1y)
+                - s1 * (s1 * s2y - s12 * sy)
+                + s2 * (s1 * s1y - s11 * sy) AS DOUBLE)
+             / CAST(n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+             / 1000000000.0 * 1000000000000.0) AS BIGINT) AS rate_prad_per_bin,
+           CAST(ROUND(CAST(sy * (s11 * s22 - s12 * s12)
+                - s1y * (s1 * s22 - s12 * s2)
+                + s2y * (s1 * s12 - s11 * s2) AS DOUBLE)
+             / CAST(n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+             / 1000000000.0 * 1000000000000.0) AS BIGINT) AS phase0_prad
+    FROM g
+    WHERE (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) <> 0
+    ORDER BY antenna1, antenna2
+    """
+
+
+def gains_time_interp(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """Solution-interval gain interpolation (CASA applycal
+    interp='linear'; cf. the reference's per-interval gain axes,
+    dde.py / the gains lookup in predict): per-antenna complex gain
+    solutions exist at time-bin CENTRES (k + 0.5)·bin; every visibility
+    row linearly interpolates its two bracketing solutions, clamped at
+    the dataset edges.
+
+    The solution table is synthesized deterministically over the
+    dataset's [lo, hi] bin span (closed-form amp/phase per (bin,
+    antenna) — the GAINS_SQL recipe with a time axis) and BROADCAST: the
+    fact side takes four broadcast hash joins (bracket × antenna1/2) and
+    never shuffles — the dimension-join discipline every gains lookup in
+    this engine follows. Interpolated gains quantize to the 1e-9 grid
+    (sign-aware, the signed-rounding rule)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    spark = vis.sparkSession
+    bounds = vis.agg(
+        F.min(F.floor(F.col("time") / F.lit(bin_secs)).cast("long")).alias("lo"),
+        F.max(F.floor(F.col("time") / F.lit(bin_secs)).cast("long")).alias("hi"),
+    )
+    b = bounds.collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    k = F.col("id") % (hi - lo + 1) + lo
+    ant = (F.col("id") / (hi - lo + 1)).cast("long")
+    phase = F.col("k") * F.lit(0.05) + F.col("antenna") * F.lit(0.3)
+    amp = (
+        F.lit(1.0) + F.col("antenna") / F.lit(50.0)
+        + (F.col("k") % 5) / F.lit(100.0)
+    )
+    sol = (
+        spark.range((hi - lo + 1) * 7)
+        .select(k.alias("k"), ant.cast("int").alias("antenna"))
+        .select(
+            "k", "antenna",
+            (amp * F.cos(phase)).alias("g_re"),
+            (amp * F.sin(phase)).alias("g_im"),
+        )
+    )
+    t = F.col("time") / F.lit(bin_secs) - F.lit(0.5)
+    k0 = F.least(
+        F.greatest(F.floor(t).cast("long"), F.lit(lo)), F.lit(hi - 1)
+    )
+    rows = vis.select(
+        "row_id", "antenna1", "antenna2",
+        k0.alias("k0"),
+        F.least(F.greatest(t - k0, F.lit(0.0)), F.lit(1.0)).alias("frac"),
+    )
+
+    def bracket(df, ant_col, tag):
+        g0 = sol.select(
+            F.col("k").alias("k0"), F.col("antenna").alias(ant_col),
+            F.col("g_re").alias(f"{tag}_re0"), F.col("g_im").alias(f"{tag}_im0"),
+        )
+        g1 = sol.select(
+            (F.col("k") - 1).alias("k0"), F.col("antenna").alias(ant_col),
+            F.col("g_re").alias(f"{tag}_re1"), F.col("g_im").alias(f"{tag}_im1"),
+        )
+        return (
+            df.join(F.broadcast(g0), ["k0", ant_col])
+            .join(F.broadcast(g1), ["k0", ant_col])
+        )
+
+    j = bracket(bracket(rows, "antenna1", "g1"), "antenna2", "g2")
+    lerp = lambda a, b: (F.lit(1.0) - F.col("frac")) * F.col(a) + F.col("frac") * F.col(b)  # noqa: E731
+    return j.select(
+        "row_id", "antenna1", "antenna2",
+        quantize(lerp("g1_re0", "g1_re1"), 1e9).alias("g1_re_q"),
+        quantize(lerp("g1_im0", "g1_im1"), 1e9).alias("g1_im_q"),
+        quantize(lerp("g2_re0", "g2_re1"), 1e9).alias("g2_re_q"),
+        quantize(lerp("g2_im0", "g2_im1"), 1e9).alias("g2_im_q"),
+    )
+
+
+def GAINS_INTERP_SQL(bin_secs: float = 2_592_000.0) -> str:
+    q = "CAST(ROUND(({x}) * 1000000000.0) AS BIGINT)"
+    lerp = "((1.0 - r.frac) * {a} + r.frac * {b})"
+    return f"""
+    , bounds AS (
+      SELECT MIN(CAST(FLOOR(time / {bin_secs!r}) AS BIGINT)) AS lo,
+             MAX(CAST(FLOOR(time / {bin_secs!r}) AS BIGINT)) AS hi
+      FROM vis
+    ),
+    kk AS (
+      SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS k FROM bounds
+    ),
+    sol AS (
+      SELECT kk.k AS k, CAST(a.range AS INT) AS antenna,
+             (1.0 + a.range / 50.0 + (kk.k % 5) / 100.0)
+               * cos(kk.k * 0.05 + a.range * 0.3) AS g_re,
+             (1.0 + a.range / 50.0 + (kk.k % 5) / 100.0)
+               * sin(kk.k * 0.05 + a.range * 0.3) AS g_im
+      FROM kk, range(7) a
+    ),
+    r AS (
+      SELECT row_id, antenna1, antenna2,
+             LEAST(GREATEST(CAST(FLOOR(time / {bin_secs!r} - 0.5) AS BIGINT),
+                            bounds.lo), bounds.hi - 1) AS k0,
+             LEAST(GREATEST((time / {bin_secs!r} - 0.5)
+                            - LEAST(GREATEST(CAST(FLOOR(time / {bin_secs!r} - 0.5)
+                                                  AS BIGINT),
+                                             bounds.lo), bounds.hi - 1),
+                            0.0), 1.0) AS frac
+      FROM vis, bounds
+    )
+    SELECT r.row_id, r.antenna1, r.antenna2,
+           {q.format(x=lerp.format(a='a0.g_re', b='a1.g_re'))} AS g1_re_q,
+           {q.format(x=lerp.format(a='a0.g_im', b='a1.g_im'))} AS g1_im_q,
+           {q.format(x=lerp.format(a='b0.g_re', b='b1.g_re'))} AS g2_re_q,
+           {q.format(x=lerp.format(a='b0.g_im', b='b1.g_im'))} AS g2_im_q
+    FROM r
+    JOIN sol a0 ON a0.k = r.k0 AND a0.antenna = r.antenna1
+    JOIN sol a1 ON a1.k = r.k0 + 1 AND a1.antenna = r.antenna1
+    JOIN sol b0 ON b0.k = r.k0 AND b0.antenna = r.antenna2
+    JOIN sol b1 ON b1.k = r.k0 + 1 AND b1.antenna = r.antenna2
+    ORDER BY r.row_id
+    """

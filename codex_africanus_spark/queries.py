@@ -7314,3 +7314,107 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding mean/variance (pre-whitening pass) with
     decimal(38,0)-accumulated fixed-point sums — corpus-scale-safe."""
     return cstat_op.embedding_dim_stats(load(spark, "embeddings", sf_dir))
+
+
+# ===========================================================================
+# Round 6: radio diagnostics — fringe fit, gain interp, weighted SPI, waterfall
+# ===========================================================================
+
+
+@register("fringe_fit_delay_rate", _with_ms(cal_op.FRINGE_FIT_SQL()))
+def fringe_fit_delay_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLBI-style 2D fringe fit per baseline: phase vs (channel, time
+    bin) solved by Cramer's rule over nine exact integer moments in
+    decimal(38,0) — delay AND rate from one aggregate chain, no joins
+    beyond a 1-row broadcast of the min time bin."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.fringe_fit_delay_rate(vis).orderBy("antenna1", "antenna2")
+
+
+@register("gains_time_linear_interp", _with_ms(cal_op.GAINS_INTERP_SQL()))
+def gains_time_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solution-interval gain interpolation (applycal interp='linear'):
+    every row linearly blends its two bracketing per-antenna solutions
+    (bin-centre grid, edge-clamped) through four BROADCAST joins — the
+    fact table never shuffles. 1e-9-quantized outputs."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.gains_time_interp(vis).orderBy("row_id")
+
+
+_SPI_WEIGHTED_ORACLE = _with_ms(
+    """
+    , samples AS (
+      SELECT source_id, c.range AS chan,
+             856000000.0 * (1 + c.range / 8.0) AS frequency,
+             flux_i * pow((856000000.0 * (1 + c.range / 8.0)) / ref_freq, spi)
+               AS flux,
+             1.0 + (c.range % 3) AS weight
+      FROM src, range(7) c
+    )
+    """
+    + spi_op.SPI_WEIGHTED_SQL_BODY
+)
+
+
+@register("spi_weighted_binned_fit", _SPI_WEIGHTED_ORACLE)
+def spi_weighted_binned_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SPI fit over channel-averaged bins — the averaging→fit
+    composition (reference: time_and_channel averaging feeding
+    component_spi): weighted 2-chan bin means with exact integer sums,
+    then closed-form weighted log-log least squares per source. Pure
+    Column expressions; no applyInPandas."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    freq = F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))
+    samples = src.crossJoin(chan).select(
+        "source_id",
+        "chan",
+        freq.alias("frequency"),
+        (F.col("flux_i") * F.pow(freq / F.col("ref_freq"), F.col("spi"))).alias("flux"),
+        (F.lit(1.0) + (F.col("chan") % 3)).alias("weight"),
+    )
+    return spi_op.spi_weighted_binned_fit(samples).orderBy("source_id")
+
+
+@register(
+    "flag_occupancy_waterfall",
+    _with_ms(
+        """
+        SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+               CAST(chan AS BIGINT) AS chan,
+               COUNT(*) AS n_samples,
+               CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_row,
+               CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_chan,
+               CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               (SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) * 1000000)
+                 / COUNT(*) AS occupancy_ppm
+        FROM vis
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    ),
+)
+def flag_occupancy_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-occupancy waterfall (time-bin × channel): the RFI/quality
+    heat map every observatory pipeline plots, as one partial-agg
+    groupBy over the two-tier flag columns — complements the
+    per-antenna rollup (antenna_flag_statistics) on the orthogonal
+    axes."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return (
+        vis.groupBy(
+            F.floor(F.col("time") / F.lit(2_592_000.0)).cast("long").alias("tbin"),
+            F.col("chan").cast("long").alias("chan"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("flag_row").cast("long")).alias("n_flag_row"),
+            F.sum(F.col("flag").cast("long")).alias("n_flag_chan"),
+            F.sum((F.col("flag") | F.col("flag_row")).cast("long")).alias("n_flagged"),
+            (
+                (F.sum((F.col("flag") | F.col("flag_row")).cast("long")) * 1000000)
+                / F.count(F.lit(1))
+            ).alias("occupancy_ppm"),
+        )
+        .orderBy("tbin", "chan")
+    )
