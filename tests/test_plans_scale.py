@@ -411,3 +411,43 @@ def test_persisted_ann_probes_bounded_exchanges(spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") <= 3
         assert "SortMergeJoin" not in plan
     assert "embeddings.parquet" not in ivf
+
+
+def test_gains_interp_all_joins_broadcast_no_fact_shuffle(spark, sf_dir):
+    """applycal-style interpolation: the vis fact table must reach the
+    output through broadcast joins only — zero fact-side hash
+    exchanges."""
+    plan = plan_of(registry()["gains_time_linear_interp"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_fringe_fit_single_baseline_aggregate(spark, sf_dir):
+    """2D fringe fit: one baseline-keyed aggregate exchange; the min-bin
+    centring enters as a broadcast, never a join shuffle."""
+    plan = plan_of(registry()["fringe_fit_delay_rate"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_flag_waterfall_single_aggregate(spark, sf_dir):
+    plan = plan_of(registry()["flag_occupancy_waterfall"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_contamination_span_no_cartesian_eval_broadcast(spark, sf_dir):
+    """The positional-overlap join must be an equi-join with the eval
+    side broadcast — never a cartesian or fact-fact SMJ."""
+    plan = plan_of(registry()["contamination_span_report"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_bucket_tables_broadcast(spark, sf_dir):
+    """DSIR: the B-bucket model tables and scalar totals must all enter
+    as broadcasts — the per-doc side never shuffles for the lookups."""
+    plan = plan_of(registry()["dsir_importance_weights"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 3
