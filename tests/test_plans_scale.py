@@ -368,6 +368,10 @@ def test_uvlin_single_fact_shuffle_broadcast_joinback(spark, sf_dir):
     """UVLIN: ONE fact shuffle to (bin, baseline) keys; the per-channel
     fit table joins back as a broadcast (diagnostic cardinality), never
     a second fact-side exchange."""
+    # an earlier run of this query (oracle parity) leaves its persisted
+    # fit frame in the CacheManager; the identical logical plan would
+    # then render as InMemoryTableScan and hide the joins under audit
+    spark.catalog.clearCache()
     plan = plan_of(registry()["uvlin_continuum_subtract"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
