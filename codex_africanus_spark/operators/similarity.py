@@ -1604,3 +1604,170 @@ def KMEANS_NSCALED_SQL(iters: int = KM_ITERS) -> str:
         f"AS BIGINT)) AS cells FROM embeddings),\n      "
     )
     return body.replace("WITH ", "WITH " + p_cte, 1)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: int8 scalar quantization (SQ8) ANN tier + recall evaluation
+# ---------------------------------------------------------------------------
+
+
+def _sq8_codes(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension min/max scalar quantization to 8-bit codes
+    (faiss SQ8): bounds come from one posexplode partial aggregate
+    (dim-cardinality, broadcast back as two 1-row arrays); code_i =
+    floor((v_i − lo_i)/(hi_i − lo_i)·255 + 0.5), degenerate dims
+    (hi == lo) code to 0. Integer codes ⇒ every downstream distance is
+    exact BIGINT arithmetic."""
+    per = (
+        embeddings.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+    )
+    bounds = per.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, lo, hi))), x -> x.lo)"
+        ).alias("los"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, lo, hi))), x -> x.hi)"
+        ).alias("his"),
+    )
+    code = F.expr(
+        "transform(sequence(1, size(embedding)), i -> CASE "
+        "WHEN element_at(his, i) = element_at(los, i) THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(FLOOR((CAST(element_at(embedding, i) AS DOUBLE) "
+        "- element_at(los, i)) / (element_at(his, i) - element_at(los, i)) "
+        "* 255 + 0.5) AS BIGINT) END)"
+    )
+    return embeddings.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", code.alias("code")
+    )
+
+
+def _sq8_d2(a: str, b: str, dim: int = EMB_DIM) -> F.Column:
+    """Exact integer squared L2 between two code arrays (unrolled)."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        f" * (element_at({a}, {i}) - element_at({b}, {i}))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
+
+
+def sq8_recall_eval(
+    embeddings: DataFrame, query_modulus: int = 125, k: int = 5
+) -> DataFrame:
+    """Recall@k of the SQ8 code-space L2 ranking against the exact
+    quantized L2 top-k — the memory-4x-smaller ANN tier beside LSH, IVF
+    and PQ (8 bits/dim vs float32). Code distances are exact BIGINT
+    sums, so the evaluation is engine-exact end-to-end."""
+    codes = _sq8_codes(embeddings)
+    q = codes.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("code").alias("cc")
+    )
+    approx = (
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _sq8_d2("qc", "cc").alias("d2c")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("d2c", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    qe = embeddings.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    exact = (
+        F.broadcast(qe).join(ce, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _qdist2_unrolled("qe", "ce").alias("d2")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def SQ8_RECALL_SQL(query_modulus: int = 125, k: int = 5) -> str:
+    d2c = (
+        "list_sum(list_transform(list_zip(q.qc, c.cc), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    d2e = (
+        f"list_sum(list_transform(list_zip(q.qe, c.ce), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH per AS (
+        SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM (
+          SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                 unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+          FROM embeddings
+        ) GROUP BY pos
+      ),
+      bounds AS (
+        SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        FROM per
+      ),
+      codes AS (
+        SELECT vec_id,
+               [CASE WHEN his[i] = los[i] THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - los[i])
+                          / (his[i] - los[i]) * 255 + 0.5) AS BIGINT) END
+                FOR i IN generate_series(1, len(embedding))] AS code
+        FROM embeddings, bounds
+      ),
+      approx AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {d2c.replace('q.qc', 'q.code').replace('c.cc', 'c.code')}, c.vec_id) AS rank
+          FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % {query_modulus} = 0
+        ) WHERE rank <= {k}
+      ),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {d2e.replace('q.qe', 'q.embedding').replace('c.ce', 'c.embedding')}, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % {query_modulus} = 0
+        ) WHERE rank <= {k}
+      )
+      SELECT e.query_id,
+             COUNT(a.neighbor_id) AS n_hits,
+             round(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 6) AS recall_at_k
+      FROM exact e
+      LEFT JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+      ORDER BY e.query_id
+    """

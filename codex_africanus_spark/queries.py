@@ -7418,3 +7418,33 @@ def flag_occupancy_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbin", "chan")
     )
+
+
+@register("hanning_smooth_spectra", _with_ms(cal_op.HANNING_SQL))
+def hanning_smooth_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASA hanningsmooth: 0.25/0.5/0.25 spectral convolution per row
+    with edge passthrough — one row-partitioned lag/lead window, dyadic
+    taps (bit-identical doubles, no quantization needed)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.hanning_smooth_spectra(vis).orderBy(
+        "time", "antenna1", "antenna2", "chan"
+    )
+
+
+@register("vis_noise_estimate_diffchan", _with_ms(cal_op.NOISE_EST_SQL))
+def vis_noise_estimate_diffchan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-channel-difference noise estimator per baseline
+    (sigma-hat^2 = sum(dV^2)/(4 n) over both quadratures): the SEFD /
+    weight-column sanity check, with quantized diffs square-summed in
+    decimal(38,0)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.vis_noise_estimate(vis).orderBy("antenna1", "antenna2")
+
+
+@register("ann_sq8_recall_eval", sim_op.SQ8_RECALL_SQL())
+def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar quantization (faiss SQ8: per-dim min/max
+    bounds, 8-bit codes, exact-integer code distances) against the exact
+    quantized L2 top-5 — the 4x-memory-reduction ANN tier beside LSH,
+    IVF and PQ, with its quality gate driver-checked like the others."""
+    return sim_op.sq8_recall_eval(load(spark, "embeddings", sf_dir))
