@@ -1010,3 +1010,119 @@ SLIDING_CHUNKS_SQL = f"""
   FROM expanded
   ORDER BY doc_id, chunk_idx
 """
+
+
+NOVELTY_NGRAM = 4
+
+
+def ngram_novelty_scores(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word-4-grams it introduces to the corpus (its doc_id is the global
+    minimum over holders of that gram) — the "new content vs recycled
+    content" curation signal ordering a crawl by contribution.
+
+    Two partial-agg shuffles at gram cardinality (distinct pairs, then
+    min-holder per gram) and one co-keyed join back — the
+    cross_doc_dup_spans shuffle shape; no self-join, no window."""
+    grams = (
+        fan_out(docs).filter(
+            F.size(F.split(F.col("text"), " ")) >= NOVELTY_NGRAM
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_NGRAM - 1}), "
+                    f"j -> concat_ws(' ', slice(split(text, ' '), j, {NOVELTY_NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", hash31(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_frac"),
+        )
+    )
+
+
+NOVELTY_SQL = f"""
+  WITH grams AS (
+    SELECT DISTINCT doc_id,
+           {hash31_sql("concat_ws(' ', w[j], w[j+1], w[j+2], w[j+3])")} AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {NOVELTY_NGRAM}),
+         UNNEST(range(1, len(w) - {NOVELTY_NGRAM - 2})) AS t(j)
+  ),
+  first AS (SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY h)
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_frac
+  FROM grams g JOIN first f USING (h)
+  GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+OOV_VOCAB_N = 512
+
+
+def oov_rate_scores(docs: DataFrame) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-N word vocabulary (frequency-ranked, ties to the lexically
+    smaller word — fully deterministic): the tokenizer-coverage signal
+    that flags documents a fixed vocab would shred into unknowns.
+
+    The vocabulary is one word-cardinality aggregate cut to N rows by a
+    TakeOrdered (per-partition heap, no global sort) and BROADCAST back
+    into the token stream — at 100 TB the vocab is still N rows."""
+    words = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    vocab = (
+        words.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(OOV_VOCAB_N)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+OOV_SQL = f"""
+  WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  vocab AS (
+    SELECT t FROM (SELECT t, COUNT(*) AS c FROM words GROUP BY t)
+    ORDER BY c DESC, t LIMIT {OOV_VOCAB_N}
+  )
+  SELECT w.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         round(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+  FROM words w LEFT JOIN vocab v USING (t)
+  GROUP BY w.doc_id ORDER BY w.doc_id
+"""

@@ -902,3 +902,89 @@ def PAGERANK_SQL(iters: int = PR_ITERS) -> str:
       WITH {body}
       SELECT doc_id, r_q AS pagerank_q FROM r{iters} ORDER BY doc_id
     """
+
+
+CONTAINMENT_TAU = 0.5
+
+
+def containment_dup_pairs(docs: DataFrame, tau: float = CONTAINMENT_TAU) -> DataFrame:
+    """ASYMMETRIC containment dedup (Broder's containment, the signal
+    Jaccard dilutes): for LSH candidate pairs, exact
+    |sh(a) ∩ sh(b)| / |sh(side)| in BOTH directions — a short doc fully
+    quoted inside a long one has high containment but low Jaccard, so
+    the symmetric tiers miss it. Candidates come from the SAME banded
+    LSH join as every other pair tier (_pairs_from_banded — one
+    candidate-generation definition repo-wide); the exact check joins
+    each candidate pair to the two docs' distinct-shingle sets
+    co-keyed on (doc, shingle) — pair-bounded work, never corpus².
+
+    Output: (doc_a, doc_b, n_common, contain_a_in_b, contain_b_in_a)
+    for pairs where max(containment) ≥ τ, ratios round-6 on exact
+    integer counts."""
+    banded = lsh_banded(docs).select("doc_id", "band", "band_key")
+    pairs = _pairs_from_banded(banded, with_sig_match=False)
+    sh = (
+        fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(word_3gram_shingles("text")).alias("sh"),
+        )
+        .select("doc_id", hash31(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("contain_a_in_b"),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("contain_b_in_a"),
+        )
+    )
+    return out.filter(
+        F.greatest("contain_a_in_b", "contain_b_in_a") >= tau
+    )
+
+
+CONTAINMENT_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN dsh sa ON sa.doc_id = p.doc_a
+    JOIN dsh sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+    GROUP BY p.doc_a, p.doc_b
+  )
+  SELECT i.doc_a, i.doc_b, i.n_common,
+         round(i.n_common / CAST(zb.n_sh AS DOUBLE), 6) AS contain_a_in_b,
+         round(i.n_common / CAST(za.n_sh AS DOUBLE), 6) AS contain_b_in_a
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE GREATEST(round(i.n_common / CAST(zb.n_sh AS DOUBLE), 6),
+                 round(i.n_common / CAST(za.n_sh AS DOUBLE), 6))
+        >= {CONTAINMENT_TAU!r}
+  ORDER BY doc_a, doc_b
+"""

@@ -7448,3 +7448,76 @@ def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized L2 top-5 — the 4x-memory-reduction ANN tier beside LSH,
     IVF and PQ, with its quality gate driver-checked like the others."""
     return sim_op.sq8_recall_eval(load(spark, "embeddings", sf_dir))
+
+
+@register("containment_dup_pairs", dedup_op.CONTAINMENT_SQL)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (Broder) containment over the shared LSH candidate
+    pairs: catches a short doc fully quoted inside a long one, which
+    symmetric Jaccard dilutes. Exact shingle-set intersection, both
+    directions, pair-bounded work."""
+    return dedup_op.containment_dup_pairs(
+        load(spark, "documents", sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("ngram_novelty_scores", cur_op.NOVELTY_SQL)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-gram novelty: the share of a doc's distinct grams it
+    introduces to the corpus (min-doc_id holder) — orders a crawl by
+    contribution of genuinely new content."""
+    return cur_op.ngram_novelty_scores(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+@register("oov_rate_scores", cur_op.OOV_SQL)
+def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus's own top-512
+    word vocabulary (deterministic frequency/lexical ranking, broadcast
+    back) — the tokenizer-coverage curation signal."""
+    return cur_op.oov_rate_scores(load(spark, "documents", sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+_TOKQ_ORACLE = """
+    WITH s AS (
+      SELECT source,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 8, 63) AS bucket,
+             COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 3) // 4
+                         THEN (bucket + 1) * 8 END) AS BIGINT) AS p25_tokens,
+           CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN (bucket + 1) * 8 END) AS BIGINT) AS p50_tokens,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10
+                         THEN (bucket + 1) * 8 END) AS BIGINT) AS p90_tokens
+    FROM c GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("doc_token_quantiles_by_source", _TOKQ_ORACLE)
+def doc_token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles from the mergeable fixed-grid
+    sketch (the KLL slot, reused from the price tier): token-count
+    histogram at step 8, rank-crossing p25/p50/p90 per source — the
+    'what does each source's length distribution look like' pass a
+    mixture designer reads, at sketch (not corpus) cardinality."""
+    docs = load(spark, "documents", sf_dir)
+    sk = sketch_op.grid_quantile_sketch(
+        docs, ["source"], "CAST(size(split(text, ' ')) AS BIGINT)", 8, 64
+    )
+    return sketch_op.grid_quantile_estimate(
+        sk, ["source"],
+        [("p25_tokens", 1, 4), ("p50_tokens", 1, 2), ("p90_tokens", 9, 10)],
+        8,
+    ).orderBy("source")
