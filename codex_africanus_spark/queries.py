@@ -2595,12 +2595,10 @@ def degrid_policy_phase_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_op.degrid_phase_rotated(tpch_ms.vis_table(spark, sf_dir))
 
 
-def _beam_cube_oracle() -> str:
-    """Exact SQL mirror of the trilinear sampling: the synthetic cube is
-    closed-form (make_test_beam_cube), linspace grids are affine with a
-    dyadic-exact delta (2·0.1 and /32 are both exact), and searchsorted
-    is MAX(i) FILTER (g ≤ x) over the same float grid values — so DuckDB
-    reproduces the pandas-UDF gather bit-for-bit before the 9dp round."""
+def _beam_trilinear_total() -> str:
+    """SQL expression for the trilinear-interpolated test-cube value over
+    the `wts` CTE columns (li/mi/fi + lw/mw/fw) — shared by the sampling
+    oracle and the beam-DDE predict oracle so the arithmetic cannot fork."""
 
     def lg(e):  # l/m grid value at index e (linspace(-0.1, 0.1, 33))
         return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
@@ -2629,8 +2627,22 @@ def _beam_cube_oracle() -> str:
     total = corners[0]
     for c in corners[1:]:
         total = f"({total} + {c})"
-    return _with_ms(
-        f"""
+    return total
+
+
+def _beam_gain_ctes() -> str:
+    """CTE chain computing the per-(source, chan) trilinear beam sample
+    over the 7-channel grid — the body shared by `_beam_cube_oracle` and
+    the beam-DDE predict oracle (ends with the `wts` CTE; select
+    `_beam_trilinear_total()` from it)."""
+
+    def lg(e):
+        return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
+
+    def fgv(e):
+        return f"(({e}) * (856000000.0 / 4) + 856000000.0)"
+
+    return f"""
         , chan AS (SELECT CAST(range AS INT) AS chan FROM range(7))
         , pairs AS (
           SELECT s.source_id, c.chan, s.l, s.m,
@@ -2651,8 +2663,18 @@ def _beam_cube_oracle() -> str:
             LEAST(GREATEST((m - {lg('mi')}) / ({lg('mi + 1')} - {lg('mi')}), 0.0), 1.0) AS mw,
             LEAST(GREATEST((freq - {fgv('fi')}) / ({fgv('fi + 1')} - {fgv('fi')}), 0.0), 1.0) AS fw
           FROM idx
-        )
-        SELECT source_id, chan, round({total}, 9) AS beam_gain
+        )"""
+
+
+def _beam_cube_oracle() -> str:
+    """Exact SQL mirror of the trilinear sampling: the synthetic cube is
+    closed-form (make_test_beam_cube), linspace grids are affine with a
+    dyadic-exact delta (2·0.1 and /32 are both exact), and searchsorted
+    is MAX(i) FILTER (g ≤ x) over the same float grid values — so DuckDB
+    reproduces the pandas-UDF gather bit-for-bit before the 9dp round."""
+    return _with_ms(
+        f"""{_beam_gain_ctes()}
+        SELECT source_id, chan, round({_beam_trilinear_total()}, 9) AS beam_gain
         FROM wts ORDER BY source_id, chan
         """
     )
@@ -2675,6 +2697,98 @@ def beam_cube_dde_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source_id", "chan", F.round(F.col("beam_gain"), 9).alias("beam_gain")
     ).orderBy("source_id", "chan")
+
+
+def _beam_stokes_predict_oracle() -> str:
+    """Beam-DDE predict mirror: the shared trilinear CTE chain feeds the
+    per-(source, chan) gain (rounded to the same 9dp grid as the engine
+    side, so bg is the identical double), squared into the I,Q-only
+    XX/YY brightness, phase-rotated and reduced on the 1e-6 fixed-point
+    grid exactly like _PREDICT_ORACLE."""
+    return _with_ms(
+        f"""{_beam_gain_ctes()}
+        , beamg AS (
+          SELECT source_id, chan, round({_beam_trilinear_total()}, 9) AS bg
+          FROM wts
+        ), coh AS (
+          SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+                 ((b.bg * b.bg) * (s.flux_i + s.flux_q)) AS fxx,
+                 ((b.bg * b.bg) * (s.flux_i - s.flux_q)) AS fyy,
+                 -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+          FROM vis v
+          JOIN beamg b ON b.chan = v.chan
+          JOIN src s ON s.source_id = b.source_id
+        )
+        SELECT row_id, antenna1, antenna2, chan,
+               SUM(CAST(ROUND(fxx * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS xx_re,
+               SUM(CAST(ROUND(fxx * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS xx_im,
+               SUM(CAST(ROUND(fyy * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS yy_re,
+               SUM(CAST(ROUND(fyy * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS yy_im
+        FROM coh
+        GROUP BY row_id, antenna1, antenna2, chan
+        """
+    )
+
+
+@register("beam_stokes_dde_predict", _beam_stokes_predict_oracle())
+def beam_stokes_dde_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-sampled DDE predict through the general stokes compiler: an
+    I,Q-only catalogue compiled to diagonal XX/YY correlations (U,V
+    implicitly defaulted — reference conversion.py:56-205 priority
+    scheme), the trilinear test-cube beam sampled per (source, chan)
+    (fast_beam_cubes.py:58-301) applied as the real scalar E-Jones
+    sandwich E·B·Eᴴ = bg²·B (the dde path of predict.py:86-150), then
+    the deterministic fixed-point source reduction of predict.py:566-649.
+
+    Plan shape: the beam/brightness side is (n_src × n_chan) rows built
+    once (the pandas UDF runs on the tiny side only) and broadcast; the
+    fact table joins on chan — no fact shuffle before the partial agg."""
+    from codex_africanus_spark.functions.stokes import convert_general
+    from codex_africanus_spark.sources.tables import fan_out
+
+    src = tpch_ms.source_table(spark, sf_dir)
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    pairs = src.crossJoin(chan).select(
+        "source_id", "chan", "l", "m",
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias("frequency"),
+    )
+    bg = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube()).select(
+        "source_id", "chan", F.round(F.col("beam_gain"), 9).alias("bg")
+    )
+    corrs = convert_general(
+        {"I": F.col("flux_i"), "Q": F.col("flux_q")}, ["XX", "YY"]
+    )
+    src_corr = src.select(
+        "source_id", "l", "m", "n",
+        corrs["XX"].re.alias("xx"), corrs["YY"].re.alias("yy"),
+    )
+    src_beam = src_corr.join(bg, "source_id").select(
+        "chan", "l", "m", "n",
+        ((F.col("bg") * F.col("bg")) * F.col("xx")).alias("fxx"),
+        ((F.col("bg") * F.col("bg")) * F.col("yy")).alias("fyy"),
+    )
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    j = fan_out(vis).join(F.broadcast(src_beam), "chan")
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"),
+                   F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+    )
+    coh = j.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        (F.col("fxx") * F.cos(theta)).alias("cxx_re"),
+        (F.col("fxx") * F.sin(theta)).alias("cxx_im"),
+        (F.col("fyy") * F.cos(theta)).alias("cyy_re"),
+        (F.col("fyy") * F.sin(theta)).alias("cyy_im"),
+    )
+    # no output sort: order-insensitive compare; a global sort of a
+    # fact-sized result is exactly what dies at 100 TB
+    return coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+        (qsum(F.col("cxx_re"), 1e6) / F.lit(1e6)).alias("xx_re"),
+        (qsum(F.col("cxx_im"), 1e6) / F.lit(1e6)).alias("xx_im"),
+        (qsum(F.col("cyy_re"), 1e6) / F.lit(1e6)).alias("yy_re"),
+        (qsum(F.col("cyy_im"), 1e6) / F.lit(1e6)).alias("yy_im"),
+    )
 
 
 # Natural-cubic-spline oracle: the tridiagonal system is solved by a
