@@ -108,6 +108,43 @@ def parallactic_angle_geometric(
     )
 
 
+def elevation_angle_geometric(
+    time: Column, x: Column, y: Column, z: Column, ra: Column, dec: Column
+) -> Column:
+    """Source elevation above the horizon for an antenna at ITRF xyz —
+    the same ephemeris-free spherical-astronomy backend as
+    `parallactic_angle_geometric` (GMST → hour angle → alt-az):
+    sin(el) = sin φ sin δ + cos φ cos δ cos H. The casacore production
+    path derives the identical quantity from MDirection AZEL
+    (reference parangles_casa.py:34-54 uses the same frames)."""
+    days = (time - F.lit(_J2000_MJD_S)) / F.lit(86400.0)
+    gmst = (F.lit(_GMST0) + F.lit(_GMST_RATE) * days) % F.lit(_TWO_PI)
+    lon = F.atan2(y, x)
+    lat = F.atan2(z, F.sqrt(x * x + y * y))
+    ha = gmst + lon - ra
+    return F.asin(
+        F.sin(lat) * F.sin(dec) + F.cos(lat) * F.cos(dec) * F.cos(ha)
+    )
+
+
+def elevation_angle_geometric_sql(
+    time: str, x: str, y: str, z: str, ra: str, dec: str
+) -> str:
+    """Textual SQL mirror of `elevation_angle_geometric` (same literal
+    discipline as parallactic_angle_geometric_sql)."""
+    days = f"((({time}) - CAST({_J2000_MJD_S} AS DOUBLE)) / 86400.0)"
+    gmst = (
+        f"((CAST({_GMST0} AS DOUBLE) + CAST({_GMST_RATE} AS DOUBLE) * {days})"
+        f" % CAST({_TWO_PI} AS DOUBLE))"
+    )
+    lon = f"atan2({y}, {x})"
+    lat = f"atan2({z}, sqrt(({x})*({x}) + ({y})*({y})))"
+    ha = f"({gmst} + {lon} - ({ra}))"
+    return (
+        f"asin(sin({lat}) * sin({dec}) + cos({lat}) * cos({dec}) * cos({ha}))"
+    )
+
+
 def parallactic_angle_geometric_sql(
     time: str, x: str, y: str, z: str, ra: str, dec: str
 ) -> str:

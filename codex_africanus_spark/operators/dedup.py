@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from codex_africanus_spark.sources.tables import fan_out
 from codex_africanus_spark.functions.text import (
@@ -987,4 +988,208 @@ CONTAINMENT_SQL = f"""
                  round(i.n_common / CAST(za.n_sh AS DOUBLE), 6))
         >= {CONTAINMENT_TAU!r}
   ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter exact-Jaccard self-join (ppjoin-style candidate pruning)
+# --------------------------------------------------------------------------
+
+PREFIX_JACCARD_TAU_NUM = 1  # jaccard threshold as an exact rational 1/2
+PREFIX_JACCARD_TAU_DEN = 2
+
+
+def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ 1/2 self-join via prefix filtering — the
+    non-probabilistic alternative to MinHash-LSH (AllPairs/PPJoin family;
+    no reference counterpart — LLM-pipeline dedup tier): order each
+    document's shingle set by ascending global document frequency
+    (rarest first) and join only on the first s − ⌈τ·s⌉ + 1 tokens.
+    Completeness: two sets with jaccard ≥ τ must share a token inside
+    both prefixes, so no qualifying pair is lost.
+
+    Scale shape: the candidate self-join keys on PREFIX tokens only —
+    by construction the globally rarest tokens of each set — so the
+    per-key fan-out is inherently small and the classic hot-shingle skew
+    of a full-token join never forms (the same motivation as the
+    stop-shingle cap in ngram_jaccard_pairs, achieved structurally).
+    Threshold compare is integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb."""
+    sh = _shingle_frame(docs).distinct()
+    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_, "h")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+        .withColumn("s", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("s") - F.expr("(s + 1) DIV 2") + 1
+    ).select("doc_id", "h", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            sh.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.h") == F.col("tb.h")),
+        )
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(
+            F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+PREFIX_JACCARD_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  dfreq AS (SELECT h, COUNT(*) AS df FROM dsh GROUP BY h),
+  ranked AS (
+    SELECT d.doc_id, d.h,
+           row_number() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.h) AS pos,
+           COUNT(*) OVER (PARTITION BY d.doc_id) AS s
+    FROM dsh d JOIN dfreq f ON f.h = d.h
+  ),
+  prefix AS (
+    SELECT doc_id, h, s FROM ranked WHERE pos <= s - ((s + 1) // 2) + 1
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.s AS sa, b.s AS sb
+    FROM prefix a JOIN prefix b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS inter
+    FROM cand c
+    JOIN dsh ta ON ta.doc_id = c.doc_a
+    JOIN dsh tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
+    GROUP BY c.doc_a, c.doc_b, c.sa, c.sb
+  )
+  SELECT doc_a, doc_b, inter,
+         round(inter / CAST(sa + sb - inter AS DOUBLE), 9) AS jaccard
+  FROM inter
+  WHERE inter * {PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM}
+        >= (sa + sb) * {PREFIX_JACCARD_TAU_NUM}
+  ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH band/bucket skew diagnostics + dedup storage-savings report
+# --------------------------------------------------------------------------
+
+
+def lsh_band_bucket_stats(docs: DataFrame) -> DataFrame:
+    """Per-band bucket-population report over the MinHash LSH banding:
+    bucket count, largest bucket, candidate-pair mass Σ k·(k−1)/2, and
+    colliding-bucket count. This is the skew monitor for the LSH tier —
+    at corpus scale a single hot bucket is the difference between a
+    balanced self-join and one straggler task owning k² pair work."""
+    buckets = lsh_banded(docs).groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("k").alias("max_bucket"),
+            F.sum(F.expr("(k * (k - 1)) DIV 2")).alias("candidate_pairs"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias(
+                "colliding_buckets"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+LSH_BAND_STATS_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  buckets AS (
+    SELECT band, band_key, COUNT(*) AS k FROM banded GROUP BY band, band_key
+  )
+  SELECT band, COUNT(*) AS n_buckets, MAX(k) AS max_bucket,
+         CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS candidate_pairs,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_buckets
+  FROM buckets GROUP BY band ORDER BY band
+"""
+
+
+def dedup_storage_savings(docs: DataFrame) -> DataFrame:
+    """Per-source storage ledger for exact dedup: how many documents and
+    characters disappear if only the canonical (min doc_id) copy of each
+    distinct text survives. The per-group rank is a window over the
+    digest hash partition — one shuffle at document cardinality, and the
+    md5 keys are uniform so the window partitions cannot skew."""
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.md5(F.col("text")).alias("dig")
+    ).withColumn(
+        "rk", F.row_number().over(W.partitionBy("dig").orderBy("doc_id"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+                "chars_saved"
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_removed", "chars_total", "chars_saved",
+            F.round(
+                F.col("chars_saved") / F.col("chars_total").cast("double"), 9
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SAVINGS_SQL = """
+  WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM documents
+  )
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_saved,
+         round(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END)
+               / CAST(SUM(n_chars) AS DOUBLE), 9) AS savings_frac
+  FROM ranked GROUP BY source ORDER BY source
 """

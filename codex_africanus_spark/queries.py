@@ -7635,3 +7635,277 @@ def doc_token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         [("p25_tokens", 1, 4), ("p50_tokens", 1, 2), ("p90_tokens", 9, 10)],
         8,
     ).orderBy("source")
+
+
+# ===========================================================================
+# Round-6 continuation: lexical retrieval, prefix-filter dedup, LSH skew
+# diagnostics, and radio observation-structure reports
+# ===========================================================================
+
+from codex_africanus_spark.operators import retrieval as retr_op  # noqa: E402
+
+
+@register("bm25_keyword_topk", retr_op.BM25_SQL)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed keyword query — lexical
+    retrieval beside the embedding ANN tiers (eval-set mining / corpus
+    slicing). idf and per-term scores quantized at 1e6 so the per-doc
+    reduction is an exact BIGINT sum; top-k via TakeOrdered, no global
+    window over the scored frame."""
+    return retr_op.bm25_topk(load(spark, "documents", sf_dir))
+
+
+@register("pmi_collocations_topk", retr_op.PMI_SQL)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-bigram collocations by 1e6-quantized PMI —
+    tokenizer/merge-rule diagnostics (pairs BPE merge counts with an
+    information-theoretic ranking). ln terms summed, never multiplied:
+    no count-product overflow at any corpus size."""
+    return retr_op.pmi_collocations(load(spark, "documents", sf_dir))
+
+
+@register("char_trigram_entropy", retr_op.CHAR_TRIGRAM_ENTROPY_SQL)
+def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-trigram Shannon entropy (gibberish /
+    template-spam screen) assembled from exact integer sums of quantized
+    ln terms — one division at output."""
+    return retr_op.char_trigram_entropy(load(spark, "documents", sf_dir))
+
+
+@register("prefix_filter_jaccard_join", dedup_op.PREFIX_JACCARD_SQL)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 1/2 self-join via ppjoin-style prefix filtering —
+    the deterministic-complete dedup tier beside MinHash-LSH: candidates
+    key on each set's globally rarest tokens (skew-safe by construction),
+    threshold compare integer-exact (3·inter ≥ sa+sb)."""
+    return dedup_op.prefix_filter_jaccard_join(
+        load(spark, "documents", sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("lsh_band_bucket_stats", dedup_op.LSH_BAND_STATS_SQL)
+def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-population skew monitor: bucket count, max
+    bucket, candidate-pair mass Σk(k−1)/2, colliding buckets — the
+    operational dashboard for the banding parameters at corpus scale."""
+    return dedup_op.lsh_band_bucket_stats(load(spark, "documents", sf_dir))
+
+
+@register("dedup_storage_savings", dedup_op.DEDUP_SAVINGS_SQL)
+def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage ledger for exact dedup (docs and characters
+    removed keeping the min-doc_id canonical copy) — the 'what does
+    dedup buy us' report a corpus owner reads before running it."""
+    return dedup_op.dedup_storage_savings(load(spark, "documents", sf_dir))
+
+
+_UVDIST_PROFILE_ORACLE = _with_ms(
+    """
+    SELECT CAST(FLOOR(sqrt(u*u + v*v) / 10.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_rows,
+           round((SUM(CAST(ROUND(sqrt(vis_re*vis_re + vis_im*vis_im) * 1000000)
+                           AS BIGINT)) / 1000000.0) / COUNT(*), 9) AS mean_amp
+    FROM vis GROUP BY 1 ORDER BY bin
+    """
+)
+
+
+@register("uvdist_radial_profile", _UVDIST_PROFILE_ORACLE)
+def uvdist_radial_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial uv-distance amplitude profile (10-wavelength bins): row
+    counts + mean |V| per annulus — the source-structure quick-look
+    (resolved sources decline with uv distance). sqrt/floor/division are
+    IEEE-exact on identical doubles; the amplitude mean is a 1e6
+    fixed-point reduction. One partial-agg shuffle at bin cardinality."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    amp = F.sqrt(F.col("vis_re") * F.col("vis_re") + F.col("vis_im") * F.col("vis_im"))
+    binc = F.floor(F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v")) / 10.0)
+    return (
+        vis.groupBy(binc.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (qsum(amp, 1e6)).alias("amp_q"),
+        )
+        .select(
+            "bin", "n_rows",
+            F.round((F.col("amp_q") / F.lit(1000000.0)) / F.col("n_rows"), 9).alias(
+                "mean_amp"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+_REDUNDANT_BL_ORACLE = _with_ms(
+    """
+    , cells AS (
+      SELECT CAST(FLOOR(u / 25.0) AS BIGINT) AS cu,
+             CAST(FLOOR(v / 25.0) AS BIGINT) AS cv,
+             antenna1 * 7 + antenna2 AS bl, vis_re, vis_im
+      FROM vis
+    ), g AS (
+      SELECT cu, cv, COUNT(*) AS n_rows, COUNT(DISTINCT bl) AS n_baselines,
+             SUM(CAST(ROUND(vis_re * 1000000) AS BIGINT)) AS sre,
+             SUM(CAST(ROUND(vis_im * 1000000) AS BIGINT)) AS sim
+      FROM cells GROUP BY cu, cv
+    )
+    SELECT cu, cv, n_rows, n_baselines,
+           round((sre / 1000000.0) / n_rows, 9) AS mean_re,
+           round((sim / 1000000.0) / n_rows, 9) AS mean_im
+    FROM g WHERE n_baselines >= 2 ORDER BY cu, cv
+    """
+)
+
+
+@register("redundant_baseline_average", _REDUNDANT_BL_ORACLE)
+def redundant_baseline_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundant-baseline averaging (the compact-array calibration
+    primitive: physically identical baselines see the same sky, so their
+    visibilities average coherently): quantize (u, v) to 25-wavelength
+    cells, average vis over cells sampled by ≥ 2 distinct baselines.
+    One partial-agg shuffle at cell cardinality; the distinct-baseline
+    count rides the same exchange."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    cells = vis.select(
+        F.floor(F.col("u") / 25.0).cast("long").alias("cu"),
+        F.floor(F.col("v") / 25.0).cast("long").alias("cv"),
+        (F.col("antenna1") * 7 + F.col("antenna2")).alias("bl"),
+        "vis_re", "vis_im",
+    )
+    return (
+        cells.groupBy("cu", "cv")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("bl").alias("n_baselines"),
+            qsum(F.col("vis_re"), 1e6).alias("sre"),
+            qsum(F.col("vis_im"), 1e6).alias("sim"),
+        )
+        .filter(F.col("n_baselines") >= 2)
+        .select(
+            "cu", "cv", "n_rows", "n_baselines",
+            F.round((F.col("sre") / F.lit(1000000.0)) / F.col("n_rows"), 9).alias("mean_re"),
+            F.round((F.col("sim") / F.lit(1000000.0)) / F.col("n_rows"), 9).alias("mean_im"),
+        )
+        .orderBy("cu", "cv")
+    )
+
+
+_BL_SEGMENTS_ORACLE = _with_ms(
+    """
+    , bt AS (SELECT DISTINCT antenna1, antenna2, time FROM vis)
+    , flagged AS (
+      SELECT antenna1, antenna2, time,
+             CASE WHEN lag(time) OVER w IS NULL
+                  OR time - lag(time) OVER w > 259200.0 THEN 1 ELSE 0 END AS boundary
+      FROM bt
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time)
+    ), seg AS (
+      SELECT antenna1, antenna2, time,
+             CAST(SUM(boundary) OVER (PARTITION BY antenna1, antenna2
+                                      ORDER BY time) AS BIGINT) AS seg_id
+      FROM flagged
+    ), per_seg AS (
+      SELECT antenna1, antenna2, seg_id, COUNT(*) AS n_times,
+             CAST((MAX(time) - MIN(time)) / 86400.0 AS BIGINT) + 1 AS seg_days
+      FROM seg GROUP BY antenna1, antenna2, seg_id
+    )
+    SELECT antenna1, antenna2, COUNT(*) AS n_segments,
+           CAST(SUM(n_times) AS BIGINT) AS n_times,
+           MAX(seg_days) AS max_seg_days
+    FROM per_seg GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("baseline_observation_segments", _BL_SEGMENTS_ORACLE)
+def baseline_observation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline observation segmentation (scan structure recovery):
+    distinct (baseline, time) samples split into segments wherever the
+    baseline is absent for > 3 days; reports segment count, total
+    epochs, and the longest contiguous span. The sequential scan runs
+    on the distinct frame (one partial-agg shuffle to diagnostic
+    cardinality), windowed per baseline — never over the fact table."""
+    bt = tpch_ms.vis_table(spark, sf_dir).select(
+        "antenna1", "antenna2", "time"
+    ).distinct()
+    w = W.partitionBy("antenna1", "antenna2").orderBy("time")
+    flagged = bt.withColumn(
+        "boundary",
+        F.when(
+            F.lag("time").over(w).isNull()
+            | ((F.col("time") - F.lag("time").over(w)) > 259200.0),
+            1,
+        ).otherwise(0),
+    )
+    seg = flagged.withColumn(
+        "seg_id",
+        F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_seg = seg.groupBy("antenna1", "antenna2", "seg_id").agg(
+        F.count(F.lit(1)).alias("n_times"),
+        (
+            ((F.max("time") - F.min("time")) / F.lit(86400.0)).cast("long") + 1
+        ).alias("seg_days"),
+    )
+    return (
+        per_seg.groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_times").alias("n_times"),
+            F.max("seg_days").alias("max_seg_days"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+_ELEVATION_ORACLE = _with_ms(
+    f"""
+    , ant AS ({tpch_ms.ANTENNA_SQL})
+    , t AS (SELECT DISTINCT time FROM vis)
+    , el AS (
+      SELECT t.time, a.antenna,
+             {feeds_fn.elevation_angle_geometric_sql(
+                 't.time', 'a.ant_x', 'a.ant_y', 'a.ant_z',
+                 f'CAST({_PA_FIELD[0]!r} AS DOUBLE)',
+                 f'CAST({_PA_FIELD[1]!r} AS DOUBLE)')} AS el
+      FROM t, ant a
+    )
+    SELECT antenna, COUNT(*) AS n_times,
+           CAST(SUM(CASE WHEN el < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           round(MIN(el), 9) AS min_el, round(MAX(el), 9) AS max_el
+    FROM el GROUP BY antenna ORDER BY antenna
+    """
+)
+
+
+@register("antenna_elevation_flags", _ELEVATION_ORACLE)
+def antenna_elevation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-antenna low-elevation exposure report: the ephemeris-free
+    alt-az backend (same GMST/ITRF machinery as the geometric PA,
+    reference parangles.py:21-68) evaluated over the distinct
+    (time × antenna) grid, counting epochs below a 0.35 rad (~20°)
+    horizon limit — the shadowing/airmass flagging pre-pass. Distinct
+    times are one partial-agg shuffle; antennas broadcast."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    times = vis.select("time").distinct()
+    ants = tpch_ms.antenna_table(spark)
+    el = feeds_fn.elevation_angle_geometric(
+        F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),
+        F.lit(_PA_FIELD[0]), F.lit(_PA_FIELD[1]),
+    )
+    grid = times.crossJoin(F.broadcast(ants)).select("antenna", el.alias("el"))
+    return (
+        grid.groupBy("antenna")
+        .agg(
+            F.count(F.lit(1)).alias("n_times"),
+            F.sum(F.when(F.col("el") < 0.35, 1).otherwise(0)).alias("n_low"),
+            F.round(F.min("el"), 9).alias("min_el"),
+            F.round(F.max("el"), 9).alias("max_el"),
+        )
+        .orderBy("antenna")
+    )
