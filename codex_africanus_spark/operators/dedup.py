@@ -1013,8 +1013,13 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
     per-key fan-out is inherently small and the classic hot-shingle skew
     of a full-token join never forms (the same motivation as the
     stop-shingle cap in ngram_jaccard_pairs, achieved structurally).
-    Threshold compare is integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb."""
-    sh = _shingle_frame(docs).distinct()
+    Threshold compare is integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
+
+    The distinct shingle frame feeds THREE consumers (df ranking and
+    both verification sides) — persist it once instead of re-exploding
+    the corpus per consumer (the dominant cost at scale; on a cluster
+    this is the frame you'd write to a bucketed intermediate table)."""
+    sh = _shingle_frame(fan_out(docs)).distinct().persist()
     df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(df_, "h")

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from codex_africanus_spark.sources.tables import fan_out
+
 _LQ = "1000000"  # ln/score quantization grid (1e6)
 
 # Fixed keyword query for the BM25 registry entry (terms present in the
@@ -60,7 +62,7 @@ def bm25_topk(documents: DataFrame, terms: tuple = BM25_TERMS,
     idf is quantized at 1e6 before the per-(doc, term) score; the score
     itself re-quantizes at 1e6 so the per-doc sum is an exact BIGINT
     reduction (order-free ⇒ partition-count invariant)."""
-    docs = documents.select(
+    docs = fan_out(documents).select(
         "doc_id", "text", F.size(F.split("text", " ")).alias("dl")
     )
     scalars = F.broadcast(
@@ -151,12 +153,15 @@ def pmi_collocations(documents: DataFrame, min_count: int = PMI_MIN_COUNT,
     overflow at any corpus size). c1/c2 are first-/second-position
     marginals over the bigram universe, so all four counts share one
     denominator N."""
-    bg = documents.select(
+    # split once per document; the transform lambda indexes the cached
+    # array (re-splitting inside the lambda is O(tokens) per element)
+    bg = fan_out(documents).select(
+        F.split("text", " ").alias("w")
+    ).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " j -> concat_ws(' ', element_at(split(text, ' '), j),"
-                " element_at(split(text, ' '), j + 1)))"
+                "transform(sequence(1, size(w) - 1),"
+                " j -> concat_ws(' ', element_at(w, j), element_at(w, j + 1)))"
             )
         ).alias("bigram")
     ).select(
@@ -172,10 +177,13 @@ def pmi_collocations(documents: DataFrame, min_count: int = PMI_MIN_COUNT,
     def q(e: str) -> str:
         return f"CAST(ROUND(ln(CAST({e} AS DOUBLE)) * {_LQ}) AS BIGINT)"
 
+    # c1/c2 are vocab-cardinality — no broadcast hint; AQE chooses the
+    # join strategy (a forced broadcast here would OOM the driver on a
+    # real corpus vocabulary). The 1-row N frame stays broadcast.
     scored = (
         c12.filter(F.col("c12") >= min_count)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        .join(c1, "w1")
+        .join(c2, "w2")
         .crossJoin(n)
         .withColumn(
             "pmi_q",
@@ -240,7 +248,7 @@ def char_trigram_entropy(documents: DataFrame) -> DataFrame:
     H = ln(Nd) − (Σ c·ln c)/Nd is assembled from exact integers:
     hq = q(ln Nd)·Nd − Σ c·q(ln c) with q on the 1e6 grid, then one
     division — identical in both engines."""
-    tri = documents.select(
+    tri = fan_out(documents).select(
         "doc_id",
         F.explode(
             F.expr(
