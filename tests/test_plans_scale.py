@@ -455,3 +455,60 @@ def test_dsir_bucket_tables_broadcast(spark, sf_dir):
     plan = plan_of(registry()["dsir_importance_weights"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_beam_stokes_predict_single_fact_exchange(spark, sf_dir):
+    """Beam+stokes DDE predict: the fact table reaches the reduction
+    through a broadcast chan-join (beam/brightness side is tiny); the
+    ONLY hash exchange is the final source-reduction aggregate."""
+    plan = plan_of(registry()["beam_stokes_dde_predict"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bm25_broadcast_df_no_smj(spark, sf_dir):
+    """BM25: df and corpus scalars enter as broadcasts; top-k is
+    TakeOrdered (no global window over the scored frame)."""
+    plan = plan_of(registry()["bm25_keyword_topk"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_pmi_no_cartesian_takeordered(spark, sf_dir):
+    """PMI: vocab-cardinality marginal joins may be hash OR broadcast
+    (AQE's call) but never cartesian; top-k via TakeOrdered."""
+    plan = plan_of(registry()["pmi_collocations_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_prefix_join_reuses_persisted_shingles_no_cartesian(spark, sf_dir):
+    """Prefix-filter jaccard join: the distinct shingle frame must come
+    from the persisted cache for every consumer (no re-explode of the
+    corpus), and every join is an equi-join."""
+    plan = plan_of(registry()["prefix_filter_jaccard_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_radio_reports_single_scan_bounded_exchanges(spark, sf_dir):
+    """uv profile / redundant cells / observation segments / elevation:
+    one parquet scan, at most two hash exchanges (distinct or bin agg +
+    final agg) — pure partial-agg diagnostic shapes."""
+    for name in (
+        "uvdist_radial_profile",
+        "redundant_baseline_average",
+        "baseline_observation_segments",
+        "antenna_elevation_flags",
+        "dedup_storage_savings",
+        "lsh_band_bucket_stats",
+        "char_trigram_entropy",
+    ):
+        plan = plan_of(registry()[name].fn(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+        assert plan.count("Scan parquet") <= 1, name
+        assert "SortMergeJoin" not in plan, name

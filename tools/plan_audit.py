@@ -49,6 +49,20 @@ QUERIES = [
     "token_budget_selection", "trigram_backoff_quality",
     "cms_heavy_hitter_users", "clean_restore_beam_sweep",
     "ann_ivf_persisted_topk", "ann_pq_persisted_topk",
+    # round-6 additions
+    "fringe_fit_delay_rate", "gains_time_linear_interp",
+    "spi_weighted_binned_fit", "flag_occupancy_waterfall",
+    "hanning_smooth_spectra", "vis_noise_estimate_diffchan",
+    "contamination_span_report", "stratified_eval_split",
+    "dsir_importance_weights", "ann_recall_vs_probes_sweep",
+    "ann_sq8_recall_eval", "containment_dup_pairs",
+    "ngram_novelty_scores", "oov_rate_scores",
+    "beam_stokes_dde_predict", "bm25_keyword_topk",
+    "pmi_collocations_topk", "char_trigram_entropy",
+    "prefix_filter_jaccard_join", "lsh_band_bucket_stats",
+    "dedup_storage_savings", "uvdist_radial_profile",
+    "redundant_baseline_average", "baseline_observation_segments",
+    "antenna_elevation_flags",
 ]
 
 spark = (
