@@ -1198,3 +1198,93 @@ DEDUP_SAVINGS_SQL = """
                / CAST(SUM(n_chars) AS DOUBLE), 9) AS savings_frac
   FROM ranked GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Dedup-ladder distribution diagnostics
+# --------------------------------------------------------------------------
+
+
+def simhash_hamming_histogram(docs: DataFrame) -> DataFrame:
+    """Distribution of Hamming distances over ALL band-colliding SimHash
+    candidate pairs (threshold lifted to the full 48 bits) — the tuning
+    report for max_hamming: where does the real pair mass sit relative
+    to the cutoff."""
+    pairs = simhash_near_dup_pairs(docs, max_hamming=SIMHASH_WIDE_BITS)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+SIMHASH_HAMMING_HIST_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id, {hash60_sql('t')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  ),
+  votes AS (SELECT doc_id, {_WIDE_VOTES} FROM tok GROUP BY doc_id),
+  fp AS (SELECT doc_id, CAST({_WIDE_FPRINT} AS BIGINT) AS simhash FROM votes),
+  banded AS (
+    SELECT doc_id, simhash, b.range AS band,
+           (simhash >> (8 * b.range)) & 255 AS bkey
+    FROM fp, range({SIMHASH_N_BANDS}) b
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  )
+  SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1 ORDER BY hamming
+"""
+
+
+def dup_cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """Cluster-size distribution of the LSH near-dup connected
+    components: how many clusters (and docs) exist at each size — the
+    shape report that decides whether dedup should keep-one-per-cluster
+    or review giant components (a size-10⁶ cluster usually means
+    boilerplate, not duplication)."""
+    cc = near_dup_clusters(docs)
+    return (
+        cc.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_HIST_SQL = f"""
+  WITH RECURSIVE {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT rr.doc, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+  ),
+  cc AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+  sized AS (
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM cc c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc
+          GROUP BY cluster_id) s USING (cluster_id)
+  )
+  SELECT cluster_size, COUNT(DISTINCT cluster_id) AS n_clusters,
+         COUNT(*) AS n_docs
+  FROM sized GROUP BY cluster_size ORDER BY cluster_size
+"""

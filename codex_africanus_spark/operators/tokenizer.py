@@ -202,6 +202,26 @@ def trigram_backoff_quality(docs: DataFrame) -> DataFrame:
     collapse); the scoring joins are token-cardinality vs vocabulary —
     left to AQE, same rationale as the bigram tier. The branch decision
     is NULL-presence (integer-exact), never a float compare."""
+    return (
+        _trigram_scored(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backoff").alias("n_backoff"),
+            F.round(
+                F.sum("surprisal_q") / float(_Q) / F.count(F.lit(1)), 6
+            ).alias("mean_backoff_surprisal"),
+        )
+    )
+
+
+def _trigram_scored(docs: DataFrame, keep: tuple = (), train=None) -> DataFrame:
+    """Shared stupid-backoff scoring frame: one row per test trigram with
+    (doc_id, *keep, backoff, surprisal_q) — consumed by the per-doc
+    quality tier and the train/test-gap eval. Extracted verbatim from
+    trigram_backoff_quality so both queries score identically. `train`
+    overrides the model-half membership predicate (default: even
+    doc_ids, the original quality-tier split)."""
     docs = fan_out(docs).filter(F.size(F.split("text", " ")) >= 3)
     tri_expr = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 2), "
@@ -209,11 +229,11 @@ def trigram_backoff_quality(docs: DataFrame) -> DataFrame:
         "element_at(split(text, ' '), i + 1) AS w2, "
         "element_at(split(text, ' '), i + 2) AS w3))"
     )
-    tg = docs.select("doc_id", F.explode(tri_expr).alias("t")).select(
-        "doc_id",
+    tg = docs.select("doc_id", *keep, F.explode(tri_expr).alias("t")).select(
+        "doc_id", *keep,
         F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3"),
     )
-    model = tg.filter(F.col("doc_id") % 2 == 0)
+    model = tg.filter(F.col("doc_id") % 2 == 0 if train is None else train)
     tgc = model.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     bg12 = model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     bg23 = model.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
@@ -244,15 +264,121 @@ def trigram_backoff_quality(docs: DataFrame) -> DataFrame:
         .join(c2m, ["w2"], "left")
         .join(c3t, ["w3"], "left")
         .crossJoin(F.broadcast(nv))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(backoff).alias("n_backoff"),
-            F.round(
-                F.sum(surprisal_q) / float(_Q) / F.count(F.lit(1)), 6
-            ).alias("mean_backoff_surprisal"),
+        .select(
+            "doc_id", *keep,
+            backoff.alias("backoff"), surprisal_q.alias("surprisal_q"),
         )
     )
+
+
+def lm_train_test_gap(docs: DataFrame) -> DataFrame:
+    """Per-source LM generalization gap: mean stupid-backoff surprisal on
+    the model's OWN half (even doc_ids) vs the held-out half (odd) — the
+    overfitting / distribution-shift detector a mixture designer reads
+    per source. Shares _trigram_scored with the quality tier, so the
+    scoring arithmetic cannot fork; aggregation runs on the exact
+    quantized sums (one division per cell at output).
+
+    The split is HASH-based (md5-derived bit of doc_id), not parity:
+    the synthetic corpus assigns source = doc_id mod n_sources, so a
+    parity split would put every source wholly in one half."""
+    from codex_africanus_spark.functions.text import hash60
+
+    docs = docs.withColumn(
+        "in_train", hash60(F.col("doc_id").cast("string")) % 2 == 0
+    )
+    scored = _trigram_scored(
+        docs, keep=("source", "in_train"), train=F.col("in_train")
+    )
+    cells = (
+        scored.groupBy("source", "in_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backoff").alias("n_backoff"),
+            F.sum("surprisal_q").alias("sq"),
+        )
+    )
+    train = cells.filter(F.col("in_train")).select(
+        "source",
+        F.col("n_trigrams").alias("n_train"),
+        F.col("sq").alias("sq_train"),
+    )
+    test = cells.filter(~F.col("in_train")).select(
+        "source",
+        F.col("n_trigrams").alias("n_test"),
+        F.col("n_backoff").alias("n_backoff_test"),
+        F.col("sq").alias("sq_test"),
+    )
+    mean_train = F.col("sq_train") / float(_Q) / F.col("n_train")
+    mean_test = F.col("sq_test") / float(_Q) / F.col("n_test")
+    return (
+        train.join(test, "source")
+        .select(
+            "source", "n_train", "n_test", "n_backoff_test",
+            F.round(mean_train, 6).alias("train_surprisal"),
+            F.round(mean_test, 6).alias("test_surprisal"),
+            F.round(mean_test - mean_train, 6).alias("generalization_gap"),
+        )
+        .orderBy("source")
+    )
+
+
+LM_TRAIN_TEST_GAP_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, source,
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0 AS in_train,
+           string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ),
+  tg AS (
+    SELECT doc_id, source, in_train,
+           w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+    FROM (SELECT doc_id, source, in_train, w,
+                 unnest(generate_series(1, len(w) - 2)) AS i
+          FROM d)
+  ),
+  model AS (SELECT * FROM tg WHERE in_train),
+  tgc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM model GROUP BY w1, w2, w3),
+  bg12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM model GROUP BY w1, w2),
+  bg23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM model GROUP BY w2, w3),
+  c2m AS (SELECT w2, COUNT(*) AS c2 FROM model GROUP BY w2),
+  c3t AS (SELECT w3, COUNT(*) AS c3 FROM model GROUP BY w3),
+  nv AS (SELECT COUNT(*) AS n_model, COUNT(DISTINCT w3) AS v_model FROM model),
+  scored AS (
+    SELECT t.doc_id, t.source, t.in_train,
+           CASE WHEN g.c123 IS NULL THEN 1 ELSE 0 END AS backoff,
+           CAST(ROUND((-log2(
+             CASE WHEN g.c123 IS NOT NULL THEN CAST(g.c123 AS DOUBLE) / b12.c12
+                  WHEN b23.c23 IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE) * b23.c23 / cm.c2
+                  ELSE CAST(0.16 AS DOUBLE) * (COALESCE(ct.c3, 0) + 1)
+                       / (vv.n_model + vv.v_model)
+             END)) * {_Q}) AS BIGINT) AS surprisal_q
+    FROM tg t
+    LEFT JOIN tgc g USING (w1, w2, w3)
+    LEFT JOIN bg12 b12 USING (w1, w2)
+    LEFT JOIN bg23 b23 USING (w2, w3)
+    LEFT JOIN c2m cm USING (w2)
+    LEFT JOIN c3t ct USING (w3)
+    , nv vv
+  ),
+  cells AS (
+    SELECT source, in_train,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(surprisal_q) AS BIGINT) AS sq
+    FROM scored GROUP BY 1, 2
+  )
+  SELECT tr.source, tr.n_trigrams AS n_train, te.n_trigrams AS n_test,
+         te.n_backoff AS n_backoff_test,
+         round(tr.sq / {_Q} / tr.n_trigrams, 6) AS train_surprisal,
+         round(te.sq / {_Q} / te.n_trigrams, 6) AS test_surprisal,
+         round(te.sq / {_Q} / te.n_trigrams
+               - tr.sq / {_Q} / tr.n_trigrams, 6) AS generalization_gap
+  FROM cells tr JOIN cells te
+    ON te.source = tr.source AND tr.in_train AND NOT te.in_train
+  ORDER BY tr.source
+"""
 
 
 TRIGRAM_BACKOFF_SQL = f"""

@@ -7909,3 +7909,259 @@ def antenna_elevation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antenna")
     )
+
+
+@register("simhash_hamming_histogram", dedup_op.SIMHASH_HAMMING_HIST_SQL)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance distribution over ALL band-colliding SimHash
+    candidate pairs — the max_hamming tuning report (where the pair mass
+    sits relative to the cutoff)."""
+    return dedup_op.simhash_hamming_histogram(load(spark, "documents", sf_dir))
+
+
+@register("dup_cluster_size_histogram", dedup_op.DUP_CLUSTER_HIST_SQL)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup connected components
+    (recursive-CTE transitive-closure oracle) — the dedup shape report:
+    giant components signal boilerplate, not duplication."""
+    return dedup_op.dup_cluster_size_histogram(load(spark, "documents", sf_dir))
+
+
+_WSTACK_OCCUPANCY_ORACLE = _with_ms(
+    """
+    , planes AS (
+      SELECT CAST(ROUND(w / 2.0) AS BIGINT) AS w_plane,
+             ((CAST(ROUND(u / 10.0) AS BIGINT) % 32) + 32) % 32 AS u_cell,
+             ((CAST(ROUND(v / 10.0) AS BIGINT) % 32) + 32) % 32 AS v_cell,
+             weight
+      FROM vis WHERE NOT (flag OR flag_row)
+    ), cells AS (
+      SELECT w_plane, u_cell, v_cell, COUNT(*) AS n_rows,
+             SUM(CAST(ROUND(weight * 1000000) AS BIGINT)) AS wq
+      FROM planes GROUP BY 1, 2, 3
+    )
+    SELECT w_plane, COUNT(*) AS n_cells, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           round(CAST(SUM(wq) AS DOUBLE) / 1000000.0, 6) AS weight_sum
+    FROM cells GROUP BY w_plane ORDER BY w_plane
+    """
+)
+
+
+@register("wstack_plane_occupancy", _WSTACK_OCCUPANCY_ORACLE)
+def wstack_plane_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w-stacking workload report: rows, occupied cells, and weight per
+    w-plane (the partition-sizing input for the wgridder plane loop —
+    reference vis2im.py:16-130 picks nplanes from exactly this spread).
+    Same grid quantization as the wstack imaging query; two partial
+    aggs, cell then plane cardinality."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    cells = (
+        vis.groupBy(
+            F.round(F.col("w") / F.lit(2.0)).cast("long").alias("w_plane"),
+            F.pmod(F.round(F.col("u") / F.lit(10.0)).cast("long"), F.lit(32)).alias("u_cell"),
+            F.pmod(F.round(F.col("v") / F.lit(10.0)).cast("long"), F.lit(32)).alias("v_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), qsum(F.col("weight"), 1e6).alias("wq"))
+    )
+    return (
+        cells.groupBy("w_plane")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_rows").alias("n_rows"),
+            F.round(F.sum("wq").cast("double") / F.lit(1000000.0), 6).alias("weight_sum"),
+        )
+        .orderBy("w_plane")
+    )
+
+
+def _briggs_sweep_oracle() -> str:
+    parts = []
+    for tag, robust in (("m2", -2.0), ("r0", 0.0), ("p2", 2.0)):
+        f2 = repr((5.0 * (10.0 ** (-robust))) ** 2)
+        parts.append(
+            f"round(g.weight / (1.0 + (c.wq / 100.0) * ({f2} * (t.sum_wq / 100.0)"
+            f" / (t.sum_wq2 / 10000.0))), 9) AS w_{tag}"
+        )
+    sel = ",\n             ".join(parts)
+    aggs = []
+    for tag in ("m2", "r0", "p2"):
+        s = f"(SUM(CAST(ROUND(w_{tag} * 1000000) AS BIGINT)) / 1000000.0)"
+        s2 = f"(SUM(CAST(ROUND((w_{tag} * w_{tag}) * 1000000) AS BIGINT)) / 1000000.0)"
+        aggs.append(f"round({s}, 6) AS wsum_{tag}")
+        aggs.append(f"round(({s} * {s}) / {s2}, 6) AS neff_{tag}")
+    return _with_ms(
+        f"""
+        , gated AS (
+          SELECT row_id, weight,
+                 CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+                 CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell
+          FROM vis WHERE NOT (flag OR flag_row)
+        ), cellw AS (
+          SELECT u_cell, v_cell, SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wq
+          FROM gated GROUP BY u_cell, v_cell
+        ), totals AS (SELECT SUM(wq) AS sum_wq, SUM(wq * wq) AS sum_wq2 FROM cellw)
+        , wts AS (
+          SELECT {sel}
+          FROM gated g
+          JOIN cellw c ON g.u_cell = c.u_cell AND g.v_cell = c.v_cell
+          CROSS JOIN totals t
+        )
+        SELECT {", ".join(aggs)} FROM wts
+        """
+    )
+
+
+@register("briggs_robust_sweep", _briggs_sweep_oracle())
+def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Briggs robust-parameter sensitivity sweep (robust = −2, 0, +2 in
+    ONE pass): total imaging weight and effective visibility count
+    (Σw')²/Σw'² per setting — the uniform↔natural trade-off curve an
+    imager reads before picking robust. The cell-weight table and its
+    totals are computed once; the three settings differ only in a
+    constant, so they ride the same broadcast join as projections."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    gated = vis.filter(~(F.col("flag") | F.col("flag_row"))).select(
+        "row_id", "weight",
+        F.floor(F.col("u") / 10.0).cast("long").alias("u_cell"),
+        F.floor(F.col("v") / 10.0).cast("long").alias("v_cell"),
+    )
+    cellw = gated.groupBy("u_cell", "v_cell").agg(
+        qsum(F.col("weight"), 100.0).alias("wq")
+    )
+    totals = cellw.agg(
+        F.sum("wq").alias("sum_wq"),
+        F.sum(F.col("wq") * F.col("wq")).alias("sum_wq2"),
+    )
+    j = gated.join(F.broadcast(cellw), ["u_cell", "v_cell"]).crossJoin(
+        F.broadcast(totals)
+    )
+    wcols = []
+    for tag, robust in (("m2", -2.0), ("r0", 0.0), ("p2", 2.0)):
+        f2_num = (5.0 * (10.0 ** (-robust))) ** 2
+        f2 = F.lit(f2_num) * (F.col("sum_wq") / 100.0) / (F.col("sum_wq2") / 10000.0)
+        wcols.append(
+            F.round(
+                F.col("weight") / (F.lit(1.0) + (F.col("wq") / 100.0) * f2), 9
+            ).alias(f"w_{tag}")
+        )
+    wts = j.select(*wcols)
+    aggs, outs = [], []
+    for tag in ("m2", "r0", "p2"):
+        aggs.append((qsum(F.col(f"w_{tag}"), 1e6) / F.lit(1e6)).alias(f"s_{tag}"))
+        aggs.append(
+            (qsum(F.col(f"w_{tag}") * F.col(f"w_{tag}"), 1e6) / F.lit(1e6)).alias(
+                f"s2_{tag}"
+            )
+        )
+        outs.append(F.round(F.col(f"s_{tag}"), 6).alias(f"wsum_{tag}"))
+        outs.append(
+            F.round(
+                (F.col(f"s_{tag}") * F.col(f"s_{tag}")) / F.col(f"s2_{tag}"), 6
+            ).alias(f"neff_{tag}")
+        )
+    return wts.agg(*aggs).select(*outs)
+
+
+_SMEARING_ORACLE = _with_ms(
+    f"""
+    , bt AS (
+      SELECT antenna1, antenna2, time, COUNT(*) AS n,
+             SUM(CAST(ROUND(u * 1000000) AS BIGINT)) AS uq,
+             SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS vq,
+             SUM(CAST(ROUND(w * 1000000) AS BIGINT)) AS wq
+      FROM vis GROUP BY antenna1, antenna2, time
+    ), means AS (
+      SELECT antenna1, antenna2, time,
+             (uq / 1000000.0) / n AS um,
+             (vq / 1000000.0) / n AS vm,
+             (wq / 1000000.0) / n AS wm
+      FROM bt
+    ), steps AS (
+      SELECT antenna1, antenna2,
+             um - lag(um) OVER w AS du,
+             vm - lag(vm) OVER w AS dv,
+             wm - lag(wm) OVER w AS dw
+      FROM means
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time)
+    ), sincs AS (
+      SELECT antenna1, antenna2,
+             CAST(ROUND((sin({bda_op.BDA_SINC_K!r} * sqrt(du*du + dv*dv + dw*dw) + 1e-8)
+                         / ({bda_op.BDA_SINC_K!r} * sqrt(du*du + dv*dv + dw*dw) + 1e-8))
+                        * 1000000000) AS BIGINT) AS sinc_q
+      FROM steps WHERE du IS NOT NULL
+    )
+    SELECT antenna1, antenna2, COUNT(*) AS n_steps,
+           round(MIN(sinc_q) / 1000000000.0, 9) AS worst_sinc,
+           CAST(SUM(CASE WHEN sinc_q < {bda_op.BDA_SINC_TOL_Q} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_decorrelated
+    FROM sincs GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("bda_smearing_report", _SMEARING_ORACLE)
+def bda_smearing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-smearing decorrelation forecast per baseline: the sinc
+    amplitude factor sin(Δψ/2)/(Δψ/2) of each consecutive-epoch uvw step
+    (the same Δψ/2 = K·|Δuvw| + 1e-8 closure quantity as the sinc-BDA
+    binner, bda_mapping.py:111-186), quantized on the BDA 1e-9 grid.
+    Reports the worst step and how many steps fall below the BDA
+    decorrelation tolerance — i.e. where averaging would lose amplitude.
+    Rows collapse to per-(baseline, epoch) exact uvw means first; the
+    window runs at diagnostic cardinality."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    bt = vis.groupBy("antenna1", "antenna2", "time").agg(
+        F.count(F.lit(1)).alias("n"),
+        qsum(F.col("u"), 1e6).alias("uq"),
+        qsum(F.col("v"), 1e6).alias("vq"),
+        qsum(F.col("w"), 1e6).alias("wq"),
+    )
+    means = bt.select(
+        "antenna1", "antenna2", "time",
+        ((F.col("uq") / F.lit(1000000.0)) / F.col("n")).alias("um"),
+        ((F.col("vq") / F.lit(1000000.0)) / F.col("n")).alias("vm"),
+        ((F.col("wq") / F.lit(1000000.0)) / F.col("n")).alias("wm"),
+    )
+    w = W.partitionBy("antenna1", "antenna2").orderBy("time")
+    steps = means.select(
+        "antenna1", "antenna2",
+        (F.col("um") - F.lag("um").over(w)).alias("du"),
+        (F.col("vm") - F.lag("vm").over(w)).alias("dv"),
+        (F.col("wm") - F.lag("wm").over(w)).alias("dw"),
+    ).filter(F.col("du").isNotNull())
+    half_psi = (
+        F.lit(bda_op.BDA_SINC_K)
+        * F.sqrt(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+                 + F.col("dw") * F.col("dw"))
+        + F.lit(1e-8)
+    )
+    sinc_q = F.round((F.sin(half_psi) / half_psi) * F.lit(1000000000.0)).cast("long")
+    return (
+        steps.select("antenna1", "antenna2", sinc_q.alias("sinc_q"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.min("sinc_q") / F.lit(1000000000.0), 9).alias("worst_sinc"),
+            F.sum(
+                F.when(F.col("sinc_q") < bda_op.BDA_SINC_TOL_Q, 1).otherwise(0)
+            ).alias("n_decorrelated"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+@register("lm_train_test_gap", tok_op.LM_TRAIN_TEST_GAP_SQL)
+def lm_train_test_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram-LM generalization gap (train-half vs held-out
+    surprisal) — the overfitting / distribution-shift eval beside the
+    per-doc quality tier; shares the stupid-backoff scorer."""
+    return tok_op.lm_train_test_gap(load(spark, "documents", sf_dir))
