@@ -1771,3 +1771,126 @@ def SQ8_RECALL_SQL(query_modulus: int = 125, k: int = 5) -> str:
       GROUP BY e.query_id
       ORDER BY e.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via exact-replay power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 24
+_PCA_Q = 1000000  # 1e6 fixed-point grid for covariance entries + iterates
+
+
+def pca_power_iteration(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration on the (uncentred) second-moment matrix — the whitening /
+    anisotropy diagnostic for an embedding table (a dominant direction
+    with a large λ means cosine similarities are inflated along it).
+
+    Distributed part: A_ij = mean(x_i·x_j) over the corpus, ONE
+    partial-agg shuffle at d² = 64² cardinality (map-side combine; the
+    per-row outer product is an array HOF, no self-join). The iteration
+    itself runs on the collected d×d integer matrix (the Gauss-Newton /
+    k-means accepted driver-loop class — bounded state, zero
+    data-volume-dependent traffic).
+
+    Exactness: A quantizes to a 1e6 grid; each iterate renormalizes by
+    L∞ and requantizes to 1e6 via FLOOR(x + 0.5) — chosen over
+    ROUND because it is the ONE rounding rule Python, Spark, and DuckDB
+    express identically, so the oracle's recursive-CTE replay (lists of
+    BIGINTs, matvec via list_zip) reproduces all `iters` steps
+    bit-for-bit. Matvec bounds: |aq| ≲ maxcov·1e6, |v| ≤ 1e6,
+    d = 64 ⇒ |u| < 2^53, so the int→double division is exact."""
+    import math
+
+    n = embeddings.count()
+    e = fan_out(embeddings)
+    xi = e.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    prods = xi.select(
+        "i",
+        F.posexplode(
+            F.expr("transform(embedding, y -> CAST(xi AS DOUBLE) * CAST(y AS DOUBLE))")
+        ).alias("j", "p"),
+    )
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    A = prods.groupBy("i", "j").agg(qsum(F.col("p"), float(_PCA_Q)).alias("sq"))
+    # every literal CAST to DOUBLE: a bare `1000000.0` in a SQL string is
+    # DECIMAL in BOTH engines' parsers, and their decimal division paths
+    # disagree exactly at FLOOR(x + 0.5) integer boundaries
+    aq_expr = F.expr(
+        f"CAST(FLOOR((sq / CAST({_PCA_Q} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * CAST({_PCA_Q} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    rows = A.select("i", "j", aq_expr.alias("aq")).collect()
+    d = EMB_DIM
+    mat = [[0] * d for _ in range(d)]
+    for r in rows:
+        mat[r.i][r.j] = r.aq
+    v = [_PCA_Q] + [0] * (d - 1)
+    mx = 0
+    for _ in range(iters):
+        u = [sum(mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in u)
+        if mx == 0:
+            break
+        v = [int(math.floor(x / mx * _PCA_Q + 0.5)) for x in u]
+    spark = embeddings.sparkSession
+    # u = (A*q)(v*q) => the eigenvalue lives on the q^2 grid
+    out = [(i, v[i] / _PCA_Q, mx / (_PCA_Q * _PCA_Q)) for i in range(d)]
+    return spark.createDataFrame(
+        out, "dim_idx int, eigvec double, lambda_inf double"
+    ).orderBy("dim_idx")
+
+
+def PCA_POWER_SQL(iters: int = PCA_ITERS) -> str:
+    d = EMB_DIM
+    q = _PCA_Q
+    return f"""
+    WITH RECURSIVE
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    A AS (
+      SELECT i.range AS i, j.range AS j,
+             CAST(FLOOR((CAST(SUM(CAST(ROUND(
+                    CAST(e.embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
+                  * CAST(e.embedding[CAST(j.range + 1 AS INT)] AS DOUBLE)
+                  * {q}) AS BIGINT)) AS BIGINT) / CAST({q} AS DOUBLE)
+                  / CAST((SELECT n FROM nn) AS DOUBLE))
+                  * CAST({q} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               AS BIGINT) AS aq
+      FROM embeddings e, range({d}) i, range({d}) j
+      GROUP BY 1, 2
+    ),
+    mat AS (
+      SELECT list(rowl ORDER BY i) AS m FROM (
+        SELECT i, list(aq ORDER BY j) AS rowl FROM A GROUP BY i)
+    ),
+    it AS (
+      SELECT 0 AS t,
+             (SELECT list(CASE WHEN r.range = 0 THEN CAST({q} AS BIGINT)
+                               ELSE CAST(0 AS BIGINT) END ORDER BY r.range)
+              FROM range({d}) r) AS v,
+             CAST(0 AS BIGINT) AS mx
+      UNION ALL
+      SELECT t + 1,
+             list_transform(u, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+               / CAST(mxn AS DOUBLE) * CAST({q} AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+             mxn
+      FROM (
+        SELECT t, u, list_max(list_transform(u, x -> abs(x))) AS mxn
+        FROM (
+          SELECT it.t,
+                 list_transform(mat.m, row -> CAST(list_sum(
+                   list_transform(list_zip(row, it.v), z -> z[1] * z[2]))
+                   AS BIGINT)) AS u
+          FROM it, mat
+        )
+      ) WHERE t < {iters}
+    ),
+    final AS (SELECT v, mx FROM it WHERE t = {iters})
+    SELECT CAST(r.range AS INT) AS dim_idx,
+           f.v[CAST(r.range + 1 AS INT)] / {q}.0 AS eigvec,
+           f.mx / {q * q}.0 AS lambda_inf
+    FROM final f, range({d}) r ORDER BY dim_idx
+"""

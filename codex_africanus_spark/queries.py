@@ -2630,11 +2630,19 @@ def _beam_trilinear_total() -> str:
     return total
 
 
-def _beam_gain_ctes() -> str:
-    """CTE chain computing the per-(source, chan) trilinear beam sample
-    over the 7-channel grid — the body shared by `_beam_cube_oracle` and
-    the beam-DDE predict oracle (ends with the `wts` CTE; select
-    `_beam_trilinear_total()` from it)."""
+_BEAM_DEFAULT_PAIRS = """
+          SELECT s.source_id, c.chan, s.l, s.m,
+                 856000000.0 * (1 + c.chan / 8.0) AS freq
+          FROM src s, chan c
+        """
+
+
+def _beam_gain_ctes(pairs_sql: str = _BEAM_DEFAULT_PAIRS) -> str:
+    """CTE chain computing the trilinear beam sample over whatever
+    `pairs_sql` emits (must provide l, m, freq; extra key columns ride
+    through p.*) — the body shared by `_beam_cube_oracle`, the beam-DDE
+    predict oracle, and the pointing-error variant (ends with the `wts`
+    CTE; select `_beam_trilinear_total()` from it)."""
 
     def lg(e):
         return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
@@ -2644,11 +2652,7 @@ def _beam_gain_ctes() -> str:
 
     return f"""
         , chan AS (SELECT CAST(range AS INT) AS chan FROM range(7))
-        , pairs AS (
-          SELECT s.source_id, c.chan, s.l, s.m,
-                 856000000.0 * (1 + c.chan / 8.0) AS freq
-          FROM src s, chan c
-        ), idx AS (
+        , pairs AS ({pairs_sql}), idx AS (
           SELECT p.*,
             LEAST(GREATEST(COALESCE((SELECT MAX(g.range) FROM range(33) g
               WHERE {lg('g.range')} <= p.l), -1), 0), 31) AS li,
@@ -7978,9 +7982,12 @@ def wstack_plane_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRIGGS_SWEEP = (("m1", -1.0), ("r0", 0.0), ("p1", 1.0))
+
+
 def _briggs_sweep_oracle() -> str:
     parts = []
-    for tag, robust in (("m2", -2.0), ("r0", 0.0), ("p2", 2.0)):
+    for tag, robust in _BRIGGS_SWEEP:
         f2 = repr((5.0 * (10.0 ** (-robust))) ** 2)
         parts.append(
             f"round(g.weight / (1.0 + (c.wq / 100.0) * ({f2} * (t.sum_wq / 100.0)"
@@ -7988,11 +7995,16 @@ def _briggs_sweep_oracle() -> str:
         )
     sel = ",\n             ".join(parts)
     aggs = []
-    for tag in ("m2", "r0", "p2"):
-        s = f"(SUM(CAST(ROUND(w_{tag} * 1000000) AS BIGINT)) / 1000000.0)"
-        s2 = f"(SUM(CAST(ROUND((w_{tag} * w_{tag}) * 1000000) AS BIGINT)) / 1000000.0)"
+    for tag, _ in _BRIGGS_SWEEP:
+        # w' carries 9 decimals => the 1e9 sum grid is exact; w'^2 needs
+        # the finer 1e12 grid or strong-robust settings quantize to zero
+        # (whose neff division then dies under ANSI)
+        s = f"(SUM(CAST(ROUND(w_{tag} * 1000000000) AS BIGINT)) / 1000000000.0)"
+        s2 = f"(SUM(CAST(ROUND((w_{tag} * w_{tag}) * 1000000000000) AS BIGINT)) / 1000000000000.0)"
         aggs.append(f"round({s}, 6) AS wsum_{tag}")
-        aggs.append(f"round(({s} * {s}) / {s2}, 6) AS neff_{tag}")
+        aggs.append(
+            f"CASE WHEN {s2} <> 0.0 THEN round(({s} * {s}) / {s2}, 6) END AS neff_{tag}"
+        )
     return _with_ms(
         f"""
         , gated AS (
@@ -8042,7 +8054,7 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(totals)
     )
     wcols = []
-    for tag, robust in (("m2", -2.0), ("r0", 0.0), ("p2", 2.0)):
+    for tag, robust in _BRIGGS_SWEEP:
         f2_num = (5.0 * (10.0 ** (-robust))) ** 2
         f2 = F.lit(f2_num) * (F.col("sum_wq") / 100.0) / (F.col("sum_wq2") / 10000.0)
         wcols.append(
@@ -8052,17 +8064,20 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     wts = j.select(*wcols)
     aggs, outs = [], []
-    for tag in ("m2", "r0", "p2"):
-        aggs.append((qsum(F.col(f"w_{tag}"), 1e6) / F.lit(1e6)).alias(f"s_{tag}"))
+    for tag, _ in _BRIGGS_SWEEP:
+        aggs.append((qsum(F.col(f"w_{tag}"), 1e9) / F.lit(1e9)).alias(f"s_{tag}"))
         aggs.append(
-            (qsum(F.col(f"w_{tag}") * F.col(f"w_{tag}"), 1e6) / F.lit(1e6)).alias(
+            (qsum(F.col(f"w_{tag}") * F.col(f"w_{tag}"), 1e12) / F.lit(1e12)).alias(
                 f"s2_{tag}"
             )
         )
         outs.append(F.round(F.col(f"s_{tag}"), 6).alias(f"wsum_{tag}"))
         outs.append(
-            F.round(
-                (F.col(f"s_{tag}") * F.col(f"s_{tag}")) / F.col(f"s2_{tag}"), 6
+            F.when(
+                F.col(f"s2_{tag}") != 0.0,
+                F.round(
+                    (F.col(f"s_{tag}") * F.col(f"s_{tag}")) / F.col(f"s2_{tag}"), 6
+                ),
             ).alias(f"neff_{tag}")
         )
     return wts.agg(*aggs).select(*outs)
@@ -8165,3 +8180,73 @@ def lm_train_test_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal) — the overfitting / distribution-shift eval beside the
     per-doc quality tier; shares the stupid-backoff scorer."""
     return tok_op.lm_train_test_gap(load(spark, "documents", sf_dir))
+
+
+def _beam_pointing_oracle() -> str:
+    """Pointing-error/antenna-scaling beam oracle: the shared trilinear
+    machinery over per-(source, ANTENNA, chan) effective (l, m) —
+    l·scale_a + δl_a with deterministic per-antenna offsets (all within
+    the grid interior, so no clamp edge cases)."""
+    pairs = f"""
+          SELECT s.source_id, a.antenna, c.chan,
+                 s.l * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
+                   + (a.antenna - 3) * CAST(0.002 AS DOUBLE) AS l,
+                 s.m * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
+                   + ((a.antenna * 3) % 7 - 3) * CAST(0.0015 AS DOUBLE) AS m,
+                 856000000.0 * (1 + c.chan / 8.0) AS freq
+          FROM src s, ant a, chan c
+        """
+    return _with_ms(
+        f"""
+        , ant AS ({tpch_ms.ANTENNA_SQL})
+        {_beam_gain_ctes(pairs)}
+        SELECT source_id, antenna, chan,
+               round({_beam_trilinear_total()}, 9) AS beam_gain
+        FROM wts ORDER BY source_id, antenna, chan
+        """
+    )
+
+
+@register("beam_pointing_error_sampling", _beam_pointing_oracle())
+def beam_pointing_error_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ANTENNA beam sampling with pointing errors and antenna
+    scaling — the full signature of the reference's beam_cube_dde
+    (fast_beam_cubes.py:58-301 takes point_errors [time, ant, chan, 2]
+    and antenna_scaling [ant, chan, 2]; here deterministic per-antenna
+    δl/δm offsets and a per-antenna dish-size scale): each antenna sees
+    the source through its OWN displaced, scaled beam. The sampled
+    frame stays (n_src × n_ant × n_chan) — tiny broadcast side at any
+    fact-table scale."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    ants = tpch_ms.antenna_table(spark).select("antenna")
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    scale = F.lit(1.0) + F.col("antenna") * F.lit(0.01)
+    dl = (F.col("antenna") - 3) * F.lit(0.002)
+    dm = ((F.col("antenna") * 3) % 7 - 3) * F.lit(0.0015)
+    pairs = (
+        src.crossJoin(ants).crossJoin(chan).select(
+            "source_id", "antenna", "chan",
+            (F.col("l") * scale + dl).alias("l"),
+            (F.col("m") * scale + dm).alias("m"),
+            (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias(
+                "frequency"
+            ),
+        )
+    )
+    out = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube())
+    return out.select(
+        "source_id", "antenna", "chan",
+        F.round(F.col("beam_gain"), 9).alias("beam_gain"),
+    ).orderBy("source_id", "antenna", "chan")
+
+
+@register("embedding_pca_power_iteration", sim_op.PCA_POWER_SQL())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction + L∞ eigenvalue estimate of the
+    embedding second-moment matrix by 24 exact-replay power-iteration
+    steps — the anisotropy diagnostic for the ANN tiers. Distributed
+    d²-cell moment aggregate, then a Gauss-Newton-class driver loop on
+    the collected 64×64 integer matrix; the DuckDB oracle replays every
+    step bit-for-bit through a recursive CTE carrying the iterate as a
+    BIGINT list."""
+    return sim_op.pca_power_iteration(load(spark, "embeddings", sf_dir))
