@@ -8043,9 +8043,12 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("u") / 10.0).cast("long").alias("u_cell"),
         F.floor(F.col("v") / 10.0).cast("long").alias("v_cell"),
     )
+    # persist the cell-cardinality table: it feeds BOTH the totals
+    # reduction and the broadcast join-back — without the cache each
+    # consumer re-scans the fact table to rebuild it
     cellw = gated.groupBy("u_cell", "v_cell").agg(
         qsum(F.col("weight"), 100.0).alias("wq")
-    )
+    ).persist()
     totals = cellw.agg(
         F.sum("wq").alias("sum_wq"),
         F.sum(F.col("wq") * F.col("wq")).alias("sum_wq2"),

@@ -512,3 +512,56 @@ def test_radio_reports_single_scan_bounded_exchanges(spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") <= 2, name
         assert plan.count("Scan parquet") <= 1, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_briggs_sweep_single_fact_pass(spark, sf_dir):
+    """Robust sweep: three settings share ONE gated scan + cell table —
+    the fact side is scanned once and joined broadcast."""
+    plan = plan_of(registry()["briggs_robust_sweep"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the persisted cell table feeds both totals and the join-back (the
+    # parquet scans inside the InMemoryRelation body run once at fill)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_smearing_and_segments_collapse_before_window(spark, sf_dir):
+    """Sequential diagnostics must window the COLLAPSED frame: exactly
+    one fact-cardinality aggregate exchange feeding the window."""
+    for name in ("bda_smearing_report", "baseline_observation_segments"):
+        plan = plan_of(registry()[name].fn(spark, sf_dir))
+        assert plan.count("Scan parquet") <= 1, name
+        assert "Window" in plan, name
+
+
+def test_beam_pointing_udf_on_tiny_side_only(spark, sf_dir):
+    """The pandas-UDF beam sample runs on the (src × ant × chan) cross
+    join — no parquet fact scan besides the 25-row catalogue."""
+    plan = plan_of(registry()["beam_pointing_error_sampling"].fn(spark, sf_dir))
+    assert "lineitem" not in plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_pca_moment_aggregate_is_partial_final(spark, sf_dir):
+    """The d² moment matrix must reduce map-side: partial+final hash
+    aggregate over the outer-product explode, one hash exchange."""
+    from codex_africanus_spark.operators import similarity as sim_op
+    from codex_africanus_spark.sources.tables import load as _load
+
+    emb = _load(spark, "embeddings", sf_dir)
+    # audit the distributed stage (the driver loop consumes its collect)
+    from codex_africanus_spark.sources.tables import fan_out
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    e = fan_out(emb)
+    xi = e.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    prods = xi.select(
+        "i",
+        F.posexplode(
+            F.expr("transform(embedding, y -> CAST(xi AS DOUBLE) * CAST(y AS DOUBLE))")
+        ).alias("j", "p"),
+    )
+    A = prods.groupBy("i", "j").agg(qsum(F.col("p"), 1e6).alias("sq"))
+    plan = plan_of(A)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2

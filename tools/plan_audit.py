@@ -63,6 +63,10 @@ QUERIES = [
     "dedup_storage_savings", "uvdist_radial_profile",
     "redundant_baseline_average", "baseline_observation_segments",
     "antenna_elevation_flags",
+    "simhash_hamming_histogram", "dup_cluster_size_histogram",
+    "wstack_plane_occupancy", "briggs_robust_sweep", "bda_smearing_report",
+    "lm_train_test_gap", "beam_pointing_error_sampling",
+    "embedding_pca_power_iteration",
 ]
 
 spark = (
