@@ -155,7 +155,11 @@ def pmi_collocations(documents: DataFrame, min_count: int = PMI_MIN_COUNT,
     denominator N."""
     # split once per document; the transform lambda indexes the cached
     # array (re-splitting inside the lambda is O(tokens) per element)
-    bg = fan_out(documents).select(
+    # docs need >= 2 tokens: sequence(1, size-1) DESCENDS for size 1 and
+    # element_at then throws; the mirror filters identically
+    bg = fan_out(documents).filter(
+        F.size(F.split("text", " ")) >= 2
+    ).select(
         F.split("text", " ").alias("w")
     ).select(
         F.explode(
@@ -208,7 +212,8 @@ def _pmi_sql(min_count: int = PMI_MIN_COUNT, k: int = PMI_TOPK) -> str:
   WITH bg0 AS (
     SELECT unnest([concat_ws(' ', w[j], w[j+1])
                    for j in generate_series(1, len(w)-1)]) AS bigram
-    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2)
   ),
   bg AS (
     SELECT bigram, string_split(bigram, ' ')[1] AS w1,
@@ -248,7 +253,7 @@ def char_trigram_entropy(documents: DataFrame) -> DataFrame:
     H = ln(Nd) − (Σ c·ln c)/Nd is assembled from exact integers:
     hq = q(ln Nd)·Nd − Σ c·q(ln c) with q on the 1e6 grid, then one
     division — identical in both engines."""
-    tri = fan_out(documents).select(
+    tri = fan_out(documents).filter(F.length("text") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -280,7 +285,7 @@ CHAR_TRIGRAM_ENTROPY_SQL = f"""
     SELECT doc_id,
            unnest([substr(text, j, 3)
                    for j in generate_series(1, len(text)-2)]) AS tri
-    FROM documents
+    FROM documents WHERE len(text) >= 3
   ),
   counts AS (
     SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY doc_id, tri

@@ -1873,14 +1873,15 @@ def PCA_POWER_SQL(iters: int = PCA_ITERS) -> str:
              CAST(0 AS BIGINT) AS mx
       UNION ALL
       SELECT t + 1,
-             list_transform(u, x -> CAST(FLOOR(CAST(x AS DOUBLE)
-               / CAST(mxn AS DOUBLE) * CAST({q} AS DOUBLE)
-               + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+             CASE WHEN mxn = 0 THEN v   -- mirror the driver loop's break
+                  ELSE list_transform(u, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+                    / CAST(mxn AS DOUBLE) * CAST({q} AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) END,
              mxn
       FROM (
-        SELECT t, u, list_max(list_transform(u, x -> abs(x))) AS mxn
+        SELECT t, v, u, list_max(list_transform(u, x -> abs(x))) AS mxn
         FROM (
-          SELECT it.t,
+          SELECT it.t, it.v,
                  list_transform(mat.m, row -> CAST(list_sum(
                    list_transform(list_zip(row, it.v), z -> z[1] * z[2]))
                    AS BIGINT)) AS u

@@ -326,10 +326,13 @@ def lm_train_test_gap(docs: DataFrame) -> DataFrame:
     )
 
 
+from codex_africanus_spark.functions.text import hash60_sql as _h60sql
+_IN_TRAIN_HASH = _h60sql("CAST(doc_id AS VARCHAR)")
+
 LM_TRAIN_TEST_GAP_SQL = f"""
   WITH d AS (
     SELECT doc_id, source,
-           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0 AS in_train,
+           ({_IN_TRAIN_HASH} % 2) = 0 AS in_train,
            string_split(text, ' ') AS w FROM documents
     WHERE len(string_split(text, ' ')) >= 3
   ),

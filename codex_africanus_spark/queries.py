@@ -2595,16 +2595,25 @@ def degrid_policy_phase_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_op.degrid_phase_rotated(tpch_ms.vis_table(spark, sf_dir))
 
 
+def _beam_lg(e: str) -> str:
+    """l/m grid value at index e (linspace(-0.1, 0.1, 33)) — the ONE
+    definition shared by the corner-value and index/weight CTE builders
+    (a drift between two copies would silently corrupt every beam
+    oracle)."""
+    return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
+
+
+def _beam_fgv(e: str) -> str:
+    """freq grid value at index e (linspace(856e6, 1712e6, 5))."""
+    return f"(({e}) * (856000000.0 / 4) + 856000000.0)"
+
+
 def _beam_trilinear_total() -> str:
     """SQL expression for the trilinear-interpolated test-cube value over
     the `wts` CTE columns (li/mi/fi + lw/mw/fw) — shared by the sampling
     oracle and the beam-DDE predict oracle so the arithmetic cannot fork."""
 
-    def lg(e):  # l/m grid value at index e (linspace(-0.1, 0.1, 33))
-        return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
-
-    def fgv(e):  # freq grid value at index e (linspace(856e6, 1712e6, 5))
-        return f"(({e}) * (856000000.0 / 4) + 856000000.0)"
+    lg, fgv = _beam_lg, _beam_fgv
 
     def cube(li, mi, fi):
         return (
@@ -2644,11 +2653,7 @@ def _beam_gain_ctes(pairs_sql: str = _BEAM_DEFAULT_PAIRS) -> str:
     predict oracle, and the pointing-error variant (ends with the `wts`
     CTE; select `_beam_trilinear_total()` from it)."""
 
-    def lg(e):
-        return f"(({e}) * (0.2e0 / 32) + (-0.1e0))"
-
-    def fgv(e):
-        return f"(({e}) * (856000000.0 / 4) + 856000000.0)"
+    lg, fgv = _beam_lg, _beam_fgv
 
     return f"""
         , chan AS (SELECT CAST(range AS INT) AS chan FROM range(7))
@@ -7814,7 +7819,7 @@ _BL_SEGMENTS_ORACLE = _with_ms(
       FROM flagged
     ), per_seg AS (
       SELECT antenna1, antenna2, seg_id, COUNT(*) AS n_times,
-             CAST((MAX(time) - MIN(time)) / 86400.0 AS BIGINT) + 1 AS seg_days
+             CAST(FLOOR((MAX(time) - MIN(time)) / 86400.0) AS BIGINT) + 1 AS seg_days
       FROM seg GROUP BY antenna1, antenna2, seg_id
     )
     SELECT antenna1, antenna2, COUNT(*) AS n_segments,
@@ -7852,8 +7857,11 @@ def baseline_observation_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     per_seg = seg.groupBy("antenna1", "antenna2", "seg_id").agg(
         F.count(F.lit(1)).alias("n_times"),
+        # explicit FLOOR: Spark's double->long CAST truncates where
+        # DuckDB's CAST rounds to nearest — only FLOOR agrees on both
         (
-            ((F.max("time") - F.min("time")) / F.lit(86400.0)).cast("long") + 1
+            F.floor((F.max("time") - F.min("time")) / F.lit(86400.0)).cast("long")
+            + 1
         ).alias("seg_days"),
     )
     return (
@@ -7879,10 +7887,11 @@ _ELEVATION_ORACLE = _with_ms(
                  f'CAST({_PA_FIELD[1]!r} AS DOUBLE)')} AS el
       FROM t, ant a
     )
+    , elq AS (SELECT antenna, CAST(ROUND(el * 1000000000) AS BIGINT) AS el_q FROM el)
     SELECT antenna, COUNT(*) AS n_times,
-           CAST(SUM(CASE WHEN el < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-           round(MIN(el), 9) AS min_el, round(MAX(el), 9) AS max_el
-    FROM el GROUP BY antenna ORDER BY antenna
+           CAST(SUM(CASE WHEN el_q < 350000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           MIN(el_q) / 1000000000.0 AS min_el, MAX(el_q) / 1000000000.0 AS max_el
+    FROM elq GROUP BY antenna ORDER BY antenna
     """
 )
 
@@ -7902,14 +7911,21 @@ def antenna_elevation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),
         F.lit(_PA_FIELD[0]), F.lit(_PA_FIELD[1]),
     )
-    grid = times.crossJoin(F.broadcast(ants)).select("antenna", el.alias("el"))
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    # quantize the transcendental BEFORE the threshold compare and the
+    # min/max (JVM vs libm trig can differ by ulps; decisions on the raw
+    # double would be the cross-engine fork class)
+    grid = times.crossJoin(F.broadcast(ants)).select(
+        "antenna", quantize(el, 1e9).alias("el_q")
+    )
     return (
         grid.groupBy("antenna")
         .agg(
             F.count(F.lit(1)).alias("n_times"),
-            F.sum(F.when(F.col("el") < 0.35, 1).otherwise(0)).alias("n_low"),
-            F.round(F.min("el"), 9).alias("min_el"),
-            F.round(F.max("el"), 9).alias("max_el"),
+            F.sum(F.when(F.col("el_q") < 350000000, 1).otherwise(0)).alias("n_low"),
+            (F.min("el_q") / F.lit(1000000000.0)).alias("min_el"),
+            (F.max("el_q") / F.lit(1000000000.0)).alias("max_el"),
         )
         .orderBy("antenna")
     )
@@ -8029,7 +8045,7 @@ def _briggs_sweep_oracle() -> str:
 
 @register("briggs_robust_sweep", _briggs_sweep_oracle())
 def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Briggs robust-parameter sensitivity sweep (robust = −2, 0, +2 in
+    """Briggs robust-parameter sensitivity sweep (robust = −1, 0, +1 in
     ONE pass): total imaging weight and effective visibility count
     (Σw')²/Σw'² per setting — the uniform↔natural trade-off curve an
     imager reads before picking robust. The cell-weight table and its
@@ -8162,7 +8178,12 @@ def bda_smearing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.col("dw") * F.col("dw"))
         + F.lit(1e-8)
     )
-    sinc_q = F.round((F.sin(half_psi) / half_psi) * F.lit(1000000000.0)).cast("long")
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    # sign-aware quantize, NOT F.round: sinc goes negative past pi and
+    # Spark ROUND is HALF_UP where DuckDB is half-away (calibration.py
+    # records the same rule for signed phases)
+    sinc_q = quantize(F.sin(half_psi) / half_psi, 1e9)
     return (
         steps.select("antenna1", "antenna2", sinc_q.alias("sinc_q"))
         .groupBy("antenna1", "antenna2")
