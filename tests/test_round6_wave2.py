@@ -343,3 +343,22 @@ def test_pca_power_iteration_matches_numpy_direction(spark, sf_dir):
     assert cos > 0.95          # converged onto the dominant direction
     assert abs(lam - w[-1]) < 0.15 * w[-1]   # L∞ Rayleigh estimate
     assert np.abs(v).max() == 1.0            # L∞-normalized iterate
+
+
+def test_pmi_and_entropy_survive_short_docs(spark):
+    """Docs below the n-gram width must be dropped, not crash (Spark's
+    sequence(1, n) descends for n < 1 and element_at/substring then
+    throw or fabricate) — mirrors of the oracle-side filters."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "one", "en", "s", 3),
+            (3, "ab", "en", "s", 2),
+            (4, "alpha beta alpha beta alpha beta alpha beta", "en", "s", 43),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pmi = retr_op.pmi_collocations(docs, min_count=2, k=5).collect()
+    assert all(r.c12 >= 2 for r in pmi)  # only doc 4 contributes
+    ent = {r.doc_id: r for r in retr_op.char_trigram_entropy(docs).collect()}
+    assert set(ent) == {2, 4}  # len("one")=3 qualifies; "", "ab" dropped
