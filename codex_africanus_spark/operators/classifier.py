@@ -136,3 +136,77 @@ SOURCE_ROLLUP_SQL = f"""
                / (COUNT(*) * 1000000000.0), 9) AS mean_quality
   FROM joined GROUP BY source ORDER BY source
 """
+
+
+def length_quality_correlation(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length (tokens)
+    and the classifier's raw quality logit — the 'are we length-biased'
+    audit a mixture designer runs before setting length-conditioned
+    sampling. Both variables are exact integers, so the five moment sums
+    are exact BIGINT reductions; r assembles from them in identical
+    doubles (cast BEFORE the cross products — n·Σxy outgrows int64 at
+    corpus scale) and rounds at 9 dp. One scan, one partial-agg shuffle
+    at source cardinality."""
+    scored = classify(documents, carry=["source"]).select(
+        "source", F.col("n_tokens").alias("x"), F.col("raw_score").alias("y")
+    )
+    m = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.expr(
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    vx = F.expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    vy = F.expr(
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return m.select(
+        "source", "n",
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 9)
+        ).alias("length_quality_r"),
+    ).orderBy("source")
+
+
+LENGTH_QUALITY_CORR_SQL = f"""
+  WITH scored AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS x,
+           {BIAS} + list_sum(list_transform(string_split(text, ' '), t ->
+             {_weights_array_sql()}[
+               CAST(({hash60_sql('t')} % {HASH_P}) % {N_BUCKETS} AS INT) + 1
+             ])) AS y
+    FROM documents
+  ),
+  m AS (
+    SELECT source, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM scored GROUP BY source
+  )
+  SELECT source, n,
+         CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+               AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         END AS length_quality_r
+  FROM m ORDER BY source
+"""

@@ -1288,3 +1288,85 @@ DUP_CLUSTER_HIST_SQL = f"""
          COUNT(*) AS n_docs
   FROM sized GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+def minhash_calibration_curve(docs: DataFrame) -> DataFrame:
+    """MinHash estimator calibration: for each signature-match level
+    (n_sig_match of 8), the mean EXACT shingle Jaccard of the LSH
+    candidate pairs at that level — the 'can I trust est_jaccard' curve
+    that decides whether the k=8 signature is wide enough for the
+    corpus. Pairs come from the production LSH plan; exact Jaccard is
+    the same intersection join the verification tier uses, quantized at
+    1e6 per pair so the per-level mean is an exact integer reduction."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b", "n_sig_match")
+    sh = _shingle_frame(fan_out(docs)).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            sh.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.h") == F.col("tb.h")),
+        )
+        .groupBy("doc_a", "doc_b", "n_sig_match")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac_q = F.expr(
+        "CAST(ROUND(inter / CAST(sa + sb - inter AS DOUBLE) * 1000000)"
+        " AS BIGINT)"
+    )
+    per_pair = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .select("n_sig_match", jac_q.alias("jac_q"))
+    )
+    return (
+        per_pair.groupBy("n_sig_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("jac_q") / F.lit(1000000.0) / F.count(F.lit(1)), 6).alias(
+                "mean_exact_jaccard"
+            ),
+        )
+        .orderBy("n_sig_match")
+    )
+
+
+MINHASH_CALIBRATION_SQL = f"""
+  WITH {_SHINGLE_CTE},
+  sigs AS ({_sig_select()}),
+  banded AS ({_BAND_UNION}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_SIG_MATCH} AS n_sig_match
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  dsh AS (SELECT DISTINCT doc_id, h FROM shingles),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, p.n_sig_match, COUNT(*) AS inter
+    FROM pairs p
+    JOIN dsh ta ON ta.doc_id = p.doc_a
+    JOIN dsh tb ON tb.doc_id = p.doc_b AND tb.h = ta.h
+    GROUP BY p.doc_a, p.doc_b, p.n_sig_match
+  ),
+  per_pair AS (
+    SELECT i.n_sig_match,
+           CAST(ROUND(i.inter / CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE)
+                      * 1000000) AS BIGINT) AS jac_q
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+  )
+  SELECT n_sig_match, COUNT(*) AS n_pairs,
+         round(CAST(SUM(jac_q) AS BIGINT) / 1000000.0 / COUNT(*), 6)
+           AS mean_exact_jaccard
+  FROM per_pair GROUP BY n_sig_match ORDER BY n_sig_match
+"""

@@ -8274,3 +8274,20 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     step bit-for-bit through a recursive CTE carrying the iterate as a
     BIGINT list."""
     return sim_op.pca_power_iteration(load(spark, "embeddings", sf_dir))
+
+
+@register("minhash_calibration_curve", dedup_op.MINHASH_CALIBRATION_SQL)
+def minhash_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean EXACT Jaccard per MinHash signature-match level over the LSH
+    candidate pairs — the estimator-calibration curve that validates the
+    k=8 signature width against ground truth."""
+    return dedup_op.minhash_calibration_curve(load(spark, "documents", sf_dir))
+
+
+@register("length_quality_correlation", clf_op.LENGTH_QUALITY_CORR_SQL)
+def length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson r between document length and the classifier's
+    raw logit (exact integer moment sums; r assembled in identical
+    doubles) — the length-bias audit before length-conditioned
+    sampling."""
+    return clf_op.length_quality_correlation(load(spark, "documents", sf_dir))

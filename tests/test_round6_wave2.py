@@ -362,3 +362,33 @@ def test_pmi_and_entropy_survive_short_docs(spark):
     assert all(r.c12 >= 2 for r in pmi)  # only doc 4 contributes
     ent = {r.doc_id: r for r in retr_op.char_trigram_entropy(docs).collect()}
     assert set(ent) == {2, 4}  # len("one")=3 qualifies; "", "ab" dropped
+
+
+def test_minhash_calibration_is_monotone_and_complete(spark, sf_dir):
+    """More matching signatures must mean higher mean exact jaccard, and
+    the per-level pair counts must sum to the LSH pair count."""
+    docs = load(spark, "documents", sf_dir)
+    curve = Q.minhash_calibration_curve(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in curve) == dedup_op.minhash_lsh_pairs(docs).count()
+    means = [r.mean_exact_jaccard for r in
+             sorted(curve, key=lambda r: r.n_sig_match)]
+    assert all(a <= b + 0.05 for a, b in zip(means, means[1:]))  # near-monotone
+    assert all(0 <= m <= 1 for m in means)
+
+
+def test_length_quality_correlation_bounds_and_planted(spark):
+    from codex_africanus_spark.operators import classifier as clf_op
+
+    out = clf_op.length_quality_correlation(
+        load(spark, "documents", "/root/testdata/sf0.001")
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.length_quality_r is None or -1.0 <= r.length_quality_r <= 1.0
+    # zero-variance guard: all docs same length => r is NULL, not a crash
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s0", 16) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = clf_op.length_quality_correlation(docs).collect()
+    assert rows[0].length_quality_r is None

@@ -66,7 +66,8 @@ QUERIES = [
     "simhash_hamming_histogram", "dup_cluster_size_histogram",
     "wstack_plane_occupancy", "briggs_robust_sweep", "bda_smearing_report",
     "lm_train_test_gap", "beam_pointing_error_sampling",
-    "embedding_pca_power_iteration",
+    "embedding_pca_power_iteration", "minhash_calibration_curve",
+    "length_quality_correlation",
 ]
 
 spark = (
