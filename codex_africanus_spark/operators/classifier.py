@@ -142,21 +142,28 @@ def length_quality_correlation(documents: DataFrame) -> DataFrame:
     """Per-source Pearson correlation between document length (tokens)
     and the classifier's raw quality logit — the 'are we length-biased'
     audit a mixture designer runs before setting length-conditioned
-    sampling. Both variables are exact integers, so the five moment sums
-    are exact BIGINT reductions; r assembles from them in identical
-    doubles (cast BEFORE the cross products — n·Σxy outgrows int64 at
-    corpus scale) and rounds at 9 dp. One scan, one partial-agg shuffle
-    at source cardinality."""
+    sampling. Both variables are exact integers; the moment sums form in
+    decimal(38,0) (per-row y² is ~1e14 for a 10k-token doc, so int64
+    would overflow after ~1e5 such docs per source — the RFI-report
+    lesson; x is also widened to long first, since an int32 n_tokens²
+    overflows ANSI at ≥ 46341 tokens). r assembles from the sums in
+    identical doubles and rounds at 9 dp — exact while the sums stay
+    below 2^53; beyond that the int128↔double casts are the documented
+    cross-engine risk and a coarser quantization tier would be needed.
+    One scan, one partial-agg shuffle at source cardinality."""
+    dec = "decimal(38,0)"
     scored = classify(documents, carry=["source"]).select(
-        "source", F.col("n_tokens").alias("x"), F.col("raw_score").alias("y")
+        "source",
+        F.col("n_tokens").cast("long").alias("x"),
+        F.col("raw_score").alias("y"),
     )
     m = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     num = F.expr(
         "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
@@ -191,9 +198,9 @@ LENGTH_QUALITY_CORR_SQL = f"""
   m AS (
     SELECT source, COUNT(*) AS n,
            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM scored GROUP BY source
   )
   SELECT source, n,

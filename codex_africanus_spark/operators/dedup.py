@@ -105,6 +105,22 @@ def lsh_banded(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
 
+def _pair_intersections(cand: DataFrame, sh: DataFrame, carry: tuple = (),
+                        out_col: str = "inter") -> DataFrame:
+    """Exact shingle-set intersection counts for a candidate-pair frame —
+    THE shared verification kernel (one definition so the containment,
+    prefix-filter, and calibration tiers cannot fork; the project rule
+    recorded for _hogbom/_ivf helpers applies here too). `cand` must
+    carry doc_a/doc_b (+`carry` columns, grouped through); `sh` is a
+    distinct (doc_id, h) set frame."""
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", *carry)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
 _CKPT_ROOT: dict = {}  # applicationId -> base dir for per-frame ckpt subdirs
 
 
@@ -934,12 +950,7 @@ def containment_dup_pairs(docs: DataFrame, tau: float = CONTAINMENT_TAU) -> Data
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _pair_intersections(pairs, sh, out_col="n_common")
     out = (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
@@ -1050,16 +1061,7 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        cand.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            sh.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.h") == F.col("tb.h")),
-        )
-        .groupBy("doc_a", "doc_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _pair_intersections(cand, sh, carry=("sa", "sb"))
     return (
         inter.filter(
             F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
@@ -1299,18 +1301,11 @@ def minhash_calibration_curve(docs: DataFrame) -> DataFrame:
     the same intersection join the verification tier uses, quantized at
     1e6 per pair so the per-level mean is an exact integer reduction."""
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b", "n_sig_match")
-    sh = _shingle_frame(fan_out(docs)).distinct()
+    # persist: the set frame feeds sizes + both verify sides (the same
+    # three-consumer shape as prefix_filter_jaccard_join)
+    sh = _shingle_frame(fan_out(docs)).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            sh.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.h") == F.col("tb.h")),
-        )
-        .groupBy("doc_a", "doc_b", "n_sig_match")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _pair_intersections(pairs, sh, carry=("n_sig_match",))
     jac_q = F.expr(
         "CAST(ROUND(inter / CAST(sa + sb - inter AS DOUBLE) * 1000000)"
         " AS BIGINT)"

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from codex_africanus_spark.functions.text import hash60, hash60_sql
 from codex_africanus_spark.sources.tables import fan_out
 
 TOP_PAIRS = 20
@@ -285,8 +286,6 @@ def lm_train_test_gap(docs: DataFrame) -> DataFrame:
     The split is HASH-based (md5-derived bit of doc_id), not parity:
     the synthetic corpus assigns source = doc_id mod n_sources, so a
     parity split would put every source wholly in one half."""
-    from codex_africanus_spark.functions.text import hash60
-
     docs = docs.withColumn(
         "in_train", hash60(F.col("doc_id").cast("string")) % 2 == 0
     )
@@ -326,8 +325,7 @@ def lm_train_test_gap(docs: DataFrame) -> DataFrame:
     )
 
 
-from codex_africanus_spark.functions.text import hash60_sql as _h60sql
-_IN_TRAIN_HASH = _h60sql("CAST(doc_id AS VARCHAR)")
+_IN_TRAIN_HASH = hash60_sql("CAST(doc_id AS VARCHAR)")
 
 LM_TRAIN_TEST_GAP_SQL = f"""
   WITH d AS (

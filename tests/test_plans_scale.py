@@ -565,3 +565,15 @@ def test_pca_moment_aggregate_is_partial_final(spark, sf_dir):
     plan = plan_of(A)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_calibration_and_correlation_plan_shapes(spark, sf_dir):
+    """Calibration: equi-joins only, persisted shingle frame reused;
+    correlation: one scan, one source-cardinality aggregate exchange."""
+    plan = plan_of(registry()["minhash_calibration_curve"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    plan = plan_of(registry()["length_quality_correlation"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan

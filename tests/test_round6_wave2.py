@@ -376,11 +376,11 @@ def test_minhash_calibration_is_monotone_and_complete(spark, sf_dir):
     assert all(0 <= m <= 1 for m in means)
 
 
-def test_length_quality_correlation_bounds_and_planted(spark):
+def test_length_quality_correlation_bounds_and_planted(spark, sf_dir):
     from codex_africanus_spark.operators import classifier as clf_op
 
     out = clf_op.length_quality_correlation(
-        load(spark, "documents", "/root/testdata/sf0.001")
+        load(spark, "documents", sf_dir)
     ).collect()
     assert len(out) > 0
     for r in out:
