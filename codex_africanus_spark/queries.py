@@ -8291,3 +8291,121 @@ def length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles) — the length-bias audit before length-conditioned
     sampling."""
     return clf_op.length_quality_correlation(load(spark, "documents", sf_dir))
+
+
+def _beam_dde_full_predict_oracle() -> str:
+    """Full per-antenna beam DDE predict mirror: the pointing-error beam
+    CTE (per source, antenna, chan) joined into the coherency once per
+    baseline END, then the 1e-6 fixed-point source reduction."""
+    pairs = f"""
+          SELECT s.source_id, a.antenna, c.chan,
+                 s.l * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
+                   + (a.antenna - 3) * CAST(0.002 AS DOUBLE) AS l,
+                 s.m * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
+                   + ((a.antenna * 3) % 7 - 3) * CAST(0.0015 AS DOUBLE) AS m,
+                 856000000.0 * (1 + c.chan / 8.0) AS freq
+          FROM src s, ant a, chan c
+        """
+    return _with_ms(
+        f"""
+        , ant AS ({tpch_ms.ANTENNA_SQL})
+        {_beam_gain_ctes(pairs)}
+        , beamg AS (
+          SELECT source_id, antenna, chan,
+                 round({_beam_trilinear_total()}, 9) AS bg
+          FROM wts
+        ), coh AS (
+          SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+                 ((b1.bg * b2.bg) * (s.flux_i + s.flux_q)) AS fxx,
+                 ((b1.bg * b2.bg) * (s.flux_i - s.flux_q)) AS fyy,
+                 -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+          FROM vis v
+          JOIN beamg b1 ON b1.chan = v.chan AND b1.antenna = v.antenna1
+          JOIN beamg b2 ON b2.chan = v.chan AND b2.antenna = v.antenna2
+                       AND b2.source_id = b1.source_id
+          JOIN src s ON s.source_id = b1.source_id
+        )
+        SELECT row_id, antenna1, antenna2, chan,
+               SUM(CAST(ROUND(fxx * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS xx_re,
+               SUM(CAST(ROUND(fxx * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS xx_im,
+               SUM(CAST(ROUND(fyy * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS yy_re,
+               SUM(CAST(ROUND(fyy * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS yy_im
+        FROM coh
+        GROUP BY row_id, antenna1, antenna2, chan
+        """
+    )
+
+
+@register("beam_dde_full_predict", _beam_dde_full_predict_oracle())
+def beam_dde_full_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL beam-DDE predict semantics (predict.py:86-150
+    dde arguments + fast_beam_cubes.py:58-301): each baseline end applies
+    its OWN antenna's displaced, scaled beam — E_p·B·E_qᴴ with real
+    scalar E per (source, antenna, chan), over the I,Q-subset XX/YY
+    brightness and the fixed-point source reduction.
+
+    Plan: the (src × ant × chan) beam table (1225 rows) is sampled once
+    by the pandas UDF and broadcast-joined TWICE into the fact expansion
+    (antenna1 and antenna2 ends) — the per-antenna generalization of
+    beam_stokes_dde_predict at zero extra fact-side cost."""
+    from codex_africanus_spark.functions.stokes import convert_general
+    from codex_africanus_spark.sources.tables import fan_out
+
+    src = tpch_ms.source_table(spark, sf_dir)
+    ants = tpch_ms.antenna_table(spark).select("antenna")
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    scale = F.lit(1.0) + F.col("antenna") * F.lit(0.01)
+    dl = (F.col("antenna") - 3) * F.lit(0.002)
+    dm = ((F.col("antenna") * 3) % 7 - 3) * F.lit(0.0015)
+    pairs = src.crossJoin(ants).crossJoin(chan).select(
+        "source_id", "antenna", "chan",
+        (F.col("l") * scale + dl).alias("l"),
+        (F.col("m") * scale + dm).alias("m"),
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias("frequency"),
+    )
+    bg = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube()).select(
+        "source_id", "antenna", "chan",
+        F.round(F.col("beam_gain"), 9).alias("bg"),
+    )
+    corrs = convert_general(
+        {"I": F.col("flux_i"), "Q": F.col("flux_q")}, ["XX", "YY"]
+    )
+    src_corr = src.select(
+        "source_id", "l", "m", "n",
+        corrs["XX"].re.alias("xx"), corrs["YY"].re.alias("yy"),
+    )
+    b1 = bg.select(
+        "source_id", F.col("antenna").alias("antenna1"),
+        "chan", F.col("bg").alias("bg1"),
+    )
+    b2 = bg.select(
+        "source_id", F.col("antenna").alias("antenna2"),
+        "chan", F.col("bg").alias("bg2"),
+    )
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    j = (
+        fan_out(vis)
+        .join(F.broadcast(b1), ["antenna1", "chan"])
+        .join(F.broadcast(b2), ["antenna2", "chan", "source_id"])
+        .join(F.broadcast(src_corr), "source_id")
+    )
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"),
+                   F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+    )
+    fxx = (F.col("bg1") * F.col("bg2")) * F.col("xx")
+    fyy = (F.col("bg1") * F.col("bg2")) * F.col("yy")
+    coh = j.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        (fxx * F.cos(theta)).alias("cxx_re"),
+        (fxx * F.sin(theta)).alias("cxx_im"),
+        (fyy * F.cos(theta)).alias("cyy_re"),
+        (fyy * F.sin(theta)).alias("cyy_im"),
+    )
+    return coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+        (qsum(F.col("cxx_re"), 1e6) / F.lit(1e6)).alias("xx_re"),
+        (qsum(F.col("cxx_im"), 1e6) / F.lit(1e6)).alias("xx_im"),
+        (qsum(F.col("cyy_re"), 1e6) / F.lit(1e6)).alias("yy_re"),
+        (qsum(F.col("cyy_im"), 1e6) / F.lit(1e6)).alias("yy_im"),
+    )

@@ -577,3 +577,13 @@ def test_calibration_and_correlation_plan_shapes(spark, sf_dir):
     assert plan.count("Scan parquet") <= 1
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_beam_dde_full_predict_single_exchange_three_broadcasts(spark, sf_dir):
+    """Per-antenna beam DDE predict: the fact table meets the beam table
+    (twice) and the brightness side through broadcast joins only; the
+    single hash exchange is the source reduction."""
+    plan = plan_of(registry()["beam_dde_full_predict"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

