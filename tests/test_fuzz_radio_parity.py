@@ -16,6 +16,7 @@ import duckdb
 from codex_africanus_spark.queries import registry
 
 RADIO_QUERIES = [
+    # round-6 additions
     "uvdist_radial_profile",
     "redundant_baseline_average",
     "baseline_observation_segments",
@@ -24,6 +25,43 @@ RADIO_QUERIES = [
     "wstack_plane_occupancy",
     "briggs_robust_sweep",
     "beam_stokes_dde_predict",
+    "beam_dde_full_predict",
+    # the wider MS surface: predict/averaging/BDA/calibration/imaging —
+    # every one must survive irregular epochs and duplicate rows too
+    "predict_vis_point_gauss",
+    "corrupt_vis_apply_gains",
+    "predict_full_corr_2x2",
+    "compute_and_corrupt_vis_dde",
+    "time_and_channel_average",
+    "ms_row_average_full",
+    "time_and_channel_average_full",
+    "time_bin_sequential_exact",
+    "merge_flags_row_chan",
+    "rephase_visibilities",
+    "closure_phases_triangles",
+    "fit_delay_phase_slope",
+    "rfi_zscore_flag_report",
+    "uvlin_continuum_subtract",
+    "antenna_flag_statistics",
+    "bandpass_autocorr_estimate",
+    "hanning_smooth_spectra",
+    "vis_noise_estimate_diffchan",
+    "flag_occupancy_waterfall",
+    "fringe_fit_delay_rate",
+    "gains_time_linear_interp",
+    "spi_weighted_binned_fit",
+    "uv_grid_histogram",
+    "bda_baseline_dependent_average",
+    "bda_sinc_decorrelation",
+    "unique_times_counts",
+    "time_index_dense_rank",
+    "estimate_cell_size",
+    "parallactic_angles_geometric",
+    "briggs_robust_weights",
+    "fft_dirty_image",
+    "dft_vis_to_im_adjoint",
+    "grid_kernel_sinc",
+    "degrid_nearest_cell",
 ]
 
 
