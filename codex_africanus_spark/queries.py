@@ -1310,8 +1310,8 @@ _BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
              AS n_regex_tokens,
-           CAST(list_sum([CAST(ceil(len(t) / 4.0) AS BIGINT)
-                          for t in regexp_extract_all(text, '{_BPE_PAT}')])
+           CAST(COALESCE(list_sum([CAST(ceil(len(t) / 4.0) AS BIGINT)
+                          for t in regexp_extract_all(text, '{_BPE_PAT}')]), 0)
                 AS BIGINT) AS n_subword_tokens
     FROM documents ORDER BY doc_id
     """,

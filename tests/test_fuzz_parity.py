@@ -115,3 +115,65 @@ def test_fuzz_corpus_parity(spark, seed, name, fn, sql):
     sdf = fn(sdocs).toPandas()
     odf = con.execute(sql).df()
     _compare(sdf, odf, f"{name} seed={seed}")
+
+
+# -------- registry-driven sweep over the wider LLM/dedup surface --------
+
+LLM_QUERIES = [
+    "exact_dedup_documents", "minhash_signatures",
+    "minhash_lsh_near_dup_pairs", "simhash_fingerprints",
+    "simhash_near_dup_pairs", "near_dup_clusters", "ngram_jaccard_pairs",
+    "containment_dup_pairs", "cross_doc_dup_spans", "chunk_dedup_corpus",
+    "dedup_keep_best_quality", "doc_fingerprints", "doc_token_quality",
+    "lang_id_heuristic", "zipf_lexical_stats", "repetition_quality_flags",
+    "unigram_logprob_quality", "bigram_surprisal_quality",
+    "trigram_backoff_quality", "bpe_pair_merge_counts", "bpe_token_estimate",
+    "oov_rate_scores", "ngram_novelty_scores", "tfidf_top_terms",
+    "winnowing_fingerprints", "boilerplate_top_spans",
+    "quality_classifier_scores", "quality_classifier_source_rollup",
+    "pii_redaction_stats", "mixture_temperature_weights",
+    "doc_token_quantiles_by_source", "dedup_storage_savings",
+    "lsh_band_bucket_stats", "simhash_hamming_histogram",
+    "dup_cluster_size_histogram", "embedding_cosine_topk",
+    "embedding_dim_stats", "embedding_near_dup_pairs",
+    "semantic_dedup_embeddings", "embedding_centroid_outliers",
+    "embedding_pca_power_iteration", "lm_train_test_gap",
+    "minhash_calibration_curve", "length_quality_correlation",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_doc_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("fuzz_docs")
+    pdf = _corpus(seed=11, n_docs=80)
+    # widen the lang column so lang-keyed queries see variety
+    rng = np.random.RandomState(17)
+    pdf["lang"] = [["en", "fr", "de"][rng.randint(3)] for _ in range(len(pdf))]
+    pdf.to_parquet(root / "documents.parquet", index=False)
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array(
+            [list(map(float, np.round(rng.randn(64), 4))) for _ in range(120)],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array((np.arange(120) % 5).astype(np.int32)),
+    })
+    pq.write_table(t, root / "embeddings.parquet")
+    return str(root)
+
+
+@pytest.mark.parametrize("name", LLM_QUERIES)
+def test_fuzz_llm_surface_parity(spark, fuzz_doc_dir, name):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_doc_dir}/{t}.parquet'"
+        )
+    qd = Q.registry()[name]
+    sdf = qd.fn(spark, fuzz_doc_dir).toPandas()
+    odf = con.execute(qd.oracle).df()
+    _compare(sdf, odf, name)
