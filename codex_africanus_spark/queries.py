@@ -1310,9 +1310,10 @@ _BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
              AS n_regex_tokens,
-           CAST(COALESCE(list_sum([CAST(ceil(len(t) / 4.0) AS BIGINT)
+           CAST(CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(list_sum([CAST(ceil(len(t) / 4.0) AS BIGINT)
                           for t in regexp_extract_all(text, '{_BPE_PAT}')]), 0)
-                AS BIGINT) AS n_subword_tokens
+                END AS BIGINT) AS n_subword_tokens
     FROM documents ORDER BY doc_id
     """,
 )
@@ -8206,12 +8207,10 @@ def lm_train_test_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok_op.lm_train_test_gap(load(spark, "documents", sf_dir))
 
 
-def _beam_pointing_oracle() -> str:
-    """Pointing-error/antenna-scaling beam oracle: the shared trilinear
-    machinery over per-(source, ANTENNA, chan) effective (l, m) —
-    l·scale_a + δl_a with deterministic per-antenna offsets (all within
-    the grid interior, so no clamp edge cases)."""
-    pairs = f"""
+# The per-antenna pointing model — ONE definition each side (four copies
+# would drift exactly the way the _beam_lg docstring warns about):
+# l_eff = l·(1 + a/100) + (a−3)·0.002,  m_eff = m·(1 + a/100) + ((3a)%7−3)·0.0015
+_POINTING_PAIRS_SQL = f"""
           SELECT s.source_id, a.antenna, c.chan,
                  s.l * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
                    + (a.antenna - 3) * CAST(0.002 AS DOUBLE) AS l,
@@ -8220,10 +8219,42 @@ def _beam_pointing_oracle() -> str:
                  856000000.0 * (1 + c.chan / 8.0) AS freq
           FROM src s, ant a, chan c
         """
+
+
+def _pointing_beam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_id, antenna, chan, bg): the trilinearly-sampled
+    per-antenna displaced/scaled beam, rounded to the shared 9dp grid —
+    the Spark twin of _POINTING_PAIRS_SQL, consumed by both
+    beam_pointing_error_sampling and beam_dde_full_predict."""
+    src = tpch_ms.source_table(spark, sf_dir)
+    ants = tpch_ms.antenna_table(spark).select("antenna")
+    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
+    scale = F.lit(1.0) + F.col("antenna") * F.lit(0.01)
+    dl = (F.col("antenna") - 3) * F.lit(0.002)
+    dm = ((F.col("antenna") * 3) % 7 - 3) * F.lit(0.0015)
+    pairs = src.crossJoin(ants).crossJoin(chan).select(
+        "source_id", "antenna", "chan",
+        (F.col("l") * scale + dl).alias("l"),
+        (F.col("m") * scale + dm).alias("m"),
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias(
+            "frequency"
+        ),
+    )
+    return beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube()).select(
+        "source_id", "antenna", "chan",
+        F.round(F.col("beam_gain"), 9).alias("bg"),
+    )
+
+
+def _beam_pointing_oracle() -> str:
+    """Pointing-error/antenna-scaling beam oracle: the shared trilinear
+    machinery over per-(source, ANTENNA, chan) effective (l, m) —
+    l·scale_a + δl_a with deterministic per-antenna offsets (all within
+    the grid interior, so no clamp edge cases)."""
     return _with_ms(
         f"""
         , ant AS ({tpch_ms.ANTENNA_SQL})
-        {_beam_gain_ctes(pairs)}
+        {_beam_gain_ctes(_POINTING_PAIRS_SQL)}
         SELECT source_id, antenna, chan,
                round({_beam_trilinear_total()}, 9) AS beam_gain
         FROM wts ORDER BY source_id, antenna, chan
@@ -8241,26 +8272,9 @@ def beam_pointing_error_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source through its OWN displaced, scaled beam. The sampled
     frame stays (n_src × n_ant × n_chan) — tiny broadcast side at any
     fact-table scale."""
-    src = tpch_ms.source_table(spark, sf_dir)
-    ants = tpch_ms.antenna_table(spark).select("antenna")
-    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
-    scale = F.lit(1.0) + F.col("antenna") * F.lit(0.01)
-    dl = (F.col("antenna") - 3) * F.lit(0.002)
-    dm = ((F.col("antenna") * 3) % 7 - 3) * F.lit(0.0015)
-    pairs = (
-        src.crossJoin(ants).crossJoin(chan).select(
-            "source_id", "antenna", "chan",
-            (F.col("l") * scale + dl).alias("l"),
-            (F.col("m") * scale + dm).alias("m"),
-            (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias(
-                "frequency"
-            ),
-        )
-    )
-    out = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube())
-    return out.select(
+    return _pointing_beam_table(spark, sf_dir).select(
         "source_id", "antenna", "chan",
-        F.round(F.col("beam_gain"), 9).alias("beam_gain"),
+        F.col("bg").alias("beam_gain"),
     ).orderBy("source_id", "antenna", "chan")
 
 
@@ -8297,19 +8311,10 @@ def _beam_dde_full_predict_oracle() -> str:
     """Full per-antenna beam DDE predict mirror: the pointing-error beam
     CTE (per source, antenna, chan) joined into the coherency once per
     baseline END, then the 1e-6 fixed-point source reduction."""
-    pairs = f"""
-          SELECT s.source_id, a.antenna, c.chan,
-                 s.l * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
-                   + (a.antenna - 3) * CAST(0.002 AS DOUBLE) AS l,
-                 s.m * (CAST(1.0 AS DOUBLE) + a.antenna * CAST(0.01 AS DOUBLE))
-                   + ((a.antenna * 3) % 7 - 3) * CAST(0.0015 AS DOUBLE) AS m,
-                 856000000.0 * (1 + c.chan / 8.0) AS freq
-          FROM src s, ant a, chan c
-        """
     return _with_ms(
         f"""
         , ant AS ({tpch_ms.ANTENNA_SQL})
-        {_beam_gain_ctes(pairs)}
+        {_beam_gain_ctes(_POINTING_PAIRS_SQL)}
         , beamg AS (
           SELECT source_id, antenna, chan,
                  round({_beam_trilinear_total()}, 9) AS bg
@@ -8352,21 +8357,7 @@ def beam_dde_full_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codex_africanus_spark.sources.tables import fan_out
 
     src = tpch_ms.source_table(spark, sf_dir)
-    ants = tpch_ms.antenna_table(spark).select("antenna")
-    chan = spark.range(7).select(F.col("id").cast("int").alias("chan"))
-    scale = F.lit(1.0) + F.col("antenna") * F.lit(0.01)
-    dl = (F.col("antenna") - 3) * F.lit(0.002)
-    dm = ((F.col("antenna") * 3) % 7 - 3) * F.lit(0.0015)
-    pairs = src.crossJoin(ants).crossJoin(chan).select(
-        "source_id", "antenna", "chan",
-        (F.col("l") * scale + dl).alias("l"),
-        (F.col("m") * scale + dm).alias("m"),
-        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0))).alias("frequency"),
-    )
-    bg = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube()).select(
-        "source_id", "antenna", "chan",
-        F.round(F.col("beam_gain"), 9).alias("bg"),
-    )
+    bg = _pointing_beam_table(spark, sf_dir)
     corrs = convert_general(
         {"I": F.col("flux_i"), "Q": F.col("flux_q")}, ["XX", "YY"]
     )

@@ -47,6 +47,17 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     except Exception:
         n_files = 0
     if n_files and n_files < max(2, target // 2):
+        # idempotence: inputFiles() still reports the source file after a
+        # repartition, so composed operators (vis_table → source_coherency
+        # both call fan_out) were stacking a SECOND full round-robin
+        # exchange of the fact rows. If this lineage already repartitions,
+        # the parallelism goal is met — skip. (Analyzed-plan render, no
+        # job; these frames are narrow near-source plans.)
+        try:
+            if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+                return df
+        except Exception:
+            pass
         return df.repartition(target)
     return df
 

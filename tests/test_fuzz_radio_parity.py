@@ -119,29 +119,7 @@ def fuzz_sf_dir(tmp_path_factory):
     return str(root)
 
 
-def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, ctx: str):
-    assert len(sdf) == len(odf), f"{ctx}: rows {len(sdf)} vs {len(odf)}"
-    assert sorted(sdf.columns) == sorted(odf.columns), ctx
-
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-        for c in df.columns:
-            if df[c].dtype == bool:
-                df[c] = df[c].astype("int64")
-            if df[c].dtype.kind in "iu":
-                df[c] = df[c].astype("int64")
-            if df[c].dtype.kind == "f":
-                df[c] = df[c].astype("float64")
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-    left, right = norm(sdf), norm(odf)
-    pd.testing.assert_frame_equal(left, right, check_dtype=False, rtol=0, atol=0)
-    for c in left.columns:
-        if left[c].dtype.kind == "f":
-            lv, rv = left[c].to_numpy(), right[c].to_numpy()
-            both_nan = np.isnan(lv) & np.isnan(rv)
-            bad = int((lv.view(np.int64) != rv.view(np.int64))[~both_nan].sum())
-            assert bad == 0, f"{ctx}: {c} has {bad} bit-level float diffs"
+from tests.conftest import fuzz_compare as _compare
 
 
 @pytest.mark.parametrize("name", RADIO_QUERIES)

@@ -394,23 +394,54 @@ def test_length_quality_correlation_bounds_and_planted(spark, sf_dir):
     assert rows[0].length_quality_r is None
 
 
-def test_beam_dde_full_reduces_to_shared_beam_on_equal_antennas(spark, sf_dir):
-    """For autocorrelation-like rows (antenna1 == antenna2) the full
-    per-antenna predict must equal the single-beam form bg²·B — verify
-    against beam_stokes only in structure: every output key from the
-    shared-beam query appears here, and values are finite."""
-    full = Q.beam_dde_full_predict(spark, sf_dir)
-    shared = Q.beam_stokes_dde_predict(spark, sf_dir)
-    kf = full.select("row_id", "antenna1", "antenna2", "chan").distinct().count()
-    ks = shared.select("row_id", "antenna1", "antenna2", "chan").distinct().count()
-    assert kf == ks  # same group universe, different beam weighting
-    # antenna-dependent beams must actually change the answer somewhere
-    j = (
-        full.select("row_id", "chan", "antenna1", "antenna2",
-                    F.col("xx_re").alias("fx"))
-        .join(shared.select("row_id", "chan", "antenna1", "antenna2",
-                            F.col("xx_re").alias("sx")),
-              ["row_id", "chan", "antenna1", "antenna2"])
+def test_beam_dde_full_matches_python_recomputation(spark, sf_dir):
+    """Semantic check of E_p·B·E_qᴴ: recompute a handful of output cells
+    in plain Python from the collected beam table, source catalogue, and
+    raw uvw rows — a swapped antenna join (b2 on antenna1, say) fails
+    here."""
+    import math
+
+    bg = {
+        (r.source_id, r.antenna, r.chan): r.beam_gain
+        for r in Q.beam_pointing_error_sampling(spark, sf_dir).collect()
+    }
+    src = {r.source_id: r for r in tpch_ms.source_table(spark, sf_dir).collect()}
+    out = {
+        (r.row_id, r.antenna1, r.antenna2, r.chan): r
+        for r in Q.beam_dde_full_predict(spark, sf_dir).collect()
+    }
+    vis_rows = tpch_ms.vis_table(spark, sf_dir).limit(400).collect()
+    checked = 0
+    groups = {}
+    for v in vis_rows:
+        groups.setdefault((v.row_id, v.antenna1, v.antenna2, v.chan), []).append(v)
+    # only groups fully contained in the sample are recomputable
+    from collections import Counter
+    full_counts = Counter(
+        (r.row_id, r.antenna1, r.antenna2, r.chan)
+        for r in tpch_ms.vis_table(spark, sf_dir).collect()
     )
-    diff = j.filter(F.abs(F.col("fx") - F.col("sx")) > 1e-6).count()
-    assert diff > 0
+    for key, rows in list(groups.items())[:60]:
+        if full_counts[key] != len(rows):
+            continue
+        sxx = sim_ = syy = syi = 0
+        for v in rows:
+            for sid, sr in src.items():
+                g = bg[(sid, v.antenna1, v.chan)] * bg[(sid, v.antenna2, v.chan)]
+                fxx = g * (sr.flux_i + sr.flux_q)
+                fyy = g * (sr.flux_i - sr.flux_q)
+                th = (
+                    -2.0958450219516816e-08
+                    * (v.u * sr.l + v.v * sr.m + v.w * (sr.n - 1.0))
+                    * v.frequency
+                )
+                half = lambda x: math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)  # noqa: E731
+                sxx += half(fxx * math.cos(th) * 1e6)
+                sim_ += half(fxx * math.sin(th) * 1e6)
+                syy += half(fyy * math.cos(th) * 1e6)
+                syi += half(fyy * math.sin(th) * 1e6)
+        r = out[key]
+        assert abs(r.xx_re - sxx / 1e6) < 2e-6 and abs(r.xx_im - sim_ / 1e6) < 2e-6
+        assert abs(r.yy_re - syy / 1e6) < 2e-6 and abs(r.yy_im - syi / 1e6) < 2e-6
+        checked += 1
+    assert checked >= 10
