@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.sources import snapshot as snap
 
+from tests.conftest import await_done
+
 
 @pytest.fixture()
 def root(tmp_path):
@@ -154,7 +156,7 @@ def test_streaming_foreach_batch_exactly_once(spark, root, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     assert snap.read_snapshot(spark, root).count() == 3
     v_before = snap.latest_version(root)
 

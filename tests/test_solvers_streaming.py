@@ -10,6 +10,8 @@ from codex_africanus_spark.queries import registry
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import windowed
 
+from tests.conftest import await_done
+
 
 def test_gauss_newton_recovers_phases(spark, sf_dir):
     """Corrupt model vis with φ_a = 0.35·a, solve back: the reference's
@@ -60,7 +62,7 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = spark.sql(
         "SELECT event_type, CAST(window_start AS LONG) AS hb, n_events, value_sum "
         "FROM tumbling_test"
@@ -88,7 +90,7 @@ def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = spark.sql(
         "SELECT event_type, CAST(window_start AS LONG) * 1000000 AS win_start_us, "
         "n_events, value_sum FROM sliding_test"
@@ -115,7 +117,7 @@ def test_streaming_session_windows_run(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     n = spark.sql("SELECT count(*) FROM session_test").collect()[0][0]
     total = spark.sql("SELECT sum(n_events) FROM session_test").collect()[0][0]
     assert n > 0 and total == 1000  # every event lands in exactly one session

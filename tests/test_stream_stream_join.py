@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.streaming import joins, windowed
 
+from tests.conftest import await_done
+
 
 def test_stream_matches_batch_twin(spark, sf_dir, tmp_path):
     """AvailableNow over the real events table must reproduce the batch
@@ -26,7 +28,7 @@ def test_stream_matches_batch_twin(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_done(q)
     got = spark.sql("SELECT * FROM attr_stream").toPandas()
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -105,7 +107,7 @@ def test_interval_and_state_eviction(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_done(q)
     rows = spark.sql(
         "SELECT view_id, purchase_id, gap_us FROM attr_evict"
     ).collect()
@@ -134,7 +136,7 @@ def test_attribution_stream_lands_in_snapshot_table(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_done(q)
 
     got = snap.read_snapshot(spark, root).toPandas()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

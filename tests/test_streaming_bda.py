@@ -11,6 +11,8 @@ from codex_africanus_spark.operators import bda as bda_op
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import stateful
 
+from tests.conftest import await_done
+
 TOL = 120.0  # small tolerance → several bins per baseline at sf0.001
 
 
@@ -77,7 +79,7 @@ def test_streaming_bda_idle_timeout_flushes_open_bin(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_done(q)
     res = spark.sql(
         "SELECT * FROM bda_timeout WHERE antenna1 = 0 AND antenna2 = 1"
     ).toPandas()
@@ -131,7 +133,7 @@ def test_streaming_bda_matches_batch_across_microbatches(spark, sf_dir, tmp_path
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_done(q)
     raw = spark.sql(f"SELECT * FROM {qname}").toPandas()
     assert (~raw.closed).any()
     if tol <= TOL:

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.streaming import dedup as sdedup
 
+from tests.conftest import await_done
+
 
 def _write(path, rows, mtime):
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts_us"])
@@ -55,7 +57,7 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     rows = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
     kept = {r.text: r.doc_id for r in rows}
     # one row per distinct text, and the FIRST arrival's doc_id
@@ -83,7 +85,7 @@ def test_stream_batch_digest_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     stream_digests = {
         r.content_digest
         for r in spark.sql("SELECT content_digest FROM dedup_parity").collect()

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.streaming import lsh as slsh
 
+from tests.conftest import await_done
+
 
 def _write(path, rows, mtime):
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts_us"])
@@ -53,7 +55,7 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = {
         (r["doc_a"], r["doc_b"])
         for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM lsh_stream").collect()
@@ -110,7 +112,7 @@ def test_streaming_lsh_drops_late_arrivals(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = {
         (r["doc_a"], r["doc_b"])
         for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM lsh_late").collect()

@@ -10,6 +10,8 @@ import pyarrow.parquet as pq
 
 from codex_africanus_spark.streaming import sketches as ssk
 
+from tests.conftest import await_done
+
 
 def _write(path, rows, mtime):
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
@@ -42,7 +44,7 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = {
         (r["row"], r["cell"]): r["n"]
         for r in spark.sql("SELECT row, cell, n FROM cms_stream").collect()

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.streaming import windowed
 
+from tests.conftest import await_done
+
 
 def _write(path, rows, mtime):
     pdf = pd.DataFrame(
@@ -49,7 +51,7 @@ def test_late_rows_dropped_beyond_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     dropped = sum(
         (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
          if p["stateOperators"] else 0)

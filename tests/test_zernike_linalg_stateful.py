@@ -6,6 +6,8 @@ from codex_africanus_spark.operators import zernike as z_op
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import stateful, windowed
 
+from tests.conftest import await_done
+
 
 def test_zernike_matches_numpy(spark):
     """Spark pandas-UDF evaluation vs direct NumPy (backend-equivalence,
@@ -65,7 +67,7 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     got = spark.sql(
         "SELECT user_id, max(n_events) n, max(value_sum_q) vq FROM stateful_totals GROUP BY user_id"
     ).toPandas().sort_values("user_id").reset_index(drop=True)
