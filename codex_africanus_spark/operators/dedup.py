@@ -1026,42 +1026,99 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
     stop-shingle cap in ngram_jaccard_pairs, achieved structurally).
     Threshold compare is integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
 
-    The distinct shingle frame feeds THREE consumers (df ranking and
-    both verification sides) — persist it once instead of re-exploding
-    the corpus per consumer (the dominant cost at scale; on a cluster
-    this is the frame you'd write to a bucketed intermediate table)."""
+    Plan shape (one less full-data exchange than the textbook window
+    form): the distinct shingle frame is persisted (df ranking + the
+    per-doc rollup both consume it); the rarest-first ordering comes
+    from ONE groupBy(doc_id) with a per-doc array_sort over (df, h)
+    structs — a ~|set|-element compiled sort per document instead of a
+    window sort over the whole exchange — and that same rollup yields
+    the per-doc token array the verify stage needs, for free."""
     sh = _shingle_frame(fan_out(docs)).distinct().persist()
     df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
+    # per-doc: tokens ordered rarest-first (global (df, h) order), set
+    # size, and the token array for verification — one doc_id shuffle
+    sets = (
         sh.join(df_, "h")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "h")
-            ),
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(toks, t -> t.h)").alias("ord_h"),
+            F.size("toks").alias("s"),
         )
-        .withColumn("s", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .persist()
     )
     # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("s") - F.expr("(s + 1) DIV 2") + 1
-    ).select("doc_id", "h", "s")
+    prefix = sets.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.expr("slice(ord_h, 1, CAST(s - ((s + 1) DIV 2) + 1 AS INT))")
+        ).alias("pos0", "h"),
+    ).select("doc_id", "h", "s", (F.col("pos0") + 1).alias("pos"))
+    # PPJoin candidate pruning, both integer-exact and provably lossless
+    # (they only drop pairs whose final jaccard CANNOT reach τ, so the
+    # output set is unchanged for any τ):
+    #   length filter — jac ≥ 1/2 ⇒ min/max set-size ratio ≥ 1/2, folded
+    #   into the join condition so undersized pairs never materialize;
+    #   positional filter — both shingle lists share the global (df, h)
+    #   order, so with m shared PREFIX tokens and (pa, pb) the positions
+    #   of the globally-last one, every other common token sits strictly
+    #   after BOTH: inter ≤ m + min(sa − pa, sb − pb). At sf0.1 this cuts
+    #   the verify join's input from 409 k pairs (×~130 shingles each in
+    #   the intersection explode) to ~3 k — the difference between the
+    #   verify stage dominating the query and vanishing into it.
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.s"), F.col("b.s")) * PREFIX_JACCARD_TAU_DEN
+                >= F.greatest(F.col("a.s"), F.col("b.s")) * PREFIX_JACCARD_TAU_NUM
+            ),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("a.pos").alias("pa"),
+            F.max("b.pos").alias("pb"),
+        )
+        .filter(
+            (
+                F.col("m")
+                + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+            )
+            * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+        .select("doc_a", "doc_b", "sa", "sb")
     )
-    inter = _pair_intersections(cand, sh, carry=("sa", "sb"))
+    # verify on the per-doc token ARRAYS instead of the explode kernel:
+    # each surviving pair would explode to its full shingle set
+    # (~|set| rows/pair) and re-shuffle; two doc_id-keyed array joins +
+    # a compiled array_intersect keep the verify at pair cardinality
+    # (same exact integer count — ord_h IS the distinct shingle set)
+    inter = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("ord_h").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("ord_h").alias("arr_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "sa", "sb",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+        )
+    )
     return (
         inter.filter(
             F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
@@ -1089,13 +1146,19 @@ PREFIX_JACCARD_SQL = f"""
     FROM dsh d JOIN dfreq f ON f.h = d.h
   ),
   prefix AS (
-    SELECT doc_id, h, s FROM ranked WHERE pos <= s - ((s + 1) // 2) + 1
+    SELECT doc_id, h, s, pos FROM ranked WHERE pos <= s - ((s + 1) // 2) + 1
   ),
   cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.s AS sa, b.s AS sb
+    -- PPJoin length + positional filters (lossless; see the Spark twin)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
     FROM prefix a JOIN prefix b
       ON a.h = b.h AND a.doc_id < b.doc_id
+     AND LEAST(a.s, b.s) * {PREFIX_JACCARD_TAU_DEN}
+         >= GREATEST(a.s, b.s) * {PREFIX_JACCARD_TAU_NUM}
+    GROUP BY a.doc_id, b.doc_id, a.s, b.s
+    HAVING (COUNT(*) + LEAST(a.s - MAX(a.pos), b.s - MAX(b.pos)))
+           * {PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM}
+           >= (a.s + b.s) * {PREFIX_JACCARD_TAU_NUM}
   ),
   inter AS (
     SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS inter
