@@ -803,7 +803,13 @@ def gains_time_interp(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFram
     fact side takes four broadcast hash joins (bracket × antenna1/2) and
     never shuffles — the dimension-join discipline every gains lookup in
     this engine follows. Interpolated gains quantize to the 1e-9 grid
-    (sign-aware, the signed-rounding rule)."""
+    (sign-aware, the signed-rounding rule).
+
+    Single-bin datasets (hi == lo) get applycal's clamped-constant
+    semantics, not an empty frame: k0 clamps to lo, frac is forced to
+    0, and one extra k = lo+1 solution row is synthesized so the upper
+    bracket join still matches (its values are multiplied by frac = 0,
+    so the output is exactly the lone solution)."""
     from codex_africanus_spark.functions.deterministic import quantize
 
     spark = vis.sparkSession
@@ -813,15 +819,17 @@ def gains_time_interp(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFram
     )
     b = bounds.collect()[0]
     lo, hi = int(b["lo"]), int(b["hi"])
-    k = F.col("id") % (hi - lo + 1) + lo
-    ant = (F.col("id") / (hi - lo + 1)).cast("long")
+    single = hi == lo
+    sol_hi = lo + 1 if single else hi
+    k = F.col("id") % (sol_hi - lo + 1) + lo
+    ant = (F.col("id") / (sol_hi - lo + 1)).cast("long")
     phase = F.col("k") * F.lit(0.05) + F.col("antenna") * F.lit(0.3)
     amp = (
         F.lit(1.0) + F.col("antenna") / F.lit(50.0)
         + (F.col("k") % 5) / F.lit(100.0)
     )
     sol = (
-        spark.range((hi - lo + 1) * 7)
+        spark.range((sol_hi - lo + 1) * 7)
         .select(k.alias("k"), ant.cast("int").alias("antenna"))
         .select(
             "k", "antenna",
@@ -831,12 +839,17 @@ def gains_time_interp(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFram
     )
     t = F.col("time") / F.lit(bin_secs) - F.lit(0.5)
     k0 = F.least(
-        F.greatest(F.floor(t).cast("long"), F.lit(lo)), F.lit(hi - 1)
+        F.greatest(F.floor(t).cast("long"), F.lit(lo)), F.lit(max(hi - 1, lo))
+    )
+    frac = (
+        F.lit(0.0)
+        if single
+        else F.least(F.greatest(t - k0, F.lit(0.0)), F.lit(1.0))
     )
     rows = vis.select(
         "row_id", "antenna1", "antenna2",
         k0.alias("k0"),
-        F.least(F.greatest(t - k0, F.lit(0.0)), F.lit(1.0)).alias("frac"),
+        frac.alias("frac"),
     )
 
     def bracket(df, ant_col, tag):
@@ -874,7 +887,9 @@ def GAINS_INTERP_SQL(bin_secs: float = 2_592_000.0) -> str:
       FROM vis
     ),
     kk AS (
-      SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS k FROM bounds
+      SELECT unnest(generate_series(bounds.lo,
+                                    GREATEST(bounds.hi, bounds.lo + 1))) AS k
+      FROM bounds
     ),
     sol AS (
       SELECT kk.k AS k, CAST(a.range AS INT) AS antenna,
@@ -887,12 +902,16 @@ def GAINS_INTERP_SQL(bin_secs: float = 2_592_000.0) -> str:
     r AS (
       SELECT row_id, antenna1, antenna2,
              LEAST(GREATEST(CAST(FLOOR(time / {bin_secs!r} - 0.5) AS BIGINT),
-                            bounds.lo), bounds.hi - 1) AS k0,
-             LEAST(GREATEST((time / {bin_secs!r} - 0.5)
-                            - LEAST(GREATEST(CAST(FLOOR(time / {bin_secs!r} - 0.5)
-                                                  AS BIGINT),
-                                             bounds.lo), bounds.hi - 1),
-                            0.0), 1.0) AS frac
+                            bounds.lo),
+                   GREATEST(bounds.hi - 1, bounds.lo)) AS k0,
+             CASE WHEN bounds.hi = bounds.lo THEN 0.0 ELSE
+               LEAST(GREATEST((time / {bin_secs!r} - 0.5)
+                              - LEAST(GREATEST(CAST(FLOOR(time / {bin_secs!r} - 0.5)
+                                                    AS BIGINT),
+                                               bounds.lo),
+                                      GREATEST(bounds.hi - 1, bounds.lo)),
+                              0.0), 1.0)
+             END AS frac
       FROM vis, bounds
     )
     SELECT r.row_id, r.antenna1, r.antenna2,

@@ -373,13 +373,17 @@ def contamination_span_report(docs: DataFrame) -> DataFrame:
     islands trick (pc − row_number() per (pair, d) group is constant
     within a run). Reported span length in words = run + NGRAM − 1.
 
-    100 TB shape: eval side broadcasts (held-out sets are tiny by
-    definition); a global df-cap (CONTAM_DF_MAX, computed with one
-    partial-agg pass) drops boilerplate shingles so one hot trigram
-    cannot fan every corpus doc into every eval doc — the same guard as
-    the n-gram Jaccard tier's stop-shingle cap. The run window runs at
-    matched-pair cardinality (post-join, post-cap), partitioned by
-    (doc, eval_doc, d) — bounded groups, no corpus-wide sort."""
+    100 TB shape: the eval side here is a fixed 1/EVAL_MODULUS slice of
+    the corpus — corpus-PROPORTIONAL, so it must NOT be broadcast (a
+    hint would OOM the driver at scale); the match is a plain h-equi
+    join and AQE picks broadcast only when the eval side is actually
+    small (a real held-out set would be). A global df-cap
+    (CONTAM_DF_MAX, computed with one partial-agg pass) drops
+    boilerplate shingles so one hot trigram cannot fan every corpus doc
+    into every eval doc — the same guard as the n-gram Jaccard tier's
+    stop-shingle cap. The run window runs at matched-pair cardinality
+    (post-join, post-cap), partitioned by (doc, eval_doc, d) — bounded
+    groups, no corpus-wide sort."""
     toks = fan_out(docs).filter(
         F.size(F.split(F.col("text"), " ")) >= CONTAM_NGRAM
     )
@@ -403,7 +407,7 @@ def contamination_span_report(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("eval_doc_id"), F.col("pos").alias("pe"), "h"
     )
     corpus = sh.filter(F.col("doc_id") % EVAL_MODULUS != 0)
-    m = corpus.join(F.broadcast(ev), "h").select(
+    m = corpus.join(ev, "h").select(
         "doc_id", "eval_doc_id",
         F.col("pos").alias("pc"),
         (F.col("pos") - F.col("pe")).alias("d"),

@@ -168,7 +168,12 @@ def _cut_lineage(df: DataFrame, supersedes: DataFrame | None = None) -> DataFram
             )
             _cut_lineage._warned_cleaner = True
         # re-setting the dir to a stable per-app root makes Spark mint a
-        # fresh UUID subdir for THIS frame's files — deletable in isolation
+        # fresh UUID subdir for THIS frame's files — deletable in isolation.
+        # Evict entries for dead applications first: one long-lived Python
+        # process cycling SparkSessions would otherwise grow the map
+        # unboundedly (r7 advice).
+        for app_id in [a for a in _CKPT_ROOT if a != sc.applicationId]:
+            del _CKPT_ROOT[app_id]
         root = _CKPT_ROOT.setdefault(
             sc.applicationId, jssc.checkpointDir().get()
         )
@@ -191,10 +196,13 @@ def _release_checkpoint(df: DataFrame) -> None:
     sub = getattr(df, "_cas_ckpt_dir", None)
     if not sub:
         return
-    df._cas_ckpt_dir = None
     sc = df.sparkSession.sparkContext
     p = sc._jvm.org.apache.hadoop.fs.Path(sub)
+    # clear the attribute only AFTER the delete succeeds: clearing first
+    # made a transient filesystem failure permanently leak that round's
+    # files (nothing held the path any more — r7 advice).
     p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+    df._cas_ckpt_dir = None
 
 
 def _pairs_from_banded(banded: DataFrame, with_sig_match: bool) -> DataFrame:

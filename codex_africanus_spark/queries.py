@@ -7535,8 +7535,15 @@ def flag_occupancy_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("flag_row").cast("long")).alias("n_flag_row"),
             F.sum(F.col("flag").cast("long")).alias("n_flag_chan"),
             F.sum((F.col("flag") | F.col("flag_row")).cast("long")).alias("n_flagged"),
+            # decimal(38,0) multiply before the scale-up: the long form
+            # hits ANSI ARITHMETIC_OVERFLOW once a (tbin, chan) cell
+            # exceeds ~9.2e12 flagged rows; the twin computes in HUGEINT
+            # (r7 advice — same class as rfi_zscore_report).
             (
-                (F.sum((F.col("flag") | F.col("flag_row")).cast("long")) * 1000000)
+                (
+                    F.sum((F.col("flag") | F.col("flag_row")).cast("long"))
+                    .cast("decimal(38,0)") * 1000000
+                ).cast("double")
                 / F.count(F.lit(1))
             ).alias("occupancy_ppm"),
         )

@@ -50,16 +50,44 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
         # idempotence: inputFiles() still reports the source file after a
         # repartition, so composed operators (vis_table → source_coherency
         # both call fan_out) were stacking a SECOND full round-robin
-        # exchange of the fact rows. If this lineage already repartitions,
-        # the parallelism goal is met — skip. (Analyzed-plan render, no
-        # job; these frames are narrow near-source plans.)
-        try:
-            if "Repartition" in df._jdf.queryExecution().analyzed().toString():
-                return df
-        except Exception:
-            pass
+        # exchange of the fact rows. Walk the analyzed logical plan for a
+        # Repartition node that already meets the parallelism goal — a
+        # substring match would also trip on coalesce(1) (rendered as
+        # Repartition) and suppress a needed fan-out (r7 advice). Node
+        # walk, no plan render, no job; these are narrow near-source
+        # plans (a handful of nodes).
+        if _plan_has_repartition(df, target):
+            return df
         return df.repartition(target)
     return df
+
+
+def _plan_has_repartition(df: DataFrame, target: int) -> bool:
+    """True iff the analyzed logical plan contains a round-robin/hash
+    Repartition (or RepartitionByExpression) whose numPartitions already
+    reaches `target` — i.e. re-fanning-out would be a redundant second
+    exchange. Coalesce renders as Repartition with a SMALL partition
+    count; the >= target guard keeps a deliberate coalesce(1) from
+    suppressing a real fan-out."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            name = node.getClass().getSimpleName()
+            if name in ("Repartition", "RepartitionByExpression"):
+                try:
+                    if int(node.numPartitions()) >= target:
+                        return True
+                except Exception:
+                    # numPartitions optional on some node shapes: treat
+                    # an explicit repartition of unknown width as enough
+                    return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    except Exception:
+        pass
+    return False
 
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

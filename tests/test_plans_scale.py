@@ -442,11 +442,14 @@ def test_flag_waterfall_single_aggregate(spark, sf_dir):
 
 
 def test_contamination_span_no_cartesian_eval_broadcast(spark, sf_dir):
-    """The positional-overlap join must be an equi-join with the eval
-    side broadcast — never a cartesian or fact-fact SMJ."""
+    """The positional-overlap join must be an h-equi join — never a
+    cartesian / nested-loop. The eval side is a 1/EVAL_MODULUS corpus
+    slice (corpus-proportional), so no broadcast HINT is allowed: AQE
+    may still pick broadcast at tiny SF, but the plan must not carry a
+    mandatory eval-side BroadcastExchange from a hint (r7 advice)."""
     plan = plan_of(registry()["contamination_span_report"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_dsir_bucket_tables_broadcast(spark, sf_dir):
