@@ -433,11 +433,16 @@ def contamination_span_report(docs: DataFrame) -> DataFrame:
     )
 
 
-CONTAM_SPAN_SQL = f"""
+def contamination_span_sql(where: str = "TRUE") -> str:
+    """Parameterized twin of contamination_span_report: `where` is a
+    predicate over `documents` (doc_id, text, n_chars, ...) selecting
+    the corpus revision — the shared-SQL-text rule (one definition,
+    the diff query composes two revisions of it)."""
+    return f"""
   WITH sh0 AS (
     SELECT doc_id, j AS pos, {hash31_sql("concat_ws(' ', w[j], w[j+1], w[j+2])")} AS h
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}),
+          WHERE ({where}) AND len(string_split(text, ' ')) >= {CONTAM_NGRAM}),
          UNNEST(range(1, len(w) - {CONTAM_NGRAM - 2})) AS t(j)
   ),
   keep AS (
@@ -468,6 +473,9 @@ CONTAM_SPAN_SQL = f"""
   HAVING MAX(run) >= {CONTAM_MIN_RUN}
   ORDER BY doc_id, eval_doc_id
 """
+
+
+CONTAM_SPAN_SQL = contamination_span_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1130,3 +1138,74 @@ OOV_SQL = f"""
   FROM words w LEFT JOIN vocab v USING (t)
   GROUP BY w.doc_id ORDER BY w.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Cross-run contamination diff: what a re-curation did to the span report
+# --------------------------------------------------------------------------
+
+DIFF_MIN_CHARS = 300  # run-B corpus gate (eval stratum always kept)
+
+
+def contamination_run_diff(docs: DataFrame, min_chars: int = DIFF_MIN_CHARS) -> DataFrame:
+    """Diff of the verbatim-span contamination report across two corpus
+    revisions — the audit a curation team runs after re-curating: run A
+    is the corpus as-is, run B keeps the eval stratum intact but gates
+    corpus docs on n_chars ≥ min_chars. Each (doc, eval_doc) span pair
+    is classified `removed` (gated away), `persisted` (both runs — span
+    lengths may still differ: the df-cap is corpus-relative, so
+    re-curation changes which boilerplate shingles are capped), or
+    `new` (a pair the SMALLER corpus surfaces because a shared shingle
+    dropped under the df-cap — the non-obvious regression this diff
+    exists to catch).
+
+    Scale: two span reports (each the bounded-group diagonal-island
+    plan) full-outer-joined on (doc_id, eval_doc_id) — pair-cardinality
+    inputs, pair-keyed shuffle, nothing corpus-sized."""
+    run_a = contamination_span_report(docs)
+    gated = docs.filter(
+        (F.col("doc_id") % EVAL_MODULUS == 0)
+        | (F.col("n_chars") >= min_chars)
+    )
+    run_b = contamination_span_report(gated)
+    a = run_a.select(
+        "doc_id", "eval_doc_id",
+        F.col("span_words").alias("span_words_before"),
+    )
+    b = run_b.select(
+        "doc_id", "eval_doc_id",
+        F.col("span_words").alias("span_words_after"),
+    )
+    return (
+        a.join(b, ["doc_id", "eval_doc_id"], "full_outer")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            "span_words_before",
+            "span_words_after",
+            F.when(F.col("span_words_after").isNull(), F.lit("removed"))
+            .when(F.col("span_words_before").isNull(), F.lit("new"))
+            .otherwise(F.lit("persisted"))
+            .alias("status"),
+        )
+    )
+
+
+def CONTAM_DIFF_SQL(min_chars: int = DIFF_MIN_CHARS) -> str:
+    run_a = contamination_span_sql()
+    run_b = contamination_span_sql(
+        f"doc_id % {EVAL_MODULUS} = 0 OR n_chars >= {min_chars}"
+    )
+    return f"""
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           COALESCE(a.eval_doc_id, b.eval_doc_id) AS eval_doc_id,
+           a.span_words AS span_words_before,
+           b.span_words AS span_words_after,
+           CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.doc_id IS NULL THEN 'new'
+                ELSE 'persisted' END AS status
+    FROM ({run_a}) a
+    FULL OUTER JOIN ({run_b}) b
+      ON a.doc_id = b.doc_id AND a.eval_doc_id = b.eval_doc_id
+    ORDER BY 1, 2
+    """

@@ -1436,3 +1436,275 @@ MINHASH_CALIBRATION_SQL = f"""
            AS mean_exact_jaccard
   FROM per_pair GROUP BY n_sig_match ORDER BY n_sig_match
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus index (the 100 TB ingest
+# shape): the committed corpus's shingle index lives in the transactional
+# snapshot sink; each new batch probes it with the prefix-filter candidate
+# join, and the non-duplicate survivors are union-committed back.
+# --------------------------------------------------------------------------
+
+INGEST_MODULUS = 10  # doc_id % M == 0 → "new batch"; else committed corpus
+INGEST_INDEX_FORMAT = 1
+
+
+def _ingest_constants() -> str:
+    return (
+        f"tau={PREFIX_JACCARD_TAU_NUM}/{PREFIX_JACCARD_TAU_DEN};"
+        f"ngram=3;modulus={INGEST_MODULUS}"
+    )
+
+
+def _rarest_first_sets(sh: DataFrame, df_: DataFrame) -> DataFrame:
+    """(doc_id, ord_h, s): per-doc shingle array ordered by the GLOBAL
+    (df, h) total order — the shared derivation of the prefix-filter
+    tier (prefix_filter_jaccard_join). Tokens absent from `df_` order
+    first (df = 0): any (df, h) assignment applied consistently on both
+    join sides is a valid total order for the prefix/positional
+    theorems, which is what lets an incremental batch rank its tokens
+    by the COMMITTED df table without rescanning the corpus."""
+    return (
+        sh.join(df_, "h", "left")
+        .select("doc_id", F.coalesce("df", F.lit(0)).alias("df"), "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(toks, t -> t.h)").alias("ord_h"),
+            F.size("toks").alias("s"),
+        )
+    )
+
+
+def _prefix_explode(sets: DataFrame) -> DataFrame:
+    """(doc_id, h, s, pos): the first s − ⌈τ·s⌉ + 1 rarest tokens of
+    each set (τ = 1/2 → s − (s+1)÷2 + 1), 1-based position retained for
+    the positional filter."""
+    return sets.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.expr("slice(ord_h, 1, CAST(s - ((s + 1) DIV 2) + 1 AS INT))")
+        ).alias("pos0", "h"),
+    ).select("doc_id", "h", "s", (F.col("pos0") + 1).alias("pos"))
+
+
+def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
+    """Incremental near-dup ingestion against a PERSISTED corpus index —
+    the shape a 100 TB lake actually runs: the committed corpus's
+    prefix-filter index (df ranks, rarest-first per-doc arrays, prefix
+    rows) is built ONCE through the transactional snapshot sink; every
+    new batch probes it (prefix candidates → positional filter → exact
+    array_intersect verify, all lossless for jaccard ≥ τ) and the
+    surviving non-duplicates are union-committed back (append), so the
+    next batch deduplicates against them too.
+
+    Report (one row per batch doc): is_dup vs the committed BASE corpus
+    at exact jaccard ≥ 1/2, with the best base match among qualifying
+    pairs (jaccard desc, doc asc). Sub-threshold matches are NULL by
+    design — the pruning is only lossless at ≥ τ, so reporting a
+    sub-τ "best" would depend on which candidates happened to survive.
+
+    Scale shape: a probe touches ONLY index tables (df/prefix/sets
+    snapshots) plus the batch — candidates join keys on the batch's
+    rarest committed tokens (broadcast batch side, no corpus shuffle);
+    the raw committed corpus is never rescanned. The df table is FROZEN
+    at base-build time (appended docs rank by committed df — still one
+    consistent global order); a periodic full rebuild refreshes ranks,
+    the standard index-maintenance cadence. Warm calls (same source
+    file-set, batch already ingested) skip every write.
+
+    Cites: reference has no incremental tier (it is a batch library);
+    this extends the PPJoin prefix discipline of
+    prefix_filter_jaccard_join (operators/dedup.py:1013) to the
+    snapshot sink's build-once/probe-many contract
+    (operators/similarity.py:662 build_ivf_index)."""
+    from codex_africanus_spark.operators.similarity import (
+        _index_fresh_source,
+        _source_fingerprint,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    base_docs = docs.filter(F.col("doc_id") % INGEST_MODULUS != 0)
+    batch_docs = docs.filter(F.col("doc_id") % INGEST_MODULUS == 0)
+    source_fp = _source_fingerprint(docs)
+    consts = _ingest_constants()
+    warm = _index_fresh_source(
+        spark, root, INGEST_INDEX_FORMAT, consts, source_fp
+    )
+    if not warm:
+        # cold: (re)build the base index. Tombstone meta FIRST so a crash
+        # mid-rebuild reads as stale, not as fresh-over-mixed-files.
+        _tombstone_index_meta(spark, root)
+        sh_base = _shingle_frame(base_docs).distinct()
+        df_ = sh_base.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        sets_base = _rarest_first_sets(sh_base, df_)
+        snap.commit(df_, f"{root}/df", mode="overwrite")
+        snap.commit(sets_base, f"{root}/sets", mode="overwrite")
+        snap.commit(_prefix_explode(sets_base), f"{root}/prefix", mode="overwrite")
+
+    # ---- probe (identical plan warm or cold): index tables only ----
+    idx_df = snap.read_snapshot(spark, f"{root}/df")
+    idx_sets = snap.read_snapshot(spark, f"{root}/sets").filter(
+        F.col("doc_id") % INGEST_MODULUS != 0  # exclude already-appended batch
+    )
+    idx_prefix = snap.read_snapshot(spark, f"{root}/prefix").filter(
+        F.col("doc_id") % INGEST_MODULUS != 0
+    )
+    sh_batch = _shingle_frame(batch_docs).distinct()
+    sets_batch = _rarest_first_sets(sh_batch, idx_df).persist()
+    pfx_batch = _prefix_explode(sets_batch)
+    cand = (
+        F.broadcast(pfx_batch.alias("a"))
+        .join(
+            idx_prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (
+                F.least(F.col("a.s"), F.col("b.s")) * PREFIX_JACCARD_TAU_DEN
+                >= F.greatest(F.col("a.s"), F.col("b.s")) * PREFIX_JACCARD_TAU_NUM
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("base_doc"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("a.pos").alias("pa"),
+            F.max("b.pos").alias("pb"),
+        )
+        .filter(
+            (
+                F.col("m")
+                + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+            )
+            * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+    )
+    verified = (
+        cand.join(
+            F.broadcast(
+                sets_batch.select("doc_id", F.col("ord_h").alias("arr_a"))
+            ),
+            "doc_id",
+        )
+        .join(
+            idx_sets.select(
+                F.col("doc_id").alias("base_doc"), F.col("ord_h").alias("arr_b")
+            ),
+            "base_doc",
+        )
+        .select(
+            "doc_id", "base_doc", "sa", "sb",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+        )
+        .filter(
+            F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+        .select(
+            "doc_id", "base_doc", "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"),
+                9,
+            ).alias("jaccard_q"),
+        )
+    )
+    best = (
+        verified.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("jaccard_q").desc(), F.col("base_doc").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    report = (
+        batch_docs.select("doc_id")
+        .join(
+            F.broadcast(sets_batch.select("doc_id", F.col("s").alias("n_shingles"))),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.col("base_doc").isNotNull().cast("int").alias("is_dup"),
+            F.col("base_doc").alias("best_match"),
+            "inter",
+            "jaccard_q",
+        )
+    )
+
+    if not warm:
+        # union-commit survivors (append): their sets/prefix rows rank by
+        # the committed df, so future batches dedup against them under
+        # the same global order. Meta lands LAST (build-crash ⇒ stale).
+        survivors = report.filter(F.col("is_dup") == 0).select("doc_id")
+        sh_new = sh_batch.join(F.broadcast(survivors), "doc_id")
+        sets_new = _rarest_first_sets(sh_new, idx_df)
+        snap.commit(sets_new, f"{root}/sets", mode="append")
+        snap.commit(_prefix_explode(sets_new), f"{root}/prefix", mode="append")
+        n_docs = docs.count()
+        _write_index_meta(
+            spark, root,
+            (INGEST_INDEX_FORMAT, n_docs, 0, consts),
+            source_fp,
+        )
+    return report
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+  WITH sh AS (
+    SELECT DISTINCT doc_id, {hash31_sql('sh')} AS h
+    FROM (
+      SELECT doc_id, unnest({WORD_3GRAM_SQL}) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3)
+    )
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS base_doc, COUNT(*) AS inter
+    FROM sh a JOIN sh b USING (h)
+    WHERE a.doc_id % {INGEST_MODULUS} = 0 AND b.doc_id % {INGEST_MODULUS} != 0
+    GROUP BY 1, 2
+  ),
+  qualifying AS (
+    SELECT p.doc_id, p.base_doc, p.inter,
+           round(p.inter / CAST(sa.s + sb.s - p.inter AS DOUBLE), 9) AS jaccard_q
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_id
+    JOIN sizes sb ON sb.doc_id = p.base_doc
+    WHERE p.inter * {PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM}
+          >= (sa.s + sb.s) * {PREFIX_JACCARD_TAU_NUM}
+  ),
+  best AS (
+    SELECT doc_id, base_doc, inter, jaccard_q,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard_q DESC, base_doc) AS rk
+    FROM qualifying
+  )
+  SELECT d.doc_id,
+         COALESCE(sz.s, 0) AS n_shingles,
+         CAST(b.base_doc IS NOT NULL AS INT) AS is_dup,
+         b.base_doc AS best_match,
+         b.inter AS inter,
+         b.jaccard_q AS jaccard_q
+  FROM documents d
+  LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.doc_id = d.doc_id
+  WHERE d.doc_id % {INGEST_MODULUS} = 0
+  ORDER BY d.doc_id
+"""

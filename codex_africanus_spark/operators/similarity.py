@@ -1228,6 +1228,15 @@ def _pq_adc_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("approx_d2"))
     )
+    return _pq_shortlist_rerank(pairs, embeddings, k)
+
+
+def _pq_shortlist_rerank(
+    pairs: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """Shortlist-by-ADC + exact full-vector rerank: ONE definition so
+    the flat-PQ and IVF+PQ tiers cannot fork (the _hogbom/_ivf shared-
+    kernel rule). `pairs` = (query_id, neighbor_id, approx_d2)."""
     shortlist = (
         pairs.withColumn(
             "srk",
@@ -1294,6 +1303,24 @@ def build_pq_index(
     _write_index_meta(spark, root, fingerprint, source_fp)
 
 
+def _ensure_pq_index(
+    spark, embeddings: DataFrame, root: str, deep_check: bool = False
+) -> None:
+    """Freshness gate for the persisted PQ index (the PQ analogue of
+    _ensure_ivf_index): warm path checks only the driver-side source
+    digest; cold/deep path falls back to the content fingerprint and
+    rebuilds through build_pq_index."""
+    src = _source_fingerprint(embeddings)
+    if deep_check or not _index_fresh_source(
+        spark, root, PQ_INDEX_FORMAT, _pq_fingerprint(0, 0)[3], src
+    ):
+        fp = _pq_fingerprint(*_corpus_fingerprint(embeddings))
+        if not _index_fresh(spark, root, fp):
+            build_pq_index(embeddings, root, fingerprint=fp, source_fp=src)
+        else:
+            _write_index_meta(spark, root, fp, src)
+
+
 def pq_persisted_topk(
     spark,
     embeddings: DataFrame,
@@ -1312,15 +1339,7 @@ def pq_persisted_topk(
     or when deep_check=True."""
     from codex_africanus_spark.sources import snapshot as snap
 
-    src = _source_fingerprint(embeddings)
-    if deep_check or not _index_fresh_source(
-        spark, root, PQ_INDEX_FORMAT, _pq_fingerprint(0, 0)[3], src
-    ):
-        fp = _pq_fingerprint(*_corpus_fingerprint(embeddings))
-        if not _index_fresh(spark, root, fp):
-            build_pq_index(embeddings, root, fingerprint=fp, source_fp=src)
-        else:
-            _write_index_meta(spark, root, fp, src)
+    _ensure_pq_index(spark, embeddings, root, deep_check=deep_check)
     cb = snap.read_snapshot(spark, f"{root}/codebook")
     codes = snap.read_snapshot(spark, f"{root}/codes")
     probes = embeddings.filter(F.col("vec_id") % query_modulus == 0)
@@ -1971,3 +1990,209 @@ def PCA_POWER_SQL(iters: int = PCA_ITERS) -> str:
            f.mx / {q * q}.0 AS lambda_inf
     FROM final f, range({d}) r ORDER BY dim_idx
 """
+
+
+# --------------------------------------------------------------------------
+# Combined IVF-coarse + PQ-ADC + exact-rerank ANN over persisted indexes —
+# the production serving shape (faiss IndexIVFPQ): coarse quantizer prunes
+# the corpus to n_probe cells, compact codes score the candidates without
+# touching vectors, a bounded shortlist gets the exact distance.
+# --------------------------------------------------------------------------
+
+
+def ivf_pq_persisted_topk(
+    spark,
+    embeddings: DataFrame,
+    root: str,
+    query_modulus: int = 125,
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    deep_check: bool = False,
+) -> DataFrame:
+    """IVF(coarse) → PQ-ADC(score) → exact(rerank), every stage answered
+    from PERSISTED snapshot tables (both freshness gates are the
+    driver-side source digest on the warm path — no corpus scan):
+
+    1. coarse: probe embeddings rank the broadcast IVF centroids, keep
+       `n_probe` cells — queries × cells rows;
+    2. candidates: the cell-assignment table filtered to probed cells
+       (broadcast probe side — the corpus-sized assignment never
+       shuffles);
+    3. ADC: candidate codes join the probe's broadcast M×K distance
+       table; approx distance = lookup-sum, never touching vectors;
+    4. exact: PQ_SHORTLIST best ADC candidates per query rerank on full
+       vectors via the shared _pq_shortlist_rerank.
+
+    All arithmetic is the same exact fixed-point as the component
+    tiers, so the combined result is exactly DuckDB-oracled
+    (IVF_PQ_SQL). 100 TB: per-probe cost is O(cells + candidates in
+    n_probe cells), the textbook IVFPQ serving bound."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    _ensure_ivf_index(spark, embeddings, f"{root}/ivf", deep_check=deep_check)
+    _ensure_pq_index(spark, embeddings, f"{root}/pq", deep_check=deep_check)
+    cent = snap.read_snapshot(spark, f"{root}/ivf/centroids")
+    assign = snap.read_snapshot(spark, f"{root}/ivf/assign").select("vec_id", "cid")
+    cb = snap.read_snapshot(spark, f"{root}/pq/codebook")
+    codes = snap.read_snapshot(spark, f"{root}/pq/codes")
+
+    probes_emb = embeddings.filter(F.col("vec_id") % query_modulus == 0)
+    probed_cells = (
+        probes_emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid",
+            _qdist2_unrolled("embedding", "centroid").alias("dist"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    )
+    cand = (
+        F.broadcast(probed_cells)
+        .join(assign, F.col("pcid") == F.col("cid"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qtab = _pq_dists(probes_emb, cb).select(
+        F.col("vec_id").alias("q_query"),
+        F.col("m").alias("qm"),
+        F.col("k").alias("qk"),
+        "d2",
+    )
+    pairs = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(
+            F.broadcast(qtab),
+            (F.col("qm") == F.col("m"))
+            & (F.col("qk") == F.col("code"))
+            & (F.col("q_query") == F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    return _pq_shortlist_rerank(pairs, embeddings, k)
+
+
+def IVF_PQ_SQL(
+    query_modulus: int = 125, k: int = 5, n_probe: int = N_PROBE
+) -> str:
+    cdist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    d2 = (
+        f"list_sum(list_transform(list_zip(s.sv, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {DOT_SCALE}) AS BIGINT)))"
+    )
+    _qd2_full = (
+        f"list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings
+      ),
+      ivf_dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      ivf_per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM ivf_dims GROUP BY cid, pos
+      ),
+      ivf_cent AS (
+        SELECT cid, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS centroid
+        FROM ivf_per_dim GROUP BY cid
+      ),
+      ranked_cells AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cdist}, c.cid) AS cell_rank
+        FROM embeddings e, ivf_cent c
+      ),
+      cell_assign AS (
+        SELECT vec_id, cid FROM ranked_cells WHERE cell_rank = 1
+      ),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS pcid
+        FROM ranked_cells WHERE cell_rank <= {n_probe} AND vec_id % {query_modulus} = 0
+      ),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN cell_assign a ON a.cid = p.pcid AND a.vec_id <> p.query_id
+      ),
+      cb_dims AS (
+        SELECT vec_id % {PQ_K} AS k,
+               CAST((unnest(generate_series(0, len(embedding) - 1)) // {PQ_D}) AS INT) AS m,
+               unnest(generate_series(0, len(embedding) - 1)) % {PQ_D} AS j,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      cb_per AS (
+        SELECT m, k, j, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM cb_dims GROUP BY m, k, j
+      ),
+      cb AS (
+        SELECT m, k, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY j) AS centroid
+        FROM cb_per GROUP BY m, k
+      ),
+      subs AS (
+        SELECT vec_id, m, list_slice(embedding, m * {PQ_D} + 1, (m + 1) * {PQ_D}) AS sv
+        FROM embeddings, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+      ),
+      dists AS (
+        SELECT s.vec_id, s.m, c.k, {d2} AS d2
+        FROM subs s JOIN cb c ON c.m = s.m
+      ),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+          FROM dists
+        ) WHERE rk = 1
+      ),
+      qtab AS (
+        SELECT vec_id AS query_id, m, k, d2 FROM dists
+        WHERE vec_id % {query_modulus} = 0
+      ),
+      pairs AS (
+        SELECT x.query_id, x.neighbor_id, CAST(SUM(q.d2) AS BIGINT) AS approx_d2
+        FROM cand x
+        JOIN codes cd ON cd.vec_id = x.neighbor_id
+        JOIN qtab q ON q.query_id = x.query_id AND q.m = cd.m AND q.k = cd.code
+        GROUP BY x.query_id, x.neighbor_id
+      ),
+      shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d2, neighbor_id) AS srk
+          FROM pairs
+        ) WHERE srk <= {PQ_SHORTLIST}
+      ),
+      exact AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST({_qd2_full} AS BIGINT) AS d2
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rank
+        FROM exact
+      )
+      SELECT query_id, rank, neighbor_id, d2
+      FROM ranked WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """

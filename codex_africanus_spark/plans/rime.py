@@ -566,21 +566,37 @@ def rime2x2(
     )
 
 
-def rime(spec: str, vis: DataFrame, sources: DataFrame) -> DataFrame:
+def rime(
+    spec: str,
+    vis: DataFrame,
+    sources: DataFrame,
+    terms: dict[str, "Term | type[Term]"] | None = None,
+) -> DataFrame:
     """Compile a RIME spec into one select + one deterministic aggregate.
 
     Returns (row_id, antenna1, antenna2, chan, vis_re, vis_im) — the
     source-reduced model visibilities.
-    """
+
+    `terms` maps a spec character to a user Term (instance or class),
+    overriding the registry FOR THIS SPEC ONLY — the reference's
+    ``RimeSpecification(rime_str, terms={"B": ModelFlux})`` constructor
+    argument (fused/specification.py + the custom_brightness_term.py
+    example), which substitutes a custom term without mutating the
+    global registry."""
     from codex_africanus_spark.sources.tables import fan_out
 
     parsed = parse_rime(spec)
     joined = fan_out(vis).crossJoin(F.broadcast(sources))
+    overrides = terms or {}
     terms = []
     for char, _side in parsed.terms:
-        if char not in TERM_MAP:
+        if char in overrides:
+            t = overrides[char]
+            terms.append(t if isinstance(t, Term) else t())
+        elif char in TERM_MAP:
+            terms.append(TERM_MAP[char]())
+        else:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
-        terms.append(TERM_MAP[char]())
     # argument-dependency resolution: transformers fill derivable gaps
     # before schema validation (fused/core.py:152-207)
     joined = _apply_transformers(

@@ -8407,3 +8407,134 @@ def beam_dde_full_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qsum(F.col("cyy_re"), 1e6) / F.lit(1e6)).alias("yy_re"),
         (qsum(F.col("cyy_im"), 1e6) / F.lit(1e6)).alias("yy_im"),
     )
+
+
+# ===========================================================================
+# Round 7: user-defined custom Term through the spec compiler
+# ===========================================================================
+
+
+class ModelFluxTerm(rime_plan.Term):
+    """USER-LAND custom term (defined outside the compiler module — that
+    is the point): substitutes the standard Brightness term with model
+    flux LOOKED UP from a per-(source, chan) table, the Spark analogue
+    of the reference's ModelFlux example term whose dask_schema declares
+    a ("source", "chan", "stokes") model_flux array
+    (fused/examples/custom_brightness_term.py:17-52). The array becomes
+    a broadcast dimension frame attached in prepare() — the same escape
+    the BeamCubeTerm uses for gather-heavy samplers."""
+
+    required_columns = ("source_id", "chan")
+
+    def __init__(self, model_flux: DataFrame):
+        self.model_flux = model_flux
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(self.model_flux), ["source_id", "chan"])
+
+    def apply(self, z):
+        return z * F.col("model_flux")
+
+
+_CUSTOM_TERM_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             (1.0 + (s.source_id % 5)) * (1.0 + v.chan / 10.0) AS flux,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """
+)
+
+
+@register("rime_custom_term_predict", _CUSTOM_TERM_ORACLE)
+def rime_custom_term_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's defining extensibility feature end-to-end: a
+    user-defined Term substituted for a built-in via the per-spec
+    override — ``RimeSpecification(rime_str, terms={"B": ModelFlux})``
+    (fused/examples/custom_brightness_term.py:106) — without touching
+    the global registry. The model-flux dimension is built lazily
+    (sources × distinct chans, both tiny) and broadcast; the fused
+    select + deterministic source reduction are unchanged, so the
+    custom term inherits the compiled plan shape."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    model = (
+        src.select("source_id")
+        .crossJoin(vis.select("chan").distinct())
+        .select(
+            "source_id",
+            "chan",
+            (
+                (F.lit(1.0) + F.col("source_id") % 5)
+                * (F.lit(1.0) + F.col("chan") / F.lit(10.0))
+            ).alias("model_flux"),
+        )
+    )
+    return rime_plan.rime(
+        "(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]",
+        vis,
+        src,
+        terms={"B": ModelFluxTerm(model)},
+    ).orderBy("row_id")
+
+
+@register("incremental_dedup_ingest", dedup_op.INCREMENTAL_DEDUP_SQL)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ingest shape end-to-end: the committed corpus's
+    prefix-filter shingle index is persisted through the transactional
+    snapshot sink (build-once), each new batch probes ONLY the index
+    tables (prefix candidates → positional filter → exact verify), and
+    non-duplicate survivors are union-committed back for the next
+    batch. Warm invocations (driver-side source-file digest) skip every
+    write and are pure probes. The DuckDB twin recomputes the exact
+    jaccard ≥ 1/2 decision brute-force — the pruning is lossless, so
+    the reports hash-match."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    docs = load(spark, "documents", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_dedup_ingest/{tag}"
+    return dedup_op.incremental_dedup_ingest(spark, docs, root).orderBy("doc_id")
+
+
+@register("ann_ivf_pq_persisted_topk", sim_op.IVF_PQ_SQL())
+def ann_ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving shape (faiss IndexIVFPQ): IVF coarse
+    quantizer prunes to n_probe cells, PQ compact codes score the
+    cell candidates by broadcast table-lookup (never touching vectors),
+    and only the PQ_SHORTLIST best rerank on exact full-vector
+    distances — all three stages answered from PERSISTED snapshot
+    indexes with driver-side digest freshness. Exact fixed-point
+    arithmetic end-to-end, so even the combined approximate ranks are
+    hash-checked against the DuckDB replay."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_ann_ivfpq/{tag}"
+    return sim_op.ivf_pq_persisted_topk(spark, emb, root).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("contamination_run_diff", cur_op.CONTAM_DIFF_SQL())
+def contamination_run_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run eval-contamination diff: the span reporter run on the
+    corpus before and after a re-curation gate, full-outer-joined per
+    (doc, eval_doc) pair and classified removed/persisted/new — `new`
+    pairs surface when re-curation drops a shared shingle under the
+    corpus-relative df-cap, the regression this audit exists to catch."""
+    docs = load(spark, "documents", sf_dir)
+    return cur_op.contamination_run_diff(docs).orderBy("doc_id", "eval_doc_id")

@@ -590,3 +590,33 @@ def test_beam_dde_full_predict_single_exchange_three_broadcasts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_custom_term_inherits_compiled_plan_shape(spark, sf_dir):
+    """A user-substituted Term must get the same compiled plan the
+    built-ins do: broadcast source expansion + broadcast model-flux dim,
+    no fact-fact SMJ, partial+final source reduction."""
+    plan = plan_of(registry()["rime_custom_term_predict"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the model-flux dim lookup
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_dedup_probe_no_fact_smj(spark, sf_dir):
+    """The ingest probe: candidate/verify/report joins all broadcast the
+    batch-derived side — the committed index tables are scanned but
+    never shuffled through a fact-fact SortMergeJoin."""
+    plan = plan_of(registry()["incremental_dedup_ingest"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_combined_probe_shape(spark, sf_dir):
+    """IVFPQ serving: centroids broadcast (coarse), probe-cell and
+    distance-table sides broadcast (ADC) — no SMJ anywhere; the only
+    corpus-sized frames (assignment, codes) enter joins unbroadcast but
+    never as the build side."""
+    plan = plan_of(registry()["ann_ivf_pq_persisted_topk"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

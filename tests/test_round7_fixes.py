@@ -92,3 +92,30 @@ def test_flag_occupancy_ppm_decimal_path(spark, sf_dir):
         assert r.occupancy_ppm == pytest.approx(
             r.n_flagged * 1_000_000 / r.n_samples
         )
+
+
+def test_incremental_ingest_idempotent_and_probe_only(spark, sf_dir, tmp_path):
+    """Warm re-invocation must (a) return the identical report and
+    (b) commit NOTHING — the probe-only contract; and the cold pass
+    must have union-committed exactly the non-dup survivors with at
+    least one shingle."""
+    from codex_africanus_spark.operators import dedup as dedup_op
+    from codex_africanus_spark.sources import snapshot as snap
+    from codex_africanus_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    root = str(tmp_path / "ingest")
+    r1 = dedup_op.incremental_dedup_ingest(spark, docs, root).collect()
+    versions = {t: snap.latest_version(f"{root}/{t}") for t in ("df", "sets", "prefix")}
+    r2 = dedup_op.incremental_dedup_ingest(spark, docs, root).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    for t, v in versions.items():
+        assert snap.latest_version(f"{root}/{t}") == v, f"warm call committed to {t}"
+    committed_batch = {
+        r.doc_id
+        for r in snap.read_snapshot(spark, f"{root}/sets")
+        .filter(F.col("doc_id") % dedup_op.INGEST_MODULUS == 0)
+        .select("doc_id").distinct().collect()
+    }
+    want = {r.doc_id for r in r1 if r.is_dup == 0 and r.n_shingles > 0}
+    assert committed_batch == want
