@@ -1053,3 +1053,240 @@ NOISE_EST_SQL = f"""
     FROM g
     ORDER BY antenna1, antenna2
 """
+
+
+def closure_amplitudes(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFrame:
+    """Closure amplitudes over antenna quadrangles — the gain-amplitude
+    analogue of closure_phases: ln|V_ab| + ln|V_cd| − ln|V_ac| − ln|V_bd|
+    for every a<b<c<d (antenna-based gain AMPLITUDES cancel on the
+    quad; TMS ch. 10.3). Reported in log form so the closure statistic
+    is an exact integer combination of 1e-9-quantized per-leg log
+    amplitudes — the same engine-reproducibility discipline as the
+    phase triangles.
+
+    Shape: the SAME (time-bin, baseline) exact fixed-point collapse as
+    closure_phases (O(#bins·#baselines)), then a QUADRUPLE self-join at
+    diagnostic cardinality (C(n_ant,4) quads per bin). Zero-amplitude
+    legs are dropped before the log (both engines)."""
+    from codex_africanus_spark.functions.deterministic import qsum, quantize
+
+    chan0 = vis.filter(F.col("chan") == 0)
+    base = (
+        chan0.withColumn(
+            "tbin", F.floor(F.col("time") / F.lit(bin_secs)).cast("long")
+        )
+        .filter(F.col("antenna1") < F.col("antenna2"))
+        .groupBy("tbin", "antenna1", "antenna2")
+        .agg(
+            qsum(F.col("vis_re"), 1e6).alias("re_q"),
+            qsum(F.col("vis_im"), 1e6).alias("im_q"),
+        )
+        .filter(F.col("re_q") * F.col("re_q") + F.col("im_q") * F.col("im_q") > 0)
+    )
+    lamp_q = quantize(
+        F.lit(0.5)
+        * F.log(
+            (
+                F.col("re_q").cast("double") * F.col("re_q").cast("double")
+                + F.col("im_q").cast("double") * F.col("im_q").cast("double")
+            )
+        ),
+        1e9,
+    )
+    legs = base.select("tbin", "antenna1", "antenna2", lamp_q.alias("la_q"))
+    ab = legs.select(
+        "tbin", F.col("antenna1").alias("a"), F.col("antenna2").alias("b"),
+        F.col("la_q").alias("la_ab"),
+    )
+    cd = legs.select(
+        "tbin", F.col("antenna1").alias("c"), F.col("antenna2").alias("d"),
+        F.col("la_q").alias("la_cd"),
+    )
+    ac = legs.select(
+        "tbin", F.col("antenna1").alias("a"), F.col("antenna2").alias("c"),
+        F.col("la_q").alias("la_ac"),
+    )
+    bd = legs.select(
+        "tbin", F.col("antenna1").alias("b"), F.col("antenna2").alias("d"),
+        F.col("la_q").alias("la_bd"),
+    )
+    quad = (
+        ab.join(cd, "tbin")
+        .filter(F.col("b") < F.col("c"))
+        .join(ac, ["tbin", "a", "c"])
+        .join(bd, ["tbin", "b", "d"])
+    )
+    return quad.select(
+        "tbin", "a", "b", "c", "d",
+        (
+            (F.col("la_ab") + F.col("la_cd") - F.col("la_ac") - F.col("la_bd"))
+            / F.lit(1e9)
+        ).alias("closure_logamp"),
+    )
+
+
+CLOSURE_AMPS_SQL = """
+    , base AS (
+      SELECT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin,
+             antenna1, antenna2,
+             SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS re_q,
+             SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS im_q
+      FROM vis
+      WHERE chan = 0 AND antenna1 < antenna2
+      GROUP BY 1, 2, 3
+      HAVING SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT))
+               * SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT))
+             + SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT))
+               * SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) > 0
+    ),
+    legs AS (
+      SELECT tbin, antenna1, antenna2,
+             CAST(ROUND(0.5 * ln(CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE)
+                                 + CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS la_q
+      FROM base
+    )
+    SELECT ab.tbin, ab.antenna1 AS a, ab.antenna2 AS b,
+           cd.antenna1 AS c, cd.antenna2 AS d,
+           (ab.la_q + cd.la_q - ac.la_q - bd.la_q) / 1000000000.0
+             AS closure_logamp
+    FROM legs ab
+    JOIN legs cd ON cd.tbin = ab.tbin AND ab.antenna2 < cd.antenna1
+    JOIN legs ac ON ac.tbin = ab.tbin AND ac.antenna1 = ab.antenna1
+                AND ac.antenna2 = cd.antenna1
+    JOIN legs bd ON bd.tbin = ab.tbin AND bd.antenna1 = ab.antenna2
+                AND bd.antenna2 = cd.antenna2
+    ORDER BY ab.tbin, a, b, c, d
+"""
+
+
+def bandpass_curvature_fit(vis: DataFrame) -> DataFrame:
+    """Per-baseline bandpass log-amplitude curvature — the quadratic
+    spectral fit a CASA bandpass task inspects for instrumental slope/
+    ripple: ln|V| ≈ a + b·chan + c·chan² over every (time, baseline,
+    chan) pre-collapsed exact integer spectrum, solved by Cramer's rule
+    on the 3×3 normal equations (the fringe_fit_delay_rate machinery
+    with the second regressor x₂ = chan² instead of the time bin —
+    curvature c is the band-ripple diagnostic).
+
+    Determinism: y is the 1e-9-quantized log amplitude of exact BIGINT
+    spectrum sums; regressors are small ints, so all nine moments and
+    the Cramer determinants are exact decimal(38,0) integers (at 10¹²
+    rows/baseline the determinant magnitudes stay ≤ ~10³⁶ — inside the
+    38-digit bound); outputs land on the 1e-12 grid (the int128→double
+    cast lesson). One spectra collapse + one baseline aggregate."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    sp = _spectra(vis).filter(
+        F.col("re_q") * F.col("re_q") + F.col("im_q") * F.col("im_q") > 0
+    )
+    samp = sp.select(
+        "antenna1", "antenna2",
+        F.col("chan").cast("long").alias("x1"),
+        (F.col("chan").cast("long") * F.col("chan")).alias("x2"),
+        quantize(
+            F.lit(0.5)
+            * F.log(
+                F.col("re_q").cast("double") * F.col("re_q").cast("double")
+                + F.col("im_q").cast("double") * F.col("im_q").cast("double")
+            ),
+            1e9,
+        ).alias("y"),
+    )
+    g = samp.groupBy("antenna1", "antenna2").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum((F.col("x1").cast(dec) * F.col("x1"))).alias("s11"),
+        F.sum((F.col("x2").cast(dec) * F.col("x2"))).alias("s22"),
+        F.sum((F.col("x1").cast(dec) * F.col("x2"))).alias("s12"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1").cast(dec) * F.col("y"))).alias("s1y"),
+        F.sum((F.col("x2").cast(dec) * F.col("y"))).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det_b = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s2 * s1y)
+    )
+    det_c = (
+        n * (s11 * s2y - s12 * s1y)
+        - s1 * (s1 * s2y - s12 * sy)
+        + s2 * (s1 * s1y - s11 * sy)
+    )
+    det_a = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2)
+    )
+    return g.filter(det != F.lit(0).cast(dec)).select(
+        "antenna1", "antenna2",
+        F.col("n").cast("long").alias("n_samp"),
+        quantize(det_a.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "logamp0_p"
+        ),
+        quantize(det_b.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "slope_p_per_chan"
+        ),
+        quantize(det_c.cast("double") / det.cast("double") / F.lit(1e9), 1e12).alias(
+            "curvature_p_per_chan2"
+        ),
+    )
+
+
+BANDPASS_CURVE_SQL = f"""
+    , spq AS ({_SPECTRA_SQL}),
+    samp AS (
+      SELECT antenna1, antenna2,
+             CAST(chan AS HUGEINT) AS x1,
+             CAST(chan * chan AS HUGEINT) AS x2,
+             CAST(CAST(ROUND(0.5 * ln(CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE)
+                                      + CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE))
+                             * 1000000000.0) AS BIGINT) AS HUGEINT) AS y
+      FROM spq WHERE re_q * re_q + im_q * im_q > 0
+    ),
+    g AS (
+      SELECT antenna1, antenna2,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+             SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM samp GROUP BY antenna1, antenna2
+    )
+    SELECT antenna1, antenna2, CAST(n AS BIGINT) AS n_samp,
+           CAST(ROUND(CAST(sy * (s11 * s22 - s12 * s12)
+                           - s1y * (s1 * s22 - s12 * s2)
+                           + s2y * (s1 * s12 - s11 * s2) AS DOUBLE)
+                 / CAST(n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+                 / 1000000000.0 * 1000000000000.0) AS BIGINT) AS logamp0_p,
+           CAST(ROUND(CAST(n * (s1y * s22 - s12 * s2y)
+                           - s1 * (sy * s22 - s2 * s2y)
+                           + s2 * (sy * s12 - s2 * s1y) AS DOUBLE)
+                 / CAST(n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+                 / 1000000000.0 * 1000000000000.0) AS BIGINT) AS slope_p_per_chan,
+           CAST(ROUND(CAST(n * (s11 * s2y - s12 * s1y)
+                           - s1 * (s1 * s2y - s12 * sy)
+                           + s2 * (s1 * s1y - s11 * sy) AS DOUBLE)
+                 / CAST(n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2) AS DOUBLE)
+                 / 1000000000.0 * 1000000000000.0) AS BIGINT) AS curvature_p_per_chan2
+    FROM g
+    WHERE (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) <> 0
+    ORDER BY antenna1, antenna2
+"""

@@ -8538,3 +8538,471 @@ def contamination_run_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-relative df-cap, the regression this audit exists to catch."""
     docs = load(spark, "documents", sf_dir)
     return cur_op.contamination_run_diff(docs).orderBy("doc_id", "eval_doc_id")
+
+
+# ===========================================================================
+# Round 7: faceted W-projection gridding workload sweep
+# ===========================================================================
+
+_FW_NF = 4        # facets
+_FW_CELL = 10.0   # uv cell (wstack grid convention)
+_FW_WSTEP = 3.0   # w-projection support growth step
+_FW_SMAX = 4      # support cap
+
+
+def _facet_wproj_oracle() -> str:
+    from codex_africanus_spark.functions.uvw import uvw_rotate_sql
+
+    args = (
+        "v.u", "v.v", "v.w", "0.0", "((-17) / 25.0)",
+        "f.ra_f", "f.dec_f",
+    )
+    ru, rv, rw = uvw_rotate_sql(*args)
+    return _with_ms(
+        f"""
+        , facets AS (
+          SELECT CAST(r.range AS BIGINT) AS facet_id,
+                 (r.range - 1.5) / 50.0 AS ra_f,
+                 ((-17) / 25.0) + ((r.range % 2) - 0.5) / 40.0 AS dec_f
+          FROM range({_FW_NF}) r
+        ),
+        rot AS (
+          SELECT f.facet_id,
+                 round({ru}, 6) AS u_r,
+                 round({rv}, 6) AS v_r,
+                 round({rw}, 6) AS w_r,
+                 v.weight
+          FROM vis v, facets f
+          WHERE NOT (v.flag OR v.flag_row)
+        ),
+        cells AS (
+          SELECT facet_id,
+                 LEAST({_FW_SMAX}, 1 + CAST(FLOOR(ABS(w_r) / {_FW_WSTEP!r}) AS BIGINT)) AS support,
+                 CAST(FLOOR(u_r / {_FW_CELL!r}) AS BIGINT) AS u_cell,
+                 CAST(FLOOR(v_r / {_FW_CELL!r}) AS BIGINT) AS v_cell,
+                 COUNT(*) AS n_rows,
+                 SUM(CAST(ROUND(weight * 1000000) AS BIGINT)) AS wq
+          FROM rot GROUP BY 1, 2, 3, 4
+        )
+        SELECT facet_id, support,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_cells,
+               CAST(SUM(n_rows) * (2 * support + 1) * (2 * support + 1) AS BIGINT)
+                 AS n_kernel_visits,
+               round(SUM(wq) / 1000000.0, 6) AS weight_sum
+        FROM cells GROUP BY facet_id, support
+        ORDER BY facet_id, support
+        """
+    )
+
+
+@register("facet_wproj_kernel_sweep", _facet_wproj_oracle())
+def facet_wproj_kernel_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceting × W-projection workload sweep — the planning query an
+    imaging pipeline runs before gridding: every visibility is rotated
+    into each facet's tangent frame (perleypolyhedron
+    baseline_transform_policies uvw_rotate), assigned the w-dependent
+    kernel support level a W-projection gridder would use (support
+    grows with |w'| — the defining W-projection cost driver), and the
+    per-(facet, support) workload is reported as rows, occupied cells,
+    kernel-tap visits (rows × (2s+1)²) and weight. Pairs the facet
+    geometry with the gridder policies (r6 verdict suggestion).
+
+    Plan: broadcast 4-row facet table (×NF fact expansion rides the
+    scan), rotation trig in codegen quantized at 1e-6, then the
+    wstack-style two-stage agg (cell cardinality, then facet×support).
+    At 100 TB: shuffle volume is O(#occupied cells), never O(rows)."""
+    from codex_africanus_spark.functions.deterministic import qsum
+    from codex_africanus_spark.functions.uvw import uvw_rotate
+    from codex_africanus_spark.sources.tables import fan_out
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    facets = spark.range(_FW_NF).select(
+        F.col("id").cast("long").alias("facet_id"),
+        ((F.col("id") - 1.5) / F.lit(50.0)).alias("ra_f"),
+        (
+            F.lit(-17) / F.lit(25.0)
+            + ((F.col("id") % 2) - 0.5) / F.lit(40.0)
+        ).alias("dec_f"),
+    )
+    j = fan_out(vis).crossJoin(F.broadcast(facets))
+    ru, rv, rw = uvw_rotate(
+        F.col("u"), F.col("v"), F.col("w"),
+        F.lit(0.0), F.lit(-17) / F.lit(25.0),
+        F.col("ra_f"), F.col("dec_f"),
+    )
+    rot = j.select(
+        "facet_id",
+        F.round(ru, 6).alias("u_r"),
+        F.round(rv, 6).alias("v_r"),
+        F.round(rw, 6).alias("w_r"),
+        "weight",
+    )
+    cells = rot.groupBy(
+        "facet_id",
+        F.least(
+            F.lit(_FW_SMAX),
+            F.lit(1) + F.floor(F.abs(F.col("w_r")) / F.lit(_FW_WSTEP)),
+        ).alias("support"),
+        F.floor(F.col("u_r") / F.lit(_FW_CELL)).cast("long").alias("u_cell"),
+        F.floor(F.col("v_r") / F.lit(_FW_CELL)).cast("long").alias("v_cell"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        qsum(F.col("weight"), 1e6).alias("wq"),
+    )
+    return (
+        cells.groupBy("facet_id", "support")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("wq").cast("double") / F.lit(1000000.0), 6).alias(
+                "weight_sum"
+            ),
+        )
+        .select(
+            "facet_id",
+            "support",
+            "n_rows",
+            "n_cells",
+            (
+                F.col("n_rows") * (2 * F.col("support") + 1)
+                * (2 * F.col("support") + 1)
+            ).alias("n_kernel_visits"),
+            "weight_sum",
+        )
+        .orderBy("facet_id", "support")
+    )
+
+
+@register("closure_amplitudes_quads", _with_ms(cal_op.CLOSURE_AMPS_SQL))
+def closure_amplitudes_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure amplitudes over antenna quadrangles (TMS ch. 10.3): the
+    gain-amplitude-independent diagnostic completing the closure pair
+    with closure_phases_triangles — per-(time-bin, baseline) exact
+    fixed-point collapse, then a quadruple self-join at diagnostic
+    cardinality with 1e-9-quantized per-leg log amplitudes so the
+    closure statistic is an exact integer combination."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.closure_amplitudes(vis).orderBy("tbin", "a", "b", "c", "d")
+
+
+_OPACITY_TAU = 0.05   # zenith opacity (nepers)
+_OPACITY_EL_MIN = 0.15  # elevation clamp before the secant (rad)
+
+_AIRMASS_ORACLE = _with_ms(
+    f"""
+    , ant AS ({tpch_ms.ANTENNA_SQL})
+    , t AS (SELECT DISTINCT time FROM vis)
+    , fac AS (
+      SELECT t.time, a.antenna,
+             CAST(ROUND(exp(CAST({_OPACITY_TAU!r} AS DOUBLE) /
+               sin(GREATEST(
+                 CAST(ROUND({feeds_fn.elevation_angle_geometric_sql(
+                     't.time', 'a.ant_x', 'a.ant_y', 'a.ant_z',
+                     f'CAST({_PA_FIELD[0]!r} AS DOUBLE)',
+                     f'CAST({_PA_FIELD[1]!r} AS DOUBLE)')} * 1000000000) AS BIGINT)
+                   / 1000000000.0,
+                 CAST({_OPACITY_EL_MIN!r} AS DOUBLE)))) * 1000000000) AS BIGINT)
+               AS c_q
+      FROM t, ant a
+    )
+    SELECT v.antenna1, v.antenna2, v.chan,
+           COUNT(*) AS n_samples,
+           SUM(CAST(ROUND(v.vis_re * (f1.c_q / 1000000000.0)
+                          * (f2.c_q / 1000000000.0) * 1000000.0) AS BIGINT))
+             / 1000000.0 AS corr_re_sum,
+           SUM(CAST(ROUND(v.vis_im * (f1.c_q / 1000000000.0)
+                          * (f2.c_q / 1000000000.0) * 1000000.0) AS BIGINT))
+             / 1000000.0 AS corr_im_sum,
+           CAST(SUM(f1.c_q + f2.c_q) AS BIGINT) AS factor_q_sum
+    FROM vis v
+    JOIN fac f1 ON f1.time = v.time AND f1.antenna = v.antenna1
+    JOIN fac f2 ON f2.time = v.time AND f2.antenna = v.antenna2
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+)
+
+
+@register("airmass_opacity_correction", _AIRMASS_ORACLE)
+def airmass_opacity_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atmospheric-opacity gain correction (Tsys/opacity calibration):
+    per (time, antenna) the alt-az backend gives the elevation, the
+    plane-parallel airmass is sec(z) = 1/sin(el) (elevation clamped),
+    and each visibility is multiplied by e^{τ·X₁}·e^{τ·X₂} to undo the
+    attenuation along both sightlines — then reduced to per-(baseline,
+    chan) exact fixed-point sums. The correction factor table is
+    n_utime × n_ant and BROADCAST twice; the fact table never
+    shuffles before the final collapse. Factors quantize at 1e-9
+    (transcendental-output rule) so both engines agg identical ints."""
+    from codex_africanus_spark.functions.deterministic import qsum, quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    times = vis.select("time").distinct()
+    ants = tpch_ms.antenna_table(spark)
+    el = feeds_fn.elevation_angle_geometric(
+        F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),
+        F.lit(_PA_FIELD[0]), F.lit(_PA_FIELD[1]),
+    )
+    el_c = F.greatest(
+        quantize(el, 1e9) / F.lit(1e9), F.lit(_OPACITY_EL_MIN)
+    )
+    fac = times.crossJoin(F.broadcast(ants)).select(
+        "time", "antenna",
+        quantize(F.exp(F.lit(_OPACITY_TAU) / F.sin(el_c)), 1e9).alias("c_q"),
+    )
+    f1 = fac.select(
+        "time", F.col("antenna").alias("antenna1"), F.col("c_q").alias("c1_q")
+    )
+    f2 = fac.select(
+        "time", F.col("antenna").alias("antenna2"), F.col("c_q").alias("c2_q")
+    )
+    j = (
+        vis.join(F.broadcast(f1), ["time", "antenna1"])
+        .join(F.broadcast(f2), ["time", "antenna2"])
+    )
+    corr = F.col("c1_q") / F.lit(1e9) * (F.col("c2_q") / F.lit(1e9))
+    return (
+        j.groupBy("antenna1", "antenna2", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (qsum(F.col("vis_re") * corr, 1e6) / F.lit(1e6)).alias("corr_re_sum"),
+            (qsum(F.col("vis_im") * corr, 1e6) / F.lit(1e6)).alias("corr_im_sum"),
+            F.sum(F.col("c1_q") + F.col("c2_q")).alias("factor_q_sum"),
+        )
+        .orderBy("antenna1", "antenna2", "chan")
+    )
+
+
+_DTERM_ORACLE = _with_ms(
+    """
+    , base AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             vis_re AS xr, vis_im AS xi,
+             0.8 * vis_re AS yr, -0.3 * vis_im AS yi,
+             (antenna1 + 1) / 100.0 AS d1r, (antenna1 % 3) / 200.0 AS d1i,
+             (antenna2 + 1) / 100.0 AS d2r, (antenna2 % 3) / 200.0 AS d2i
+      FROM vis WHERE row_id % 5 = 0
+    ),
+    prod AS (
+      SELECT *,
+             d1r * d2r + d1i * d2i AS er, d1i * d2r - d1r * d2i AS ei,
+             d1r * d2r + d1i * d2i AS fr, d1r * d2i - d1i * d2r AS fi
+      FROM base
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           CAST(ROUND((xr + (er * yr - ei * yi)) * 1000000) AS BIGINT) / 1000000.0 AS v_xx_re,
+           CAST(ROUND((xi + (er * yi + ei * yr)) * 1000000) AS BIGINT) / 1000000.0 AS v_xx_im,
+           CAST(ROUND((-(d2r * xr - d2i * xi) + (d1r * yr - d1i * yi)) * 1000000) AS BIGINT) / 1000000.0 AS v_xy_re,
+           CAST(ROUND((-(d2r * xi + d2i * xr) + (d1r * yi + d1i * yr)) * 1000000) AS BIGINT) / 1000000.0 AS v_xy_im,
+           CAST(ROUND((-(d1r * xr + d1i * xi) + (d2r * yr + d2i * yi)) * 1000000) AS BIGINT) / 1000000.0 AS v_yx_re,
+           CAST(ROUND((-(d1r * xi - d1i * xr) + (d2r * yi - d2i * yr)) * 1000000) AS BIGINT) / 1000000.0 AS v_yx_im,
+           CAST(ROUND(((fr * xr - fi * xi) + yr) * 1000000) AS BIGINT) / 1000000.0 AS v_yy_re,
+           CAST(ROUND(((fr * xi + fi * xr) + yi) * 1000000) AS BIGINT) / 1000000.0 AS v_yy_im
+    FROM prod
+    ORDER BY row_id, antenna1, antenna2, chan
+    """
+)
+
+
+@register("polarization_leakage_apply", _DTERM_ORACLE)
+def polarization_leakage_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polarization leakage (D-term) corruption — the D Jones of the
+    RIME: V' = D₁ · V · D₂ᴴ with D_p = [[1, d_p], [−d_p*, 1]] and a
+    closed-form per-antenna complex leakage d_p (reference 2×2
+    jones_mul chains, predict.py:56-190; D is the one standard Jones
+    family the sandwich suite didn't yet cover). Pure projection —
+    per-antenna leakages are row expressions, so the whole 2×2 algebra
+    stays inside whole-stage codegen with zero joins.
+
+    The symbolic expansion of D₁·diag(Vxx,Vyy)·D₂ᴴ is written out with
+    the SAME association order as the SQL twin: the generic Jones2x2
+    chain associates float sums differently, and a handful of exact-
+    decimal leakage products land precisely on the 1e-6 rounding half-
+    boundary where association order flips the rounded digit; outputs
+    quantize on the exact 1e-6 integer grid (quantize(), not F.round —
+    Spark ROUND goes through BigDecimal.valueOf's shortest-decimal
+    re-read, which forks from DuckDB on boundary doubles)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 5 == 0)
+    xr, xi = F.col("vis_re"), F.col("vis_im")
+    yr, yi = F.lit(0.8) * F.col("vis_re"), F.lit(-0.3) * F.col("vis_im")
+    d1r = (F.col("antenna1") + 1) / F.lit(100.0)
+    d1i = (F.col("antenna1") % 3) / F.lit(200.0)
+    d2r = (F.col("antenna2") + 1) / F.lit(100.0)
+    d2i = (F.col("antenna2") % 3) / F.lit(200.0)
+    er, ei = d1r * d2r + d1i * d2i, d1i * d2r - d1r * d2i  # d1·conj(d2)
+    fr, fi = d1r * d2r + d1i * d2i, d1r * d2i - d1i * d2r  # conj(d1)·d2
+    cols = [
+        (quantize(xr + (er * yr - ei * yi), 1e6) / F.lit(1e6)).alias("v_xx_re"),
+        (quantize(xi + (er * yi + ei * yr), 1e6) / F.lit(1e6)).alias("v_xx_im"),
+        (quantize(-(d2r * xr - d2i * xi) + (d1r * yr - d1i * yi), 1e6) / F.lit(1e6)).alias("v_xy_re"),
+        (quantize(-(d2r * xi + d2i * xr) + (d1r * yi + d1i * yr), 1e6) / F.lit(1e6)).alias("v_xy_im"),
+        (quantize(-(d1r * xr + d1i * xi) + (d2r * yr + d2i * yi), 1e6) / F.lit(1e6)).alias("v_yx_re"),
+        (quantize(-(d1r * xi - d1i * xr) + (d2r * yi - d2i * yr), 1e6) / F.lit(1e6)).alias("v_yx_im"),
+        (quantize((fr * xr - fi * xi) + yr, 1e6) / F.lit(1e6)).alias("v_yy_re"),
+        (quantize((fr * xi + fi * xr) + yi, 1e6) / F.lit(1e6)).alias("v_yy_im"),
+    ]
+    return vis.select("row_id", "antenna1", "antenna2", "chan", *cols).orderBy(
+        "row_id", "antenna1", "antenna2", "chan"
+    )
+
+
+@register("bandpass_curvature_fit", _with_ms(cal_op.BANDPASS_CURVE_SQL))
+def bandpass_curvature_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline bandpass curvature: quadratic log-amplitude spectral
+    fit ln|V| ≈ a + b·chan + c·chan² over exact integer spectra — the
+    band slope/ripple diagnostic, Cramer 3×3 on decimal(38,0) moments
+    (the fringe-fit machinery with x₂ = chan²)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.bandpass_curvature_fit(vis).orderBy("antenna1", "antenna2")
+
+
+_SCAN_AVG_ORACLE = _with_ms(
+    """
+    , bt AS (SELECT DISTINCT antenna1, antenna2, time FROM vis),
+    flagged AS (
+      SELECT antenna1, antenna2, time,
+             CASE WHEN lag(time) OVER w IS NULL
+                       OR time - lag(time) OVER w > 259200.0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM bt
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time)
+    ),
+    scans AS (
+      SELECT antenna1, antenna2, time,
+             SUM(boundary) OVER (PARTITION BY antenna1, antenna2
+                                 ORDER BY time
+                                 ROWS UNBOUNDED PRECEDING) AS scan_id
+      FROM flagged
+    )
+    SELECT v.antenna1, v.antenna2, CAST(s.scan_id AS BIGINT) AS scan_id, v.chan,
+           COUNT(*) AS n_samples,
+           SUM(CAST(ROUND(v.vis_re * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_re,
+           SUM(CAST(ROUND(v.vis_im * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_im,
+           MIN(v.time) AS t_start, MAX(v.time) AS t_end
+    FROM vis v
+    JOIN scans s ON s.antenna1 = v.antenna1 AND s.antenna2 = v.antenna2
+                AND s.time = v.time
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+    """
+)
+
+
+@register("scan_time_average", _SCAN_AVG_ORACLE)
+def scan_time_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scan visibility averaging (CASA split/mstransform
+    scan-average): scan boundaries are recovered from the distinct
+    (baseline, time) grid (gap > 3 days — the baseline_observation
+    segmentation rule), the diagnostic-cardinality scan-id table joins
+    back BROADCAST, and the fact table collapses once per (baseline,
+    scan, chan) with exact fixed-point sums — composition of the
+    sequential-binner and averaging tiers; the fact table shuffles
+    exactly once (the final collapse)."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    bt = vis.select("antenna1", "antenna2", "time").distinct()
+    w = W.partitionBy("antenna1", "antenna2").orderBy("time")
+    flagged = bt.withColumn(
+        "boundary",
+        F.when(
+            F.lag("time").over(w).isNull()
+            | ((F.col("time") - F.lag("time").over(w)) > 259200.0),
+            1,
+        ).otherwise(0),
+    )
+    scans = flagged.withColumn(
+        "scan_id",
+        F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).select("antenna1", "antenna2", "time", "scan_id")
+    j = vis.join(F.broadcast(scans), ["antenna1", "antenna2", "time"])
+    return (
+        j.groupBy("antenna1", "antenna2", "scan_id", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (qsum(F.col("vis_re"), 1e6) / F.lit(1e6)).alias("sum_re"),
+            (qsum(F.col("vis_im"), 1e6) / F.lit(1e6)).alias("sum_im"),
+            F.min("time").alias("t_start"),
+            F.max("time").alias("t_end"),
+        )
+        .orderBy("antenna1", "antenna2", "scan_id", "chan")
+    )
+
+
+_NOISE_WEIGHTED_ORACLE = _with_ms(
+    """
+    , wv AS (
+      SELECT antenna1, antenna2, chan,
+             CAST(CAST(ROUND(1000000.0 / (sigma * sigma)) AS BIGINT) AS HUGEINT) AS wq,
+             CAST(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) AS HUGEINT) AS rq,
+             CAST(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) AS HUGEINT) AS iq
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    g AS (
+      SELECT antenna1, antenna2, chan, COUNT(*) AS n_samples,
+             SUM(wq) AS sw, SUM(wq * rq) AS swr, SUM(wq * iq) AS swi
+      FROM wv GROUP BY 1, 2, 3
+    )
+    SELECT antenna1, antenna2, chan, n_samples,
+           CAST(ROUND(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0
+                      * 1000000000.0) AS BIGINT) AS wmean_re_n,
+           CAST(ROUND(CAST(swi AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0
+                      * 1000000000.0) AS BIGINT) AS wmean_im_n
+    FROM g WHERE sw <> 0
+    ORDER BY antenna1, antenna2, chan
+    """
+)
+
+
+@register("noise_weighted_average", _NOISE_WEIGHTED_ORACLE)
+def noise_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance (1/σ²) weighted visibility average per
+    (baseline, chan) — the SIGMA-column weighting every MS averaging
+    task applies (reference averaging weight semantics,
+    time_and_channel full-column path): weights and visibilities both
+    quantize to the 1e-6 grid, the weighted sums accumulate exactly in
+    decimal(38,0) (int×int products exceed int64 at corpus row counts —
+    the RFI decimal-product lesson), and the final ratio of exact
+    integers lands on the 1e-9 grid (int128→double casts are not
+    correctly rounded cross-engine)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    wv = vis.select(
+        "antenna1", "antenna2", "chan",
+        quantize(F.lit(1.0) / (F.col("sigma") * F.col("sigma")), 1e6)
+        .cast(dec).alias("wq"),
+        quantize(F.col("vis_re"), 1e6).cast(dec).alias("rq"),
+        quantize(F.col("vis_im"), 1e6).cast(dec).alias("iq"),
+    )
+    g = wv.groupBy("antenna1", "antenna2", "chan").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("wq").alias("sw"),
+        F.sum(F.col("wq") * F.col("rq")).alias("swr"),
+        F.sum(F.col("wq") * F.col("iq")).alias("swi"),
+    )
+    return (
+        g.filter(F.col("sw") != F.lit(0).cast(dec))
+        .select(
+            "antenna1", "antenna2", "chan", "n_samples",
+            quantize(
+                F.col("swr").cast("double") / F.col("sw").cast("double")
+                / F.lit(1e6),
+                1e9,
+            ).alias("wmean_re_n"),
+            quantize(
+                F.col("swi").cast("double") / F.col("sw").cast("double")
+                / F.lit(1e6),
+                1e9,
+            ).alias("wmean_im_n"),
+        )
+        .orderBy("antenna1", "antenna2", "chan")
+    )
