@@ -9006,3 +9006,257 @@ def noise_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antenna1", "antenna2", "chan")
     )
+
+
+# ===========================================================================
+# Round 7: corpus-analytics additions
+# ===========================================================================
+
+_DISTINCT_NGRAM_TOPK = 5
+
+_DISTINCTIVE_NGRAMS_SQL = f"""
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  st AS (SELECT source, t, COUNT(*) AS c_s FROM tok GROUP BY 1, 2),
+  tt AS (SELECT t, CAST(SUM(c_s) AS BIGINT) AS c_tot FROM st GROUP BY t),
+  ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM st GROUP BY source),
+  tot AS (SELECT CAST(SUM(c_tot) AS BIGINT) AS n_tot,
+                 CAST(COUNT(*) AS BIGINT) AS v FROM tt),
+  scored AS (
+    SELECT st.source, st.t AS token, st.c_s,
+           CAST(ROUND(ln(
+             (CAST(st.c_s + 1 AS DOUBLE) * (tot.n_tot - ns.n_s + tot.v))
+             / (CAST(ns.n_s + tot.v AS DOUBLE) * (tt.c_tot - st.c_s + 1))
+           ) * 1000000000.0) AS BIGINT) AS logodds_n
+    FROM st
+    JOIN tt ON tt.t = st.t
+    JOIN ns ON ns.source = st.source
+    CROSS JOIN tot
+  )
+  SELECT source, rank, token, c_s, logodds_n FROM (
+    SELECT source, token, c_s, logodds_n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY logodds_n DESC, token) AS rank
+    FROM scored
+  ) WHERE rank <= {_DISTINCT_NGRAM_TOPK}
+  ORDER BY source, rank
+"""
+
+
+@register("distinctive_ngrams_by_source", _DISTINCTIVE_NGRAMS_SQL)
+def distinctive_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinctive tokens per source by smoothed log-odds against
+    the rest of the corpus — the domain-signature report a mixture
+    curator reads (what makes src7 different). The score is the log of
+    an exact integer ratio (Laplace α = 1), quantized at 1e-9 before
+    the per-source top-k window, so ranking is engine-identical. Plan:
+    one (source, token) shuffle, vocab-cardinality token totals joined
+    back (AQE picks the strategy), window at per-source cardinality."""
+    from codex_africanus_spark.functions.deterministic import quantize
+    from codex_africanus_spark.sources.tables import fan_out
+
+    docs = load(spark, "documents", sf_dir)
+    tok = fan_out(docs).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_s"))
+    tt = st.groupBy("t").agg(F.sum("c_s").alias("c_tot"))
+    ns = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    tot = tt.agg(
+        F.sum("c_tot").alias("n_tot"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        st.join(tt, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            "c_s",
+            quantize(
+                F.log(
+                    (
+                        (F.col("c_s") + 1).cast("double")
+                        * (F.col("n_tot") - F.col("n_s") + F.col("v"))
+                    )
+                    / (
+                        (F.col("n_s") + F.col("v")).cast("double")
+                        * (F.col("c_tot") - F.col("c_s") + 1)
+                    )
+                ),
+                1e9,
+            ).alias("logodds_n"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("logodds_n").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DISTINCT_NGRAM_TOPK)
+        .select("source", "rank", "token", "c_s", "logodds_n")
+        .orderBy("source", "rank")
+    )
+
+
+_LENGTH_MAD_SQL = """
+  WITH med AS (
+    SELECT source, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY source
+  ),
+  dev AS (
+    SELECT d.doc_id, d.source, d.n_chars, d.n_chars - m.med AS dev
+    FROM documents d JOIN med m ON m.source = d.source
+  ),
+  mad AS (
+    SELECT source, quantile_cont(abs(dev), 0.5) AS mad FROM dev GROUP BY source
+  )
+  SELECT v.doc_id, v.source, v.n_chars, v.dev,
+         CAST(abs(v.dev) > 3 * m.mad AS INT) AS is_outlier
+  FROM dev v JOIN mad m ON m.source = v.source
+  ORDER BY v.doc_id
+"""
+
+
+@register("length_outliers_mad", _LENGTH_MAD_SQL)
+def length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers: deviation from the source
+    median and a 3×MAD gate — the scale-free outlier rule that survives
+    the heavy tails mean/stddev gating dies on. Medians are exact
+    interpolated percentiles of integers (devs land on the exact .0/.5
+    grid — both engines interpolate identically, no float drift), and
+    the per-source median tables broadcast back to the doc frame."""
+    docs = load(spark, "documents", sf_dir)
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "doc_id", "source", "n_chars",
+        (F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(abs(dev), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id", "source", "n_chars", "dev",
+            (F.abs(F.col("dev")) > 3 * F.col("mad")).cast("int").alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_BIT_BALANCE_SQL = f"""
+  WITH bits AS (SELECT unnest(range(0, 16)) AS bit_pos)
+  SELECT b.bit_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM((f.simhash >> b.bit_pos) & 1) AS BIGINT) AS n_set,
+         round(SUM((f.simhash >> b.bit_pos) & 1) / CAST(COUNT(*) AS DOUBLE), 9)
+           AS balance
+  FROM ({dedup_op.SIMHASH_SQL}) f, bits b
+  GROUP BY b.bit_pos
+  ORDER BY b.bit_pos
+"""
+
+
+@register("simhash_bit_balance_report", _SIMHASH_BIT_BALANCE_SQL)
+def simhash_bit_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit balance of the corpus SimHash fingerprints — the hash-
+    quality audit behind the near-dup tier: a healthy SimHash has every
+    bit near 50% set (skewed bits carry no discriminative information
+    and inflate collision rates). Rides the existing fingerprint
+    projection (shared simhash_fingerprints kernel, so the audit
+    measures exactly the fingerprints the dedup tier uses); the 16-way
+    bit explode runs on the doc-cardinality fingerprint frame, one
+    partial-agg shuffle of 16 groups."""
+    fp = dedup_op.simhash_fingerprints(load(spark, "documents", sf_dir))
+    bits = spark.range(16).select(F.col("id").cast("long").alias("bit_pos"))
+    j = fp.crossJoin(F.broadcast(bits)).select(
+        "bit_pos",
+        F.expr("shiftright(simhash, CAST(bit_pos AS INT)) & 1").alias("is_set"),
+    )
+    return (
+        j.groupBy("bit_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_set").alias("n_set"),
+            F.round(F.sum("is_set") / F.count(F.lit(1)), 9).alias("balance"),
+        )
+        .orderBy("bit_pos")
+    )
+
+
+_NGRAM_COVERAGE_CUTS = (10, 100, 1000)
+
+_NGRAM_COVERAGE_SQL = f"""
+  WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+  ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM counts
+  ),
+  tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot,
+                 CAST(COUNT(*) AS BIGINT) AS v FROM counts)
+  SELECT cut.cutoff,
+         CAST(SUM(CASE WHEN r.rk <= cut.cutoff THEN r.c ELSE 0 END) AS BIGINT)
+           AS covered_tokens,
+         MIN(t.n_tot) AS total_tokens,
+         MIN(t.v) AS vocab_size,
+         round(SUM(CASE WHEN r.rk <= cut.cutoff THEN r.c ELSE 0 END)
+               / CAST(MIN(t.n_tot) AS DOUBLE), 9) AS coverage
+  FROM ranked r
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest(ARRAY{list(_NGRAM_COVERAGE_CUTS)}) AS cutoff) cut
+  GROUP BY cut.cutoff
+  ORDER BY cut.cutoff
+"""
+
+
+@register("ngram_coverage_curve", _NGRAM_COVERAGE_SQL)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of total token mass the
+    top-N types cover at N ∈ {cuts} — the truncation curve a tokenizer/
+    vocab-sizing pass reads (how big must the vocab be for 99%
+    coverage). Ranking ties break on the token string, so the curve is
+    engine-exact. The global rank window sorts the VOCAB frame (bounded
+    — type counts, not token occurrences; documented single-sort), and
+    each cutoff is a conditional aggregate over the same ranked frame —
+    no per-cutoff rescans of the corpus."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    docs = load(spark, "documents", sf_dir)
+    counts = (
+        fan_out(docs)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("t").asc()))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n_tot"), F.count(F.lit(1)).alias("v")
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _NGRAM_COVERAGE_CUTS], "cutoff long"
+    )
+    j = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(cuts))
+    return (
+        j.groupBy("cutoff")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("cutoff"), F.col("c")).otherwise(0))
+            .alias("covered_tokens"),
+            F.min("n_tot").alias("total_tokens"),
+            F.min("v").alias("vocab_size"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= F.col("cutoff"), F.col("c")).otherwise(0)
+                )
+                / F.min("n_tot").cast("double"),
+                9,
+            ).alias("coverage"),
+        )
+        .orderBy("cutoff")
+    )
