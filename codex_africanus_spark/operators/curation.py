@@ -555,7 +555,7 @@ WINNOW_W = 4  # window of word-3-gram hashes; guarantee: any match of
 _POS_BITS = 32
 
 
-def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+def winnowing_fingerprints(docs: DataFrame, w_win: int = WINNOW_W) -> DataFrame:
     """Winnowing document fingerprints: per window of w consecutive
     word-3-gram hashes select the RIGHTMOST minimal hash; the distinct
     selected (position, hash) set is the document's fingerprint sketch.
@@ -586,10 +586,10 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+        .rowsBetween(Window.currentRow, w_win - 1)
     )
     wins = keyed.withColumn("wmin", F.min("key").over(w)).filter(
-        F.col("pos") <= F.col("n_sh") - WINNOW_W  # full windows only
+        F.col("pos") <= F.col("n_sh") - w_win  # full windows only
     )
     return (
         wins.select(
@@ -603,7 +603,10 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-WINNOWING_SQL = f"""
+def winnowing_sql(w_win: int = WINNOW_W) -> str:
+    """Parameterized SQL twin of winnowing_fingerprints (one text,
+    shared by the fixed-w query and the density sweep)."""
+    return f"""
   WITH sh AS (
     SELECT doc_id, j - 1 AS pos,
            concat_ws(' ', w[j], w[j+1], w[j+2]) AS gram
@@ -621,9 +624,9 @@ WINNOWING_SQL = f"""
   wins AS (
     SELECT doc_id,
            min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+                          ROWS BETWEEN CURRENT ROW AND {w_win - 1} FOLLOWING) AS wmin
     FROM keyed
-    QUALIFY pos <= n_sh - {WINNOW_W}
+    QUALIFY pos <= n_sh - {w_win}
   )
   SELECT DISTINCT doc_id,
          {(1 << _POS_BITS) - 1} - (wmin % {1 << _POS_BITS}) AS sel_pos,
@@ -631,6 +634,9 @@ WINNOWING_SQL = f"""
   FROM wins
   ORDER BY doc_id, sel_pos
 """
+
+
+WINNOWING_SQL = winnowing_sql()
 
 
 # --------------------------------------------------------------------------

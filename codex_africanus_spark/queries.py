@@ -9260,3 +9260,851 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cutoff")
     )
+
+
+# ===========================================================================
+# Round 7: observatory QA batch — dead antennas, quack, fringe stop, SEFD
+# ===========================================================================
+
+_DEAD_ANT_ORACLE = _with_ms(
+    """
+    , per_role AS (
+      SELECT antenna1 AS antenna,
+             CAST(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) AS HUGEINT) AS rq,
+             CAST(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) AS HUGEINT) AS iq
+      FROM vis WHERE NOT (flag OR flag_row)
+      UNION ALL
+      SELECT antenna2,
+             CAST(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) AS HUGEINT),
+             CAST(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) AS HUGEINT)
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    per_ant AS (
+      SELECT antenna, COUNT(*) AS n_samples,
+             SUM(rq * rq + iq * iq) AS s2
+      FROM per_role GROUP BY antenna
+    ),
+    q AS (
+      SELECT antenna, n_samples,
+             CAST(ROUND(CAST(s2 AS DOUBLE) / n_samples / 1000000000000.0
+                        * 1000000.0) AS BIGINT) AS mean_amp2_u
+      FROM per_ant
+    ),
+    garr AS (
+      SELECT CAST(ROUND(AVG(CAST(mean_amp2_u AS DOUBLE))) AS BIGINT)
+        AS glob_u
+      FROM q
+    )
+    SELECT q.antenna, q.n_samples, q.mean_amp2_u, g.glob_u,
+           CAST(2 * q.mean_amp2_u < g.glob_u AS INT) AS is_dead
+    FROM q CROSS JOIN garr g
+    ORDER BY q.antenna
+    """
+)
+
+
+@register("dead_antenna_detection", _DEAD_ANT_ORACLE)
+def dead_antenna_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead/cold antenna detector — the first health check an
+    observatory pipeline runs: per antenna (union of both baseline
+    roles) the mean |V|², compared to the array-wide mean; an antenna
+    under half the array mean is flagged. Power sums accumulate in
+    decimal(38,0); the per-antenna and global means are quantized to
+    exact micro-units BEFORE the integer 2·x < g comparison, so the
+    flag decision cannot fork engines. One union + one 7-group agg."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    rq = quantize(F.col("vis_re"), 1e6).cast(dec)
+    iq = quantize(F.col("vis_im"), 1e6).cast(dec)
+    roles = vis.select(
+        F.col("antenna1").alias("antenna"), rq.alias("rq"), iq.alias("iq")
+    ).unionAll(
+        vis.select(
+            F.col("antenna2").alias("antenna"), rq.alias("rq"), iq.alias("iq")
+        )
+    )
+    per_ant = roles.groupBy("antenna").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("rq") * F.col("rq") + F.col("iq") * F.col("iq")).alias("s2"),
+    )
+    q = per_ant.select(
+        "antenna", "n_samples",
+        quantize(
+            F.col("s2").cast("double") / F.col("n_samples") / F.lit(1e12), 1e6
+        ).alias("mean_amp2_u"),
+    )
+    glob = q.agg(
+        quantize(F.avg(F.col("mean_amp2_u").cast("double")), 1.0).alias("glob_u")
+    )
+    return (
+        q.crossJoin(F.broadcast(glob))
+        .select(
+            "antenna", "n_samples", "mean_amp2_u", "glob_u",
+            (2 * F.col("mean_amp2_u") < F.col("glob_u")).cast("int").alias("is_dead"),
+        )
+        .orderBy("antenna")
+    )
+
+
+_QUACK_N = 2  # leading epochs flagged per scan (CASA quack)
+
+_QUACK_ORACLE = _with_ms(
+    f"""
+    , bt AS (SELECT DISTINCT antenna1, antenna2, time FROM vis),
+    flagged AS (
+      SELECT antenna1, antenna2, time,
+             CASE WHEN lag(time) OVER w IS NULL
+                       OR time - lag(time) OVER w > 259200.0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM bt
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time)
+    ),
+    scans AS (
+      SELECT antenna1, antenna2, time,
+             CAST(SUM(boundary) OVER (PARTITION BY antenna1, antenna2
+                                      ORDER BY time
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS scan_id
+      FROM flagged
+    ),
+    epochs AS (
+      SELECT antenna1, antenna2, time, scan_id,
+             row_number() OVER (PARTITION BY antenna1, antenna2, scan_id
+                                ORDER BY time) AS epoch_idx
+      FROM scans
+    )
+    SELECT e.antenna1, e.antenna2, e.scan_id,
+           CAST(COUNT(DISTINCT e.time) AS BIGINT) AS n_times,
+           CAST(COUNT(DISTINCT CASE WHEN e.epoch_idx <= {_QUACK_N}
+                                    THEN e.time END) AS BIGINT)
+             AS n_quacked_times,
+           CAST(SUM(CASE WHEN e.epoch_idx <= {_QUACK_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows_flagged
+    FROM epochs e
+    JOIN vis v ON v.antenna1 = e.antenna1 AND v.antenna2 = e.antenna2
+              AND v.time = e.time
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+)
+
+
+@register("quack_flagging", _QUACK_ORACLE)
+def quack_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASA `quack`: flag the first N epochs of every scan (antennas
+    settle after a slew). Scan ids and per-scan epoch indices are
+    derived on the distinct (baseline, time) grid (diagnostic
+    cardinality), then the fact table joins the epoch table BROADCAST
+    and the flag ledger aggregates per (baseline, scan) — the fact
+    table shuffles exactly once."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    bt = vis.select("antenna1", "antenna2", "time").distinct()
+    w = W.partitionBy("antenna1", "antenna2").orderBy("time")
+    flagged = bt.withColumn(
+        "boundary",
+        F.when(
+            F.lag("time").over(w).isNull()
+            | ((F.col("time") - F.lag("time").over(w)) > 259200.0),
+            1,
+        ).otherwise(0),
+    )
+    scans = flagged.withColumn(
+        "scan_id",
+        F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    epochs = scans.withColumn(
+        "epoch_idx",
+        F.row_number().over(
+            W.partitionBy("antenna1", "antenna2", "scan_id").orderBy("time")
+        ),
+    ).select("antenna1", "antenna2", "time", "scan_id", "epoch_idx")
+    j = vis.join(F.broadcast(epochs), ["antenna1", "antenna2", "time"])
+    return (
+        j.groupBy("antenna1", "antenna2", "scan_id")
+        .agg(
+            F.countDistinct("time").alias("n_times"),
+            F.countDistinct(
+                F.when(F.col("epoch_idx") <= _QUACK_N, F.col("time"))
+            ).alias("n_quacked_times"),
+            F.sum(
+                F.when(F.col("epoch_idx") <= _QUACK_N, 1).otherwise(0)
+            ).alias("n_rows_flagged"),
+        )
+        .orderBy("antenna1", "antenna2", "scan_id")
+    )
+
+
+def _fringe_stop_oracle() -> str:
+    fit_sub = "WITH " + cal_op.FRINGE_FIT_SQL().lstrip().removeprefix(",")
+    return _with_ms(
+        f"""
+        , fit AS ({fit_sub}),
+        lo2 AS (
+          SELECT MIN(CAST(FLOOR(time / 2592000.0) AS BIGINT)) AS lo FROM vis
+        ),
+        samp AS (
+          SELECT antenna1, antenna2,
+                 CAST(chan AS BIGINT) AS x1,
+                 CAST(FLOOR(time / 2592000.0) AS BIGINT) - lo2.lo AS x2,
+                 CAST(ROUND(atan2(vis_im, vis_re) * 1000000000.0) AS BIGINT) AS y
+          FROM vis, lo2
+        ),
+        resid AS (
+          SELECT s.antenna1, s.antenna2,
+                 CAST(s.y * 1000 - (f.phase0_prad + f.delay_prad_per_chan * s.x1
+                                    + f.rate_prad_per_bin * s.x2) AS HUGEINT) AS r_p
+          FROM samp s
+          JOIN fit f ON f.antenna1 = s.antenna1 AND f.antenna2 = s.antenna2
+        )
+        SELECT antenna1, antenna2,
+               CAST(COUNT(*) AS BIGINT) AS n_samp,
+               CAST(ROUND(sqrt(CAST(SUM(r_p * r_p) AS DOUBLE) / COUNT(*))
+                          / 1000.0 * 1000.0) AS BIGINT) AS resid_rms_nrad_q3
+        FROM resid GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+@register("fringe_stop_apply", _fringe_stop_oracle())
+def fringe_stop_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fringe stopping: APPLY the 2D fringe fit — subtract the fitted
+    φ₀ + delay·chan + rate·tbin from every sample's phase and report
+    the per-baseline residual RMS, the number the VLBI operator reads
+    to decide whether the fringe solution converged. Residuals are
+    exact picoradian integers (quantized phase ×1000 minus the
+    1e-12-grid fit terms), squared-summed in decimal(38,0); only the
+    final RMS takes a sqrt, quantized at 1e-3 nanorad. The fit table is
+    baseline-cardinality and joins back BROADCAST — the fact table
+    shuffles once (the residual collapse)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    fit = cal_op.fringe_fit_delay_rate(vis)
+    lo = vis.agg(
+        F.min(F.floor(F.col("time") / F.lit(2_592_000.0)).cast("long")).alias("lo")
+    )
+    samp = vis.crossJoin(F.broadcast(lo)).select(
+        "antenna1", "antenna2",
+        F.col("chan").cast("long").alias("x1"),
+        (F.floor(F.col("time") / F.lit(2_592_000.0)).cast("long") - F.col("lo")).alias("x2"),
+        quantize(F.atan2(F.col("vis_im"), F.col("vis_re")), 1e9).alias("y"),
+    )
+    r_p = (
+        F.col("y") * 1000
+        - (
+            F.col("phase0_prad")
+            + F.col("delay_prad_per_chan") * F.col("x1")
+            + F.col("rate_prad_per_bin") * F.col("x2")
+        )
+    ).cast(dec)
+    resid = samp.join(F.broadcast(fit), ["antenna1", "antenna2"]).select(
+        "antenna1", "antenna2", r_p.alias("r_p")
+    )
+    g = resid.groupBy("antenna1", "antenna2").agg(
+        F.count(F.lit(1)).alias("n_samp"),
+        F.sum(F.col("r_p") * F.col("r_p")).alias("ss"),
+    )
+    return g.select(
+        "antenna1", "antenna2", "n_samp",
+        quantize(
+            F.sqrt(F.col("ss").cast("double") / F.col("n_samp")) / F.lit(1000.0),
+            1e3,
+        ).alias("resid_rms_nrad_q3"),
+    ).orderBy("antenna1", "antenna2")
+
+
+_SEFD_ORACLE = _with_ms(
+    f"""
+    , noise AS ({"WITH " + cal_op.NOISE_EST_SQL.lstrip().removeprefix(",")}),
+    nominal AS (
+      SELECT antenna1, antenna2,
+             CAST(SUM(CAST(ROUND(sigma * sigma * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS s2_sum,
+             COUNT(*) AS n
+      FROM vis GROUP BY 1, 2
+    )
+    SELECT n.antenna1, n.antenna2, n.n_diffs, n.sigma2_micro,
+           CAST(ROUND(CAST(m.s2_sum AS DOUBLE) / m.n) AS BIGINT)
+             AS sigma2_nominal_micro,
+           round(n.sigma2_micro
+                 / CAST(ROUND(CAST(m.s2_sum AS DOUBLE) / m.n) AS DOUBLE), 6)
+             AS noise_ratio
+    FROM noise n
+    JOIN nominal m ON m.antenna1 = n.antenna1 AND m.antenna2 = n.antenna2
+    ORDER BY n.antenna1, n.antenna2
+    """
+)
+
+
+@register("sefd_sensitivity_report", _SEFD_ORACLE)
+def sefd_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEFD sanity report: the measured thermal noise (adjacent-channel
+    difference estimator — shared vis_noise_estimate kernel) against
+    the NOMINAL per-baseline noise implied by the SIGMA column, as the
+    ratio every sensitivity audit plots (≫1 → RFI/instability, ≪1 →
+    overstated SIGMA). Both σ² land on the exact 1e-6 grid before the
+    ratio; two baseline-cardinality aggregates joined at diagnostic
+    size."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    measured = cal_op.vis_noise_estimate(vis)
+    nominal = vis.groupBy("antenna1", "antenna2").agg(
+        F.sum(quantize(F.col("sigma") * F.col("sigma"), 1e6)).alias("s2_sum"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "antenna1", "antenna2",
+        quantize(F.col("s2_sum").cast("double") / F.col("n"), 1.0).alias(
+            "sigma2_nominal_micro"
+        ),
+    )
+    return (
+        measured.join(F.broadcast(nominal), ["antenna1", "antenna2"])
+        .select(
+            "antenna1", "antenna2", "n_diffs", "sigma2_micro",
+            "sigma2_nominal_micro",
+            F.round(
+                F.col("sigma2_micro") / F.col("sigma2_nominal_micro").cast("double"),
+                6,
+            ).alias("noise_ratio"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+# ===========================================================================
+# Round 7: corpus QA batch 2 — norms, diversity, winnowing sweep, dup quality
+# ===========================================================================
+
+
+def _emb_norm_mad_oracle() -> str:
+    nq = sim_op._qdot_sql("embedding", "embedding")
+    return f"""
+      WITH norms AS (
+        SELECT vec_id, label, CAST({nq} AS BIGINT) AS norm_q FROM embeddings
+      ),
+      med AS (SELECT quantile_cont(norm_q, 0.5) AS med FROM norms),
+      dev AS (
+        SELECT n.vec_id, n.label, n.norm_q, n.norm_q - m.med AS dev
+        FROM norms n CROSS JOIN med m
+      ),
+      mad AS (SELECT quantile_cont(abs(dev), 0.5) AS mad FROM dev)
+      SELECT d.vec_id, d.label, d.norm_q, d.dev,
+             CAST(abs(d.dev) > 3 * m.mad AS INT) AS is_outlier
+      FROM dev d CROSS JOIN mad m
+      ORDER BY d.vec_id
+    """
+
+
+@register("embedding_norm_outliers", _emb_norm_mad_oracle())
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outliers by the robust median + 3×MAD rule —
+    the vector-store ingestion gate (truncated/degenerate embeddings
+    show up as norm outliers long before cosine search degrades).
+    Norms are EXACT fixed-point integers (the shared quantized-dot
+    kernel), so medians interpolate on the exact .0/.5 grid and the
+    flag decision cannot fork engines. Two 1-row broadcast scalars;
+    the embedding frame is scanned, never shuffled."""
+    emb = load(spark, "embeddings", sf_dir)
+    norms = emb.select(
+        "vec_id", "label",
+        sim_op._qdot("embedding", "embedding").alias("norm_q"),
+    )
+    med = norms.agg(F.expr("percentile(norm_q, 0.5)").alias("med"))
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id", "label", "norm_q",
+        (F.col("norm_q") - F.col("med")).alias("dev"),
+    )
+    mad = dev.agg(F.expr("percentile(abs(dev), 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id", "label", "norm_q", "dev",
+            (F.abs(F.col("dev")) > 3 * F.col("mad")).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_LEXDIV_SQL = """
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ),
+  tc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 9) AS type_token_ratio,
+         round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS hapax_frac
+  FROM tc GROUP BY source ORDER BY source
+"""
+
+
+@register("lexical_diversity_by_source", _LEXDIV_SQL)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and hapax-
+    legomenon fraction — the corpus-health metrics that expose
+    template/boilerplate sources (low TTR) and OCR/noise sources (high
+    hapax share). One (source, token) partial-agg shuffle, then a
+    source-cardinality rollup; ratios are exact integer divisions."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    docs = load(spark, "documents", sf_dir)
+    tc = (
+        fan_out(docs)
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 9).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_WINNOW_SWEEP_WS = (2, 4, 8)
+
+
+def _winnow_sweep_oracle() -> str:
+    parts = []
+    for w_ in _WINNOW_SWEEP_WS:
+        sub = cur_op.winnowing_sql(w_).replace("ORDER BY doc_id, sel_pos", "")
+        parts.append(
+            f"""SELECT {w_} AS window_w,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                   round(COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 6)
+                     AS fp_per_doc
+            FROM ({sub})"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY window_w"
+
+
+@register("winnowing_density_sweep", _winnow_sweep_oracle())
+def winnowing_density_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing window-size tuning sweep: fingerprint count and
+    per-doc density at w ∈ {2, 4, 8} — the guarantee/storage trade
+    curve (any ≥ w+2 word match is caught; expected density ≈ 2/(w+1))
+    an operator reads before fixing the sketch budget. Reuses the
+    parameterized winnowing kernel per level; each level is one window
+    pass + sketch-cardinality distinct, unioned at 3-row cardinality."""
+    docs = load(spark, "documents", sf_dir)
+    outs = []
+    for w_ in _WINNOW_SWEEP_WS:
+        fp = cur_op.winnowing_fingerprints(docs, w_win=w_)
+        outs.append(
+            fp.agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_fingerprints"),
+            ).select(
+                F.lit(w_).cast("long").alias("window_w"),
+                "n_docs",
+                "n_fingerprints",
+                F.round(
+                    F.col("n_fingerprints") / F.col("n_docs").cast("double"), 6
+                ).alias("fp_per_doc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("window_w")
+
+
+_DUP_QUALITY_SQL = """
+  WITH dig AS (
+    SELECT doc_id, source,
+           md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS dg,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+  ),
+  grp AS (SELECT dg, COUNT(*) AS copies FROM dig GROUP BY dg)
+  SELECT CASE WHEN g.copies > 1 THEN 'templated' ELSE 'unique' END AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+         round(SUM(d.n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+         CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+  FROM dig d JOIN grp g ON g.dg = d.dg
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("template_cohort_quality", _DUP_QUALITY_SQL)
+def template_cohort_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are template-opening documents systematically different? The
+    curation sanity check behind boilerplate removal: docs sharing an
+    identical 5-word OPENING (the scraped-template signature — much
+    more common than full-text duplication) form the `templated`
+    cohort, reported against the rest with token-mass and source-
+    spread statistics (templated boilerplate is typically shorter and
+    spans more sources — if not, blind template stripping deletes
+    signal). One digest shuffle + cohort rollup."""
+    docs = load(spark, "documents", sf_dir)
+    dig = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))).alias("dg"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    grp = dig.groupBy("dg").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        dig.join(grp, "dg")
+        .select(
+            F.when(F.col("copies") > 1, F.lit("templated"))
+            .otherwise(F.lit("unique"))
+            .alias("cohort"),
+            "n_tokens", "source",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_tokens"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("cohort")
+    )
+
+
+_UVW_CLOSURE_ORACLE = _with_ms(
+    """
+    , legs AS (
+      SELECT DISTINCT time, antenna1, antenna2,
+             CAST(ROUND(u * 1000000.0) AS BIGINT) AS uq,
+             CAST(ROUND(v * 1000000.0) AS BIGINT) AS vq,
+             CAST(ROUND(w * 1000000.0) AS BIGINT) AS wq
+      FROM vis WHERE antenna1 < antenna2
+    )
+    SELECT ab.time, ab.antenna1 AS a, ab.antenna2 AS b, bc.antenna2 AS c,
+           (ab.uq + bc.uq - ac.uq) / 1000000.0 AS du,
+           (ab.vq + bc.vq - ac.vq) / 1000000.0 AS dv,
+           (ab.wq + bc.wq - ac.wq) / 1000000.0 AS dw,
+           CAST(ab.uq + bc.uq - ac.uq = 0
+                AND ab.vq + bc.vq - ac.vq = 0
+                AND ab.wq + bc.wq - ac.wq = 0 AS INT) AS is_consistent
+    FROM legs ab
+    JOIN legs bc ON bc.time = ab.time AND bc.antenna1 = ab.antenna2
+    JOIN legs ac ON ac.time = ab.time AND ac.antenna1 = ab.antenna1
+                AND ac.antenna2 = bc.antenna2
+    ORDER BY ab.time, a, b, c
+    """
+)
+
+
+@register("uvw_closure_residuals", _UVW_CLOSURE_ORACLE)
+def uvw_closure_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UVW triangle-closure audit: physical baselines are antenna
+    differences, so u_ab + u_bc − u_ac must vanish on every triangle —
+    the metadata-integrity check a pipeline runs on ingested uvw
+    columns (the synthetic MS derives uvw from keys, NOT antenna
+    positions, so violations are expected and quantified — exactly
+    what the audit is for). Triangle join at diagnostic cardinality
+    over the distinct per-(time, baseline) uvw legs, quantized 1e-6 so
+    residuals and the consistency flag are exact integers."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        F.col("antenna1") < F.col("antenna2")
+    )
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    legs = vis.select(
+        "time", "antenna1", "antenna2",
+        quantize(F.col("u"), 1e6).alias("uq"),
+        quantize(F.col("v"), 1e6).alias("vq"),
+        quantize(F.col("w"), 1e6).alias("wq"),
+    ).distinct()
+    ab = legs.select(
+        "time", F.col("antenna1").alias("a"), F.col("antenna2").alias("b"),
+        F.col("uq").alias("u_ab"), F.col("vq").alias("v_ab"), F.col("wq").alias("w_ab"),
+    )
+    bc = legs.select(
+        "time", F.col("antenna1").alias("b"), F.col("antenna2").alias("c"),
+        F.col("uq").alias("u_bc"), F.col("vq").alias("v_bc"), F.col("wq").alias("w_bc"),
+    )
+    ac = legs.select(
+        "time", F.col("antenna1").alias("a"), F.col("antenna2").alias("c"),
+        F.col("uq").alias("u_ac"), F.col("vq").alias("v_ac"), F.col("wq").alias("w_ac"),
+    )
+    tri = ab.join(bc, ["time", "b"]).join(ac, ["time", "a", "c"])
+    du = F.col("u_ab") + F.col("u_bc") - F.col("u_ac")
+    dv = F.col("v_ab") + F.col("v_bc") - F.col("v_ac")
+    dw = F.col("w_ab") + F.col("w_bc") - F.col("w_ac")
+    return tri.select(
+        "time", "a", "b", "c",
+        (du / F.lit(1e6)).alias("du"),
+        (dv / F.lit(1e6)).alias("dv"),
+        (dw / F.lit(1e6)).alias("dw"),
+        ((du == 0) & (dv == 0) & (dw == 0)).cast("int").alias("is_consistent"),
+    ).orderBy("time", "a", "b", "c")
+
+
+_AUTOCORR_ORACLE = _with_ms(
+    """
+    , pw AS (
+      SELECT antenna1, antenna2, chan,
+             CAST(antenna1 = antenna2 AS INT) AS is_auto,
+             CAST(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) AS HUGEINT) AS rq,
+             CAST(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) AS HUGEINT) AS iq
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    roles AS (
+      SELECT antenna1 AS antenna, is_auto, rq, iq FROM pw
+      UNION ALL
+      SELECT antenna2, is_auto, rq, iq FROM pw WHERE antenna1 <> antenna2
+    ),
+    agg AS (
+      SELECT antenna, is_auto, COUNT(*) AS n,
+             SUM(rq * rq + iq * iq) AS s2
+      FROM roles GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT antenna, is_auto, n,
+             CAST(ROUND(CAST(s2 AS DOUBLE) / n / 1000000000000.0 * 1000000.0)
+                  AS BIGINT) AS mean_p_u
+      FROM agg
+    )
+    SELECT a.antenna,
+           a.n AS n_auto, c.n AS n_cross,
+           a.mean_p_u AS auto_power_u, c.mean_p_u AS cross_power_u,
+           round(a.mean_p_u / CAST(c.mean_p_u AS DOUBLE), 6) AS auto_cross_ratio
+    FROM (SELECT * FROM q WHERE is_auto = 1) a
+    JOIN (SELECT * FROM q WHERE is_auto = 0) c USING (antenna)
+    ORDER BY a.antenna
+    """
+)
+
+
+@register("autocorr_power_ratio", _AUTOCORR_ORACLE)
+def autocorr_power_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto- vs cross-correlation power per antenna — the bandpass
+    normalization input (autocorrs measure total system power; the
+    auto/cross ratio exposes per-antenna gain or Tsys anomalies the
+    cross-only dead-antenna check can miss). Same decimal(38,0) power
+    sums and quantized-mean discipline; antennas with either cohort
+    missing drop (inner join)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    rq = quantize(F.col("vis_re"), 1e6).cast(dec)
+    iq = quantize(F.col("vis_im"), 1e6).cast(dec)
+    pw = vis.select(
+        "antenna1", "antenna2",
+        (F.col("antenna1") == F.col("antenna2")).cast("int").alias("is_auto"),
+        rq.alias("rq"), iq.alias("iq"),
+    )
+    roles = pw.select(
+        F.col("antenna1").alias("antenna"), "is_auto", "rq", "iq"
+    ).unionAll(
+        pw.filter(F.col("antenna1") != F.col("antenna2")).select(
+            F.col("antenna2").alias("antenna"), "is_auto", "rq", "iq"
+        )
+    )
+    agg = roles.groupBy("antenna", "is_auto").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rq") * F.col("rq") + F.col("iq") * F.col("iq")).alias("s2"),
+    )
+    q = agg.select(
+        "antenna", "is_auto", "n",
+        quantize(
+            F.col("s2").cast("double") / F.col("n") / F.lit(1e12), 1e6
+        ).alias("mean_p_u"),
+    )
+    a = q.filter(F.col("is_auto") == 1).select(
+        "antenna", F.col("n").alias("n_auto"), F.col("mean_p_u").alias("auto_power_u")
+    )
+    c = q.filter(F.col("is_auto") == 0).select(
+        "antenna", F.col("n").alias("n_cross"), F.col("mean_p_u").alias("cross_power_u")
+    )
+    return (
+        a.join(c, "antenna")
+        .select(
+            "antenna", "n_auto", "n_cross", "auto_power_u", "cross_power_u",
+            F.round(
+                F.col("auto_power_u") / F.col("cross_power_u").cast("double"), 6
+            ).alias("auto_cross_ratio"),
+        )
+        .orderBy("antenna")
+    )
+
+
+_PEEL_ORACLE = _with_ms(
+    """
+    , bright AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY flux_i DESC, source_id) AS rk
+        FROM src
+      ) WHERE rk = 1
+    ),
+    resid AS (
+      SELECT v.antenna1, v.antenna2, v.chan,
+             CAST(ROUND((v.vis_re
+               - s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * cos(-2.0958450219516816e-08
+                       * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency))
+               * 1000000.0) AS BIGINT) AS rr,
+             CAST(ROUND((v.vis_im
+               - s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * sin(-2.0958450219516816e-08
+                       * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency))
+               * 1000000.0) AS BIGINT) AS ri
+      FROM vis v CROSS JOIN bright s
+    )
+    SELECT antenna1, antenna2, chan, COUNT(*) AS n_samples,
+           SUM(rr) / 1000000.0 AS resid_re_sum,
+           SUM(ri) / 1000000.0 AS resid_im_sum
+    FROM resid GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+)
+
+
+@register("peel_brightest_source", _PEEL_ORACLE)
+def peel_brightest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling prep: subtract the BRIGHTEST catalogue source's model
+    coherency from every visibility (the first step of direction-
+    dependent peeling — remove the dominant source, then solve toward
+    the next). The brightest source is a deterministic argmax
+    (flux desc, id asc) riding a 1-row broadcast; the subtraction is a
+    pure projection and the report collapses once per (baseline, chan)
+    with exact fixed-point sums."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    bright = (
+        src.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("flux_i").desc(), F.col("source_id").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    j = vis.crossJoin(F.broadcast(bright))
+    theta = phase_delay_angle(
+        phase_path(F.col("u"), F.col("v"), F.col("w"),
+                   F.col("l"), F.col("m"), F.col("n")),
+        F.col("frequency"),
+    )
+    flux = spectral_model(
+        F.col("flux_i"), F.col("spi"), F.col("ref_freq"), F.col("frequency")
+    )
+    return (
+        j.groupBy("antenna1", "antenna2", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (qsum(F.col("vis_re") - flux * F.cos(theta), 1e6) / F.lit(1e6)).alias(
+                "resid_re_sum"
+            ),
+            (qsum(F.col("vis_im") - flux * F.sin(theta), 1e6) / F.lit(1e6)).alias(
+                "resid_im_sum"
+            ),
+        )
+        .orderBy("antenna1", "antenna2", "chan")
+    )
+
+
+_TOKLEN_HIST_SQL = """
+  WITH tok AS (
+    SELECT len(unnest(string_split(text, ' '))) AS tl FROM documents
+  ),
+  tot AS (SELECT COUNT(*) AS n FROM tok)
+  SELECT LEAST(tl, 20) AS token_len,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(COUNT(*) / CAST(MIN(t.n) AS DOUBLE), 9) AS share
+  FROM tok CROSS JOIN tot t
+  GROUP BY LEAST(tl, 20)
+  ORDER BY token_len
+"""
+
+
+@register("token_length_histogram", _TOKLEN_HIST_SQL)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution (capped at 20+) — the tokenizer-
+    design diagnostic (long-tail lengths signal URLs/concatenations a
+    pre-tokenizer should split). Pure explode + one ≤21-group agg with
+    a 1-row broadcast total."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    docs = load(spark, "documents", sf_dir)
+    tok = (
+        fan_out(docs)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .select(F.least(F.length("t"), F.lit(20)).alias("token_len"))
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .groupBy("token_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.count(F.lit(1)) / F.min("n").cast("double"), 9).alias("share"),
+        )
+        .orderBy("token_len")
+    )
+
+
+_QUALITY_DRIFT_SQL = """
+  WITH q AS (
+    SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ntile(10) OVER (PARTITION BY source ORDER BY doc_id) AS decile
+    FROM documents
+  )
+  SELECT source, decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         round(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+  FROM q GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("source_quality_drift", _QUALITY_DRIFT_SQL)
+def source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality drift: mean token mass by doc_id decile
+    per source (ingest order proxies crawl time, so a trend across
+    deciles flags a source whose quality degraded mid-crawl — the
+    audit that catches silent scraper regressions). One per-source
+    ntile window + a (source, decile) rollup."""
+    docs = load(spark, "documents", sf_dir)
+    q = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.ntile(10).over(W.partitionBy("source").orderBy("doc_id")).alias("decile"),
+    )
+    return (
+        q.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy("source", "decile")
+    )

@@ -620,3 +620,31 @@ def test_ivf_pq_combined_probe_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_scan_average_single_fact_collapse(spark, sf_dir):
+    """Scan ids ride a broadcast; the fact table's only hash exchange
+    is the final per-(baseline, scan, chan) collapse (+ output sort)."""
+    plan = plan_of(registry()["scan_time_average"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_airmass_factors_broadcast(spark, sf_dir):
+    plan = plan_of(registry()["airmass_opacity_correction"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_leakage_apply_pure_projection(spark, sf_dir):
+    """The D-term sandwich must stay a scan + project — no joins, no
+    aggregates on the hot path."""
+    plan = plan_of(registry()["polarization_leakage_apply"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_fringe_stop_fit_joins_broadcast(spark, sf_dir):
+    plan = plan_of(registry()["fringe_stop_apply"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
