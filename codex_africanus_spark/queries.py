@@ -9791,11 +9791,12 @@ def template_cohort_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UVW_CLOSURE_ORACLE = _with_ms(
     """
     , legs AS (
-      SELECT DISTINCT time, antenna1, antenna2,
-             CAST(ROUND(u * 1000000.0) AS BIGINT) AS uq,
-             CAST(ROUND(v * 1000000.0) AS BIGINT) AS vq,
-             CAST(ROUND(w * 1000000.0) AS BIGINT) AS wq
+      SELECT time, antenna1, antenna2,
+             MIN(CAST(ROUND(u * 1000000.0) AS BIGINT)) AS uq,
+             MIN(CAST(ROUND(v * 1000000.0) AS BIGINT)) AS vq,
+             MIN(CAST(ROUND(w * 1000000.0) AS BIGINT)) AS wq
       FROM vis WHERE antenna1 < antenna2
+      GROUP BY 1, 2, 3
     )
     SELECT ab.time, ab.antenna1 AS a, ab.antenna2 AS b, bc.antenna2 AS c,
            (ab.uq + bc.uq - ac.uq) / 1000000.0 AS du,
@@ -9828,12 +9829,20 @@ def uvw_closure_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from codex_africanus_spark.functions.deterministic import quantize
 
-    legs = vis.select(
-        "time", "antenna1", "antenna2",
-        quantize(F.col("u"), 1e6).alias("uq"),
-        quantize(F.col("v"), 1e6).alias("vq"),
-        quantize(F.col("w"), 1e6).alias("wq"),
-    ).distinct()
+    # ONE representative leg per (time, baseline): physically uvw is
+    # constant there, but this synthetic MS derives uvw from row keys,
+    # so a raw distinct would be near-fact-cardinality and the triangle
+    # join would fan out combinatorially (found at sf0.1: 1 GiB of
+    # triangles). Component-wise MIN is a deterministic representative —
+    # exactly what the audit needs, bounded at #bins x #baselines.
+    legs = (
+        vis.groupBy("time", "antenna1", "antenna2")
+        .agg(
+            F.min(quantize(F.col("u"), 1e6)).alias("uq"),
+            F.min(quantize(F.col("v"), 1e6)).alias("vq"),
+            F.min(quantize(F.col("w"), 1e6)).alias("wq"),
+        )
+    )
     ab = legs.select(
         "time", F.col("antenna1").alias("a"), F.col("antenna2").alias("b"),
         F.col("uq").alias("u_ab"), F.col("vq").alias("v_ab"), F.col("wq").alias("w_ab"),
