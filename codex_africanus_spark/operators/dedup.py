@@ -1555,7 +1555,17 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
         F.col("doc_id") % INGEST_MODULUS != 0
     )
     sh_batch = _shingle_frame(batch_docs).distinct()
-    sets_batch = _rarest_first_sets(sh_batch, idx_df).persist()
+    # df ranks for the batch's tokens WITHOUT shuffling the corpus-sized
+    # df table: scan it once against the broadcast batch token set (the
+    # output is batch-sized), then the rank lookup joins broadcast. A
+    # direct sh_batch ⟕ idx_df join would hash-shuffle the whole df
+    # table per probe — O(corpus) per batch (r7 self-review).
+    batch_ranks = idx_df.join(
+        F.broadcast(sh_batch.select("h").distinct()), "h"
+    )
+    sets_batch = _rarest_first_sets(
+        sh_batch, F.broadcast(batch_ranks)
+    ).persist()
     pfx_batch = _prefix_explode(sets_batch)
     cand = (
         F.broadcast(pfx_batch.alias("a"))
@@ -1588,11 +1598,15 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
         )
     )
     verified = (
-        cand.join(
-            F.broadcast(
-                sets_batch.select("doc_id", F.col("ord_h").alias("arr_a"))
-            ),
-            "doc_id",
+        # broadcast the (pair-bounded) candidate side of the verify join
+        # too: idx_sets is the committed corpus — scan it, never shuffle
+        F.broadcast(
+            cand.join(
+                F.broadcast(
+                    sets_batch.select("doc_id", F.col("ord_h").alias("arr_a"))
+                ),
+                "doc_id",
+            )
         )
         .join(
             idx_sets.select(
@@ -1653,7 +1667,9 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
         # the same global order. Meta lands LAST (build-crash ⇒ stale).
         survivors = report.filter(F.col("is_dup") == 0).select("doc_id")
         sh_new = sh_batch.join(F.broadcast(survivors), "doc_id")
-        sets_new = _rarest_first_sets(sh_new, idx_df)
+        # survivor tokens ⊆ batch tokens, so the broadcast rank table is
+        # reusable — again no shuffle of the corpus df table
+        sets_new = _rarest_first_sets(sh_new, F.broadcast(batch_ranks))
         snap.commit(sets_new, f"{root}/sets", mode="append")
         snap.commit(_prefix_explode(sets_new), f"{root}/prefix", mode="append")
         n_docs = docs.count()

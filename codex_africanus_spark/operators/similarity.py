@@ -2064,7 +2064,10 @@ def ivf_pq_persisted_topk(
         "d2",
     )
     pairs = (
-        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        # candidates are probe-bounded — broadcast them so the corpus-
+        # sized codes table is scanned, never shuffled
+        F.broadcast(cand)
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(
             F.broadcast(qtab),
             (F.col("qm") == F.col("m"))

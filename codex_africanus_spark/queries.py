@@ -8920,7 +8920,12 @@ def scan_time_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scan_id",
         F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)),
     ).select("antenna1", "antenna2", "time", "scan_id")
-    j = vis.join(F.broadcast(scans), ["antenna1", "antenna2", "time"])
+    # no broadcast HINT: the scan-id table scales with distinct epochs
+    # (n_utime x baselines — unbounded over a 100 TB archive); AQE
+    # broadcasts when it is actually small, else a co-partitioned
+    # shuffle join on the full key is the right plan (r7 self-review,
+    # same class as the contamination eval-side advice)
+    j = vis.join(scans, ["antenna1", "antenna2", "time"])
     return (
         j.groupBy("antenna1", "antenna2", "scan_id", "chan")
         .agg(
@@ -9422,7 +9427,9 @@ def quack_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("antenna1", "antenna2", "scan_id").orderBy("time")
         ),
     ).select("antenna1", "antenna2", "time", "scan_id", "epoch_idx")
-    j = vis.join(F.broadcast(epochs), ["antenna1", "antenna2", "time"])
+    # epoch table scales with distinct epochs — no broadcast hint
+    # (same rationale as scan_time_average)
+    j = vis.join(epochs, ["antenna1", "antenna2", "time"])
     return (
         j.groupBy("antenna1", "antenna2", "scan_id")
         .agg(

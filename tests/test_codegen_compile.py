@@ -51,3 +51,21 @@ def test_unrolled_stage_compiles(strict_codegen, sf_dir, name):
     # error) now raises instead of silently de-compiling the stage
     rows = qd.fn(strict_codegen, sf_dir).collect()
     assert len(rows) >= 0
+
+
+def test_registry_wide_codegen_compiles(strict_codegen, sf_dir):
+    """REGISTRY-WIDE sweep (r6 verdict #1's un-regressable form): every
+    registered query runs under codegen.fallback=false, so ANY stage
+    anywhere that stops compiling — not just the known unrolled-dot
+    consumers — raises instead of silently running interpreted. Plan
+    shape decides compilability, so sf0.001 exercises the same
+    generated code as 100 TB. Failures are collected and reported
+    together (one bad query must not mask the rest)."""
+    reg = registry()
+    failures = []
+    for name, qd in reg.items():
+        try:
+            qd.fn(strict_codegen, sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 - report, then fail once
+            failures.append((name, str(e).splitlines()[0][:200]))
+    assert not failures, f"{len(failures)} queries failed strict codegen: {failures}"

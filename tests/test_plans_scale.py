@@ -622,12 +622,13 @@ def test_ivf_pq_combined_probe_shape(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
-def test_scan_average_single_fact_collapse(spark, sf_dir):
-    """Scan ids ride a broadcast; the fact table's only hash exchange
-    is the final per-(baseline, scan, chan) collapse (+ output sort)."""
+def test_scan_average_no_cartesian_no_hinted_broadcast(spark, sf_dir):
+    """The scan-id table is epoch-proportional, so it must carry NO
+    broadcast hint (AQE may still broadcast at tiny SF); the join must
+    be a full-key equi-join, never a cartesian/nested-loop."""
     plan = plan_of(registry()["scan_time_average"].fn(spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_airmass_factors_broadcast(spark, sf_dir):

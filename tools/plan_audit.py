@@ -68,6 +68,21 @@ QUERIES = [
     "lm_train_test_gap", "beam_pointing_error_sampling",
     "embedding_pca_power_iteration", "minhash_calibration_curve",
     "length_quality_correlation", "beam_dde_full_predict",
+    # round-7 additions
+    "rime_custom_term_predict", "incremental_dedup_ingest",
+    "ann_ivf_pq_persisted_topk", "contamination_run_diff",
+    "facet_wproj_kernel_sweep", "closure_amplitudes_quads",
+    "airmass_opacity_correction", "polarization_leakage_apply",
+    "bandpass_curvature_fit", "scan_time_average",
+    "noise_weighted_average", "distinctive_ngrams_by_source",
+    "length_outliers_mad", "simhash_bit_balance_report",
+    "ngram_coverage_curve", "dead_antenna_detection", "quack_flagging",
+    "fringe_stop_apply", "sefd_sensitivity_report",
+    "embedding_norm_outliers", "lexical_diversity_by_source",
+    "winnowing_density_sweep", "template_cohort_quality",
+    "uvw_closure_residuals", "autocorr_power_ratio",
+    "peel_brightest_source", "token_length_histogram",
+    "source_quality_drift",
 ]
 
 spark = (
