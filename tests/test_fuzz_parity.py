@@ -115,6 +115,13 @@ LLM_QUERIES = [
     "semantic_dedup_embeddings", "embedding_centroid_outliers",
     "embedding_pca_power_iteration", "lm_train_test_gap",
     "minhash_calibration_curve", "length_quality_correlation",
+    # round-7 additions (documents/embeddings-only surface)
+    "distinctive_ngrams_by_source", "length_outliers_mad",
+    "simhash_bit_balance_report", "ngram_coverage_curve",
+    "lexical_diversity_by_source", "winnowing_density_sweep",
+    "template_cohort_quality", "token_length_histogram",
+    "source_quality_drift", "embedding_norm_outliers",
+    "contamination_run_diff",
 ]
 
 

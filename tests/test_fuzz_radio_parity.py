@@ -62,6 +62,22 @@ RADIO_QUERIES = [
     "dft_vis_to_im_adjoint",
     "grid_kernel_sinc",
     "degrid_nearest_cell",
+    # round-7 additions
+    "rime_custom_term_predict",
+    "facet_wproj_kernel_sweep",
+    "closure_amplitudes_quads",
+    "airmass_opacity_correction",
+    "polarization_leakage_apply",
+    "bandpass_curvature_fit",
+    "scan_time_average",
+    "noise_weighted_average",
+    "dead_antenna_detection",
+    "quack_flagging",
+    "fringe_stop_apply",
+    "sefd_sensitivity_report",
+    "uvw_closure_residuals",
+    "autocorr_power_ratio",
+    "peel_brightest_source",
 ]
 
 
