@@ -10124,3 +10124,254 @@ def source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ===========================================================================
+# Round 7: beam map, observation summary, flag breakdown, template matrix,
+# stopword profile
+# ===========================================================================
+
+_BEAM_GRID_PAIRS = """
+          SELECT i.range AS gi, j.range AS gj,
+                 (i.range - 8) / 100.0 AS l,
+                 (j.range - 8) / 100.0 AS m,
+                 856000000.0 AS freq
+          FROM range(17) i, range(17) j
+        """
+
+
+def _beam_map_oracle() -> str:
+    return _with_ms(
+        f"""{_beam_gain_ctes(_BEAM_GRID_PAIRS)}
+        SELECT gi, gj, l, m, round({_beam_trilinear_total()}, 9) AS beam_gain
+        FROM wts ORDER BY gi, gj
+        """
+    )
+
+
+@register("primary_beam_attenuation_map", _beam_map_oracle())
+def primary_beam_attenuation_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-beam attenuation MAP: the beam cube sampled on a regular
+    17×17 (l, m) grid at the reference frequency — the mosaic-planning /
+    image-correction product (pbcor), as opposed to the per-source
+    sampling query. Same broadcast cube + Arrow UDF sampler and the
+    same shared trilinear oracle CTEs (one arithmetic definition), just
+    a generated grid instead of the catalogue — the grid frame is 289
+    rows, so the whole query is sampler-bound."""
+    gi = spark.range(17).select(F.col("id").alias("gi"))
+    gj = spark.range(17).select(F.col("id").alias("gj"))
+    pairs = gi.crossJoin(gj).select(
+        "gi", "gj",
+        ((F.col("gi") - 8) / F.lit(100.0)).alias("l"),
+        ((F.col("gj") - 8) / F.lit(100.0)).alias("m"),
+        F.lit(856000000.0).alias("frequency"),
+    )
+    out = beam_op.beam_cube_dde(pairs, beam_op.make_test_beam_cube())
+    return out.select(
+        "gi", "gj", "l", "m", F.round(F.col("beam_gain"), 9).alias("beam_gain")
+    ).orderBy("gi", "gj")
+
+
+_OBS_SUMMARY_ORACLE = _with_ms(
+    """
+    , t AS (SELECT DISTINCT CAST(FLOOR(time / 2592000.0) AS BIGINT) AS tbin FROM vis),
+    scans AS (
+      SELECT tbin,
+             CAST(dense_rank() OVER (ORDER BY tbin) AS BIGINT) AS scan_id
+      FROM t
+    )
+    SELECT s.scan_id,
+           MIN(v.time) AS t_start, MAX(v.time) AS t_end,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT v.antenna1 * 100 + v.antenna2) AS BIGINT)
+             AS n_baselines,
+           CAST(MAX(v.chan) + 1 AS BIGINT) AS n_chan,
+           CAST(SUM(CASE WHEN v.flag OR v.flag_row THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(SUM(CASE WHEN v.flag OR v.flag_row THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS flagged_frac
+    FROM vis v JOIN scans s
+      ON s.tbin = CAST(FLOOR(v.time / 2592000.0) AS BIGINT)
+    GROUP BY s.scan_id
+    ORDER BY s.scan_id
+    """
+)
+
+
+@register("observation_summary_listing", _OBS_SUMMARY_ORACLE)
+def observation_summary_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `listobs` analogue: one row per GLOBAL scan (epochs
+    = dense-ranked 30-day epochs, this MS's natural observing
+    sessions) with time range, row count,
+    baseline count, channel count, and flag occupancy — the first
+    report an observer prints for any MS. The scan table is
+    epoch-cardinality and carries no broadcast hint; the fact table
+    collapses once per scan."""
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+        "tbin", F.floor(F.col("time") / F.lit(2_592_000.0)).cast("long")
+    )
+    t = vis.select("tbin").distinct()
+    scans = t.withColumn(
+        "scan_id", F.dense_rank().over(W.orderBy("tbin")).cast("long")
+    )
+    j = vis.join(scans, "tbin")
+    return (
+        j.groupBy("scan_id")
+        .agg(
+            F.min("time").alias("t_start"),
+            F.max("time").alias("t_end"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(
+                F.col("antenna1") * 100 + F.col("antenna2")
+            ).alias("n_baselines"),
+            (F.max("chan") + 1).cast("long").alias("n_chan"),
+            F.sum(
+                (F.col("flag") | F.col("flag_row")).cast("long")
+            ).alias("n_flagged"),
+            F.round(
+                F.sum((F.col("flag") | F.col("flag_row")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("flagged_frac"),
+        )
+        .orderBy("scan_id")
+    )
+
+
+_FLAG_BREAKDOWN_ORACLE = _with_ms(
+    """
+    , tot AS (SELECT COUNT(*) AS n FROM vis)
+    SELECT CAST(flag_row AS INT) AS flag_row_set,
+           CAST(flag AS INT) AS flag_chan_set,
+           COUNT(*) AS n_rows,
+           round(COUNT(*) / CAST(MIN(t.n) AS DOUBLE), 9) AS frac
+    FROM vis CROSS JOIN tot t
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+)
+
+
+@register("flag_reason_breakdown", _FLAG_BREAKDOWN_ORACLE)
+def flag_reason_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`flagdata` summary: the 2×2 row-flag × channel-flag cohort
+    counts and fractions (which tier is actually removing data — the
+    input to any flagging-policy review). One ≤4-group aggregate with a
+    1-row broadcast total."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    tot = vis.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        vis.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("flag_row").cast("int").alias("flag_row_set"),
+            F.col("flag").cast("int").alias("flag_chan_set"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.count(F.lit(1)) / F.min("n").cast("double"), 9).alias("frac"),
+        )
+        .orderBy("flag_row_set", "flag_chan_set")
+    )
+
+
+_CROSS_SOURCE_TEMPLATE_SQL = """
+  WITH dig AS (
+    SELECT doc_id, source,
+           md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS dg
+    FROM documents
+  )
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b,
+         COUNT(*) AS n_pairs,
+         CAST(COUNT(DISTINCT a.dg) AS BIGINT) AS n_templates
+  FROM dig a JOIN dig b ON a.dg = b.dg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+@register("cross_source_template_matrix", _CROSS_SOURCE_TEMPLATE_SQL)
+def cross_source_template_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source PAIRS share templated openings — the syndication/
+    mirror-site map (a scraped template appearing across many sources
+    is the classic sign of content farms syndicating one feed): doc
+    pairs sharing a 5-word opening digest, rolled up to an unordered
+    source-pair matrix. Digest self-join keys on md5 (uniform, no
+    skew), output at source² cardinality."""
+    docs = load(spark, "documents", sf_dir)
+    dig = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))).alias("dg"),
+    )
+    a, b = dig.alias("a"), dig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dg") == F.col("b.dg")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+            F.col("a.dg").alias("dg"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("dg").alias("n_templates"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_STOPWORD_PROFILE_SQL = f"""
+  WITH d AS (
+    SELECT lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           (len(concat(' ', text, ' '))
+            - len(replace(concat(' ', text, ' '), ' the ', ''))) / 5
+           + (len(concat(' ', text, ' '))
+              - len(replace(concat(' ', text, ' '), ' and ', ''))) / 5
+             AS n_stop
+    FROM documents WHERE len(string_split(text, ' ')) > 0
+  )
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_stop) AS BIGINT) AS n_stopword_hits,
+         round(SUM(n_stop) / CAST(SUM(n_tokens) AS DOUBLE), 9) AS stopword_rate
+  FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+@register("stopword_profile_by_lang", _STOPWORD_PROFILE_SQL)
+def stopword_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-stopword incidence per labelled language — the lang-id
+    cross-check (a 'zh'-labelled stratum with English stopword rates
+    means mislabelled data): exact occurrence counts via the shared
+    length-difference trick, rolled up per lang as ratios of exact
+    integers."""
+    docs = load(spark, "documents", sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) > 0
+    )
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_stop = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5
+        + (F.length(padded) - F.length(F.replace(padded, F.lit(" and "), F.lit("")))) / 5
+    )
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_stop").alias("n_stopword_hits"),
+            F.round(
+                F.sum("n_stop") / F.sum("n_tokens").cast("double"), 9
+            ).alias("stopword_rate"),
+        )
+        .orderBy("lang")
+    )
