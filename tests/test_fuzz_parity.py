@@ -121,7 +121,8 @@ LLM_QUERIES = [
     "lexical_diversity_by_source", "winnowing_density_sweep",
     "template_cohort_quality", "token_length_histogram",
     "source_quality_drift", "embedding_norm_outliers",
-    "contamination_run_diff",
+    "contamination_run_diff", "cross_source_template_matrix",
+    "stopword_profile_by_lang",
 ]
 
 

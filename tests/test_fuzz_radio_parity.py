@@ -78,6 +78,8 @@ RADIO_QUERIES = [
     "uvw_closure_residuals",
     "autocorr_power_ratio",
     "peel_brightest_source",
+    "observation_summary_listing",
+    "flag_reason_breakdown",
 ]
 
 
