@@ -10375,3 +10375,94 @@ def stopword_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_ZORDER_BOX = (120, 140, 60, 90)  # u_cell/v_cell box (cells = floor(val)+100)
+_ZORDER_FORMAT = 1
+
+_ZORDER_BOX_ORACLE = _with_ms(
+    f"""
+    SELECT chan,
+           COUNT(*) AS n_rows,
+           SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_re,
+           SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_im
+    FROM vis
+    WHERE CAST(FLOOR(u) AS BIGINT) + 100 BETWEEN {_ZORDER_BOX[0]} AND {_ZORDER_BOX[1]}
+      AND CAST(FLOOR(v) AS BIGINT) + 100 BETWEEN {_ZORDER_BOX[2]} AND {_ZORDER_BOX[3]}
+    GROUP BY chan
+    ORDER BY chan
+    """
+)
+
+
+def _zorder_root(sf_dir: str) -> str:
+    import hashlib
+    import os as _o
+    import tempfile as _t
+
+    tag = hashlib.md5(_o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{_t.gettempdir()}/cas_zorder_vis/{tag}"
+
+
+def _ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Commit the visibility table Z-ordered on (u_cell, v_cell) once
+    per corpus version (driver-side source digest, the persisted-index
+    freshness contract) — build-once, range-query-many."""
+    from codex_africanus_spark.operators.similarity import (
+        _index_fresh_source,
+        _source_fingerprint,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _zorder_root(sf_dir)
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src_fp = _source_fingerprint(vis)
+    consts = f"zorder=u_cell,v_cell;files=16;box_bits=8;fmt={_ZORDER_FORMAT}"
+    if not _index_fresh_source(spark, root, _ZORDER_FORMAT, consts, src_fp):
+        _tombstone_index_meta(spark, root)
+        laid = vis.select(
+            "row_id", "chan", "vis_re", "vis_im",
+            (F.floor(F.col("u")).cast("long") + 100).alias("u_cell"),
+            (F.floor(F.col("v")).cast("long") + 100).alias("v_cell"),
+        )
+        snap.commit_zordered(
+            laid, f"{root}/data", "u_cell", "v_cell", n_files=16, bits=8,
+            mode="overwrite",
+        )
+        _write_index_meta(
+            spark, root, (_ZORDER_FORMAT, 0, 0, consts), src_fp
+        )
+    return root
+
+
+@register("snapshot_zorder_uv_box_scan", _ZORDER_BOX_ORACLE)
+def snapshot_zorder_uv_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered data layout + stats-pruned range scan — the Delta
+    OPTIMIZE ZORDER workflow end-to-end: the vis table is committed
+    once along the (u_cell, v_cell) Morton curve with per-file min/max
+    stats in the manifest; a uv-box query then opens only the files
+    whose u_cell footprint intersects the box (manifest-level data
+    skipping, no directory layout) and row-filters the rest. The result
+    is layout-independent — the DuckDB twin runs the plain box filter —
+    so the driver hash-checks it while the pruning itself is locked by
+    the skip test (test_round7_fixes)."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _ensure_zorder_layout(spark, sf_dir)
+    lo_u, hi_u, lo_v, hi_v = _ZORDER_BOX
+    pruned = snap.read_snapshot_where(
+        spark, f"{root}/data", "u_cell", lo_u, hi_u
+    ).filter((F.col("v_cell") >= lo_v) & (F.col("v_cell") <= hi_v))
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    return (
+        pruned.groupBy("chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (qsum(F.col("vis_re"), 1e6) / F.lit(1e6)).alias("sum_re"),
+            (qsum(F.col("vis_im"), 1e6) / F.lit(1e6)).alias("sum_im"),
+        )
+        .orderBy("chan")
+    )

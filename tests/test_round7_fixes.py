@@ -119,3 +119,30 @@ def test_incremental_ingest_idempotent_and_probe_only(spark, sf_dir, tmp_path):
     }
     want = {r.doc_id for r in r1 if r.is_dup == 0 and r.n_shingles > 0}
     assert committed_batch == want
+
+
+def test_zorder_box_scan_actually_skips_files(spark, sf_dir):
+    """The uv-box query must open a strict subset of the z-ordered
+    files (manifest-stats skipping), and its result must equal the
+    unpruned filter — pruning is a pure I/O optimization."""
+    from codex_africanus_spark.queries import (
+        _ZORDER_BOX, _ensure_zorder_layout, registry,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _ensure_zorder_layout(spark, sf_dir)
+    lo_u, hi_u, lo_v, hi_v = _ZORDER_BOX
+    all_files = snap.snapshot_files(root + "/data")
+    pruned = snap.read_snapshot_where(spark, root + "/data", "u_cell", lo_u, hi_u)
+    assert 0 < len(pruned.inputFiles()) < len(all_files)
+    full = (
+        snap.read_snapshot(spark, root + "/data")
+        .filter((F.col("u_cell") >= lo_u) & (F.col("u_cell") <= hi_u)
+                & (F.col("v_cell") >= lo_v) & (F.col("v_cell") <= hi_v))
+    )
+    got = registry()["snapshot_zorder_uv_box_scan"].fn(spark, sf_dir).collect()
+    want = sorted(
+        (r.chan, r.cnt) for r in full.groupBy("chan").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert sorted((r.chan, r.n_rows) for r in got) == want
