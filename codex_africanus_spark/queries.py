@@ -10452,9 +10452,10 @@ def snapshot_zorder_uv_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ensure_zorder_layout(spark, sf_dir)
     lo_u, hi_u, lo_v, hi_v = _ZORDER_BOX
-    pruned = snap.read_snapshot_where(
-        spark, f"{root}/data", "u_cell", lo_u, hi_u
-    ).filter((F.col("v_cell") >= lo_v) & (F.col("v_cell") <= hi_v))
+    pruned = snap.read_snapshot_where_all(
+        spark, f"{root}/data",
+        {"u_cell": (lo_u, hi_u), "v_cell": (lo_v, hi_v)},
+    )
     from codex_africanus_spark.functions.deterministic import qsum
 
     return (

@@ -401,19 +401,42 @@ def read_snapshot_where(
     [lo, hi] are opened; the residual filter still applies row-level.
     With stats on the layout key this is manifest-level partition pruning
     without directory layout — the Delta/Iceberg scan-planning shape."""
+    return read_snapshot_where_all(spark, root, {col: (lo, hi)}, version)
+
+
+def read_snapshot_where_all(
+    spark: SparkSession,
+    root: str,
+    preds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-predicate data-skipping read: a file survives only if its
+    [min, max] intersects EVERY `col: (lo, hi)` range — with a Z-ordered
+    layout both dimensions' footprints are narrow per file, so a 2-D box
+    prunes on both (the point of Morton clustering; a single-dimension
+    sort could only skip on its own key). Residual filters still apply
+    row-level."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     stats = _all_stats(root, version)
     keep = [
         f for f, s in stats.items()
-        if col not in s or not (s[col][0] > hi or s[col][1] < lo)
-    ]
-    if not keep:
-        return read_snapshot(spark, root, version).limit(0).filter(
-            (F.col(col) >= lo) & (F.col(col) <= hi)
+        if all(
+            col not in s or not (s[col][0] > hi or s[col][1] < lo)
+            for col, (lo, hi) in preds.items()
         )
+    ]
+    cond = reduce(
+        lambda acc, kv: acc & (F.col(kv[0]) >= kv[1][0]) & (F.col(kv[0]) <= kv[1][1]),
+        preds.items(),
+        F.lit(True),
+    )
+    if not keep:
+        return read_snapshot(spark, root, version).limit(0).filter(cond)
     df = spark.read.parquet(*[f"{root}/{f}" for f in keep])
-    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df.filter(cond)
 
 
 def merge_into(
