@@ -1724,3 +1724,126 @@ INCREMENTAL_DEDUP_SQL = f"""
   WHERE d.doc_id % {INGEST_MODULUS} = 0
   ORDER BY d.doc_id
 """
+
+
+def incremental_dedup_rank_drift(spark, docs: DataFrame, root: str) -> DataFrame:
+    """Index-maintenance audit for the incremental dedup tier: the
+    committed index FREEZES df ranks at base-build time (appended
+    survivors rank by the committed df — one consistent global order),
+    so ranks drift from what a full rebuild over the grown corpus would
+    produce. This query measures that drift — the number every index
+    maintenance policy needs to decide WHEN to pay for the periodic
+    full rebuild: per indexed doc, is its PREFIX (the candidate-join
+    key set) different under fresh ranks than under the frozen ones?
+
+    Output (1 row): docs indexed, docs whose prefix set changed, the
+    changed fraction, and the fresh corpus's distinct-shingle count.
+
+    Plan shape: one warm probe (ingest report — index tables only),
+    then two rank derivations joined per doc: the frozen side reads
+    the committed sets table (its stored ord_h IS the frozen order);
+    the fresh side recomputes df over base + survivors. Prefixes
+    compare as SORTED SETS (order inside the prefix does not affect
+    candidate generation — membership does)."""
+    report = incremental_dedup_ingest(spark, docs, root)
+    survivors = report.filter(F.col("is_dup") == 0).select("doc_id")
+    base_docs = docs.filter(F.col("doc_id") % INGEST_MODULUS != 0)
+    corpus_sh = (
+        _shingle_frame(base_docs)
+        .distinct()
+        .unionByName(
+            _shingle_frame(
+                docs.join(F.broadcast(survivors), "doc_id")
+            ).distinct()
+        )
+    )
+    df_fresh = corpus_sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sets_fresh = _rarest_first_sets(corpus_sh, df_fresh)
+    prefix_of = (
+        "array_sort(slice(ord_h, 1, CAST(s - ((s + 1) DIV 2) + 1 AS INT)))"
+    )
+    fresh = sets_fresh.select(
+        "doc_id", F.expr(prefix_of).alias("fresh_prefix")
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    frozen = snap.read_snapshot(spark, f"{root}/sets").select(
+        "doc_id", F.expr(prefix_of).alias("frozen_prefix")
+    )
+    j = frozen.join(fresh, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs_indexed"),
+        F.sum(
+            (F.col("frozen_prefix") != F.col("fresh_prefix")).cast("long")
+        ).alias("n_prefix_changed"),
+        F.round(
+            F.sum((F.col("frozen_prefix") != F.col("fresh_prefix")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("changed_frac"),
+    )
+
+
+RANK_DRIFT_SQL = f"""
+  WITH sh AS (
+    SELECT DISTINCT doc_id, {hash31_sql('sh')} AS h
+    FROM (
+      SELECT doc_id, unnest({WORD_3GRAM_SQL}) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 3)
+    )
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS base_doc, COUNT(*) AS inter
+    FROM sh a JOIN sh b USING (h)
+    WHERE a.doc_id % {INGEST_MODULUS} = 0 AND b.doc_id % {INGEST_MODULUS} != 0
+    GROUP BY 1, 2
+  ),
+  dup AS (
+    SELECT DISTINCT p.doc_id
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_id
+    JOIN sizes sb ON sb.doc_id = p.base_doc
+    WHERE p.inter * {PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM}
+          >= (sa.s + sb.s) * {PREFIX_JACCARD_TAU_NUM}
+  ),
+  indexed AS (
+    SELECT doc_id, h FROM sh
+    WHERE doc_id % {INGEST_MODULUS} != 0
+       OR doc_id NOT IN (SELECT doc_id FROM dup)
+  ),
+  df_frozen AS (
+    SELECT h, COUNT(*) AS df FROM indexed
+    WHERE doc_id % {INGEST_MODULUS} != 0 GROUP BY h
+  ),
+  df_fresh AS (SELECT h, COUNT(*) AS df FROM indexed GROUP BY h),
+  frozen_sets AS (
+    SELECT i.doc_id,
+           list(i.h ORDER BY COALESCE(f.df, 0), i.h) AS ord_h,
+           COUNT(*) AS s
+    FROM indexed i LEFT JOIN df_frozen f ON f.h = i.h
+    GROUP BY i.doc_id
+  ),
+  fresh_sets AS (
+    SELECT i.doc_id,
+           list(i.h ORDER BY COALESCE(f.df, 0), i.h) AS ord_h,
+           COUNT(*) AS s
+    FROM indexed i LEFT JOIN df_fresh f ON f.h = i.h
+    GROUP BY i.doc_id
+  ),
+  cmp AS (
+    SELECT fz.doc_id,
+           list_sort(fz.ord_h[1 : CAST(fz.s - ((fz.s + 1) // 2) + 1 AS INT)])
+             AS frozen_prefix,
+           list_sort(fr.ord_h[1 : CAST(fr.s - ((fr.s + 1) // 2) + 1 AS INT)])
+             AS fresh_prefix
+    FROM frozen_sets fz JOIN fresh_sets fr ON fr.doc_id = fz.doc_id
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_indexed,
+         CAST(SUM(CASE WHEN frozen_prefix <> fresh_prefix THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_prefix_changed,
+         round(SUM(CASE WHEN frozen_prefix <> fresh_prefix THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS changed_frac
+  FROM cmp
+"""

@@ -10467,3 +10467,23 @@ def snapshot_zorder_uv_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chan")
     )
+
+
+@register("incremental_dedup_rank_drift", dedup_op.RANK_DRIFT_SQL)
+def incremental_dedup_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance audit: how far have the committed (frozen)
+    df ranks drifted from a fresh full-rebuild ordering — per indexed
+    doc, would its PREFIX (the candidate-join key set) differ? The
+    changed fraction is the number a maintenance policy reads to
+    schedule the periodic rebuild the incremental tier's frozen-rank
+    contract assumes. Composes the warm ingest probe with one fresh
+    rank derivation; the DuckDB twin replays both orderings
+    relationally."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    docs = load(spark, "documents", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_dedup_ingest/{tag}"
+    return dedup_op.incremental_dedup_rank_drift(spark, docs, root)
