@@ -1290,3 +1290,65 @@ BANDPASS_CURVE_SQL = f"""
            + s2 * (s1 * s12 - s11 * s2)) <> 0
     ORDER BY antenna1, antenna2
 """
+
+
+REGRID_TARGETS = 5  # target channels, offset a quarter-channel from source
+
+
+def spectral_regrid_linear(vis: DataFrame) -> DataFrame:
+    """Spectral regridding (CASA cvel / mstransform regridms): resample
+    each (time, baseline) spectrum onto a NEW frequency grid by linear
+    interpolation between the two bracketing source channels. The MS
+    frequency axis is affine (freq = ν₀·(1 + chan/8)), so the bracket
+    is closed-form arithmetic — k = chan position of the target
+    frequency, k0 = floor(k) clamped, frac = k − k0 — no search join
+    (the as-of pattern degenerates to projection). Target grid:
+    REGRID_TARGETS channels offset a quarter-channel from the source
+    grid (frac = 0.25 exactly — dyadic, so the integer lerp
+    4·out = 3·v0 + v1 is EXACT: no float leaves the engine).
+
+    Shape: one spectra collapse (exact fixed-point), one broadcast of
+    the 5-row target grid, two self-joins of the spectra frame keyed by
+    (time, baseline, chan) — per-group cardinality, hash-parallel at
+    any scale."""
+    sp = _spectra(vis)
+    spark = vis.sparkSession
+    tgt = spark.range(REGRID_TARGETS).select(
+        F.col("id").cast("int").alias("tbin_out"),
+        # target channel position k = id + 0.25 → k0 = id, frac = 1/4
+        F.col("id").cast("int").alias("k0"),
+    )
+    j = (
+        sp.crossJoin(F.broadcast(tgt))
+        .filter(F.col("chan") == F.col("k0"))
+        .select(
+            "time", "antenna1", "antenna2", "tbin_out", "k0",
+            F.col("re_q").alias("re0"), F.col("im_q").alias("im0"),
+        )
+    )
+    upper = sp.select(
+        "time", "antenna1", "antenna2",
+        (F.col("chan") - 1).alias("k0"),
+        F.col("re_q").alias("re1"), F.col("im_q").alias("im1"),
+    )
+    out = j.join(upper, ["time", "antenna1", "antenna2", "k0"])
+    return out.select(
+        "time", "antenna1", "antenna2", "tbin_out",
+        (F.lit(3) * F.col("re0") + F.col("re1")).alias("regrid_re_q4"),
+        (F.lit(3) * F.col("im0") + F.col("im1")).alias("regrid_im_q4"),
+    )
+
+
+REGRID_SQL = f"""
+    , spq AS ({_SPECTRA_SQL}),
+    tgt AS (SELECT CAST(range AS INT) AS tbin_out, CAST(range AS INT) AS k0
+            FROM range({REGRID_TARGETS}))
+    SELECT a.time, a.antenna1, a.antenna2, t.tbin_out,
+           3 * a.re_q + b.re_q AS regrid_re_q4,
+           3 * a.im_q + b.im_q AS regrid_im_q4
+    FROM spq a
+    JOIN tgt t ON a.chan = t.k0
+    JOIN spq b ON b.time = a.time AND b.antenna1 = a.antenna1
+              AND b.antenna2 = a.antenna2 AND b.chan = t.k0 + 1
+    ORDER BY a.time, a.antenna1, a.antenna2, t.tbin_out
+"""

@@ -10487,3 +10487,17 @@ def incremental_dedup_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = f"{_q7tmp.gettempdir()}/cas_dedup_ingest/{tag}"
     return dedup_op.incremental_dedup_rank_drift(spark, docs, root)
+
+
+@register("spectral_regrid_linear", _with_ms(cal_op.REGRID_SQL))
+def spectral_regrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASA cvel/mstransform spectral regridding: each (time, baseline)
+    spectrum resampled onto a quarter-channel-offset target grid by
+    linear interpolation between bracketing channels — the affine
+    frequency axis turns the as-of bracket into closed-form arithmetic,
+    and the dyadic frac makes the integer lerp exact (4x-scaled BIGINT
+    outputs, no float at all)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.spectral_regrid_linear(vis).orderBy(
+        "time", "antenna1", "antenna2", "tbin_out"
+    )
