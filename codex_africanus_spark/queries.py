@@ -10501,3 +10501,65 @@ def spectral_regrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal_op.spectral_regrid_linear(vis).orderBy(
         "time", "antenna1", "antenna2", "tbin_out"
     )
+
+
+def _rag_oracle() -> str:
+    ivf = sim_op.IVF_SQL()  # full SELECT ... ORDER BY — embed as subquery
+    return f"""
+      SELECT t.query_id AS query_doc_id,
+             dq.source AS query_source,
+             t.rank, t.neighbor_id AS neighbor_doc_id,
+             dn.source AS neighbor_source,
+             len(string_split(dn.text, ' ')) AS neighbor_tokens,
+             t.cosine_sim
+      FROM ({ivf}) t
+      JOIN documents dq ON dq.doc_id = t.query_id
+      JOIN documents dn ON dn.doc_id = t.neighbor_id
+      ORDER BY t.query_id, t.rank
+    """
+
+
+@register("rag_document_retrieval_topk", _rag_oracle())
+def rag_document_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: an eval batch of DOCUMENTS retrieves
+    its nearest corpus documents — doc → aligned embedding row → probe
+    of the PERSISTED IVF index (warm path: index tables only) → top-k
+    neighbor ids joined back to the document table for the human-
+    readable result (source + length metadata). The cross-modal id
+    join (doc_id = vec_id) and both document joins are broadcast at
+    probe cardinality; exactly the serving pipeline a retrieval stack
+    runs, with the whole chain hash-checked against the DuckDB replay."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    emb = load(spark, "embeddings", sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_ann_ivf/{tag}"  # shared with ann_ivf_persisted_topk
+    sim_op._ensure_ivf_index(spark, emb, root)
+    hits = sim_op.ivf_probe_topk(spark, root)
+    dq = docs.select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.col("source").alias("query_source"),
+    )
+    dn = docs.select(
+        F.col("doc_id").alias("neighbor_doc_id"),
+        F.col("source").alias("neighbor_source"),
+        F.size(F.split(F.col("text"), " ")).alias("neighbor_tokens"),
+    )
+    return (
+        hits.select(
+            F.col("query_id").alias("query_doc_id"),
+            "rank",
+            F.col("neighbor_id").alias("neighbor_doc_id"),
+            "cosine_sim",
+        )
+        .join(F.broadcast(dq), "query_doc_id")
+        .join(F.broadcast(dn), "neighbor_doc_id")
+        .select(
+            "query_doc_id", "query_source", "rank", "neighbor_doc_id",
+            "neighbor_source", "neighbor_tokens", "cosine_sim",
+        )
+        .orderBy("query_doc_id", "rank")
+    )

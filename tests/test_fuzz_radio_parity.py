@@ -80,6 +80,8 @@ RADIO_QUERIES = [
     "peel_brightest_source",
     "observation_summary_listing",
     "flag_reason_breakdown",
+    "spectral_regrid_linear",
+    "snapshot_zorder_uv_box_scan",
 ]
 
 
