@@ -10563,3 +10563,65 @@ def rag_document_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_doc_id", "rank")
     )
+
+
+_JACC_SWEEP_TAUS = ((1, 50), (1, 10), (3, 10), (1, 2))  # τ as exact rationals
+
+
+def _jaccard_sweep_oracle() -> str:
+    pair_sub = dedup_op.NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")
+    rows = []
+    for num, den in _JACC_SWEEP_TAUS:
+        rows.append(
+            f"""SELECT {num} AS tau_num, {den} AS tau_den,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
+                   COALESCE(CAST(SUM(CAST(ROUND(n_common
+                       / CAST(n_union AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT), 0)
+                     AS jac_q_sum
+            FROM ({pair_sub}) WHERE n_common * {den} >= {num} * n_union"""
+        )
+    body = " UNION ALL ".join(rows)
+    return f"SELECT * FROM ({body}) ORDER BY tau_num * 1.0 / tau_den"
+
+
+@register("jaccard_threshold_sweep", _jaccard_sweep_oracle())
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness tuning curve: at each exact-rational Jaccard
+    threshold, how many probe pairs qualify and how many distinct docs
+    the keep-lowest policy would drop — the curve a curator reads
+    before fixing τ (too low deletes near-topical pairs, too high keeps
+    templates). ONE pair computation (the stop-shingle-capped exact
+    tier) feeds every threshold as integer-cross-multiplied conditional
+    aggregates — no per-τ rescans."""
+    pairs = dedup_op.ngram_jaccard_pairs(load(spark, "documents", sf_dir)).persist()
+    outs = []
+    for num, den in _JACC_SWEEP_TAUS:
+        sel = pairs.filter(
+            F.col("n_common") * den >= num * F.col("n_union")
+        )
+        outs.append(
+            sel.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("doc_b").alias("n_docs_dropped"),
+                F.coalesce(
+                    F.sum(
+                        F.round(
+                            F.col("n_common") / F.col("n_union").cast("double")
+                            * 1000000
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("jac_q_sum"),
+            ).select(
+                F.lit(num).alias("tau_num"),
+                F.lit(den).alias("tau_den"),
+                "n_pairs",
+                "n_docs_dropped",
+                "jac_q_sum",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.col("tau_num") / F.col("tau_den"))
