@@ -10625,3 +10625,193 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy(F.col("tau_num") / F.col("tau_den"))
+
+
+_ANNULUS_W = 20.0  # uv-distance annulus width
+
+_UV_NOISE_PROFILE_ORACLE = _with_ms(
+    f"""
+    , spq AS (
+      SELECT time, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS re_q,
+             SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS im_q,
+             MIN(CAST(ROUND(u * 1000000.0) AS BIGINT)) AS uq,
+             MIN(CAST(ROUND(v * 1000000.0) AS BIGINT)) AS vq
+      FROM vis GROUP BY 1, 2, 3, 4
+    ),
+    diffs AS (
+      SELECT CAST(FLOOR(sqrt(CAST(uq AS DOUBLE) * uq + CAST(vq AS DOUBLE) * vq)
+                        / 1000000.0 / {_ANNULUS_W!r}) AS BIGINT) AS annulus,
+             re_q - lag(re_q) OVER w AS dr,
+             im_q - lag(im_q) OVER w AS di
+      FROM spq
+      WINDOW w AS (PARTITION BY time, antenna1, antenna2 ORDER BY chan)
+    )
+    SELECT annulus, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+           CAST(ROUND(CAST(SUM(CAST(dr AS HUGEINT) * dr
+                               + CAST(di AS HUGEINT) * di) AS DOUBLE)
+                      / (4 * COUNT(*)) / 1000000000000.0
+                      * 1000000.0) AS BIGINT) AS sigma2_micro
+    FROM diffs WHERE dr IS NOT NULL
+    GROUP BY annulus ORDER BY annulus
+    """
+)
+
+
+@register("uv_annulus_noise_profile", _UV_NOISE_PROFILE_ORACLE)
+def uv_annulus_noise_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial noise profile: the adjacent-channel-difference noise
+    estimator binned by uv-distance annulus — short spacings catching
+    extended emission / RFI read hotter than the thermal floor, which
+    is exactly what this plot exposes. The spectra collapse carries a
+    deterministic representative (component-wise MIN) uv per
+    (time, baseline, chan) — the uvw-closure representative rule —
+    so the annulus key is engine-exact; squared diffs accumulate in
+    decimal(38,0)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    sp = vis.groupBy("time", "antenna1", "antenna2", "chan").agg(
+        F.sum(quantize(F.col("vis_re"), 1e6)).alias("re_q"),
+        F.sum(quantize(F.col("vis_im"), 1e6)).alias("im_q"),
+        F.min(quantize(F.col("u"), 1e6)).alias("uq"),
+        F.min(quantize(F.col("v"), 1e6)).alias("vq"),
+    )
+    w = W.partitionBy("time", "antenna1", "antenna2").orderBy("chan")
+    annulus = F.floor(
+        F.sqrt(
+            F.col("uq").cast("double") * F.col("uq")
+            + F.col("vq").cast("double") * F.col("vq")
+        )
+        / F.lit(1e6)
+        / F.lit(_ANNULUS_W)
+    ).cast("long")
+    diffs = sp.select(
+        annulus.alias("annulus"),
+        (F.col("re_q") - F.lag("re_q").over(w)).alias("dr"),
+        (F.col("im_q") - F.lag("im_q").over(w)).alias("di"),
+    ).filter(F.col("dr").isNotNull())
+    g = diffs.groupBy("annulus").agg(
+        F.count(F.lit(1)).alias("n_diffs"),
+        F.sum(
+            F.col("dr").cast(dec) * F.col("dr")
+            + F.col("di").cast(dec) * F.col("di")
+        ).alias("ss"),
+    )
+    return g.select(
+        "annulus", "n_diffs",
+        quantize(
+            F.col("ss").cast("double") / (F.lit(4) * F.col("n_diffs"))
+            / F.lit(1e12),
+            1e6,
+        ).alias("sigma2_micro"),
+    ).orderBy("annulus")
+
+
+def _cell_purity_oracle() -> str:
+    # recompute the IVF assignment inline (the persisted index is
+    # engine-side plumbing; the oracle replays the same fixed-point math)
+    cdist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {sim_op.DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sim_op.CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings
+      ),
+      dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {sim_op.CSCALE}) AS BIGINT)) AS vq,
+               COUNT(*) AS n
+        FROM dims GROUP BY cid, pos
+      ),
+      cent AS (
+        SELECT cid, list(vq / (CAST({sim_op.CSCALE} AS DOUBLE) * n) ORDER BY pos)
+          AS centroid
+        FROM per_dim GROUP BY cid
+      ),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cdist}, c.cid) AS rk
+          FROM embeddings e, cent c
+        ) WHERE rk = 1
+      ),
+      lab AS (
+        SELECT a.cid, e.label, COUNT(*) AS n
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+      ),
+      top AS (
+        SELECT cid, label AS top_label, n AS top_n,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label) AS rk
+        FROM lab
+      )
+      SELECT l.cid, CAST(SUM(l.n) AS BIGINT) AS n_vecs,
+             MIN(t.top_label) AS top_label,
+             CAST(MIN(t.top_n) AS BIGINT) AS top_n,
+             round(MIN(t.top_n) / CAST(SUM(l.n) AS DOUBLE), 9) AS purity
+      FROM lab l JOIN (SELECT * FROM top WHERE rk = 1) t ON t.cid = l.cid
+      GROUP BY l.cid
+      ORDER BY l.cid
+    """
+
+
+@register("ivf_cell_label_purity", _cell_purity_oracle())
+def ivf_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: per persisted-IVF cell, the majority
+    label and its purity — how well the coarse quantizer's cells align
+    with the semantic labels (low purity ⇒ the quantizer mixes classes
+    and recall falls at small n_probe). Answered from the committed
+    assignment table joined to the label column (warm path: no
+    quantizer rebuild); majority via one (cell, label) rollup +
+    diagnostic-cardinality window."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_ann_ivf/{tag}"
+    sim_op._ensure_ivf_index(spark, emb, root)
+    from codex_africanus_spark.sources import snapshot as snap
+
+    assign = snap.read_snapshot(spark, f"{root}/assign").select("vec_id", "cid")
+    lab = (
+        assign.join(F.broadcast(emb.select("vec_id", "label")), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        lab.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        lab.groupBy("cid")
+        .agg(F.sum("n").alias("n_vecs"))
+        .join(top, "cid")
+        .select(
+            "cid", "n_vecs", "top_label", "top_n",
+            F.round(F.col("top_n") / F.col("n_vecs").cast("double"), 9).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cid")
+    )
