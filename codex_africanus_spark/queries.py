@@ -10788,8 +10788,11 @@ def ivf_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codex_africanus_spark.sources import snapshot as snap
 
     assign = snap.read_snapshot(spark, f"{root}/assign").select("vec_id", "cid")
+    # no broadcast hint: the label frame is corpus-sized — a vec_id
+    # equi-join (co-partitionable/bucketable at scale) is the honest
+    # plan; AQE broadcasts only when the corpus is actually small
     lab = (
-        assign.join(F.broadcast(emb.select("vec_id", "label")), "vec_id")
+        assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cid", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
