@@ -83,6 +83,13 @@ QUERIES = [
     "uvw_closure_residuals", "autocorr_power_ratio",
     "peel_brightest_source", "token_length_histogram",
     "source_quality_drift",
+    # round-7 late additions
+    "snapshot_zorder_uv_box_scan", "incremental_dedup_rank_drift",
+    "spectral_regrid_linear", "rag_document_retrieval_topk",
+    "jaccard_threshold_sweep", "uv_annulus_noise_profile",
+    "ivf_cell_label_purity", "primary_beam_attenuation_map",
+    "observation_summary_listing", "flag_reason_breakdown",
+    "cross_source_template_matrix", "stopword_profile_by_lang",
 ]
 
 spark = (
