@@ -197,11 +197,24 @@ def _release_checkpoint(df: DataFrame) -> None:
     if not sub:
         return
     sc = df.sparkSession.sparkContext
-    p = sc._jvm.org.apache.hadoop.fs.Path(sub)
     # clear the attribute only AFTER the delete succeeds: clearing first
     # made a transient filesystem failure permanently leak that round's
-    # files (nothing held the path any more — r7 advice).
-    p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+    # files (nothing held the path any more — r7 advice). And a FAILED
+    # delete must not kill the query: this is maintenance-time cleanup,
+    # not load-bearing work — keep the path for the next release (or
+    # vacuum) to retry and surface a warning instead (r7 verdict #2).
+    try:
+        p = sc._jvm.org.apache.hadoop.fs.Path(sub)
+        p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint release deferred, will retry ({sub}): {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     df._cas_ckpt_dir = None
 
 
@@ -1498,7 +1511,13 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
     new batch probes it (prefix candidates → positional filter → exact
     array_intersect verify, all lossless for jaccard ≥ τ) and the
     surviving non-duplicates are union-committed back (append), so the
-    next batch deduplicates against them too.
+    next batch deduplicates against them too. The probe's committed-side
+    exclusion is ID-EXACT (anti-join on the in-flight batch's own ids,
+    broadcast — the batch is bounded by definition), NOT the batch
+    modulus: survivors appended by earlier batches remain visible to
+    every later probe; only self-matches of the current batch are
+    suppressed (r8 advice — the modulus filter silently hid all
+    appended rows from all future probes).
 
     Report (one row per batch doc): is_dup vs the committed BASE corpus
     at exact jaccard ≥ 1/2, with the best base match among qualifying
@@ -1547,12 +1566,21 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
         snap.commit(_prefix_explode(sets_base), f"{root}/prefix", mode="overwrite")
 
     # ---- probe (identical plan warm or cold): index tables only ----
+    # Exclude exactly the CURRENT batch's own ids from the committed
+    # index (broadcast anti-join — the batch is bounded by definition),
+    # not everything matching the batch modulus: under the old modulus
+    # filter every appended survivor (all % M == 0) was permanently
+    # invisible to later probes, silently breaking the union-commit
+    # contract for any multi-batch sequence (r8 advice). With id-exact
+    # exclusion, survivors appended by earlier batches ARE consulted;
+    # only self-matches of the in-flight batch are suppressed.
+    batch_ids = batch_docs.select("doc_id")
     idx_df = snap.read_snapshot(spark, f"{root}/df")
-    idx_sets = snap.read_snapshot(spark, f"{root}/sets").filter(
-        F.col("doc_id") % INGEST_MODULUS != 0  # exclude already-appended batch
+    idx_sets = snap.read_snapshot(spark, f"{root}/sets").join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
     )
-    idx_prefix = snap.read_snapshot(spark, f"{root}/prefix").filter(
-        F.col("doc_id") % INGEST_MODULUS != 0
+    idx_prefix = snap.read_snapshot(spark, f"{root}/prefix").join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
     )
     sh_batch = _shingle_frame(batch_docs).distinct()
     # df ranks for the batch's tokens WITHOUT shuffling the corpus-sized
@@ -1563,9 +1591,13 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
     batch_ranks = idx_df.join(
         F.broadcast(sh_batch.select("h").distinct()), "h"
     )
+    # localCheckpoint, not persist(): three consumers (prefix explode,
+    # verify join, report join) read it, and checkpoint blocks free on
+    # GC instead of pinning the CacheManager across repeated ingest
+    # calls for the life of the session (r8 advice). Batch-sized.
     sets_batch = _rarest_first_sets(
         sh_batch, F.broadcast(batch_ranks)
-    ).persist()
+    ).localCheckpoint(eager=True)
     pfx_batch = _prefix_explode(sets_batch)
     cand = (
         F.broadcast(pfx_batch.alias("a"))

@@ -6435,8 +6435,11 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", quantize(F.col("quality_score"), 1e6).alias("q_ppm")
     ).withColumn("bucket", F.expr("(1000000 - q_ppm) DIV 10000"))
     # three consumers (local window, bucket totals, corpus total) — score
-    # the corpus once, not three times
-    s2 = s2.persist()
+    # the corpus once, not three times. localCheckpoint, not persist():
+    # persist() pins the plan in the SQL CacheManager for the session
+    # (repeated runs accumulate executor memory — r8 advice); checkpoint
+    # blocks are freed by the ContextCleaner once this frame is GC'd.
+    s2 = s2.localCheckpoint(eager=True)
     wloc = (
         W.partitionBy("bucket")
         .orderBy(F.col("q_ppm").desc(), "doc_id")
@@ -8067,12 +8070,14 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("u") / 10.0).cast("long").alias("u_cell"),
         F.floor(F.col("v") / 10.0).cast("long").alias("v_cell"),
     )
-    # persist the cell-cardinality table: it feeds BOTH the totals
-    # reduction and the broadcast join-back — without the cache each
-    # consumer re-scans the fact table to rebuild it
+    # materialize the cell-cardinality table once: it feeds BOTH the
+    # totals reduction and the broadcast join-back — without it each
+    # consumer re-scans the fact table. localCheckpoint, not persist():
+    # cache entries outlive the query (session leak — r8 advice);
+    # checkpoint blocks free when this frame is GC'd.
     cellw = gated.groupBy("u_cell", "v_cell").agg(
         qsum(F.col("weight"), 100.0).alias("wq")
-    ).persist()
+    ).localCheckpoint(eager=True)
     totals = cellw.agg(
         F.sum("wq").alias("sum_wq"),
         F.sum(F.col("wq") * F.col("wq")).alias("sum_wq2"),
@@ -8734,8 +8739,8 @@ def airmass_opacity_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each visibility is multiplied by e^{τ·X₁}·e^{τ·X₂} to undo the
     attenuation along both sightlines — then reduced to per-(baseline,
     chan) exact fixed-point sums. The correction factor table is
-    n_utime × n_ant and BROADCAST twice; the fact table never
-    shuffles before the final collapse. Factors quantize at 1e-9
+    n_utime × n_ant — epoch-scaled, so it joins WITHOUT a mandatory
+    broadcast hint (AQE broadcasts when small). Factors quantize at 1e-9
     (transcendental-output rule) so both engines agg identical ints."""
     from codex_africanus_spark.functions.deterministic import qsum, quantize
 
@@ -8759,9 +8764,14 @@ def airmass_opacity_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = fac.select(
         "time", F.col("antenna").alias("antenna2"), F.col("c_q").alias("c2_q")
     )
+    # no broadcast hints on f1/f2: the factor table is n_utime × n_ant —
+    # unbounded in distinct epochs over a large archive (the same
+    # corpus-proportional-broadcast class removed from
+    # contamination_span_report / scan_time_average in r7). AQE
+    # broadcasts it when the runtime size is actually small.
     j = (
-        vis.join(F.broadcast(f1), ["time", "antenna1"])
-        .join(F.broadcast(f2), ["time", "antenna2"])
+        vis.join(f1, ["time", "antenna1"])
+        .join(f2, ["time", "antenna2"])
     )
     corr = F.col("c1_q") / F.lit(1e9) * (F.col("c2_q") / F.lit(1e9))
     return (
@@ -8943,7 +8953,7 @@ _NOISE_WEIGHTED_ORACLE = _with_ms(
     """
     , wv AS (
       SELECT antenna1, antenna2, chan,
-             CAST(CAST(ROUND(1000000.0 / (sigma * sigma)) AS BIGINT) AS HUGEINT) AS wq,
+             CAST(CAST(ROUND((1.0 / (sigma * sigma)) * 1000000.0) AS BIGINT) AS HUGEINT) AS wq,
              CAST(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) AS HUGEINT) AS rq,
              CAST(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) AS HUGEINT) AS iq
       FROM vis WHERE NOT (flag OR flag_row)
@@ -10594,7 +10604,12 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     templates). ONE pair computation (the stop-shingle-capped exact
     tier) feeds every threshold as integer-cross-multiplied conditional
     aggregates — no per-τ rescans."""
-    pairs = dedup_op.ngram_jaccard_pairs(load(spark, "documents", sf_dir)).persist()
+    # localCheckpoint, not persist(): one pair computation feeds four
+    # thresholds, and checkpoint blocks auto-free on GC instead of
+    # pinning the CacheManager for the session (r8 advice).
+    pairs = dedup_op.ngram_jaccard_pairs(
+        load(spark, "documents", sf_dir)
+    ).localCheckpoint(eager=True)
     outs = []
     for num, den in _JACC_SWEEP_TAUS:
         sel = pairs.filter(
