@@ -48,6 +48,15 @@ HEADLINE = [
 ]
 
 
+# The two perennial drift-band queries (r7 verdict #5): both plans are
+# structurally pinned (GP screen: zero exchanges; DDE corrupt:
+# 1 exchange + 9 broadcasts) yet their sub-2s wall times drifted ±2×
+# across rounds on host weather alone. They get one UNTIMED warm-up
+# (whole-stage-codegen JIT + broadcast build) plus min-of-5 so the
+# recorded number compares structure, not scheduler noise.
+DRIFT_PINNED = {"gp_phase_screen_corrupt", "compute_and_corrupt_vis_dde"}
+
+
 def main() -> None:
     spark = get_spark("codex-africanus-spark-bench")
     reg = registry()
@@ -64,8 +73,13 @@ def main() -> None:
         # cost that a long-running cluster amortizes away, and min-of-3
         # bounds run-to-run load drift to well under the 25% target
         best = None
+        pinned = name in DRIFT_PINNED
         try:
-            for _ in range(3):
+            if pinned:  # untimed JIT/broadcast warm-up
+                reg[name].fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            for _ in range(5 if pinned else 3):
                 t0 = time.perf_counter()
                 df = reg[name].fn(spark, SF_DIR)
                 # noop sink forces full evaluation of every output column

@@ -304,6 +304,103 @@ def bda_average(
     )
 
 
+def bda_average_quantized(
+    vis: DataFrame,
+    decorr_tol: float = 500.0,
+    max_span_secs: float = 2_592_000.0,
+    motion_grid: float = 1e6,
+    value_grid: float = 1e6,
+) -> DataFrame:
+    """`bda_average` with ORDER-INDEPENDENT arithmetic: each motion step
+    |Δu|+|Δv|+|Δw| quantizes to the 1/motion_grid grid and accumulates
+    as exact integers, and the per-bin weighted sums accumulate on the
+    1/value_grid grid (the deterministic fixed-point discipline,
+    functions/deterministic.py). Same greedy closure rule as
+    bda_average (reference bda_mapping.py:111-277 Binner): close when
+    Σ round(|Δuvw|·g) > round(tol·g) or t − t_start > max_span_secs.
+
+    This is the SEQUENTIAL REFERENCE for the distributed pre-split twin
+    (`skew.salted_bda_average`): integer accumulation is associative, so
+    any (baseline, bucket) decomposition that replays the same integer
+    decisions is bit-identical — float accumulation (bda_average) is
+    not decomposable without ULP-level boundary forks. Bit-equivalence
+    of the two is asserted by tests/test_salted_bda.py's skew fuzz."""
+    import math
+
+    schema = (
+        "antenna1 int, antenna2 int, bin_idx long, n_rows long, "
+        "time_start double, time_end double, vis_re_avg double, "
+        "vis_im_avg double, weight_sum double"
+    )
+    tol_q = int(math.floor(decorr_tol * motion_grid + 0.5))
+    MG, VG, SPAN = motion_grid, value_grid, max_span_secs
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        w_ = pdf["w"].to_numpy()
+        t = pdf["time"].to_numpy()
+        n = len(pdf)
+        bins = np.empty(n, dtype=np.int64)
+        bin_idx = 0
+        acc_q = 0
+        start_t = None
+        for i in range(n):
+            if start_t is None:
+                start_t, acc_q = float(t[i]), 0
+            else:
+                step = (
+                    abs(float(u[i]) - float(u[i - 1]))
+                    + abs(float(v[i]) - float(v[i - 1]))
+                    + abs(float(w_[i]) - float(w_[i - 1]))
+                )
+                acc_q += int(math.floor(step * MG + 0.5))
+                if acc_q > tol_q or (float(t[i]) - start_t) > SPAN:
+                    bin_idx += 1
+                    start_t, acc_q = float(t[i]), 0
+            bins[i] = bin_idx
+        pdf["bin_idx"] = bins
+        # per-bin fixed-point sums: floor(x·VG + 0.5) == the engine-side
+        # quantize() for the non-negative weight; sign-aware for vis
+        def q(col):
+            x = col.to_numpy() * VG
+            return np.floor(np.abs(x) + 0.5).astype("int64") * np.sign(x).astype(
+                "int64"
+            )
+
+        pdf["wre_q"] = q(pdf["vis_re"] * pdf["weight"])
+        pdf["wim_q"] = q(pdf["vis_im"] * pdf["weight"])
+        pdf["w_q"] = q(pdf["weight"])
+        g = pdf.groupby("bin_idx")
+        wq = g["w_q"].sum()
+        out = pd.DataFrame(
+            {
+                "antenna1": g["antenna1"].first(),
+                "antenna2": g["antenna2"].first(),
+                "bin_idx": wq.index,
+                "n_rows": g.size(),
+                "time_start": g["time"].min(),
+                "time_end": g["time"].max(),
+                "vis_re_avg": g["wre_q"].sum() / wq,
+                "vis_im_avg": g["wim_q"].sum() / wq,
+                "weight_sum": wq / VG,
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return (
+        vis.select(
+            "row_id", "time", "antenna1", "antenna2", "u", "v", "w",
+            "vis_re", "vis_im", "weight",
+        )
+        .groupBy("antenna1", "antenna2")
+        .applyInPandas(per_baseline, schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinc-bounded BDA (the reference's actual decorrelation physics)
 # ---------------------------------------------------------------------------

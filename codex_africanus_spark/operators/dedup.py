@@ -1879,3 +1879,59 @@ RANK_DRIFT_SQL = f"""
                / CAST(COUNT(*) AS DOUBLE), 9) AS changed_frac
   FROM cmp
 """
+
+
+def dedup_index_rebuild(spark, root: str) -> dict:
+    """Periodic full rebuild of the incremental-dedup index — the
+    maintenance cadence `incremental_dedup_rank_drift` measures the
+    need for (r7 verdict #6): re-rank every committed document by the
+    CURRENT corpus's df (frozen base ranks + appended-survivor ranks
+    collapse into one fresh global order), snapshot-commit the new
+    df/sets/prefix generation, restore the meta (same source
+    fingerprint — the corpus didn't change, so probes stay warm), and
+    vacuum transaction directories superseded by the PRE-REBUILD
+    snapshot (time travel back to exactly one prior generation keeps
+    working; older generations are reclaimed).
+
+    The rebuild never rescans the raw corpus: the committed sets
+    table's `ord_h` arrays ARE the per-doc shingle sets — explode,
+    recount df, re-rank. O(index), not O(corpus text).
+
+    Invariant (tested): probe REPORTS are unchanged by a rebuild — the
+    prefix/positional pruning is lossless at jaccard ≥ τ under ANY
+    consistent total (df, h) order, and the verify stage intersects
+    full sets — only candidate-generation EFFICIENCY depends on rank
+    freshness. Returns {table: pre_rebuild_version} for time travel."""
+    from codex_africanus_spark.operators.similarity import (
+        _read_index_meta,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    pre = {t: snap.latest_version(f"{root}/{t}") for t in ("df", "sets", "prefix")}
+    meta = _read_index_meta(spark, root)
+    if meta is None or any(v is None for v in pre.values()):
+        raise ValueError(f"no committed ingest index at {root}")
+    exploded = snap.read_snapshot(spark, f"{root}/sets").select(
+        "doc_id", F.explode("ord_h").alias("h")
+    )
+    df_new = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sets_new = _rarest_first_sets(exploded, df_new)
+    # tombstone meta FIRST (crash mid-rebuild reads stale, triggers cold
+    # rebuild), meta restored LAST — the same crash discipline as the
+    # cold ingest build
+    _tombstone_index_meta(spark, root)
+    snap.commit(df_new, f"{root}/df", mode="overwrite")
+    snap.commit(sets_new, f"{root}/sets", mode="overwrite")
+    snap.commit(_prefix_explode(sets_new), f"{root}/prefix", mode="overwrite")
+    _write_index_meta(
+        spark, root,
+        (meta["format"], meta["n_vecs"], meta["checksum"], meta["constants"]),
+        meta["source_fp"],
+    )
+    # reclaim generations older than the pre-rebuild snapshot; the
+    # pre-rebuild version itself stays readable for time travel
+    for t, v in pre.items():
+        snap.vacuum(f"{root}/{t}", retain_from_version=v)
+    return pre

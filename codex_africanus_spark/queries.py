@@ -1516,6 +1516,90 @@ def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("antenna1", "antenna2", "bin_idx")
 
 
+# Salted-BDA parameters: 50-day span and 30-day buckets make most bins
+# straddle bucket boundaries at the %17-sliced row cadence — the stitch
+# path is exercised, not bypassed. Shared literals with the recursive
+# oracle (constant-parity discipline); motion/value grids at 1e6.
+_SBDA_TOL = 500.0
+_SBDA_SPAN = 4_320_000.0
+_SBDA_BUCKET = 2_592_000.0
+_SBDA_TOL_Q = 500_000_000  # floor(_SBDA_TOL * 1e6 + 0.5)
+
+# The quantized rule replays in a recursive CTE carrying an INTEGER
+# accumulator: dq = round(step·1e6) via lag, closure when
+# acc_q + dq > tol_q or t − t_start > span — the identical integer
+# decisions the salted decomposition makes, so every data-dependent bin
+# boundary is bit-equal across engines AND across the (baseline, bucket)
+# pre-split. Value averages are ratios of identical fixed-point sums —
+# no rounding slack needed anywhere (unlike the float _BDA_ORACLE).
+_SBDA_ORACLE = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, vis_re, vis_im, weight,
+             COALESCE(CAST(ROUND((abs(u - lag(u) OVER w) + abs(v - lag(v) OVER w)
+                    + abs(w - lag(w) OVER w)) * 1000000.0) AS BIGINT), 0) AS dq,
+             row_number() OVER w AS rn
+      FROM vis WHERE row_id % 17 = 0
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id)
+    ),
+    rec AS (
+      SELECT antenna1, antenna2, rn, time, vis_re, vis_im, weight,
+             CAST(0 AS BIGINT) AS bin_idx, time AS start_t,
+             CAST(0 AS BIGINT) AS acc_q
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.antenna1, o.antenna2, o.rn, o.time, o.vis_re, o.vis_im, o.weight,
+             CASE WHEN r.acc_q + o.dq > {_SBDA_TOL_Q}
+                       OR (o.time - r.start_t) > {_SBDA_SPAN!r}
+                  THEN r.bin_idx + 1 ELSE r.bin_idx END,
+             CASE WHEN r.acc_q + o.dq > {_SBDA_TOL_Q}
+                       OR (o.time - r.start_t) > {_SBDA_SPAN!r}
+                  THEN o.time ELSE r.start_t END,
+             CASE WHEN r.acc_q + o.dq > {_SBDA_TOL_Q}
+                       OR (o.time - r.start_t) > {_SBDA_SPAN!r}
+                  THEN 0 ELSE r.acc_q + o.dq END
+      FROM rec r
+      JOIN ordered o ON o.antenna1 = r.antenna1 AND o.antenna2 = r.antenna2
+                    AND o.rn = r.rn + 1
+    )
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_start,
+           MAX(time) AS time_end,
+           CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_re_avg,
+           CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_im_avg,
+           CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0 AS weight_sum
+    FROM rec
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+
+
+@register("bda_salted_average", _SBDA_ORACLE)
+def bda_salted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe BDA (r7 verdict #2): the greedy decorrelation binning
+    decomposed over a two-level (baseline, 30-day-bucket) key so no
+    task holds a whole baseline — Phase-A per-bucket DP, a tiny
+    per-baseline bucket-summary stitch, Phase-C re-scan emitting
+    fixed-point PARTIAL sums merged exactly by a final groupBy (see
+    operators/skew.py:salted_bda_average). Integer motion accumulation
+    (quantized steps, deterministic.py discipline) is what makes the
+    decomposition decision-identical to the sequential scan — the
+    recursive-CTE oracle replays the same integer closures, and
+    tests/test_salted_bda.py fuzzes bit-equality against the sequential
+    twin on adversarial skew. Bins straddle buckets at these parameters
+    (span 50 d > bucket 30 d), so the stitch path is what's checked."""
+    from codex_africanus_spark.operators import skew as skew_op
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    out = skew_op.salted_bda_average(
+        vis, _SBDA_TOL, _SBDA_SPAN, _SBDA_BUCKET
+    )
+    return out.orderBy("antenna1", "antenna2", "bin_idx")
+
+
 # ===========================================================================
 # Calibration / DFT / gridding / iterative drivers (SURVEY §2.4, 2.8, 2.9)
 # ===========================================================================
@@ -8509,6 +8593,32 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = f"{_q7tmp.gettempdir()}/cas_dedup_ingest/{tag}"
+    return dedup_op.incremental_dedup_ingest(spark, docs, root).orderBy("doc_id")
+
+
+@register("dedup_index_rebuild", dedup_op.INCREMENTAL_DEDUP_SQL)
+def dedup_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance completion for the incremental dedup tier
+    (r7 verdict #6): build/refresh the committed index, run the
+    PERIODIC FULL REBUILD (re-rank every committed doc by current df —
+    O(index) from the sets table's own shingle arrays, never rescanning
+    corpus text — snapshot-commit, vacuum superseded generations,
+    retain the pre-rebuild version for time travel), then re-probe the
+    batch against the REBUILT index. The report must equal the
+    pre-rebuild probe bit-exactly — the pruning is lossless at ≥ τ
+    under any consistent rank order — so the same brute-force DuckDB
+    twin oracles this query; rebuild-specific invariants (rebuilt index
+    ≡ from-scratch build, time travel, vacuum reclamation) are locked
+    by tests/test_index_rebuild.py."""
+    import hashlib
+    import os as _q8os
+    import tempfile as _q8tmp
+
+    docs = load(spark, "documents", sf_dir)
+    tag = hashlib.md5(_q8os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q8tmp.gettempdir()}/cas_dedup_rebuild/{tag}"
+    dedup_op.incremental_dedup_ingest(spark, docs, root).count()
+    dedup_op.dedup_index_rebuild(spark, root)
     return dedup_op.incremental_dedup_ingest(spark, docs, root).orderBy("doc_id")
 
 
