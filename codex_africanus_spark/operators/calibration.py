@@ -473,7 +473,7 @@ def uvlin_continuum_subtract(vis: DataFrame, bin_secs: float = 2_592_000.0) -> D
     )
     # consumed by the fit subtree AND as the join probe side —
     # materialize instead of re-running the full-scan collapse twice
-    per_chan = per_chan.persist()
+    per_chan = per_chan.localCheckpoint(eager=True)  # GC-scoped (r8)
     fit = per_chan.groupBy("tbin", "antenna1", "antenna2").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

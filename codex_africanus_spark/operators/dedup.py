@@ -449,7 +449,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 5) -> DataFrame:
     # re-evaluated the whole shingle→48-bit-simhash pipeline once per
     # band per join side (~12×); the fingerprint table is also tiny
     # (doc_id + int64), so materialize it once for the self-join
-    fp = simhash_wide(docs).persist()
+    fp = simhash_wide(docs).localCheckpoint(eager=True)  # GC-scoped (r8)
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -1054,7 +1054,7 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
     structs — a ~|set|-element compiled sort per document instead of a
     window sort over the whole exchange — and that same rollup yields
     the per-doc token array the verify stage needs, for free."""
-    sh = _shingle_frame(fan_out(docs)).distinct().persist()
+    sh = _shingle_frame(fan_out(docs)).distinct().localCheckpoint(eager=True)  # GC-scoped (r8)
     df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # per-doc: tokens ordered rarest-first (global (df, h) order), set
     # size, and the token array for verification — one doc_id shuffle
@@ -1067,7 +1067,7 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
             F.expr("transform(toks, t -> t.h)").alias("ord_h"),
             F.size("toks").alias("s"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # GC-scoped, not CacheManager-pinned (r8)
     )
     # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
     prefix = sets.select(
@@ -1387,7 +1387,7 @@ def minhash_calibration_curve(docs: DataFrame) -> DataFrame:
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b", "n_sig_match")
     # persist: the set frame feeds sizes + both verify sides (the same
     # three-consumer shape as prefix_filter_jaccard_join)
-    sh = _shingle_frame(fan_out(docs)).distinct().persist()
+    sh = _shingle_frame(fan_out(docs)).distinct().localCheckpoint(eager=True)  # GC-scoped (r8)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = _pair_intersections(pairs, sh, carry=("n_sig_match",))
     jac_q = F.expr(

@@ -284,7 +284,7 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
                 "aggregate(transform(qe, v -> v * v), CAST(0 AS BIGINT), (a, v) -> a + v)"
             ),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # GC-scoped (r8)
     )
     P_SPLIT = 8
     a = withb.select(
@@ -490,7 +490,7 @@ def ivf_topk(
     # consumed by both join sides — materialize instead of re-running
     # the quantizer argmin per consumer (same rationale as
     # semantic_dedup; the assignment IS the IVF index)
-    assign = assign.persist()
+    assign = assign.localCheckpoint(eager=True)  # GC-scoped (r8)
     return _ivf_probe(cent, assign, embeddings, query_modulus, k)
 
 
@@ -1025,9 +1025,10 @@ def semantic_dedup(
     # centroid crossJoin + quantized-distance argmin (the expensive
     # interpreted-HOF stage). Persist the assignment — SemDeDup pipelines
     # checkpoint exactly this table; at 100 TB it is the natural
-    # intermediate to write, not recompute. (MEMORY_AND_DISK via
-    # persist(); measured 15 s → ~3 s at sf0.1.)
-    assign = assign.persist()
+    # intermediate to write, not recompute. (MEMORY_AND_DISK blocks via
+    # localCheckpoint — GC-scoped, not CacheManager-pinned (r8);
+    # measured 15 s → ~3 s at sf0.1.)
+    assign = assign.localCheckpoint(eager=True)
     # Pair-space split: a bare cid-keyed self-join has parallelism =
     # N_CELLS (8 tasks for ALL pairwise work — measured 41 s at sf0.1).
     # Bucket the lo side by id_lo % P and replicate the hi side across

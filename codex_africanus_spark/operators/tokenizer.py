@@ -236,7 +236,7 @@ def _trigram_scored(docs: DataFrame, keep: tuple = (), train=None) -> DataFrame:
     tg = docs.select("doc_id", *keep, F.explode(tri_expr).alias("t")).select(
         "doc_id", *keep,
         F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # GC-scoped, not CacheManager-pinned (r8)
     model = tg.filter(F.col("doc_id") % 2 == 0 if train is None else train)
     tgc = model.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     bg12 = model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

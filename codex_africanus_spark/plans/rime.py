@@ -312,14 +312,23 @@ def register_transformer(cls: type[Transformer]) -> None:
     TRANSFORMERS.append(cls)
 
 
-def _apply_transformers(df: DataFrame, needed: set[str]) -> DataFrame:
-    """Attach derivable missing columns before term validation."""
+def _apply_transformers(
+    df: DataFrame, needed: set[str], extra: tuple = ()
+) -> DataFrame:
+    """Attach derivable missing columns before term validation.
+
+    `extra` holds per-spec transformer overrides (instances or classes)
+    tried BEFORE the global registry, so a user transformer shadows a
+    registered one claiming the same outputs for this plan only — the
+    transformer mirror of the per-spec `terms={...}` override (reference
+    fused/core.py:152-207 resolves transformer outputs per specification
+    instance, not globally)."""
     missing = needed - set(df.columns)
     if not missing:
         return df
-    for cls in TRANSFORMERS:
+    for cls in (*extra, *TRANSFORMERS):
         if missing & set(cls.outputs):
-            t = cls()
+            t = cls if isinstance(cls, Transformer) else cls()
             if t.can_run(df):
                 df = t.transform(df)
                 missing -= set(cls.outputs)
@@ -571,6 +580,7 @@ def rime(
     vis: DataFrame,
     sources: DataFrame,
     terms: dict[str, "Term | type[Term]"] | None = None,
+    transformers: tuple = (),
 ) -> DataFrame:
     """Compile a RIME spec into one select + one deterministic aggregate.
 
@@ -582,7 +592,14 @@ def rime(
     ``RimeSpecification(rime_str, terms={"B": ModelFlux})`` constructor
     argument (fused/specification.py + the custom_brightness_term.py
     example), which substitutes a custom term without mutating the
-    global registry."""
+    global registry.
+
+    `transformers` likewise injects user Transformers (instances or
+    classes) FOR THIS SPEC ONLY, tried before the global registry when
+    resolving a term's missing argument columns — the reference's
+    per-specification transformer resolution (transformers/core.py +
+    fused/core.py:152-207; ParallacticTransformer in
+    transformers/parangle.py is the canonical example)."""
     from codex_africanus_spark.sources.tables import fan_out
 
     parsed = parse_rime(spec)
@@ -598,9 +615,10 @@ def rime(
         else:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
     # argument-dependency resolution: transformers fill derivable gaps
-    # before schema validation (fused/core.py:152-207)
+    # before schema validation (fused/core.py:152-207); per-spec
+    # overrides shadow the global registry
     joined = _apply_transformers(
-        joined, {c for t in terms for c in t.required_columns}
+        joined, {c for t in terms for c in t.required_columns}, transformers
     )
     for term in terms:
         term.validate(joined)

@@ -320,10 +320,10 @@ def unique_times_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "phase_delay_factor",
     _with_ms(
-        f"""
+        """
         SELECT v.row_id, s.source_id,
-               round(cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency), 6) AS phase_re,
-               round(sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency), 6) AS phase_im
+               round(cos(CAST(ROUND(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency * 1000000000) AS BIGINT) / 1000000000.0), 6) + 0.0 AS phase_re,
+               round(sin(CAST(ROUND(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency * 1000000000) AS BIGINT) / 1000000000.0), 6) + 0.0 AS phase_im
         FROM vis v, src s
         WHERE s.source_id < 3 AND v.row_id % 17 = 0
         ORDER BY v.row_id, s.source_id
@@ -331,7 +331,18 @@ def unique_times_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def phase_delay_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """e^{-2πi(ul+vm+w(n-1))ν/c} per (source,row) (reference phase.py:12-63)."""
+    """e^{-2πi(ul+vm+w(n-1))ν/c} per (source,row) (reference phase.py:12-63).
+
+    r8 sf0.1-sweep hardening (the scale-dependent parity class the r7
+    verdict's item 1 predicted): (a) θ quantizes to the 1e-9 grid
+    BEFORE the trig so both engines evaluate sin/cos of the IDENTICAL
+    double (the raw θ expression can diverge at the ULP level
+    cross-engine); (b) + 0.0 normalizes IEEE −0.0 → 0.0 — at sf0.1 one
+    sin(θ) rounded to −0.0 on one engine and 0.0 on the other, equal
+    under == but distinct under the driver's bit-sensitive value hash
+    (same fix as gridding.py:254)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
     vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
     src = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_id") < 3)
     j = vis.crossJoin(F.broadcast(src))
@@ -340,11 +351,12 @@ def phase_delay_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency"),
         "fourier",
     )
+    thq = quantize(theta, 1e9) / F.lit(1e9)
     return j.select(
         "row_id",
         "source_id",
-        F.round(F.cos(theta), 6).alias("phase_re"),
-        F.round(F.sin(theta), 6).alias("phase_im"),
+        (F.round(F.cos(thq), 6) + F.lit(0.0)).alias("phase_re"),
+        (F.round(F.sin(thq), 6) + F.lit(0.0)).alias("phase_im"),
     ).orderBy("row_id", "source_id")
 
 
@@ -2062,6 +2074,146 @@ def uvw_facet_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rw, 6).alias("rot_w"),
         F.round(pu, 6).alias("wlin_u"), F.round(pv, 6).alias("wlin_v"),
     ).orderBy("row_id", "antenna1", "antenna2", "chan")
+
+
+_FACET_K = "-2.0958450219516816e-08"  # -2π/c, the shared phase constant
+
+_FACETED_MOSAIC_ORACLE = _with_ms(
+    f"""
+    , fsrc AS (
+      SELECT *, CAST(CASE WHEN l >= 0 THEN 2 ELSE 0 END
+                   + CASE WHEN m >= 0 THEN 1 ELSE 0 END AS INT) AS facet_id
+      FROM src
+    ),
+    centres AS (
+      SELECT facet_id,
+             CAST(SUM(CAST(ROUND(l * 1000000000) AS BIGINT)) AS BIGINT)
+               / COUNT(*) / 1000000000.0 AS l_c,
+             CAST(SUM(CAST(ROUND(m * 1000000000) AS BIGINT)) AS BIGINT)
+               / COUNT(*) / 1000000000.0 AS m_c
+      FROM fsrc GROUP BY facet_id
+    ),
+    cn AS (
+      SELECT *, sqrt(1.0 - l_c*l_c - m_c*m_c) AS n_c FROM centres
+    ),
+    off_sum AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan, s.facet_id,
+             c.l_c, c.m_c, c.n_c,
+             MIN(v.u) AS u, MIN(v.v) AS v_, MIN(v.w) AS w,
+             MIN(v.frequency) AS frequency,
+             SUM(CAST(ROUND(s.flux_i * cos({_FACET_K} * (v.u*(s.l - c.l_c)
+                 + v.v*(s.m - c.m_c) + v.w*(s.n - c.n_c)) * v.frequency)
+                 * 1000000) AS BIGINT)) / 1000000.0 AS sf_re,
+             SUM(CAST(ROUND(s.flux_i * sin({_FACET_K} * (v.u*(s.l - c.l_c)
+                 + v.v*(s.m - c.m_c) + v.w*(s.n - c.n_c)) * v.frequency)
+                 * 1000000) AS BIGINT)) / 1000000.0 AS sf_im
+      FROM vis v, fsrc s JOIN cn c USING (facet_id)
+      WHERE v.row_id % 5 = 0
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    ),
+    steered AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             {_FACET_K} * (u*l_c + v_*m_c + w*(n_c - 1.0)) * frequency AS tc,
+             sf_re, sf_im
+      FROM off_sum
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           CAST(COUNT(*) AS BIGINT) AS n_facets,
+           SUM(CAST(ROUND((sf_re * cos(tc) - sf_im * sin(tc)) * 1000000)
+               AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND((sf_re * sin(tc) + sf_im * cos(tc)) * 1000000)
+               AS BIGINT)) / 1000000.0 AS vis_im
+    FROM steered
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """
+)
+
+
+@register("faceted_mosaic_predict", _FACETED_MOSAIC_ORACLE)
+def faceted_mosaic_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted mosaic predict (r7 verdict #7 candidate): the source
+    catalogue partitions into 2×2 tangent-plane facets; each facet's
+    RIME runs against the FACET CENTRE (offset coordinates l−l_c …,
+    the exact faceting identity e^{iθ} = e^{iθ_c}·e^{iθ_off} used by
+    wide-field degridders, reference perleypolyhedron facet policies +
+    fused RIME), and the mosaic re-steers each facet sum by its centre
+    phase before the final reduction. Both reductions (per-facet source
+    sum, cross-facet sum) are fixed-point exact, so the two-level
+    decomposition is bit-reproducible and exactly oracled. Plan shape:
+    sources+centres broadcast (25 rows), ONE fact scan, two partial
+    aggs — the per-facet plan inherits the compiled predict shape; at
+    1000 facets only the broadcast dim grows."""
+    from codex_africanus_spark.functions.deterministic import qsum
+
+    K = float(_FACET_K)
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 5 == 0)
+    src = tpch_ms.source_table(spark, sf_dir).withColumn(
+        "facet_id",
+        (
+            F.when(F.col("l") >= 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.col("m") >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    centres = src.groupBy("facet_id").agg(
+        (F.sum(quantize(F.col("l"), 1e9)) / F.count(F.lit(1)) / F.lit(1e9))
+        .alias("l_c"),
+        (F.sum(quantize(F.col("m"), 1e9)) / F.count(F.lit(1)) / F.lit(1e9))
+        .alias("m_c"),
+    ).withColumn(
+        "n_c",
+        F.sqrt(
+            F.lit(1.0) - F.col("l_c") * F.col("l_c") - F.col("m_c") * F.col("m_c")
+        ),
+    )
+    fsrc = src.join(F.broadcast(centres), "facet_id")
+    j = vis.crossJoin(F.broadcast(fsrc))
+    th_off = (
+        F.lit(K)
+        * (
+            F.col("u") * (F.col("l") - F.col("l_c"))
+            + F.col("v") * (F.col("m") - F.col("m_c"))
+            + F.col("w") * (F.col("n") - F.col("n_c"))
+        )
+        * F.col("frequency")
+    )
+    off = j.groupBy(
+        "row_id", "antenna1", "antenna2", "chan", "facet_id",
+        "l_c", "m_c", "n_c",
+    ).agg(
+        F.min("u").alias("u"), F.min("v").alias("v"), F.min("w").alias("w"),
+        F.min("frequency").alias("frequency"),
+        (qsum(F.col("flux_i") * F.cos(th_off), 1e6) / F.lit(1e6)).alias("sf_re"),
+        (qsum(F.col("flux_i") * F.sin(th_off), 1e6) / F.lit(1e6)).alias("sf_im"),
+    )
+    tc = (
+        F.lit(K)
+        * (
+            F.col("u") * F.col("l_c")
+            + F.col("v") * F.col("m_c")
+            + F.col("w") * (F.col("n_c") - F.lit(1.0))
+        )
+        * F.col("frequency")
+    )
+    steered = off.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        tc.alias("tc"), "sf_re", "sf_im",
+    )
+    return (
+        steered.groupBy("row_id", "antenna1", "antenna2", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_facets"),
+            (qsum(
+                F.col("sf_re") * F.cos("tc") - F.col("sf_im") * F.sin("tc"), 1e6
+            ) / F.lit(1e6)).alias("vis_re"),
+            (qsum(
+                F.col("sf_re") * F.sin("tc") + F.col("sf_im") * F.cos("tc"), 1e6
+            ) / F.lit(1e6)).alias("vis_im"),
+        )
+        .orderBy("row_id")
+    )
 
 
 @register("briggs_robust_weights", _with_ms(grid_op.BRIGGS_SQL()))
@@ -8572,6 +8724,83 @@ def rime_custom_term_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         vis,
         src,
         terms={"B": ModelFluxTerm(model)},
+    ).orderBy("row_id")
+
+
+class SpectralFluxNuTerm(rime_plan.Term):
+    """USER-LAND term whose required column `flux_nu` is NOT on the
+    joined frame — it exists to force transformer-based argument
+    resolution (the term itself is a bare multiply)."""
+
+    required_columns = ("flux_nu",)
+
+    def apply(self, z):
+        return z * F.col("flux_nu")
+
+
+class SpectralFluxTransformer(rime_plan.Transformer):
+    """USER-LAND transformer: derives the per-(source, chan) spectral
+    flux `flux_nu` = flux_i·(ν/ν₀)^spi from columns already on the
+    joined frame — the Spark analogue of the reference's per-spec
+    transformer resolution (transformers/parangle.py declares OUTPUTS
+    consumed by terms; fused/core.py:152-207 wires them in). Quantized
+    to the 1e-9 grid (transcendental-output rule: JVM vs libm pow
+    differ at 1 ULP)."""
+
+    outputs = ("flux_nu",)
+    inputs = ("flux_i", "spi", "ref_freq", "frequency")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from codex_africanus_spark.functions.deterministic import quantize
+
+        nu = quantize(
+            F.col("flux_i")
+            * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")),
+            1e9,
+        ) / F.lit(1e9)
+        return df.withColumn("flux_nu", nu)
+
+
+_CUSTOM_TRANSFORMER_ORACLE = _with_ms(
+    """
+    , coh AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                        * 1000000000) AS BIGINT) / 1000000000.0 AS flux_nu,
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency AS theta
+      FROM vis v, src s
+      WHERE v.row_id % 3 = 0
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           SUM(CAST(ROUND(flux_nu * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(flux_nu * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+    FROM coh
+    GROUP BY row_id, antenna1, antenna2, chan
+    ORDER BY row_id
+    """
+)
+
+
+@register("rime_custom_transformer_predict", _CUSTOM_TRANSFORMER_ORACLE)
+def rime_custom_transformer_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the reference's extensibility story (r8): a
+    user TRANSFORMER injected per-spec — `rime(spec, …,
+    transformers=[…])` — resolves a custom term's missing argument
+    column (`flux_nu`) from columns already on the joined frame, the
+    analogue of ParallacticTransformer feeding feed_parangle to the
+    beam/feed terms (reference transformers/parangle.py;
+    fused/core.py:152-207). The derived column is a pure projection, so
+    the compiled one-select + one-agg plan shape is unchanged; removing
+    the transformer makes the same spec raise the schema-validation
+    error (locked in tests/test_round8_fixes.py)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 3 == 0)
+    src = tpch_ms.source_table(spark, sf_dir)
+    return rime_plan.rime(
+        "(Kpq, Bpq): [I,Q,U,V] -> [XX,XY,YX,YY]",
+        vis,
+        src,
+        terms={"B": SpectralFluxNuTerm},
+        transformers=(SpectralFluxTransformer,),
     ).orderBy("row_id")
 
 

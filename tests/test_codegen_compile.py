@@ -62,10 +62,19 @@ def test_registry_wide_codegen_compiles(strict_codegen, sf_dir):
     generated code as 100 TB. Failures are collected and reported
     together (one bad query must not mask the rest)."""
     reg = registry()
+    cm = strict_codegen._jsparkSession.sharedState().cacheManager()
     failures = []
     for name, qd in reg.items():
         try:
             qd.fn(strict_codegen, sf_dir).collect()
         except Exception as e:  # noqa: BLE001 - report, then fail once
             failures.append((name, str(e).splitlines()[0][:200]))
+            continue
+        # registry-wide cache-residue lock (r8 advice #4's un-regressable
+        # form): a query that pins a CacheManager entry leaks executor
+        # memory across repeated runs for the life of the session —
+        # materialize-once intermediates use localCheckpoint instead
+        if not cm.isEmpty():
+            failures.append((name, "left a pinned CacheManager entry"))
+            cm.clearCache()
     assert not failures, f"{len(failures)} queries failed strict codegen: {failures}"
