@@ -493,10 +493,24 @@ def bda_sinc_average(vis: DataFrame, time_bin_secs: float = BDA_TIME_BIN_SECS) -
             ts, ivs = float(t[i]), float(iv[i])
             bins[i] = bin_idx
         pdf["bin_idx"] = bins
-        pdf["wre"] = pdf["vis_re"] * pdf["weight"]
-        pdf["wim"] = pdf["vis_im"] * pdf["weight"]
+
+        # fixed-point weighted sums (r8 sf0.1 sweep): float sums fork
+        # cross-engine on summation ORDER — pandas pairwise vs the
+        # oracle CTE's sequential adds drifted past the 6-dp rounding
+        # slack once sf0.1-sized bins appeared. Integer accumulation is
+        # order-independent; the mean is a ratio of identical ints.
+        def _qfix(col):
+            x = col.to_numpy() * 1e6
+            return np.floor(np.abs(x) + 0.5).astype("int64") * np.sign(x).astype(
+                "int64"
+            )
+
+        pdf["wre_q"] = _qfix(pdf["vis_re"] * pdf["weight"])
+        pdf["wim_q"] = _qfix(pdf["vis_im"] * pdf["weight"])
+        pdf["w_q"] = _qfix(pdf["weight"])
         g = pdf.groupby("bin_idx")
         wsum = g["weight"].sum()
+        wq = g["w_q"].sum()
         t_first, iv_first = g["time"].first(), g["interval"].first()
         t_last, iv_last = g["time"].last(), g["interval"].last()
         t_start = t_first - iv_first / 2.0
@@ -519,8 +533,8 @@ def bda_sinc_average(vis: DataFrame, time_bin_secs: float = BDA_TIME_BIN_SECS) -
                 "n_flagged": nflag.astype("int64"),
                 "time_avg": (t_start + t_end) / 2.0,
                 "interval_out": t_end - t_start,
-                "vis_re_avg": g["wre"].sum() / wsum,
-                "vis_im_avg": g["wim"].sum() / wsum,
+                "vis_re_avg": g["wre_q"].sum() / wq,
+                "vis_im_avg": g["wim_q"].sum() / wq,
                 "weight_sum": wsum,
                 "bin_flagged": nflag.astype("int64") == g.size(),
                 "delta_nu": delta_nu,

@@ -1473,8 +1473,10 @@ _BDA_SINC_ORACLE = f"""
             + (arg_max(time, rn) + arg_max(interval, rn)/2.0)) / 2.0 AS time_avg,
            (arg_max(time, rn) + arg_max(interval, rn)/2.0)
             - (arg_min(time, rn) - arg_min(interval, rn)/2.0) AS interval_out,
-           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
-           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           round(CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_re_avg,
+           round(CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_im_avg,
            SUM(weight) AS weight_sum,
            (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
            CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
