@@ -1565,7 +1565,38 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
         snap.commit(sets_base, f"{root}/sets", mode="overwrite")
         snap.commit(_prefix_explode(sets_base), f"{root}/prefix", mode="overwrite")
 
-    # ---- probe (identical plan warm or cold): index tables only ----
+    report, sh_batch, batch_ranks = _probe_committed(spark, batch_docs, root)
+
+    if not warm:
+        # union-commit survivors (append): their sets/prefix rows rank by
+        # the committed df, so future batches dedup against them under
+        # the same global order. Meta lands LAST (build-crash ⇒ stale).
+        survivors = report.filter(F.col("is_dup") == 0).select("doc_id")
+        sh_new = sh_batch.join(F.broadcast(survivors), "doc_id")
+        # survivor tokens ⊆ batch tokens, so the broadcast rank table is
+        # reusable — again no shuffle of the corpus df table
+        sets_new = _rarest_first_sets(sh_new, F.broadcast(batch_ranks))
+        snap.commit(sets_new, f"{root}/sets", mode="append")
+        snap.commit(_prefix_explode(sets_new), f"{root}/prefix", mode="append")
+        n_docs = docs.count()
+        _write_index_meta(
+            spark, root,
+            (INGEST_INDEX_FORMAT, n_docs, 0, consts),
+            source_fp,
+        )
+    return report
+
+
+def _probe_committed(spark, batch_docs: DataFrame, root: str):
+    """ONE definition of the probe-only path (shared by the batch
+    incremental_dedup_ingest and the streaming foreachBatch consumer —
+    a pruning or ranking change here cannot desync the two): probe a
+    bounded batch against the COMMITTED prefix-filter index. Touches
+    index tables + the batch only; the raw corpus is never rescanned.
+    Returns (report, sh_batch, batch_ranks) — the latter two let the
+    caller append survivors under the committed rank order."""
+    from codex_africanus_spark.sources import snapshot as snap
+
     # Exclude exactly the CURRENT batch's own ids from the committed
     # index (broadcast anti-join — the batch is bounded by definition),
     # not everything matching the batch modulus: under the old modulus
@@ -1692,25 +1723,7 @@ def incremental_dedup_ingest(spark, docs: DataFrame, root: str) -> DataFrame:
             "jaccard_q",
         )
     )
-
-    if not warm:
-        # union-commit survivors (append): their sets/prefix rows rank by
-        # the committed df, so future batches dedup against them under
-        # the same global order. Meta lands LAST (build-crash ⇒ stale).
-        survivors = report.filter(F.col("is_dup") == 0).select("doc_id")
-        sh_new = sh_batch.join(F.broadcast(survivors), "doc_id")
-        # survivor tokens ⊆ batch tokens, so the broadcast rank table is
-        # reusable — again no shuffle of the corpus df table
-        sets_new = _rarest_first_sets(sh_new, F.broadcast(batch_ranks))
-        snap.commit(sets_new, f"{root}/sets", mode="append")
-        snap.commit(_prefix_explode(sets_new), f"{root}/prefix", mode="append")
-        n_docs = docs.count()
-        _write_index_meta(
-            spark, root,
-            (INGEST_INDEX_FORMAT, n_docs, 0, consts),
-            source_fp,
-        )
-    return report
+    return report, sh_batch, batch_ranks
 
 
 INCREMENTAL_DEDUP_SQL = f"""

@@ -2200,3 +2200,118 @@ def IVF_PQ_SQL(
       FROM ranked WHERE rank <= {k}
       ORDER BY query_id, rank
     """
+
+
+def ivf_index_append(spark, root: str, new_vecs: DataFrame,
+                     source_fp: str | None = None) -> None:
+    """Targeted persisted-IVF UPDATE (r7 verdict #7 candidate): assign
+    ONLY the new vectors against the COMMITTED centroids (broadcast
+    quantizer — an O(batch) job), append the assignments to the
+    snapshot, and roll the meta's content fingerprint forward
+    ADDITIVELY — the xxhash64-sum checksum is a sum, so the update
+    needs no corpus rescan. The coarse quantizer intentionally does NOT
+    move (faiss IndexIVF.add() semantics: adding vectors never retrains
+    the quantizer); cell balance drifts as the corpus grows, and a
+    periodic full build_ivf_index refreshes it — the same maintenance
+    cadence as dedup_index_rebuild. Probe results over the appended
+    index are exactly those of assigning every vector against the BASE
+    centroids, which is what the registry oracle recomputes."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    meta = _read_index_meta(spark, root)
+    if meta is None:
+        raise ValueError(f"no committed IVF index at {root}")
+    cent = snap.read_snapshot(spark, f"{root}/centroids")
+    dists = new_vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid",
+        _qdist2_unrolled("embedding", "centroid").alias("dist"),
+    )
+    assign_new = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("mn"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
+        .withColumn("norm_q", _qdot("embedding", "embedding"))
+    )
+    n_new, chk_new = _corpus_fingerprint(new_vecs)
+    # tombstone-first, meta-last: a crash mid-append reads stale and
+    # triggers a full rebuild rather than serving base-only results
+    _tombstone_index_meta(spark, root)
+    snap.commit(assign_new, f"{root}/assign", mode="append")
+    chk = (int(meta["checksum"]) + int(chk_new)) % _U64
+    if chk >= _U64 >> 1:
+        chk -= _U64
+    _write_index_meta(
+        spark, root,
+        (meta["format"], int(meta["n_vecs"]) + n_new, chk, meta["constants"]),
+        source_fp,
+    )
+
+
+def IVF_APPEND_SQL(split_modulus: int = 10, query_modulus: int = 125,
+                   k: int = 3, n_probe: int = N_PROBE) -> str:
+    """Oracle for the append path: centroids derive from the BASE slice
+    only (vec_id % split_modulus != 0 — both seeding and means), every
+    vector (base + appended) assigns against those base centroids, and
+    the probe/rerank is the standard IVF shape over the full corpus."""
+    dist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]) * {DOT_SCALE}) AS BIGINT)))"
+    )
+    dot = _qdot_sql("q.qe", "c.ce")
+    return f"""
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings WHERE vec_id % {split_modulus} != 0
+      ),
+      dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings WHERE vec_id % {split_modulus} != 0
+      ),
+      per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM dims GROUP BY cid, pos
+      ),
+      cent AS (
+        SELECT cid, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS centroid
+        FROM per_dim GROUP BY cid
+      ),
+      ranked_cells AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS cell_rank
+        FROM embeddings e, cent c
+      ),
+      assign AS (
+        SELECT vec_id, embedding, cid,
+               sqrt({_qdot_sql("embedding", "embedding")}) AS nrm
+        FROM ranked_cells WHERE cell_rank = 1
+      ),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS pcid
+        FROM ranked_cells WHERE cell_rank <= {n_probe} AND vec_id % {query_modulus} = 0
+      ),
+      q AS (
+        SELECT p.query_id, p.pcid, a.embedding AS qe, a.nrm AS qnorm
+        FROM probes p JOIN assign a ON a.vec_id = p.query_id
+      ),
+      pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({dot} / (q.qnorm * c.nrm), 9) AS cosine_sim
+        FROM q JOIN (SELECT vec_id, embedding AS ce, cid, nrm FROM assign) c
+          ON q.pcid = c.cid AND q.query_id <> c.vec_id
+      ),
+      topk AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, rank, neighbor_id, cosine_sim
+      FROM topk WHERE rank <= {k}
+      ORDER BY query_id, rank
+    """

@@ -80,3 +80,43 @@ def test_rebuild_requires_committed_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no committed ingest index"):
         dedup_op.dedup_index_rebuild(spark, str(tmp_path / "nope"))
+
+
+def test_ivf_append_additive_fingerprint_and_crash_safety(spark, sf_dir, tmp_path):
+    """(a) The additively-rolled checksum after an append equals the
+    deep content fingerprint of the FULL corpus (no rescan was used to
+    produce it); (b) an interrupted build+append sequence (sentinel
+    source digest) reads as stale, never serving a base-only index as
+    complete; (c) appended vectors are served by probes."""
+    from pyspark.sql import functions as F
+
+    from codex_africanus_spark.operators import similarity as sim_op
+    from codex_africanus_spark.sources import snapshot as snap
+
+    emb = load(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newv = emb.filter(F.col("vec_id") % 10 == 0)
+    root = str(tmp_path / "ivf")
+    src = sim_op._source_fingerprint(emb)
+    consts = sim_op._ivf_fingerprint(0, 0)[3]
+
+    sim_op.build_ivf_index(base, root, source_fp="pending-append")
+    # (b) crash window: base-built index must NOT read warm for the
+    # full-corpus digest
+    assert not sim_op._index_fresh_source(
+        spark, root, sim_op.IVF_INDEX_FORMAT, consts, src
+    )
+    sim_op.ivf_index_append(spark, root, newv, source_fp=src)
+    assert sim_op._index_fresh_source(
+        spark, root, sim_op.IVF_INDEX_FORMAT, consts, src
+    )
+    # (a) additive checksum == deep content fingerprint of base ∪ new
+    full_fp = sim_op._ivf_fingerprint(*sim_op._corpus_fingerprint(emb))
+    assert sim_op._index_fresh(spark, root, full_fp)
+    # (c) every appended vector is in the served assignment
+    served = {
+        r.vec_id
+        for r in snap.read_snapshot(spark, f"{root}/assign")
+        .select("vec_id").collect()
+    }
+    assert {r.vec_id for r in newv.select("vec_id").collect()} <= served
