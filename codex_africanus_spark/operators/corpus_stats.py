@@ -724,10 +724,16 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         F.col("s2").cast("double") / F.col("n_vecs")
         / F.lit(float(_EMB_Q) * float(_EMB_Q))
     )
+    # quantize-form final rounding (r8 sf0.1 sweep): F.round's exact
+    # BigDecimal path vs DuckDB's double-product ROUND forked one dim's
+    # mean at a 9-dp boundary at sf0.1; round(x*1e9)/1e9 is the same
+    # double expression in both engines.
+    from codex_africanus_spark.functions.deterministic import quantize
+
     return per.select(
         "pos", "n_vecs",
-        F.round(mean, 9).alias("dim_mean"),
-        F.round(ex2 - mean * mean, 9).alias("dim_var"),
+        (quantize(mean, 1e9) / F.lit(1e9)).alias("dim_mean"),
+        (quantize(ex2 - mean * mean, 1e9) / F.lit(1e9)).alias("dim_var"),
     ).orderBy("pos")
 
 
@@ -745,9 +751,9 @@ EMBEDDING_DIM_STATS_SQL = f"""
     FROM dims GROUP BY pos
   )
   SELECT pos, n_vecs,
-         round(CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q}, 9) AS dim_mean,
-         round(CAST(s2 AS DOUBLE) / n_vecs / ({_EMB_Q}.0 * {_EMB_Q})
+         CAST(ROUND(CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q} * 1000000000.0) AS BIGINT) / 1000000000.0 AS dim_mean,
+         CAST(ROUND((CAST(s2 AS DOUBLE) / n_vecs / ({_EMB_Q}.0 * {_EMB_Q})
                - (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q})
-                 * (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q}), 9) AS dim_var
+                 * (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q})) * 1000000000.0) AS BIGINT) / 1000000000.0 AS dim_var
   FROM per ORDER BY pos
 """

@@ -273,10 +273,17 @@ def char_trigram_entropy(documents: DataFrame) -> DataFrame:
     hq = F.expr(
         f"CAST(ROUND(ln(CAST(nd AS DOUBLE)) * {_LQ}) AS BIGINT) * nd - sq"
     )
+    # quantize-form final rounding (r8 sf0.1 sweep): F.round goes through
+    # an EXACT BigDecimal of the double while DuckDB ROUND(x, 9) rounds a
+    # double product — three sf0.1 docs landed on opposite sides of a
+    # 9-dp boundary. round(x*1e9)/1e9 evaluates identically in both.
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    ent = hq / (F.lit(1000000.0) * F.col("nd"))
     return per_doc.select(
         "doc_id",
         "n_distinct_tri",
-        F.round(hq / (F.lit(1000000.0) * F.col("nd")), 9).alias("trigram_entropy"),
+        (quantize(ent, 1e9) / F.lit(1e9)).alias("trigram_entropy"),
     ).orderBy("doc_id")
 
 
@@ -296,7 +303,7 @@ CHAR_TRIGRAM_ENTROPY_SQL = f"""
     FROM counts GROUP BY doc_id
   )
   SELECT doc_id, n_distinct_tri,
-         round((CAST(ROUND(ln(CAST(nd AS DOUBLE)) * {_LQ}) AS BIGINT) * nd - sq)
-               / (1000000.0 * nd), 9) AS trigram_entropy
+         CAST(ROUND((CAST(ROUND(ln(CAST(nd AS DOUBLE)) * {_LQ}) AS BIGINT) * nd - sq)
+               / (1000000.0 * nd) * 1000000000.0) AS BIGINT) / 1000000000.0 AS trigram_entropy
   FROM per_doc ORDER BY doc_id
 """
