@@ -11206,3 +11206,499 @@ def ivf_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ===========================================================================
+# Round 8: radio observatory-operations + corpus-curation additions
+# ===========================================================================
+
+_VV_HALF_PI = 1.5707963267948966  # pi/2
+_VV_NORM = 50.0  # synthetic correlator full-scale (l_quantity <= 50)
+
+_VAN_VLECK_ORACLE = _with_ms(
+    f"""
+    , c AS (
+      SELECT antenna1, antenna2,
+             CAST(ROUND(vis_re / {_VV_NORM!r} * 1000000000) AS BIGINT)
+               / 1000000000.0 AS r
+      FROM vis WHERE row_id % 13 = 0
+    )
+    SELECT antenna1, antenna2, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(ROUND(r * 1000000.0) AS BIGINT)) AS BIGINT) AS raw_q_sum,
+           CAST(SUM(CAST(ROUND(sin({_VV_HALF_PI!r} *
+             LEAST(1.0, GREATEST(-1.0, r))) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS vv_q_sum
+    FROM c GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("van_vleck_correction", _VAN_VLECK_ORACLE)
+def van_vleck_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van Vleck 1-bit quantization correction ρ = sin(π/2·r): the
+    measured 1-bit correlation r maps to the true analogue correlation
+    through the Van Vleck relation before any calibration can run —
+    an observatory-operations op the reference's correlator-facing
+    users apply upstream. Normalized r quantizes to the 1e-9 grid
+    BEFORE the sin (both engines trig the identical double — the r8
+    transcendental-input rule) and per-baseline sums are fixed-point
+    integers (no rounding flips at any scale)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 13 == 0)
+    r = quantize(F.col("vis_re") / F.lit(_VV_NORM), 1e9) / F.lit(1e9)
+    rho = F.sin(
+        F.lit(_VV_HALF_PI) * F.least(F.lit(1.0), F.greatest(F.lit(-1.0), r))
+    )
+    return (
+        vis.select("antenna1", "antenna2", r.alias("r"), rho.alias("rho"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(quantize(F.col("r"), 1e6)).alias("raw_q_sum"),
+            F.sum(quantize(F.col("rho"), 1e6)).alias("vv_q_sum"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+_REDUNDANT_ORACLE = _with_ms(
+    """
+    , g AS (
+      SELECT antenna2 - antenna1 AS separation, antenna1, antenna2,
+             vis_re, vis_im,
+             sqrt(vis_re * vis_re + vis_im * vis_im) AS amp
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT separation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT antenna1 * 100 + antenna2) AS BIGINT) AS n_baselines,
+           CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT) AS coh_re_q,
+           CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT) AS coh_im_q,
+           CAST(SUM(CAST(ROUND(amp * 1000000.0) AS BIGINT)) AS BIGINT) AS incoh_amp_q
+    FROM g GROUP BY separation ORDER BY separation
+    """
+)
+
+
+@register("redundant_baseline_groups", _REDUNDANT_ORACLE)
+def redundant_baseline_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundant-baseline grouping (regular-array calibration prep, the
+    redundant-cal shape HERA/21 cm pipelines run): baselines sharing an
+    antenna separation form one group; per group the COHERENT vis sum
+    (redundant baselines measure the same sky Fourier mode — they add
+    in phase) sits beside the INCOHERENT amplitude sum (adds always) —
+    their ratio is the standard redundancy-consistency diagnostic. All
+    sums fixed-point exact; sqrt is IEEE-correctly-rounded, identical
+    cross-engine."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    amp = F.sqrt(
+        F.col("vis_re") * F.col("vis_re") + F.col("vis_im") * F.col("vis_im")
+    )
+    return (
+        vis.select(
+            (F.col("antenna2") - F.col("antenna1")).alias("separation"),
+            "antenna1", "antenna2", "vis_re", "vis_im", amp.alias("amp"),
+        )
+        .groupBy("separation")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(
+                F.col("antenna1") * 100 + F.col("antenna2")
+            ).alias("n_baselines"),
+            F.sum(quantize(F.col("vis_re"), 1e6)).alias("coh_re_q"),
+            F.sum(quantize(F.col("vis_im"), 1e6)).alias("coh_im_q"),
+            F.sum(quantize(F.col("amp"), 1e6)).alias("incoh_amp_q"),
+        )
+        .orderBy("separation")
+    )
+
+
+_LST_OMEGA = 7.2921158553e-05  # Earth sidereal rotation rate [rad/s]
+_LST_LON = 0.35                # observatory east longitude [rad]
+_LST_TWO_PI = 6.283185307179586
+
+_LST_EXPR = (
+    f"((time * {_LST_OMEGA!r} + {_LST_LON!r}) - FLOOR((time * {_LST_OMEGA!r}"
+    f" + {_LST_LON!r}) / {_LST_TWO_PI!r}) * {_LST_TWO_PI!r})"
+)
+
+_LST_BINNING_ORACLE = _with_ms(
+    f"""
+    , b AS (
+      SELECT CAST(FLOOR({_LST_EXPR} / ({_LST_TWO_PI!r} / 24.0)) AS BIGINT)
+               AS lst_bin,
+             chan, vis_re, vis_im
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT lst_bin, chan, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT) AS re_q_sum,
+           CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT) AS im_q_sum
+    FROM b GROUP BY lst_bin, chan ORDER BY lst_bin, chan
+    """
+)
+
+
+@register("lst_binning", _LST_BINNING_ORACLE)
+def lst_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-sidereal-time binning — the LST-stacking 21 cm/EoR
+    pipelines run: the sky repeats every sidereal day, so visibilities
+    fold onto 24 LST bins and average coherently across days. The LST
+    phase is pure double arithmetic (multiply/add/floor — no
+    transcendentals, identical cross-engine); per-(bin, chan) sums are
+    fixed-point exact. One partial-agg groupBy at 24×nchan output
+    cardinality — the fold is map-side at any corpus size."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    theta = F.col("time") * F.lit(_LST_OMEGA) + F.lit(_LST_LON)
+    lst = theta - F.floor(theta / F.lit(_LST_TWO_PI)) * F.lit(_LST_TWO_PI)
+    lbin = F.floor(lst / F.lit(_LST_TWO_PI / 24.0)).cast("long")
+    return (
+        vis.select(lbin.alias("lst_bin"), "chan", "vis_re", "vis_im")
+        .groupBy("lst_bin", "chan")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(quantize(F.col("vis_re"), 1e6)).alias("re_q_sum"),
+            F.sum(quantize(F.col("vis_im"), 1e6)).alias("im_q_sum"),
+        )
+        .orderBy("lst_bin", "chan")
+    )
+
+
+@register(
+    "hour_angle_coverage",
+    _with_ms(
+        f"""
+        , b AS (
+          SELECT antenna1, antenna2,
+                 CAST(FLOOR({_LST_EXPR} / ({_LST_TWO_PI!r} / 24.0)) AS BIGINT)
+                   AS lst_bin
+          FROM vis
+        )
+        SELECT antenna1, antenna2,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT lst_bin) AS BIGINT) AS n_lst_bins,
+               (COUNT(DISTINCT lst_bin) * 1000000) // 24 AS coverage_ppm
+        FROM b GROUP BY antenna1, antenna2
+        ORDER BY antenna1, antenna2
+        """
+    ),
+)
+def hour_angle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-angle (uv-track) coverage per baseline: how many of the 24
+    LST bins each baseline samples — the synthesis-imaging completeness
+    number (a baseline missing hour angles leaves unfilled uv tracks
+    and a dirtier beam). Exact integer coverage fraction."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    theta = F.col("time") * F.lit(_LST_OMEGA) + F.lit(_LST_LON)
+    lst = theta - F.floor(theta / F.lit(_LST_TWO_PI)) * F.lit(_LST_TWO_PI)
+    lbin = F.floor(lst / F.lit(_LST_TWO_PI / 24.0)).cast("long")
+    return (
+        vis.select("antenna1", "antenna2", lbin.alias("lst_bin"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("lst_bin").alias("n_lst_bins"),
+        )
+        .select(
+            "antenna1", "antenna2", "n_rows", "n_lst_bins",
+            F.expr("n_lst_bins * 1000000 DIV 24").alias("coverage_ppm"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+_RM_VALUE = 2.5       # rotation measure [rad/m^2]
+_RM_LIGHT = 299792458.0
+
+_FARADAY_ORACLE = _with_ms(
+    f"""
+    , base AS (
+      SELECT row_id, antenna1, antenna2, chan,
+             vis_re AS q, 0.6 * vis_im AS u,
+             CAST(ROUND(2.0 * {_RM_VALUE!r}
+               * ({_RM_LIGHT!r} / frequency) * ({_RM_LIGHT!r} / frequency)
+               * 1000000000) AS BIGINT) / 1000000000.0 AS chi2
+      FROM vis WHERE row_id % 11 = 0
+    )
+    SELECT row_id, antenna1, antenna2, chan,
+           CAST(ROUND((q * cos(chi2) + u * sin(chi2)) * 1000000) AS BIGINT)
+             / 1000000.0 AS q_corr,
+           CAST(ROUND((u * cos(chi2) - q * sin(chi2)) * 1000000) AS BIGINT)
+             / 1000000.0 AS u_corr
+    FROM base ORDER BY row_id, antenna1, antenna2, chan
+    """
+)
+
+
+@register("faraday_rm_correction", _FARADAY_ORACLE)
+def faraday_rm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ionospheric Faraday-rotation correction: the plasma rotates the
+    linear-polarization angle by χ = RM·λ², so (Q, U) de-rotate by 2χ
+    before any polarimetry — the polarimetric sibling of feed_rotation
+    (reference feeds.py), with a frequency-dependent instead of
+    parallactic angle. 2χ quantizes to the 1e-9 grid before the trig
+    (transcendental-input rule); outputs land on the 1e-6 grid."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 11 == 0)
+    lam = F.lit(_RM_LIGHT) / F.col("frequency")
+    chi2 = quantize(F.lit(2.0 * _RM_VALUE) * lam * lam, 1e9) / F.lit(1e9)
+    q, u = F.col("vis_re"), F.lit(0.6) * F.col("vis_im")
+    return vis.select(
+        "row_id", "antenna1", "antenna2", "chan",
+        (quantize(q * F.cos(chi2) + u * F.sin(chi2), 1e6) / F.lit(1e6))
+        .alias("q_corr"),
+        (quantize(u * F.cos(chi2) - q * F.sin(chi2), 1e6) / F.lit(1e6))
+        .alias("u_corr"),
+    ).orderBy("row_id", "antenna1", "antenna2", "chan")
+
+
+_STITCH_K = 3  # boundary n-gram width (tokens)
+
+_STITCH_SQL = f"""
+  WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= {2 * _STITCH_K}
+  ),
+  pk AS (
+    SELECT doc_id,
+           array_to_string(w[1:{_STITCH_K}], ' ') AS pref,
+           array_to_string(w[-{_STITCH_K}:], ' ') AS suff
+    FROM t
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.suff AS bridge
+  FROM pk a JOIN pk b ON a.suff = b.pref AND a.doc_id <> b.doc_id
+  ORDER BY doc_a, doc_b
+"""
+
+
+@register("suffix_prefix_stitch_pairs", _STITCH_SQL)
+def suffix_prefix_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary stitching: web-crawl extraction often splits
+    one page into consecutive records, so a doc whose LAST k tokens
+    equal another's FIRST k tokens is a continuation candidate (the
+    pre-pass a document-rejoining curation stage runs before dedup).
+    Equi-join on the boundary k-gram — hash-shuffle on the bridge key,
+    never all-pairs; at corpus scale the bridge key is as selective as
+    any shingle."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    docs = load(spark, "documents", sf_dir)
+    t = fan_out(docs).withColumn("w", F.split("text", " ")).filter(
+        F.size("w") >= 2 * _STITCH_K
+    )
+    pk = t.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("w", 1, _STITCH_K)).alias("pref"),
+        F.concat_ws(" ", F.slice("w", -_STITCH_K, _STITCH_K)).alias("suff"),
+    )
+    a = pk.select(F.col("doc_id").alias("doc_a"), F.col("suff").alias("bridge"))
+    b = pk.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("bridge"))
+    return (
+        a.join(b, "bridge")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "bridge")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _knn_degree_sql() -> str:
+    pairs = sim_op.NEAR_DUP_SQL(0.9).replace("ORDER BY id_a, id_b", "")
+    return f"""
+      WITH pairs AS ({pairs}),
+      deg AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+          SELECT id_a AS vec_id FROM pairs
+          UNION ALL
+          SELECT id_b AS vec_id FROM pairs
+        ) GROUP BY vec_id
+      ),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+      hist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+        UNION ALL
+        SELECT 0 AS degree,
+               (SELECT n_vecs FROM tot) - (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+      )
+      SELECT degree, n_nodes FROM hist WHERE n_nodes > 0 ORDER BY degree
+    """
+
+
+@register("knn_graph_degree_stats", _knn_degree_sql())
+def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph degree histogram over the ≥0.9-cosine near-dup
+    graph — the health check a connected-components dedup needs BEFORE
+    running (a heavy-tailed degree distribution means one template hub
+    will chain half the corpus into one cluster). Reuses the bucketed
+    near-dup pair generation; degrees reduce at node cardinality."""
+    emb = load(spark, "embeddings", sf_dir)
+    pairs = sim_op.near_dup_pairs(emb, threshold=0.9)
+    deg = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    totals = emb.agg(F.count(F.lit(1)).alias("n_vecs")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_connected"))
+    )
+    zero = totals.select(
+        F.lit(0).cast("long").alias("degree"),
+        (F.col("n_vecs") - F.col("n_connected")).alias("n_nodes"),
+    )
+    return (
+        hist.unionByName(zero)
+        .filter(F.col("n_nodes") > 0)
+        .orderBy("degree")
+    )
+
+
+_DOMAIN_GINI_SQL = """
+  WITH c AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+  ),
+  s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS tot FROM c),
+  d AS (
+    SELECT CAST(SUM(ABS(a.n - b.n)) AS BIGINT) AS sum_abs
+    FROM c a, c b
+  )
+  SELECT s.k AS n_sources, s.tot AS total_docs,
+         CAST(ROUND(CAST(d.sum_abs AS DOUBLE) * 1000000.0
+              / (2.0 * s.k * s.tot)) AS BIGINT) AS gini_ppm
+  FROM s, d
+"""
+
+
+@register("domain_balance_gini", _DOMAIN_GINI_SQL)
+def domain_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-source document distribution — the
+    one-number domain-balance summary a mixture designer tracks
+    (0 = perfectly balanced, →1 = one source dominates). Mean absolute
+    difference over the k-row per-source count table (k² pairs of a
+    DIM table — never corpus-scale); exact integers until the final
+    ppm quantization."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    c = load(spark, "documents", sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_sources"), F.sum("n").alias("total_docs")
+    )
+    d = (
+        c.select(F.col("n").alias("na"))
+        .crossJoin(c.select(F.col("n").alias("nb")))
+        .agg(F.sum(F.abs(F.col("na") - F.col("nb"))).alias("sum_abs"))
+    )
+    return s.crossJoin(d).select(
+        "n_sources",
+        "total_docs",
+        quantize(
+            F.col("sum_abs").cast("double") * F.lit(1e6)
+            / (F.lit(2.0) * F.col("n_sources") * F.col("total_docs")),
+            1.0,
+        ).alias("gini_ppm"),
+    )
+
+
+_MIX_TEMP_SQL = """
+  WITH c AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+  ),
+  w AS (
+    SELECT *, CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000) AS BIGINT)
+      AS w_q
+    FROM c
+  ),
+  t AS (SELECT CAST(SUM(w_q) AS BIGINT) AS wt, CAST(SUM(n_tokens) AS BIGINT) AS tok
+        FROM w)
+  SELECT w.source, w.n_docs, w.n_tokens,
+         CAST(ROUND(CAST(w.w_q AS DOUBLE) / t.wt * 1000000.0) AS BIGINT)
+           AS weight_ppm,
+         CAST(ROUND(CAST(w.w_q AS DOUBLE) / t.wt * t.tok) AS BIGINT)
+           AS budget_tokens
+  FROM w, t ORDER BY w.source
+"""
+
+
+@register("mixture_temperature_reweighting", _MIX_TEMP_SQL)
+def mixture_temperature_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting w_s ∝ n_s^(1/2) (α = 0.5,
+    the standard multilingual/multi-domain up-sampling temperature):
+    per-source sampling weight and the token budget each source gets
+    under the reweighted mixture. sqrt is IEEE-correctly-rounded
+    (identical cross-engine, no quantize-before needed); weights
+    quantize at 1e-9, shares at ppm — all ratios of identical ints."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    c = load(spark, "documents", sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = c.withColumn(
+        "w_q", quantize(F.sqrt(F.col("n_docs").cast("double")), 1e9)
+    )
+    t = w.agg(F.sum("w_q").alias("wt"), F.sum("n_tokens").alias("tok"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source", "n_docs", "n_tokens",
+            quantize(
+                F.col("w_q").cast("double") / F.col("wt") * F.lit(1e6), 1.0
+            ).alias("weight_ppm"),
+            quantize(
+                F.col("w_q").cast("double") / F.col("wt") * F.col("tok"), 1.0
+            ).alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKENS_PER_BYTE_SQL = """
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         CAST(ROUND(CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+              * 1000000.0 / SUM(n_chars)) AS BIGINT) AS tokens_per_mb_byte
+  FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register("tokens_per_byte_by_source", _TOKENS_PER_BYTE_SQL)
+def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-byte by source — the compression-proxy quality signal
+    (low tokens/byte = long repetitive strings or binary junk; high =
+    terse natural text) and the conversion factor every token-budget
+    planner needs per domain. Exact integer sums; the rate is a ratio
+    of identical ints on the ppm grid."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    return (
+        load(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.sum("n_chars").alias("n_bytes"),
+        )
+        .select(
+            "source", "n_tokens", "n_bytes",
+            quantize(
+                F.col("n_tokens").cast("double") * F.lit(1e6) / F.col("n_bytes"),
+                1.0,
+            ).alias("tokens_per_mb_byte"),
+        )
+        .orderBy("source")
+    )
