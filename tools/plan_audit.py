@@ -90,6 +90,14 @@ QUERIES = [
     "ivf_cell_label_purity", "primary_beam_attenuation_map",
     "observation_summary_listing", "flag_reason_breakdown",
     "cross_source_template_matrix", "stopword_profile_by_lang",
+    # round-8 additions
+    "bda_salted_average", "dedup_index_rebuild",
+    "rime_custom_transformer_predict", "faceted_mosaic_predict",
+    "ann_ivf_appended_topk", "van_vleck_correction",
+    "redundant_baseline_groups", "lst_binning", "hour_angle_coverage",
+    "faraday_rm_correction", "suffix_prefix_stitch_pairs",
+    "knn_graph_degree_stats", "domain_balance_gini",
+    "mixture_temperature_reweighting", "tokens_per_byte_by_source",
 ]
 
 spark = (
