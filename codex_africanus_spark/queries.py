@@ -11702,3 +11702,335 @@ def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Round 8 (second block): delay spectrum, LSH planner, QA + curation audits
+# ===========================================================================
+
+# 8-point delay-transform trig table, precomputed ONCE in Python and
+# interpolated as identical literals into both engines (k*8+c indexed,
+# 1-based lookup) — zero cross-engine transcendental divergence by
+# construction.
+_DELAY_COS = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.7071067811865476, 6.123233995736766e-17, -0.7071067811865475, -1.0, -0.7071067811865477, -1.8369701987210297e-16, 0.7071067811865474, 1.0, 6.123233995736766e-17, -1.0, -1.8369701987210297e-16, 1.0, 3.061616997868383e-16, -1.0, -4.286263797015736e-16, 1.0, -0.7071067811865475, -1.8369701987210297e-16, 0.7071067811865477, -1.0, 0.7071067811865466, 5.51091059616309e-16, -0.7071067811865474, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -0.7071067811865477, 3.061616997868383e-16, 0.7071067811865466, -1.0, 0.7071067811865475, -2.6948419387607653e-15, -0.7071067811865461, 1.0, -1.8369701987210297e-16, -1.0, 5.51091059616309e-16, 1.0, -2.6948419387607653e-15, -1.0, -4.904777002955296e-16, 1.0, 0.7071067811865474, -4.286263797015736e-16, -0.7071067811865474, -1.0, -0.7071067811865461, -4.904777002955296e-16, 0.7071067811865505]
+_DELAY_SIN = [-0.0, -0.0, -0.0, -0.0, -0.0, -0.0, -0.0, -0.0, -0.0, -0.7071067811865475, -1.0, -0.7071067811865476, -1.2246467991473532e-16, 0.7071067811865475, 1.0, 0.7071067811865477, -0.0, -1.0, -1.2246467991473532e-16, 1.0, 2.4492935982947064e-16, -1.0, -3.6739403974420594e-16, 1.0, -0.0, -0.7071067811865476, 1.0, -0.7071067811865474, -3.6739403974420594e-16, 0.7071067811865485, -1.0, 0.7071067811865477, -0.0, -1.2246467991473532e-16, 2.4492935982947064e-16, -3.6739403974420594e-16, 4.898587196589413e-16, -6.123233995736766e-16, 7.347880794884119e-16, -8.572527594031472e-16, -0.0, 0.7071067811865475, -1.0, 0.7071067811865485, -6.123233995736766e-16, -0.7071067811865476, 1.0, -0.7071067811865489, -0.0, 1.0, -3.6739403974420594e-16, -1.0, 7.347880794884119e-16, 1.0, -1.102182119232618e-15, -1.0, -0.0, 0.7071067811865477, 1.0, 0.7071067811865477, -8.572527594031472e-16, -0.7071067811865489, -1.0, -0.7071067811865446]
+_DELAY_COS_SQL = "[" + ", ".join(repr(v) for v in _DELAY_COS) + "]"
+_DELAY_SIN_SQL = "[" + ", ".join(repr(v) for v in _DELAY_SIN) + "]"
+
+_DELAY_ORACLE = _with_ms(
+    f"""
+    , spq AS (
+      SELECT time, antenna1, antenna2, chan,
+             SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS re_q,
+             SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS im_q
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2, 3, 4
+    ),
+    terms AS (
+      SELECT time, antenna1, antenna2, chan, re_q, im_q,
+             unnest(generate_series(0, 7)) AS k
+      FROM spq
+    ),
+    dft AS (
+      SELECT time, antenna1, antenna2, k,
+             SUM(CAST(ROUND(((re_q / 1000000.0) * ({_DELAY_COS_SQL}[CAST(k*8 + chan + 1 AS INT)])
+                 - (im_q / 1000000.0) * ({_DELAY_SIN_SQL}[CAST(k*8 + chan + 1 AS INT)]))
+                 * 1000000.0) AS BIGINT)) AS fr_q,
+             SUM(CAST(ROUND(((re_q / 1000000.0) * ({_DELAY_SIN_SQL}[CAST(k*8 + chan + 1 AS INT)])
+                 + (im_q / 1000000.0) * ({_DELAY_COS_SQL}[CAST(k*8 + chan + 1 AS INT)]))
+                 * 1000000.0) AS BIGINT)) AS fi_q
+      FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT antenna1, antenna2, k AS delay_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_spectra,
+           CAST(SUM(CAST(ROUND(((fr_q / 1000000.0) * (fr_q / 1000000.0)
+               + (fi_q / 1000000.0) * (fi_q / 1000000.0)) * 1000000.0) AS BIGINT))
+             AS BIGINT) AS power_q_sum
+    FROM dft GROUP BY 1, 2, 3
+    ORDER BY antenna1, antenna2, delay_bin
+    """
+)
+
+
+@register("delay_spectrum_per_baseline", _DELAY_ORACLE)
+def delay_spectrum_per_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline delay spectrum — THE 21 cm/EoR power-spectrum
+    estimator shape: the 8-channel spectrum of each (time, baseline)
+    sample transforms along frequency (8-point DFT) into delay space,
+    and |F(tau)|^2 accumulates per (baseline, delay bin). Foreground
+    power concentrates at low delay; high-delay bins are the
+    cosmological window. Spectra collapse to exact fixed-point ints
+    first; the DFT trig factors are Python-precomputed literals shared
+    verbatim by both engines, so every product is bit-identical. Two
+    partial aggs — the 8x delay fan-out rides collapsed cardinality."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    spq = vis.groupBy("time", "antenna1", "antenna2", "chan").agg(
+        F.sum(quantize(F.col("vis_re"), 1e6)).alias("re_q"),
+        F.sum(quantize(F.col("vis_im"), 1e6)).alias("im_q"),
+    )
+    cos_arr = F.array(*[F.lit(v) for v in _DELAY_COS])
+    sin_arr = F.array(*[F.lit(v) for v in _DELAY_SIN])
+    terms = spq.select(
+        "time", "antenna1", "antenna2", "chan", "re_q", "im_q",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).select(
+        "time", "antenna1", "antenna2", "k",
+        F.element_at(cos_arr, (F.col("k") * 8 + F.col("chan") + 1).cast("int"))
+        .alias("ct"),
+        F.element_at(sin_arr, (F.col("k") * 8 + F.col("chan") + 1).cast("int"))
+        .alias("st"),
+        (F.col("re_q") / F.lit(1e6)).alias("re"),
+        (F.col("im_q") / F.lit(1e6)).alias("im"),
+    )
+    dft = terms.groupBy("time", "antenna1", "antenna2", "k").agg(
+        F.sum(
+            quantize(F.col("re") * F.col("ct") - F.col("im") * F.col("st"), 1e6)
+        ).alias("fr_q"),
+        F.sum(
+            quantize(F.col("re") * F.col("st") + F.col("im") * F.col("ct"), 1e6)
+        ).alias("fi_q"),
+    )
+    fr = F.col("fr_q") / F.lit(1e6)
+    fi = F.col("fi_q") / F.lit(1e6)
+    return (
+        dft.groupBy("antenna1", "antenna2", F.col("k").alias("delay_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spectra"),
+            F.sum(quantize(fr * fr + fi * fi, 1e6)).alias("power_q_sum"),
+        )
+        .orderBy("antenna1", "antenna2", "delay_bin")
+    )
+
+
+# LSH (bands, rows) planner table: detection probability 1-(1-s^r)^b at
+# each observed-jaccard decile midpoint, precomputed in Python to ppm
+# integers — both engines consume identical literals, and the expected
+# counts are pure integer arithmetic.
+_LSH_PLANNER_ROWS = [(4, 8, 0, 0), (4, 8, 1, 1), (4, 8, 2, 61), (4, 8, 3, 900), (4, 8, 4, 6709), (4, 8, 5, 33075), (4, 8, 6, 121494), (4, 8, 7, 344229), (4, 8, 8, 719873), (4, 8, 9, 987166), (8, 4, 0, 50), (8, 4, 1, 4043), (8, 4, 2, 30826), (8, 4, 3, 113930), (8, 4, 4, 284637), (8, 4, 5, 535938), (8, 4, 6, 792588), (8, 4, 7, 952315), (8, 4, 8, 997275), (8, 4, 9, 999999), (16, 2, 0, 39259), (16, 2, 1, 305186), (16, 2, 2, 643926), (16, 2, 3, 876418), (16, 2, 4, 973227), (16, 2, 5, 996862), (16, 2, 6, 999847), (16, 2, 7, 999998), (16, 2, 8, 1000000), (16, 2, 9, 1000000)]
+
+
+def _lsh_planner_oracle() -> str:
+    pair_sub = dedup_op.NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")
+    values = ", ".join(
+        "(%d, %d, %d, %d)" % (b, r, d, p) for b, r, d, p in _LSH_PLANNER_ROWS
+    )
+    return f"""
+      WITH pairs AS (
+        SELECT n_common, n_union FROM ({pair_sub})
+      ),
+      deciles AS (
+        SELECT LEAST(9, CAST(FLOOR(n_common * 10.0 / n_union) AS BIGINT)) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+      ),
+      planner(b, r, decile, detect_ppm) AS (
+        VALUES {values}
+      )
+      SELECT p.b, p.r, d.decile, d.n_pairs,
+             CAST(p.detect_ppm AS BIGINT) AS detect_ppm,
+             (d.n_pairs * p.detect_ppm) // 1000000 AS expected_detected
+      FROM deciles d JOIN planner p ON p.decile = d.decile
+      ORDER BY p.b, p.r, d.decile
+    """
+
+
+@register("lsh_params_planner", _lsh_planner_oracle())
+def lsh_params_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands, rows) parameter planner grounded in THIS corpus: the
+    observed exact-jaccard pair distribution (decile histogram) crossed
+    with the S-curve detection probability 1-(1-s^r)^b of each candidate
+    banding — the expected caught/missed pair counts a curator reads
+    before fixing (b, r). Probabilities are Python-precomputed ppm
+    integers (identical literals both engines); expected counts are
+    integer products — no float crosses the engine boundary."""
+    pairs = dedup_op.ngram_jaccard_pairs(load(spark, "documents", sf_dir))
+    deciles = (
+        pairs.select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("n_common") * 10.0 / F.col("n_union")),
+            ).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    planner = spark.createDataFrame(
+        _LSH_PLANNER_ROWS, "b int, r int, decile long, detect_ppm long"
+    )
+    return (
+        deciles.join(F.broadcast(planner), "decile")
+        .select(
+            "b", "r", "decile", "n_pairs", "detect_ppm",
+            F.expr("n_pairs * detect_ppm DIV 1000000").alias("expected_detected"),
+        )
+        .orderBy("b", "r", "decile")
+    )
+
+
+_BAND_EDGE = 1  # channels flagged at each band edge
+
+_BAND_EDGE_ORACLE = _with_ms(
+    f"""
+    , c AS (
+      SELECT chan,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged_before,
+             CAST(chan < {_BAND_EDGE} OR chan >= 8 - {_BAND_EDGE} AS INT)
+               AS is_edge
+      FROM vis GROUP BY chan
+    )
+    SELECT chan, n_rows, is_edge, n_flagged_before,
+           CASE WHEN is_edge = 1 THEN n_rows ELSE n_flagged_before END
+             AS n_flagged_after,
+           CAST(ROUND((CASE WHEN is_edge = 1 THEN n_rows ELSE n_flagged_before END
+                - n_flagged_before) * 1000000.0 / n_rows) AS BIGINT) AS added_ppm
+    FROM c ORDER BY chan
+    """
+)
+
+
+@register("band_edge_flagging", _BAND_EDGE_ORACLE)
+def band_edge_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-edge channel flagging impact: edge channels sit on the
+    bandpass roll-off and are flagged wholesale by every observatory
+    pipeline; this reports the per-channel flag occupancy before/after
+    the edge mask and the added fraction — the cost sheet for widening
+    the guard band. Pure per-channel conditional aggregates."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    c = vis.groupBy("chan").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("flag") | F.col("flag_row")).cast("long")).alias(
+            "n_flagged_before"
+        ),
+    ).withColumn(
+        "is_edge",
+        (
+            (F.col("chan") < _BAND_EDGE) | (F.col("chan") >= 8 - _BAND_EDGE)
+        ).cast("int"),
+    )
+    after = F.when(F.col("is_edge") == 1, F.col("n_rows")).otherwise(
+        F.col("n_flagged_before")
+    )
+    return c.select(
+        "chan", "n_rows", "is_edge", "n_flagged_before",
+        after.alias("n_flagged_after"),
+        quantize(
+            (after - F.col("n_flagged_before")).cast("double")
+            * F.lit(1e6) / F.col("n_rows"),
+            1.0,
+        ).alias("added_ppm"),
+    ).orderBy("chan")
+
+
+_COHERENCE_ORACLE = _with_ms(
+    """
+    , s AS (
+      SELECT antenna1, antenna2, chan, vis_re, vis_im,
+             lag(vis_re) OVER w AS pre, lag(vis_im) OVER w AS pim
+      FROM vis
+      WINDOW w AS (PARTITION BY antenna1, antenna2, chan
+                   ORDER BY time, row_id, vis_re, vis_im)
+    )
+    SELECT antenna1, antenna2,
+           CAST(SUM(CASE WHEN pre IS NULL THEN 0 ELSE
+             CAST(ROUND((vis_re * pre + vis_im * pim) * 1000000.0) AS BIGINT)
+             END) AS BIGINT) AS lag1_q,
+           CAST(SUM(CAST(ROUND((vis_re * vis_re + vis_im * vis_im) * 1000000.0)
+             AS BIGINT)) AS BIGINT) AS power_q,
+           CAST(ROUND(CAST(SUM(CASE WHEN pre IS NULL THEN 0 ELSE
+             CAST(ROUND((vis_re * pre + vis_im * pim) * 1000000.0) AS BIGINT) END)
+               AS DOUBLE)
+             * 1000000.0
+             / CAST(SUM(CAST(ROUND((vis_re * vis_re + vis_im * vis_im) * 1000000.0)
+                   AS BIGINT)) AS DOUBLE)) AS BIGINT) AS coherence_ppm
+    FROM s GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("coherence_time_estimate", _COHERENCE_ORACLE)
+def coherence_time_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline lag-1 temporal coherence Re<v_t * conj(v_{t-1})> /
+    <|v|^2> — the averaging-time sanity check (a baseline decorrelating
+    between successive samples cannot be time-averaged without loss;
+    cf. the BDA decorrelation bound this estimates empirically). Lag
+    windows per (baseline, chan) are streaming-friendly (no unbounded
+    frames); sums fixed-point; the ratio is ints-over-ints."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    # (time, row_id) is NOT unique in the testdata (duplicate
+    # orderkey/linenumber pairs) — order ties by the value columns too,
+    # so any remaining ties are value-identical and lag products are
+    # permutation-invariant (r8 sf0.1 sweep lesson)
+    w = W.partitionBy("antenna1", "antenna2", "chan").orderBy(
+        "time", "row_id", "vis_re", "vis_im"
+    )
+    s = vis.select(
+        "antenna1", "antenna2", "vis_re", "vis_im",
+        F.lag("vis_re").over(w).alias("pre"),
+        F.lag("vis_im").over(w).alias("pim"),
+    )
+    lag1 = F.when(
+        F.col("pre").isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        quantize(F.col("vis_re") * F.col("pre") + F.col("vis_im") * F.col("pim"), 1e6)
+    )
+    pw = quantize(
+        F.col("vis_re") * F.col("vis_re") + F.col("vis_im") * F.col("vis_im"), 1e6
+    )
+    return (
+        s.groupBy("antenna1", "antenna2")
+        .agg(F.sum(lag1).alias("lag1_q"), F.sum(pw).alias("power_q"))
+        .select(
+            "antenna1", "antenna2", "lag1_q", "power_q",
+            quantize(
+                F.col("lag1_q").cast("double") * F.lit(1e6)
+                / F.col("power_q").cast("double"),
+                1.0,
+            ).alias("coherence_ppm"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+_CROSS_LANG_DUP_SQL = """
+  SELECT md5(text) AS digest,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+         MIN(doc_id) AS first_doc
+  FROM documents
+  GROUP BY md5(text)
+  HAVING COUNT(DISTINCT lang) > 1
+  ORDER BY first_doc
+"""
+
+
+@register("duplicate_text_cross_lang", _CROSS_LANG_DUP_SQL)
+def duplicate_text_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical text filed under DIFFERENT language labels — the
+    lang-id mislabel detector (a byte-identical doc cannot be in two
+    languages; one of the labels is wrong, and downstream per-language
+    mixtures double-count it). Digest groupBy + label-cardinality
+    filter; output is mislabel-cardinality, never corpus-scale."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("first_doc")
+    )
