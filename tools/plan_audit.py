@@ -98,6 +98,9 @@ QUERIES = [
     "faraday_rm_correction", "suffix_prefix_stitch_pairs",
     "knn_graph_degree_stats", "domain_balance_gini",
     "mixture_temperature_reweighting", "tokens_per_byte_by_source",
+    "delay_spectrum_per_baseline", "lsh_params_planner",
+    "band_edge_flagging", "coherence_time_estimate",
+    "duplicate_text_cross_lang",
 ]
 
 spark = (
