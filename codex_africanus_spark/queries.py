@@ -2099,10 +2099,14 @@ _FACETED_MOSAIC_ORACLE = _with_ms(
       SELECT *, sqrt(1.0 - l_c*l_c - m_c*m_c) AS n_c FROM centres
     ),
     off_sum AS (
+      -- uvw/frequency are GROUP KEYS, not MIN(): (row_id, baseline,
+      -- chan) is not a unique grain in the testdata (duplicate
+      -- orderkey/linenumber rows), and steering a merged group by one
+      -- row's uvw breaks the faceting identity (r8 property-test find)
       SELECT v.row_id, v.antenna1, v.antenna2, v.chan, s.facet_id,
              c.l_c, c.m_c, c.n_c,
-             MIN(v.u) AS u, MIN(v.v) AS v_, MIN(v.w) AS w,
-             MIN(v.frequency) AS frequency,
+             v.u AS u, v.v AS v_, v.w AS w,
+             v.frequency AS frequency,
              SUM(CAST(ROUND(s.flux_i * cos({_FACET_K} * (v.u*(s.l - c.l_c)
                  + v.v*(s.m - c.m_c) + v.w*(s.n - c.n_c)) * v.frequency)
                  * 1000000) AS BIGINT)) / 1000000.0 AS sf_re,
@@ -2111,7 +2115,7 @@ _FACETED_MOSAIC_ORACLE = _with_ms(
                  * 1000000) AS BIGINT)) / 1000000.0 AS sf_im
       FROM vis v, fsrc s JOIN cn c USING (facet_id)
       WHERE v.row_id % 5 = 0
-      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12
     ),
     steered AS (
       SELECT row_id, antenna1, antenna2, chan,
@@ -2120,7 +2124,7 @@ _FACETED_MOSAIC_ORACLE = _with_ms(
       FROM off_sum
     )
     SELECT row_id, antenna1, antenna2, chan,
-           CAST(COUNT(*) AS BIGINT) AS n_facets,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
            SUM(CAST(ROUND((sf_re * cos(tc) - sf_im * sin(tc)) * 1000000)
                AS BIGINT)) / 1000000.0 AS vis_re,
            SUM(CAST(ROUND((sf_re * sin(tc) + sf_im * cos(tc)) * 1000000)
@@ -2181,12 +2185,14 @@ def faceted_mosaic_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.col("frequency")
     )
+    # uvw/frequency as GROUP KEYS, not MIN(): (row_id, baseline, chan)
+    # is not unique in the testdata, and steering a merged group by one
+    # row's uvw breaks the faceting identity (r8 property-test find —
+    # test_faceted_mosaic_matches_direct_predict)
     off = j.groupBy(
         "row_id", "antenna1", "antenna2", "chan", "facet_id",
-        "l_c", "m_c", "n_c",
+        "l_c", "m_c", "n_c", "u", "v", "w", "frequency",
     ).agg(
-        F.min("u").alias("u"), F.min("v").alias("v"), F.min("w").alias("w"),
-        F.min("frequency").alias("frequency"),
         (qsum(F.col("flux_i") * F.cos(th_off), 1e6) / F.lit(1e6)).alias("sf_re"),
         (qsum(F.col("flux_i") * F.sin(th_off), 1e6) / F.lit(1e6)).alias("sf_im"),
     )
@@ -2206,7 +2212,7 @@ def faceted_mosaic_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         steered.groupBy("row_id", "antenna1", "antenna2", "chan")
         .agg(
-            F.count(F.lit(1)).alias("n_facets"),
+            F.count(F.lit(1)).alias("n_parts"),
             (qsum(
                 F.col("sf_re") * F.cos("tc") - F.col("sf_im") * F.sin("tc"), 1e6
             ) / F.lit(1e6)).alias("vis_re"),
