@@ -490,11 +490,13 @@ def test_pmi_no_cartesian_takeordered(spark, sf_dir):
 
 def test_prefix_join_reuses_persisted_shingles_no_cartesian(spark, sf_dir):
     """Prefix-filter jaccard join: the distinct shingle frame must come
-    from the persisted cache for every consumer (no re-explode of the
-    corpus), and every join is an equi-join."""
+    from the materialized checkpoint for every consumer (no re-explode
+    of the corpus — localCheckpoint since the r8 cache-leak sweep, so
+    the reuse node is Scan ExistingRDD), and every join is an
+    equi-join."""
     plan = plan_of(registry()["prefix_filter_jaccard_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Scan ExistingRDD") >= 3
     assert "SortMergeJoin" not in plan
 
 
@@ -523,9 +525,10 @@ def test_briggs_sweep_single_fact_pass(spark, sf_dir):
     plan = plan_of(registry()["briggs_robust_sweep"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the persisted cell table feeds both totals and the join-back (the
-    # parquet scans inside the InMemoryRelation body run once at fill)
-    assert plan.count("InMemoryTableScan") >= 2
+    # the checkpointed cell table feeds both totals and the join-back
+    # (localCheckpoint since the r8 cache-leak sweep: the parquet scan
+    # ran once at materialization; consumers read Scan ExistingRDD)
+    assert plan.count("Scan ExistingRDD") >= 2
 
 
 def test_smearing_and_segments_collapse_before_window(spark, sf_dir):
@@ -571,11 +574,12 @@ def test_pca_moment_aggregate_is_partial_final(spark, sf_dir):
 
 
 def test_calibration_and_correlation_plan_shapes(spark, sf_dir):
-    """Calibration: equi-joins only, persisted shingle frame reused;
-    correlation: one scan, one source-cardinality aggregate exchange."""
+    """Calibration: equi-joins only, checkpointed shingle frame reused
+    (Scan ExistingRDD since the r8 cache-leak sweep); correlation: one
+    scan, one source-cardinality aggregate exchange."""
     plan = plan_of(registry()["minhash_calibration_curve"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Scan ExistingRDD") >= 3
     plan = plan_of(registry()["length_quality_correlation"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") <= 1
     assert plan.count("Exchange hashpartitioning") <= 2
