@@ -123,6 +123,12 @@ LLM_QUERIES = [
     "source_quality_drift", "embedding_norm_outliers",
     "contamination_run_diff", "cross_source_template_matrix",
     "stopword_profile_by_lang",
+    # round-8 additions (documents/embeddings-only surface)
+    "suffix_prefix_stitch_pairs", "knn_graph_degree_stats",
+    "domain_balance_gini", "mixture_temperature_reweighting",
+    "tokens_per_byte_by_source", "lsh_params_planner",
+    "duplicate_text_cross_lang", "embedding_dim_stats",
+    "char_trigram_entropy",
 ]
 
 

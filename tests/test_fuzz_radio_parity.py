@@ -82,6 +82,18 @@ RADIO_QUERIES = [
     "flag_reason_breakdown",
     "spectral_regrid_linear",
     "snapshot_zorder_uv_box_scan",
+    # round-8 additions
+    "bda_salted_average",
+    "rime_custom_transformer_predict",
+    "faceted_mosaic_predict",
+    "van_vleck_correction",
+    "redundant_baseline_groups",
+    "lst_binning",
+    "hour_angle_coverage",
+    "faraday_rm_correction",
+    "delay_spectrum_per_baseline",
+    "band_edge_flagging",
+    "coherence_time_estimate",
 ]
 
 
