@@ -2315,3 +2315,162 @@ def IVF_APPEND_SQL(split_modulus: int = 10, query_modulus: int = 125,
       FROM topk WHERE rank <= {k}
       ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: contrastive triplet mining (anchor, positive, hard/semi-hard neg)
+# ---------------------------------------------------------------------------
+
+TRIPLET_ANCHOR_MOD = 25
+_TPACK = 10_000_000  # ids must stay < 1e7: pack = (s9+1e9)*1e7 + (1e7-id)
+
+
+def _tri_pack(s9: F.Column, cand_id: F.Column) -> F.Column:
+    return (s9 + F.lit(1_000_000_000)) * F.lit(_TPACK) + (F.lit(_TPACK) - cand_id)
+
+
+def _tri_pairs(embeddings: DataFrame, anchor_modulus: int) -> DataFrame:
+    """(anchor x candidate) scored pair frame: s9 = round(cosine*1e9) as
+    an exact integer, plus the argmax pack (sim-major, then LOWEST
+    candidate id — the id is complemented so integer MAX tie-breaks
+    downward deterministically in both engines)."""
+    withnorm = embeddings.withColumn(
+        "nrm", F.sqrt(_qdot("embedding", "embedding").cast("double"))
+    )
+    a = withnorm.filter(F.col("vec_id") % anchor_modulus == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _qdot("ae", "ce").cast("double") / (F.col("an") * F.col("cn"))
+    v = cos * F.lit(1e9)
+    s9 = (v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
+    return (
+        c.join(F.broadcast(a), F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            (F.col("c_label") == F.col("anchor_label")).alias("same"),
+            s9.alias("s9"),
+        )
+        .withColumn("pack", _tri_pack(F.col("s9"), F.col("cand_id")))
+    )
+
+
+def contrastive_triplets(
+    embeddings: DataFrame, anchor_modulus: int = TRIPLET_ANCHOR_MOD
+) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplet mining — the
+    contrastive-training data op (SimCLR/SBERT hard-negative mining):
+    positive = most-similar same-label vector, negative = most-similar
+    OTHER-label vector (the hardest negative), semi-hard = hardest
+    other-label vector strictly less similar than the positive (the
+    FaceNet band; -1/NULL when the band is empty).
+
+    Argmaxes are single integer MAX aggregates over sim-major packs (no
+    row_number shuffle); the semi-hard pass re-derives the pair frame and
+    joins the 1-row-per-anchor phase-1 result back by BROADCAST, so the
+    corpus is scanned twice but never shuffled on a fact grain. Anchors
+    are a fixed modulus sample: the pair frame is |anchors| x corpus,
+    embarrassingly parallel over the corpus side at any scale."""
+    pairs = _tri_pairs(embeddings, anchor_modulus)
+    ph1 = pairs.groupBy("anchor_id", "anchor_label").agg(
+        F.max(F.when(F.col("same"), F.col("pack"))).alias("pos_pack"),
+        F.max(F.when(~F.col("same"), F.col("pack"))).alias("neg_pack"),
+    )
+    pos_s9 = F.expr("pos_pack DIV 10000000") - F.lit(1_000_000_000)
+    ph1 = ph1.select(
+        "anchor_id",
+        "anchor_label",
+        "pos_pack",
+        "neg_pack",
+        pos_s9.alias("pos_s9"),
+    )
+    pairs2 = _tri_pairs(embeddings, anchor_modulus)
+    semi = (
+        pairs2.join(F.broadcast(ph1.select("anchor_id", "pos_s9")), "anchor_id")
+        .groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.when(~F.col("same") & (F.col("s9") < F.col("pos_s9")), F.col("pack"))
+            ).alias("semi_pack")
+        )
+    )
+
+    def unpack_id(pack: str) -> F.Column:
+        return F.when(
+            F.col(pack).isNotNull(), F.lit(_TPACK) - F.col(pack) % F.lit(_TPACK)
+        ).otherwise(F.lit(-1))
+
+    def unpack_sim(pack: str) -> F.Column:
+        return (
+            F.expr(f"{pack} DIV 10000000") - F.lit(1_000_000_000)
+        ).cast("double") / F.lit(1e9)
+
+    out = ph1.join(F.broadcast(semi), "anchor_id")
+    return out.select(
+        "anchor_id",
+        "anchor_label",
+        unpack_id("pos_pack").alias("pos_id"),
+        unpack_sim("pos_pack").alias("pos_sim"),
+        unpack_id("neg_pack").alias("neg_id"),
+        unpack_sim("neg_pack").alias("neg_sim"),
+        unpack_id("semi_pack").alias("semi_id"),
+        unpack_sim("semi_pack").alias("semi_sim"),
+        (unpack_sim("pos_pack") - unpack_sim("neg_pack")).alias("margin"),
+    ).orderBy("anchor_id")
+
+
+def TRIPLETS_SQL(anchor_modulus: int = TRIPLET_ANCHOR_MOD) -> str:
+    dot = _qdot_sql("a.embedding", "c.embedding")
+    an = _qdot_sql("a.embedding", "a.embedding")
+    cn = _qdot_sql("c.embedding", "c.embedding")
+    p = _TPACK
+    return f"""
+      WITH pairs AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS cand_id, (c.label = a.label) AS same,
+               CAST(ROUND({dot} / (sqrt({an}) * sqrt({cn})) * 1000000000.0)
+                    AS BIGINT) AS s9
+        FROM embeddings a, embeddings c
+        WHERE a.vec_id % {anchor_modulus} = 0 AND a.vec_id <> c.vec_id
+      ),
+      packed AS (
+        SELECT anchor_id, anchor_label, same, s9,
+               (s9 + 1000000000) * {p} + ({p} - cand_id) AS pack
+        FROM pairs
+      ),
+      ph1 AS (
+        SELECT anchor_id, anchor_label,
+               MAX(CASE WHEN same THEN pack END) AS pos_pack,
+               MAX(CASE WHEN NOT same THEN pack END) AS neg_pack
+        FROM packed GROUP BY anchor_id, anchor_label
+      ),
+      semihard AS (
+        SELECT p2.anchor_id,
+               MAX(CASE WHEN NOT p2.same
+                         AND p2.s9 < (h.pos_pack // {p} - 1000000000)
+                        THEN p2.pack END) AS semi_pack
+        FROM packed p2 JOIN ph1 h ON h.anchor_id = p2.anchor_id
+        GROUP BY p2.anchor_id
+      )
+      SELECT h.anchor_id AS anchor_id, h.anchor_label AS anchor_label,
+        CASE WHEN pos_pack IS NULL THEN -1 ELSE {p} - pos_pack % {p} END AS pos_id,
+        CAST(pos_pack // {p} - 1000000000 AS DOUBLE) / 1e9 AS pos_sim,
+        CASE WHEN neg_pack IS NULL THEN -1 ELSE {p} - neg_pack % {p} END AS neg_id,
+        CAST(neg_pack // {p} - 1000000000 AS DOUBLE) / 1e9 AS neg_sim,
+        CASE WHEN semi_pack IS NULL THEN -1 ELSE {p} - semi_pack % {p} END AS semi_id,
+        CAST(semi_pack // {p} - 1000000000 AS DOUBLE) / 1e9 AS semi_sim,
+        CAST(pos_pack // {p} - 1000000000 AS DOUBLE) / 1e9
+          - CAST(neg_pack // {p} - 1000000000 AS DOUBLE) / 1e9 AS margin
+      FROM ph1 h JOIN semihard s ON s.anchor_id = h.anchor_id
+      ORDER BY h.anchor_id
+    """

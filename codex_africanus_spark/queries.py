@@ -12040,3 +12040,334 @@ def duplicate_text_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_langs") > 1)
         .orderBy("first_doc")
     )
+
+
+# ===========================================================================
+# Round 8, wave 2: flag post-processing, taper weighting, triplet mining,
+# classifier calibration, RFM segmentation, Markov transitions
+# ===========================================================================
+
+from codex_africanus_spark.operators import flagging as flag_op  # noqa: E402
+
+
+@register("sumthreshold_rfi_flags", _with_ms(flag_op.SUMTHRESHOLD_SQL()))
+def sumthreshold_rfi_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOFlagger SumThreshold (combinatorial-threshold variant, Offringa
+    et al. 2010) over per-(baseline, chan) time series: windows of 1/2/4
+    consecutive cells flag against integer thresholds chi_M = chi1/1.5^
+    log2(M) — faint persistent RFI trips the wide windows a single-cell
+    cut misses. One cell aggregation + bounded ROWS frames; the report
+    is baseline-dimension-sized at any corpus scale."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return flag_op.sumthreshold_flags(vis)
+
+
+@register("flag_grow_extend", _with_ms(flag_op.FLAG_GROW_SQL()))
+def flag_grow_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASA flagdata mode='extend' as three window stages on the cell
+    grid: +-1 time grow, +-1 channel grow, then whole-spectrum extension
+    when more than half its channels are flagged. Per-baseline audit of
+    the cells each stage adds (the flag-budget report an observatory
+    reviews before committing a flagging strategy)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return flag_op.flag_grow_extend(vis)
+
+
+@register("flagged_channel_interp", _with_ms(flag_op.CHANNEL_INTERP_SQL()))
+def flagged_channel_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral repair: every fully-flagged (baseline, time, chan) cell
+    is refilled by linear interpolation between the nearest unflagged
+    channels (edge cells clamp one-sided). Brackets come from two
+    running-extremum windows over (chan, value) int64 packs — no
+    self-join, no IGNORE NULLS dependence; output is repaired cells
+    only."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return flag_op.flagged_channel_interp(vis)
+
+
+# Gaussian uv-taper factors exp(-mid_k^2 / (2*50^2)) at annulus midpoints
+# mid_k = (k+0.5)*10, precomputed in Python (ppb integers) and interpolated
+# into BOTH engines — no exp() ever runs inside either engine.
+_TAPER_PPB = [
+    995012479, 955997482, 882496903, 782704538, 666976811,
+    546074427, 429557358, 324652467, 235746077, 164474457,
+    110250525, 71005354, 43936934, 26121410, 14920786,
+]
+_TAPER_CASE = (
+    "CASE annulus "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(_TAPER_PPB))
+    + " ELSE 0 END"
+)
+
+_UV_TAPER_ORACLE = _with_ms(
+    f"""
+    , samp AS (
+      SELECT CAST(FLOOR(sqrt(u*u + v*v) / 10.0) AS BIGINT) AS annulus,
+             CAST(weight AS BIGINT) AS w
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    tapered AS (
+      SELECT annulus, w, w * {_TAPER_CASE.replace("annulus", "samp.annulus")} AS wt_ppb
+      FROM samp
+    )
+    SELECT annulus, COUNT(*) AS n_samples,
+           CAST(SUM(w) AS BIGINT) AS w_nat_sum,
+           CAST(SUM(wt_ppb) AS BIGINT) AS w_tap_ppb_sum,
+           CAST(SUM(CAST(wt_ppb AS HUGEINT) * wt_ppb) // 1000000000 AS BIGINT)
+             AS w_tap_sq_e9,
+           {_TAPER_CASE.replace("annulus", "tapered.annulus")} AS taper_ppb
+    FROM tapered GROUP BY annulus ORDER BY annulus
+    """
+)
+
+
+@register("uv_taper_response", _UV_TAPER_ORACLE)
+def uv_taper_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian uv-taper response audit: per uv-annulus natural vs
+    tapered imaging weight (the resolution-vs-sensitivity trade every
+    imaging run tunes; cf. the density-grid weighting family,
+    briggs_robust_weights). The taper factors are Python-precomputed ppb
+    literals at annulus midpoints, so no transcendental runs in either
+    engine; w^2 sums form in DECIMAL(38,0) (they overflow int64).
+    Map-side partial agg onto <=15 annuli — scan-resident at 100 TB."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    ann = F.floor(F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v")) / F.lit(10.0)).cast("long")
+    d = vis.select(ann.alias("annulus"), F.col("weight").cast("long").alias("w"))
+    expr = "CASE annulus " + " ".join(
+        f"WHEN {k} THEN {v}" for k, v in enumerate(_TAPER_PPB)
+    ) + " ELSE 0 END"
+    d = d.select("annulus", "w", (F.col("w") * F.expr(expr)).alias("wt_ppb"))
+    return (
+        d.groupBy("annulus")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("w").alias("w_nat_sum"),
+            F.sum("wt_ppb").alias("w_tap_ppb_sum"),
+            # accumulate in decimal(38,0) (squares overflow int64), then
+            # emit DIV 1e9 as exact BIGINT — a decimal->double cast here
+            # forks 1 ULP between Java BigDecimal and DuckDB HUGEINT
+            # rounding (found by the sf0.1 sweep)
+            F.expr(
+                "CAST(SUM(CAST(wt_ppb AS DECIMAL(38,0)) * wt_ppb)"
+                " DIV 1000000000 AS BIGINT)"
+            ).alias("w_tap_sq_e9"),
+        )
+        .select(
+            "annulus", "n_samples", "w_nat_sum", "w_tap_ppb_sum", "w_tap_sq_e9",
+            F.expr(expr).alias("taper_ppb"),
+        )
+        .orderBy("annulus")
+    )
+
+
+@register("contrastive_triplet_mining", sim_op.TRIPLETS_SQL())
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-training triplets over the embedding
+    corpus: per anchor the most-similar same-label positive, the hardest
+    other-label negative, and the FaceNet semi-hard negative (hardest
+    negative strictly below the positive similarity). Argmaxes are
+    integer MAX over sim-major packs — no per-anchor row_number shuffle;
+    anchors broadcast against the corpus, so the mining pass is a
+    map-side scan at any corpus size."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.contrastive_triplets(emb)
+
+
+_RELIABILITY_SQL = f"""
+  WITH scored AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           {{BIAS}} + list_sum(list_transform(string_split(text, ' '), t ->
+             {{WARR}}[
+               CAST(({{HASH}} % {{HASHP}}) % {{NB}} AS INT) + 1
+             ])) AS raw_score
+    FROM documents
+  ),
+  q AS (
+    SELECT doc_id,
+           CAST(ROUND(round(0.5 + 0.5 * (raw_score / ({{WS}}.0 * n_tokens))
+                 / (1.0 + abs(raw_score / ({{WS}}.0 * n_tokens))), 9)
+                 * 1000000000) AS BIGINT) AS q9,
+           CASE WHEN n_uniq * 10 >= n_tokens * 6 THEN 1 ELSE 0 END AS gold
+    FROM scored
+  )
+  SELECT LEAST(q9 // 100000000, 9) AS bin,
+         COUNT(*) AS n_docs,
+         CAST(SUM(gold) AS BIGINT) AS n_gold,
+         CAST(SUM(q9) AS BIGINT) // (COUNT(*) * 1000) AS conf_ppm,
+         (CAST(SUM(gold) AS BIGINT) * 1000000) // COUNT(*) AS acc_ppm,
+         abs(CAST(SUM(q9) AS BIGINT) // (COUNT(*) * 1000)
+             - (CAST(SUM(gold) AS BIGINT) * 1000000) // COUNT(*)) AS gap_ppm,
+         COUNT(*) * abs(CAST(SUM(q9) AS BIGINT) // (COUNT(*) * 1000)
+             - (CAST(SUM(gold) AS BIGINT) * 1000000) // COUNT(*)) AS ece_term
+  FROM q GROUP BY bin ORDER BY bin
+"""
+
+
+def _reliability_oracle() -> str:
+    from codex_africanus_spark.functions.text import HASH_P, hash60_sql
+    from codex_africanus_spark.operators import classifier as clf
+
+    return (
+        _RELIABILITY_SQL
+        .replace("{BIAS}", str(clf.BIAS))
+        .replace("{WARR}", clf._weights_array_sql())
+        .replace("{HASH}", hash60_sql("t"))
+        .replace("{HASHP}", str(HASH_P))
+        .replace("{NB}", str(clf.N_BUCKETS))
+        .replace("{WS}", str(clf._WSCALE))
+    )
+
+
+@register("classifier_reliability_bins", _reliability_oracle())
+def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the hashed linear quality classifier:
+    documents bin by score decile; per bin the mean confidence (ppm) is
+    compared against the empirical rate of an INDEPENDENT quality proxy
+    (duplicate-token fraction <= 0.4). |conf - acc| per bin is the
+    reliability-diagram gap; n*gap is the bin's ECE term. All integer
+    arithmetic on the already-bit-exact q9 scores — one scan, one
+    10-row aggregation."""
+    from codex_africanus_spark.operators import classifier as clf
+
+    docs = load(spark, "documents", sf_dir)
+    scored = clf.classify(docs, carry=["text"])
+    q9 = F.round(F.col("quality_score") * 1000000000).cast("long")
+    toks = F.split("text", " ")
+    gold = (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 6).cast("int")
+    d = scored.select(
+        q9.alias("q9"), gold.alias("gold")
+    ).select(
+        F.least(F.expr("q9 DIV 100000000"), F.lit(9).cast("long")).alias("bin"),
+        "q9",
+        "gold",
+    )
+    conf = F.expr("SUM(q9) DIV (COUNT(*) * 1000)")
+    acc = F.expr("(SUM(gold) * 1000000) DIV COUNT(*)")
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("gold").alias("n_gold"),
+            conf.alias("conf_ppm"),
+            acc.alias("acc_ppm"),
+            F.abs(conf - acc).alias("gap_ppm"),
+            (F.count(F.lit(1)) * F.abs(conf - acc)).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+_RFM_ORACLE = _with_ms(
+    """
+    , per_user AS (
+      SELECT user_id,
+             (SELECT MAX(ts_us) FROM ev) - MAX(ts_us) AS rec_us,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS monetary_c
+      FROM ev GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, rec_us // 86400000000 AS recency_days, freq, monetary_c,
+             NTILE(5) OVER (ORDER BY rec_us, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS total_events,
+           CAST(SUM(monetary_c) AS BIGINT) AS total_monetary_c
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+)
+
+
+@register("events_rfm_segmentation", _RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency/Frequency/Monetary quintile
+    scores (NTILE over deterministic (metric, user_id) orderings — both
+    engines split remainder buckets identically), rolled up to segment
+    counts. The unpartitioned NTILE runs on the USER-grain frame — a
+    dimension table, not the fact table — so the single-partition sort
+    is bounded at any event volume; quintile-1 recency = most recent."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    ref = ev.agg(F.max("ts_us").alias("ref_us"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.col("ref_us") - F.col("last_us")).alias("rec_us"),
+            "freq",
+            "monetary_c",
+        )
+    )
+    scored = per_user.select(
+        F.expr("rec_us DIV 86400000000").alias("recency_days"),
+        "freq",
+        "monetary_c",
+        F.ntile(5).over(W.orderBy("rec_us", "user_id")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.desc("freq"), "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary_c"), "user_id")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").alias("total_events"),
+            F.sum("monetary_c").alias("total_monetary_c"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_MARKOV_ORACLE = _with_ms(
+    """
+    , seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM ev
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 1000000)
+             // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+    FROM cnt ORDER BY from_type, to_type
+    """
+)
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD pairs within (user, time) order, counted per
+    (from, to) with integer ppm row-normalized probabilities — the
+    session-flow model behind funnel design. The per-user window is the
+    only fact-grain pass; the normalizing window runs on the
+    n_types^2-row count matrix."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    cnt = cnt.withColumn("tot", F.sum("n").over(W.partitionBy("from_type")))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) DIV tot").alias("prob_ppm"),
+    ).orderBy("from_type", "to_type")

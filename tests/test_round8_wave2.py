@@ -1,0 +1,231 @@
+"""Semantic property locks for the round-8 wave-2 operators
+(sumthreshold / flag grow / channel interp / uv taper / triplets /
+reliability bins / RFM / Markov) — beyond the oracle parity the driver
+checks, these pin the *algorithm* on hand-built cases with known
+answers."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from codex_africanus_spark.operators import flagging as flag_op
+from codex_africanus_spark.operators import similarity as sim_op
+from codex_africanus_spark.queries import registry
+
+
+def _mkvis(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                antenna1=r.get("a1", 0),
+                antenna2=r.get("a2", 1),
+                chan=r.get("chan", 0),
+                time=float(r.get("time", 0)),
+                vis_re=float(r.get("re", 10.0)),
+                vis_im=float(r.get("im", 0.0)),
+                flag=bool(r.get("flag", False)),
+                flag_row=bool(r.get("flag_row", False)),
+            )
+            for r in rows
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SumThreshold
+# ---------------------------------------------------------------------------
+
+
+def test_sumthreshold_tiers(spark):
+    """A bright singleton trips M=1; a faint persistent 4-run trips M=4
+    but never M=1; quiet samples trip nothing."""
+    rows = []
+    # quiet background: amps 10 at times 0..19
+    for t in range(20):
+        rows.append({"time": t, "re": 10.0})
+    # bright singleton at t=30 (amp 45 > chi1=40)
+    rows.append({"time": 30, "re": 45.0})
+    # faint persistent run at t=50..53: amp 30 < 40 but mean 30 > chi4≈17.8
+    for t in range(50, 54):
+        rows.append({"time": t, "re": 30.0})
+    out = flag_op.sumthreshold_flags(_mkvis(spark, rows)).collect()[0]
+    assert out.n_cells == 25
+    assert out.n_m1 == 1  # only the 45
+    # the 4-run is caught by the wide window (and drags its own members
+    # only — the quiet cells around it are separated in the ROWS frame
+    # only by position, and 30+10 pairs stay under 2*chi2)
+    assert out.n_m4 >= 4
+    assert out.n_flagged >= 5
+    # quiet-only series: nothing flags
+    quiet = flag_op.sumthreshold_flags(
+        _mkvis(spark, [{"time": t, "re": 10.0} for t in range(20)])
+    ).collect()[0]
+    assert quiet.n_flagged == 0
+
+
+def test_sumthreshold_thresholds_follow_rho():
+    th = flag_op.st_thresholds()
+    assert th[1] == flag_op.ST_CHI1
+    assert th[2] == round(flag_op.ST_CHI1 / 1.5)
+    assert th[4] == round(flag_op.ST_CHI1 / 2.25)
+
+
+# ---------------------------------------------------------------------------
+# Flag grow / extend
+# ---------------------------------------------------------------------------
+
+
+def test_flag_grow_stages(spark):
+    """One flagged cell mid-series grows to 3 in time; with 7 channels
+    all clean, chan grow adds the 2 channel neighbours of each; a
+    majority-flagged spectrum extends to all 7 channels."""
+    rows = []
+    for t in range(7):
+        for c in range(7):
+            rows.append({"time": t, "chan": c, "flag": (t == 3 and c == 3)})
+    out = flag_op.flag_grow_extend(_mkvis(spark, rows)).collect()[0]
+    assert out.n_pre == 1
+    assert out.n_time_grow == 3          # t=2,3,4 at c=3
+    assert out.n_chan_grow == 9          # + c=2,4 at each of the 3 times
+    assert out.n_final == 9              # 3/7 < 1/2: no spectrum extension
+    # majority-flagged spectrum: 4 of 7 chans at t=0 -> whole spectrum
+    rows2 = [
+        {"time": t, "chan": c, "flag": (t == 0 and c < 4)}
+        for t in range(3)
+        for c in range(7)
+    ]
+    out2 = flag_op.flag_grow_extend(_mkvis(spark, rows2)).collect()[0]
+    # time grow reaches t=1, chan grow adds c=4 there; at t=0 chan grow
+    # gives c<5 = 5 of 7 > 1/2 -> extends to 7; t=1 has 5 of 7 -> 7 too
+    assert out2.n_final == 14
+
+
+# ---------------------------------------------------------------------------
+# Flagged-channel interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_channel_interp_linear_exact(spark):
+    """Values linear in chan: the repaired middle cell lands exactly on
+    the line; a flagged edge clamps; an all-flagged spectrum yields
+    method 'none' and NULL fill."""
+    rows = [
+        {"time": 0, "chan": c, "re": 10.0 + 2.0 * c, "im": 1.0 * c,
+         "flag": c == 3}
+        for c in range(7)
+    ]
+    out = {r.chan: r for r in flag_op.flagged_channel_interp(_mkvis(spark, rows)).collect()}
+    assert list(out) == [3]
+    r = out[3]
+    assert r.method == "interp"
+    assert r.fill_re_q == 16_000_000  # 10 + 2*3
+    assert r.fill_im_q == 3_000_000
+    # flagged left edge -> clamp to the right neighbour
+    rows2 = [
+        {"time": 0, "chan": c, "re": 10.0 + 2.0 * c, "flag": c == 0}
+        for c in range(4)
+    ]
+    r2 = flag_op.flagged_channel_interp(_mkvis(spark, rows2)).collect()[0]
+    assert r2.method == "clamp_right" and r2.fill_re_q == 12_000_000
+    # everything flagged -> no bracket at all
+    rows3 = [{"time": 0, "chan": c, "flag": True} for c in range(3)]
+    outs3 = flag_op.flagged_channel_interp(_mkvis(spark, rows3)).collect()
+    assert all(r.method == "none" and r.fill_re_q is None for r in outs3)
+
+
+def test_channel_interp_partial_cell_not_repaired(spark):
+    """A cell is repaired only when ALL its samples are flagged (MIN
+    semantics) — a half-flagged cell keeps its measured mean."""
+    rows = [
+        {"time": 0, "chan": 0, "re": 10.0},
+        {"time": 0, "chan": 1, "re": 20.0, "flag": True},
+        {"time": 0, "chan": 1, "re": 30.0, "flag": False},
+        {"time": 0, "chan": 2, "re": 40.0},
+    ]
+    assert flag_op.flagged_channel_interp(_mkvis(spark, rows)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# uv taper
+# ---------------------------------------------------------------------------
+
+
+def test_uv_taper_table_matches_gaussian(spark, sf_dir):
+    from codex_africanus_spark.queries import _TAPER_PPB
+
+    for k, ppb in enumerate(_TAPER_PPB):
+        mid = (k + 0.5) * 10.0
+        want = round(math.exp(-(mid * mid) / (2 * 50.0 * 50.0)) * 1e9)
+        assert ppb == want
+    assert all(a > b for a, b in zip(_TAPER_PPB, _TAPER_PPB[1:]))
+    out = registry()["uv_taper_response"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r.w_tap_ppb_sum <= r.w_nat_sum * 1_000_000_000
+        assert r.taper_ppb == _TAPER_PPB[r.annulus]
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplets
+# ---------------------------------------------------------------------------
+
+
+def test_triplet_invariants(spark, sf_dir):
+    from codex_africanus_spark.sources.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = sim_op.contrastive_triplets(emb).collect()
+    assert len(out) == sum(1 for v in labels if v % 25 == 0)
+    for r in out:
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        if r.pos_id != -1:
+            assert labels[r.pos_id] == r.anchor_label
+        if r.neg_id != -1:
+            assert labels[r.neg_id] != r.anchor_label
+        if r.semi_id != -1:
+            assert labels[r.semi_id] != r.anchor_label
+            assert r.semi_sim < r.pos_sim
+            assert r.semi_sim <= r.neg_sim
+        if r.pos_id != -1 and r.neg_id != -1:
+            assert r.margin == pytest.approx(r.pos_sim - r.neg_sim, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Reliability bins / RFM / Markov
+# ---------------------------------------------------------------------------
+
+
+def test_reliability_bins_partition_documents(spark, sf_dir):
+    from codex_africanus_spark.sources.tables import load
+
+    out = registry()["classifier_reliability_bins"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in out) == n_docs
+    for r in out:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.acc_ppm <= 1_000_000 and 0 <= r.conf_ppm <= 1_000_000
+        assert r.gap_ppm == abs(r.conf_ppm - r.acc_ppm)
+        assert r.ece_term == r.n_docs * r.gap_ppm
+
+
+def test_rfm_covers_all_users(spark, sf_dir):
+    from codex_africanus_spark.sources import tpch_ms
+
+    out = registry()["events_rfm_segmentation"].fn(spark, sf_dir).collect()
+    n_users = tpch_ms.events_table(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(r.n_users for r in out) == n_users
+    for r in out:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_markov_row_normalization(spark, sf_dir):
+    out = registry()["events_markov_transitions"].fn(spark, sf_dir).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rows in by_from.items():
+        total_ppm = sum(r.prob_ppm for r in rows)
+        # floor division loses at most (n_targets - 1) ppm
+        assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
