@@ -12371,3 +12371,313 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(n * 1000000) DIV tot").alias("prob_ppm"),
     ).orderBy("from_type", "to_type")
+
+
+# ===========================================================================
+# Round 8, wave 3: image-plane pbcor, MFS Taylor grids, gain QA, RAG packing
+# ===========================================================================
+
+# Algebraic primary-beam model (1 - r^2/R^2)^2 clamped at 0 — polynomial,
+# so both engines evaluate identical doubles (no exp/cos in-engine); R
+# chosen so the outermost catalogue sources fall below the pbcor cutoff.
+_PB_R2 = 0.06 * 0.06
+_PB_CUTOFF = 0.04
+
+_PBCOR_ORACLE = _with_ms(
+    f"""
+    , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row)),
+    img AS (
+      SELECT s.source_id AS source_id, v.chan AS chan,
+             SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
+                           - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+                      * 1000000) AS BIGINT)) / 1000000.0 AS image
+      FROM gated v, src s
+      GROUP BY s.source_id, v.chan
+    ),
+    beam AS (
+      SELECT source_id,
+             CASE WHEN 1.0 - (l*l + m*m) / {_PB_R2!r} > 0.0
+                  THEN (1.0 - (l*l + m*m) / {_PB_R2!r})
+                     * (1.0 - (l*l + m*m) / {_PB_R2!r})
+                  ELSE 0.0 END AS bg
+      FROM src
+    )
+    SELECT i.source_id AS source_id, i.chan AS chan, i.image AS image,
+           CAST(ROUND(b.bg * 1000000000.0) AS BIGINT) AS beam_gain_q9,
+           CASE WHEN b.bg >= {_PB_CUTOFF!r}
+                THEN CAST(ROUND(i.image / b.bg * 1000000.0) AS BIGINT)
+                ELSE NULL END AS pbcor_q6,
+           CASE WHEN b.bg >= {_PB_CUTOFF!r} THEN 0 ELSE 1 END AS masked
+    FROM img i JOIN beam b ON b.source_id = i.source_id
+    ORDER BY source_id, chan
+    """
+)
+
+
+@register("dft_image_pbcor", _PBCOR_ORACLE)
+def dft_image_pbcor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-beam correction of the adjoint-DFT image (CASA pbcor):
+    each (source, chan) image value divides by the beam gain at its
+    (l, m), masked NULL below the standard pblimit-style cutoff — flux
+    scales are only trustworthy inside the beam. The beam model is the
+    algebraic (1 - r^2/R^2)^2 taper (polynomial: bit-identical across
+    engines), evaluated on the 25-row source dim and broadcast; the
+    correction is a dimension-side join after the DFT reduction, so
+    pbcor adds ZERO fact-table work at any scale."""
+    from codex_africanus_spark.operators import dft as dft_op2
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir)
+    img = dft_op2.vis_to_im(vis, src).select("source_id", "chan", "image")
+    r2 = F.col("l") * F.col("l") + F.col("m") * F.col("m")
+    raw = F.lit(1.0) - r2 / F.lit(_PB_R2)
+    bg = F.when(raw > 0.0, raw * raw).otherwise(F.lit(0.0))
+    beam = src.select("source_id", bg.alias("bg"))
+    v6 = F.col("image") / F.col("bg") * F.lit(1e6)
+    return (
+        img.join(F.broadcast(beam), "source_id")
+        .select(
+            "source_id",
+            "chan",
+            "image",
+            (F.col("bg") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("beam_gain_q9"),
+            F.when(
+                F.col("bg") >= F.lit(_PB_CUTOFF),
+                (v6 + F.when(v6 >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long"),
+            ).alias("pbcor_q6"),
+            F.when(F.col("bg") >= F.lit(_PB_CUTOFF), 0).otherwise(1).alias("masked"),
+        )
+        .orderBy("source_id", "chan")
+    )
+
+
+_MFS_ORACLE = _with_ms(
+    """
+    , g AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS cu,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS cv,
+             chan / 8.0 AS x, vis_re, vis_im
+      FROM vis WHERE NOT (flag OR flag_row)
+    )
+    SELECT cu, cv, COUNT(*) AS n_samples,
+           CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT) AS t0_re_q,
+           CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT) AS t0_im_q,
+           CAST(SUM(CAST(ROUND(vis_re * x * 1000000.0) AS BIGINT)) AS BIGINT) AS t1_re_q,
+           CAST(SUM(CAST(ROUND(vis_im * x * 1000000.0) AS BIGINT)) AS BIGINT) AS t1_im_q,
+           CAST(SUM(CAST(ROUND(vis_re * x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS t2_re_q,
+           CAST(SUM(CAST(ROUND(vis_im * x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS t2_im_q
+    FROM g GROUP BY cu, cv ORDER BY cu, cv
+    """
+)
+
+
+@register("mfs_taylor_term_grids", _MFS_ORACLE)
+def mfs_taylor_term_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wideband MFS Taylor-term accumulation (wsclean -join-channels
+    / CASA mtmfs shape): per uv cell, visibilities accumulate weighted
+    by ((nu-nu0)/nu0)^t for t = 0, 1, 2 — the spectral moments the MFS
+    deconvolver fits alpha/curvature from. x = chan/8 is exact dyadic
+    and the powers are explicit multiplies (never pow()), so every term
+    is engine-identical; six fixed-point sums in ONE partial-agg pass
+    over the fact table onto <=441 cells."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    x = F.col("chan") / F.lit(8.0)
+    g = vis.select(
+        F.floor(F.col("u") / F.lit(10.0)).cast("long").alias("cu"),
+        F.floor(F.col("v") / F.lit(10.0)).cast("long").alias("cv"),
+        x.alias("x"),
+        "vis_re",
+        "vis_im",
+    )
+    return (
+        g.groupBy("cu", "cv")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(quantize(F.col("vis_re"), 1e6)).alias("t0_re_q"),
+            F.sum(quantize(F.col("vis_im"), 1e6)).alias("t0_im_q"),
+            F.sum(quantize(F.col("vis_re") * F.col("x"), 1e6)).alias("t1_re_q"),
+            F.sum(quantize(F.col("vis_im") * F.col("x"), 1e6)).alias("t1_im_q"),
+            F.sum(quantize(F.col("vis_re") * F.col("x") * F.col("x"), 1e6)).alias("t2_re_q"),
+            F.sum(quantize(F.col("vis_im") * F.col("x") * F.col("x"), 1e6)).alias("t2_im_q"),
+        )
+        .orderBy("cu", "cv")
+    )
+
+
+_GAIN_QA_ORACLE = _with_ms(
+    """
+    , amps AS (
+      SELECT antenna, chan,
+             CAST(ROUND(sqrt(gain_re*gain_re + gain_im*gain_im)
+                        * 1000000000.0) AS BIGINT) AS amp_q9,
+             CAST(ROUND(gain_re * 1000000000.0) AS BIGINT) AS re_q9,
+             CAST(ROUND(gain_im * 1000000000.0) AS BIGINT) AS im_q9
+      FROM gains
+    ),
+    steps AS (
+      SELECT antenna, chan, amp_q9,
+             re_q9 - LAG(re_q9) OVER w AS dre,
+             im_q9 - LAG(im_q9) OVER w AS dim
+      FROM amps WINDOW w AS (PARTITION BY antenna ORDER BY chan)
+    ),
+    per_ant AS (
+      SELECT antenna,
+             COUNT(*) AS n_chan,
+             CAST(SUM(amp_q9) AS BIGINT) AS amp_sum_q9,
+             CAST(COUNT(*) AS BIGINT) * CAST(SUM(chan * amp_q9) AS BIGINT)
+               - CAST(SUM(chan) AS BIGINT) * CAST(SUM(amp_q9) AS BIGINT)
+               AS slope_num,
+             CAST(COUNT(*) AS BIGINT) * CAST(SUM(chan*chan) AS BIGINT)
+               - CAST(SUM(chan) AS BIGINT) * CAST(SUM(chan) AS BIGINT)
+               AS slope_den,
+             MAX(dre*dre + dim*dim) AS max_step_q18
+      FROM steps GROUP BY antenna
+    ),
+    tot AS (SELECT CAST(SUM(amp_q9) AS BIGINT) AS g_sum,
+                   COUNT(*) AS g_n FROM amps)
+    SELECT antenna, n_chan, amp_sum_q9,
+           CAST(ROUND(CAST(slope_num AS DOUBLE) / slope_den) AS BIGINT)
+             AS amp_slope_q9,
+           max_step_q18,
+           (tot.g_sum * per_ant.n_chan * 1000000)
+             // (per_ant.amp_sum_q9 * tot.g_n) AS norm_factor_ppm
+    FROM per_ant, tot
+    ORDER BY antenna
+    """
+)
+
+
+@register("gain_solution_qa_report", _GAIN_QA_ORACLE)
+def gain_solution_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-solution QA (the plotms/fluxscale sanity pass): per
+    antenna the bandpass amplitude sum, the amplitude-vs-channel slope
+    (closed-form integer least squares on the 1e-9 amp grid), the
+    largest adjacent-channel complex jump |g[c+1]-g[c]|^2 (exact q18
+    integers — phase jumps WITHOUT atan2, which is not cross-engine
+    stable), and the fluxscale-style normalization factor
+    global-mean/antenna-mean in ppm. Gains are a dimension table: the
+    whole report is broadcast-scale."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    g = tpch_ms.gains_table(spark, sf_dir)
+    amp_q9 = quantize(
+        F.sqrt(F.col("gain_re") * F.col("gain_re") + F.col("gain_im") * F.col("gain_im")),
+        1e9,
+    )
+    amps = g.select(
+        "antenna",
+        "chan",
+        amp_q9.alias("amp_q9"),
+        F.round(F.col("gain_re") * 1e9).cast("long").alias("re_q9"),
+        F.round(F.col("gain_im") * 1e9).cast("long").alias("im_q9"),
+    )
+    w = W.partitionBy("antenna").orderBy("chan")
+    steps = amps.select(
+        "antenna",
+        "chan",
+        "amp_q9",
+        (F.col("re_q9") - F.lag("re_q9").over(w)).alias("dre"),
+        (F.col("im_q9") - F.lag("im_q9").over(w)).alias("dim"),
+    )
+    per_ant = steps.groupBy("antenna").agg(
+        F.count(F.lit(1)).alias("n_chan"),
+        F.sum("amp_q9").alias("amp_sum_q9"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("chan") * F.col("amp_q9"))
+            - F.sum("chan") * F.sum("amp_q9")
+        ).alias("slope_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("chan") * F.col("chan"))
+            - F.sum("chan") * F.sum("chan")
+        ).alias("slope_den"),
+        F.max(F.col("dre") * F.col("dre") + F.col("dim") * F.col("dim")).alias(
+            "max_step_q18"
+        ),
+    )
+    tot = amps.agg(
+        F.sum("amp_q9").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    sl = F.col("slope_num").cast("double") / F.col("slope_den")
+    return (
+        per_ant.crossJoin(F.broadcast(tot))
+        .select(
+            "antenna",
+            "n_chan",
+            "amp_sum_q9",
+            (sl + F.when(sl >= 0, F.lit(0.5)).otherwise(F.lit(-0.5)))
+            .cast("long")
+            .alias("amp_slope_q9"),
+            "max_step_q18",
+            F.expr(
+                "(g_sum * n_chan * 1000000) DIV (amp_sum_q9 * g_n)"
+            ).alias("norm_factor_ppm"),
+        )
+        .orderBy("antenna")
+    )
+
+
+_RAG_TERMS = ("table", "spark", "value")
+_RAG_BUDGET = 256
+
+_RAG_PACK_ORACLE = f"""
+  WITH terms AS (
+    SELECT UNNEST(['{_RAG_TERMS[0]}', '{_RAG_TERMS[1]}', '{_RAG_TERMS[2]}'])
+      AS query_term
+  ),
+  scored AS (
+    SELECT t.query_term, d.doc_id,
+           len(list_filter(string_split(d.text, ' '), x -> x = t.query_term))
+             AS tf,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d, terms t
+  ),
+  ranked AS (
+    SELECT query_term, doc_id, tf, n_tokens,
+           row_number() OVER (PARTITION BY query_term
+                              ORDER BY tf DESC, doc_id) AS rank,
+           SUM(n_tokens) OVER (PARTITION BY query_term
+                               ORDER BY tf DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM scored WHERE tf > 0
+  )
+  SELECT query_term, rank, doc_id, tf, n_tokens,
+         CAST(cum_tokens AS BIGINT) AS cum_tokens
+  FROM ranked WHERE cum_tokens <= {_RAG_BUDGET}
+  ORDER BY query_term, rank
+"""
+
+
+@register("rag_context_packing", _RAG_PACK_ORACLE)
+def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context-window assembly: per query term, candidate documents
+    rank by term frequency and pack greedily until the token budget
+    ({budget} tokens) is exhausted — the retrieve->rerank->pack tail of
+    a RAG serving stack as one ranked-window pass. Output is
+    budget-bounded (never corpus-scale); at 100 TB the tf>0 filter
+    prunes to the posting list before the per-query window sorts
+    it.""".format(budget=_RAG_BUDGET)
+    docs = load(spark, "documents", sf_dir)
+    terms = spark.createDataFrame([(t,) for t in _RAG_TERMS], ["query_term"])
+    toks = F.split(F.col("text"), " ")
+    scored = docs.crossJoin(F.broadcast(terms)).select(
+        "query_term",
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x == F.col("query_term"))).alias("tf"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(F.col("tf") > 0)
+    w = W.partitionBy("query_term").orderBy(F.desc("tf"), "doc_id")
+    ranked = scored.select(
+        "query_term",
+        "doc_id",
+        "tf",
+        "n_tokens",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select("query_term", "rank", "doc_id", "tf", "n_tokens", "cum_tokens")
+        .orderBy("query_term", "rank")
+    )

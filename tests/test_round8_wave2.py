@@ -229,3 +229,98 @@ def test_markov_row_normalization(spark, sf_dir):
         total_ppm = sum(r.prob_ppm for r in rows)
         # floor division loses at most (n_targets - 1) ppm
         assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: pbcor / MFS taylor / gain QA / RAG packing
+# ---------------------------------------------------------------------------
+
+
+def test_pbcor_mask_and_ratio(spark, sf_dir):
+    from codex_africanus_spark.queries import _PB_CUTOFF, _PB_R2
+
+    def bg_exact(k):
+        l = (k - 12) / 200.0
+        m = ((k * 7) % 25 - 12) / 250.0
+        raw = 1.0 - (l * l + m * m) / _PB_R2
+        return raw * raw if raw > 0 else 0.0
+
+    out = registry()["dft_image_pbcor"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    masked_ids, unmasked_ids = set(), set()
+    for r in out:
+        bg = bg_exact(r.source_id)
+        assert r.beam_gain_q9 == int(bg * 1e9 + 0.5)
+        if r.masked:
+            assert r.pbcor_q6 is None and bg < _PB_CUTOFF
+            masked_ids.add(r.source_id)
+        else:
+            assert r.pbcor_q6 == pytest.approx(r.image / bg * 1e6, abs=1.0)
+            unmasked_ids.add(r.source_id)
+    # the catalogue reaches beyond the beam: both classes must occur
+    assert masked_ids and unmasked_ids
+    # cross-check the mask against the closed-form source positions
+    for k in range(25):
+        l = (k - 12) / 200.0
+        m = ((k * 7) % 25 - 12) / 250.0
+        raw = 1.0 - (l * l + m * m) / _PB_R2
+        bg = raw * raw if raw > 0 else 0.0
+        want_masked = bg < _PB_CUTOFF
+        if k in masked_ids:
+            assert want_masked
+        if k in unmasked_ids:
+            assert not want_masked
+
+
+def test_mfs_t0_partition_invariance(spark, sf_dir):
+    from codex_africanus_spark.functions.deterministic import quantize
+    from codex_africanus_spark.sources import tpch_ms
+
+    out = registry()["mfs_taylor_term_grids"].fn(spark, sf_dir)
+    t0_total = out.agg(F.sum("t0_re_q")).collect()[0][0]
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    want = vis.agg(F.sum(quantize(F.col("vis_re"), 1e6))).collect()[0][0]
+    assert t0_total == want
+
+
+def test_gain_qa_closed_form(spark, sf_dir):
+    import math as _m
+
+    out = {r.antenna: r for r in registry()["gain_solution_qa_report"].fn(spark, sf_dir).collect()}
+    amps = {}
+    for a in range(7):
+        for c in range(7):
+            amp = 1.0 + a / 50.0 + c / 100.0
+            re = round(amp * _m.cos((a * 7 + c) * 0.05), 9)
+            im = round(amp * _m.sin((a * 7 + c) * 0.05), 9)
+            q = _m.sqrt(re * re + im * im) * 1e9
+            amps[(a, c)] = int(q + 0.5)
+    g_sum = sum(amps.values())
+    for a in range(7):
+        ys = [amps[(a, c)] for c in range(7)]
+        r = out[a]
+        assert r.amp_sum_q9 == sum(ys)
+        n, sx, sxx = 7, 21, 91
+        sy, sxy = sum(ys), sum(c * y for c, y in enumerate(ys))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        want_slope = num / den
+        assert r.amp_slope_q9 == int(want_slope + (0.5 if want_slope >= 0 else -0.5))
+        assert r.norm_factor_ppm == (g_sum * 7 * 1000000) // (sum(ys) * 49)
+
+
+def test_rag_packing_budget_and_order(spark, sf_dir):
+    from codex_africanus_spark.queries import _RAG_BUDGET
+
+    out = registry()["rag_context_packing"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_term, []).append(r)
+    assert by_q  # the vocab terms occur in the corpus
+    for term, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.tf >= b.tf for a, b in zip(rows, rows[1:]))
+        assert rows[-1].cum_tokens <= _RAG_BUDGET
+        assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
