@@ -397,7 +397,12 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     n_vecs = embeddings.count() if n_vecs is None else n_vecs
     n_cells = max(1, -(-n_vecs // CELL_TARGET))
     cent = _centroids(embeddings, n_cells=n_cells)
-    dists = embeddings.crossJoin(F.broadcast(cent)).select(
+    # fan the narrow scan out BEFORE the quantizer crossJoin: the
+    # testdata parquet is one unsplittable row group, so without this
+    # the 64-term distance argmin runs as a SINGLE task (measured 2.3 s
+    # of the 3.7 s ann_ivf_topk wall at sf0.1 — the whole assign stage
+    # pinned one core); a no-op on real many-file corpora
+    dists = fan_out(embeddings).crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
         _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
@@ -995,7 +1000,9 @@ def semantic_dedup(
     n_vecs = embeddings.count()
     n_cells = max(1, -(-n_vecs // CELL_TARGET))
     cent = _centroids(embeddings, n_cells=n_cells)
-    dists = embeddings.crossJoin(F.broadcast(cent)).select(
+    # fan_out before the quantizer crossJoin — same single-row-group
+    # single-task trap as _ivf_build (see note there)
+    dists = fan_out(embeddings).crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cid",
         _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
