@@ -1352,3 +1352,90 @@ REGRID_SQL = f"""
               AND b.antenna2 = a.antenna2 AND b.chan = t.k0 + 1
     ORDER BY a.time, a.antenna1, a.antenna2, t.tbin_out
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: antenna-based delay decomposition (gencal K-Jones shape)
+# ---------------------------------------------------------------------------
+
+
+def antenna_delay_decomposition(vis: DataFrame, n_ant: int = 7) -> DataFrame:
+    """Per-baseline phase-vs-channel slopes -> per-antenna delays via the
+    complete-graph LSQ closed form tau_p = (sum_{q>p} s_pq -
+    sum_{q<p} s_qp)/N, gauge-fixed to antenna 0, plus the per-antenna
+    closure residual sum |s_pq - (tau_p - tau_q)|. All moments in
+    DECIMAL(38,0); slopes/delays on the q12 (picorad/chan) grid."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    dec = "decimal(38,0)"
+    vis = vis.filter(
+        (F.col("antenna1") < F.col("antenna2"))
+        & ~(F.col("flag") | F.col("flag_row"))
+    )
+    samp = vis.select(
+        "antenna1",
+        "antenna2",
+        "chan",
+        quantize(F.atan2(F.col("vis_im"), F.col("vis_re")), 1e9).alias("y"),
+    )
+    m = samp.groupBy("antenna1", "antenna2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("chan").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("chan").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("chan").cast(dec) * F.col("chan")).alias("sxx"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    slopes = (
+        m.filter(den != 0)
+        .select(
+            "antenna1",
+            "antenna2",
+            quantize(num.cast("double") / den.cast("double") * F.lit(1000.0), 1.0)
+            .alias("s_q12"),
+        )
+    )
+    inc = slopes.select(
+        F.col("antenna1").alias("antenna"), F.col("s_q12").alias("s")
+    ).unionAll(
+        slopes.select(F.col("antenna2").alias("antenna"), (-F.col("s_q12")).alias("s"))
+    )
+    tau = inc.groupBy("antenna").agg(
+        F.count(F.lit(1)).alias("n_incident"),
+        quantize(F.sum("s").cast("double") / F.lit(float(n_ant)), 1.0).alias("tau_q12"),
+    )
+    tb = F.broadcast(tau.select("antenna", "tau_q12"))
+    resid = (
+        slopes.join(
+            tb.withColumnRenamed("antenna", "antenna1").withColumnRenamed("tau_q12", "tp"),
+            "antenna1",
+        )
+        .join(
+            tb.withColumnRenamed("antenna", "antenna2").withColumnRenamed("tau_q12", "tq"),
+            "antenna2",
+        )
+        .select(
+            "antenna1",
+            "antenna2",
+            F.abs(F.col("s_q12") - (F.col("tp") - F.col("tq"))).alias("ar"),
+        )
+    )
+    rinc = resid.select(F.col("antenna1").alias("antenna"), "ar").unionAll(
+        resid.select(F.col("antenna2").alias("antenna"), "ar")
+    )
+    rsum = rinc.groupBy("antenna").agg(F.sum("ar").alias("resid_abs_sum_q12"))
+    t0 = F.broadcast(
+        tau.filter(F.col("antenna") == 0).select(F.col("tau_q12").alias("tau0"))
+    )
+    return (
+        tau.join(rsum, "antenna")
+        .crossJoin(t0)
+        .select(
+            "antenna",
+            (F.col("tau_q12") - F.col("tau0")).alias("tau_rel_q12"),
+            "n_incident",
+            "resid_abs_sum_q12",
+        )
+        .orderBy("antenna")
+    )

@@ -12681,3 +12681,324 @@ def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_term", "rank", "doc_id", "tf", "n_tokens", "cum_tokens")
         .orderBy("query_term", "rank")
     )
+
+
+# ===========================================================================
+# Round 8, wave 4: antenna delay decomposition, curation rule ablation,
+# label centroid similarity, event-rate burst detection
+# ===========================================================================
+
+_DELAY_DECOMP_ORACLE = _with_ms(
+    """
+    , samp AS (
+      SELECT antenna1, antenna2, chan,
+             CAST(ROUND(atan2(vis_im, vis_re) * 1000000000.0) AS BIGINT) AS y
+      FROM vis
+      WHERE antenna1 < antenna2 AND NOT (flag OR flag_row)
+    ),
+    slopes AS (
+      SELECT antenna1, antenna2,
+             CAST(ROUND(
+               CAST(COUNT(*) * SUM(CAST(chan AS HUGEINT) * y)
+                    - SUM(CAST(chan AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+                 AS DOUBLE)
+               / CAST(COUNT(*) * SUM(CAST(chan AS HUGEINT) * chan)
+                      - SUM(CAST(chan AS HUGEINT)) * SUM(CAST(chan AS HUGEINT))
+                 AS DOUBLE) * 1000.0) AS BIGINT) AS s_q12
+      FROM samp
+      GROUP BY antenna1, antenna2
+      HAVING COUNT(*) * SUM(CAST(chan AS HUGEINT) * chan)
+             - SUM(CAST(chan AS HUGEINT)) * SUM(CAST(chan AS HUGEINT)) <> 0
+    ),
+    inc AS (
+      SELECT antenna1 AS antenna, s_q12 AS s FROM slopes
+      UNION ALL
+      SELECT antenna2 AS antenna, -s_q12 AS s FROM slopes
+    ),
+    tau AS (
+      SELECT antenna, COUNT(*) AS n_incident,
+             CAST(ROUND(CAST(SUM(s) AS DOUBLE) / 7.0) AS BIGINT) AS tau_q12
+      FROM inc GROUP BY antenna
+    ),
+    resid AS (
+      SELECT s.antenna1, s.antenna2,
+             s.s_q12 - (p.tau_q12 - q.tau_q12) AS r
+      FROM slopes s
+      JOIN tau p ON p.antenna = s.antenna1
+      JOIN tau q ON q.antenna = s.antenna2
+    ),
+    rinc AS (
+      SELECT antenna1 AS antenna, abs(r) AS ar FROM resid
+      UNION ALL
+      SELECT antenna2 AS antenna, abs(r) AS ar FROM resid
+    )
+    SELECT t.antenna AS antenna,
+           t.tau_q12 - t0.tau_q12 AS tau_rel_q12,
+           t.n_incident AS n_incident,
+           CAST(SUM(rinc.ar) AS BIGINT) AS resid_abs_sum_q12
+    FROM tau t
+    JOIN (SELECT tau_q12 FROM tau WHERE antenna = 0) t0 ON TRUE
+    JOIN rinc ON rinc.antenna = t.antenna
+    GROUP BY t.antenna, t.tau_q12, t0.tau_q12, t.n_incident
+    ORDER BY t.antenna
+    """
+)
+
+
+@register("antenna_delay_decomposition", _DELAY_DECOMP_ORACLE)
+def antenna_delay_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antenna-based delay calibration (CASA gencal K-Jones shape):
+    per-baseline phase-vs-channel slopes decompose into per-antenna
+    delays via the complete-graph least-squares closed form
+    tau_p = (sum_{q>p} s_pq - sum_{q<p} s_qp)/N, gauge-fixed to the
+    reference antenna 0 — the step that turns 21 baseline fringe fits
+    into 7 antenna corrections. Moments accumulate in DECIMAL(38,0)
+    (n*Sxy overflows int64 past ~sf0.1); the per-antenna residual
+    |s_pq - (tau_p - tau_q)| sum is the closure-quality audit. Fact
+    table collapses once; everything after is antenna-dimension
+    arithmetic. Synthetic-recovery-tested (a planted per-antenna delay
+    screen decomposes back exactly, tests/test_round8_wave2.py)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return cal_op.antenna_delay_decomposition(vis)
+
+
+# Curation rule set (integer predicates only — cross-engine exact):
+#   R_len:  100 <= n_chars <= 2000
+#   R_dup:  unique-token ratio >= 0.6           (10*uniq >= 6*total)
+#   R_stop: stopword share >= 5%                (20*stop >= total)
+#   R_wlen: mean word length in [3, 8]          (letters = chars - spaces)
+_ABLATION_SQL = """
+  WITH feats AS (
+    SELECT source,
+           CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0 ELSE 1 END AS f_len,
+           CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+                     >= len(string_split(text, ' ')) * 6 THEN 0 ELSE 1 END AS f_dup,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a'))) * 20
+                     >= len(string_split(text, ' ')) THEN 0 ELSE 1 END AS f_stop,
+           CASE WHEN (n_chars - (len(string_split(text, ' ')) - 1))
+                       BETWEEN 3 * len(string_split(text, ' '))
+                           AND 8 * len(string_split(text, ' '))
+                THEN 0 ELSE 1 END AS f_wlen
+    FROM documents
+  )
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(f_len) AS BIGINT) AS fail_len,
+         CAST(SUM(f_dup) AS BIGINT) AS fail_dup,
+         CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+         CAST(SUM(f_wlen) AS BIGINT) AS fail_wlen,
+         CAST(SUM(CASE WHEN f_len = 1 AND f_dup + f_stop + f_wlen = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+         CAST(SUM(CASE WHEN f_dup = 1 AND f_len + f_stop + f_wlen = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_dup,
+         CAST(SUM(CASE WHEN f_stop = 1 AND f_len + f_dup + f_wlen = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+         CAST(SUM(CASE WHEN f_wlen = 1 AND f_len + f_dup + f_stop = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_wlen,
+         CAST(SUM(CASE WHEN f_len + f_dup + f_stop + f_wlen = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+  FROM feats GROUP BY source ORDER BY source
+"""
+
+
+@register("filter_rule_ablation_matrix", _ABLATION_SQL)
+def filter_rule_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-rule ablation: per source, how many documents each
+    quality rule rejects, how many ONLY that rule rejects (its unique
+    kill count — the number a tuner would recover by relaxing just it),
+    and the survivors. The standard report for tuning a Gopher/C4-style
+    rule stack; all four rules are integer predicates riding one scan."""
+    docs = load(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    f_len = (~F.col("n_chars").between(100, 2000)).cast("int")
+    f_dup = (F.size(F.array_distinct(toks)) * 10 < nt * 6).cast("int")
+    f_stop = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))) * 20 < nt
+    ).cast("int")
+    letters = F.col("n_chars") - (nt - 1)
+    f_wlen = (~letters.between(3 * nt, 8 * nt)).cast("int")
+    feats = docs.select(
+        "source",
+        f_len.alias("f_len"),
+        f_dup.alias("f_dup"),
+        f_stop.alias("f_stop"),
+        f_wlen.alias("f_wlen"),
+    )
+    only = lambda me, others: F.sum(
+        F.when((F.col(me) == 1) & (sum(F.col(o) for o in others) == 0), 1).otherwise(0)
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_len").alias("fail_len"),
+            F.sum("f_dup").alias("fail_dup"),
+            F.sum("f_stop").alias("fail_stop"),
+            F.sum("f_wlen").alias("fail_wlen"),
+            only("f_len", ["f_dup", "f_stop", "f_wlen"]).alias("only_len"),
+            only("f_dup", ["f_len", "f_stop", "f_wlen"]).alias("only_dup"),
+            only("f_stop", ["f_len", "f_dup", "f_wlen"]).alias("only_stop"),
+            only("f_wlen", ["f_len", "f_dup", "f_stop"]).alias("only_wlen"),
+            F.sum(
+                F.when(
+                    F.col("f_len") + F.col("f_dup") + F.col("f_stop") + F.col("f_wlen") == 0,
+                    1,
+                ).otherwise(0)
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+def _label_centroid_oracle() -> str:
+    from codex_africanus_spark.operators.similarity import CSCALE, DOT_SCALE
+
+    return f"""
+      WITH dims AS (
+        SELECT label,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT label, pos,
+               SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq,
+               COUNT(*) AS n
+        FROM dims GROUP BY label, pos
+      ),
+      cent AS (
+        SELECT label,
+               list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS c
+        FROM per_dim GROUP BY label
+      ),
+      pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               list_sum(list_transform(list_zip(a.c, b.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS dot,
+               list_sum(list_transform(list_zip(a.c, a.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS na,
+               list_sum(list_transform(list_zip(b.c, b.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS nb
+        FROM cent a JOIN cent b ON a.label < b.label
+      )
+      SELECT label_a, label_b,
+             round(dot / (sqrt(na) * sqrt(nb)), 9) AS centroid_cosine
+      FROM pairs ORDER BY label_a, label_b
+    """
+
+
+@register("label_centroid_similarity_matrix", _label_centroid_oracle())
+def label_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-similarity map: per-label embedding centroids (exact
+    fixed-point means, the IVF quantizer arithmetic keyed by label) and
+    the pairwise cosine between them — the matrix a mixture designer
+    reads to see which sources/domains overlap in embedding space. The
+    corpus collapses in one posexplode partial agg; the pair join runs
+    on the label-dimension frame."""
+    from codex_africanus_spark.operators.similarity import CSCALE, _qdot
+
+    emb = load(spark, "embeddings", sf_dir)
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.sum(
+            F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {CSCALE}) AS BIGINT)")
+        ).alias("vq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, vq, n))), "
+            f"x -> x.vq / (CAST({CSCALE} AS DOUBLE) * x.n))"
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot = _qdot("ca", "cb").cast("double")
+    na = _qdot("ca", "ca").cast("double")
+    nb = _qdot("cb", "cb").cast("double")
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 9).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")
+
+
+_BURST_ORACLE = _with_ms(
+    """
+    , daily AS (
+      SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS cnt
+      FROM ev GROUP BY event_type, ts_us // 86400000000
+    ),
+    trail AS (
+      SELECT event_type, day, cnt,
+             COALESCE(CAST(SUM(cnt) OVER w AS BIGINT), 0) AS sp,
+             COUNT(cnt) OVER w AS np
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    , scored AS (
+      SELECT event_type, day, cnt, sp, np,
+             (cnt * np * 1000000) // GREATEST(sp, 1) AS rate_ratio_ppm,
+             CASE WHEN cnt * np * 2 > 3 * sp THEN 1 ELSE 0 END AS burst,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (cnt * np * 1000000) // GREATEST(sp, 1)
+                                         DESC, day) AS rnk
+      FROM trail WHERE np >= 3
+    )
+    SELECT event_type, rnk, day, cnt, sp AS trail_sum, np AS trail_days,
+           rate_ratio_ppm, burst
+    FROM scored WHERE rnk <= 5
+    ORDER BY event_type, rnk
+    """
+)
+
+
+@register("events_rate_burst_flags", _BURST_ORACLE)
+def events_rate_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: a (type, day) whose count exceeds 1.5x its
+    trailing-week daily mean (integer cross-multiplied — no float rate)
+    flags as a burst, the ops-monitoring shape behind incident review
+    and bot-traffic triage. One fact collapse to the daily grid, then
+    bounded ROWS frames on the type-dimension series."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("sp"),
+        F.count("cnt").over(w).alias("np"),
+    )
+    scored = trail.filter(F.col("np") >= 3).select(
+        "event_type",
+        "day",
+        "cnt",
+        "sp",
+        "np",
+        F.expr("(cnt * np * 1000000) DIV GREATEST(sp, 1)").alias("rate_ratio_ppm"),
+        F.when(F.col("cnt") * F.col("np") * 2 > 3 * F.col("sp"), 1)
+        .otherwise(0)
+        .alias("burst"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("rate_ratio_ppm"), "day")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "rnk",
+            "day",
+            "cnt",
+            F.col("sp").alias("trail_sum"),
+            F.col("np").alias("trail_days"),
+            "rate_ratio_ppm",
+            "burst",
+        )
+        .orderBy("event_type", "rnk")
+    )

@@ -324,3 +324,108 @@ def test_rag_packing_budget_and_order(spark, sf_dir):
         assert all(a.tf >= b.tf for a, b in zip(rows, rows[1:]))
         assert rows[-1].cum_tokens <= _RAG_BUDGET
         assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: delay decomposition / rule ablation / label centroids / bursts
+# ---------------------------------------------------------------------------
+
+
+def test_delay_decomposition_recovers_planted_screen(spark):
+    """Plant a per-antenna delay screen tau (rad/chan), synthesize
+    phases phi_pq = (tau_p - tau_q)*chan on every baseline, and check
+    the closed-form decomposition returns the taus (rebased to ant 0)
+    on the q12 grid."""
+    from codex_africanus_spark.operators import calibration as cal
+
+    taus = [0.0, 0.08, -0.05, 0.02, 0.11, -0.09, 0.04]
+    rows = []
+    for p in range(7):
+        for q in range(p + 1, 7):
+            for c in range(7):
+                phi = (taus[p] - taus[q]) * c
+                rows.append(
+                    Row(
+                        antenna1=p, antenna2=q, chan=c, time=0.0,
+                        vis_re=math.cos(phi), vis_im=math.sin(phi),
+                        flag=False, flag_row=False,
+                    )
+                )
+    out = {r.antenna: r for r in cal.antenna_delay_decomposition(spark.createDataFrame(rows)).collect()}
+    assert set(out) == set(range(7))
+    for a in range(7):
+        want = (taus[a] - taus[0]) * 1e12
+        assert abs(out[a].tau_rel_q12 - want) < 5e3  # within quantization
+        assert out[a].n_incident == 6
+        assert out[a].resid_abs_sum_q12 < 5e4
+
+
+def test_ablation_matrix_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    out = registry()["filter_rule_ablation_matrix"].fn(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = {}
+    for _, d in docs.iterrows():
+        toks = d.text.split(" ")
+        nt = len(toks)
+        f = [
+            0 if 100 <= d.n_chars <= 2000 else 1,
+            0 if len(set(toks)) * 10 >= nt * 6 else 1,
+            0 if sum(1 for t in toks if t in ("the", "a")) * 20 >= nt else 1,
+            0 if 3 * nt <= (d.n_chars - (nt - 1)) <= 8 * nt else 1,
+        ]
+        w = want.setdefault(d.source, [0] * 10)
+        w[0] += 1
+        for i in range(4):
+            w[1 + i] += f[i]
+            if f[i] == 1 and sum(f) == 1:
+                w[5 + i] += 1
+        if sum(f) == 0:
+            w[9] += 1
+    for _, r in out.iterrows():
+        w = want[r.source]
+        got = [r.n_docs, r.fail_len, r.fail_dup, r.fail_stop, r.fail_wlen,
+               r.only_len, r.only_dup, r.only_stop, r.only_wlen, r.pass_all]
+        assert [int(x) for x in got] == w, r.source
+
+
+def test_label_centroid_matrix_shape(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    out = registry()["label_centroid_similarity_matrix"].fn(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    labels = sorted(emb.label.unique())
+    n = len(labels)
+    assert len(out) == n * (n - 1) // 2
+    assert (out.centroid_cosine.abs() <= 1.0 + 1e-12).all()
+    # exact recompute for the smallest pair, following the operator's
+    # quantization order (per-dim int sums -> rational means -> q12 dot)
+    la, lb = labels[0], labels[1]
+    def centroid(lab):
+        vecs = np.stack(emb[emb.label == lab].embedding.to_numpy())
+        vq = np.round(vecs.astype("float64") * 1e6).astype("int64").sum(axis=0)
+        return vq / (1e6 * len(vecs))
+    ca, cb = centroid(la), centroid(lb)
+    def qdot(a, b):
+        return int(sum(int(round(x * y * 1e12)) for x, y in zip(a, b)))
+    want = round(qdot(ca, cb) / (math.sqrt(qdot(ca, ca)) * math.sqrt(qdot(cb, cb))), 9)
+    got = float(out[(out.label_a == la) & (out.label_b == lb)].centroid_cosine.iloc[0])
+    assert got == want
+
+
+def test_burst_flags_topk_shape(spark, sf_dir):
+    out = registry()["events_rate_burst_flags"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rows in by_type.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        ratios = [r.rate_ratio_ppm for r in rows]
+        assert ratios == sorted(ratios, reverse=True)
+        for r in rows:
+            assert r.trail_days >= 3
+            assert r.burst == (1 if r.cnt * r.trail_days * 2 > 3 * r.trail_sum else 0)
