@@ -1395,6 +1395,12 @@ def antenna_delay_decomposition(vis: DataFrame, n_ant: int = 7) -> DataFrame:
             quantize(num.cast("double") / den.cast("double") * F.lit(1000.0), 1.0)
             .alias("s_q12"),
         )
+        # the baseline-dim slope frame (n_ant^2 rows) feeds five
+        # consumers (both union legs, the residual join, both residual
+        # legs) — without materialization each re-runs the FACT collapse
+        # (14 scans / 22 exchanges in the audited plan); one lazy
+        # localCheckpoint makes the fact table scan exactly once
+        .localCheckpoint(eager=False)
     )
     inc = slopes.select(
         F.col("antenna1").alias("antenna"), F.col("s_q12").alias("s")

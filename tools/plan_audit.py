@@ -101,6 +101,14 @@ QUERIES = [
     "delay_spectrum_per_baseline", "lsh_params_planner",
     "band_edge_flagging", "coherence_time_estimate",
     "duplicate_text_cross_lang",
+    # round-8 wave 2-4 additions
+    "sumthreshold_rfi_flags", "flag_grow_extend", "flagged_channel_interp",
+    "uv_taper_response", "contrastive_triplet_mining",
+    "classifier_reliability_bins", "events_rfm_segmentation",
+    "events_markov_transitions", "dft_image_pbcor", "mfs_taylor_term_grids",
+    "gain_solution_qa_report", "rag_context_packing",
+    "antenna_delay_decomposition", "filter_rule_ablation_matrix",
+    "label_centroid_similarity_matrix", "events_rate_burst_flags",
 ]
 
 spark = (
