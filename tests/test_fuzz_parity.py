@@ -129,6 +129,10 @@ LLM_QUERIES = [
     "tokens_per_byte_by_source", "lsh_params_planner",
     "duplicate_text_cross_lang", "embedding_dim_stats",
     "char_trigram_entropy",
+    # round-8 wave 2-4 additions
+    "classifier_reliability_bins", "rag_context_packing",
+    "filter_rule_ablation_matrix", "contrastive_triplet_mining",
+    "label_centroid_similarity_matrix",
 ]
 
 

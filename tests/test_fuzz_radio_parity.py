@@ -94,6 +94,18 @@ RADIO_QUERIES = [
     "delay_spectrum_per_baseline",
     "band_edge_flagging",
     "coherence_time_estimate",
+    # round-8 wave 2-4 additions
+    "sumthreshold_rfi_flags",
+    "flag_grow_extend",
+    "flagged_channel_interp",
+    "uv_taper_response",
+    "mfs_taylor_term_grids",
+    "dft_image_pbcor",
+    "gain_solution_qa_report",
+    "antenna_delay_decomposition",
+    "events_rfm_segmentation",
+    "events_markov_transitions",
+    "events_rate_burst_flags",
 ]
 
 
@@ -138,14 +150,30 @@ def fuzz_sf_dir(tmp_path_factory):
     li.to_parquet(root / "lineitem.parquet", index=False)
     nation = pd.DataFrame({"n_nationkey": np.arange(25, dtype=np.int64)})
     nation.to_parquet(root / "nation.parquet", index=False)
+    # events with real day-scale structure so the RFM/Markov/burst
+    # queries exercise their windows: 2 types x 45 days, per-day counts
+    # varying deterministically (some days 5x their trailing week)
+    ev_rows = []
+    eid = 0
+    for ti, etype in enumerate(("view", "click")):
+        for day in range(45):
+            k = 1 + ((day * 7 + ti * 3) % 5)
+            if day % 13 == 11:
+                k *= 5  # planted burst
+            for j in range(k):
+                ev_rows.append(
+                    (
+                        eid,
+                        pd.Timestamp("2021-01-01")
+                        + pd.Timedelta(days=day, minutes=17 * j),
+                        (eid * 5 + 1) % 7,
+                        etype,
+                        float(np.round(0.25 * ((eid * 13) % 40), 2)),
+                    )
+                )
+                eid += 1
     ev = pd.DataFrame(
-        {
-            "event_id": np.arange(10, dtype=np.int64),
-            "ts": pd.date_range("2021-01-01", periods=10, freq="h"),
-            "user_id": np.arange(10, dtype=np.int64) % 3,
-            "event_type": ["view"] * 10,
-            "value": np.linspace(0.0, 1.0, 10),
-        }
+        ev_rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
     ev.to_parquet(root / "events.parquet", index=False)
     return str(root)
