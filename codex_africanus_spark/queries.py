@@ -13002,3 +13002,64 @@ def events_rate_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rnk")
     )
+
+
+_COMPACTION_ORACLE = """
+  WITH sub AS (
+    SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber <= 4
+  ),
+  agg AS (
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c2
+    FROM sub GROUP BY l_returnflag
+  )
+  SELECT 'post' AS phase, l_returnflag, n_rows, qty_c2 FROM agg
+  UNION ALL
+  SELECT 'pre' AS phase, l_returnflag, n_rows, qty_c2 FROM agg
+  ORDER BY phase, l_returnflag
+"""
+
+
+@register("snapshot_compaction_scan", _COMPACTION_ORACLE)
+def snapshot_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction round-trip: four per-batch
+    appends build a fragmented snapshot (the streaming small-file
+    problem), `compact` rewrites the live file set as one atomic
+    overwrite commit, and BOTH the compacted head and the pinned
+    pre-compaction version re-aggregate to the identical row set — the
+    contract that lets a 100 TB lake compact in the background while
+    readers keep planning from whichever manifest they resolved. File
+    counts and vacuum behaviour are locked by
+    tests/test_snapshot_sink.py; the driver check proves content
+    identity through the rewrite."""
+    import shutil
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    ).filter(F.col("l_linenumber") <= 4)
+    root = f"{tempfile.gettempdir()}/cas_snapshot/compaction"
+    shutil.rmtree(root, ignore_errors=True)
+    for ln in (1, 2, 3, 4):
+        snap_mod.commit(
+            li.filter(F.col("l_linenumber") == ln),
+            root,
+            mode="overwrite" if ln == 1 else "append",
+        )
+    pre_version = snap_mod.latest_version(root)
+    snap_mod.compact(spark, root, target_partitions=2)
+    pre = snap_mod.read_snapshot(spark, root, version=pre_version).select(
+        F.lit("pre").alias("phase"), "l_returnflag", "l_quantity"
+    )
+    post = snap_mod.read_snapshot(spark, root).select(
+        F.lit("post").alias("phase"), "l_returnflag", "l_quantity"
+    )
+    return (
+        pre.unionByName(post)
+        .groupBy("phase", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c2"),
+        )
+        .orderBy("phase", "l_returnflag")
+    )

@@ -429,3 +429,24 @@ def test_burst_flags_topk_shape(spark, sf_dir):
         for r in rows:
             assert r.trail_days >= 3
             assert r.burst == (1 if r.cnt * r.trail_days * 2 > 3 * r.trail_sum else 0)
+
+
+def test_compaction_scan_reduces_files(spark, sf_dir):
+    """The registry compaction query really does shrink the live file
+    set: after it runs, the head version's manifest lists at most 2
+    files while the pinned pre-compaction version lists at least 4
+    (one per append)."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    out = registry()["snapshot_compaction_scan"].fn(spark, sf_dir).collect()
+    phases = {r.phase for r in out}
+    assert phases == {"pre", "post"}
+    pre = {(r.l_returnflag): (r.n_rows, r.qty_c2) for r in out if r.phase == "pre"}
+    post = {(r.l_returnflag): (r.n_rows, r.qty_c2) for r in out if r.phase == "post"}
+    assert pre == post
+    import tempfile
+
+    root = f"{tempfile.gettempdir()}/cas_snapshot/compaction"
+    head = snap.latest_version(root)
+    assert len(snap.snapshot_files(root, head)) <= 2
+    assert len(snap.snapshot_files(root, head - 1)) >= 4
