@@ -13063,3 +13063,122 @@ def snapshot_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "l_returnflag")
     )
+
+
+_MFS_ALPHA_ORACLE = _with_ms(
+    """
+    , g AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS cu,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS cv,
+             chan / 8.0 AS x, vis_re
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    cells AS (
+      SELECT cu, cv,
+             CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT) AS t0,
+             CAST(SUM(CAST(ROUND(vis_re * x * 1000000.0) AS BIGINT)) AS BIGINT) AS t1
+      FROM g GROUP BY cu, cv
+    )
+    SELECT cu, cv, t0 AS t0_re_q, t1 AS t1_re_q,
+           CASE WHEN abs(t0) >= 1000000
+                THEN CAST(ROUND(CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                                * 1000000.0) AS BIGINT)
+                ELSE NULL END AS alpha_q6,
+           CASE WHEN abs(t0) >= 1000000 THEN 0 ELSE 1 END AS masked
+    FROM cells ORDER BY cu, cv
+    """
+)
+
+
+@register("mfs_alpha_map", _MFS_ALPHA_ORACLE)
+def mfs_alpha_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MFS spectral-index map (the mtmfs alpha product):
+    per uv cell the Taylor-term ratio t1/t0 estimates the fractional
+    spectral slope, masked where |t0| is below the reliability floor
+    (the alpha-mask every wideband imager applies — dividing two noise
+    values manufactures fake spectral indices). Ratio of two exact
+    integers through one double division, quantized — engine-identical;
+    the whole map is the MFS partial agg plus a projection."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    x = F.col("chan") / F.lit(8.0)
+    cells = (
+        vis.select(
+            F.floor(F.col("u") / F.lit(10.0)).cast("long").alias("cu"),
+            F.floor(F.col("v") / F.lit(10.0)).cast("long").alias("cv"),
+            x.alias("x"),
+            "vis_re",
+        )
+        .groupBy("cu", "cv")
+        .agg(
+            F.sum(quantize(F.col("vis_re"), 1e6)).alias("t0"),
+            F.sum(quantize(F.col("vis_re") * F.col("x"), 1e6)).alias("t1"),
+        )
+    )
+    ok = F.abs(F.col("t0")) >= 1000000
+    return cells.select(
+        "cu",
+        "cv",
+        F.col("t0").alias("t0_re_q"),
+        F.col("t1").alias("t1_re_q"),
+        F.when(
+            ok,
+            quantize(
+                F.col("t1").cast("double") / F.col("t0").cast("double"), 1e6
+            ),
+        ).alias("alpha_q6"),
+        F.when(ok, 0).otherwise(1).alias("masked"),
+    ).orderBy("cu", "cv")
+
+
+_HAZARD_ORACLE = _with_ms(
+    """
+    , lifespans AS (
+      SELECT user_id,
+             (MAX(ts_us) - MIN(ts_us)) // 86400000000 AS lifespan
+      FROM ev GROUP BY user_id
+    ),
+    per_l AS (
+      SELECT lifespan, COUNT(*) AS churned FROM lifespans GROUP BY lifespan
+    ),
+    curve AS (
+      SELECT lifespan AS day_k, churned,
+             CAST(SUM(churned) OVER (ORDER BY lifespan DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS at_risk
+      FROM per_l
+    )
+    SELECT day_k, at_risk, churned,
+           (churned * 1000000) // at_risk AS hazard_ppm
+    FROM curve ORDER BY day_k
+    """
+)
+
+
+@register("events_hazard_curve", _HAZARD_ORACLE)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime survival hazard (the Kaplan-Meier risk table, discrete
+    days): users grouped by observed lifespan (last minus first event,
+    whole days); at-risk(k) is the reverse cumulative count and
+    hazard(k) = churned/at-risk in integer ppm. Complements the
+    calendar-cohort retention matrix with the lifetime-relative view a
+    churn model trains on. One fact collapse to users, then
+    lifespan-dimension windows."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    lifespans = ev.groupBy("user_id").agg(
+        F.expr("(MAX(ts_us) - MIN(ts_us)) DIV 86400000000").alias("lifespan")
+    )
+    per_l = lifespans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("churned"))
+    w = W.orderBy(F.desc("lifespan")).rowsBetween(W.unboundedPreceding, 0)
+    curve = per_l.select(
+        F.col("lifespan").alias("day_k"),
+        "churned",
+        F.sum("churned").over(w).alias("at_risk"),
+    )
+    return curve.select(
+        "day_k",
+        "at_risk",
+        "churned",
+        F.expr("(churned * 1000000) DIV at_risk").alias("hazard_ppm"),
+    ).orderBy("day_k")

@@ -450,3 +450,28 @@ def test_compaction_scan_reduces_files(spark, sf_dir):
     head = snap.latest_version(root)
     assert len(snap.snapshot_files(root, head)) <= 2
     assert len(snap.snapshot_files(root, head - 1)) >= 4
+
+
+def test_mfs_alpha_mask_and_ratio(spark, sf_dir):
+    out = registry()["mfs_alpha_map"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        if r.masked:
+            assert abs(r.t0_re_q) < 1_000_000 and r.alpha_q6 is None
+        else:
+            assert abs(r.t0_re_q) >= 1_000_000
+            assert r.alpha_q6 == pytest.approx(r.t1_re_q / r.t0_re_q * 1e6, abs=1.0)
+
+
+def test_hazard_curve_conservation(spark, sf_dir):
+    from codex_africanus_spark.sources import tpch_ms
+
+    out = registry()["events_hazard_curve"].fn(spark, sf_dir).collect()
+    n_users = tpch_ms.events_table(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(r.churned for r in out) == n_users
+    rows = sorted(out, key=lambda r: r.day_k)
+    risks = [r.at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    assert rows[0].at_risk == n_users  # everyone is at risk on day 0's curve start
+    for r in rows:
+        assert 0 <= r.hazard_ppm <= 1_000_000

@@ -109,7 +109,7 @@ QUERIES = [
     "gain_solution_qa_report", "rag_context_packing",
     "antenna_delay_decomposition", "filter_rule_ablation_matrix",
     "label_centroid_similarity_matrix", "events_rate_burst_flags",
-    "snapshot_compaction_scan",
+    "snapshot_compaction_scan", "mfs_alpha_map", "events_hazard_curve",
 ]
 
 spark = (
