@@ -154,10 +154,13 @@ def bda_ragged(
 
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         # bin assignment over the unique time grid (chan-collapsed)
+        # total value order BEFORE the dedup: duplicate (time, row_id)
+        # keys with different uvw would otherwise keep an input-order-
+        # dependent representative (the r8 streaming-twin flake class)
         times = (
             pdf[["time", "row_id", "u", "v", "w"]]
+            .sort_values(["time", "row_id", "u", "v", "w"])
             .drop_duplicates(["time", "row_id"])
-            .sort_values(["time", "row_id"])
             .reset_index(drop=True)
         )
         # same float64-scalar loop + vectorized weighted means as
@@ -242,7 +245,13 @@ def bda_average(
     )
 
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        # (time, row_id) is not unique in this data model; (u, v, w,
+        # vis_re) completes a total value order — remaining ties are
+        # fully identical rows, so the sequential binning and the
+        # in-bin float sums are permutation-invariant
+        pdf = pdf.sort_values(
+            ["time", "row_id", "u", "v", "w", "vis_re"]
+        ).reset_index(drop=True)
         # sequential bin closure over plain float64 scalars — the same
         # IEEE arithmetic the previous itertuples loop performed, minus
         # the namedtuple construction per row (~5×); the weighted means
@@ -338,7 +347,13 @@ def bda_average_quantized(
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        # (time, row_id) is not unique in this data model; (u, v, w,
+        # vis_re) completes a total value order — remaining ties are
+        # fully identical rows, so the sequential binning and the
+        # in-bin float sums are permutation-invariant
+        pdf = pdf.sort_values(
+            ["time", "row_id", "u", "v", "w", "vis_re"]
+        ).reset_index(drop=True)
         u = pdf["u"].to_numpy()
         v = pdf["v"].to_numpy()
         w_ = pdf["w"].to_numpy()
@@ -457,7 +472,13 @@ def bda_sinc_average(vis: DataFrame, time_bin_secs: float = BDA_TIME_BIN_SECS) -
     ML, NM, C, DECORR = BDA_MAX_LM, BDA_N_MAX, BDA_LIGHTSPEED, BDA_DECORRELATION
 
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["time", "row_id"]).reset_index(drop=True)
+        # (time, row_id) is not unique in this data model; (u, v, w,
+        # vis_re) completes a total value order — remaining ties are
+        # fully identical rows, so the sequential binning and the
+        # in-bin float sums are permutation-invariant
+        pdf = pdf.sort_values(
+            ["time", "row_id", "u", "v", "w", "vis_re"]
+        ).reset_index(drop=True)
         u = pdf["u"].to_numpy()
         v = pdf["v"].to_numpy()
         w_ = pdf["w"].to_numpy()

@@ -298,7 +298,12 @@ def salted_bda_average(
     # (baseline, bucket) partition; the bucket's FIRST row takes its
     # step from the previous bucket's last row via a summary-lag join
     # (summary is one row per bucket — never fact-scale).
-    w2 = W.partitionBy("antenna1", "antenna2", "__bucket").orderBy("time", "row_id")
+    # total order: (u, v, w, wre_q) breaks duplicate (time, row_id)
+    # keys exactly as the sequential twin's (u, v, w, vis_re) does
+    # (weight is constant on a row_id tie, so wre_q orders like vis_re)
+    w2 = W.partitionBy("antenna1", "antenna2", "__bucket").orderBy(
+        "time", "row_id", "u", "v", "w", "wre_q"
+    )
     wb = W.partitionBy("antenna1", "antenna2").orderBy("__bucket")
     last_row = F.max(F.struct("time", "row_id", "u", "v", "w")).alias("__last")
     bsum = ev.groupBy("antenna1", "antenna2", "__bucket").agg(last_row)
@@ -377,7 +382,9 @@ def salted_bda_average(
         rows.select(
             "antenna1", "antenna2", "__bucket", "time", "row_id", "__qb"
         ),
-        ["antenna1", "antenna2", "__bucket"], ["time", "row_id"],
+        # __qb is nondecreasing in w2 order, so (time, row_id, __qb)
+        # reproduces it; rows still tied are value-identical to phase_a
+        ["antenna1", "antenna2", "__bucket"], ["time", "row_id", "__qb"],
         phase_a, a_schema,
         ["antenna1", "antenna2", "__bucket", "n_rows", "qb_last", "t_last",
          "r_q", "r_t", "r_nclosed", "r_exit_acc", "r_exit_t"],
@@ -479,7 +486,8 @@ def salted_bda_average(
 
     partials = _stream_by_groups(
         rows.join(resolution, ["antenna1", "antenna2", "__bucket"]),
-        ["antenna1", "antenna2", "__bucket"], ["time", "row_id"],
+        ["antenna1", "antenna2", "__bucket"],
+        ["time", "row_id", "u", "v", "w", "wre_q"],
         phase_c, c_schema,
         ["antenna1", "antenna2", "bin_idx", "n", "tmin", "tmax",
          "swre", "swim", "sw"],

@@ -1378,7 +1378,7 @@ _BDA_ORACLE = f"""
     ordered AS (
       SELECT antenna1, antenna2, time, u, v, w, vis_re, vis_im, weight,
              row_number() OVER (PARTITION BY antenna1, antenna2
-                                ORDER BY time, row_id) AS rn
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
       FROM vis WHERE row_id % 17 = 0
     ),
     rec AS (
@@ -1444,7 +1444,7 @@ _BDA_SINC_ORACLE = f"""
       SELECT antenna1, antenna2, time, u, v, w, interval, flag_row,
              vis_re, vis_im, weight,
              row_number() OVER (PARTITION BY antenna1, antenna2
-                                ORDER BY time, row_id) AS rn
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
       FROM vis WHERE row_id % 17 = 0
     ),
     rec AS (
@@ -1554,7 +1554,8 @@ _SBDA_ORACLE = f"""
                     + abs(w - lag(w) OVER w)) * 1000000.0) AS BIGINT), 0) AS dq,
              row_number() OVER w AS rn
       FROM vis WHERE row_id % 17 = 0
-      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id)
+      WINDOW w AS (PARTITION BY antenna1, antenna2
+                   ORDER BY time, row_id, u, v, w, vis_re)
     ),
     rec AS (
       SELECT antenna1, antenna2, rn, time, vis_re, vis_im, weight,
@@ -4219,7 +4220,7 @@ _SEQ_BIN_ORACLE = f"""
     ordered AS (
       SELECT antenna1, antenna2, time, vis_re, weight,
              row_number() OVER (PARTITION BY antenna1, antenna2
-                                ORDER BY time, row_id) AS rn
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
       FROM vis WHERE row_id % 17 = 0
     ),
     rec AS (
@@ -5034,7 +5035,7 @@ _BDA_RAGGED_ORACLE = f"""
       SELECT antenna1, antenna2, time, row_id, u, v, w, chan,
              vis_re, vis_im, weight,
              row_number() OVER (PARTITION BY antenna1, antenna2
-                                ORDER BY time, row_id) AS rn
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
       FROM vis WHERE row_id % 17 = 0
     ),
     rec AS (

@@ -97,7 +97,9 @@ def streaming_bda(
             return
 
         for pdf in pdfs:
-            for r in pdf.sort_values(["time", "row_id"]).itertuples():
+            for r in pdf.sort_values(
+                ["time", "row_id", "u", "v", "w", "vis_re"]
+            ).itertuples():
                 if start_t is None:
                     start_t, acc = r.time, 0.0
                 else:

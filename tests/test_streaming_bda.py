@@ -110,7 +110,9 @@ def test_streaming_bda_matches_batch_across_microbatches(spark, sf_dir, tmp_path
     # split keeps every baseline's rows time-ordered across batches.
     src = tmp_path / "vis_stream"
     src.mkdir()
-    pdf = vis.select(*cols).toPandas().sort_values(["time", "row_id"])
+    pdf = vis.select(*cols).toPandas().sort_values(
+        ["time", "row_id", "u", "v", "w", "vis_re"]
+    )
     for i, chunk in enumerate(np.array_split(pdf, 4)):
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
                        src / f"part-{i:03d}.parquet")
