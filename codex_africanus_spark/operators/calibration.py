@@ -1363,8 +1363,12 @@ def antenna_delay_decomposition(vis: DataFrame, n_ant: int = 7) -> DataFrame:
     """Per-baseline phase-vs-channel slopes -> per-antenna delays via the
     complete-graph LSQ closed form tau_p = (sum_{q>p} s_pq -
     sum_{q<p} s_qp)/N, gauge-fixed to antenna 0, plus the per-antenna
-    closure residual sum |s_pq - (tau_p - tau_q)|. All moments in
-    DECIMAL(38,0); slopes/delays on the q12 (picorad/chan) grid."""
+    closure residual sum |s_pq - (tau_p - tau_q)|. The baseline->antenna
+    decomposition is the delay analogue of the reference's per-antenna
+    phase-only solve (calibration/phase_only/phase_only.py:30-143, JHJ/JHR
+    normal equations) with the complete-graph closed form replacing the
+    iterative solve. All moments in DECIMAL(38,0); slopes/delays on the
+    q12 (picorad/chan) grid."""
     from codex_africanus_spark.functions.deterministic import quantize
 
     dec = "decimal(38,0)"

@@ -1,8 +1,10 @@
 """Flag post-processing operators: SumThreshold RFI detection, flag
 growing/extension, and flagged-channel repair by interpolation.
 
-The reference flags implicitly (averaging respects FLAG/FLAG_ROW,
-`africanus/averaging/time_and_channel_avg.py`), but every production MS
+The reference flags implicitly (averaging respects FLAG/FLAG_ROW —
+`africanus/averaging/time_and_channel_avg.py:26-33` matching_flag_factory
+and `africanus/averaging/shared.py` merge_flags are the two-tier
+semantics these operators post-process), but every production MS
 pipeline runs a *flagging* pass between calibration steps — AOFlagger's
 SumThreshold (Offringa et al. 2010, the combinatorial-threshold variant)
 and CASA flagdata's ``mode='extend'`` (growing flags in time/channel and

@@ -12420,7 +12420,9 @@ def dft_image_pbcor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary-beam correction of the adjoint-DFT image (CASA pbcor):
     each (source, chan) image value divides by the beam gain at its
     (l, m), masked NULL below the standard pblimit-style cutoff — flux
-    scales are only trustworthy inside the beam. The beam model is the
+    scales are only trustworthy inside the beam (the image-plane
+    counterpart of the reference's beam sampling,
+    rime/fast_beam_cubes.py:9-135). The beam model is the
     algebraic (1 - r^2/R^2)^2 taper (polynomial: bit-identical across
     engines), evaluated on the 25-row source dim and broadcast; the
     correction is a dimension-side join after the DFT reduction, so
@@ -12477,7 +12479,9 @@ def mfs_taylor_term_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wideband MFS Taylor-term accumulation (wsclean -join-channels
     / CASA mtmfs shape): per uv cell, visibilities accumulate weighted
     by ((nu-nu0)/nu0)^t for t = 0, 1, 2 — the spectral moments the MFS
-    deconvolver fits alpha/curvature from. x = chan/8 is exact dyadic
+    deconvolver fits alpha/curvature from (the discrete moments of the
+    reference's spectral model, model/spectral/spec_model.py:11-40, fit
+    per uv cell instead of per source). x = chan/8 is exact dyadic
     and the powers are explicit multiplies (never pow()), so every term
     is engine-identical; six fixed-point sums in ONE partial-agg pass
     over the fact table onto <=441 cells."""
