@@ -13187,3 +13187,154 @@ def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "churned",
         F.expr("(churned * 1000000) DIV at_risk").alias("hazard_ppm"),
     ).orderBy("day_k")
+
+
+# ===========================================================================
+# Round 8, final wave: AV as-of alignment, per-baseline weighted median
+# ===========================================================================
+
+_AV_STRIDE, _AV_HOP = 128, 96
+
+_AV_ALIGN_ORACLE = f"""
+  WITH frames AS (
+    SELECT d.doc_id, CAST(t.j AS INT) AS frame_idx,
+           CAST(t.j AS BIGINT) * {_AV_STRIDE} AS f_start
+    FROM documents d,
+         unnest(generate_series(0,
+           CAST((octet_length(encode(d.text)) + {_AV_STRIDE - 1})
+                // {_AV_STRIDE} AS INT) - 1)) AS t(j)
+  ),
+  wins AS (
+    SELECT d.doc_id, CAST(t.j AS INT) AS win,
+           CAST(t.j AS BIGINT) * {_AV_HOP} AS a_start
+    FROM documents d,
+         unnest(generate_series(0,
+           CAST((octet_length(encode(d.text)) + {_AV_HOP - 1})
+                // {_AV_HOP} AS INT) - 1)) AS t(j)
+  )
+  SELECT f.doc_id, f.frame_idx, f.f_start,
+         MAX(w.win) AS win,
+         MAX(w.a_start) AS a_start,
+         f.f_start - MAX(w.a_start) AS lag_bytes
+  FROM frames f
+  JOIN wins w ON w.doc_id = f.doc_id AND w.a_start <= f.f_start
+  GROUP BY f.doc_id, f.frame_idx, f.f_start
+  ORDER BY f.doc_id, f.frame_idx
+"""
+
+
+@register("multimodal_av_align_asof", _AV_ALIGN_ORACLE)
+def multimodal_av_align_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV-sync alignment: every sampled video frame pairs with the
+    LATEST audio window starting at or before it (as-of backward
+    match at incommensurate rates — stride 128 vs hop 96 — so the lag
+    walks a sawtooth the way real container timestamps drift). The
+    curation op behind audio-visual training pairs; here both streams
+    derive from the byte payload, and the alignment is a doc-local
+    argmax join (co-partitioned on the asset id at any scale; the
+    generic irregular-timestamp form is operators/asof.py)."""
+    from codex_africanus_spark.operators import multimodal as mm
+
+    docs = load(spark, "documents", sf_dir)
+    p = mm.attach_binary_payload(docs).select(
+        "doc_id", F.octet_length("payload").alias("nb")
+    )
+    nf = ((F.col("nb") + _AV_STRIDE - 1) / _AV_STRIDE).cast("int")
+    frames = p.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx").cast("long") * _AV_STRIDE).alias("f_start"),
+    )
+    nw = ((F.col("nb") + _AV_HOP - 1) / _AV_HOP).cast("int")
+    wins = p.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), nw - 1)).alias("win")
+    ).select(
+        "doc_id", "win", (F.col("win").cast("long") * _AV_HOP).alias("a_start")
+    )
+    j = frames.join(
+        wins,
+        (frames.doc_id == wins.doc_id) & (wins.a_start <= frames.f_start),
+    ).select(frames.doc_id, "frame_idx", "f_start", "win", "a_start")
+    return (
+        j.groupBy("doc_id", "frame_idx", "f_start")
+        .agg(F.max("win").alias("win"), F.max("a_start").alias("a_start"))
+        .select(
+            "doc_id", "frame_idx", "f_start", "win", "a_start",
+            (F.col("f_start") - F.col("a_start")).alias("lag_bytes"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_WMEDIAN_ORACLE = _with_ms(
+    """
+    , samp AS (
+      SELECT antenna1, antenna2,
+             CAST(ROUND(sqrt(vis_re*vis_re + vis_im*vis_im) * 1000.0)
+                  AS BIGINT) AS amp_q,
+             CAST(weight AS BIGINT) AS w
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    cum AS (
+      SELECT antenna1, antenna2, amp_q, w,
+             CAST(SUM(w) OVER (PARTITION BY antenna1, antenna2
+                               ORDER BY amp_q
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY antenna1, antenna2)
+                  AS BIGINT) AS wt
+      FROM samp
+    )
+    SELECT antenna1, antenna2,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           MAX(wt) AS w_total,
+           MIN(CASE WHEN 2 * cw >= wt THEN amp_q END) AS median_amp_q,
+           MIN(CASE WHEN 10 * cw >= 9 * wt THEN amp_q END) AS p90_amp_q
+    FROM cum GROUP BY antenna1, antenna2 ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("baseline_weighted_median_amp", _WMEDIAN_ORACLE)
+def baseline_weighted_median_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-baseline median and p90 amplitude — the robust
+    per-baseline levels a flagging strategy thresholds against (median
+    is immune to the RFI it hunts; the SumThreshold chi1 would derive
+    from exactly this table in production). Weighted quantile as MIN
+    amp whose cumulative weight crosses the fraction: within an amp_q
+    tie block the crossing row may differ between engines, but the
+    SELECTED amp value cannot — the definition is value-deterministic
+    without any row-order tie-break."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    samp = vis.select(
+        "antenna1",
+        "antenna2",
+        quantize(
+            F.sqrt(F.col("vis_re") * F.col("vis_re") + F.col("vis_im") * F.col("vis_im")),
+            1e3,
+        ).alias("amp_q"),
+        F.col("weight").cast("long").alias("w"),
+    )
+    wb = W.partitionBy("antenna1", "antenna2")
+    cum = samp.select(
+        "antenna1",
+        "antenna2",
+        "amp_q",
+        "w",
+        F.sum("w").over(wb.orderBy("amp_q").rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(wb).alias("wt"),
+    )
+    return (
+        cum.groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("wt").alias("w_total"),
+            F.min(F.when(2 * F.col("cw") >= F.col("wt"), F.col("amp_q"))).alias("median_amp_q"),
+            F.min(F.when(10 * F.col("cw") >= 9 * F.col("wt"), F.col("amp_q"))).alias("p90_amp_q"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )

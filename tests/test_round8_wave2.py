@@ -475,3 +475,42 @@ def test_hazard_curve_conservation(spark, sf_dir):
     assert rows[0].at_risk == n_users  # everyone is at risk on day 0's curve start
     for r in rows:
         assert 0 <= r.hazard_ppm <= 1_000_000
+
+
+def test_av_align_sawtooth(spark, sf_dir):
+    """The as-of lag at incommensurate rates is exactly
+    f_start mod hop-progression: lag = f_start - hop*floor(f_start/hop),
+    always in [0, hop)."""
+    out = registry()["multimodal_av_align_asof"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.lag_bytes < 96
+        assert r.a_start == 96 * (r.f_start // 96)
+        assert r.win == r.f_start // 96
+        assert r.f_start == 128 * r.frame_idx
+
+
+def test_weighted_median_bracketing(spark, sf_dir):
+    """The weighted median/p90 really are the crossing values: at least
+    half (resp. >=10%) of the total weight sits at or below/above."""
+    import pandas as pd
+
+    from codex_africanus_spark.sources import tpch_ms
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    out = {(r.antenna1, r.antenna2): r
+           for r in registry()["baseline_weighted_median_amp"].fn(spark, sf_dir).collect()}
+    vis = tpch_ms.vis_table(spark, sf_dir).filter("NOT (flag OR flag_row)")
+    pdf = vis.select(
+        "antenna1", "antenna2",
+        quantize(F.sqrt(F.col("vis_re")**2 + F.col("vis_im")**2), 1e3).alias("amp_q"),
+        F.col("weight").cast("long").alias("w"),
+    ).toPandas()
+    for (a1, a2), g in pdf.groupby(["antenna1", "antenna2"]):
+        r = out[(a1, a2)]
+        wt = g.w.sum()
+        assert r.w_total == wt
+        below = g[g.amp_q <= r.median_amp_q].w.sum()
+        above = g[g.amp_q >= r.median_amp_q].w.sum()
+        assert 2 * below >= wt and 2 * above >= wt  # true weighted median
+        assert g[g.amp_q <= r.p90_amp_q].w.sum() * 10 >= 9 * wt

@@ -110,6 +110,7 @@ QUERIES = [
     "antenna_delay_decomposition", "filter_rule_ablation_matrix",
     "label_centroid_similarity_matrix", "events_rate_burst_flags",
     "snapshot_compaction_scan", "mfs_alpha_map", "events_hazard_curve",
+    "multimodal_av_align_asof", "baseline_weighted_median_amp",
 ]
 
 spark = (
