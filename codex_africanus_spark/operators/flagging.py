@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.deterministic import quantize
+
 # --------------------------------------------------------------------------
 # SumThreshold (combinatorial-threshold variant)
 # --------------------------------------------------------------------------
@@ -278,6 +280,7 @@ def FLAG_GROW_SQL(extend_num: int = 1, extend_den: int = 2) -> str:
 # --------------------------------------------------------------------------
 
 _PACK = 10_000_000_000_000  # (chan+1)*PACK + value_q packs into int64
+_VOFF = 4_500_000_000_000  # shifts quantized values into [0, PACK): |vis| < 4.5e6
 
 
 def flagged_channel_interp(vis: DataFrame) -> DataFrame:
@@ -288,7 +291,14 @@ def flagged_channel_interp(vis: DataFrame) -> DataFrame:
     Bracket discovery is two running extrema per direction — the
     unflagged neighbour's (chan, value) pair packed into one int64 so a
     single MAX/MIN window carries both — never a self-join. Output is
-    repaired cells only (flag-fraction-sized, not corpus-sized)."""
+    repaired cells only (flag-fraction-sized, not corpus-sized).
+
+    Sign-safe for any |vis| < 4.5e6: samples are quantized with the
+    sign-aware ``quantize`` idiom (identical to DuckDB ROUND) and then
+    shifted by ``_VOFF`` so the per-cell mean (Spark ``DIV`` truncates
+    toward zero, DuckDB ``//`` floors — equal only on non-negative
+    operands) and the (chan, value) int64 pack both operate on
+    non-negative values; the shift cancels exactly at output."""
     cell = (
         vis.select(
             "antenna1",
@@ -296,8 +306,8 @@ def flagged_channel_interp(vis: DataFrame) -> DataFrame:
             "chan",
             "time",
             (F.col("flag") | F.col("flag_row")).cast("int").alias("cf"),
-            (F.col("vis_re") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("re_q"),
-            (F.col("vis_im") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("im_q"),
+            (quantize(F.col("vis_re")) + F.lit(_VOFF)).alias("re_q"),
+            (quantize(F.col("vis_im")) + F.lit(_VOFF)).alias("im_q"),
         )
         .groupBy("antenna1", "antenna2", "chan", "time")
         .agg(
@@ -342,9 +352,11 @@ def flagged_channel_interp(vis: DataFrame) -> DataFrame:
     )
     return (
         d.select(
-            "antenna1", "antenna2", "chan", "time", "re_mq", "im_mq",
-            F.when(method != "none", interp("lp_re", "rp_re")).alias("fill_re_q"),
-            F.when(method != "none", interp("lp_im", "rp_im")).alias("fill_im_q"),
+            "antenna1", "antenna2", "chan", "time",
+            (F.col("re_mq") - F.lit(_VOFF)).alias("re_mq"),
+            (F.col("im_mq") - F.lit(_VOFF)).alias("im_mq"),
+            F.when(method != "none", interp("lp_re", "rp_re") - F.lit(_VOFF)).alias("fill_re_q"),
+            F.when(method != "none", interp("lp_im", "rp_im") - F.lit(_VOFF)).alias("fill_im_q"),
             method.alias("method"),
         )
         .orderBy("antenna1", "antenna2", "time", "chan")
@@ -353,13 +365,14 @@ def flagged_channel_interp(vis: DataFrame) -> DataFrame:
 
 def CHANNEL_INTERP_SQL() -> str:
     p = _PACK
+    off = _VOFF
     return f"""
     , cell AS (
       SELECT antenna1, antenna2, chan, time,
              MIN(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS cf,
-             CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT) + {off}) AS BIGINT)
                // COUNT(*) AS re_mq,
-             CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT) + {off}) AS BIGINT)
                // COUNT(*) AS im_mq
       FROM vis GROUP BY antenna1, antenna2, chan, time
     ),
@@ -383,20 +396,21 @@ def CHANNEL_INTERP_SQL() -> str:
         lp_re, rp_re, lp_im, rp_im
       FROM br WHERE cf = 1
     )
-    SELECT antenna1, antenna2, chan, time, re_mq, im_mq,
+    SELECT antenna1, antenna2, chan, time,
+      re_mq - {off} AS re_mq, im_mq - {off} AS im_mq,
       CASE
         WHEN lp_re IS NOT NULL AND rp_re IS NOT NULL THEN CAST(ROUND(
           (lp_re - (lc+1)*{p}) + ((rp_re - (rc+1)*{p}) - (lp_re - (lc+1)*{p}))
-            * (CAST(chan - lc AS DOUBLE) / CAST(rc - lc AS DOUBLE))) AS BIGINT)
-        WHEN lp_re IS NOT NULL THEN lp_re - (lc+1)*{p}
-        WHEN rp_re IS NOT NULL THEN rp_re - (rc+1)*{p}
+            * (CAST(chan - lc AS DOUBLE) / CAST(rc - lc AS DOUBLE))) AS BIGINT) - {off}
+        WHEN lp_re IS NOT NULL THEN lp_re - (lc+1)*{p} - {off}
+        WHEN rp_re IS NOT NULL THEN rp_re - (rc+1)*{p} - {off}
         ELSE NULL END AS fill_re_q,
       CASE
         WHEN lp_im IS NOT NULL AND rp_im IS NOT NULL THEN CAST(ROUND(
           (lp_im - (lc+1)*{p}) + ((rp_im - (rc+1)*{p}) - (lp_im - (lc+1)*{p}))
-            * (CAST(chan - lc AS DOUBLE) / CAST(rc - lc AS DOUBLE))) AS BIGINT)
-        WHEN lp_im IS NOT NULL THEN lp_im - (lc+1)*{p}
-        WHEN rp_im IS NOT NULL THEN rp_im - (rc+1)*{p}
+            * (CAST(chan - lc AS DOUBLE) / CAST(rc - lc AS DOUBLE))) AS BIGINT) - {off}
+        WHEN lp_im IS NOT NULL THEN lp_im - (lc+1)*{p} - {off}
+        WHEN rp_im IS NOT NULL THEN rp_im - (rc+1)*{p} - {off}
         ELSE NULL END AS fill_im_q,
       CASE
         WHEN lp_re IS NOT NULL AND rp_re IS NOT NULL THEN 'interp'

@@ -2333,7 +2333,15 @@ _TPACK = 10_000_000  # ids must stay < 1e7: pack = (s9+1e9)*1e7 + (1e7-id)
 
 
 def _tri_pack(s9: F.Column, cand_id: F.Column) -> F.Column:
-    return (s9 + F.lit(1_000_000_000)) * F.lit(_TPACK) + (F.lit(_TPACK) - cand_id)
+    # Ids >= _TPACK would make the complement negative and corrupt the
+    # integer argmax ordering IDENTICALLY in both engines (the oracle
+    # compare cannot catch it), so the bound is enforced in-plan: a
+    # codegen'd comparison per row, raise_error only on violation.
+    guarded = F.when(
+        (cand_id >= F.lit(_TPACK)) | (cand_id < 0),
+        F.raise_error(F.lit(f"contrastive_triplets: vec_id must be in [0, {_TPACK})")),
+    ).otherwise(cand_id)
+    return (s9 + F.lit(1_000_000_000)) * F.lit(_TPACK) + (F.lit(_TPACK) - guarded)
 
 
 def _tri_pairs(embeddings: DataFrame, anchor_modulus: int) -> DataFrame:

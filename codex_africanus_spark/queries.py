@@ -13240,7 +13240,10 @@ def multimodal_av_align_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length("payload").alias("nb")
     )
     nf = ((F.col("nb") + _AV_STRIDE - 1) / _AV_STRIDE).cast("int")
-    frames = p.select(
+    # filter(nb > 0): F.sequence(0, -1) is the DESCENDING pair [0, -1] in
+    # Spark while DuckDB generate_series(0, -1) is empty — a zero-length
+    # payload must emit no frame/window rows on either side.
+    frames = p.filter(F.col("nb") > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
     ).select(
@@ -13249,7 +13252,7 @@ def multimodal_av_align_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frame_idx").cast("long") * _AV_STRIDE).alias("f_start"),
     )
     nw = ((F.col("nb") + _AV_HOP - 1) / _AV_HOP).cast("int")
-    wins = p.select(
+    wins = p.filter(F.col("nb") > 0).select(
         "doc_id", F.explode(F.sequence(F.lit(0), nw - 1)).alias("win")
     ).select(
         "doc_id", "win", (F.col("win").cast("long") * _AV_HOP).alias("a_start")
