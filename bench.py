@@ -47,6 +47,20 @@ HEADLINE = [
     "gp_phase_screen_corrupt",      # pure-codegen expression throughput
 ]
 
+# r9 rotation (r8 verdict item 5): the legacy 20 above are frozen since
+# r1 for cross-round continuity; this second set exercises the
+# work-dominated r5-r8 code paths the legacy set never touches. Timed
+# identically; reported separately (queries_extended / extended_value)
+# so the headline total stays comparable across rounds.
+EXTENDED = [
+    "bda_salted_average",            # salted exact BDA three-phase pre-split
+    "prefix_filter_jaccard_join",    # PPJoin prefix-filter exact-Jaccard
+    "incremental_dedup_ingest",      # index build + batched ingest probes
+    "faceted_mosaic_predict",        # facet dims broadcast, 2-level reduction
+    "beam_dde_full_predict",         # E_p·B·E_q^H double broadcast join
+    "time_and_channel_average_full", # full MS column-set averaging
+]
+
 
 # The two perennial drift-band queries (r7 verdict #5): both plans are
 # structurally pinned (GP screen: zero exchanges; DDE corrupt:
@@ -72,37 +86,43 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
 
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in reg:
-            continue
-        # three runs, report the steady-state (min): the first execution of
-        # a heavy expression pipeline pays one-off whole-stage-codegen JIT
-        # cost that a long-running cluster amortizes away, and min-of-3
-        # bounds run-to-run load drift to well under the 25% target
-        best = None
-        pinned = name in DRIFT_PINNED
-        try:
-            if pinned:  # untimed JIT/broadcast warm-up
-                reg[name].fn(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            for _ in range(5 if pinned else 3):
-                t0 = time.perf_counter()
-                df = reg[name].fn(spark, SF_DIR)
-                # noop sink forces full evaluation of every output column
-                # (count() alone would let Catalyst prune the aggregates)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as e:  # noqa: BLE001 — one broken query must not
-            # zero out the whole round's measurement (it did in round 2)
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            if name not in reg:
+                continue
+            # three runs, report the steady-state (min): the first execution
+            # of a heavy expression pipeline pays one-off whole-stage-codegen
+            # JIT cost that a long-running cluster amortizes away, and
+            # min-of-3 bounds run-to-run load drift well under the 25% target
+            best = None
+            pinned = name in DRIFT_PINNED
+            try:
+                if pinned:  # untimed JIT/broadcast warm-up
+                    reg[name].fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                for _ in range(5 if pinned else 3):
+                    t0 = time.perf_counter()
+                    df = reg[name].fn(spark, SF_DIR)
+                    # noop sink forces full evaluation of every output column
+                    # (count() alone would let Catalyst prune the aggregates)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001 — one broken query must
+                # not zero out the whole round's measurement (round 2 bite)
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        return timings
+
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -110,6 +130,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_extended": extended,
+        "extended_value": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

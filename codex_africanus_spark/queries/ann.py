@@ -1,0 +1,775 @@
+"""Embedding similarity / ANN index queries (cosine, LSH, IVF, PQ,
+semantic dedup, contrastive mining). Mechanically moved out of the
+former queries.py (round 9)."""
+
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+from codex_africanus_spark.sources.tables import load
+from codex_africanus_spark.operators import similarity as sim_op  # noqa: E402
+from codex_africanus_spark.operators import corpus_stats as cstat_op  # noqa: E402
+
+from ._core import (  # noqa: F401
+    register,
+)
+
+@register("embedding_cosine_topk", sim_op.COSINE_TOPK_SQL())
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbours (quantized dot products)."""
+    return sim_op.cosine_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
+
+
+@register("ann_lsh_bucketed_topk", sim_op.ANN_LSH_SQL())
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets + in-bucket rerank."""
+    return sim_op.ann_lsh_topk(load(spark, "embeddings", sf_dir)).orderBy("query_id", "rank")
+
+
+@register("ann_ivf_topk", sim_op.IVF_SQL())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier: deterministic fixed-point coarse quantizer
+    (broadcast), nearest-cell assignment, 2-probe exact rerank —
+    the inverted-file scale path beside the LSH one, exactly oracled
+    including the learned centroids."""
+    return sim_op.ivf_topk(load(spark, "embeddings", sf_dir)).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("ann_ivf_persisted_topk", sim_op.IVF_SQL())
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF: the quantizer + assignment tables are
+    committed through the transactional snapshot sink on first use (or
+    when stale) and every probe answers from the persisted index —
+    no per-query index build (the deployment SCALE.md describes; the
+    probe plan is two hash exchanges and never shuffles the assignment
+    fact table). Exactly the same result as `ann_ivf_topk` because the
+    index is deterministic fixed-point — the DuckDB twin recomputes it
+    inline and hash-matches."""
+    import os
+    import tempfile
+
+    import hashlib
+
+    emb = load(spark, "embeddings", sf_dir)
+    # key by the FULL path (hashed), not the basename: two corpora named
+    # sf0.01 under different parents must not share an index root
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/cas_ann_ivf/{tag}"
+    return sim_op.ivf_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
+
+
+@register("embedding_near_dup_pairs", sim_op.NEAR_DUP_SQL(0.35))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup suite): LSH-bucket
+    candidate self-join, exact quantized-cosine filter at 0.35."""
+    return sim_op.near_dup_pairs(
+        load(spark, "embeddings", sf_dir), threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
+def _ann_recall_oracle(modulus: int = 125, k: int = 3) -> str:
+    from codex_africanus_spark.operators.similarity import (
+        N_PLANES,
+        _plane_sql,
+        _qdot_sql,
+    )
+
+    fp = " + ".join(
+        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    dot = _qdot_sql("q.embedding", "c.embedding")
+    qq = _qdot_sql("q.embedding", "q.embedding")
+    cc = _qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      WITH exact_ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id % {modulus} = 0 AND q.vec_id <> c.vec_id
+      ),
+      exact_topk AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {k}),
+      b AS (SELECT vec_id, embedding, CAST({fp} AS INT) AS bucket FROM embeddings),
+      ann_ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC, c.vec_id
+               ) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {modulus} = 0
+      ),
+      ann_topk AS (SELECT query_id, neighbor_id FROM ann_ranked WHERE rank <= {k})
+      SELECT e.query_id,
+             COUNT(a.neighbor_id) AS n_hits,
+             round(COUNT(a.neighbor_id) / CAST({k} AS DOUBLE), 6) AS recall_at_k
+      FROM exact_topk e
+      LEFT JOIN ann_topk a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+      ORDER BY e.query_id
+    """
+
+
+@register("ann_lsh_recall_eval", _ann_recall_oracle())
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH-bucketed ANN tier against the exact brute-force
+    top-3, per probe — the standard ANN quality gate a production
+    similarity index ships with. Reuses both tiers' deterministic
+    ranking, so the measurement itself is exactly oracle-checkable.
+    EVAL-ONLY pair-space note: the exact-truth side is brute-force
+    O(|corpus|·|probes|) — run on a bounded/sampled probe stratum, never
+    the full corpus (the production path is the ANN tier itself)."""
+    emb = load(spark, "embeddings", sf_dir)
+    exact = sim_op.cosine_topk(emb, 125, 3).select("query_id", "neighbor_id")
+    ann = sim_op.ann_lsh_topk(emb, 125, 3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_IVF_RECALL_ORACLE = f"""
+  WITH exact_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.COSINE_TOPK_SQL(125, 3)})
+  ),
+  ivf_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.IVF_SQL(125, 3)})
+  )
+  SELECT e.query_id,
+         COUNT(a.neighbor_id) AS n_hits,
+         round(COUNT(a.neighbor_id) / CAST(3 AS DOUBLE), 6) AS recall_at_k
+  FROM exact_topk e
+  LEFT JOIN ivf_topk a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+  ORDER BY e.query_id
+"""
+
+
+@register("ann_ivf_recall_eval", _ANN_IVF_RECALL_ORACLE)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF ANN tier against the exact brute-force top-3,
+    per probe — the same quality gate as ann_lsh_recall_eval for the
+    inverted-file scale path, so BOTH ANN tiers ship a driver-checkable
+    recall measurement. Deterministic end-to-end (fixed-point centroids
+    + quantized cosine) ⇒ exactly oracled. EVAL-ONLY pair-space note:
+    the exact-truth side is brute-force O(|corpus|·|probes|) — bounded
+    probe stratum only, never the full corpus."""
+    emb = load(spark, "embeddings", sf_dir)
+    exact = sim_op.cosine_topk(emb, 125, 3).select("query_id", "neighbor_id")
+    ivf = sim_op.ivf_topk(emb, 125, 3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "embedding_centroid_outliers",
+    """
+  WITH e AS (
+    SELECT vec_id, label,
+           [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS xq
+    FROM embeddings
+  ),
+  comp AS (
+    SELECT label, i, SUM(xq[i]) AS s, COUNT(*) AS n
+    FROM e, UNNEST(generate_series(1, 64)) AS t(i)
+    GROUP BY label, i
+  ),
+  cent AS (
+    SELECT label, list(cq ORDER BY i) AS cq, MAX(n) AS n_label
+    FROM (SELECT label, i, n,
+                 CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS cq
+          FROM comp)
+    GROUP BY label
+  ),
+  dist AS (
+    SELECT e.vec_id, e.label,
+           list_sum([(e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i])
+                     FOR i IN generate_series(1, 64)]) AS d2q,
+           c.n_label
+    FROM e JOIN cent c USING (label)
+  ),
+  lab AS (SELECT label, SUM(d2q) AS sum_d2 FROM dist GROUP BY label)
+  SELECT d.vec_id, d.label,
+         round(d.d2q / 1e12, 6) AS centroid_dist2
+  FROM dist d JOIN lab l USING (label)
+  WHERE d.d2q * d.n_label * 100 > 108 * l.sum_d2
+  ORDER BY d.vec_id
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC screen: vectors whose squared distance to their
+    label's centroid exceeds 1.08x the label mean — the malformed/mislabeled
+    vector filter before similarity indexing. All arithmetic is
+    fixed-point (1e-6 components, floored integer centroid, integer
+    cross-multiplied threshold) so the screen is engine-exact with no
+    float-summation order sensitivity. Centroids are a (label, dim)
+    partial-agg shuffle; the per-label centroid table broadcasts back."""
+    emb = load(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    comp = (
+        e.select("label", F.posexplode(F.col("xq")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        comp.withColumn(
+            "cq", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, cq))), p -> p.cq)").alias(
+                "cq"
+            ),
+            F.max("n").alias("n_label"),
+        )
+    )
+    dist = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d2q"),
+            "n_label",
+        )
+    )
+    lab = dist.groupBy("label").agg(F.sum("d2q").alias("sum_d2"))
+    return (
+        dist.join(F.broadcast(lab), "label")
+        .filter(F.col("d2q") * F.col("n_label") * 100 > 108 * F.col("sum_d2"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("d2q") / F.lit(1e12), 6).alias("centroid_dist2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("semantic_dedup_embeddings", sim_op.SEMDEDUP_SQL())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    IVF cells bound the pairwise cosine check to cluster-mates; a vector
+    with a kept lower-id near-twin (quantized cosine >= threshold) is
+    dropped, its canonical_id pointing at the keeper. Cluster-bounded
+    self-join co-partitioned on cid — no corpus cross join; cell count
+    scales with N to hold per-cell cost flat at 100 TB."""
+    return sim_op.semantic_dedup(load(spark, "embeddings", sf_dir)).orderBy(
+        "vec_id"
+    )
+
+
+@register("kmeans_lloyd_stats", sim_op.KMEANS_SQL())
+def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over embeddings: hash-seeded centroids (IVF iteration 0)
+    + 2 full Lloyd rounds + final per-cluster size/inertia — the
+    clustering primitive under IVF builds and SemDeDup cells, as an
+    iterative driver loop (k-row centroid broadcast per round, hash-agg
+    argmin, (cell,dim)-cardinality update agg). 1e-6-quantized centroid
+    sums and 1e-12-quantized distances make the inertia an exact BIGINT,
+    mirrored by an unrolled-CTE oracle."""
+    return sim_op.kmeans_lloyd_stats(load(spark, "embeddings", sf_dir))
+
+
+@register("kmeans_nscaled_stats", sim_op.KMEANS_NSCALED_SQL())
+def kmeans_nscaled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means with the cell count N-SCALED (k = ceil(n/CELL_TARGET),
+    the IVF/SemDeDup discipline): cluster population stays ~CELL_TARGET
+    as the corpus grows instead of clusters growing with N — the form a
+    100 TB corpus-bucketing run actually uses. Same exact fixed-point
+    Lloyd rounds as kmeans_lloyd_stats; the oracle N-scales in its own
+    `p` CTE so both engines derive k from the data."""
+    emb = load(spark, "embeddings", sf_dir)
+    n_cells = max(1, -(-emb.count() // sim_op.CELL_TARGET))
+    return sim_op.kmeans_lloyd_stats(emb, k=n_cells)
+
+
+@register("ann_pq_persisted_topk", sim_op.PQ_SQL())
+def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many PQ ANN: codebook + per-vector codes served
+    from the snapshot sink (META-fingerprinted, same contract as the
+    persisted IVF tier); only the probe subset's ADC distance tables
+    are built at query time. Same exact oracle as ann_pq_topk — the
+    index is deterministic fixed-point."""
+    import os
+    import tempfile
+
+    import hashlib
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/cas_ann_pq/{tag}"
+    return sim_op.pq_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
+
+
+@register("ann_pq_topk", sim_op.PQ_SQL())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011 structure) with
+    asymmetric distance: vectors compress to M=8 sub-space code ids
+    against deterministic codebooks; probes precompute an M x K distance
+    table (broadcast) and candidates are scored by table-lookup sums —
+    the scan never touches candidate vectors. The ADC shortlist (top-50)
+    is then exactly reranked on full vectors (50 exact distances per
+    probe — the production two-stage shape; shortlist recall 0.75 on the
+    near-uniform test vectors). Third ANN tier beside LSH buckets and
+    IVF cells; exact fixed-point arithmetic end to end -> oracled."""
+    return sim_op.pq_topk(load(spark, "embeddings", sf_dir)).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ann_root(kind: str, sf_dir: str) -> str:
+    """Persisted-index root for a corpus: keyed by the FULL sf_dir path
+    (hashed) so two corpora with the same basename never share an index."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/cas_ann_{kind}/{tag}"
+
+
+@register("ann_recall_vs_probes_sweep", sim_op.RECALL_VS_PROBES_SQL())
+def ann_recall_vs_probes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 vs n_probes tuning curve over the PERSISTED IVF index
+    (faiss nprobe sweep): one exact brute-force pass, then each probe
+    level answers from the committed snapshot — the sweep costs probes,
+    not rebuilds. Deterministic fixed-point end-to-end, so the whole
+    accuracy/cost curve is exactly oracled."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.ivf_recall_vs_probes(spark, emb, _ann_root("ivf", sf_dir))
+
+
+@register("ann_ivf_cell_balance", sim_op.IVF_CELL_BALANCE_SQL())
+def ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report from the persisted assignment: per-cell
+    occupancy, share, and integer-exact skew vs the balanced mean. A
+    probe-only read of the snapshot — the corpus is never rescanned."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.ivf_cell_balance(spark, emb, _ann_root("ivf", sf_dir))
+
+
+@register("ann_pq_distortion_report", sim_op.PQ_DISTORTION_SQL())
+def ann_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (codebook quality):
+    mean squared distance to the nearest code per subspace, over the
+    shared _pq_codebook/_pq_dists kernels the ANN tiers serve. Sums
+    accumulate in decimal(38,0) (HUGEINT twin) — corpus-scale-safe."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.pq_distortion_report(emb)
+
+
+@register("embedding_dim_stats", cstat_op.EMBEDDING_DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/variance (pre-whitening pass) with
+    decimal(38,0)-accumulated fixed-point sums — corpus-scale-safe."""
+    return cstat_op.embedding_dim_stats(load(spark, "embeddings", sf_dir))
+
+
+@register("ann_sq8_recall_eval", sim_op.SQ8_RECALL_SQL())
+def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar quantization (faiss SQ8: per-dim min/max
+    bounds, 8-bit codes, exact-integer code distances) against the exact
+    quantized L2 top-5 — the 4x-memory-reduction ANN tier beside LSH,
+    IVF and PQ, with its quality gate driver-checked like the others.
+    EVAL-ONLY pair-space note: exact-truth side is brute-force — bounded
+    probe stratum only at corpus scale."""
+    return sim_op.sq8_recall_eval(load(spark, "embeddings", sf_dir))
+
+
+@register("embedding_pca_power_iteration", sim_op.PCA_POWER_SQL())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction + L∞ eigenvalue estimate of the
+    embedding second-moment matrix by 24 exact-replay power-iteration
+    steps — the anisotropy diagnostic for the ANN tiers. Distributed
+    d²-cell moment aggregate, then a Gauss-Newton-class driver loop on
+    the collected 64×64 integer matrix; the DuckDB oracle replays every
+    step bit-for-bit through a recursive CTE carrying the iterate as a
+    BIGINT list."""
+    return sim_op.pca_power_iteration(load(spark, "embeddings", sf_dir))
+
+
+@register("ann_ivf_appended_topk", sim_op.IVF_APPEND_SQL())
+def ann_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN index UPDATE path (r7 verdict #7 candidate): the
+    base corpus builds the IVF index once; a later vector batch APPENDS
+    via targeted cell assignment against the committed centroids
+    (O(batch) broadcast job, no rebuild, no corpus rescan — faiss
+    IndexIVF.add() semantics), with the content checksum rolled forward
+    additively. Probes then serve base + appended vectors from the
+    snapshot. Crash-safe: the base build commits a 'pending-append'
+    source digest, so dying between build and append reads as stale and
+    rebuilds, never serving a base-only index as complete. The oracle
+    recomputes the same semantics brute-force (base-only centroids,
+    full-corpus assignment)."""
+    import hashlib
+    import os as _q8o
+    import tempfile as _q8t
+
+    emb = load(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newv = emb.filter(F.col("vec_id") % 10 == 0)
+    tag = hashlib.md5(_q8o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q8t.gettempdir()}/cas_ivf_append/{tag}"
+    src = sim_op._source_fingerprint(emb)
+    consts = sim_op._ivf_fingerprint(0, 0)[3]
+    if not sim_op._index_fresh_source(
+        spark, root, sim_op.IVF_INDEX_FORMAT, consts, src
+    ):
+        sim_op.build_ivf_index(base, root, source_fp="pending-append")
+        sim_op.ivf_index_append(spark, root, newv, source_fp=src)
+    return sim_op.ivf_probe_topk(spark, root).orderBy("query_id", "rank")
+
+
+@register("ann_ivf_pq_persisted_topk", sim_op.IVF_PQ_SQL())
+def ann_ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving shape (faiss IndexIVFPQ): IVF coarse
+    quantizer prunes to n_probe cells, PQ compact codes score the
+    cell candidates by broadcast table-lookup (never touching vectors),
+    and only the PQ_SHORTLIST best rerank on exact full-vector
+    distances — all three stages answered from PERSISTED snapshot
+    indexes with driver-side digest freshness. Exact fixed-point
+    arithmetic end-to-end, so even the combined approximate ranks are
+    hash-checked against the DuckDB replay."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_ann_ivfpq/{tag}"
+    return sim_op.ivf_pq_persisted_topk(spark, emb, root).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _emb_norm_mad_oracle() -> str:
+    nq = sim_op._qdot_sql("embedding", "embedding")
+    return f"""
+      WITH norms AS (
+        SELECT vec_id, label, CAST({nq} AS BIGINT) AS norm_q FROM embeddings
+      ),
+      med AS (SELECT quantile_cont(norm_q, 0.5) AS med FROM norms),
+      dev AS (
+        SELECT n.vec_id, n.label, n.norm_q, n.norm_q - m.med AS dev
+        FROM norms n CROSS JOIN med m
+      ),
+      mad AS (SELECT quantile_cont(abs(dev), 0.5) AS mad FROM dev)
+      SELECT d.vec_id, d.label, d.norm_q, d.dev,
+             CAST(abs(d.dev) > 3 * m.mad AS INT) AS is_outlier
+      FROM dev d CROSS JOIN mad m
+      ORDER BY d.vec_id
+    """
+
+
+@register("embedding_norm_outliers", _emb_norm_mad_oracle())
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outliers by the robust median + 3×MAD rule —
+    the vector-store ingestion gate (truncated/degenerate embeddings
+    show up as norm outliers long before cosine search degrades).
+    Norms are EXACT fixed-point integers (the shared quantized-dot
+    kernel), so medians interpolate on the exact .0/.5 grid and the
+    flag decision cannot fork engines. Two 1-row broadcast scalars;
+    the embedding frame is scanned, never shuffled."""
+    emb = load(spark, "embeddings", sf_dir)
+    norms = emb.select(
+        "vec_id", "label",
+        sim_op._qdot("embedding", "embedding").alias("norm_q"),
+    )
+    med = norms.agg(F.expr("percentile(norm_q, 0.5)").alias("med"))
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id", "label", "norm_q",
+        (F.col("norm_q") - F.col("med")).alias("dev"),
+    )
+    mad = dev.agg(F.expr("percentile(abs(dev), 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id", "label", "norm_q", "dev",
+            (F.abs(F.col("dev")) > 3 * F.col("mad")).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _cell_purity_oracle() -> str:
+    # recompute the IVF assignment inline (the persisted index is
+    # engine-side plumbing; the oracle replays the same fixed-point math)
+    cdist = (
+        f"list_sum(list_transform(list_zip(e.embedding, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {sim_op.DOT_SCALE}) AS BIGINT)))"
+    )
+    return f"""
+      WITH p AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sim_op.CELL_TARGET}.0) AS BIGINT))
+          AS cells
+        FROM embeddings
+      ),
+      dims AS (
+        SELECT vec_id % (SELECT cells FROM p) AS cid,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT cid, pos, SUM(CAST(ROUND(val * {sim_op.CSCALE}) AS BIGINT)) AS vq,
+               COUNT(*) AS n
+        FROM dims GROUP BY cid, pos
+      ),
+      cent AS (
+        SELECT cid, list(vq / (CAST({sim_op.CSCALE} AS DOUBLE) * n) ORDER BY pos)
+          AS centroid
+        FROM per_dim GROUP BY cid
+      ),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cdist}, c.cid) AS rk
+          FROM embeddings e, cent c
+        ) WHERE rk = 1
+      ),
+      lab AS (
+        SELECT a.cid, e.label, COUNT(*) AS n
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+      ),
+      top AS (
+        SELECT cid, label AS top_label, n AS top_n,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label) AS rk
+        FROM lab
+      )
+      SELECT l.cid, CAST(SUM(l.n) AS BIGINT) AS n_vecs,
+             MIN(t.top_label) AS top_label,
+             CAST(MIN(t.top_n) AS BIGINT) AS top_n,
+             round(MIN(t.top_n) / CAST(SUM(l.n) AS DOUBLE), 9) AS purity
+      FROM lab l JOIN (SELECT * FROM top WHERE rk = 1) t ON t.cid = l.cid
+      GROUP BY l.cid
+      ORDER BY l.cid
+    """
+
+
+@register("ivf_cell_label_purity", _cell_purity_oracle())
+def ivf_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: per persisted-IVF cell, the majority
+    label and its purity — how well the coarse quantizer's cells align
+    with the semantic labels (low purity ⇒ the quantizer mixes classes
+    and recall falls at small n_probe). Answered from the committed
+    assignment table joined to the label column (warm path: no
+    quantizer rebuild); majority via one (cell, label) rollup +
+    diagnostic-cardinality window."""
+    import hashlib
+    import os as _q7os
+    import tempfile as _q7tmp
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(_q7os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q7tmp.gettempdir()}/cas_ann_ivf/{tag}"
+    sim_op._ensure_ivf_index(spark, emb, root)
+    from codex_africanus_spark.sources import snapshot as snap
+
+    assign = snap.read_snapshot(spark, f"{root}/assign").select("vec_id", "cid")
+    # no broadcast hint: the label frame is corpus-sized — a vec_id
+    # equi-join (co-partitionable/bucketable at scale) is the honest
+    # plan; AQE broadcasts only when the corpus is actually small
+    lab = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        lab.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        lab.groupBy("cid")
+        .agg(F.sum("n").alias("n_vecs"))
+        .join(top, "cid")
+        .select(
+            "cid", "n_vecs", "top_label", "top_n",
+            F.round(F.col("top_n") / F.col("n_vecs").cast("double"), 9).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+def _knn_degree_sql() -> str:
+    pairs = sim_op.NEAR_DUP_SQL(0.9).replace("ORDER BY id_a, id_b", "")
+    return f"""
+      WITH pairs AS ({pairs}),
+      deg AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+          SELECT id_a AS vec_id FROM pairs
+          UNION ALL
+          SELECT id_b AS vec_id FROM pairs
+        ) GROUP BY vec_id
+      ),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+      hist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+        UNION ALL
+        SELECT 0 AS degree,
+               (SELECT n_vecs FROM tot) - (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+      )
+      SELECT degree, n_nodes FROM hist WHERE n_nodes > 0 ORDER BY degree
+    """
+
+
+@register("knn_graph_degree_stats", _knn_degree_sql())
+def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph degree histogram over the ≥0.9-cosine near-dup
+    graph — the health check a connected-components dedup needs BEFORE
+    running (a heavy-tailed degree distribution means one template hub
+    will chain half the corpus into one cluster). Reuses the bucketed
+    near-dup pair generation; degrees reduce at node cardinality."""
+    emb = load(spark, "embeddings", sf_dir)
+    pairs = sim_op.near_dup_pairs(emb, threshold=0.9)
+    deg = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    totals = emb.agg(F.count(F.lit(1)).alias("n_vecs")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_connected"))
+    )
+    zero = totals.select(
+        F.lit(0).cast("long").alias("degree"),
+        (F.col("n_vecs") - F.col("n_connected")).alias("n_nodes"),
+    )
+    return (
+        hist.unionByName(zero)
+        .filter(F.col("n_nodes") > 0)
+        .orderBy("degree")
+    )
+
+
+@register("contrastive_triplet_mining", sim_op.TRIPLETS_SQL())
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-training triplets over the embedding
+    corpus: per anchor the most-similar same-label positive, the hardest
+    other-label negative, and the FaceNet semi-hard negative (hardest
+    negative strictly below the positive similarity). Argmaxes are
+    integer MAX over sim-major packs — no per-anchor row_number shuffle;
+    anchors broadcast against the corpus, so the mining pass is a
+    map-side scan at any corpus size."""
+    emb = load(spark, "embeddings", sf_dir)
+    return sim_op.contrastive_triplets(emb)
+
+
+def _label_centroid_oracle() -> str:
+    from codex_africanus_spark.operators.similarity import CSCALE, DOT_SCALE
+
+    return f"""
+      WITH dims AS (
+        SELECT label,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      per_dim AS (
+        SELECT label, pos,
+               SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq,
+               COUNT(*) AS n
+        FROM dims GROUP BY label, pos
+      ),
+      cent AS (
+        SELECT label,
+               list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY pos) AS c
+        FROM per_dim GROUP BY label
+      ),
+      pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               list_sum(list_transform(list_zip(a.c, b.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS dot,
+               list_sum(list_transform(list_zip(a.c, a.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS na,
+               list_sum(list_transform(list_zip(b.c, b.c),
+                 x -> CAST(ROUND(x[1] * x[2] * {DOT_SCALE}) AS BIGINT))) AS nb
+        FROM cent a JOIN cent b ON a.label < b.label
+      )
+      SELECT label_a, label_b,
+             round(dot / (sqrt(na) * sqrt(nb)), 9) AS centroid_cosine
+      FROM pairs ORDER BY label_a, label_b
+    """
+
+
+@register("label_centroid_similarity_matrix", _label_centroid_oracle())
+def label_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-similarity map: per-label embedding centroids (exact
+    fixed-point means, the IVF quantizer arithmetic keyed by label) and
+    the pairwise cosine between them — the matrix a mixture designer
+    reads to see which sources/domains overlap in embedding space. The
+    corpus collapses in one posexplode partial agg; the pair join runs
+    on the label-dimension frame."""
+    from codex_africanus_spark.operators.similarity import CSCALE, _qdot
+
+    emb = load(spark, "embeddings", sf_dir)
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.sum(
+            F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {CSCALE}) AS BIGINT)")
+        ).alias("vq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(pos, vq, n))), "
+            f"x -> x.vq / (CAST({CSCALE} AS DOUBLE) * x.n))"
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot = _qdot("ca", "cb").cast("double")
+    na = _qdot("ca", "ca").cast("double")
+    nb = _qdot("cb", "cb").cast("double")
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 9).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

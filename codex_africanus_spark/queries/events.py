@@ -1,0 +1,960 @@
+"""Event-stream analytics queries: windows, sessionization, journeys
+(SURVEY §2.5, §2.10 batch twins). Mechanically moved out of the former
+queries.py (round 9)."""
+
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+from codex_africanus_spark.functions.deterministic import qsum
+from codex_africanus_spark.sources import tpch_ms
+from codex_africanus_spark.sources.tables import load
+from codex_africanus_spark.operators import bda as bda_op  # noqa: E402
+from codex_africanus_spark.operators import splines as spline_op  # noqa: E402
+from codex_africanus_spark.operators import skew as skew_op  # noqa: E402
+
+from ._core import (  # noqa: F401
+    _with_ms,
+    register,
+)
+
+@register(
+    "events_tumbling_window",
+    _with_ms(
+        """
+        SELECT event_type,
+               ts_us // 3600000000 AS hour_bin,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS value_sum
+        FROM ev
+        GROUP BY event_type, hour_bin
+        ORDER BY event_type, hour_bin
+        """
+    ),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (batch equivalent of the
+    streaming/windowed.py plan; reference analogue: fixed time_bin_secs
+    binning, time_and_channel_mapping.py:275)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.expr("ts_us DIV 3600000000").alias("hour_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .orderBy("event_type", "hour_bin")
+    )
+
+
+@register(
+    "events_sliding_window",
+    _with_ms(
+        """
+        SELECT event_type,
+               (ts_us // 1800000000 - k.range) * 1800000000 AS win_start_us,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS value_sum
+        FROM ev, range(2) k
+        GROUP BY event_type, win_start_us
+        ORDER BY event_type, win_start_us
+        """
+    ),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time windows via the built-in window()
+    generator (batch twin of streaming/windowed.sliding_window_stats —
+    same expressions, Kappa parity). Each event expands to window/slide
+    rows before one agg shuffle; the oracle enumerates the same window
+    starts arithmetically."""
+    ev = tpch_ms.events_table(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.window("event_time", "1 hour", "30 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("win.start").alias("win_start_us"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("event_type", "win_start_us")
+    )
+
+
+@register("events_sessionize", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via sorted-stream mapInPandas (custom
+    stateful op with cross-Arrow-batch carry — the round-4 replacement
+    for per-group applyInPandas, which pays per-group Python overhead),
+    oracle-checked against the gaps-and-islands SQL identity."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return bda_op.sessionize(ev).orderBy("user_id", "ts_us", "event_id")
+
+
+# Natural-cubic-spline oracle: the tridiagonal system is solved by a
+# Thomas forward/backward pair of RECURSIVE CTEs (the engine uses a
+# LAPACK dense solve — different algorithm, same diagonally-dominant
+# solution to ~1e-13, absorbed by the 6dp output round). The evaluation
+# grid mirrors np.linspace bit-for-bit (j·step + x0, endpoint forced).
+_SPLINE_ORACLE = f"""
+    WITH RECURSIVE ev AS ({tpch_ms.EVENTS_SQL}),
+    knots AS MATERIALIZED (
+      SELECT user_id AS key, ts_us / 1e6 AS x, value AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM ev WHERE user_id < 8 AND event_id % 5 = 0
+    ),
+    sys AS MATERIALIZED (
+      SELECT key, i, x, y, n,
+             lead(x) OVER w - x AS h,
+             x - lag(x) OVER w AS hm,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE x - lag(x) OVER w END AS sub,
+             CASE WHEN i = 0 OR i = n - 1 THEN 1.0
+                  ELSE 2.0 * ((x - lag(x) OVER w) + (lead(x) OVER w - x)) END AS diag,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE lead(x) OVER w - x END AS sup,
+             CASE WHEN i = 0 OR i = n - 1 THEN 0.0
+                  ELSE 3.0 * ((lead(y) OVER w - y) / (lead(x) OVER w - x)
+                              - (y - lag(y) OVER w) / (x - lag(x) OVER w)) END AS rhs
+      FROM knots
+      WINDOW w AS (PARTITION BY key ORDER BY i)
+    ),
+    fwd AS (
+      SELECT key, i, sup, n, diag AS dp, rhs AS rp FROM sys WHERE i = 0
+      UNION ALL
+      SELECT s.key, s.i, s.sup, s.n,
+             s.diag - (s.sub / f.dp) * f.sup,
+             s.rhs - (s.sub / f.dp) * f.rp
+      FROM fwd f JOIN sys s ON s.key = f.key AND s.i = f.i + 1
+    ),
+    bwd AS (
+      SELECT key, i, rp / dp AS c FROM fwd WHERE i = n - 1
+      UNION ALL
+      SELECT f.key, f.i, (f.rp - f.sup * b.c) / f.dp
+      FROM bwd b JOIN fwd f ON f.key = b.key AND f.i = b.i - 1
+    ),
+    coeff AS (
+      SELECT s.key, s.i, s.x, s.y, s.h,
+             (lead(s.y) OVER w2 - s.y) / s.h
+               - s.h * (2.0 * b.c + lead(b.c) OVER w2) / 3.0 AS b,
+             b.c AS c,
+             (lead(b.c) OVER w2 - b.c) / (3.0 * s.h) AS d
+      FROM sys s JOIN bwd b ON b.key = s.key AND b.i = s.i
+      WINDOW w2 AS (PARTITION BY s.key ORDER BY s.i)
+    ),
+    extent AS (
+      SELECT key, MIN(x) AS x0, MAX(x) AS xl FROM knots GROUP BY key
+    ),
+    grid AS (
+      SELECT e.key, CAST(j.range AS INT) AS j,
+             CASE WHEN j.range = 15 THEN e.xl
+                  ELSE j.range * ((e.xl - e.x0) / 15) + e.x0 END AS x_eval
+      FROM extent e, range(16) j
+    ),
+    picked AS (
+      SELECT g.key, g.x_eval,
+             (SELECT LEAST(GREATEST(COALESCE(MAX(k.i), -1), 0), MAX(k.n) - 2)
+              FROM knots k WHERE k.key = g.key AND k.x <= g.x_eval) AS idx
+      FROM grid g
+    )
+    SELECT p.key, p.x_eval,
+           round(co.y + co.b * (p.x_eval - co.x)
+                 + co.c * ((p.x_eval - co.x) * (p.x_eval - co.x))
+                 + co.d * (((p.x_eval - co.x) * (p.x_eval - co.x)) * (p.x_eval - co.x)),
+                 6) AS y_eval
+    FROM picked p JOIN coeff co ON co.key = p.key AND co.i = p.idx
+    ORDER BY p.key, p.x_eval
+"""
+
+
+@register("spline_smooth_user_series", _SPLINE_ORACLE)
+def spline_smooth_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural cubic-spline fit + dense evaluation per user over the
+    events series (reference averaging/splines.py:14-140) — exactly
+    oracled: a Thomas-recursion twin solves the same tridiagonal system
+    in DuckDB (knot-interpolation property additionally unit-tested)."""
+    ev = tpch_ms.events_table(spark, sf_dir).filter(
+        (F.col("user_id") < 8) & (F.col("event_id") % 5 == 0)
+    )
+    samples = ev.select(
+        F.col("user_id").alias("key"),
+        (F.col("ts_us") / F.lit(1e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = spline_op.evaluate_spline_dense(samples)
+    return out.select(
+        "key", "x_eval", F.round(F.col("y_eval"), 6).alias("y_eval")
+    ).orderBy("key", "x_eval")
+
+
+@register(
+    "events_rollup_grouping_sets",
+    _with_ms(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(ts_us // 86400000000 AS BIGINT), -1) AS day_bin,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q
+        FROM ev
+        GROUP BY GROUPING SETS ((event_type, ts_us // 86400000000), (event_type), ())
+        ORDER BY event_type, day_bin
+        """
+    ),
+)
+def events_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP-style grouping sets over the event stream (relational
+    surface beyond the reference: multi-granularity aggregation in one
+    pass with partial aggregation shared across sets)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    day = F.expr("ts_us DIV 86400000000")
+    return (
+        ev.withColumn("day_bin0", day)
+        .rollup("event_type", "day_bin0")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qsum(F.col("value"), 1e6).alias("value_q"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day_bin0"), F.lit(-1)).cast("long").alias("day_bin"),
+            "n_events",
+            "value_q",
+        )
+        .orderBy("event_type", "day_bin")
+    )
+
+
+@register("events_sessionize_relational", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (the Tungsten path
+    for SQL-expressible closure rules; same oracle as the applyInPandas
+    variant)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return bda_op.sessionize_relational(ev).orderBy("user_id", "ts_us", "event_id")
+
+
+@register("events_sessionize_salted", _with_ms(bda_op.SESSIONIZE_SQL()))
+def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level sessionize: the sequential rule runs per
+    (user, day-bucket) with relational boundary stitching — bounds every
+    pandas task for pathological hot keys. Exactly equivalent to
+    the single-level operator, hence the identical oracle."""
+    from codex_africanus_spark.operators import skew as skew_op
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    return skew_op.salted_sessionize(ev).orderBy("user_id", "ts_us", "event_id")
+
+
+@register(
+    "events_lag_lead_deltas",
+    _with_ms(
+        """
+        SELECT event_id, user_id,
+               ts_us - lag(ts_us) OVER w AS dt_us,
+               CAST(ROUND((value - lag(value) OVER w) * 1000000) AS BIGINT) AS dv_micro,
+               lead(event_id) OVER w AS next_event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ORDER BY user_id, ts_us, event_id
+        """
+    ),
+)
+def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead frame analytics: per-user inter-event time and value
+    deltas (integer-exact) plus the successor id — the ordered-window
+    family beyond the binning scans."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("dt_us"),
+        F.round((F.col("value") - F.lag("value").over(w)) * 1e6)
+        .cast("long").alias("dv_micro"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+@register(
+    "events_asof_prior_join",
+    _with_ms(
+        """
+        SELECT event_id, user_id, ts_us,
+               COALESCE(prior_view_ts, -1) AS prior_view_ts,
+               COALESCE(ts_us - prior_view_ts, -1) AS gap_us
+        FROM (
+          SELECT event_id, user_id, ts_us, event_type,
+                 MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prior_view_ts
+          FROM ev
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
+        """
+    ),
+)
+def events_asof_prior_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the event stream: each purchase picks up the most
+    recent strictly-earlier 'view' timestamp of the same user.
+
+    The scalable as-of shape: both sides live in ONE partition-by-user
+    window pass (RANGE to the previous value — deterministic under
+    timestamp ties), instead of a per-row subquery or a sort-merge
+    band join. One shuffle keyed by user_id; -1 marks no-prior-view."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_ts", prior)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(F.col("prior_view_ts"), F.lit(-1)).alias("prior_view_ts"),
+            F.coalesce(
+                F.col("ts_us") - F.col("prior_view_ts"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_user_set_ops",
+    _with_ms(
+        """
+        SELECT user_id, 'both' AS cohort FROM (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT user_id, 'click_only' AS cohort FROM (
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+          EXCEPT
+          SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        )
+        ORDER BY cohort, user_id
+        """
+    ),
+)
+def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (SURVEY §2.7 beyond union):
+    clicker∩purchaser and clicker∖purchaser user cohorts — both sides
+    reduce to distinct user sets (partial-agg shuffles at user
+    cardinality) before the set op."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).select("user_id", F.lit("both").alias("cohort"))
+    only = clicks.exceptAll(buys).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return both.unionByName(only).orderBy("cohort", "user_id")
+
+
+@register(
+    "events_attribution_interval_join",
+    _with_ms(
+        """
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               p.ts_us - v.ts_us AS gap_us, p.value AS purchase_value
+        FROM ev v JOIN ev p
+          ON p.user_id = v.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+        ORDER BY view_id, purchase_id
+        """
+    ),
+)
+def events_attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution interval join (batch twin of the
+    stream-stream join in streaming/joins.py — same condition, same
+    schema, Kappa parity locked by tests/test_stream_stream_join.py).
+    One user_id-keyed shuffle; at 100 TB the streaming form bounds state
+    to ingest-rate x horizon per side via the watermark."""
+    ev = tpch_ms.events_table(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    from codex_africanus_spark.streaming import joins as sj
+
+    return sj.attribution_batch(ev).orderBy("view_id", "purchase_id")
+
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+_EVENTS_FUNNEL_ORACLE = _with_ms(
+    """
+    , per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT p.user_id, p.t1,
+             MIN(CASE WHEN e.event_type = 'view' AND e.ts_us > p.t1
+                       AND e.ts_us <= p.t1 + 86400000000
+                      THEN e.ts_us END) AS t2
+      FROM per_user p JOIN ev e ON e.user_id = p.user_id
+      GROUP BY p.user_id, p.t1
+    ),
+    s3 AS (
+      SELECT s.user_id, s.t1, s.t2,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts_us > s.t2
+                       AND e.ts_us <= s.t2 + 86400000000
+                      THEN e.ts_us END) AS t3
+      FROM s2 s JOIN ev e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.t1, s.t2
+    ),
+    s4 AS (
+      SELECT s.user_id, s.t1, s.t2, s.t3,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s.t3
+                       AND e.ts_us <= s.t3 + 86400000000
+                      THEN e.ts_us END) AS t4
+      FROM s3 s JOIN ev e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.t1, s.t2, s.t3
+    )
+    SELECT COUNT(t1) AS n_signup,
+           COUNT(t2) AS n_view_after,
+           COUNT(t3) AS n_click_after,
+           COUNT(t4) AS n_purchase_after,
+           round(COUNT(t4) / CAST(COUNT(t1) AS DOUBLE), 9) AS conversion
+    FROM s4
+    """
+)
+
+
+@register("events_funnel_conversion", _EVENTS_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> view -> click -> purchase):
+    stage k counts users whose first stage-k event falls within one day
+    after their stage-(k-1) entry time. The cascade is four window minima over
+    the SAME user partitioning — Spark plans ONE user-keyed shuffle and
+    reuses it for every stage (no per-stage re-join of the fact table,
+    which is what the oracle's self-join formulation would cost at
+    100 TB). Final rollup is a single global aggregate row."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(wu)
+    ev1 = ev.withColumn("t1", t1)
+    H = 86400000000  # 1-day step horizon (unbounded saturates on dense data)
+    t2 = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("ts_us") > F.col("t1"))
+               & (F.col("ts_us") <= F.col("t1") + H), F.col("ts_us"))
+    ).over(wu)
+    ev2 = ev1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t2"))
+               & (F.col("ts_us") <= F.col("t2") + H), F.col("ts_us"))
+    ).over(wu)
+    ev3 = ev2.withColumn("t3", t3)
+    t4 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t3"))
+            & (F.col("ts_us") <= F.col("t3") + H),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    per_user = (
+        ev3.withColumn("t4", t4)
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"), F.min("t4").alias("t4"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after"),
+        F.count("t3").alias("n_click_after"),
+        F.count("t4").alias("n_purchase_after"),
+        F.round(F.count("t4") / F.count("t1"), 9).alias("conversion"),
+    )
+
+
+_WEEK_US = 604800000000  # 7 * 86400 * 1e6
+
+
+_COHORT_ORACLE = _with_ms(
+    f"""
+    , cohort AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+               // {_WEEK_US} AS cohort_week
+      FROM ev GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             e.ts_us // {_WEEK_US} - c.cohort_week AS week_offset
+      FROM ev e JOIN cohort c ON c.user_id = e.user_id
+      WHERE c.cohort_week IS NOT NULL
+        AND e.ts_us // {_WEEK_US} >= c.cohort_week
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """
+)
+
+
+@register("events_cohort_retention", _COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by their first
+    signup week; each later week of any activity marks them retained at
+    that offset. One user-keyed shuffle computes the cohort (window min
+    reuses the same partitioning for the offset projection), the distinct
+    collapses to (cohort, offset, user), and the rollup is matrix-sized.
+    The classic growth-analytics shape, exactly oracled."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    cohort = F.floor(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(wu)
+        / _WEEK_US
+    )
+    withc = ev.withColumn("cohort_week", cohort).filter(
+        F.col("cohort_week").isNotNull()
+    )
+    act = (
+        withc.select(
+            "user_id",
+            "cohort_week",
+            (F.floor(F.col("ts_us") / _WEEK_US) - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+_PIVOT_ORACLE = _with_ms(
+    """
+    SELECT (ts_us // 86400000000) % 7 AS weekday,
+    """
+    + ",\n    ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM ev GROUP BY weekday ORDER BY weekday
+    """
+)
+
+
+@register("events_pivot_weekday", _PIVOT_ORACLE)
+def events_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot: event counts by weekday x event_type, with the
+    pivot VALUES declared explicitly (no extra distinct-scan job, stable
+    column order for the oracle compare). Pivot compiles to conditional
+    aggregates — one shuffle at cell cardinality."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    piv = (
+        ev.groupBy(
+            (F.expr("ts_us DIV 86400000000") % 7).alias("weekday")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "weekday",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return out.orderBy("weekday")
+
+
+_NTILE_ORACLE = _with_ms(
+    """
+    , tiles AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM ev
+    )
+    SELECT event_type, decile, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS value_sum
+    FROM tiles GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """
+)
+
+
+@register("events_value_deciles", _NTILE_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning via ntile window per event type (ties broken by
+    event_id so the tiling is deterministic), rolled up to per-decile
+    counts and quantized sums — one event_type-keyed shuffle for the
+    window, reused by the aggregation."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    tiles = ev.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiles.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (qsum(F.col("value"), 1e6) / F.lit(1e6)).alias("value_sum"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+_JSON_PROPS_ORACLE = """
+  WITH parsed AS (
+    SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+  )
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(k) AS BIGINT) AS k_sum,
+         CAST(MIN(k) AS BIGINT) AS k_min,
+         CAST(MAX(k) AS BIGINT) AS k_max,
+         CAST(COUNT(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+  FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_json_props_stats", _JSON_PROPS_ORACLE)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON string is
+    parsed in the scan projection (get_json_object — JVM-side, no UDF)
+    and aggregated per event type. At 100 TB the parse rides the scan;
+    nothing materializes the parsed form before the partial aggregate."""
+    ev = load(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GAP_FILL_ORACLE = _with_ms(
+    """
+    , per_day AS (
+      SELECT user_id, ts_us // 86400000000 AS day_bin, COUNT(*) AS n
+      FROM ev GROUP BY user_id, day_bin
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day_bin) AS lo, MAX(day_bin) AS hi
+      FROM per_day GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi)) AS day_bin
+      FROM bounds b
+    )
+    SELECT g.user_id, g.day_bin,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_events,
+           CASE WHEN p.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN per_day p
+      ON p.user_id = g.user_id AND p.day_bin = g.day_bin
+    ORDER BY g.user_id, g.day_bin
+    """
+)
+
+
+@register("events_gap_fill_daily", _GAP_FILL_ORACLE)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user daily activity with silent
+    days materialized as zero rows (the resample/gap-fill primitive
+    under retention and anomaly pipelines). The day grid comes from
+    sequence() over each user's own [first, last] bounds — generated at
+    bound cardinality, never a global calendar cross join — and the
+    fill join is co-keyed on (user, day)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    per_day = ev.groupBy(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = per_day.groupBy("user_id").agg(
+        F.min("day_bin").alias("lo"), F.max("day_bin").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day_bin")
+    )
+    return (
+        grid.join(per_day, ["user_id", "day_bin"], "left")
+        .select(
+            "user_id",
+            "day_bin",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("user_id", "day_bin")
+    )
+
+
+_RFM_ORACLE = _with_ms(
+    """
+    , per_user AS (
+      SELECT user_id,
+             (SELECT MAX(ts_us) FROM ev) - MAX(ts_us) AS rec_us,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS monetary_c
+      FROM ev GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, rec_us // 86400000000 AS recency_days, freq, monetary_c,
+             NTILE(5) OVER (ORDER BY rec_us, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS total_events,
+           CAST(SUM(monetary_c) AS BIGINT) AS total_monetary_c
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+)
+
+
+@register("events_rfm_segmentation", _RFM_ORACLE)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency/Frequency/Monetary quintile
+    scores (NTILE over deterministic (metric, user_id) orderings — both
+    engines split remainder buckets identically), rolled up to segment
+    counts. The unpartitioned NTILE runs on the USER-grain frame — a
+    dimension table, not the fact table — so the single-partition sort
+    is bounded at any event volume; quintile-1 recency = most recent."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    ref = ev.agg(F.max("ts_us").alias("ref_us"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.col("ref_us") - F.col("last_us")).alias("rec_us"),
+            "freq",
+            "monetary_c",
+        )
+    )
+    scored = per_user.select(
+        F.expr("rec_us DIV 86400000000").alias("recency_days"),
+        "freq",
+        "monetary_c",
+        F.ntile(5).over(W.orderBy("rec_us", "user_id")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.desc("freq"), "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary_c"), "user_id")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").alias("total_events"),
+            F.sum("monetary_c").alias("total_monetary_c"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_MARKOV_ORACLE = _with_ms(
+    """
+    , seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM ev
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 1000000)
+             // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+    FROM cnt ORDER BY from_type, to_type
+    """
+)
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD pairs within (user, time) order, counted per
+    (from, to) with integer ppm row-normalized probabilities — the
+    session-flow model behind funnel design. The per-user window is the
+    only fact-grain pass; the normalizing window runs on the
+    n_types^2-row count matrix."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    cnt = cnt.withColumn("tot", F.sum("n").over(W.partitionBy("from_type")))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) DIV tot").alias("prob_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
+_BURST_ORACLE = _with_ms(
+    """
+    , daily AS (
+      SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS cnt
+      FROM ev GROUP BY event_type, ts_us // 86400000000
+    ),
+    trail AS (
+      SELECT event_type, day, cnt,
+             COALESCE(CAST(SUM(cnt) OVER w AS BIGINT), 0) AS sp,
+             COUNT(cnt) OVER w AS np
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    , scored AS (
+      SELECT event_type, day, cnt, sp, np,
+             (cnt * np * 1000000) // GREATEST(sp, 1) AS rate_ratio_ppm,
+             CASE WHEN cnt * np * 2 > 3 * sp THEN 1 ELSE 0 END AS burst,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (cnt * np * 1000000) // GREATEST(sp, 1)
+                                         DESC, day) AS rnk
+      FROM trail WHERE np >= 3
+    )
+    SELECT event_type, rnk, day, cnt, sp AS trail_sum, np AS trail_days,
+           rate_ratio_ppm, burst
+    FROM scored WHERE rnk <= 5
+    ORDER BY event_type, rnk
+    """
+)
+
+
+@register("events_rate_burst_flags", _BURST_ORACLE)
+def events_rate_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: a (type, day) whose count exceeds 1.5x its
+    trailing-week daily mean (integer cross-multiplied — no float rate)
+    flags as a burst, the ops-monitoring shape behind incident review
+    and bot-traffic triage. One fact collapse to the daily grid, then
+    bounded ROWS frames on the type-dimension series."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("sp"),
+        F.count("cnt").over(w).alias("np"),
+    )
+    scored = trail.filter(F.col("np") >= 3).select(
+        "event_type",
+        "day",
+        "cnt",
+        "sp",
+        "np",
+        F.expr("(cnt * np * 1000000) DIV GREATEST(sp, 1)").alias("rate_ratio_ppm"),
+        F.when(F.col("cnt") * F.col("np") * 2 > 3 * F.col("sp"), 1)
+        .otherwise(0)
+        .alias("burst"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("rate_ratio_ppm"), "day")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "rnk",
+            "day",
+            "cnt",
+            F.col("sp").alias("trail_sum"),
+            F.col("np").alias("trail_days"),
+            "rate_ratio_ppm",
+            "burst",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+_HAZARD_ORACLE = _with_ms(
+    """
+    , lifespans AS (
+      SELECT user_id,
+             (MAX(ts_us) - MIN(ts_us)) // 86400000000 AS lifespan
+      FROM ev GROUP BY user_id
+    ),
+    per_l AS (
+      SELECT lifespan, COUNT(*) AS churned FROM lifespans GROUP BY lifespan
+    ),
+    curve AS (
+      SELECT lifespan AS day_k, churned,
+             CAST(SUM(churned) OVER (ORDER BY lifespan DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS at_risk
+      FROM per_l
+    )
+    SELECT day_k, at_risk, churned,
+           (churned * 1000000) // at_risk AS hazard_ppm
+    FROM curve ORDER BY day_k
+    """
+)
+
+
+@register("events_hazard_curve", _HAZARD_ORACLE)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime survival hazard (the Kaplan-Meier risk table, discrete
+    days): users grouped by observed lifespan (last minus first event,
+    whole days); at-risk(k) is the reverse cumulative count and
+    hazard(k) = churned/at-risk in integer ppm. Complements the
+    calendar-cohort retention matrix with the lifetime-relative view a
+    churn model trains on. One fact collapse to users, then
+    lifespan-dimension windows."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    lifespans = ev.groupBy("user_id").agg(
+        F.expr("(MAX(ts_us) - MIN(ts_us)) DIV 86400000000").alias("lifespan")
+    )
+    per_l = lifespans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("churned"))
+    w = W.orderBy(F.desc("lifespan")).rowsBetween(W.unboundedPreceding, 0)
+    curve = per_l.select(
+        F.col("lifespan").alias("day_k"),
+        "churned",
+        F.sum("churned").over(w).alias("at_risk"),
+    )
+    return curve.select(
+        "day_k",
+        "at_risk",
+        "churned",
+        F.expr("(churned * 1000000) DIV at_risk").alias("hazard_ppm"),
+    ).orderBy("day_k")

@@ -105,6 +105,50 @@ def test_av_align_zero_length_payload_guard():
     assert src.count('filter(F.col("nb") > 0)') >= 2
 
 
+def test_cosine_topk_broadcasts_probe_side(spark):
+    """Exact-tier probe contract (r8 verdict item 3): the probe frame is
+    explicitly broadcast, so the corpus side streams through a
+    BroadcastNestedLoopJoin with the probe subtree as the build side —
+    never a shuffle of the fact table, never an unhinted size guess."""
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(250, dtype=np.int64),
+                "embedding": [
+                    np.arange(64, dtype=np.float32) + i for i in range(250)
+                ],
+                "label": ["a"] * 250,
+            }
+        )
+    )
+    plan = (
+        sim_op.cosine_topk(emb, 125, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan[:2000]
+
+
+def test_cosine_topk_probes_explicit_frame(spark):
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(20, dtype=np.int64),
+                "embedding": [
+                    (np.arange(64, dtype=np.float32) % 3) + i for i in range(20)
+                ],
+            }
+        )
+    )
+    probes = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_op.cosine_topk_probes(emb, probes, k=3).toPandas()
+    assert set(out.query_id) == {0, 1}
+    assert (out.groupby("query_id")["rank"].max() == 3).all()
+
+
 def test_tri_pack_out_of_range_raises(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"s9": [1_000_000_000], "cand_id": [10_000_000]})
