@@ -151,6 +151,7 @@ def commit(
     mode: str = "append",
     expected_version: int | None = None,
     max_retries: int = 20,
+    write_options: dict | None = None,
 ) -> int:
     """Commit `df` as a new version; returns the committed version number.
 
@@ -158,13 +159,19 @@ def commit(
     `mode="overwrite"` replaces the file set.  If `expected_version` is
     given, the commit only succeeds as `expected_version + 1`
     (compare-and-swap); otherwise a lost race retries against the new
-    head up to `max_retries` times.
+    head up to `max_retries` times. `write_options` pass through to the
+    parquet writer (e.g. ``parquet.block.size`` to bound row-group size
+    — the granularity at which a reader's pushed residual predicate can
+    skip inside a file).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     txn = f"txn-{uuid.uuid4().hex}"
     data_dir = Path(root) / _DATA_DIR / txn
-    df.write.mode("error").parquet(str(data_dir))
+    writer = df.write.mode("error")
+    if write_options:
+        writer = writer.options(**write_options)
+    writer.parquet(str(data_dir))
     rel_files = sorted(
         f"{_DATA_DIR}/{txn}/{p.relative_to(data_dir)}"
         for p in data_dir.rglob("*.parquet")
@@ -362,11 +369,12 @@ def _file_stats(root: str, rel_files: list[str], cols: list[str]) -> dict:
 
 
 def commit_with_stats(
-    df: DataFrame, root: str, stats_cols: list[str], mode: str = "append"
+    df: DataFrame, root: str, stats_cols: list[str], mode: str = "append",
+    write_options: dict | None = None,
 ) -> int:
     """Commit + attach per-file min/max for `stats_cols` to the manifest
     (footer reads only). Readers and MERGE use these to skip files."""
-    version = commit(df, root, mode=mode)
+    version = commit(df, root, mode=mode, write_options=write_options)
     m = _read_manifest(root, version)
     m["stats"] = _file_stats(root, m["files"], stats_cols)
     # manifests are immutable once published; stats are derived metadata
@@ -570,9 +578,21 @@ def commit_zordered(
     n_files: int = 16,
     bits: int = 16,
     mode: str = "overwrite",
+    row_group_bytes: int | None = None,
 ) -> int:
     """Commit `df` laid out along the Z-curve of (col_a, col_b), with
-    file stats on both columns — multi-dimensional data skipping."""
+    file stats on both columns — multi-dimensional data skipping.
+
+    Two pruning tiers compose on a read:
+    - file-level: the manifest's per-file [min,max] (read_snapshot_where*)
+    - row-group-level: the reader's residual predicate reaches the
+      parquet scan as PushedFilters, and because rows are Z-sorted
+      WITHIN each file too, every row group's footprint is narrow in
+      both columns, so the parquet reader skips non-matching row groups
+      from footer stats alone. ``row_group_bytes`` bounds the row-group
+      size (parquet.block.size) — at 100 TB the default 128 MB groups
+      are the right granularity; tests shrink it to get several groups
+      per small file."""
     z = zorder_column(col_a, col_b, bits=bits).alias("__z")
     laid = (
         df.withColumn("__z", z)
@@ -580,4 +600,11 @@ def commit_zordered(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    return commit_with_stats(laid, root, stats_cols=[col_a, col_b], mode=mode)
+    wo = (
+        {"parquet.block.size": str(int(row_group_bytes))}
+        if row_group_bytes
+        else None
+    )
+    return commit_with_stats(
+        laid, root, stats_cols=[col_a, col_b], mode=mode, write_options=wo
+    )
