@@ -1383,6 +1383,57 @@ def pq_persisted_topk(
     return _pq_adc_topk(codes, qtab, embeddings, k)
 
 
+def pq_index_append(spark, root: str, new_vecs: DataFrame,
+                    source_fp: str | None = None) -> None:
+    """Targeted persisted-PQ UPDATE (r8 verdict item 7 candidate — the
+    PQ mirror of ``ivf_index_append``): encode ONLY the new vectors
+    against the COMMITTED codebook (an O(batch × M × K) broadcast job),
+    append the codes to the snapshot, and roll the meta's content
+    fingerprint forward additively — no corpus rescan, no codebook
+    retrain (faiss IndexPQ.add() semantics: adding vectors never moves
+    the codebook; sub-space distortion drifts as the corpus grows and a
+    periodic ``build_pq_index`` refreshes it). Crash-safe by the same
+    tombstone-first/meta-last contract: dying mid-append reads as stale
+    and rebuilds rather than serving base-only codes as complete."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    meta = _read_index_meta(spark, root)
+    if meta is None:
+        raise ValueError(f"no committed PQ index at {root}")
+    cb = snap.read_snapshot(spark, f"{root}/codebook")
+    codes_new = _pq_codes_from_dists(_pq_dists(new_vecs, cb))
+    n_new, chk_new = _corpus_fingerprint(new_vecs)
+    _tombstone_index_meta(spark, root)
+    snap.commit(codes_new, f"{root}/codes", mode="append")
+    chk = (int(meta["checksum"]) + int(chk_new)) % _U64
+    if chk >= _U64 >> 1:
+        chk -= _U64
+    _write_index_meta(
+        spark, root,
+        (meta["format"], int(meta["n_vecs"]) + n_new, chk, meta["constants"]),
+        source_fp,
+    )
+
+
+def PQ_APPEND_SQL(split_modulus: int = 10, query_modulus: int = 125,
+                  k: int = 5) -> str:
+    """Oracle for the PQ append path: the codebook derives from the BASE
+    slice only (vec_id % split_modulus != 0 — both code seeding and the
+    per-dim means), every vector (base + appended) encodes against those
+    base codes, probe tables also build against the base codebook, and
+    the ADC → shortlist → exact-rerank pipeline is the standard PQ shape
+    over the full corpus — exactly what serving from the appended
+    snapshot computes."""
+    base_cb = PQ_SQL(query_modulus, k).replace(
+        "FROM embeddings\n      ),\n      cb_per AS (",
+        f"FROM embeddings WHERE vec_id % {split_modulus} <> 0\n"
+        "      ),\n      cb_per AS (",
+        1,
+    )
+    assert f"% {split_modulus} <> 0" in base_cb  # guard against drift
+    return base_cb
+
+
 def pq_distortion_report(embeddings: DataFrame) -> DataFrame:
     """Per-subspace PQ quantization distortion — the codebook-quality
     metric (faiss's imbalance/quantization-error report): for every

@@ -428,3 +428,110 @@ TRIGRAM_BACKOFF_SQL = f"""
   GROUP BY doc_id
   ORDER BY doc_id
 """
+
+
+def heldout_perplexity_topk(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Held-out n-gram LM perplexity scoring (r8 verdict item 7
+    candidate): train the stupid-backoff trigram LM on the hash-selected
+    half of the corpus, score every HELD-OUT document's bits-per-token
+    (mean -log2 S — perplexity in log space, the CCNet/KenLM quality
+    signal), and emit the k worst documents — the shard a curation pass
+    actually drops or reroutes. Shares _trigram_scored with the quality
+    and train/test-gap tiers, so the scoring arithmetic cannot fork.
+
+    Scale: the per-document aggregate is document-cardinality; the k
+    worst are taken with orderBy().limit(k) — Catalyst's distributed
+    TakeOrderedAndProject, never a single-partition global window —
+    and ranks are assigned on the k-row result. Ordering compares
+    doubles that are exact integer ratios (identical in both engines);
+    ties break on doc_id."""
+    docs = docs.withColumn(
+        "in_train", hash60(F.col("doc_id").cast("string")) % 2 == 0
+    )
+    scored = _trigram_scored(
+        docs, keep=("source", "in_train"), train=F.col("in_train")
+    )
+    per_doc = (
+        scored.filter(~F.col("in_train"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backoff").alias("n_backoff"),
+            F.sum("surprisal_q").alias("sq"),
+        )
+    )
+    bits = F.col("sq") / float(_Q) / F.col("n_trigrams")
+    worst = (
+        per_doc.orderBy(bits.desc(), "doc_id").limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    (F.col("sq") / float(_Q) / F.col("n_trigrams")).desc(),
+                    "doc_id",
+                )
+            ),
+        )
+    )
+    return worst.select(
+        "rank", "doc_id", "source", "n_trigrams", "n_backoff",
+        F.round(bits, 6).alias("bits_per_token"),
+    ).orderBy("rank")
+
+
+HELDOUT_PPL_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, source,
+           ({_IN_TRAIN_HASH} % 2) = 0 AS in_train,
+           string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ),
+  tg AS (
+    SELECT doc_id, source, in_train,
+           w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+    FROM (SELECT doc_id, source, in_train, w,
+                 unnest(generate_series(1, len(w) - 2)) AS i
+          FROM d)
+  ),
+  model AS (SELECT * FROM tg WHERE in_train),
+  tgc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM model GROUP BY w1, w2, w3),
+  bg12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM model GROUP BY w1, w2),
+  bg23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM model GROUP BY w2, w3),
+  c2m AS (SELECT w2, COUNT(*) AS c2 FROM model GROUP BY w2),
+  c3t AS (SELECT w3, COUNT(*) AS c3 FROM model GROUP BY w3),
+  nv AS (SELECT COUNT(*) AS n_model, COUNT(DISTINCT w3) AS v_model FROM model),
+  scored AS (
+    SELECT t.doc_id, t.source,
+           CASE WHEN g.c123 IS NULL THEN 1 ELSE 0 END AS backoff,
+           CAST(ROUND((-log2(
+             CASE WHEN g.c123 IS NOT NULL THEN CAST(g.c123 AS DOUBLE) / b12.c12
+                  WHEN b23.c23 IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE) * b23.c23 / cm.c2
+                  ELSE CAST(0.16 AS DOUBLE) * (COALESCE(ct.c3, 0) + 1)
+                       / (vv.n_model + vv.v_model)
+             END)) * {_Q}) AS BIGINT) AS surprisal_q
+    FROM tg t
+    LEFT JOIN tgc g USING (w1, w2, w3)
+    LEFT JOIN bg12 b12 USING (w1, w2)
+    LEFT JOIN bg23 b23 USING (w2, w3)
+    LEFT JOIN c2m cm USING (w2)
+    LEFT JOIN c3t ct USING (w3)
+    , nv vv
+    WHERE NOT t.in_train
+  ),
+  per_doc AS (
+    SELECT doc_id, source,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(surprisal_q) AS BIGINT) AS sq
+    FROM scored GROUP BY doc_id, source
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY sq / {_Q} / n_trigrams DESC, doc_id) AS rank
+    FROM per_doc
+  )
+  SELECT rank, doc_id, source, n_trigrams, n_backoff,
+         round(sq / {_Q} / n_trigrams, 6) AS bits_per_token
+  FROM ranked WHERE rank <= 200 ORDER BY rank
+"""

@@ -334,6 +334,40 @@ def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.pq_persisted_topk(spark, emb, root).orderBy("query_id", "rank")
 
 
+@register("ann_pq_appended_topk", sim_op.PQ_APPEND_SQL())
+def ann_pq_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ index UPDATE path (r8 verdict item 7 — the PQ mirror
+    of ann_ivf_appended_topk): the base corpus (vec_id % 10 != 0) builds
+    the codebook + codes once; the held-out batch APPENDS via targeted
+    encoding against the COMMITTED codebook (O(batch x M x K) broadcast
+    job, no retrain, no corpus rescan — faiss IndexPQ.add() semantics),
+    with the content checksum rolled forward additively. Probes then
+    serve base + appended codes from the snapshot through the standard
+    ADC -> shortlist -> exact-rerank pipeline. Crash-safe via the
+    'pending-append' source digest: dying between build and append reads
+    as stale and rebuilds. The oracle recomputes the same semantics
+    brute-force (base-only codebook, full-corpus encoding)."""
+    import hashlib
+    import os as _q9o
+    import tempfile as _q9t
+
+    emb = load(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newv = emb.filter(F.col("vec_id") % 10 == 0)
+    tag = hashlib.md5(_q9o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"{_q9t.gettempdir()}/cas_pq_append/{tag}"
+    src = sim_op._source_fingerprint(emb)
+    consts = sim_op._pq_fingerprint(0, 0)[3]
+    if not sim_op._index_fresh_source(
+        spark, root, sim_op.PQ_INDEX_FORMAT, consts, src
+    ):
+        sim_op.build_pq_index(base, root, source_fp="pending-append")
+        sim_op.pq_index_append(spark, root, newv, source_fp=src)
+    return sim_op.pq_persisted_topk(spark, emb, root).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register("ann_pq_topk", sim_op.PQ_SQL())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011 structure) with

@@ -2628,3 +2628,13 @@ def multimodal_av_align_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register("heldout_perplexity_topk", tok_op.HELDOUT_PPL_SQL)
+def heldout_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram LM perplexity scoring (r9): stupid-backoff trigram
+    LM trained on the hash-selected half, every held-out document scored
+    in bits-per-token, worst 200 emitted with ranks — the CCNet-style
+    perplexity filter artifact a curation pass consumes. Distributed
+    top-k (TakeOrderedAndProject), never a global window."""
+    return tok_op.heldout_perplexity_topk(load(spark, "documents", sf_dir))

@@ -2326,3 +2326,254 @@ def mfs_alpha_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha_q6"),
         F.when(ok, 0).otherwise(1).alias("masked"),
     ).orderBy("cu", "cv")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: SPECTRAL_WINDOW-change-aware regridding (r8 verdict item 7
+# candidate). The observation switches spectral windows on a weekly
+# cadence; each window maps channels to sky frequency differently, and
+# regridding onto the common target grid must interpolate WITHIN the
+# row's window only — never across a window change. Reference anchor:
+# the per-SPW chunking of africanus's MS iteration (examples/predict.py
+# groups on DATA_DESC_ID) + spectral_regrid_linear's interp kernel.
+# Bracket channels and fractions are PYTHON-precomputed literals for
+# each (spw, target) — 12 rows interpolated into BOTH engines, so the
+# only runtime arithmetic is exact integer sums and one literal-weighted
+# blend per cell.
+# ---------------------------------------------------------------------------
+
+# (spw, target_idx, target_freq, lo_chan, hi_chan, frac * 1e9)
+_SPW_GRID = [
+    (0, 0, 900000000.0, 0, 1, 411214953),
+    (0, 1, 1000000000.0, 1, 2, 345794393),
+    (0, 2, 1100000000.0, 2, 3, 280373832),
+    (0, 3, 1200000000.0, 3, 4, 214953271),
+    (0, 4, 1300000000.0, 4, 5, 149532710),
+    (0, 5, 1400000000.0, 5, 6, 84112150),
+    (1, 0, 900000000.0, 0, 1, 87706686),
+    (1, 1, 1000000000.0, 0, 1, 986340762),
+    (1, 2, 1100000000.0, 1, 2, 884974838),
+    (1, 3, 1200000000.0, 2, 3, 783608914),
+    (1, 4, 1300000000.0, 3, 4, 682242991),
+    (1, 5, 1400000000.0, 4, 5, 580877067),
+]
+
+_SPW_VALUES = ", ".join(
+    f"({s}, {t}, {f!r}, {lo}, {hi}, {fr})" for s, t, f, lo, hi, fr in _SPW_GRID
+)
+
+_SPW_REGRID_ORACLE = _with_ms(
+    f"""
+    , cells AS (
+      SELECT antenna1, antenna2, time,
+             CAST(CAST(FLOOR(time / 604800.0) AS BIGINT) % 2 AS INT) AS spw,
+             chan,
+             CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT) AS rq,
+             CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT) AS iq,
+             COUNT(*) AS n
+      FROM vis WHERE NOT (flag OR flag_row)
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    grid(spw, target_idx, target_freq, lo_chan, hi_chan, frac9) AS (
+      VALUES {_SPW_VALUES}
+    ),
+    spectra AS (
+      SELECT DISTINCT antenna1, antenna2, time, spw FROM cells
+    )
+    SELECT s.antenna1, s.antenna2, s.time, s.spw, g.target_idx,
+           g.target_freq,
+           CAST(lo.n + hi.n AS BIGINT) AS n_samples,
+           CAST(ROUND((lo.rq / (1000000.0 * lo.n)
+                 + (hi.rq / (1000000.0 * hi.n) - lo.rq / (1000000.0 * lo.n))
+                   * (g.frac9 / 1000000000.0)) * 1000000.0) AS BIGINT)
+             / 1000000.0 AS vis_re_rg,
+           CAST(ROUND((lo.iq / (1000000.0 * lo.n)
+                 + (hi.iq / (1000000.0 * hi.n) - lo.iq / (1000000.0 * lo.n))
+                   * (g.frac9 / 1000000000.0)) * 1000000.0) AS BIGINT)
+             / 1000000.0 AS vis_im_rg
+    FROM spectra s
+    JOIN grid g ON g.spw = s.spw
+    JOIN cells lo ON lo.antenna1 = s.antenna1 AND lo.antenna2 = s.antenna2
+                 AND lo.time = s.time AND lo.spw = s.spw
+                 AND lo.chan = g.lo_chan
+    JOIN cells hi ON hi.antenna1 = s.antenna1 AND hi.antenna2 = s.antenna2
+                 AND hi.time = s.time AND hi.spw = s.spw
+                 AND hi.chan = g.hi_chan
+    ORDER BY s.antenna1, s.antenna2, s.time, g.target_idx
+    """
+)
+
+
+@register("spw_aware_regrid", _SPW_REGRID_ORACLE)
+def spw_aware_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL_WINDOW-change-aware regridding: rows carry the spectral
+    window active at their epoch (weekly cadence); each window's channel
+    -> frequency map differs, and every (baseline, time) spectrum
+    regrids onto the common 6-point target grid by linear interpolation
+    BETWEEN its own window's bracket channels only. Bracket indices and
+    blend fractions are Python-precomputed literals per (spw, target) —
+    the broadcast grid is 12 rows; the two bracket lookups are
+    spectrum-grain self-joins (cell-collapsed first, so duplicate rows
+    and the (time, row_id) tie class cannot bite); a target emits only
+    when both brackets exist in the data (window edges and flagged-out
+    cells drop deterministically in both engines)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    cells = (
+        vis.select(
+            "antenna1", "antenna2", "time",
+            (F.floor(F.col("time") / F.lit(604800.0)).cast("long") % 2)
+            .cast("int").alias("spw"),
+            "chan",
+            quantize(F.col("vis_re"), 1e6).alias("rq0"),
+            quantize(F.col("vis_im"), 1e6).alias("iq0"),
+        )
+        .groupBy("antenna1", "antenna2", "time", "spw", "chan")
+        .agg(
+            F.sum("rq0").alias("rq"),
+            F.sum("iq0").alias("iq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    grid = spark.createDataFrame(
+        _SPW_GRID,
+        "spw int, target_idx int, target_freq double, lo_chan int, "
+        "hi_chan int, frac9 long",
+    )
+    spectra = cells.select("antenna1", "antenna2", "time", "spw").distinct()
+    lo = cells.select(
+        "antenna1", "antenna2", "time", "spw",
+        F.col("chan").alias("lo_chan"),
+        F.col("rq").alias("lo_rq"), F.col("iq").alias("lo_iq"),
+        F.col("n").alias("lo_n"),
+    )
+    hi = cells.select(
+        "antenna1", "antenna2", "time", "spw",
+        F.col("chan").alias("hi_chan"),
+        F.col("rq").alias("hi_rq"), F.col("iq").alias("hi_iq"),
+        F.col("n").alias("hi_n"),
+    )
+    j = (
+        spectra.join(F.broadcast(grid), "spw")
+        .join(lo, ["antenna1", "antenna2", "time", "spw", "lo_chan"])
+        .join(hi, ["antenna1", "antenna2", "time", "spw", "hi_chan"])
+    )
+    frac = F.col("frac9") / F.lit(1e9)
+
+    def blend(lq, ln_, hq, hn):
+        mlo = F.col(lq) / (F.lit(1e6) * F.col(ln_))
+        mhi = F.col(hq) / (F.lit(1e6) * F.col(hn))
+        return quantize(mlo + (mhi - mlo) * frac, 1e6) / F.lit(1e6)
+
+    return (
+        j.select(
+            "antenna1", "antenna2", "time", "spw", "target_idx",
+            "target_freq",
+            (F.col("lo_n") + F.col("hi_n")).alias("n_samples"),
+            blend("lo_rq", "lo_n", "hi_rq", "hi_n").alias("vis_re_rg"),
+            blend("lo_iq", "lo_n", "hi_iq", "hi_n").alias("vis_im_rg"),
+        )
+        .orderBy("antenna1", "antenna2", "time", "target_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: uv-coverage completeness entropy (PSF-quality proxy). Octants
+# come from pure sign/magnitude comparisons (never atan2 — sector-edge
+# ULP forks are impossible); the -p·ln(p) table at permille resolution
+# is Python-precomputed in nano-nats and interpolated into BOTH engines,
+# so the entropy itself is an exact integer everywhere.
+# ---------------------------------------------------------------------------
+
+_ENT_TABLE = [0, 6907755, 12429216, 17427429, 22085844, 26491587, 30695975, 34732916, 38626510, 42394776, 46051702, 49608460, 53074184, 56456477, 59761771, 62995576, 66162665, 69267213, 72312903, 75303010, 78240460, 81127890, 83967682, 86762004, 89512835, 92221986, 94891127, 97521797, 100115422, 102673324, 105196737, 107686810, 110144620, 112571175, 114967422, 117334253, 119672508, 121982983, 124266427, 126523552, 128755033, 130961512, 133143598, 135301872, 137436888, 139549176, 141639239, 143707561, 145754605, 147780814, 149786614, 151772412, 153738601, 155685558, 157613647, 159523215, 161414601, 163288129, 165144112, 166982852, 168804643, 170609766, 172398495, 174171095, 175927821, 177668921, 179394635, 181105198, 182800835, 184481765, 186148203, 187800354, 189438420, 191062596, 192673074, 194270037, 195853667, 197424139, 198981623, 200526287, 202058292, 203577796, 205084955, 206579918, 208062832, 209533842, 210993087, 212440703, 213876825, 215301583, 216715105, 218117515, 219508937, 220889488, 222259287, 223618447, 224967080, 226305297, 227633204, 228950907, 230258509, 231556111, 232843812, 234121708, 235389896, 236648468, 237897516, 239137130, 240367398, 241588406, 242800240, 244002984, 245196718, 246381523, 247557479, 248724662, 249883150, 251033017, 252174337, 253307183, 254431624, 255547733, 256655577, 257755224, 258846740, 259930193, 261005645, 262073160, 263132802, 264184631, 265228708, 266265092, 267293843, 268315018, 269328674, 270334868, 271333653, 272325086, 273309220, 274286107, 275255800, 276218350, 277173807, 278122223, 279063645, 279998123, 280925704, 281846436, 282760365, 283667537, 284567998, 285461792, 286348963, 287229556, 288103612, 288971175, 289832286, 290686987, 291535319, 292377321, 293213034, 294042497, 294865749, 295682828, 296493772, 297298618, 298097403, 298890165, 299676938, 300457759, 301232663, 302001685, 302764858, 303522217, 304273796, 305019628, 305759746, 306494182, 307222968, 307946136, 308663717, 309375743, 310082244, 310783250, 311478792, 312168899, 312853601, 313532926, 314206903, 314875562, 315538929, 316197034, 316849902, 317497562, 318140041, 318777365, 319409561, 320036655, 320658673, 321275640, 321887582, 322494525, 323096491, 323693508, 324285598, 324872786, 325455097, 326032553, 326605177, 327172995, 327736027, 328294298, 328847829, 329396643, 329940762, 330480209, 331015004, 331545170, 332070727, 332591697, 333108101, 333619960, 334127293, 334630122, 335128467, 335622347, 336111783, 336596794, 337077400, 337553620, 338025473, 338492978, 338956154, 339415020, 339869594, 340319895, 340765940, 341207748, 341645336, 342078723, 342507925, 342932961, 343353848, 343770602, 344183241, 344591782, 344996241, 345396635, 345792980, 346185293, 346573590, 346957887, 347338200, 347714545, 348086937, 348455392, 348819926, 349180553, 349537289, 349890149, 350239148, 350584302, 350925623, 351263128, 351596830, 351926745, 352252886, 352575268, 352893904, 353208809, 353519996, 353827480, 354131274, 354431391, 354727845, 355020650, 355309818, 355595363, 355877298, 356155636, 356430389, 356701571, 356969195, 357233272, 357493816, 357750838, 358004352, 358254369, 358500902, 358743963, 358983563, 359219715, 359452431, 359681722, 359907600, 360130077, 360349164, 360564873, 360777214, 360986200, 361191841, 361394149, 361593135, 361788809, 361981184, 362170268, 362356074, 362538612, 362717893, 362893927, 363066724, 363236296, 363402652, 363565804, 363725760, 363882532, 364036129, 364186561, 364333839, 364477972, 364618971, 364756844, 364891602, 365023255, 365151811, 365277281, 365399675, 365519000, 365635268, 365748487, 365858666, 365965815, 366069943, 366171059, 366269172, 366364290, 366456424, 366545581, 366631772, 366715003, 366795285, 366872625, 366947033, 367018517, 367087086, 367152747, 367215510, 367275383, 367332374, 367386492, 367437744, 367486138, 367531684, 367574389, 367614262, 367651309, 367685539, 367716961, 367745581, 367771408, 367794449, 367814713, 367832206, 367846937, 367858914, 367868143, 367874632, 367878389, 367879421, 367877736, 367873341, 367866243, 367856450, 367843969, 367828806, 367810970, 367790467, 367767305, 367741490, 367713029, 367681930, 367648199, 367611844, 367572871, 367531287, 367487099, 367440313, 367390937, 367338976, 367284439, 367227331, 367167658, 367105428, 367040647, 366973322, 366903458, 366831063, 366756142, 366678703, 366598751, 366516293, 366431335, 366343883, 366253943, 366161522, 366066626, 365969260, 365869432, 365767147, 365662410, 365555229, 365445609, 365333555, 365219074, 365102172, 364982855, 364861128, 364736997, 364610468, 364481546, 364350238, 364216549, 364080485, 363942051, 363801253, 363658097, 363512587, 363364730, 363214532, 363061996, 362907130, 362749938, 362590426, 362428600, 362264463, 362098023, 361929284, 361758251, 361584929, 361409325, 361231443, 361051288, 360868865, 360684180, 360497238, 360308044, 360116602, 359922918, 359726997, 359528844, 359328463, 359125861, 358921041, 358714009, 358504769, 358293326, 358079686, 357863853, 357645831, 357425627, 357203243, 356978686, 356751959, 356523068, 356292017, 356058811, 355823455, 355585952, 355346308, 355104527, 354860615, 354614574, 354366410, 354116128, 353863732, 353609226, 353352614, 353093902, 352833093, 352570192, 352305204, 352038132, 351768981, 351497756, 351224460, 350949098, 350671674, 350392193, 350110658, 349827074, 349541445, 349253775, 348964069, 348672330, 348378562, 348082771, 347784959, 347485131, 347183291, 346879442, 346573590, 346265738, 345955890, 345644050, 345330221, 345014409, 344696617, 344376848, 344055106, 343731397, 343405722, 343078087, 342748495, 342416950, 342083455, 341748015, 341410633, 341071313, 340730059, 340386874, 340041763, 339694729, 339345775, 338994905, 338642124, 338287434, 337930839, 337572343, 337211950, 336849662, 336485484, 336119420, 335751472, 335381645, 335009941, 334636365, 334260919, 333883608, 333504435, 333123403, 332740515, 332355776, 331969188, 331580756, 331190481, 330798369, 330404422, 330008643, 329611036, 329211604, 328810350, 328407279, 328002392, 327595694, 327187188, 326776877, 326364764, 325950852, 325535145, 325117645, 324698357, 324277284, 323854427, 323429791, 323003380, 322575195, 322145240, 321713518, 321280033, 320844787, 320407783, 319969026, 319528517, 319086259, 318642257, 318196512, 317749028, 317299808, 316848855, 316396172, 315941762, 315485627, 315027772, 314568198, 314106909, 313643908, 313179197, 312712780, 312244659, 311774837, 311303318, 310830104, 310355197, 309878602, 309400320, 308920355, 308438709, 307955385, 307470386, 306983715, 306495374, 306005367, 305513696, 305020364, 304525373, 304028727, 303530428, 303030478, 302528881, 302025640, 301520756, 301014233, 300506074, 299996280, 299484855, 298971802, 298457122, 297940819, 297422896, 296903354, 296382197, 295859426, 295335046, 294809058, 294281464, 293752268, 293221472, 292689079, 292155091, 291619510, 291082340, 290543582, 290003239, 289461314, 288917810, 288372728, 287826071, 287277842, 286728043, 286176677, 285623746, 285069252, 284513198, 283955587, 283396420, 282835701, 282273431, 281709613, 281144250, 280577343, 280008895, 279438910, 278867388, 278294332, 277719745, 277143628, 276565985, 275986818, 275406129, 274823920, 274240193, 273654951, 273068197, 272479931, 271890158, 271298878, 270706095, 270111810, 269516026, 268918745, 268319970, 267719701, 267117943, 266514696, 265909963, 265303747, 264696049, 264086872, 263476218, 262864089, 262250487, 261635414, 261018874, 260400866, 259781395, 259160462, 258538069, 257914218, 257288911, 256662151, 256033940, 255404280, 254773172, 254140619, 253506623, 252871186, 252234311, 251595998, 250956251, 250315071, 249672461, 249028422, 248382956, 247736066, 247087754, 246438021, 245786869, 245134301, 244480319, 243824924, 243168119, 242509906, 241850286, 241189261, 240526834, 239863006, 239197780, 238531157, 237863140, 237193729, 236522928, 235850738, 235177161, 234502199, 233825854, 233148127, 232469022, 231788539, 231106680, 230423448, 229738844, 229052870, 228365528, 227676820, 226986748, 226295313, 225602518, 224908364, 224212853, 223515988, 222817769, 222118198, 221417279, 220715011, 220011398, 219306440, 218600140, 217892500, 217183521, 216473205, 215761554, 215048570, 214334254, 213618609, 212901635, 212183335, 211463711, 210742763, 210020495, 209296908, 208572003, 207845782, 207118247, 206389400, 205659242, 204927776, 204195002, 203460922, 202725539, 201988854, 201250868, 200511584, 199771003, 199029126, 198285956, 197541493, 196795741, 196048700, 195300371, 194550758, 193799860, 193047681, 192294221, 191539482, 190783467, 190026176, 189267610, 188507773, 187746665, 186984288, 186220643, 185455733, 184689559, 183922121, 183153423, 182383466, 181612250, 180839778, 180066052, 179291072, 178514841, 177737360, 176958630, 176178654, 175397432, 174614966, 173831258, 173046310, 172260122, 171472697, 170684035, 169894139, 169103010, 168310650, 167517059, 166722240, 165926194, 165128922, 164330427, 163530709, 162729770, 161927611, 161124235, 160319641, 159513833, 158706811, 157898578, 157089133, 156278479, 155466618, 154653550, 153839277, 153023801, 152207123, 151389245, 150570168, 149749893, 148928422, 148105756, 147281896, 146456845, 145630604, 144803173, 143974555, 143144750, 142313761, 141481588, 140648233, 139813697, 138977983, 138141090, 137303021, 136463777, 135623359, 134781769, 133939008, 133095077, 132249978, 131403712, 130556281, 129707685, 128857927, 128007007, 127154927, 126301689, 125447293, 124591741, 123735034, 122877174, 122018162, 121157999, 120296686, 119434226, 118570618, 117705866, 116839969, 115972929, 115104747, 114235426, 113364965, 112493367, 111620632, 110746763, 109871759, 108995623, 108118356, 107239959, 106360433, 105479780, 104598001, 103715096, 102831069, 101945919, 101059647, 100172256, 99283747, 98394120, 97503377, 96611519, 95718548, 94824464, 93929269, 93032965, 92135551, 91237030, 90337403, 89436671, 88534836, 87631898, 86727858, 85822718, 84916480, 84009143, 83100711, 82191183, 81280561, 80368846, 79456039, 78542142, 77627155, 76711080, 75793919, 74875671, 73956339, 73035924, 72114426, 71191847, 70268188, 69343451, 68417636, 67490744, 66562778, 65633737, 64703623, 63772437, 62840181, 61906855, 60972461, 60037000, 59100472, 58162879, 57224223, 56284504, 55343724, 54401883, 53458982, 52515024, 51570008, 50623936, 49676810, 48728630, 47779397, 46829112, 45877778, 44925394, 43971961, 43017482, 42061956, 41105386, 40147772, 39189115, 38229416, 37268677, 36306898, 35344081, 34380226, 33415336, 32449410, 31482450, 30514456, 29545431, 28575375, 27604289, 26632174, 25659032, 24684863, 23709668, 22733449, 21756206, 20777940, 19798653, 18818346, 17837019, 16854674, 15871312, 14886933, 13901539, 12915131, 11927710, 10939277, 9949832, 8959378, 7967914, 6975443, 5981964, 4987479, 3991989, 2995495, 1997999, 999500, 0]
+
+_UV_ENTROPY_ORACLE = _with_ms(
+    """
+    , samp AS (
+      SELECT LEAST(CAST(FLOOR(sqrt(u*u + v*v) / 10.0) AS BIGINT), 60)
+               AS annulus,
+             (CASE WHEN v >= 0 THEN 0 ELSE 4 END)
+               + (CASE WHEN u >= 0 THEN 0 ELSE 2 END)
+               + (CASE WHEN abs(u) >= abs(v) THEN 0 ELSE 1 END) AS octant
+      FROM vis WHERE NOT (flag OR flag_row)
+    ),
+    cellc AS (
+      SELECT annulus, octant, COUNT(*) AS c FROM samp GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT annulus, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k_occ
+      FROM cellc GROUP BY annulus
+    ),
+    ent(p, e) AS (VALUES __VALS__),
+    scored AS (
+      SELECT c.annulus, CAST(c.c * 1000 AS BIGINT) // t.n AS pm
+      FROM cellc c JOIN tot t USING (annulus)
+    )
+    SELECT t.annulus, t.n AS n_samples, t.k_occ,
+           CAST(t.k_occ * 125 AS BIGINT) AS completeness_permille,
+           CAST(SUM(ent.e) AS BIGINT) AS entropy_nanonats
+    FROM scored s
+    JOIN tot t USING (annulus)
+    JOIN ent ON ent.p = s.pm
+    GROUP BY t.annulus, t.n, t.k_occ
+    ORDER BY t.annulus
+    """.replace("__VALS__", "(0, 0), (1, 6907755), (2, 12429216), (3, 17427429), (4, 22085844), (5, 26491587), (6, 30695975), (7, 34732916), (8, 38626510), (9, 42394776), (10, 46051702), (11, 49608460), (12, 53074184), (13, 56456477), (14, 59761771), (15, 62995576), (16, 66162665), (17, 69267213), (18, 72312903), (19, 75303010), (20, 78240460), (21, 81127890), (22, 83967682), (23, 86762004), (24, 89512835), (25, 92221986), (26, 94891127), (27, 97521797), (28, 100115422), (29, 102673324), (30, 105196737), (31, 107686810), (32, 110144620), (33, 112571175), (34, 114967422), (35, 117334253), (36, 119672508), (37, 121982983), (38, 124266427), (39, 126523552), (40, 128755033), (41, 130961512), (42, 133143598), (43, 135301872), (44, 137436888), (45, 139549176), (46, 141639239), (47, 143707561), (48, 145754605), (49, 147780814), (50, 149786614), (51, 151772412), (52, 153738601), (53, 155685558), (54, 157613647), (55, 159523215), (56, 161414601), (57, 163288129), (58, 165144112), (59, 166982852), (60, 168804643), (61, 170609766), (62, 172398495), (63, 174171095), (64, 175927821), (65, 177668921), (66, 179394635), (67, 181105198), (68, 182800835), (69, 184481765), (70, 186148203), (71, 187800354), (72, 189438420), (73, 191062596), (74, 192673074), (75, 194270037), (76, 195853667), (77, 197424139), (78, 198981623), (79, 200526287), (80, 202058292), (81, 203577796), (82, 205084955), (83, 206579918), (84, 208062832), (85, 209533842), (86, 210993087), (87, 212440703), (88, 213876825), (89, 215301583), (90, 216715105), (91, 218117515), (92, 219508937), (93, 220889488), (94, 222259287), (95, 223618447), (96, 224967080), (97, 226305297), (98, 227633204), (99, 228950907), (100, 230258509), (101, 231556111), (102, 232843812), (103, 234121708), (104, 235389896), (105, 236648468), (106, 237897516), (107, 239137130), (108, 240367398), (109, 241588406), (110, 242800240), (111, 244002984), (112, 245196718), (113, 246381523), (114, 247557479), (115, 248724662), (116, 249883150), (117, 251033017), (118, 252174337), (119, 253307183), (120, 254431624), (121, 255547733), (122, 256655577), (123, 257755224), (124, 258846740), (125, 259930193), (126, 261005645), (127, 262073160), (128, 263132802), (129, 264184631), (130, 265228708), (131, 266265092), (132, 267293843), (133, 268315018), (134, 269328674), (135, 270334868), (136, 271333653), (137, 272325086), (138, 273309220), (139, 274286107), (140, 275255800), (141, 276218350), (142, 277173807), (143, 278122223), (144, 279063645), (145, 279998123), (146, 280925704), (147, 281846436), (148, 282760365), (149, 283667537), (150, 284567998), (151, 285461792), (152, 286348963), (153, 287229556), (154, 288103612), (155, 288971175), (156, 289832286), (157, 290686987), (158, 291535319), (159, 292377321), (160, 293213034), (161, 294042497), (162, 294865749), (163, 295682828), (164, 296493772), (165, 297298618), (166, 298097403), (167, 298890165), (168, 299676938), (169, 300457759), (170, 301232663), (171, 302001685), (172, 302764858), (173, 303522217), (174, 304273796), (175, 305019628), (176, 305759746), (177, 306494182), (178, 307222968), (179, 307946136), (180, 308663717), (181, 309375743), (182, 310082244), (183, 310783250), (184, 311478792), (185, 312168899), (186, 312853601), (187, 313532926), (188, 314206903), (189, 314875562), (190, 315538929), (191, 316197034), (192, 316849902), (193, 317497562), (194, 318140041), (195, 318777365), (196, 319409561), (197, 320036655), (198, 320658673), (199, 321275640), (200, 321887582), (201, 322494525), (202, 323096491), (203, 323693508), (204, 324285598), (205, 324872786), (206, 325455097), (207, 326032553), (208, 326605177), (209, 327172995), (210, 327736027), (211, 328294298), (212, 328847829), (213, 329396643), (214, 329940762), (215, 330480209), (216, 331015004), (217, 331545170), (218, 332070727), (219, 332591697), (220, 333108101), (221, 333619960), (222, 334127293), (223, 334630122), (224, 335128467), (225, 335622347), (226, 336111783), (227, 336596794), (228, 337077400), (229, 337553620), (230, 338025473), (231, 338492978), (232, 338956154), (233, 339415020), (234, 339869594), (235, 340319895), (236, 340765940), (237, 341207748), (238, 341645336), (239, 342078723), (240, 342507925), (241, 342932961), (242, 343353848), (243, 343770602), (244, 344183241), (245, 344591782), (246, 344996241), (247, 345396635), (248, 345792980), (249, 346185293), (250, 346573590), (251, 346957887), (252, 347338200), (253, 347714545), (254, 348086937), (255, 348455392), (256, 348819926), (257, 349180553), (258, 349537289), (259, 349890149), (260, 350239148), (261, 350584302), (262, 350925623), (263, 351263128), (264, 351596830), (265, 351926745), (266, 352252886), (267, 352575268), (268, 352893904), (269, 353208809), (270, 353519996), (271, 353827480), (272, 354131274), (273, 354431391), (274, 354727845), (275, 355020650), (276, 355309818), (277, 355595363), (278, 355877298), (279, 356155636), (280, 356430389), (281, 356701571), (282, 356969195), (283, 357233272), (284, 357493816), (285, 357750838), (286, 358004352), (287, 358254369), (288, 358500902), (289, 358743963), (290, 358983563), (291, 359219715), (292, 359452431), (293, 359681722), (294, 359907600), (295, 360130077), (296, 360349164), (297, 360564873), (298, 360777214), (299, 360986200), (300, 361191841), (301, 361394149), (302, 361593135), (303, 361788809), (304, 361981184), (305, 362170268), (306, 362356074), (307, 362538612), (308, 362717893), (309, 362893927), (310, 363066724), (311, 363236296), (312, 363402652), (313, 363565804), (314, 363725760), (315, 363882532), (316, 364036129), (317, 364186561), (318, 364333839), (319, 364477972), (320, 364618971), (321, 364756844), (322, 364891602), (323, 365023255), (324, 365151811), (325, 365277281), (326, 365399675), (327, 365519000), (328, 365635268), (329, 365748487), (330, 365858666), (331, 365965815), (332, 366069943), (333, 366171059), (334, 366269172), (335, 366364290), (336, 366456424), (337, 366545581), (338, 366631772), (339, 366715003), (340, 366795285), (341, 366872625), (342, 366947033), (343, 367018517), (344, 367087086), (345, 367152747), (346, 367215510), (347, 367275383), (348, 367332374), (349, 367386492), (350, 367437744), (351, 367486138), (352, 367531684), (353, 367574389), (354, 367614262), (355, 367651309), (356, 367685539), (357, 367716961), (358, 367745581), (359, 367771408), (360, 367794449), (361, 367814713), (362, 367832206), (363, 367846937), (364, 367858914), (365, 367868143), (366, 367874632), (367, 367878389), (368, 367879421), (369, 367877736), (370, 367873341), (371, 367866243), (372, 367856450), (373, 367843969), (374, 367828806), (375, 367810970), (376, 367790467), (377, 367767305), (378, 367741490), (379, 367713029), (380, 367681930), (381, 367648199), (382, 367611844), (383, 367572871), (384, 367531287), (385, 367487099), (386, 367440313), (387, 367390937), (388, 367338976), (389, 367284439), (390, 367227331), (391, 367167658), (392, 367105428), (393, 367040647), (394, 366973322), (395, 366903458), (396, 366831063), (397, 366756142), (398, 366678703), (399, 366598751), (400, 366516293), (401, 366431335), (402, 366343883), (403, 366253943), (404, 366161522), (405, 366066626), (406, 365969260), (407, 365869432), (408, 365767147), (409, 365662410), (410, 365555229), (411, 365445609), (412, 365333555), (413, 365219074), (414, 365102172), (415, 364982855), (416, 364861128), (417, 364736997), (418, 364610468), (419, 364481546), (420, 364350238), (421, 364216549), (422, 364080485), (423, 363942051), (424, 363801253), (425, 363658097), (426, 363512587), (427, 363364730), (428, 363214532), (429, 363061996), (430, 362907130), (431, 362749938), (432, 362590426), (433, 362428600), (434, 362264463), (435, 362098023), (436, 361929284), (437, 361758251), (438, 361584929), (439, 361409325), (440, 361231443), (441, 361051288), (442, 360868865), (443, 360684180), (444, 360497238), (445, 360308044), (446, 360116602), (447, 359922918), (448, 359726997), (449, 359528844), (450, 359328463), (451, 359125861), (452, 358921041), (453, 358714009), (454, 358504769), (455, 358293326), (456, 358079686), (457, 357863853), (458, 357645831), (459, 357425627), (460, 357203243), (461, 356978686), (462, 356751959), (463, 356523068), (464, 356292017), (465, 356058811), (466, 355823455), (467, 355585952), (468, 355346308), (469, 355104527), (470, 354860615), (471, 354614574), (472, 354366410), (473, 354116128), (474, 353863732), (475, 353609226), (476, 353352614), (477, 353093902), (478, 352833093), (479, 352570192), (480, 352305204), (481, 352038132), (482, 351768981), (483, 351497756), (484, 351224460), (485, 350949098), (486, 350671674), (487, 350392193), (488, 350110658), (489, 349827074), (490, 349541445), (491, 349253775), (492, 348964069), (493, 348672330), (494, 348378562), (495, 348082771), (496, 347784959), (497, 347485131), (498, 347183291), (499, 346879442), (500, 346573590), (501, 346265738), (502, 345955890), (503, 345644050), (504, 345330221), (505, 345014409), (506, 344696617), (507, 344376848), (508, 344055106), (509, 343731397), (510, 343405722), (511, 343078087), (512, 342748495), (513, 342416950), (514, 342083455), (515, 341748015), (516, 341410633), (517, 341071313), (518, 340730059), (519, 340386874), (520, 340041763), (521, 339694729), (522, 339345775), (523, 338994905), (524, 338642124), (525, 338287434), (526, 337930839), (527, 337572343), (528, 337211950), (529, 336849662), (530, 336485484), (531, 336119420), (532, 335751472), (533, 335381645), (534, 335009941), (535, 334636365), (536, 334260919), (537, 333883608), (538, 333504435), (539, 333123403), (540, 332740515), (541, 332355776), (542, 331969188), (543, 331580756), (544, 331190481), (545, 330798369), (546, 330404422), (547, 330008643), (548, 329611036), (549, 329211604), (550, 328810350), (551, 328407279), (552, 328002392), (553, 327595694), (554, 327187188), (555, 326776877), (556, 326364764), (557, 325950852), (558, 325535145), (559, 325117645), (560, 324698357), (561, 324277284), (562, 323854427), (563, 323429791), (564, 323003380), (565, 322575195), (566, 322145240), (567, 321713518), (568, 321280033), (569, 320844787), (570, 320407783), (571, 319969026), (572, 319528517), (573, 319086259), (574, 318642257), (575, 318196512), (576, 317749028), (577, 317299808), (578, 316848855), (579, 316396172), (580, 315941762), (581, 315485627), (582, 315027772), (583, 314568198), (584, 314106909), (585, 313643908), (586, 313179197), (587, 312712780), (588, 312244659), (589, 311774837), (590, 311303318), (591, 310830104), (592, 310355197), (593, 309878602), (594, 309400320), (595, 308920355), (596, 308438709), (597, 307955385), (598, 307470386), (599, 306983715), (600, 306495374), (601, 306005367), (602, 305513696), (603, 305020364), (604, 304525373), (605, 304028727), (606, 303530428), (607, 303030478), (608, 302528881), (609, 302025640), (610, 301520756), (611, 301014233), (612, 300506074), (613, 299996280), (614, 299484855), (615, 298971802), (616, 298457122), (617, 297940819), (618, 297422896), (619, 296903354), (620, 296382197), (621, 295859426), (622, 295335046), (623, 294809058), (624, 294281464), (625, 293752268), (626, 293221472), (627, 292689079), (628, 292155091), (629, 291619510), (630, 291082340), (631, 290543582), (632, 290003239), (633, 289461314), (634, 288917810), (635, 288372728), (636, 287826071), (637, 287277842), (638, 286728043), (639, 286176677), (640, 285623746), (641, 285069252), (642, 284513198), (643, 283955587), (644, 283396420), (645, 282835701), (646, 282273431), (647, 281709613), (648, 281144250), (649, 280577343), (650, 280008895), (651, 279438910), (652, 278867388), (653, 278294332), (654, 277719745), (655, 277143628), (656, 276565985), (657, 275986818), (658, 275406129), (659, 274823920), (660, 274240193), (661, 273654951), (662, 273068197), (663, 272479931), (664, 271890158), (665, 271298878), (666, 270706095), (667, 270111810), (668, 269516026), (669, 268918745), (670, 268319970), (671, 267719701), (672, 267117943), (673, 266514696), (674, 265909963), (675, 265303747), (676, 264696049), (677, 264086872), (678, 263476218), (679, 262864089), (680, 262250487), (681, 261635414), (682, 261018874), (683, 260400866), (684, 259781395), (685, 259160462), (686, 258538069), (687, 257914218), (688, 257288911), (689, 256662151), (690, 256033940), (691, 255404280), (692, 254773172), (693, 254140619), (694, 253506623), (695, 252871186), (696, 252234311), (697, 251595998), (698, 250956251), (699, 250315071), (700, 249672461), (701, 249028422), (702, 248382956), (703, 247736066), (704, 247087754), (705, 246438021), (706, 245786869), (707, 245134301), (708, 244480319), (709, 243824924), (710, 243168119), (711, 242509906), (712, 241850286), (713, 241189261), (714, 240526834), (715, 239863006), (716, 239197780), (717, 238531157), (718, 237863140), (719, 237193729), (720, 236522928), (721, 235850738), (722, 235177161), (723, 234502199), (724, 233825854), (725, 233148127), (726, 232469022), (727, 231788539), (728, 231106680), (729, 230423448), (730, 229738844), (731, 229052870), (732, 228365528), (733, 227676820), (734, 226986748), (735, 226295313), (736, 225602518), (737, 224908364), (738, 224212853), (739, 223515988), (740, 222817769), (741, 222118198), (742, 221417279), (743, 220715011), (744, 220011398), (745, 219306440), (746, 218600140), (747, 217892500), (748, 217183521), (749, 216473205), (750, 215761554), (751, 215048570), (752, 214334254), (753, 213618609), (754, 212901635), (755, 212183335), (756, 211463711), (757, 210742763), (758, 210020495), (759, 209296908), (760, 208572003), (761, 207845782), (762, 207118247), (763, 206389400), (764, 205659242), (765, 204927776), (766, 204195002), (767, 203460922), (768, 202725539), (769, 201988854), (770, 201250868), (771, 200511584), (772, 199771003), (773, 199029126), (774, 198285956), (775, 197541493), (776, 196795741), (777, 196048700), (778, 195300371), (779, 194550758), (780, 193799860), (781, 193047681), (782, 192294221), (783, 191539482), (784, 190783467), (785, 190026176), (786, 189267610), (787, 188507773), (788, 187746665), (789, 186984288), (790, 186220643), (791, 185455733), (792, 184689559), (793, 183922121), (794, 183153423), (795, 182383466), (796, 181612250), (797, 180839778), (798, 180066052), (799, 179291072), (800, 178514841), (801, 177737360), (802, 176958630), (803, 176178654), (804, 175397432), (805, 174614966), (806, 173831258), (807, 173046310), (808, 172260122), (809, 171472697), (810, 170684035), (811, 169894139), (812, 169103010), (813, 168310650), (814, 167517059), (815, 166722240), (816, 165926194), (817, 165128922), (818, 164330427), (819, 163530709), (820, 162729770), (821, 161927611), (822, 161124235), (823, 160319641), (824, 159513833), (825, 158706811), (826, 157898578), (827, 157089133), (828, 156278479), (829, 155466618), (830, 154653550), (831, 153839277), (832, 153023801), (833, 152207123), (834, 151389245), (835, 150570168), (836, 149749893), (837, 148928422), (838, 148105756), (839, 147281896), (840, 146456845), (841, 145630604), (842, 144803173), (843, 143974555), (844, 143144750), (845, 142313761), (846, 141481588), (847, 140648233), (848, 139813697), (849, 138977983), (850, 138141090), (851, 137303021), (852, 136463777), (853, 135623359), (854, 134781769), (855, 133939008), (856, 133095077), (857, 132249978), (858, 131403712), (859, 130556281), (860, 129707685), (861, 128857927), (862, 128007007), (863, 127154927), (864, 126301689), (865, 125447293), (866, 124591741), (867, 123735034), (868, 122877174), (869, 122018162), (870, 121157999), (871, 120296686), (872, 119434226), (873, 118570618), (874, 117705866), (875, 116839969), (876, 115972929), (877, 115104747), (878, 114235426), (879, 113364965), (880, 112493367), (881, 111620632), (882, 110746763), (883, 109871759), (884, 108995623), (885, 108118356), (886, 107239959), (887, 106360433), (888, 105479780), (889, 104598001), (890, 103715096), (891, 102831069), (892, 101945919), (893, 101059647), (894, 100172256), (895, 99283747), (896, 98394120), (897, 97503377), (898, 96611519), (899, 95718548), (900, 94824464), (901, 93929269), (902, 93032965), (903, 92135551), (904, 91237030), (905, 90337403), (906, 89436671), (907, 88534836), (908, 87631898), (909, 86727858), (910, 85822718), (911, 84916480), (912, 84009143), (913, 83100711), (914, 82191183), (915, 81280561), (916, 80368846), (917, 79456039), (918, 78542142), (919, 77627155), (920, 76711080), (921, 75793919), (922, 74875671), (923, 73956339), (924, 73035924), (925, 72114426), (926, 71191847), (927, 70268188), (928, 69343451), (929, 68417636), (930, 67490744), (931, 66562778), (932, 65633737), (933, 64703623), (934, 63772437), (935, 62840181), (936, 61906855), (937, 60972461), (938, 60037000), (939, 59100472), (940, 58162879), (941, 57224223), (942, 56284504), (943, 55343724), (944, 54401883), (945, 53458982), (946, 52515024), (947, 51570008), (948, 50623936), (949, 49676810), (950, 48728630), (951, 47779397), (952, 46829112), (953, 45877778), (954, 44925394), (955, 43971961), (956, 43017482), (957, 42061956), (958, 41105386), (959, 40147772), (960, 39189115), (961, 38229416), (962, 37268677), (963, 36306898), (964, 35344081), (965, 34380226), (966, 33415336), (967, 32449410), (968, 31482450), (969, 30514456), (970, 29545431), (971, 28575375), (972, 27604289), (973, 26632174), (974, 25659032), (975, 24684863), (976, 23709668), (977, 22733449), (978, 21756206), (979, 20777940), (980, 19798653), (981, 18818346), (982, 17837019), (983, 16854674), (984, 15871312), (985, 14886933), (986, 13901539), (987, 12915131), (988, 11927710), (989, 10939277), (990, 9949832), (991, 8959378), (992, 7967914), (993, 6975443), (994, 5981964), (995, 4987479), (996, 3991989), (997, 2995495), (998, 1997999), (999, 999500), (1000, 0)")
+)
+
+
+@register("uv_coverage_entropy", _UV_ENTROPY_ORACLE)
+def uv_coverage_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uv-coverage completeness entropy (r9, ROADMAP candidate): per
+    10-unit uv-distance annulus (capped at 60), the unflagged samples
+    split into 8 azimuthal octants decided by pure sign/|u|-vs-|v|
+    comparisons (no atan2 — sector-boundary ULP forks are structurally
+    impossible), and the octant distribution's Shannon entropy is the
+    PSF-sidelobe proxy an observation planner reads next to the radial
+    profile: a full annulus scores ln 8, a one-armed annulus 0. Shares
+    -p·ln p values at permille resolution from a Python-precomputed
+    nano-nat table (exact integers in both engines). Plan: one fact
+    scan, two annulus-grain aggregates, one 1001-row broadcast lookup."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
+    samp = vis.select(
+        F.least(
+            F.floor(
+                F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v"))
+                / F.lit(10.0)
+            ).cast("long"),
+            F.lit(60),
+        ).alias("annulus"),
+        (
+            F.when(F.col("v") >= 0, F.lit(0)).otherwise(F.lit(4))
+            + F.when(F.col("u") >= 0, F.lit(0)).otherwise(F.lit(2))
+            + F.when(F.abs("u") >= F.abs("v"), F.lit(0)).otherwise(F.lit(1))
+        ).alias("octant"),
+    )
+    cellc = samp.groupBy("annulus", "octant").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cellc.groupBy("annulus").agg(
+        F.sum("c").alias("n_samples"), F.count(F.lit(1)).alias("k_occ")
+    )
+    etab = F.array(*[F.lit(v) for v in _ENT_TABLE])
+    scored = cellc.join(tot, "annulus").select(
+        "annulus",
+        F.element_at(
+            etab, (F.expr("c * 1000 DIV n_samples") + 1).cast("int")
+        ).alias("e"),
+    )
+    return (
+        scored.groupBy("annulus")
+        .agg(F.sum("e").alias("entropy_nanonats"))
+        .join(tot, "annulus")
+        .select(
+            "annulus", "n_samples", "k_occ",
+            (F.col("k_occ") * 125).cast("long").alias("completeness_permille"),
+            F.col("entropy_nanonats").cast("long").alias("entropy_nanonats"),
+        )
+        .orderBy("annulus")
+    )

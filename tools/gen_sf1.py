@@ -1,0 +1,100 @@
+"""Generate a deterministic sf1.0 validation set from the driver's sf0.1
+parquet (r8 verdict item 1: the next-decade oracle sweep needs ~6M
+lineitem rows; the driver only ships sf0.001/0.01/0.1).
+
+NOT a new distribution: each table is 10 key-shifted copies of sf0.1
+with small deterministic per-copy perturbations so scale-dependent fork
+classes (overflow, threshold crossings, ULP boundaries) meet fresh
+values rather than 10 identical replays:
+
+- lineitem/orders: keys shift by copy*10^9 (clear of the sf0.1 key
+  space); l_extendedprice/o_totalprice gain copy cents (keeps the
+  2-decimal grid; shifts the uvw derivation cents%2001 per copy).
+- customer/part/supplier: replicated with the matching key shifts so
+  every FK in copy k resolves inside copy k.
+- events: event_id/user_id shift (10x users, same time window — the
+  intensity-scaling regime); value gains copy cents.
+- documents: doc_id shifts; copies k>0 append a " copyk" token (length
+  bookkeeping preserved via n_chars recompute) — cross-copy exact dups
+  disappear, within-copy dup structure survives.
+- embeddings: vec_id shifts; components gain copy * 2^-7 (float32-exact
+  offset); labels unchanged.
+- nation/region: fixed dimensions, copied as-is.
+
+Usage: python tools/gen_sf1.py [OUT_DIR]   (default /tmp/sf1)
+"""
+import sys
+import time
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+COPIES = 10
+KSHIFT = 1_000_000_000  # clear of every sf0.1 key domain
+
+import os
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+con.execute("SET threads TO 16")
+con.execute(f"CREATE VIEW copies AS SELECT UNNEST(range({COPIES})) AS k")
+
+T = {}
+T["region"] = f"SELECT * FROM '{SRC}/region.parquet'"
+T["nation"] = f"SELECT * FROM '{SRC}/nation.parquet'"
+T["customer"] = f"""
+  SELECT c_custkey + k*{KSHIFT} AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet', copies"""
+T["supplier"] = f"""
+  SELECT s_suppkey + k*{KSHIFT} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM '{SRC}/supplier.parquet', copies"""
+T["part"] = f"""
+  SELECT p_partkey + k*{KSHIFT} AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM '{SRC}/part.parquet', copies"""
+T["orders"] = f"""
+  SELECT o_orderkey + k*{KSHIFT} AS o_orderkey,
+         o_custkey + k*{KSHIFT} AS o_custkey,
+         o_orderstatus,
+         o_totalprice + k * 0.01 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet', copies"""
+T["lineitem"] = f"""
+  SELECT l_orderkey + k*{KSHIFT} AS l_orderkey,
+         l_partkey + k*{KSHIFT} AS l_partkey,
+         l_suppkey + k*{KSHIFT} AS l_suppkey,
+         l_linenumber, l_quantity,
+         l_extendedprice + k * 0.01 AS l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet', copies"""
+T["events"] = f"""
+  SELECT event_id + k*{KSHIFT} AS event_id, ts,
+         user_id + k*{KSHIFT} AS user_id, event_type,
+         value + k * 0.01 AS value, props
+  FROM '{SRC}/events.parquet', copies"""
+T["documents"] = f"""
+  SELECT doc_id + k*{KSHIFT} AS doc_id,
+         CASE WHEN k = 0 THEN text ELSE text || ' copy' || k END AS text,
+         lang, source,
+         CASE WHEN k = 0 THEN n_chars
+              ELSE n_chars + 5 + len(CAST(k AS VARCHAR)) END AS n_chars
+  FROM '{SRC}/documents.parquet', copies"""
+T["embeddings"] = f"""
+  SELECT vec_id + k*{KSHIFT // 1000} AS vec_id,
+         list_transform(embedding,
+             x -> CAST(x + k * 0.0078125 AS FLOAT)) AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', copies"""
+# embeddings vec_id shift stays < 1e7 (the triplet-pack bound):
+# 10 copies * 1e6 + 2000 < 1e7.
+
+for name, sql in T.items():
+    t0 = time.time()
+    con.execute(
+        f"COPY ({sql}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET)"
+    )
+    nrows = con.execute(f"SELECT COUNT(*) FROM '{OUT}/{name}.parquet'").fetchone()[0]
+    print(f"{name}: {nrows} rows {time.time()-t0:.1f}s", flush=True)
+print("done ->", OUT)
