@@ -23,6 +23,16 @@ from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
 QSCALE = 1e6
 
 
+def _q6(c):
+    """Sign-aware round-half-away to the 1e-6 grid, back as double —
+    DuckDB mirror: CAST(ROUND(x * 1e6) AS BIGINT) / 1000000.0."""
+    v = c * F.lit(1e6)
+    return (
+        (v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
+        / F.lit(1e6)
+    )
+
+
 def vis_to_im(vis: DataFrame, sources: DataFrame) -> DataFrame:
     """Adjoint DFT: flag-gated real-part accumulation per (source, chan)
     (reference dft/kernels.py:73-170; CASA '+' convention for the adjoint
@@ -37,7 +47,15 @@ def vis_to_im(vis: DataFrame, sources: DataFrame) -> DataFrame:
         F.col("frequency"),
         "casa",
     )
-    contrib = F.cos(theta) * F.col("vis_re") - F.sin(theta) * F.col("vis_im")
+    # trig OUTPUTS quantize to the 1e-6 grid (r9 sf1.0 fork class): the
+    # DFT multiplies trig by LARGE amplitudes (vis sums here; ~6e5
+    # images in the forward pass), so a 1-ULP JVM-vs-libm cos
+    # disagreement amplifies to ~1e-11..1e-9 absolute — enough to hit
+    # the 1e-6 output grid's rounding boundary at sf1 row counts. On
+    # the 1e-6 trig grid both engines multiply IDENTICAL doubles and
+    # the residual fork probability drops by ~1e6x.
+    ct, st = _q6(F.cos(theta)), _q6(F.sin(theta))
+    contrib = ct * F.col("vis_re") - st * F.col("vis_im")
     return (
         j.groupBy("source_id", "chan")
         .agg(
@@ -47,11 +65,12 @@ def vis_to_im(vis: DataFrame, sources: DataFrame) -> DataFrame:
     )
 
 
+# trig outputs on the 1e-6 grid — mirrors vis_to_im's _q6 (sf1 fork fix)
 VIS_TO_IM_SQL = """
     , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row))
     SELECT s.source_id, v.chan,
-           SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
-                         - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+           SUM(CAST(ROUND((CAST(ROUND(cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_re
+                         - CAST(ROUND(sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_im)
                     * 1000000) AS BIGINT)) / 1000000.0 AS image,
            COUNT(*) AS n_rows
     FROM gated v, src s

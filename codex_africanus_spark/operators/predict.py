@@ -224,7 +224,11 @@ def predict_full_corr(vis: DataFrame, sources: DataFrame, gains: DataFrame) -> D
             * m
             * Cplx(F.col(f"{g2p}_re"), F.col(f"{g2p}_im")).conj()
         )
-        return F.round(out.re, 6), F.round(out.im, 6)
+        # + 0.0 normalizes IEEE -0.0 (sf1 sweep fork: one vxy_im row)
+        return (
+            F.round(out.re, 6) + F.lit(0.0),
+            F.round(out.im, 6) + F.lit(0.0),
+        )
 
     xx = sandwich("xx_re", "xx_im", "g1x", "g2x")
     xy = sandwich("xy_re", "xy_im", "g1x", "g2y")

@@ -529,12 +529,14 @@ def rime2x2(
             Cplx(F.col("yx_re"), F.col("yx_im")), Cplx(F.col("yy_re"), F.col("yy_im")),
         )
         out = (left @ V) @ right.hermitian()
+        # + 0.0 normalizes IEEE -0.0 (sf1 sweep fork class)
+        z = F.lit(0.0)
         return df.select(
             "row_id", "antenna1", "antenna2", "chan",
-            F.round(out.xx.re, 6).alias("vxx_re"), F.round(out.xx.im, 6).alias("vxx_im"),
-            F.round(out.xy.re, 6).alias("vxy_re"), F.round(out.xy.im, 6).alias("vxy_im"),
-            F.round(out.yx.re, 6).alias("vyx_re"), F.round(out.yx.im, 6).alias("vyx_im"),
-            F.round(out.yy.re, 6).alias("vyy_re"), F.round(out.yy.im, 6).alias("vyy_im"),
+            (F.round(out.xx.re, 6) + z).alias("vxx_re"), (F.round(out.xx.im, 6) + z).alias("vxx_im"),
+            (F.round(out.xy.re, 6) + z).alias("vxy_re"), (F.round(out.xy.im, 6) + z).alias("vxy_im"),
+            (F.round(out.yx.re, 6) + z).alias("vyx_re"), (F.round(out.yx.im, 6) + z).alias("vyx_im"),
+            (F.round(out.yy.re, 6) + z).alias("vyy_re"), (F.round(out.yy.im, 6) + z).alias("vyy_im"),
         )
 
     # all-diagonal fast path (G alone): per-corr scalar sandwich —
@@ -562,7 +564,11 @@ def rime2x2(
             * m
             * Cplx(F.col(f"{g2p}_re"), F.col(f"{g2p}_im")).conj()
         )
-        return F.round(out.re, 6), F.round(out.im, 6)
+        # + 0.0 normalizes IEEE -0.0 (sf1 sweep fork class)
+        return (
+            F.round(out.re, 6) + F.lit(0.0),
+            F.round(out.im, 6) + F.lit(0.0),
+        )
 
     xx, xy = sandwich("xx", "g1x", "g2x"), sandwich("xy", "g1x", "g2y")
     yx, yy = sandwich("yx", "g1y", "g2x"), sandwich("yy", "g1y", "g2y")

@@ -814,17 +814,20 @@ def wsclean_polynomial_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IM_TO_VIS_ORACLE = _with_ms(
     """
     , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row)),
+    -- trig outputs on the 1e-6 grid, both stages (r9 sf1.0 fork fix:
+    -- ~6e5 image amplitudes amplify 1-ULP trig disagreements onto the
+    -- output rounding boundary)
     image AS (
       SELECT s.source_id, s.l, s.m, s.n, v.chan,
-             SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
-                           - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+             SUM(CAST(ROUND((CAST(ROUND(cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_re
+                           - CAST(ROUND(sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_im)
                       * 1000000) AS BIGINT)) / 1000000.0 AS image
       FROM gated v, src s
       GROUP BY s.source_id, s.l, s.m, s.n, v.chan
     )
     SELECT v.row_id, v.chan,
-           SUM(CAST(ROUND(i.image * cos(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
-           SUM(CAST(ROUND(i.image * sin(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+           SUM(CAST(ROUND(i.image * (CAST(ROUND(cos(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(i.image * (CAST(ROUND(sin(-2.0958450219516816e-08 * (v.u*i.l + v.v*i.m + v.w*(i.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
     FROM gated v JOIN image i ON v.chan = i.chan
     WHERE v.row_id % 31 = 0
     GROUP BY v.row_id, v.chan
@@ -858,11 +861,12 @@ def dft_im_to_vis_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency"),
         "fourier",
     )
+    # forward trig on the 1e-6 grid too (dft_op._q6 — r9 sf1.0 fork fix)
     return (
         j.groupBy("row_id", "chan")
         .agg(
-            (qsum(F.col("image") * F.cos(theta), 1e6) / F.lit(1e6)).alias("vis_re"),
-            (qsum(F.col("image") * F.sin(theta), 1e6) / F.lit(1e6)).alias("vis_im"),
+            (qsum(F.col("image") * dft_op._q6(F.cos(theta)), 1e6) / F.lit(1e6)).alias("vis_re"),
+            (qsum(F.col("image") * dft_op._q6(F.sin(theta)), 1e6) / F.lit(1e6)).alias("vis_im"),
         )
         .orderBy("row_id", "chan")
     )
@@ -2138,9 +2142,10 @@ _PBCOR_ORACLE = _with_ms(
     f"""
     , gated AS (SELECT * FROM vis WHERE NOT (flag OR flag_row)),
     img AS (
+      -- trig on the 1e-6 grid, mirroring vis_to_im (r9 sf1.0 fork fix)
       SELECT s.source_id AS source_id, v.chan AS chan,
-             SUM(CAST(ROUND((cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_re
-                           - sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * v.vis_im)
+             SUM(CAST(ROUND((CAST(ROUND(cos(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_re
+                           - CAST(ROUND(sin(2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) * 1000000.0) AS BIGINT) / 1000000.0 * v.vis_im)
                       * 1000000) AS BIGINT)) / 1000000.0 AS image
       FROM gated v, src s
       GROUP BY s.source_id, v.chan

@@ -1149,14 +1149,14 @@ _FULL_CORR_ORACLE = _with_ms(
       FROM coh GROUP BY row_id, antenna1, antenna2, chan
     )
     SELECT m.row_id, m.antenna1, m.antenna2, m.chan,
-           round((g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_re + (g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_im, 6) AS vxx_re,
-           round((g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_re - (g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_im, 6) AS vxx_im,
-           round((g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_re + (g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_im, 6) AS vxy_re,
-           round((g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_re - (g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_im, 6) AS vxy_im,
-           round((g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_re + (g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_im, 6) AS vyx_re,
-           round((g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_re - (g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_im, 6) AS vyx_im,
-           round((g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_re + (g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_im, 6) AS vyy_re,
-           round((g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_re - (g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_im, 6) AS vyy_im
+           round((g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_re + (g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_im, 6) + 0.0 AS vxx_re,
+           round((g1.gain_re*m.xx_im + g1.gain_im*m.xx_re) * g2.gain_re - (g1.gain_re*m.xx_re - g1.gain_im*m.xx_im) * g2.gain_im, 6) + 0.0 AS vxx_im,
+           round((g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_re + (g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_im, 6) + 0.0 AS vxy_re,
+           round((g1.gain_re*m.xy_im + g1.gain_im*m.xy_re) * g2.gain_y_re - (g1.gain_re*m.xy_re - g1.gain_im*m.xy_im) * g2.gain_y_im, 6) + 0.0 AS vxy_im,
+           round((g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_re + (g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_im, 6) + 0.0 AS vyx_re,
+           round((g1.gain_y_re*m.yx_im + g1.gain_y_im*m.yx_re) * g2.gain_re - (g1.gain_y_re*m.yx_re - g1.gain_y_im*m.yx_im) * g2.gain_im, 6) + 0.0 AS vyx_im,
+           round((g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_re + (g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_im, 6) + 0.0 AS vyy_re,
+           round((g1.gain_y_re*m.yy_im + g1.gain_y_im*m.yy_re) * g2.gain_y_re - (g1.gain_y_re*m.yy_re - g1.gain_y_im*m.yy_im) * g2.gain_y_im, 6) + 0.0 AS vyy_im
     FROM model m
     JOIN gains g1 ON g1.antenna = m.antenna1 AND g1.chan = m.chan
     JOIN gains g2 ON g2.antenna = m.antenna2 AND g2.chan = m.chan
@@ -1220,10 +1220,10 @@ _FEED_SANDWICH_ORACLE = _with_ms(
       FROM rot
     )
     SELECT row_id, antenna1, antenna2, chan,
-           round(txx_re*c2 + txy_re*s2, 6) AS rxx_re, round(txx_im*c2 + txy_im*s2, 6) AS rxx_im,
-           round(txx_re*(-s2) + txy_re*c2, 6) AS rxy_re, round(txx_im*(-s2) + txy_im*c2, 6) AS rxy_im,
-           round(tyx_re*c2 + tyy_re*s2, 6) AS ryx_re, round(tyx_im*c2 + tyy_im*s2, 6) AS ryx_im,
-           round(tyx_re*(-s2) + tyy_re*c2, 6) AS ryy_re, round(tyx_im*(-s2) + tyy_im*c2, 6) AS ryy_im
+           round(txx_re*c2 + txy_re*s2, 6) + 0.0 AS rxx_re, round(txx_im*c2 + txy_im*s2, 6) + 0.0 AS rxx_im,
+           round(txx_re*(-s2) + txy_re*c2, 6) + 0.0 AS rxy_re, round(txx_im*(-s2) + txy_im*c2, 6) + 0.0 AS rxy_im,
+           round(tyx_re*c2 + tyy_re*s2, 6) + 0.0 AS ryx_re, round(tyx_im*c2 + tyy_im*s2, 6) + 0.0 AS ryx_im,
+           round(tyx_re*(-s2) + tyy_re*c2, 6) + 0.0 AS ryy_re, round(tyx_im*(-s2) + tyy_im*c2, 6) + 0.0 AS ryy_im
     FROM t ORDER BY row_id
     """.format(pa1=_pa_sql("antenna1"), pa2=_pa_sql("antenna2"))
 )
@@ -1257,12 +1257,15 @@ def feed_rotation_full_sandwich(spark: SparkSession, sf_dir: str) -> DataFrame:
         Cplx(F.col("yx_re"), F.col("yx_im")), Cplx(F.col("yy_re"), F.col("yy_im")),
     )
     out = (r1 @ V) @ r2.hermitian()
+    # + 0.0 normalizes IEEE -0.0 (sf1 sweep fork class; keeps the whole
+    # sandwich family aligned with the normalized compiled paths)
+    z = F.lit(0.0)
     return keyed.select(
         "row_id", "antenna1", "antenna2", "chan",
-        F.round(out.xx.re, 6).alias("rxx_re"), F.round(out.xx.im, 6).alias("rxx_im"),
-        F.round(out.xy.re, 6).alias("rxy_re"), F.round(out.xy.im, 6).alias("rxy_im"),
-        F.round(out.yx.re, 6).alias("ryx_re"), F.round(out.yx.im, 6).alias("ryx_im"),
-        F.round(out.yy.re, 6).alias("ryy_re"), F.round(out.yy.im, 6).alias("ryy_im"),
+        (F.round(out.xx.re, 6) + z).alias("rxx_re"), (F.round(out.xx.im, 6) + z).alias("rxx_im"),
+        (F.round(out.xy.re, 6) + z).alias("rxy_re"), (F.round(out.xy.im, 6) + z).alias("rxy_im"),
+        (F.round(out.yx.re, 6) + z).alias("ryx_re"), (F.round(out.yx.im, 6) + z).alias("ryx_im"),
+        (F.round(out.yy.re, 6) + z).alias("ryy_re"), (F.round(out.yy.im, 6) + z).alias("ryy_im"),
     )
 
 
@@ -1493,12 +1496,19 @@ class TecScreenTerm(rime_plan.Term):
 
     @staticmethod
     def _tec(ant: F.Column, time: F.Column) -> F.Column:
+        # the diurnal sin() OUTPUT quantizes to the 1e-9 grid: this is
+        # the only libm stage UPSTREAM of the dispersive amplification
+        # (phi ~ 1.2*tec), and a 1-ULP sin disagreement here grew to
+        # ~1e-14 in the summed visibility — the sf1.0 sweep caught one
+        # 6dp-boundary row. Quantized, both engines carry the identical
+        # tec double; the residual cexp-stage ULP stays in the
+        # held-green 1e-16 class (same as every other predict query).
         day = (time % F.lit(86400.0)) / F.lit(86400.0)
-        return (
-            F.lit(10.0)
-            + ant / F.lit(2.0)
-            + F.lit(5.0) * F.sin(day * F.lit(6.283185307179586))
-        )
+        s = F.sin(day * F.lit(6.283185307179586)) * F.lit(1e9)
+        s_q = (
+            s + F.when(s >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        ).cast("long") / F.lit(1e9)
+        return F.lit(10.0) + ant / F.lit(2.0) + F.lit(5.0) * s_q
 
     def apply(self, z):
         phi1 = F.lit(_KTEC) * self._tec(F.col("antenna1"), F.col("time")) / F.col("frequency")
@@ -1510,25 +1520,36 @@ rime_plan.register_term("T", TecScreenTerm)
 
 
 def _tec_sql(ant: str) -> str:
+    # mirrors TecScreenTerm._tec: diurnal sin output on the 1e-9 grid
     return (
         f"1.0e9 * (10.0e0 + v.{ant} / 2.0e0 + 5.0e0 * "
-        f"sin(fmod(v.time, 86400.0e0) / 86400.0e0 * 6.283185307179586e0))"
+        f"(CAST(ROUND(sin(fmod(v.time, 86400.0e0) / 86400.0e0 "
+        f"* 6.283185307179586e0) * 1.0e9) AS BIGINT) / 1.0e9))"
         f" / v.frequency"
     )
 
 
+# The engine composes the term chain as COMPLEX PRODUCTS
+# (z = e^{ia} -> *flux -> *e^{ib}), so the oracle replays cos(a)cos(b)
+# - sin(a)sin(b) in the engine's exact operation order — collapsing to
+# cos(a + b) is mathematically equal but numerically ~3 ULP apart, and
+# the sf1.0 sweep caught two rows where that landed on a 1e-6 rounding
+# boundary (r9 fork fix; same lesson as the BDA summation-order class).
 _RIME_TEC_ORACLE = _with_ms(
     """
     , coh AS (
       SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
              s.flux_i * pow(v.frequency / s.ref_freq, s.spi) AS flux,
-             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency
-               - ({phi1} - {phi2}) AS theta
+             -2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0))
+               * v.frequency AS a,
+             - ({phi1} - {phi2}) AS b
       FROM vis v, src s
     )
     SELECT row_id, antenna1, antenna2, chan,
-           SUM(CAST(ROUND(flux * cos(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
-           SUM(CAST(ROUND(flux * sin(theta) * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
+           SUM(CAST(ROUND(((cos(a)*flux)*cos(b) - (sin(a)*flux)*sin(b))
+               * 1000000) AS BIGINT)) / 1000000.0 AS vis_re,
+           SUM(CAST(ROUND(((cos(a)*flux)*sin(b) + (sin(a)*flux)*cos(b))
+               * 1000000) AS BIGINT)) / 1000000.0 AS vis_im
     FROM coh
     GROUP BY row_id, antenna1, antenna2, chan
     ORDER BY row_id
