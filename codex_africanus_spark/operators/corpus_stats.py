@@ -757,3 +757,104 @@ EMBEDDING_DIM_STATS_SQL = f"""
                  * (CAST(s1 AS DOUBLE) / n_vecs / {_EMB_Q})) * 1000000000.0) AS BIGINT) / 1000000000.0 AS dim_var
   FROM per ORDER BY pos
 """
+
+
+def heaps_law_vocab_growth(documents: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary growth (r9): cumulative vocabulary size
+    V(n) at ten corpus-prefix checkpoints (doc_id deciles — the
+    deterministic ingest order), with the fitted Heaps exponent
+    b from the log-log least squares over the checkpoints
+    (V = k·n^b; b~0.5 for natural text, lower for templated/duplicated
+    corpora — the dedup-health dashboard number next to zipf_slope).
+
+    Exactness: a token's first decile is MIN over its occurrences'
+    deciles (integer), cumulative counts are exact window sums over the
+    10-row decile frame, ln() quantizes to the 1e-6 grid before the
+    regression sums (the zipf_lexical_stats discipline), and the slope
+    is a 9dp-rounded ratio of exact integers.
+
+    Scale: one explode -> (token) first-occurrence aggregate (vocabulary
+    cardinality, map-side combined), one per-decile count; everything
+    after lives on a 10-row frame."""
+    mx = documents.agg(F.max("doc_id").alias("mx"))
+    toks = documents.crossJoin(F.broadcast(mx)).select(
+        F.expr("doc_id * 10 DIV (mx + 1)").alias("dec"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    per_dec = toks.groupBy("dec").agg(F.count(F.lit(1)).alias("ntok"))
+    first_dec = toks.groupBy("token").agg(F.min("dec").alias("fdec"))
+    new_vocab = first_dec.groupBy("fdec").agg(
+        F.count(F.lit(1)).alias("nvoc")
+    )
+    w = W.orderBy("dec").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        per_dec.join(
+            new_vocab.withColumnRenamed("fdec", "dec"), "dec", "left"
+        )
+        .select(
+            "dec",
+            F.sum("ntok").over(w).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("nvoc"), F.lit(0))).over(w).alias("vocab"),
+        )
+    )
+    lx = F.expr("CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)")
+    ly = F.expr("CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)")
+    pts = cum.select("dec", "n_tokens", "vocab", lx.alias("lx"), ly.alias("ly"))
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            9,
+        ).alias("heaps_exponent")
+    )
+    return (
+        pts.crossJoin(F.broadcast(reg))
+        .select("dec", "n_tokens", "vocab", "heaps_exponent")
+        .orderBy("dec")
+    )
+
+
+HEAPS_LAW_SQL = """
+  WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+  toks AS (
+    SELECT doc_id * 10 // (mx + 1) AS dec,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents, mx
+  ),
+  per_dec AS (SELECT dec, COUNT(*) AS ntok FROM toks GROUP BY dec),
+  first_dec AS (SELECT token, MIN(dec) AS fdec FROM toks GROUP BY token),
+  new_vocab AS (SELECT fdec AS dec, COUNT(*) AS nvoc FROM first_dec GROUP BY fdec),
+  cum AS (
+    SELECT p.dec,
+           CAST(SUM(p.ntok) OVER (ORDER BY p.dec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(COALESCE(v.nvoc, 0)) OVER (ORDER BY p.dec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab
+    FROM per_dec p LEFT JOIN new_vocab v USING (dec)
+  ),
+  pts AS (
+    SELECT dec, n_tokens, vocab,
+           CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+           CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+    FROM cum
+  ),
+  reg AS (
+    SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+           SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+    FROM pts
+  )
+  SELECT p.dec, p.n_tokens, p.vocab,
+         round(CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
+               / CAST(r.n * r.sxx - r.sx * r.sx AS DOUBLE), 9)
+           AS heaps_exponent
+  FROM pts p, reg r
+  ORDER BY p.dec
+"""

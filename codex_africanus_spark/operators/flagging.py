@@ -91,13 +91,11 @@ def _cells(vis: DataFrame) -> DataFrame:
     )
 
 
-def sumthreshold_flags(vis: DataFrame) -> DataFrame:
-    """AOFlagger-style SumThreshold over per-(baseline, chan) time
-    series: a cell is flagged when ANY window of M consecutive cells
-    containing it sums above M*chi_M, for M in {1, 2, 4} — wider windows
-    with lower per-sample thresholds catch faint-but-persistent RFI a
-    single-sample cut misses. Report is per-baseline occupancy by
-    detection tier."""
+def sumthreshold_cell_flags(vis: DataFrame) -> DataFrame:
+    """Per-cell SumThreshold decisions — the shared kernel: one row per
+    (baseline, chan, time) cell with the tier flags (f1/f2/f4/fany).
+    ``sumthreshold_flags`` aggregates this frame; the streaming twin
+    (streaming/flagging.py) must reproduce it bit-for-bit."""
     th = st_thresholds()
     cells = _cells(vis)
     w = W.partitionBy("antenna1", "antenna2", "chan").orderBy("time")
@@ -118,14 +116,27 @@ def sumthreshold_flags(vis: DataFrame) -> DataFrame:
     f1 = (F.col("mean_mq") > F.lit(th[1])).cast("int")
     f2 = F.greatest(F.col("h2"), lag("h2", 1))
     f4 = F.greatest(F.col("h4"), lag("h4", 1), lag("h4", 2), lag("h4", 3))
-    d = d.select(
+    return d.select(
         "antenna1",
         "antenna2",
+        "chan",
+        "time",
+        "mean_mq",
         f1.alias("f1"),
         f2.alias("f2"),
         f4.alias("f4"),
         F.greatest(f1, f2, f4).alias("fany"),
     )
+
+
+def sumthreshold_flags(vis: DataFrame) -> DataFrame:
+    """AOFlagger-style SumThreshold over per-(baseline, chan) time
+    series: a cell is flagged when ANY window of M consecutive cells
+    containing it sums above M*chi_M, for M in {1, 2, 4} — wider windows
+    with lower per-sample thresholds catch faint-but-persistent RFI a
+    single-sample cut misses. Report is per-baseline occupancy by
+    detection tier."""
+    d = sumthreshold_cell_flags(vis)
     return (
         d.groupBy("antenna1", "antenna2")
         .agg(

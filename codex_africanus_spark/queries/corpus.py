@@ -2638,3 +2638,84 @@ def heldout_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter artifact a curation pass consumes. Distributed
     top-k (TakeOrderedAndProject), never a global window."""
     return tok_op.heldout_perplexity_topk(load(spark, "documents", sf_dir))
+
+
+@register("heaps_law_vocab_growth", cstat_op.HEAPS_LAW_SQL)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth across ten ingest-order corpus
+    prefixes plus the fitted exponent b (V = k n^b) — the corpus-health
+    number that collapses when a crawl starts re-ingesting duplicates.
+    Exact integer cumulative counts; ln on the 1e-6 grid; slope a
+    9dp-rounded exact-integer ratio (the zipf_lexical_stats
+    discipline)."""
+    return cstat_op.heaps_law_vocab_growth(load(spark, "documents", sf_dir))
+
+
+_FRAME_DEDUP_SQL = f"""
+  WITH p AS (
+    SELECT doc_id, text, len(text) AS nc FROM documents WHERE len(text) > 0
+  ),
+  frames AS (
+    SELECT doc_id, i AS frame_idx,
+           {text_fn.hash60_sql("substring(text, i * 128 + 1, 64)")} AS fp
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, (nc + 127) // 128 - 1)) AS i
+          FROM p)
+  ),
+  grp AS (
+    SELECT fp, COUNT(*) AS n_frames, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM frames GROUP BY fp
+    HAVING COUNT(*) >= 2
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n_frames DESC, fp) AS rank
+    FROM grp
+  )
+  SELECT rank, fp, n_frames, n_docs, min_doc
+  FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+@register("multimodal_frame_dedup", _FRAME_DEDUP_SQL)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset duplicate-frame detection (r9): sample a fixed
+    64-unit window every 128 units of each payload (the video
+    frame-sampling shape — intros/outros/logos repeat across assets),
+    fingerprint each frame, and report the 100 most-duplicated frames
+    with their asset spread. Frames here are character windows (DuckDB
+    cannot slice BLOBs; the byte-window plumbing is identical), the
+    fingerprint is the engine-portable 60-bit md5 prefix, and the top-k
+    runs as distributed TakeOrderedAndProject — never a global window
+    over the frame table. At 100 TB the frame table is the big
+    intermediate; it collapses map-side into fingerprint groups."""
+    docs = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    nf = ((F.length("text") + 127) / 128).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        text_fn.hash60(
+            F.expr("substring(text, frame_idx * 128 + 1, 64)")
+        ).alias("fp"),
+    )
+    grp = (
+        frames.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+    top = grp.orderBy(F.col("n_frames").desc(), "fp").limit(100)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("n_frames").desc(), "fp")),
+        )
+        .select("rank", "fp", "n_frames", "n_docs", "min_doc")
+        .orderBy("rank")
+    )

@@ -958,3 +958,80 @@ def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "churned",
         F.expr("(churned * 1000000) DIV at_risk").alias("hazard_ppm"),
     ).orderBy("day_k")
+
+
+_TOP_PATHS_SQL = _with_ms("""
+  , evd AS (
+    SELECT user_id,
+           ts_us // 86400000000 AS day,
+           event_type, ts_us, event_id
+    FROM ev
+  ),
+  stepped AS (
+    SELECT user_id, day, event_type,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts_us, event_id) AS rn
+    FROM evd
+  ),
+  paths AS (
+    SELECT user_id, day,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           COUNT(*) AS path_len
+    FROM stepped WHERE rn <= 5
+    GROUP BY user_id, day
+  ),
+  counted AS (
+    SELECT path, CAST(MAX(path_len) AS BIGINT) AS path_len,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+    FROM counted
+  )
+  SELECT rank, path, path_len, n_sessions, n_users
+  FROM ranked WHERE rank <= 50 ORDER BY rank
+""")
+
+
+@register("events_top_paths", _TOP_PATHS_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths (r9): each (user, day) session's first five
+    event types in (ts, event_id) order join into a path string; the 50
+    most-travelled paths with session and user counts — the product-
+    analytics flow report (GA-style 'behavior flow'). The path string
+    builds from array_sort over (rn, type) structs, so collect order can
+    never leak in; top-k is distributed TakeOrderedAndProject."""
+    ev = tpch_ms.events_table(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        "event_type", "ts_us", "event_id",
+    )
+    stepped = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = stepped.groupBy("user_id", "day").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, "
+            "event_type))), x -> x.event_type), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    counted = paths.groupBy("path").agg(
+        F.max("path_len").alias("path_len"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    top = counted.orderBy(F.col("n_sessions").desc(), "path").limit(50)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("n_sessions").desc(), "path")),
+        )
+        .select("rank", "path", "path_len", "n_sessions", "n_users")
+        .orderBy("rank")
+    )
