@@ -2719,3 +2719,66 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "fp", "n_frames", "n_docs", "min_doc")
         .orderBy("rank")
     )
+
+
+_QD_INTERACTION_SQL = """
+  WITH flags AS (
+    SELECT doc_id, source,
+           CASE WHEN n_chars BETWEEN 100 AND 2000
+                 AND len(list_distinct(string_split(text, ' '))) * 10
+                     >= len(string_split(text, ' ')) * 6
+                THEN 1 ELSE 0 END AS q_pass,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 0 ELSE 1 END AS is_dup
+    FROM documents
+  )
+  SELECT source,
+         CAST(SUM(q_pass * (1 - is_dup)) AS BIGINT)       AS uniq_pass,
+         CAST(SUM(q_pass * is_dup) AS BIGINT)             AS dup_pass,
+         CAST(SUM((1 - q_pass) * (1 - is_dup)) AS BIGINT) AS uniq_fail,
+         CAST(SUM((1 - q_pass) * is_dup) AS BIGINT)       AS dup_fail,
+         CAST(SUM(is_dup * q_pass) * 1000000 AS BIGINT)
+           // GREATEST(CAST(SUM(q_pass) AS BIGINT), 1)    AS dup_share_of_pass_ppm
+  FROM flags GROUP BY source ORDER BY source
+"""
+
+
+@register("quality_vs_dedup_interaction", _QD_INTERACTION_SQL)
+def quality_vs_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter x duplicate-status contingency table per source —
+    the curation diagnostic that decides pipeline ORDER (dedup-first
+    pipelines waste quality compute on duplicates when dup_share_of_pass
+    is high; quality-first wastes hashing on junk when dup_fail
+    dominates). Duplicate status is exact-hash canonical-min; the
+    quality rule is the ablation matrix's integer length+uniqueness
+    predicate. Pure integer cross-tab — one scan, one window over the
+    text-hash partition, one aggregate."""
+    docs = load(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    q_pass = (
+        F.col("n_chars").between(100, 2000)
+        & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 6)
+    ).cast("int")
+    is_dup = (
+        F.col("doc_id")
+        != F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    ).cast("int")
+    flags = docs.select(
+        "source", q_pass.alias("q_pass"), is_dup.alias("is_dup")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.sum(F.col("q_pass") * (1 - F.col("is_dup"))).alias("uniq_pass"),
+            F.sum(F.col("q_pass") * F.col("is_dup")).alias("dup_pass"),
+            F.sum((1 - F.col("q_pass")) * (1 - F.col("is_dup"))).alias("uniq_fail"),
+            F.sum((1 - F.col("q_pass")) * F.col("is_dup")).alias("dup_fail"),
+        )
+        .select(
+            "source", "uniq_pass", "dup_pass", "uniq_fail", "dup_fail",
+            F.expr(
+                "dup_pass * 1000000 DIV GREATEST(dup_pass + uniq_pass, 1)"
+            ).alias("dup_share_of_pass_ppm"),
+        )
+        .orderBy("source")
+    )

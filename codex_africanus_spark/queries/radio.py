@@ -2413,3 +2413,184 @@ def multi_field_gain_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id", "chan")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: uvw recomputation from antenna positions (the reference
+# consumes MS-provided UVW; computing it from the array layout + hour
+# angle is the upstream step every synthesis pipeline owns —
+# casacore's Muvw/MBaseline path). Deterministic ENU layout; trig
+# outputs on the 1e-9 grid so both engines rotate identical doubles.
+# ---------------------------------------------------------------------------
+
+_UVW_DEC_S = -0.479425538604203   # sin(-0.5), Python literal
+_UVW_DEC_C = 0.8775825618903728   # cos(-0.5), Python literal
+
+_UVW_FROM_ANT_ORACLE = _with_ms(
+    f"""
+    , pts AS (
+      SELECT DISTINCT time, antenna1, antenna2 FROM vis WHERE row_id % 17 = 0
+    ),
+    ha AS (
+      SELECT time, antenna1, antenna2,
+             CAST(ROUND(sin(fmod(time, 86400.0e0) / 86400.0e0
+                 * 6.283185307179586e0 - 3.141592653589793e0) * 1.0e9)
+               AS BIGINT) / 1.0e9 AS sh,
+             CAST(ROUND(cos(fmod(time, 86400.0e0) / 86400.0e0
+                 * 6.283185307179586e0 - 3.141592653589793e0) * 1.0e9)
+               AS BIGINT) / 1.0e9 AS ch
+      FROM pts
+    ),
+    bl AS (
+      SELECT *,
+             ((antenna2 * 37) % 101 - 50) * 10.0
+               - ((antenna1 * 37) % 101 - 50) * 10.0 AS lx,
+             ((antenna2 * 73) % 89 - 44) * 10.0
+               - ((antenna1 * 73) % 89 - 44) * 10.0 AS ly,
+             ((antenna2 * 11) % 13 - 6) * 2.0
+               - ((antenna1 * 11) % 13 - 6) * 2.0 AS lz
+      FROM ha
+    )
+    SELECT time, antenna1, antenna2,
+           CAST(ROUND((sh * lx + ch * ly) * 1000000.0) AS BIGINT)
+             / 1000000.0 AS u_m,
+           CAST(ROUND((-({_UVW_DEC_S!r}) * ch * lx
+                 + {_UVW_DEC_S!r} * sh * ly + {_UVW_DEC_C!r} * lz)
+                 * 1000000.0) AS BIGINT) / 1000000.0 AS v_m,
+           CAST(ROUND(({_UVW_DEC_C!r} * ch * lx
+                 - {_UVW_DEC_C!r} * sh * ly + {_UVW_DEC_S!r} * lz)
+                 * 1000000.0) AS BIGINT) / 1000000.0 AS w_m
+    FROM bl ORDER BY time, antenna1, antenna2
+    """
+)
+
+
+@register("uvw_from_antenna_positions", _UVW_FROM_ANT_ORACLE)
+def uvw_from_antenna_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uvw recomputation from the array layout: deterministic ENU
+    antenna positions, baseline vector L = pos(q) - pos(p), rotated
+    into (u, v, w) by the hour angle + declination rotation (the
+    casacore Muvw step upstream of everything the reference computes
+    from MS-provided UVW). One distinct (time, baseline) grain scan;
+    sin/cos of the hour angle quantize to the 1e-9 grid so both engines
+    rotate IDENTICAL doubles; declination trig is a Python literal."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    pts = vis.select("time", "antenna1", "antenna2").distinct()
+    ang = (
+        (F.col("time") % F.lit(86400.0)) / F.lit(86400.0)
+        * F.lit(6.283185307179586) - F.lit(3.141592653589793)
+    )
+    ha = pts.select(
+        "time", "antenna1", "antenna2",
+        (quantize(F.sin(ang), 1e9) / F.lit(1e9)).alias("sh"),
+        (quantize(F.cos(ang), 1e9) / F.lit(1e9)).alias("ch"),
+    )
+
+    def enu(a):
+        return (
+            ((a * 37) % 101 - 50) * F.lit(10.0),
+            ((a * 73) % 89 - 44) * F.lit(10.0),
+            ((a * 11) % 13 - 6) * F.lit(2.0),
+        )
+
+    e1, n1, u1 = enu(F.col("antenna1"))
+    e2, n2, u2 = enu(F.col("antenna2"))
+    lx, ly, lz = e2 - e1, n2 - n1, u2 - u1
+    ds, dc = F.lit(_UVW_DEC_S), F.lit(_UVW_DEC_C)
+    bl = ha.select(
+        "time", "antenna1", "antenna2", "sh", "ch",
+        lx.alias("lx"), ly.alias("ly"), lz.alias("lz"),
+    )
+    return bl.select(
+        "time", "antenna1", "antenna2",
+        (quantize(F.col("sh") * F.col("lx") + F.col("ch") * F.col("ly"), 1e6)
+         / F.lit(1e6)).alias("u_m"),
+        (quantize(
+            -ds * F.col("ch") * F.col("lx")
+            + ds * F.col("sh") * F.col("ly") + dc * F.col("lz"), 1e6)
+         / F.lit(1e6)).alias("v_m"),
+        (quantize(
+            dc * F.col("ch") * F.col("lx")
+            - dc * F.col("sh") * F.col("ly") + ds * F.col("lz"), 1e6)
+         / F.lit(1e6)).alias("w_m"),
+    ).orderBy("time", "antenna1", "antenna2")
+
+
+_CHI2_ORACLE = _with_ms(
+    """
+    , model AS (
+      SELECT v.row_id, v.antenna1, v.antenna2, v.chan,
+             SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m
+                       + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT))
+               / 1000000.0 AS mr,
+             SUM(CAST(ROUND(s.flux_i * pow(v.frequency / s.ref_freq, s.spi)
+                 * sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m
+                       + v.w*(s.n-1.0)) * v.frequency) * 1000000) AS BIGINT))
+               / 1000000.0 AS mi
+      FROM vis v, src s WHERE s.source_type = 'POINT'
+      GROUP BY 1, 2, 3, 4
+    ),
+    cells AS (
+      SELECT v.antenna1, v.antenna2,
+             CAST(ROUND(v.weight * ((v.vis_re - m.mr) * (v.vis_re - m.mr)
+                 + (v.vis_im - m.mi) * (v.vis_im - m.mi)) * 1000000.0)
+               AS BIGINT) AS c_q
+      FROM vis v
+      JOIN model m ON m.row_id = v.row_id AND m.antenna1 = v.antenna1
+                  AND m.antenna2 = v.antenna2 AND m.chan = v.chan
+      WHERE NOT (v.flag OR v.flag_row)
+    )
+    SELECT antenna1, antenna2,
+           COUNT(*) AS n_vis,
+           CAST(SUM(c_q) AS BIGINT) AS chi2_q6,
+           CAST(SUM(c_q) AS BIGINT) / (2000000.0 * COUNT(*))
+             AS reduced_chi2
+    FROM cells GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("vis_model_chi2_report", _CHI2_ORACLE)
+def vis_model_chi2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline chi-squared of data against the point-source model:
+    chi2 = sum w·|V - M|^2 over unflagged samples, with the reduced
+    chi2 per complex degree of freedom — the calibration-quality gate
+    an observatory reads after every solve (reference residual_vis +
+    the weights semantics of calibration/utils). Model means are exact
+    fixed-point rationals, per-sample contributions quantize at 1e-6
+    before the order-free integer sum, and the reduction is an
+    exact-integer ratio."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tpch_ms.source_table(spark, sf_dir).filter(
+        F.col("source_type") == "POINT"
+    )
+    model = predict_op.predict_point_vis(vis, src, with_shape=False).select(
+        "row_id", "antenna1", "antenna2", "chan",
+        F.col("model_re").alias("mr"), F.col("model_im").alias("mi"),
+    )
+    j = vis.filter(~(F.col("flag") | F.col("flag_row"))).join(
+        model, ["row_id", "antenna1", "antenna2", "chan"]
+    )
+    dr = F.col("vis_re") - F.col("mr")
+    di = F.col("vis_im") - F.col("mi")
+    c_q = quantize(F.col("weight") * (dr * dr + di * di), 1e6)
+    return (
+        j.select("antenna1", "antenna2", c_q.alias("c_q"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_vis"),
+            F.sum("c_q").alias("chi2_q6"),
+        )
+        .select(
+            "antenna1", "antenna2", "n_vis", "chi2_q6",
+            (F.col("chi2_q6") / (F.lit(2000000.0) * F.col("n_vis")))
+            .alias("reduced_chi2"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )

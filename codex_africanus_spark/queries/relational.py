@@ -1681,3 +1681,99 @@ def snapshot_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: additive schema evolution through the snapshot sink — an
+# append introduces a NEW column; readers union by name and old files
+# surface it as NULL (read_snapshot's mergeSchema contract, the
+# Delta/Iceberg schema-evolution shape). Layout-independent aggregate
+# so the oracle recomputes straight from lineitem.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_EVO_SQL = """
+  WITH v1 AS (
+    SELECT l_orderkey * 8 + l_linenumber AS row_id, l_quantity
+    FROM lineitem WHERE l_orderkey % 7 = 0
+  ),
+  v2 AS (
+    SELECT l_orderkey * 8 + l_linenumber AS row_id, l_quantity,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_orderkey % 7 = 1
+  ),
+  unioned AS (
+    SELECT row_id, l_quantity, NULL AS price_cents, 0 AS has_price FROM v1
+    UNION ALL
+    SELECT row_id, l_quantity, price_cents, 1 AS has_price FROM v2
+  )
+  SELECT has_price,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents,
+         CAST(COALESCE(SUM(price_cents), 0) AS BIGINT) AS price_cents_sum
+  FROM unioned GROUP BY has_price ORDER BY has_price
+"""
+
+
+def _schema_evo_root(sf_dir: str) -> str:
+    import hashlib
+    import os as _o
+    import tempfile as _t
+
+    tag = hashlib.md5(_o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{_t.gettempdir()}/cas_schema_evo/{tag}"
+
+
+@register("snapshot_schema_evolution_scan", _SCHEMA_EVO_SQL)
+def snapshot_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the transactional snapshot
+    sink: version 1 commits (row_id, l_quantity); version 2 APPENDS a
+    slice that also carries price_cents. read_snapshot unions by name
+    (mergeSchema), so v1 rows surface the new column as NULL — the
+    Delta/Iceberg additive-evolution contract — and the scan aggregates
+    by column presence. The layout is rebuilt only when the source
+    digest changes (the persisted-index freshness pattern); results are
+    layout-independent, so the oracle recomputes from lineitem."""
+    from codex_africanus_spark.operators.similarity import (
+        _index_fresh_source,
+        _source_fingerprint,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _schema_evo_root(sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    src_fp = _source_fingerprint(li.select(F.col("l_orderkey").alias("vec_id")))
+    consts = "schema_evo=v2-adds-price_cents;fmt=1"
+    if not _index_fresh_source(spark, root, 90, consts, src_fp):
+        _tombstone_index_meta(spark, root)
+        rid = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id")
+        v1 = li.filter(F.col("l_orderkey") % 7 == 0).select(
+            rid, "l_quantity"
+        )
+        v2 = li.filter(F.col("l_orderkey") % 7 == 1).select(
+            rid, "l_quantity",
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+        snap.commit(v1, f"{root}/data", mode="overwrite")
+        snap.commit(v2, f"{root}/data", mode="append")
+        _write_index_meta(spark, root, (90, 0, 0, consts), src_fp)
+    df = snap.read_snapshot(spark, f"{root}/data")
+    return (
+        df.select(
+            "l_quantity", "price_cents",
+            F.col("price_cents").isNotNull().cast("int").alias("has_price"),
+        )
+        .groupBy("has_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).alias(
+                "qty_cents"
+            ),
+            F.coalesce(F.sum("price_cents"), F.lit(0)).alias("price_cents_sum"),
+        )
+        .orderBy("has_price")
+    )
