@@ -133,6 +133,12 @@ LLM_QUERIES = [
     "classifier_reliability_bins", "rag_context_packing",
     "filter_rule_ablation_matrix", "contrastive_triplet_mining",
     "label_centroid_similarity_matrix",
+    # round-9 additions
+    "heldout_perplexity_topk",
+    "heaps_law_vocab_growth",
+    "multimodal_frame_dedup",
+    "quality_vs_dedup_interaction",
+    "ann_pq_appended_topk",
 ]
 
 

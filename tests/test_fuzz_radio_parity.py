@@ -106,6 +106,16 @@ RADIO_QUERIES = [
     "events_rfm_segmentation",
     "events_markov_transitions",
     "events_rate_burst_flags",
+    # round-9 additions
+    "multi_field_gain_predict",
+    "uv_coverage_entropy",
+    "uvw_from_antenna_positions",
+    "vis_model_chi2_report",
+    "rime_tec_screen_predict",
+    "rime2x2_compiled_predict",
+    "rime2x2_feed_rotation_predict",
+    "dft_im_to_vis_forward",
+    "events_top_paths",
 ]
 
 
@@ -194,3 +204,40 @@ def test_fuzz_radio_parity(spark, fuzz_sf_dir, name):
     odf = con.execute(qd.oracle).df()
     _compare(sdf, odf, name)
     assert len(sdf) > 0, f"{name}: fuzz corpus produced an empty result"
+
+
+def test_fuzz_spw_regrid_spectral_corpus(spark, tmp_path):
+    """spw_aware_regrid needs SPECTRA (several channels per (baseline,
+    time) cell) which the shared fuzz corpus's random per-row epochs
+    never produce — this dedicated corpus emits full 7-channel spectra
+    at irregular epochs, including duplicate rows and negative-ish vis
+    values, and asserts bit-parity on a NON-empty result."""
+    rng = np.random.RandomState(11)
+    rows = []
+    base = pd.Timestamp("1995-03-01 00:00:00")
+    for ok in range(1, 260):
+        t = base + pd.Timedelta(days=int(rng.randint(0, 300)),
+                                hours=int(rng.randint(0, 24)))
+        for ln in range(1, 8):
+            rows.append((ok, int(rng.randint(1, 500)),
+                         int(rng.randint(1, 100)), ln,
+                         float(np.round(rng.uniform(0.5, 50.0), 2)),
+                         float(np.round(rng.uniform(900.0, 105000.0), 2)),
+                         t))
+    rows += rows[:40]  # duplicate-row trap
+    li = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_shipdate",
+    ])
+    root = tmp_path / "spw_fuzz"
+    root.mkdir()
+    li.to_parquet(root / "lineitem.parquet", index=False)
+    qd = registry()["spw_aware_regrid"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{root}/lineitem.parquet'"
+    )
+    sdf = qd.fn(spark, str(root)).toPandas()
+    odf = con.execute(qd.oracle).df()
+    _compare(sdf, odf, "spw_aware_regrid/spectral")
+    assert len(sdf) > 0
