@@ -111,6 +111,12 @@ QUERIES = [
     "label_centroid_similarity_matrix", "events_rate_burst_flags",
     "snapshot_compaction_scan", "mfs_alpha_map", "events_hazard_curve",
     "multimodal_av_align_asof", "baseline_weighted_median_amp",
+    # round-9 additions
+    "ann_pq_appended_topk", "multi_field_gain_predict",
+    "heldout_perplexity_topk", "spw_aware_regrid", "uv_coverage_entropy",
+    "heaps_law_vocab_growth", "multimodal_frame_dedup", "events_top_paths",
+    "uvw_from_antenna_positions", "vis_model_chi2_report",
+    "quality_vs_dedup_interaction", "snapshot_schema_evolution_scan",
 ]
 
 spark = (
