@@ -25,7 +25,21 @@ QSCALE = 1e6
 
 def _q6(c):
     """Sign-aware round-half-away to the 1e-6 grid, back as double —
-    DuckDB mirror: CAST(ROUND(x * 1e6) AS BIGINT) / 1000000.0."""
+    DuckDB mirror: CAST(ROUND(x * 1e6) AS BIGINT) / 1000000.0.
+
+    PRECISION CONTRACT (r9 verdict item): quantizing trig OUTPUTS to the
+    1e-6 grid imposes a ~1e-6 RELATIVE floor on the DFT family's phase
+    factors that the reference (full-double numba kernels,
+    africanus/dft/kernels.py) does not have. It exists for cross-engine
+    bit-parity — 1-ULP JVM-vs-libm trig disagreements multiplied by
+    ~6e5 image amplitudes cross output rounding boundaries at sf1 row
+    counts — and both engines apply the identical grid, so results stay
+    bit-comparable. Users porting precision-critical imaging workloads
+    (dynamic range beyond ~1e6, sub-µJy on Jy fields) should widen the
+    grid (QSCALE) or drop _q6 and accept last-digit cross-engine drift;
+    the physics error introduced at the default grid is bounded by
+    0.5e-6 per phase factor, i.e. below the thermal-noise floor of any
+    realistic observation. See SCALE.md (DFT precision note)."""
     v = c * F.lit(1e6)
     return (
         (v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")

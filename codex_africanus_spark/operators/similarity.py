@@ -127,7 +127,8 @@ def _iqdot_sql(a: str, b: str) -> str:
 
 
 def cosine_topk_probes(
-    embeddings: DataFrame, probes: DataFrame, k: int = 5
+    embeddings: DataFrame, probes: DataFrame, k: int = 5,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each probe vector over the corpus.
 
@@ -138,6 +139,13 @@ def cosine_topk_probes(
     corpus-side with NO shuffle of the fact table. Corpus-scale probe
     sets must use the ANN tiers (LSH/IVF/PQ) instead — the brute-force
     tier exists as their recall baseline.
+
+    ``exclude_self`` drops pairs with query_id == neighbor_id; it is
+    ONLY meaningful when probe query_ids are drawn from the corpus
+    vec_id space (the :func:`cosine_topk` adapter). For external probe
+    frames it would silently drop a legitimate neighbour whose vec_id
+    coincidentally equals a query_id, so it defaults to False
+    (r9 ADVICE).
 
     sim = qdot(a,b) / (sqrt(qdot(a,a)) · sqrt(qdot(b,b))) — deterministic
     because every operand derives from exact integers.
@@ -154,9 +162,9 @@ def cosine_topk_probes(
         # re-evaluates both norms per pair — 3× the array work)
         F.sqrt(_qdot("embedding", "embedding")).alias("cnorm"),
     )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
     ranked = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
@@ -180,7 +188,8 @@ def cosine_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 5) -> 
     probes = embeddings.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_probes(embeddings, probes, k=k)
+    # query_ids ARE corpus vec_ids here, so self-exclusion is sound
+    return cosine_topk_probes(embeddings, probes, k=k, exclude_self=True)
 
 
 def COSINE_TOPK_SQL(query_modulus: int = 125, k: int = 5) -> str:

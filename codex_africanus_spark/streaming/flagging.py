@@ -117,12 +117,17 @@ def streaming_sumthreshold(
             yield result()
             return
 
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("time")
-            bt.extend(float(x) for x in pdf["time"])
-            bm.extend(int(x) for x in pdf["mean_mq"])
+        # collect ALL Arrow chunks first, then sort ONCE: the groupBy
+        # shuffle behind applyInPandasWithState orders by key only, so a
+        # key whose batch rows span multiple chunks (> Arrow batch size)
+        # gives no cross-chunk time order — per-chunk sorting would build
+        # a non-monotone buffer and silently corrupt the f1/f2/f4 window
+        # decisions (r9 ADVICE, medium)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = _pd.concat(chunks, ignore_index=True).sort_values("time")
+            bt.extend(float(x) for x in batch["time"])
+            bm.extend(int(x) for x in batch["mean_mq"])
         # NOTE: the lag terms f2/f4 of the first cells in the buffer
         # reference h values of the context cells (kept in bt/bm), so
         # the buffer always re-evaluates the WHOLE local window — cheap,

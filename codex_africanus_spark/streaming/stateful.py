@@ -31,7 +31,15 @@ BDA_OUTPUT_SCHEMA = (
 )
 # the open bin's full accumulator — what the reference's Binner jitclass
 # holds between add_row calls (bda_mapping.py:111-186), persisted here in
-# the state store between micro-batches
+# the state store between micro-batches.
+#
+# STATE SCHEMA v2 (r9): the accumulator moved from float doubles
+# (acc_motion/wsum/vre_w/vim_w) to exact fixed-point longs
+# (acc_q/w_q/wre_q/wim_q) when the vectorized Phase-A kernel landed.
+# A streaming query restarted from a pre-r9 checkpoint will fail state
+# validation (or misread state) — there is NO migration path: discard
+# the old checkpoint directory (or start the upgraded query under a new
+# checkpointLocation) when upgrading across the v1→v2 boundary.
 BDA_STATE_SCHEMA = (
     "bin_idx long, start_t double, prev_u double, prev_v double, "
     "prev_w double, acc_q long, n long, t_min double, t_max double, "
@@ -278,12 +286,24 @@ def streaming_bda(
             t_min = t_max = 0.0
         out = []
 
+        def _div(a, b):
+            # Python-int mirror of the numpy closed-bin quotient: a bin
+            # whose every weight quantizes to 0 (weight < 0.5/VG) must
+            # emit nan/±inf like `res / ws` does, not raise
+            # ZeroDivisionError and kill the query (r9 ADVICE)
+            if b != 0:
+                return a / b
+            import math as _math
+            return float("nan") if a == 0 else _math.copysign(
+                float("inf"), a
+            )
+
         if idle_timeout_secs is not None and state.hasTimedOut:
             # idle flush: the watermark passed the open bin's deadline
             if n > 0:
                 out.append((int(a1), int(a2), int(bin_idx), int(n),
-                            t_min, t_max, re_acc / w_acc, im_acc / w_acc,
-                            w_acc / VG, True))
+                            t_min, t_max, _div(re_acc, w_acc),
+                            _div(im_acc, w_acc), w_acc / VG, True))
             state.remove()
             yield _pd.DataFrame(out, columns=cols)
             return
@@ -296,11 +316,18 @@ def streaming_bda(
 
         st = (bin_idx, start_t, pu, pv, pw, acc_q,
               n, t_min, t_max, w_acc, re_acc, im_acc)
-        blocks = []  # per-pdf closed-bin column tuples
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["time", "row_id", "u", "v", "w", "vis_re"])
+        blocks = []  # closed-bin column tuples
+        # collect ALL Arrow chunks first, then sort ONCE on the full
+        # total tie-break key: the groupBy shuffle behind
+        # applyInPandasWithState orders by key only, so a key whose batch
+        # rows span multiple chunks gets no cross-chunk time order —
+        # per-chunk sorting would feed the sequential binner a
+        # non-monotone series (r9 ADVICE, medium)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = _pd.concat(chunks, ignore_index=True).sort_values(
+                ["time", "row_id", "u", "v", "w", "vis_re"]
+            )
             u = pdf["u"].to_numpy(dtype="float64")
             v = pdf["v"].to_numpy(dtype="float64")
             w = pdf["w"].to_numpy(dtype="float64")
@@ -334,7 +361,8 @@ def streaming_bda(
         if n > 0:  # provisional open bin — upserted next batch
             frames.append(_pd.DataFrame(
                 [(int(a1), int(a2), int(bin_idx), int(n), t_min, t_max,
-                  re_acc / w_acc, im_acc / w_acc, w_acc / VG, False)],
+                  _div(re_acc, w_acc), _div(im_acc, w_acc), w_acc / VG,
+                  False)],
                 columns=cols,
             ))
         state.update((bin_idx, start_t if start_t is not None else 0.0,
