@@ -77,7 +77,42 @@ DRIFT_PINNED = {
     # ann_ivf_persisted_topk exists to amortize the build for real
     # serving). Min-of-5 with an untimed warm-up compares structure.
     "ann_ivf_topk",
+    # r10: the r9 driver bench read these at +75% / +32%; the idle-host
+    # re-measure with the calibration probe green returned both to their
+    # historical bands (1.05 s / 0.45 s) with byte-locked plans — the
+    # same scheduler-constant class as the three above. Pinned so the
+    # recorded number compares structure, not host weather.
+    "minhash_lsh_near_dup_pairs",
+    "approx_percentile_price",
 }
+
+
+def _calibrate(spark) -> float:
+    """Host-load calibration probe (r9 verdict item 2): a FIXED pure-JVM
+    computation — 400M-row codegen sum over 32 partitions, no I/O, no
+    Python — timed min-of-3. Its wall time depends only on host CPU
+    availability, so a reading far above the idle-host constant
+    (~0.20-0.35 s on this 32-thread box) marks the surrounding bench
+    numbers as weather-contaminated. Reported as calib_before_sec /
+    calib_after_sec so every BENCH_rN is interpretable without guessing
+    (the r9 10% regression was unadjudicable for lack of this)."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
 
 
 def main() -> None:
@@ -85,6 +120,8 @@ def main() -> None:
     reg = registry()
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    load_before = _loadavg()
+    calib_before = _calibrate(spark)
 
     errors: dict[str, str] = {}
 
@@ -123,6 +160,7 @@ def main() -> None:
 
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
+    calib_after = _calibrate(spark)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -132,6 +170,10 @@ def main() -> None:
         "queries": timings,
         "queries_extended": extended,
         "extended_value": round(sum(extended.values()), 3),
+        "calib_before_sec": calib_before,
+        "calib_after_sec": calib_after,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
