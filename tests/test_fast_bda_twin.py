@@ -1,0 +1,37 @@
+"""The anchor-chain BDA replay (_SBDA_FAST_TWIN) must be bit-equal to
+the per-row recursive oracle (_SBDA_ORACLE) — it is the TIMED DuckDB
+twin recorded in BASELINE.md, so divergence would corrupt the 2x-gate
+measurement. Pure-DuckDB test (no Spark session needed)."""
+
+import duckdb
+import pandas as pd
+
+from codex_africanus_spark.queries import msops
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    return con
+
+
+def test_fast_twin_bit_equal_sf0001():
+    con = _con("/root/testdata/sf0.001")
+    slow = con.execute(msops._SBDA_ORACLE).df()
+    fast = con.execute(msops._SBDA_FAST_TWIN).df()
+    assert len(slow) > 100
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_fast_twin_bit_equal_sf001():
+    con = _con("/root/testdata/sf0.01")
+    slow = con.execute(msops._SBDA_ORACLE).df()
+    fast = con.execute(msops._SBDA_FAST_TWIN).df()
+    assert len(slow) > 1000
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
