@@ -243,3 +243,143 @@ def clean_restore_beam_sweep(
         }
     )
     return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale CLEAN (r10): Cornwell (2008) scale-sensitive deconvolution.
+# Reference anchor: africanus/deconv/hogbom/clean.py:122-200 is the
+# 1-scale minor cycle; the multi-scale extension convolves the residual
+# with a small bank of tapered kernels, picks the globally best
+# (scale, position) response, and subtracts the scaled blob.
+#
+# Exact-oracle design: kernel weights are DYADIC binomial taps (exact
+# in binary floating point), per-tap products quantize to the 1e-9 grid
+# before the integer tap sum (order-free — parity rule: float sums are
+# order-sensitive), and the scale bias multiplies the INTEGER conv sum
+# (dyadic x int = exact double), so every pick decision compares
+# identical doubles in both engines; the DuckDB twin replays the loop
+# as a recursive CTE carrying the dense 21x21 residual as a DOUBLE[]
+# (the Gauss-Newton DOUBLE[] replay technique, queries/radio.py).
+# ---------------------------------------------------------------------------
+
+MS_K1D = {
+    0: (1.0,),
+    1: (0.25, 0.5, 0.25),
+    2: (0.0625, 0.25, 0.375, 0.25, 0.0625),
+}
+MS_BIAS = {0: 1.0, 1: 0.75, 2: 0.5}
+MS_SCALES = (0, 1, 2)
+MS_N = 21  # dense cell range [-10, 10] in both u and v
+
+
+def ms_taps(k: int) -> list:
+    """2-D separable kernel taps (di, dj, weight) for scale k — outer
+    product of the dyadic 1-D binomial row (all weights exact dyadics,
+    shared verbatim with the oracle SQL's literal tap table)."""
+    w1 = MS_K1D[k]
+    r = len(w1) // 2
+    return [
+        (di, dj, w1[di + r] * w1[dj + r])
+        for di in range(-r, r + 1)
+        for dj in range(-r, r + 1)
+    ]
+
+
+def multiscale_clean(
+    spark: SparkSession,
+    grid: DataFrame,
+    gamma: float = 0.1,
+    threshold_frac: float = 0.2,
+    maxiter: int = 20,
+) -> DataFrame:
+    """Multi-scale CLEAN minor cycle over the collected uv-grid image.
+
+    Per iteration: convolve the dense residual with each scale kernel
+    (per-tap 1e-9-quantized products, integer tap sums), pick the
+    (scale, cell) maximizing |bias_k * conv_q| over PRESENT cells
+    (ties: smaller scale, canonical cell order), subtract the
+    gamma-scaled kernel blob from the dense residual (absent cells can
+    absorb blob wings but never become pick candidates), and record
+    (iteration, scale, u_cell, v_cell, flux). Stops when the best
+    metric falls to threshold_frac of the initial best.
+
+    Scale split: the cluster reduces O(n_vis) rows into the O(#cells)
+    grid (grid_natural's exact fixed-point agg); this loop is
+    driver-side over the ~441-cell image — the hogbom_clean precedent
+    (SURVEY 2.9 driver-loop budget).
+    """
+    schema = (
+        "iteration int, scale int, u_cell long, v_cell long, flux double"
+    )
+    pdf = (
+        grid.select("u_cell", "v_cell", "grid_re_q", "wsum_q")
+        .toPandas()
+        .sort_values(["u_cell", "v_cell"])
+        .reset_index(drop=True)
+    )
+    if pdf.empty:
+        return spark.createDataFrame([], schema)
+    half = MS_N // 2
+    if (pdf.u_cell.abs().max() > half) or (pdf.v_cell.abs().max() > half):
+        raise ValueError(
+            f"multiscale_clean: cells outside the dense [-{half},{half}] "
+            "grid — widen MS_N"
+        )
+    im = np.zeros((MS_N, MS_N), dtype=np.float64)
+    present = np.zeros((MS_N, MS_N), dtype=bool)
+    iu = pdf.u_cell.to_numpy() + half
+    iv = pdf.v_cell.to_numpy() + half
+    im[iu, iv] = (pdf.grid_re_q / pdf.wsum_q).to_numpy(dtype=np.float64)
+    present[iu, iv] = True
+
+    def conv_q(image: np.ndarray, k: int) -> np.ndarray:
+        """Integer conv image: sum of 1e-9-quantized per-tap products
+        (_q_half_away — the identical float-op sequence as the oracle's
+        sign*floor(abs*grid+0.5))."""
+        r = len(MS_K1D[k]) // 2
+        padded = np.zeros((MS_N + 2 * r, MS_N + 2 * r), dtype=np.float64)
+        padded[r: r + MS_N, r: r + MS_N] = image
+        out = np.zeros((MS_N, MS_N), dtype=np.int64)
+        for di, dj, w in ms_taps(k):
+            shifted = padded[r + di: r + di + MS_N, r + dj: r + dj + MS_N]
+            out += _q_half_away(w * shifted, 1e9).astype(np.int64)
+        return out
+
+    def best_pick(image: np.ndarray):
+        """(k, iu, iv, conv_q, |metric|) of the best (scale, present
+        cell); scales ascending + canonical cell order break ties."""
+        best = None
+        for k in MS_SCALES:
+            cq = conv_q(image, k)
+            metric = np.abs(MS_BIAS[k] * cq)  # dyadic x int64 — exact
+            masked = np.where(present, metric, -1.0)
+            p = int(masked.argmax())  # C-order == (u_cell, v_cell) order
+            pu, pv = divmod(p, MS_N)
+            key = (-masked.flat[p], k, p)
+            if best is None or key < best[0]:
+                best = (key, k, pu, pv, int(cq[pu, pv]), float(masked.flat[p]))
+        return best[1], best[2], best[3], best[4], best[5]
+
+    _, _, _, _, m0 = best_pick(im)
+    thresh = threshold_frac * m0
+    comps = []
+    for it in range(maxiter):
+        k, pu, pv, cq, mabs = best_pick(im)
+        if mabs <= thresh:
+            break
+        flux = gamma * (cq / 1e9)
+        r = len(MS_K1D[k]) // 2
+        for di, dj, w in ms_taps(k):
+            uu, vv = pu + di, pv + dj
+            if 0 <= uu < MS_N and 0 <= vv < MS_N:
+                im[uu, vv] -= flux * w
+        comps.append((it, k, pu - half, pv - half, flux))
+    if not comps:
+        return spark.createDataFrame([], schema)
+    out = pd.DataFrame(
+        comps, columns=["iteration", "scale", "u_cell", "v_cell", "flux"]
+    )
+    return spark.createDataFrame(out.astype(
+        {"iteration": "int32", "scale": "int32",
+         "u_cell": "int64", "v_cell": "int64", "flux": "float64"}
+    ))

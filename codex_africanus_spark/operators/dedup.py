@@ -1948,3 +1948,172 @@ def dedup_index_rebuild(spark, root: str) -> dict:
     for t, v in pre.items():
         snap.vacuum(f"{root}/{t}", retain_from_version=v)
     return pre
+
+
+# ---------------------------------------------------------------------------
+# r10: paragraph-grain MinHash dedup (r9 verdict candidate 4) — the
+# CCNet shape: dedup BELOW document granularity. Documents split into
+# sentence-grain units ('. ' separator — the corpus's paragraph
+# analogue), each unit gets the standard 8-permutation MinHash over its
+# word-3gram shingles, LSH banding generates CROSS-DOCUMENT candidate
+# unit pairs, and a unit is a duplicate when a lower-uid unit from
+# another document agrees on ≥ 6/8 signatures (keep-first-occurrence).
+# Report = per-source paragraph dup census (bounded by #sources, never
+# empty). Unit ids pack as doc_id·1024 + para_idx — the corpus's
+# sentence counts are two orders below the radix; a real deployment
+# sizes the radix to its max paragraph count (SCALE.md row).
+# ---------------------------------------------------------------------------
+
+PARA_RADIX = 1024
+PARA_SIG_MIN = 6  # ≥6/8 signature agreement = near-dup unit
+
+
+def paragraph_minhash_dedup(docs: DataFrame) -> DataFrame:
+    from codex_africanus_spark.sources.tables import fan_out
+
+    paras = (
+        fan_out(docs)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.split(F.col("text"), "\\. ")).alias(
+                "para_idx", "ptext"
+            ),
+        )
+        .filter(F.size(F.split(F.col("ptext"), " ")) >= 3)
+        .filter(F.col("para_idx") < PARA_RADIX)
+        .select(
+            (F.col("doc_id") * PARA_RADIX + F.col("para_idx")).alias("uid"),
+            "doc_id", "source", "ptext",
+        )
+    )
+    hashed = paras.select(
+        "uid", "doc_id", "source",
+        F.transform(word_3gram_shingles("ptext"), hash31).alias("hs"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sigs = hashed.select("uid", "doc_id", "source", *sig_cols)
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "uid", "doc_id",
+        *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+    a = banded.select(
+        F.col("uid").alias("uid_a"), F.col("doc_id").alias("doc_a"),
+        "band", "band_key",
+        *[F.col(f"sig_{k}").alias(f"a_{k}") for k in range(len(MINHASH_A))],
+    )
+    b = banded.select(
+        F.col("uid").alias("uid_b"), F.col("doc_id").alias("doc_b"),
+        "band", "band_key",
+        *[F.col(f"sig_{k}").alias(f"b_{k}") for k in range(len(MINHASH_A))],
+    )
+    n_match = sum(
+        (F.col(f"a_{k}") == F.col(f"b_{k}")).cast("int")
+        for k in range(len(MINHASH_A))
+    )
+    dup_units = (
+        a.join(
+            b,
+            (a["band"] == b["band"]) & (a["band_key"] == b["band_key"])
+            & (F.col("uid_a") < F.col("uid_b"))
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .filter(n_match >= PARA_SIG_MIN)
+        .select(F.col("uid_b").alias("uid"))
+        .distinct()
+    )
+    flagged = paras.join(dup_units, "uid", "left_semi").select(
+        "uid", "doc_id", "source"
+    )
+    per_source = paras.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    dup_per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dup_paras"),
+        F.count_distinct("doc_id").alias("n_docs_affected"),
+    )
+    return (
+        per_source.join(dup_per_source, "source", "left")
+        .select(
+            "source", "n_paras", "n_docs",
+            F.coalesce(F.col("n_dup_paras"), F.lit(0)).alias("n_dup_paras"),
+            F.coalesce(F.col("n_docs_affected"), F.lit(0)).alias(
+                "n_docs_affected"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _para_sig_select() -> str:
+    cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {HASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"SELECT uid, doc_id, {cols} FROM pshingles GROUP BY uid, doc_id"
+
+
+_PARA_BAND_UNION = " UNION ALL ".join(
+    f"SELECT uid, doc_id, {band} AS band, "
+    f"concat_ws('_', sig_{2*band}, sig_{2*band+1}) AS band_key, "
+    + ", ".join(f"sig_{k}" for k in range(len(MINHASH_A)))
+    + " FROM psigs"
+    for band in range(N_BANDS)
+)
+
+PARA_MINHASH_SQL = f"""
+  WITH paras AS (
+    SELECT doc_id * {PARA_RADIX} + para_idx AS uid, doc_id, source, ptext
+    FROM (
+      SELECT doc_id, source,
+             unnest(string_split(text, '. ')) AS ptext,
+             CAST(unnest(generate_series(0, len(string_split(text, '. ')) - 1)) AS BIGINT)
+               AS para_idx
+      FROM documents
+    )
+    WHERE len(string_split(ptext, ' ')) >= 3 AND para_idx < {PARA_RADIX}
+  ),
+  pshingles AS (
+    SELECT uid, doc_id, {hash31_sql('sh')} AS h
+    FROM (
+      SELECT uid, doc_id, unnest({WORD_3GRAM_SQL}) AS sh
+      FROM (SELECT uid, doc_id, string_split(ptext, ' ') AS w FROM paras)
+    )
+  ),
+  psigs AS ({_para_sig_select()}),
+  pbanded AS ({_PARA_BAND_UNION}),
+  dup_units AS (
+    SELECT DISTINCT b.uid
+    FROM pbanded a JOIN pbanded b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.uid < b.uid AND a.doc_id <> b.doc_id
+    WHERE ({_SIG_MATCH}) >= {PARA_SIG_MIN}
+  ),
+  per_source AS (
+    SELECT source, COUNT(*) AS n_paras, COUNT(DISTINCT doc_id) AS n_docs
+    FROM paras GROUP BY source
+  ),
+  dup_src AS (
+    SELECT p.source, COUNT(*) AS n_dup_paras,
+           COUNT(DISTINCT p.doc_id) AS n_docs_affected
+    FROM paras p JOIN dup_units d ON d.uid = p.uid
+    GROUP BY p.source
+  )
+  SELECT s.source, s.n_paras, s.n_docs,
+         COALESCE(d.n_dup_paras, 0) AS n_dup_paras,
+         COALESCE(d.n_docs_affected, 0) AS n_docs_affected
+  FROM per_source s LEFT JOIN dup_src d ON d.source = s.source
+  ORDER BY s.source
+"""

@@ -2572,3 +2572,178 @@ def TRIPLETS_SQL(anchor_modulus: int = TRIPLET_ANCHOR_MOD) -> str:
       FROM ph1 h JOIN semihard s ON s.anchor_id = h.anchor_id
       ORDER BY h.anchor_id
     """
+
+
+# ---------------------------------------------------------------------------
+# r10: PQ codebook re-training drift audit (r9 verdict candidate 3) —
+# one Lloyd refinement step over the committed codebook, reported as a
+# per-(subspace, code) maintenance signal. The serving-index question
+# it answers: after corpus growth/appends, how far have the code cells
+# drifted from their committed centroids, and which cells lost/gained
+# membership — the retrain-or-not decision faiss users make by
+# re-running k-means and diffing (Jégou et al. 2011 §V trains until
+# stable; this is the audit between trainings). Same distributed shape
+# as the PCA power iteration: fact-scale work is ONE assignment join +
+# ONE (m, code, j)-grain agg; everything downstream is M×K rows.
+# ---------------------------------------------------------------------------
+
+PQ_DRIFT_STALE_Q2 = 10_000_000_000  # Σ_j dq_j² > 1e10 ⟺ RMS dim drift > ~0.035
+
+
+def _drift_q2_expr(a: str, b: str, dim: int = PQ_D) -> F.Column:
+    """Σ_j q6(a_j − b_j)² — per-dim diffs quantized to the 1e-6 grid
+    (quantize's sign-aware half-away form, mirrored by DuckDB
+    CAST(ROUND(x*1e6) AS BIGINT)), squared and summed as exact ints —
+    order-free, so the drift metric is oracle-comparable."""
+    terms = []
+    for i in range(1, dim + 1):
+        d = f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        v = f"({d} * 1000000.0)"
+        q = f"CAST({v} + (CASE WHEN {v} >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)"
+        terms.append(f"({q} * {q})")
+    return F.expr(" + ".join(terms))
+
+
+def pq_codebook_retrain_drift(embeddings: DataFrame) -> DataFrame:
+    """One Lloyd step over the committed PQ codebook: re-assign every
+    subvector to its nearest code (exact integer distances), recompute
+    per-cell fixed-point means, and report per (m, code):
+    n_assigned, n_moved_in (members whose seed cell differs),
+    drift_q2 (1e-6-grid squared centroid displacement; −1 for emptied
+    cells), and the stale flag (drift_q2 > PQ_DRIFT_STALE_Q2 — a flag
+    column, never an emptiable filter)."""
+    cb0 = _pq_codebook(embeddings)
+    codes = _pq_codes_from_dists(_pq_dists(embeddings, cb0))
+    dims = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") / PQ_D).cast("int").alias("m"),
+        (F.col("pos") % PQ_D).alias("j"),
+        "val",
+    )
+    retr_per = (
+        codes.join(dims, ["vec_id", "m"])
+        .groupBy("m", "code", "j")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {CSCALE}) AS BIGINT)")
+            ).alias("vq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    retr = retr_per.groupBy("m", "code").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct(j, vq, n))), "
+            f"x -> x.vq / (CAST({CSCALE} AS DOUBLE) * x.n))"
+        ).alias("centroid1")
+    )
+    membership = codes.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(
+            ((F.col("vec_id") % F.lit(PQ_K)) != F.col("code")).cast("int")
+        ).cast("long").alias("n_moved_in"),
+    )
+    return (
+        cb0.join(
+            retr.withColumnRenamed("code", "k"), ["m", "k"], "left"
+        )
+        .join(
+            membership.withColumnRenamed("code", "k"), ["m", "k"], "left"
+        )
+        .select(
+            "m",
+            F.col("k").alias("code"),
+            F.coalesce(F.col("n_assigned"), F.lit(0)).alias("n_assigned"),
+            F.coalesce(F.col("n_moved_in"), F.lit(0)).alias("n_moved_in"),
+            F.when(
+                F.col("centroid1").isNotNull(),
+                _drift_q2_expr("centroid", "centroid1"),
+            ).otherwise(F.lit(-1)).alias("drift_q2"),
+        )
+        .withColumn(
+            "stale", (F.col("drift_q2") > F.lit(PQ_DRIFT_STALE_Q2)).cast("int")
+        )
+        .orderBy("m", "code")
+    )
+
+
+def PQ_RETRAIN_DRIFT_SQL() -> str:
+    d2 = (
+        f"list_sum(list_transform(list_zip(s.sv, c.centroid), x -> "
+        f"CAST(ROUND((CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" * {DOT_SCALE}) AS BIGINT)))"
+    )
+    driftq = (
+        "list_sum(list_transform(list_zip(c0.centroid, r.centroid1), x -> "
+        "CAST(ROUND((x[1] - x[2]) * 1000000.0) AS BIGINT)"
+        " * CAST(ROUND((x[1] - x[2]) * 1000000.0) AS BIGINT)))"
+    )
+    return f"""
+      WITH cb_dims AS (
+        SELECT vec_id % {PQ_K} AS k,
+               CAST((unnest(generate_series(0, len(embedding) - 1)) // {PQ_D}) AS INT) AS m,
+               unnest(generate_series(0, len(embedding) - 1)) % {PQ_D} AS j,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      cb_per AS (
+        SELECT m, k, j, SUM(CAST(ROUND(val * {CSCALE}) AS BIGINT)) AS vq, COUNT(*) AS n
+        FROM cb_dims GROUP BY m, k, j
+      ),
+      cb AS (
+        SELECT m, k, list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY j) AS centroid
+        FROM cb_per GROUP BY m, k
+      ),
+      subs AS (
+        SELECT vec_id, m, list_slice(embedding, m * {PQ_D} + 1, (m + 1) * {PQ_D}) AS sv
+        FROM embeddings, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+      ),
+      dists AS (
+        SELECT s.vec_id, s.m, c.k, {d2} AS d2
+        FROM subs s JOIN cb c ON c.m = s.m
+      ),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+          FROM dists
+        ) WHERE rk = 1
+      ),
+      dims AS (
+        SELECT vec_id,
+               CAST((unnest(generate_series(0, len(embedding) - 1)) // {PQ_D}) AS INT) AS m,
+               unnest(generate_series(0, len(embedding) - 1)) % {PQ_D} AS j,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+        FROM embeddings
+      ),
+      retr_per AS (
+        SELECT c.m, c.code, d.j,
+               SUM(CAST(ROUND(d.val * {CSCALE}) AS BIGINT)) AS vq,
+               COUNT(*) AS n
+        FROM codes c JOIN dims d ON d.vec_id = c.vec_id AND d.m = c.m
+        GROUP BY c.m, c.code, d.j
+      ),
+      retr AS (
+        SELECT m, code,
+               list(vq / (CAST({CSCALE} AS DOUBLE) * n) ORDER BY j) AS centroid1
+        FROM retr_per GROUP BY m, code
+      ),
+      membership AS (
+        SELECT m, code, COUNT(*) AS n_assigned,
+               CAST(SUM(CASE WHEN vec_id % {PQ_K} <> code THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_in
+        FROM codes GROUP BY m, code
+      )
+      SELECT c0.m, c0.k AS code,
+             COALESCE(ms.n_assigned, 0) AS n_assigned,
+             COALESCE(ms.n_moved_in, 0) AS n_moved_in,
+             CAST(CASE WHEN r.centroid1 IS NOT NULL THEN {driftq}
+                  ELSE -1 END AS BIGINT) AS drift_q2,
+             CAST(CASE WHEN r.centroid1 IS NOT NULL AND {driftq} > {PQ_DRIFT_STALE_Q2}
+                  THEN 1 ELSE 0 END AS INT) AS stale
+      FROM cb c0
+      LEFT JOIN retr r ON r.m = c0.m AND r.code = c0.k
+      LEFT JOIN membership ms ON ms.m = c0.m AND ms.code = c0.k
+      ORDER BY c0.m, c0.k
+    """

@@ -807,3 +807,101 @@ def label_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         "label_b",
         F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 9).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+@register("pq_codebook_retrain_drift", sim_op.PQ_RETRAIN_DRIFT_SQL())
+def pq_codebook_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook maintenance audit (r9 verdict candidate 3): one Lloyd
+    refinement step over the committed codebook — per-(subspace, code)
+    membership, inflow from other seed cells, 1e-6-grid squared centroid
+    drift, and the stale flag. Fact-scale work is one assignment join +
+    one (m, code, j)-grain agg; the report is a fixed M×K = 256 rows at
+    any corpus size (the PCA-power-iteration shape)."""
+    return sim_op.pq_codebook_retrain_drift(load(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# r10: cross-modal retrieval eval (r9 verdict candidate 5) — a TEXT
+# query retrieves documents through the embedding index: probe docs
+# bridge to their encoded vectors (doc_id = vec_id, the encoded-corpus
+# contract), the IVF ANN tier retrieves neighbours, neighbours join
+# BACK to the document table for source metadata, and recall@3 is
+# scored against the exact brute-force tier — the end-to-end eval a
+# retrieval pipeline runs before swapping the exact tier out for ANN.
+# ---------------------------------------------------------------------------
+
+_XMODAL_ORACLE = f"""
+  WITH probes AS (
+    SELECT d.doc_id AS query_id, d.source AS query_source
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.doc_id % 125 = 0
+  ),
+  exact_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.COSINE_TOPK_SQL(125, 3)})
+  ),
+  ivf_topk AS (
+    SELECT query_id, neighbor_id
+    FROM ({sim_op.IVF_SQL(125, 3)})
+  ),
+  retrieved AS (
+    SELECT i.query_id, i.neighbor_id, nd.source AS neighbor_source
+    FROM ivf_topk i JOIN documents nd ON nd.doc_id = i.neighbor_id
+  )
+  SELECT p.query_id, p.query_source,
+         CAST(COUNT(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_hits,
+         round(COUNT(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END)
+               / CAST(3 AS DOUBLE), 6) AS recall_at_k,
+         CAST(SUM(CASE WHEN r.neighbor_source = p.query_source
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_same_source
+  FROM probes p
+  JOIN retrieved r ON r.query_id = p.query_id
+  LEFT JOIN exact_topk e
+    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+  GROUP BY p.query_id, p.query_source
+  ORDER BY p.query_id
+"""
+
+
+@register("cross_modal_retrieval_eval", _XMODAL_ORACLE)
+def cross_modal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→embedding→document retrieval eval: per probe document,
+    recall@3 of the IVF tier against the exact tier PLUS the
+    same-source count of the retrieved documents (the topical-coherence
+    proxy a cross-modal index is judged by when no labeled relevance
+    exists). The doc↔vector bridge is a real join both directions —
+    probes enter through documents, results leave through documents."""
+    docs = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    probes = docs.filter(F.col("doc_id") % 125 == 0).join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("query_source"),
+    )
+    ivf = sim_op.ivf_topk(emb, 125, 3).select("query_id", "neighbor_id")
+    exact = sim_op.cosine_topk(emb, 125, 3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    retrieved = ivf.join(
+        docs.select(
+            F.col("doc_id").alias("neighbor_id"),
+            F.col("source").alias("neighbor_source"),
+        ),
+        "neighbor_id",
+    )
+    return (
+        F.broadcast(probes)
+        .join(retrieved, "query_id")
+        .join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "query_source")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(3.0), 6).alias("recall_at_k"),
+            F.sum(
+                (F.col("neighbor_source") == F.col("query_source")).cast("int")
+            ).cast("long").alias("n_same_source"),
+        )
+        .orderBy("query_id")
+    )

@@ -2782,3 +2782,12 @@ def quality_vs_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("paragraph_minhash_dedup", dedup_op.PARA_MINHASH_SQL)
+def paragraph_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain MinHash dedup (r9 verdict candidate 4, the CCNet
+    shape): sentence-grain units, per-unit 8-permutation MinHash, LSH
+    banding, cross-document ≥6/8-signature duplicates keep-first, per-
+    source dup census (see operators/dedup.paragraph_minhash_dedup)."""
+    return dedup_op.paragraph_minhash_dedup(load(spark, "documents", sf_dir))

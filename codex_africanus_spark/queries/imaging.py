@@ -2582,3 +2582,129 @@ def uv_coverage_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("annulus")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: multi-scale CLEAN (Cornwell 2008; reference 1-scale anchor
+# africanus/deconv/hogbom/clean.py:122-200). The oracle replays the
+# driver loop as a recursive CTE carrying the dense 21x21 residual as a
+# DOUBLE[] (the gauss_newton DOUBLE[] technique) — exact because kernel
+# taps are dyadic, per-tap products quantize to the 1e-9 grid before
+# the order-free integer tap sum, and the scale bias multiplies the
+# integer conv (dyadic x int = exact double), so pick decisions compare
+# identical doubles in both engines. Kernel/bias literals interpolate
+# from the SAME clean_op constants the operator runs (shared-literal
+# discipline).
+# ---------------------------------------------------------------------------
+
+_MSC_GAMMA, _MSC_TFRAC, _MSC_MAXITER = 0.1, 0.2, 20
+
+
+def _msclean_oracle() -> str:
+    q9 = lambda e: f"(sign({e}) * floor(abs({e}) * 1000000000.0 + 0.5))"  # noqa: E731
+    tap_rows = ",".join(
+        f"({k},{di},{dj},{w!r})"
+        for k in clean_op.MS_SCALES for di, dj, w in clean_op.ms_taps(k)
+    )
+    bias_rows = ",".join(
+        f"({k},{clean_op.MS_BIAS[k]!r})" for k in clean_op.MS_SCALES
+    )
+
+    def convq(im, k, idx):
+        return f"""(
+          SELECT COALESCE(SUM(CAST({q9(f"t.w * {im}[(({idx}) // 21 + t.di) * 21 + (({idx}) % 21 + t.dj) + 1]")} AS BIGINT)), 0)
+          FROM kern t
+          WHERE t.k = {k}
+            AND ({idx}) // 21 + t.di BETWEEN 0 AND 20
+            AND ({idx}) % 21 + t.dj BETWEEN 0 AND 20
+        )"""
+
+    pick = f"""(
+      SELECT struct_pack(k := p.k, idx := p.idx, cq := p.cq,
+                         mabs := abs(b.b * p.cq))
+      FROM (
+        SELECT c.k, c.idx, {convq("i.img", "c.k", "c.idx")} AS cq
+        FROM cand c
+      ) p JOIN bias b ON b.k = p.k
+      ORDER BY abs(b.b * p.cq) DESC, p.k, p.idx LIMIT 1
+    )"""
+
+    return f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    grid AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS u_cell,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS v_cell,
+             SUM(CAST(ROUND(vis_re * weight * 100) AS BIGINT)) AS grid_re_q,
+             SUM(CAST(ROUND(weight * 100) AS BIGINT)) AS wsum_q
+      FROM vis WHERE NOT (flag OR flag_row) GROUP BY 1, 2
+    ),
+    kern(k, di, dj, w) AS (VALUES {tap_rows}),
+    bias(k, b) AS (VALUES {bias_rows}),
+    cellv AS (
+      SELECT (u_cell + 10) * 21 + (v_cell + 10) AS idx,
+             CAST(grid_re_q AS DOUBLE) / wsum_q AS v
+      FROM grid
+    ),
+    img0 AS (
+      SELECT list(COALESCE(c.v, 0.0) ORDER BY i.range) AS img
+      FROM range(441) i LEFT JOIN cellv c ON c.idx = i.range
+    ),
+    cand AS (SELECT b.k, c.idx FROM bias b, cellv c),
+    thresh AS (
+      SELECT {_MSC_TFRAC!r} * (
+        SELECT abs(b.b * p.cq) FROM (
+          SELECT c.k, c.idx, {convq("(SELECT img FROM img0)", "c.k", "c.idx")} AS cq
+          FROM cand c
+        ) p JOIN bias b ON b.k = p.k
+        ORDER BY abs(b.b * p.cq) DESC, p.k, p.idx LIMIT 1
+      ) AS t
+    ),
+    it AS (
+      SELECT 0 AS step, (SELECT img FROM img0) AS img,
+             CAST(NULL AS INT) AS k_pick, CAST(NULL AS BIGINT) AS idx_pick,
+             CAST(NULL AS DOUBLE) AS flux, CAST(1e308 AS DOUBLE) AS mabs
+      UNION ALL
+      SELECT i.step + 1,
+             list_transform(range(441), j -> i.img[j + 1] - ps.delta[j + 1]),
+             CAST(ps.k AS INT), ps.idx,
+             {_MSC_GAMMA!r} * (ps.cq / 1000000000.0), ps.mabs
+      FROM it i,
+           LATERAL (
+             SELECT q.s.k AS k, q.s.idx AS idx, q.s.cq AS cq,
+                    q.s.mabs AS mabs,
+                    (SELECT list(COALESCE(d.dv, 0.0) ORDER BY j.range)
+                     FROM range(441) j LEFT JOIN (
+                       SELECT (q.s.idx // 21 + t.di) * 21
+                              + (q.s.idx % 21 + t.dj) AS jj,
+                              ({_MSC_GAMMA!r} * (q.s.cq / 1000000000.0)) * t.w AS dv
+                       FROM kern t
+                       WHERE t.k = q.s.k
+                         AND q.s.idx // 21 + t.di BETWEEN 0 AND 20
+                         AND q.s.idx % 21 + t.dj BETWEEN 0 AND 20
+                     ) d ON d.jj = j.range) AS delta
+             FROM (SELECT ({pick}) AS s) q
+           ) ps
+      WHERE i.step < {_MSC_MAXITER} AND i.mabs > (SELECT t FROM thresh)
+    )
+    SELECT CAST(step - 1 AS INT) AS iteration, k_pick AS scale,
+           CAST(idx_pick // 21 - 10 AS BIGINT) AS u_cell,
+           CAST(idx_pick % 21 - 10 AS BIGINT) AS v_cell, flux
+    FROM it, thresh
+    WHERE step > 0 AND mabs > t
+    ORDER BY iteration
+    """
+
+
+@register("multiscale_clean_components", _msclean_oracle())
+def multiscale_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale CLEAN minor cycle (r9 verdict candidate 1): the
+    hogbom driver loop extended with a dyadic binomial scale-kernel
+    bank — per iteration the globally best (scale, cell) convolved
+    response is picked and the scaled blob subtracted from the dense
+    residual. Exactly oracled by a recursive DOUBLE[] image replay
+    (see _msclean_oracle)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    return clean_op.multiscale_clean(
+        spark, grid_op.grid_natural(vis),
+        gamma=_MSC_GAMMA, threshold_frac=_MSC_TFRAC, maxiter=_MSC_MAXITER,
+    ).orderBy("iteration")

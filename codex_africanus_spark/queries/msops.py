@@ -2550,3 +2550,107 @@ def baseline_weighted_median_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antenna1", "antenna2")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: FLAG_CMD-style versioned flag tables (the MS v2 flag-versioning
+# semantics — casacore flagversions / CASA flagmanager save, apply,
+# restore). Flag states are snapshot-sink VERSIONS: v1 = the MS's
+# original flags, v2 = v1 with an RFI amp-threshold pass OR'd in
+# (flagmanager save after flagdata), v3 = restore of v1 (flagmanager
+# restore). Every version stays time-travel readable; the report
+# aggregates each version's flag census with an order-free row-id
+# checksum, so the restore's bit-identity to v1 is driver-checkable.
+# Rebuilt only when the source digest changes (the persisted-index
+# freshness pattern).
+# ---------------------------------------------------------------------------
+
+_FLAGVER_SQL = _with_ms("""
+  , v AS (
+    SELECT row_id, (flag OR flag_row) AS f1,
+           ((flag OR flag_row) OR
+            CAST(ROUND((vis_re*vis_re + vis_im*vis_im) * 100) AS BIGINT)
+              > 160000) AS f2
+    FROM vis
+  )
+  SELECT version,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         CAST(SUM(CASE WHEN f THEN row_id ELSE 0 END) AS BIGINT) AS flag_sig
+  FROM (
+    SELECT 1 AS version, row_id, f1 AS f FROM v
+    UNION ALL SELECT 2, row_id, f2 FROM v
+    UNION ALL SELECT 3, row_id, f1 FROM v
+  )
+  GROUP BY version ORDER BY version
+""")
+
+
+def _flagver_root(sf_dir: str) -> str:
+    import hashlib
+    import os as _o
+    import tempfile as _t
+
+    tag = hashlib.md5(_o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{_t.gettempdir()}/cas_flagver/{tag}"
+
+
+@register("flag_version_tables", _FLAGVER_SQL)
+def flag_version_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned flag tables through the transactional snapshot sink
+    (MS v2 FLAG_CMD / CASA flagmanager semantics): v1 commits the MS's
+    original flags, v2 overwrites with an RFI amp-threshold pass OR'd
+    in, v3 restores v1 by re-committing the v1 content read back via
+    TIME TRAVEL (not a cached frame — the restore itself exercises the
+    versioned read). The census report proves v3 ≡ v1 through the
+    order-free row-id checksum."""
+    from codex_africanus_spark.operators.similarity import (
+        _index_fresh_source,
+        _source_fingerprint,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _flagver_root(sf_dir)
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src_fp = _source_fingerprint(vis.select(F.col("row_id").alias("vec_id")))
+    consts = "flagver=v2-amp2c-gt-160000;fmt=1"
+    if not _index_fresh_source(spark, root, 91, consts, src_fp):
+        import shutil
+
+        _tombstone_index_meta(spark, root)
+        shutil.rmtree(f"{root}/data", ignore_errors=True)
+        f1 = vis.select(
+            "row_id", (F.col("flag") | F.col("flag_row")).alias("f")
+        )
+        snap.commit(f1, f"{root}/data", mode="overwrite")          # v1
+        rfi = (
+            F.expr(
+                "CAST(ROUND((vis_re*vis_re + vis_im*vis_im) * 100) AS BIGINT)"
+            ) > 160000
+        )
+        f2 = vis.select(
+            "row_id",
+            ((F.col("flag") | F.col("flag_row")) | rfi).alias("f"),
+        )
+        snap.commit(f2, f"{root}/data", mode="overwrite")          # v2
+        restored = snap.read_snapshot(spark, f"{root}/data", version=1)
+        snap.commit(restored, f"{root}/data", mode="overwrite")    # v3
+        _write_index_meta(spark, root, (91, 0, 0, consts), src_fp)
+    frames = []
+    for ver in (1, 2, 3):
+        t = snap.read_snapshot(spark, f"{root}/data", version=ver)
+        frames.append(t.select(F.lit(ver).alias("version"), "row_id", "f"))
+    allv = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return (
+        allv.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("f").cast("int")).cast("long").alias("n_flagged"),
+            F.sum(F.when(F.col("f"), F.col("row_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("flag_sig"),
+        )
+        .orderBy("version")
+    )

@@ -133,6 +133,10 @@ LLM_QUERIES = [
     "classifier_reliability_bins", "rag_context_packing",
     "filter_rule_ablation_matrix", "contrastive_triplet_mining",
     "label_centroid_similarity_matrix",
+    # round-10 additions
+    "paragraph_minhash_dedup",
+    "pq_codebook_retrain_drift",
+    "cross_modal_retrieval_eval",
     # round-9 additions
     "heldout_perplexity_topk",
     "heaps_law_vocab_growth",

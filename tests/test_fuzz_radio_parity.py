@@ -62,6 +62,9 @@ RADIO_QUERIES = [
     "dft_vis_to_im_adjoint",
     "grid_kernel_sinc",
     "degrid_nearest_cell",
+    # round-10 additions
+    "multiscale_clean_components",
+    "flag_version_tables",
     # round-7 additions
     "rime_custom_term_predict",
     "facet_wproj_kernel_sweep",

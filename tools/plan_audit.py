@@ -117,6 +117,10 @@ QUERIES = [
     "heaps_law_vocab_growth", "multimodal_frame_dedup", "events_top_paths",
     "uvw_from_antenna_positions", "vis_model_chi2_report",
     "quality_vs_dedup_interaction", "snapshot_schema_evolution_scan",
+    # round-10 additions
+    "multiscale_clean_components", "flag_version_tables",
+    "pq_codebook_retrain_drift", "paragraph_minhash_dedup",
+    "cross_modal_retrieval_eval",
 ]
 
 spark = (
