@@ -1449,3 +1449,133 @@ def antenna_delay_decomposition(vis: DataFrame, n_ant: int = 7) -> DataFrame:
         )
         .orderBy("antenna")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: statwt — recompute data weights from the data's own scatter
+# (CASA statwt semantics; the reference delegates weight estimation to
+# upstream tools, SURVEY §2.1 write-back note). Per (baseline, weekly
+# chunk): sigma2 from adjacent-channel differencing (the
+# vis_noise_estimate kernel at chunk grain), new weight = 1/sigma2,
+# then the REWEIGHTED per-baseline average — the downstream consumer a
+# weight update exists for. Chunks with zero variance estimate are
+# excluded (statwt flags them).
+# ---------------------------------------------------------------------------
+
+STATWT_BIN_SECS = 604800.0
+
+
+def statwt_reweight(vis: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from codex_africanus_spark.functions.deterministic import quantize, qsum
+
+    dec = "decimal(38,0)"
+    w = W.partitionBy("time", "antenna1", "antenna2").orderBy("chan")
+    sp = _spectra(vis)
+    tbin = F.floor(F.col("time") / F.lit(STATWT_BIN_SECS)).cast("long")
+    diffs = sp.select(
+        "antenna1", "antenna2", tbin.alias("tbin"),
+        (F.col("re_q") - F.lag("re_q").over(w)).alias("dr"),
+        (F.col("im_q") - F.lag("im_q").over(w)).alias("di"),
+    ).filter(F.col("dr").isNotNull())
+    sig = diffs.groupBy("antenna1", "antenna2", "tbin").agg(
+        F.count(F.lit(1)).alias("n_diffs"),
+        F.sum(
+            F.col("dr").cast(dec) * F.col("dr")
+            + F.col("di").cast(dec) * F.col("di")
+        ).alias("ss"),
+    ).select(
+        "antenna1", "antenna2", "tbin", "n_diffs",
+        quantize(
+            F.col("ss").cast("double") / (F.lit(4) * F.col("n_diffs"))
+            / F.lit(1e12),
+            1e6,
+        ).alias("sigma2_micro"),
+    )
+    means = vis.groupBy(
+        "antenna1", "antenna2",
+        F.floor(F.col("time") / F.lit(STATWT_BIN_SECS)).cast("long").alias("tbin"),
+    ).agg(
+        qsum(F.col("vis_re"), 1e6).alias("sre"),
+        qsum(F.col("vis_im"), 1e6).alias("sim"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "antenna1", "antenna2", "tbin",
+        (F.col("sre") / F.lit(1e6) / F.col("n")).alias("mre"),
+        (F.col("sim") / F.lit(1e6) / F.col("n")).alias("mim"),
+    )
+    # new weight per chunk: w = 1e6 / sigma2_micro (an exact-int ratio);
+    # cross-chunk products quantize to the 1e-9 grid before the exact
+    # integer sum (float sums are order-sensitive — parity rule)
+    joined = sig.filter(F.col("sigma2_micro") > 0).join(
+        means, ["antenna1", "antenna2", "tbin"]
+    ).select(
+        "antenna1", "antenna2",
+        (F.lit(1e6) / F.col("sigma2_micro")).alias("wgt"),
+        "mre", "mim",
+    )
+    return (
+        joined.groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_used"),
+            qsum(F.col("wgt"), 1e9).alias("wsum_q"),
+            qsum(F.col("mre") * F.col("wgt"), 1e9).alias("re_wq"),
+            qsum(F.col("mim") * F.col("wgt"), 1e9).alias("im_wq"),
+        )
+        .select(
+            "antenna1", "antenna2", "n_bins_used", "wsum_q",
+            (F.col("re_wq").cast("double") / F.col("wsum_q")).alias("re_w"),
+            (F.col("im_wq").cast("double") / F.col("wsum_q")).alias("im_w"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+STATWT_SQL = f"""
+    , sp AS ({_SPECTRA_SQL})
+    , diffs AS (
+      SELECT antenna1, antenna2,
+             CAST(FLOOR(time / {STATWT_BIN_SECS!r}) AS BIGINT) AS tbin,
+             re_q - lag(re_q) OVER w AS dr,
+             im_q - lag(im_q) OVER w AS di
+      FROM sp
+      WINDOW w AS (PARTITION BY time, antenna1, antenna2 ORDER BY chan)
+    ),
+    sig AS (
+      SELECT antenna1, antenna2, tbin, COUNT(*) AS n_diffs,
+             CAST(ROUND(CAST(SUM(CAST(dr AS HUGEINT) * dr
+                                 + CAST(di AS HUGEINT) * di) AS DOUBLE)
+                        / (4 * COUNT(*)) / 1e12 * 1000000.0) AS BIGINT)
+               AS sigma2_micro
+      FROM diffs WHERE dr IS NOT NULL
+      GROUP BY antenna1, antenna2, tbin
+    ),
+    means AS (
+      SELECT antenna1, antenna2,
+             CAST(FLOOR(time / {STATWT_BIN_SECS!r}) AS BIGINT) AS tbin,
+             CAST(SUM(CAST(ROUND(vis_re * 1000000.0) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS mre,
+             CAST(SUM(CAST(ROUND(vis_im * 1000000.0) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS mim
+      FROM vis GROUP BY 1, 2, 3
+    ),
+    jn AS (
+      SELECT s.antenna1, s.antenna2,
+             1000000.0 / s.sigma2_micro AS wgt, m.mre, m.mim
+      FROM sig s JOIN means m
+        ON m.antenna1 = s.antenna1 AND m.antenna2 = s.antenna2
+       AND m.tbin = s.tbin
+      WHERE s.sigma2_micro > 0
+    )
+    SELECT antenna1, antenna2,
+           COUNT(*) AS n_bins_used,
+           CAST(SUM(CAST(ROUND(wgt * 1000000000.0) AS BIGINT)) AS BIGINT)
+             AS wsum_q,
+           CAST(SUM(CAST(ROUND(mre * wgt * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / SUM(CAST(ROUND(wgt * 1000000000.0) AS BIGINT)) AS re_w,
+           CAST(SUM(CAST(ROUND(mim * wgt * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / SUM(CAST(ROUND(wgt * 1000000000.0) AS BIGINT)) AS im_w
+    FROM jn GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+"""

@@ -2791,3 +2791,181 @@ def paragraph_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, cross-document ≥6/8-signature duplicates keep-first, per-
     source dup census (see operators/dedup.paragraph_minhash_dedup)."""
     return dedup_op.paragraph_minhash_dedup(load(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# r10: duplicate-rate ingest curve — the dedup-planning companion of
+# heaps_law_vocab_growth: as the corpus ingests (doc_id order), what
+# fraction of each decile is an exact duplicate of anything EARLIER?
+# A rising curve says dedup must run continuously (the incremental
+#-ingest tier); a flat one says batch dedup suffices. First occurrence
+# per content digest is a map-side MIN; everything after the digest
+# collapse is integer arithmetic at decile grain.
+# ---------------------------------------------------------------------------
+
+_DUP_CURVE_SQL = """
+  WITH firsts AS (
+    SELECT doc_id, md5(text) AS dg FROM documents
+  ),
+  canon AS (
+    SELECT dg, MIN(doc_id) AS first_id FROM firsts GROUP BY dg
+  ),
+  bounds AS (SELECT MAX(doc_id) AS mx FROM documents),
+  flagged AS (
+    SELECT CAST((f.doc_id * 10) // (b.mx + 1) AS INT) AS decile,
+           CASE WHEN f.doc_id > c.first_id THEN 1 ELSE 0 END AS is_dup
+    FROM firsts f JOIN canon c ON c.dg = f.dg, bounds b
+  ),
+  per AS (
+    SELECT decile, COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups
+    FROM flagged GROUP BY decile
+  )
+  SELECT decile, n_docs, n_dups,
+         CAST(SUM(n_dups) OVER w AS BIGINT) AS cum_dups,
+         CAST((SUM(n_dups) OVER w) * 1000000 // (SUM(n_docs) OVER w)
+              AS BIGINT) AS cum_dup_ppm
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+  ORDER BY decile
+"""
+
+
+@register("dedup_rate_ingest_curve", _DUP_CURVE_SQL)
+def dedup_rate_ingest_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per ingest decile with the cumulative curve
+    (see _DUP_CURVE_SQL). Fact work: one digest-grain MIN + one decile
+    rollup; the window runs on ≤ 10 rows."""
+    docs = load(spark, "documents", sf_dir)
+    firsts = docs.select("doc_id", F.md5(F.col("text")).alias("dg"))
+    canon = firsts.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    flagged = (
+        firsts.join(canon, "dg")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST((doc_id * 10) DIV (mx + 1) AS INT)").alias("decile"),
+            (F.col("doc_id") > F.col("first_id")).cast("int").alias("is_dup"),
+        )
+    )
+    per = flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return per.select(
+        "decile", "n_docs", "n_dups",
+        F.sum("n_dups").over(w).cast("long").alias("cum_dups"),
+        F.expr(
+            "CAST(SUM(n_dups) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) * 1000000 DIV "
+            "SUM(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("cum_dup_ppm"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# r10: AV sync-drift report — per asset, the LINEAR TREND of the as-of
+# alignment lag across the frame series (multimodal_av_align_asof's
+# sawtooth): a container whose audio clock drifts shows a nonzero
+# slope; a merely-offset one shows intercept without slope. Least
+# squares on exact integer moments (x = frame_idx, y = lag_bytes);
+# only the final slope/intercept ratios touch floats (identical
+# int-derived doubles, 1e-6-quantized).
+# ---------------------------------------------------------------------------
+
+_AV_DRIFT_ORACLE = f"""
+  WITH frames AS (
+    SELECT d.doc_id, CAST(t.j AS INT) AS frame_idx,
+           CAST(t.j AS BIGINT) * {_AV_STRIDE} AS f_start
+    FROM documents d,
+         unnest(generate_series(0,
+           CAST((octet_length(encode(d.text)) + {_AV_STRIDE - 1})
+                // {_AV_STRIDE} AS INT) - 1)) AS t(j)
+  ),
+  wins AS (
+    SELECT d.doc_id, CAST(t.j AS BIGINT) * {_AV_HOP} AS a_start
+    FROM documents d,
+         unnest(generate_series(0,
+           CAST((octet_length(encode(d.text)) + {_AV_HOP - 1})
+                // {_AV_HOP} AS INT) - 1)) AS t(j)
+  ),
+  lagged AS (
+    SELECT f.doc_id, f.frame_idx, f.f_start - MAX(w.a_start) AS lag_bytes
+    FROM frames f
+    JOIN wins w ON w.doc_id = f.doc_id AND w.a_start <= f.f_start
+    GROUP BY f.doc_id, f.frame_idx, f.f_start
+  ),
+  mom AS (
+    SELECT doc_id, COUNT(*) AS n,
+           CAST(SUM(frame_idx) AS BIGINT) AS sx,
+           CAST(SUM(lag_bytes) AS BIGINT) AS sy,
+           CAST(SUM(CAST(frame_idx AS BIGINT) * frame_idx) AS BIGINT) AS sxx,
+           CAST(SUM(frame_idx * lag_bytes) AS BIGINT) AS sxy,
+           CAST(MAX(lag_bytes) AS BIGINT) AS max_lag
+    FROM lagged GROUP BY doc_id
+  )
+  SELECT doc_id, n, max_lag,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN CAST(ROUND((n * sxy - sx * sy)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+                   / 1000000.0
+              ELSE CAST(0.0 AS DOUBLE) END AS slope_q6
+  FROM mom ORDER BY doc_id
+"""
+
+
+@register("av_sync_drift_report", _AV_DRIFT_ORACLE)
+def av_sync_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset AV sync-drift slope from the as-of lag series (see
+    _AV_DRIFT_ORACLE). Rides the av_align as-of machinery; report grain
+    = one row per asset."""
+    from codex_africanus_spark.functions.deterministic import quantize
+    from codex_africanus_spark.operators import multimodal as mm
+
+    docs = load(spark, "documents", sf_dir)
+    p = mm.attach_binary_payload(docs).select(
+        "doc_id", F.octet_length("payload").alias("nb")
+    )
+    nf = ((F.col("nb") + _AV_STRIDE - 1) / _AV_STRIDE).cast("int")
+    frames = p.filter(F.col("nb") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nf - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id", "frame_idx",
+        (F.col("frame_idx").cast("long") * _AV_STRIDE).alias("f_start"),
+    )
+    nw = ((F.col("nb") + _AV_HOP - 1) / _AV_HOP).cast("int")
+    wins = p.filter(F.col("nb") > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), nw - 1)).alias("win")
+    ).select(
+        "doc_id", (F.col("win").cast("long") * _AV_HOP).alias("a_start")
+    )
+    lagged = (
+        frames.join(
+            wins,
+            (frames.doc_id == wins.doc_id)
+            & (wins.a_start <= frames.f_start),
+        )
+        .select(frames.doc_id, "frame_idx", "f_start", "a_start")
+        .groupBy("doc_id", "frame_idx", "f_start")
+        .agg((F.col("f_start") - F.max("a_start")).alias("lag_bytes"))
+    )
+    mom = lagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("frame_idx").cast("long").alias("sx"),
+        F.sum("lag_bytes").cast("long").alias("sy"),
+        F.sum(F.col("frame_idx").cast("long") * F.col("frame_idx"))
+        .cast("long").alias("sxx"),
+        F.sum(F.col("frame_idx") * F.col("lag_bytes")).cast("long")
+        .alias("sxy"),
+        F.max("lag_bytes").cast("long").alias("max_lag"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope = quantize(num / det.cast("double"), 1e6) / F.lit(1e6)
+    return mom.select(
+        "doc_id", "n", "max_lag",
+        F.when(det > 0, slope).otherwise(F.lit(0.0)).alias("slope_q6"),
+    ).orderBy("doc_id")

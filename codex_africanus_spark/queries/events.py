@@ -1035,3 +1035,101 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "path", "path_len", "n_sessions", "n_users")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: daily-count periodicity — Pearson autocorrelation of the dense
+# daily event-count series at lags 1..7 (the weekly-seasonality
+# detector behind traffic forecasting and anomaly baselines). The day
+# grid is DENSE (missing days count 0 — otherwise gaps silently shift
+# lags), every Pearson moment is an exact integer sum over the aligned
+# slices, and only the final ratio touches floats (identical
+# int-derived doubles both engines; 1e-6-quantized output).
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = _with_ms(
+    """
+    , daily AS (
+      SELECT ts_us // 86400000000 AS day, COUNT(*) AS cnt
+      FROM ev GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    dense AS (
+      SELECT g.range + b.d0 AS day, COALESCE(d.cnt, 0) AS cnt
+      FROM bounds b, range(0, 1000000) g
+      LEFT JOIN daily d ON d.day = g.range + (SELECT d0 FROM bounds)
+      WHERE g.range <= b.d1 - b.d0
+    ),
+    lags(lag) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+    pairs AS (
+      SELECT l.lag, x.cnt AS cx, y.cnt AS cy
+      FROM lags l
+      JOIN dense x ON true
+      JOIN dense y ON y.day = x.day + l.lag
+    ),
+    mom AS (
+      SELECT lag, COUNT(*) AS m,
+             CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+             CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+             CAST(SUM(cy * cy) AS BIGINT) AS syy,
+             CAST(SUM(cx * cy) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, m,
+           CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                THEN CAST(ROUND(
+                       (m * sxy - sx * sy)
+                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE))
+                       * 1000000.0) AS BIGINT) / 1000000.0
+                ELSE CAST(0.0 AS DOUBLE) END AS r_lag
+    FROM mom ORDER BY lag
+    """
+)
+
+
+@register("events_periodicity_autocorr", _AUTOCORR_ORACLE)
+def events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 Pearson autocorrelation of the dense daily event-count
+    series (see _AUTOCORR_ORACLE). Fact work: one day-grain collapse;
+    the dense grid, lag self-join, and moment sums all run at
+    observation-span-days cardinality."""
+    from codex_africanus_spark.functions.deterministic import quantize
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        F.expr("ts_us DIV 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    x = dense.select(F.col("day").alias("dx"), F.col("cnt").alias("cx"))
+    y = dense.select(F.col("day").alias("dy"), F.col("cnt").alias("cy"))
+    pairs = lags.crossJoin(x).join(
+        y, F.col("dy") == F.col("dx") + F.col("lag")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("cx").cast("long").alias("sx"),
+        F.sum("cy").cast("long").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("long").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("long").alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).cast("long").alias("sxy"),
+    )
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    rq = quantize(r, 1e6) / F.lit(1e6)
+    return mom.select(
+        "lag", "m",
+        F.when((vx > 0) & (vy > 0), rq).otherwise(F.lit(0.0)).alias("r_lag"),
+    ).orderBy("lag")

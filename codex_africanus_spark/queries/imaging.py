@@ -2708,3 +2708,191 @@ def multiscale_clean_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, grid_op.grid_natural(vis),
         gamma=_MSC_GAMMA, threshold_frac=_MSC_TFRAC, maxiter=_MSC_MAXITER,
     ).orderBy("iteration")
+
+
+# ---------------------------------------------------------------------------
+# r10: Sault-weighted linear-mosaic sensitivity map. For a mosaic of
+# pointings p with primary beam A_p and per-pointing sensitivity S_p
+# (Σ weights), the linear-mosaic weight at image cell x is
+# W(x) = Σ_p A_p(x)² · S_p and the effective noise 1/√W (Sault,
+# Staveley-Smith & Brouw 1996, A&AS 120 — the CASA/wsclean mosaic
+# weighting the reference delegates to imaging tools). Parity: cell
+# coords and pointing centres are exact dyadics so the Gaussian-beam
+# argument is the identical double; exp OUTPUTS quantize to the 1e-9
+# grid (the trig-output discipline); A²·S products quantize to 1e-6
+# before the order-free integer cell sum.
+# ---------------------------------------------------------------------------
+
+_MOSAIC_CENTRES = [(-0.25, -0.25), (0.0, 0.125), (0.25, -0.125)]  # dyadic
+_MOSAIC_BEAM_C = 8.0  # 1/(2σ_b²) with σ_b = 0.25 — exact dyadic
+
+_MOSAIC_SQL = _with_ms(
+    f"""
+    , sens AS (
+      SELECT CAST(CAST(FLOOR(time / 604800.0) AS BIGINT) % 3 AS INT)
+               AS field_id,
+             CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS s_w
+      FROM vis GROUP BY 1
+    ),
+    centres(field_id, lc, mc) AS (VALUES {", ".join(
+        f"({p}, {lc!r}, {mc!r})" for p, (lc, mc) in enumerate(_MOSAIC_CENTRES)
+    )}),
+    cells AS (
+      SELECT CAST(i.range AS INT) AS ci, CAST(j.range AS INT) AS cj,
+             (i.range - 10) / 16.0 AS l, (j.range - 10) / 16.0 AS m
+      FROM range(21) i, range(21) j
+    ),
+    beams AS (
+      SELECT c.ci, c.cj, ct.field_id,
+             CAST(floor(exp(-((c.l - ct.lc) * (c.l - ct.lc)
+                             + (c.m - ct.mc) * (c.m - ct.mc))
+                            * {_MOSAIC_BEAM_C!r}) * 1000000000.0 + 0.5) AS BIGINT)
+               / 1000000000.0 AS a
+      FROM cells c, centres ct
+    )
+    SELECT b.ci, b.cj,
+           CAST(SUM(CAST(floor(b.a * b.a * s.s_w * 0.000001 + 0.5) AS BIGINT))
+                AS BIGINT) AS wsum_q,
+           CAST(SUM(CASE WHEN b.a > 0.01 THEN 1 ELSE 0 END) AS INT)
+             AS n_pointings
+    FROM beams b JOIN sens s USING (field_id)
+    GROUP BY b.ci, b.cj
+    ORDER BY b.ci, b.cj
+    """
+)
+
+
+@register("sault_mosaic_weights", _MOSAIC_SQL)
+def sault_mosaic_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-mosaic sensitivity map: W(x) = Σ_p A_p(x)²·S_p over the
+    three weekly-cycle pointings, S_p = the pointing's summed data
+    weights (exact ints), A_p a dyadic-argument Gaussian beam with
+    1e-9-quantized output. 441 image cells at any data scale; the only
+    fact-scale work is the per-field weight sum."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    sens = vis.groupBy(
+        (F.floor(F.col("time") / F.lit(604800.0)).cast("long") % 3)
+        .cast("int").alias("field_id")
+    ).agg(qsum(F.col("weight"), 1e6).alias("s_w"))
+    centres = spark.createDataFrame(
+        [(p, lc, mc) for p, (lc, mc) in enumerate(_MOSAIC_CENTRES)],
+        "field_id int, lc double, mc double",
+    )
+    cells = spark.range(21).select(
+        F.col("id").cast("int").alias("ci")
+    ).crossJoin(
+        spark.range(21).select(F.col("id").cast("int").alias("cj"))
+    ).select(
+        "ci", "cj",
+        ((F.col("ci") - 10) / F.lit(16.0)).alias("l"),
+        ((F.col("cj") - 10) / F.lit(16.0)).alias("m"),
+    )
+    r2 = (
+        (F.col("l") - F.col("lc")) * (F.col("l") - F.col("lc"))
+        + (F.col("m") - F.col("mc")) * (F.col("m") - F.col("mc"))
+    )
+    # quantize spelling, not Spark ROUND: ROUND(double) is BigDecimal
+    # half-up on the exact expansion and forks from DuckDB's
+    # double-rounding at grid boundaries (parity rule 1); exp ≥ 0 so
+    # the sign-aware form reduces to +0.5 truncation
+    a = (
+        F.expr(
+            f"CAST(exp(-(((l - lc) * (l - lc)) + ((m - mc) * (m - mc)))"
+            f" * {_MOSAIC_BEAM_C!r}) * 1000000000.0 + 0.5 AS BIGINT)"
+        ) / F.lit(1e9)
+    )
+    beams = cells.crossJoin(F.broadcast(centres)).select(
+        "ci", "cj", "field_id", a.alias("a")
+    )
+    return (
+        beams.join(F.broadcast(sens), "field_id")
+        .groupBy("ci", "cj")
+        .agg(
+            F.sum(
+                F.expr("CAST(a * a * s_w * 0.000001 + 0.5 AS BIGINT)")
+            ).cast("long").alias("wsum_q"),
+            F.sum((F.col("a") > 0.01).cast("int")).cast("int")
+            .alias("n_pointings"),
+        )
+        .orderBy("ci", "cj")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10: uv-coverage completeness vs time — the synthesis-imaging
+# scheduling question (how fast does Earth rotation fill the uv plane,
+# when does more integration stop buying PSF quality). Per uv cell the
+# FIRST time it is sampled (map-side MIN — the Heaps-law shape on the
+# radio side), bucketed into tenths of the observation span; report
+# new + cumulative cell counts per tenth. Times are integral seconds,
+# so the decile assignment is pure integer arithmetic — no float
+# anywhere in the query.
+# ---------------------------------------------------------------------------
+
+_UV_FILL_SQL = _with_ms(
+    """
+    , firsts AS (
+      SELECT CAST(FLOOR(u / 10.0) AS BIGINT) AS cu,
+             CAST(FLOOR(v / 10.0) AS BIGINT) AS cv,
+             CAST(MIN(time) AS BIGINT) AS t_first
+      FROM vis GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(MIN(time) AS BIGINT) AS t0, CAST(MAX(time) AS BIGINT) AS t1
+      FROM vis
+    ),
+    newc AS (
+      SELECT CAST(((f.t_first - s.t0) * 10) // (s.t1 - s.t0 + 1) AS INT)
+               AS decile,
+             COUNT(*) AS n_new_cells
+      FROM firsts f, span s GROUP BY 1
+    ),
+    grid AS (SELECT CAST(d.range AS INT) AS decile FROM range(10) d)
+    SELECT g.decile,
+           CAST(COALESCE(n.n_new_cells, 0) AS BIGINT) AS n_new_cells,
+           CAST(SUM(COALESCE(n.n_new_cells, 0)) OVER (
+             ORDER BY g.decile ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_cells
+    FROM grid g LEFT JOIN newc n USING (decile)
+    ORDER BY g.decile
+    """
+)
+
+
+@register("uv_completeness_vs_time", _UV_FILL_SQL)
+def uv_completeness_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative uv-plane fill per tenth of the observation span (see
+    _UV_FILL_SQL). Fact work: one (cell)-grain MIN agg + two scalar
+    aggs; the decile rollup and cumulative window run on ≤ 441 cells /
+    10 rows."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    firsts = vis.groupBy(
+        F.floor(F.col("u") / F.lit(10.0)).cast("long").alias("cu"),
+        F.floor(F.col("v") / F.lit(10.0)).cast("long").alias("cv"),
+    ).agg(F.min("time").cast("long").alias("t_first"))
+    span = vis.agg(
+        F.min("time").cast("long").alias("t0"),
+        F.max("time").cast("long").alias("t1"),
+    )
+    newc = (
+        firsts.crossJoin(F.broadcast(span))
+        .select(
+            F.expr("CAST(((t_first - t0) * 10) DIV (t1 - t0 + 1) AS INT)")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new_cells"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("decile"))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(newc, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce(F.col("n_new_cells"), F.lit(0)).cast("long")
+            .alias("n_new_cells"),
+        )
+        .withColumn("cum_cells", F.sum("n_new_cells").over(w).cast("long"))
+        .orderBy("decile")
+    )

@@ -2654,3 +2654,14 @@ def flag_version_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register("statwt_reweight", _with_ms(cal_op.STATWT_SQL))
+def statwt_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statwt (r10): per-(baseline, weekly-chunk) noise from adjacent-
+    channel differencing, new weight = 1/sigma2, and the reweighted
+    per-baseline average that consumes the updated weights — CASA
+    statwt's recompute-WEIGHT-from-scatter semantics (the reference
+    delegates this to upstream tools). Zero-variance chunks excluded,
+    cross-chunk products on the 1e-9 grid (order-free sums)."""
+    return cal_op.statwt_reweight(tpch_ms.vis_table(spark, sf_dir))

@@ -135,6 +135,8 @@ LLM_QUERIES = [
     "label_centroid_similarity_matrix",
     # round-10 additions
     "paragraph_minhash_dedup",
+    "dedup_rate_ingest_curve",
+    "av_sync_drift_report",
     "pq_codebook_retrain_drift",
     "cross_modal_retrieval_eval",
     # round-9 additions

@@ -65,6 +65,10 @@ RADIO_QUERIES = [
     # round-10 additions
     "multiscale_clean_components",
     "flag_version_tables",
+    "statwt_reweight",
+    "sault_mosaic_weights",
+    "uv_completeness_vs_time",
+    "events_periodicity_autocorr",
     # round-7 additions
     "rime_custom_term_predict",
     "facet_wproj_kernel_sweep",

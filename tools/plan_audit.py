@@ -120,7 +120,10 @@ QUERIES = [
     # round-10 additions
     "multiscale_clean_components", "flag_version_tables",
     "pq_codebook_retrain_drift", "paragraph_minhash_dedup",
-    "cross_modal_retrieval_eval",
+    "cross_modal_retrieval_eval", "statwt_reweight",
+    "sault_mosaic_weights", "uv_completeness_vs_time",
+    "events_periodicity_autocorr", "dedup_rate_ingest_curve",
+    "av_sync_drift_report",
 ]
 
 spark = (
