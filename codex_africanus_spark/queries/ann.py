@@ -905,3 +905,98 @@ def cross_modal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: SQ8 reconstruction-error audit by label — the per-cohort
+# distortion view of the SQ8 tier (is 8-bit scalar quantization
+# uniformly safe across label cohorts, or does one cohort live in a
+# corner of the value range where the shared per-dim grid is coarse?).
+# Reconstruction v̂ = lo + code·(hi−lo)/255 from the committed bounds;
+# per-dim squared errors quantize to the 1e-12 grid before the
+# order-free integer sum; report = one row per label.
+# ---------------------------------------------------------------------------
+
+_SQ8_LABEL_ORACLE = """
+  WITH per AS (
+    SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM (
+      SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+      FROM embeddings
+    ) GROUP BY pos
+  ),
+  bounds AS (
+    SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+    FROM per
+  ),
+  errs AS (
+    SELECT e.vec_id, e.label,
+           list_sum([CAST(FLOOR(
+             (CAST(e.embedding[i] AS DOUBLE)
+              - (los[i] + (CASE WHEN his[i] = los[i] THEN CAST(0 AS BIGINT)
+                       ELSE CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - los[i])
+                            / (his[i] - los[i]) * 255 + 0.5) AS BIGINT) END)
+                 * (his[i] - los[i]) / 255))
+             * (CAST(e.embedding[i] AS DOUBLE)
+              - (los[i] + (CASE WHEN his[i] = los[i] THEN CAST(0 AS BIGINT)
+                       ELSE CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - los[i])
+                            / (his[i] - los[i]) * 255 + 0.5) AS BIGINT) END)
+                 * (his[i] - los[i]) / 255))
+             * 1000000000000.0 + 0.5) AS BIGINT)
+            FOR i IN generate_series(1, len(e.embedding))]) AS err_q
+    FROM embeddings e, bounds
+  )
+  SELECT label,
+         COUNT(*) AS n_vecs,
+         CAST(SUM(err_q) AS BIGINT) AS err_sum_q,
+         CAST(MAX(err_q) AS BIGINT) AS max_err_q
+  FROM errs GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_sq8_error_by_label", _SQ8_LABEL_ORACLE)
+def embedding_sq8_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SQ8 reconstruction distortion (see _SQ8_LABEL_ORACLE).
+    One posexplode bounds agg (dim grain, broadcast back) + one scan
+    projection + one label-grain agg."""
+    emb = load(spark, "embeddings", sf_dir)
+    per = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+    )
+    bounds = per.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, lo, hi))), x -> x.lo)"
+        ).alias("los"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, lo, hi))), x -> x.hi)"
+        ).alias("his"),
+    )
+    recon = (
+        "(element_at(los, i) + (CASE WHEN element_at(his, i) = element_at(los, i) "
+        "THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR((CAST(element_at(embedding, i) "
+        "AS DOUBLE) - element_at(los, i)) / (element_at(his, i) - "
+        "element_at(los, i)) * 255 + 0.5) AS BIGINT) END) "
+        "* (element_at(his, i) - element_at(los, i)) / 255)"
+    )
+    diff = f"(CAST(element_at(embedding, i) AS DOUBLE) - {recon})"
+    err = F.expr(
+        "aggregate(transform(sequence(1, size(embedding)), i -> "
+        f"CAST(FLOOR({diff} * {diff} * 1000000000000.0 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select("label", err.alias("err_q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_q").cast("long").alias("err_sum_q"),
+            F.max("err_q").cast("long").alias("max_err_q"),
+        )
+        .orderBy("label")
+    )

@@ -1133,3 +1133,65 @@ def events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag", "m",
         F.when((vx > 0) & (vy > 0), rq).otherwise(F.lit(0.0)).alias("r_lag"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# r10: weekday seasonality profile — the decomposition companion of
+# events_periodicity_autocorr: per (event_type, epoch-anchored weekday)
+# the count and exact cents-sum, plus the count's parts-per-million
+# deviation from the type's mean weekday share (integer
+# cross-multiplied — no float rates). Rows = #types × 7.
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = _with_ms(
+    """
+    , wd AS (
+      SELECT event_type,
+             CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS weekday,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_type FROM wd
+      GROUP BY event_type
+    )
+    SELECT w.event_type, w.weekday, w.cnt, w.value_cents,
+           CAST((w.cnt * 7 - t.n_type) * 1000000 // t.n_type AS BIGINT)
+             AS dev_ppm
+    FROM wd w JOIN tot t USING (event_type)
+    ORDER BY w.event_type, w.weekday
+    """
+)
+
+
+@register("events_weekday_profile", _WEEKDAY_ORACLE)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, weekday) census with integer ppm deviation from the
+    uniform-weekday baseline (see _WEEKDAY_ORACLE)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    wd = ev.groupBy(
+        "event_type",
+        F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("weekday"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).cast("long")
+        .alias("value_cents"),
+    )
+    tot = wd.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_type")
+    )
+    return (
+        wd.join(tot, "event_type")
+        .select(
+            "event_type", "weekday", "cnt", "value_cents",
+            # Spark DIV and DuckDB // BOTH truncate toward zero
+            # (verified (-7)//2 = -3 in DuckDB 1.x), so the integer
+            # division is sign-safe here
+            F.expr(
+                "CAST((cnt * 7 - n_type) * 1000000 DIV n_type AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("event_type", "weekday")
+    )

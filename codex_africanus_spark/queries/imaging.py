@@ -2896,3 +2896,135 @@ def uv_completeness_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_cells", F.sum("n_new_cells").over(w).cast("long"))
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: PSF radial sidelobe profile — the synthesis-QA companion of
+# fft_psf_image: peak |PSF| and integrated power per FFT-wrapped radial
+# annulus (sidelobe levels drive CLEAN depth and dynamic-range limits;
+# high first-sidelobe = poor uv coverage, see uv_completeness_vs_time).
+# Rides the EXISTING psf oracle verbatim as a subquery; annuli from
+# integer radii (floor(sqrt(int)) is boundary-safe — perfect squares
+# hit exact doubles); power terms on the 1e-12 grid via the shared
+# floor(+0.5) spelling.
+# ---------------------------------------------------------------------------
+
+_PSF_PROFILE_ORACLE = f"""
+  WITH px AS (SELECT y, x, value FROM ({_FFT_PSF_ORACLE})),
+  ann AS (
+    SELECT CAST(FLOOR(SQRT(CAST(
+             LEAST(y, 32 - y) * LEAST(y, 32 - y)
+             + LEAST(x, 32 - x) * LEAST(x, 32 - x) AS DOUBLE))) AS INT)
+             AS annulus,
+           value
+    FROM px
+  )
+  SELECT annulus,
+         COUNT(*) AS n_pix,
+         MAX(abs(value)) AS peak_abs,
+         CAST(SUM(CAST(FLOOR(value * value * 1000000000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS power_q
+  FROM ann GROUP BY annulus ORDER BY annulus
+"""
+
+
+@register("psf_sidelobe_profile", _PSF_PROFILE_ORACLE)
+def psf_sidelobe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial PSF sidelobe profile (see _PSF_PROFILE_ORACLE): annulus
+    peak |PSF| and 1e-12-grid integrated power over the 32x32 PSF
+    image. Image cost identical to fft_psf_image (cluster grid agg +
+    driver FFT); the rollup runs on 1024 pixels."""
+    import math as _math
+
+    import pandas as _pd
+
+    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+        "vis_re", F.lit(1.0)
+    ).withColumn("vis_im", F.lit(0.0))
+    img, wsum = fft_op.dirty_image(vis, nx=32, ny=32)
+    rows = {}
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            v = round(float(img[y, x]), 6)
+            ry, rx = min(y, 32 - y), min(x, 32 - x)
+            ann = int(_math.floor(_math.sqrt(float(ry * ry + rx * rx))))
+            n, pk, pw = rows.get(ann, (0, 0.0, 0))
+            rows[ann] = (
+                n + 1,
+                max(pk, abs(v)),
+                pw + int(_math.floor(v * v * 1e12 + 0.5)),
+            )
+    pdf = _pd.DataFrame(
+        [(a, n, pk, pw) for a, (n, pk, pw) in sorted(rows.items())],
+        columns=["annulus", "n_pix", "peak_abs", "power_q"],
+    ).astype({"annulus": "int32", "n_pix": "int64", "power_q": "int64"})
+    return spark.createDataFrame(pdf).orderBy("annulus")
+
+
+# ---------------------------------------------------------------------------
+# r10: W-projection plane planner (wsclean -nwlayers / CASA wprojplanes
+# sizing): per field, the number of w-planes needed to keep the
+# per-plane phase error Δφ = K·Δw under each tolerance, where
+# K = π·θ_fov²·ν_max/c is a SHARED PYTHON LITERAL interpolated into
+# both engines (the delay-spectrum/uv-taper pattern) and Δw = w-span /
+# n_planes. w extents are exact 1e-6 ints; the plane count is a ceil of
+# identical doubles.
+# ---------------------------------------------------------------------------
+
+_WPROJ_K = 0.044851083469766  # π · (0.05 rad)² · (2·856 MHz / c)
+_WPROJ_EPS = [(0, 0.1), (1, 0.01), (2, 0.001)]
+
+_WPROJ_ORACLE = _with_ms(
+    f"""
+    , wstats AS (
+      SELECT CAST(CAST(FLOOR(time / 604800.0) AS BIGINT) % 3 AS INT)
+               AS field_id,
+             MIN(CAST(ROUND(w * 1000000.0) AS BIGINT)) AS wmin_q,
+             MAX(CAST(ROUND(w * 1000000.0) AS BIGINT)) AS wmax_q,
+             COUNT(*) AS n_rows
+      FROM vis GROUP BY 1
+    ),
+    eps(eps_id, eps) AS (VALUES {", ".join(f"({i}, {e!r})" for i, e in _WPROJ_EPS)})
+    SELECT w.field_id, e.eps_id, w.n_rows,
+           w.wmin_q / 1000000.0 AS w_min,
+           w.wmax_q / 1000000.0 AS w_max,
+           CAST(CEIL(((w.wmax_q - w.wmin_q) / 1000000.0) * {_WPROJ_K!r} / e.eps)
+                AS BIGINT) + 1 AS n_planes
+    FROM wstats w, eps e
+    ORDER BY w.field_id, e.eps_id
+    """
+)
+
+
+@register("wproj_planes_planner", _WPROJ_ORACLE)
+def wproj_planes_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field w-plane count recommendation per phase-error tolerance
+    (see _WPROJ_ORACLE). Fact work: one field-grain min/max agg; the
+    planner matrix is fields × tolerances = 9 rows."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    wstats = vis.groupBy(
+        (F.floor(F.col("time") / F.lit(604800.0)).cast("long") % 3)
+        .cast("int").alias("field_id")
+    ).agg(
+        F.min(quantize_w := F.expr(
+            "CAST(w * 1000000.0 + (CASE WHEN w >= 0 THEN 0.5 ELSE -0.5 END) "
+            "AS BIGINT)"
+        )).alias("wmin_q"),
+        F.max(quantize_w).alias("wmax_q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    eps = spark.createDataFrame(_WPROJ_EPS, "eps_id int, eps double")
+    span = (F.col("wmax_q") - F.col("wmin_q")) / F.lit(1e6)
+    return (
+        wstats.crossJoin(F.broadcast(eps))
+        .select(
+            "field_id", "eps_id", "n_rows",
+            (F.col("wmin_q") / F.lit(1e6)).alias("w_min"),
+            (F.col("wmax_q") / F.lit(1e6)).alias("w_max"),
+            (
+                F.ceil(span * F.lit(_WPROJ_K) / F.col("eps")).cast("long")
+                + F.lit(1)
+            ).alias("n_planes"),
+        )
+        .orderBy("field_id", "eps_id")
+    )

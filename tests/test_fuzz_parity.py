@@ -137,6 +137,7 @@ LLM_QUERIES = [
     "paragraph_minhash_dedup",
     "dedup_rate_ingest_curve",
     "av_sync_drift_report",
+    "embedding_sq8_error_by_label",
     "pq_codebook_retrain_drift",
     "cross_modal_retrieval_eval",
     # round-9 additions

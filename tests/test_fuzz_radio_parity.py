@@ -69,6 +69,9 @@ RADIO_QUERIES = [
     "sault_mosaic_weights",
     "uv_completeness_vs_time",
     "events_periodicity_autocorr",
+    "psf_sidelobe_profile",
+    "wproj_planes_planner",
+    "events_weekday_profile",
     # round-7 additions
     "rime_custom_term_predict",
     "facet_wproj_kernel_sweep",

@@ -123,7 +123,9 @@ QUERIES = [
     "cross_modal_retrieval_eval", "statwt_reweight",
     "sault_mosaic_weights", "uv_completeness_vs_time",
     "events_periodicity_autocorr", "dedup_rate_ingest_curve",
-    "av_sync_drift_report",
+    "av_sync_drift_report", "psf_sidelobe_profile",
+    "wproj_planes_planner", "embedding_sq8_error_by_label",
+    "events_weekday_profile",
 ]
 
 spark = (
