@@ -368,7 +368,6 @@ def multiscale_clean(
         if mabs <= thresh:
             break
         flux = gamma * (cq / 1e9)
-        r = len(MS_K1D[k]) // 2
         for di, dj, w in ms_taps(k):
             uu, vv = pu + di, pv + dj
             if 0 <= uu < MS_N and 0 <= vv < MS_N:
