@@ -2969,3 +2969,84 @@ def av_sync_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n", "max_lag",
         F.when(det > 0, slope).otherwise(F.lit(0.0)).alias("slope_q6"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r10: near-dup transitive-chaining audit — the dedup-quality question
+# aggressive fuzzy dedup always raises: how much of each cluster is
+# held together only TRANSITIVELY (A~B, B~C but A and C never matched)?
+# High transitive share = chaining risk (CC-based dedup can fuse
+# unrelated docs through a bridge doc — the MinHashLSH caveat every
+# CCNet/RefinedWeb-style pipeline audits). Per cluster size: clusters,
+# possible pairs s(s−1)/2, DIRECT LSH candidate pairs, and the
+# transitive-only share in ppm. Composes the two existing exact
+# oracles (clusters + pairs) as subqueries; all-integer.
+# ---------------------------------------------------------------------------
+
+_CHAIN_AUDIT_ORACLE = f"""
+  WITH cc AS (
+    SELECT doc_id, cluster_id, cluster_size
+    FROM ({dedup_op.NEAR_DUP_CLUSTERS_SQL})
+  ),
+  direct AS (
+    SELECT p.doc_a, c.cluster_id
+    FROM ({dedup_op.MINHASH_LSH_SQL}) p
+    JOIN cc c ON c.doc_id = p.doc_a
+  ),
+  per_cluster AS (
+    SELECT c.cluster_id, MAX(c.cluster_size) AS s,
+           (SELECT COUNT(*) FROM direct d WHERE d.cluster_id = c.cluster_id)
+             AS n_direct
+    FROM cc c WHERE c.cluster_size > 1
+    GROUP BY c.cluster_id
+  )
+  SELECT s AS cluster_size,
+         COUNT(*) AS n_clusters,
+         CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS possible_pairs,
+         CAST(SUM(n_direct) AS BIGINT) AS direct_pairs,
+         CAST(SUM(s * (s - 1) // 2 - n_direct) * 1000000
+              // SUM(s * (s - 1) // 2) AS BIGINT) AS transitive_ppm
+  FROM per_cluster
+  GROUP BY s ORDER BY s
+"""
+
+
+@register("near_dup_chain_audit", _CHAIN_AUDIT_ORACLE)
+def near_dup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-vs-direct pair census per near-dup cluster size (see
+    _CHAIN_AUDIT_ORACLE). Reuses the registered cluster and pair
+    operators; the audit itself runs at cluster cardinality."""
+    docs = load(spark, "documents", sf_dir)
+    cc = dedup_op.near_dup_clusters(docs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    direct = (
+        dedup_op.minhash_lsh_pairs(docs)
+        .select("doc_a")
+        .join(cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    per_cluster = (
+        cc.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_id")
+        .agg(F.max("cluster_size").alias("s"))
+        .join(direct, "cluster_id", "left")
+        .select(
+            "s", F.coalesce(F.col("n_direct"), F.lit(0)).alias("n_direct")
+        )
+    )
+    return (
+        per_cluster.groupBy(F.col("s").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.expr("s * (s - 1) DIV 2")).cast("long")
+            .alias("possible_pairs"),
+            F.sum("n_direct").cast("long").alias("direct_pairs"),
+            F.expr(
+                "CAST(SUM(s * (s - 1) DIV 2 - n_direct) * 1000000 "
+                "DIV SUM(s * (s - 1) DIV 2) AS BIGINT)"
+            ).alias("transitive_ppm"),
+        )
+        .orderBy("cluster_size")
+    )

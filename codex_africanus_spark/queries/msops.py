@@ -2665,3 +2665,108 @@ def statwt_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     delegates this to upstream tools). Zero-variance chunks excluded,
     cross-chunk products on the 1e-9 grid (order-free sums)."""
     return cal_op.statwt_reweight(tpch_ms.vis_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# r10: antenna-based RFI attribution — decompose per-baseline flag
+# counts under the ADDITIVE model f_ij ≈ a_i + a_j (an antenna with a
+# bad receiver inflates every baseline it touches). Complete-graph
+# least squares has the closed form a_i = (S_i − T/(n−1)) / (n−2) with
+# S_i the antenna's incident flag total and T the global total — the
+# additive sibling of the SIGNED delay decomposition
+# (antenna_delay_decomposition's τ_i − τ_j model). All-integer: the
+# score is emitted as a ppm numerator over the exact denominator
+# (n−2)(n−1); Spark DIV and DuckDB // share truncate-toward-zero.
+# Incomplete baseline graphs get is_complete = 0 (the estimator is
+# exact only on the complete graph — the report says so rather than
+# silently extrapolating).
+# ---------------------------------------------------------------------------
+
+_RFI_ATTR_ORACLE = _with_ms(
+    """
+    , bl AS (
+      SELECT antenna1, antenna2,
+             CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f
+      FROM vis WHERE antenna1 < antenna2
+      GROUP BY antenna1, antenna2
+    ),
+    ants AS (
+      SELECT antenna1 AS antenna FROM bl
+      UNION SELECT antenna2 FROM bl
+    ),
+    gstats AS (
+      SELECT (SELECT COUNT(*) FROM ants) AS n_ant,
+             (SELECT COUNT(*) FROM bl) AS n_pairs,
+             (SELECT CAST(SUM(f) AS BIGINT) FROM bl) AS t
+    ),
+    inc AS (
+      SELECT antenna1 AS antenna, f FROM bl
+      UNION ALL SELECT antenna2, f FROM bl
+    ),
+    s AS (
+      SELECT antenna, CAST(SUM(f) AS BIGINT) AS s_i,
+             COUNT(*) AS n_incident
+      FROM inc GROUP BY antenna
+    )
+    SELECT s.antenna, s.s_i, s.n_incident,
+           CASE WHEN g.n_ant > 2
+                THEN CAST((s.s_i * (g.n_ant - 1) - g.t) * 1000000
+                     // ((g.n_ant - 2) * (g.n_ant - 1)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS score_ppm,
+           CAST(CASE WHEN g.n_pairs = g.n_ant * (g.n_ant - 1) // 2
+                THEN 1 ELSE 0 END AS INT) AS is_complete
+    FROM s, gstats g
+    ORDER BY s.antenna
+    """
+)
+
+
+@register("antenna_rfi_attribution", _RFI_ATTR_ORACLE)
+def antenna_rfi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-antenna RFI score from the additive baseline-flag model
+    (see _RFI_ATTR_ORACLE). Fact work: one baseline-grain flag census;
+    the attribution runs on #antennas rows."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    bl = (
+        vis.filter(F.col("antenna1") < F.col("antenna2"))
+        .groupBy("antenna1", "antenna2")
+        .agg(
+            F.sum((F.col("flag") | F.col("flag_row")).cast("int"))
+            .cast("long").alias("f")
+        )
+    )
+    ants = bl.select(F.col("antenna1").alias("antenna")).union(
+        bl.select(F.col("antenna2").alias("antenna"))
+    ).distinct()
+    glob = ants.agg(F.count(F.lit(1)).alias("n_ant")).crossJoin(
+        bl.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("f").cast("long").alias("t"),
+        )
+    )
+    inc = bl.select(F.col("antenna1").alias("antenna"), "f").unionByName(
+        bl.select(F.col("antenna2").alias("antenna"), "f")
+    )
+    s = inc.groupBy("antenna").agg(
+        F.sum("f").cast("long").alias("s_i"),
+        F.count(F.lit(1)).alias("n_incident"),
+    )
+    return (
+        s.crossJoin(F.broadcast(glob))
+        .select(
+            "antenna", "s_i", "n_incident",
+            F.when(
+                F.col("n_ant") > 2,
+                F.expr(
+                    "CAST((s_i * (n_ant - 1) - t) * 1000000 "
+                    "DIV ((n_ant - 2) * (n_ant - 1)) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0)).alias("score_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_pairs = n_ant * (n_ant - 1) DIV 2 "
+                "THEN 1 ELSE 0 END AS INT)"
+            ).alias("is_complete"),
+        )
+        .orderBy("antenna")
+    )

@@ -1777,3 +1777,105 @@ def snapshot_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("has_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: snapshot branch + fast-forward merge (Nessie/Iceberg-branch
+# shape): a dev branch commits in ISOLATION over the shared data pool,
+# the source keeps serving its own head, and a fast-forward merge
+# lands the branch's delta as one atomic manifest commit. The census
+# proves all three read surfaces: main-before (slice A only), branch
+# (A+B), main-after-merge (A+B) — and time travel back to the
+# pre-merge main still reads A only. Layout-independent aggregate, so
+# the oracle recomputes straight from lineitem slices.
+# ---------------------------------------------------------------------------
+
+_BRANCH_MERGE_SQL = """
+  WITH a AS (
+    SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 5 = 0
+  ),
+  b AS (
+    SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 5 = 1
+  ),
+  phases AS (
+    SELECT 'branch' AS phase, * FROM a
+    UNION ALL SELECT 'branch', * FROM b
+    UNION ALL SELECT 'main_post', * FROM a
+    UNION ALL SELECT 'main_post', * FROM b
+    UNION ALL SELECT 'main_pre', * FROM a
+  )
+  SELECT phase, l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents
+  FROM phases GROUP BY phase, l_returnflag
+  ORDER BY phase, l_returnflag
+"""
+
+
+def _branch_root(sf_dir: str) -> str:
+    import hashlib
+    import os as _o
+    import tempfile as _t
+
+    tag = hashlib.md5(_o.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{_t.gettempdir()}/cas_branching/{tag}"
+
+
+@register("snapshot_branch_merge", _BRANCH_MERGE_SQL)
+def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-isolation + fast-forward-merge round-trip through the
+    snapshot sink (see module comment). Rebuilt only when the source
+    digest changes; the pre-merge main version stays time-travel
+    readable after the merge (asserted in tests/test_round10_snapshot
+    _branch.py — here the driver checks the three read surfaces)."""
+    from codex_africanus_spark.operators.similarity import (
+        _index_fresh_source,
+        _source_fingerprint,
+        _tombstone_index_meta,
+        _write_index_meta,
+    )
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _branch_root(sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    src_fp = _source_fingerprint(li.select(F.col("l_orderkey").alias("vec_id")))
+    consts = "branching=ff-merge;fmt=1"
+    main = f"{root}/main"
+    dev = f"{root}/dev"
+    if not _index_fresh_source(spark, root, 92, consts, src_fp):
+        import shutil
+
+        _tombstone_index_meta(spark, root)
+        shutil.rmtree(main, ignore_errors=True)
+        shutil.rmtree(dev, ignore_errors=True)
+        a = li.filter(F.col("l_orderkey") % 5 == 0).select(
+            "l_returnflag", "l_quantity"
+        )
+        b = li.filter(F.col("l_orderkey") % 5 == 1).select(
+            "l_returnflag", "l_quantity"
+        )
+        snap.commit(a, main, mode="overwrite")          # main v1
+        snap.create_branch(main, dev)                   # dev @ base v1
+        snap.commit(b, dev, mode="append")              # dev v2 (isolated)
+        snap.merge_ff(dev, main)                        # main v2 = A + B
+        _write_index_meta(spark, root, (92, 0, 0, consts), src_fp)
+    pre = snap.read_snapshot(spark, main, version=1).select(
+        F.lit("main_pre").alias("phase"), "l_returnflag", "l_quantity"
+    )
+    br = snap.read_snapshot(spark, dev).select(
+        F.lit("branch").alias("phase"), "l_returnflag", "l_quantity"
+    )
+    post = snap.read_snapshot(spark, main).select(
+        F.lit("main_post").alias("phase"), "l_returnflag", "l_quantity"
+    )
+    return (
+        pre.unionByName(br).unionByName(post)
+        .groupBy("phase", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)"))
+            .cast("long").alias("qty_cents"),
+        )
+        .orderBy("phase", "l_returnflag")
+    )

@@ -203,10 +203,14 @@ def commit(
     raise SnapshotConflictError(f"gave up after {max_retries} commit races")
 
 
-def vacuum(root: str, retain_from_version: int) -> list[str]:
+def vacuum(
+    root: str, retain_from_version: int, extra_live_roots: tuple = ()
+) -> list[str]:
     """Delete transaction directories unreachable from every version ≥
     `retain_from_version`; returns the removed directory names.  Time
-    travel keeps working for the retained window only."""
+    travel keeps working for the retained window only. With live
+    BRANCHES sharing the data pool, pass their roots via
+    `extra_live_roots` — their whole histories stay live (r10)."""
     head = latest_version(root)
     if head is None:
         return []
@@ -215,6 +219,11 @@ def vacuum(root: str, retain_from_version: int) -> list[str]:
     for v in range(retain_from_version, head + 1):
         for f in snapshot_files(root, v):
             live.add(f.split("/")[1])  # data/<txn>/...
+    for r2 in extra_live_roots:
+        h2 = latest_version(r2)
+        for v in range(1, (h2 or 0) + 1):
+            for f in snapshot_files(r2, v):
+                live.add(f.split("/")[1])
     removed = []
     data_root = Path(root) / _DATA_DIR
     for d in sorted(data_root.iterdir()) if data_root.is_dir() else []:
@@ -607,4 +616,113 @@ def commit_zordered(
     )
     return commit_with_stats(
         laid, root, stats_cols=[col_a, col_b], mode=mode, write_options=wo
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10: catalog BRANCHES + fast-forward merge (the Nessie/Iceberg-branch
+# shape): a branch is an independent manifest LOG over the SAME shared
+# data pool — creating one copies manifests (metadata-only, no data
+# movement) and links the data directory, so branch writers land
+# transaction dirs in the shared pool where they stay invisible to
+# every other log until merged. merge_ff applies the branch's
+# post-base commits to the source as ONE atomic commit, and only
+# fast-forwards (source head must still be the branch base — a real FF
+# contract, not a silent rebase).
+#
+# Vacuum note: `vacuum` reclaims against ONE log; with live branches
+# pass their roots via `extra_live_roots` or vacuum after merging —
+# a branch-only transaction dir is unreachable from the source log by
+# design.
+# ---------------------------------------------------------------------------
+
+_BRANCH_META = "_branch.json"
+
+
+def create_branch(root: str, branch_root: str, version: int | None = None) -> int:
+    """Create a branch of `root` at `version` (default head). Returns
+    the base version. Metadata-only: manifests up to the base are
+    copied; the data directory is shared via a symlink (an object-store
+    deployment would use absolute file refs instead)."""
+    base = latest_version(root) if version is None else version
+    if base is None:
+        raise FileNotFoundError(f"no snapshot log at {root}")
+    bp = Path(branch_root)
+    if bp.exists():
+        raise FileExistsError(f"branch root {branch_root} already exists")
+    blog = _log_dir(branch_root)
+    blog.mkdir(parents=True)
+    for v in range(1, base + 1):
+        shutil.copy2(_manifest_path(root, v), _manifest_path(branch_root, v))
+        cp = _checkpoint_path(root, v)
+        if cp.exists():
+            shutil.copy2(cp, _checkpoint_path(branch_root, v))
+    os.symlink(
+        os.path.abspath(os.path.join(root, _DATA_DIR)),
+        os.path.join(branch_root, _DATA_DIR),
+    )
+    (bp / _BRANCH_META).write_text(json.dumps(
+        {"source": os.path.abspath(root), "base_version": base}
+    ))
+    return base
+
+
+def _commit_manifest(
+    root: str, action: str, files: list[str], schema_json: str,
+    expected_version: int | None = None,
+) -> int:
+    """Manifest-only commit (no data write) — the merge primitive.
+    Same CAS publish as `commit`."""
+    log = _log_dir(root)
+    log.mkdir(parents=True, exist_ok=True)
+    head = latest_version(root) or 0
+    if expected_version is not None and head != expected_version:
+        raise SnapshotConflictError(
+            f"expected version {expected_version}, head is {head}"
+        )
+    version = head + 1
+    manifest = {
+        "version": version, "action": action, "files": files,
+        "schema": schema_json,
+    }
+    tmp = log / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    if not _publish(tmp, _manifest_path(root, version)):
+        raise SnapshotConflictError(f"lost the commit race at v{version}")
+    if version % CHECKPOINT_EVERY == 0:
+        cp = {"version": version, "files": snapshot_files(root, version)}
+        _checkpoint_path(root, version).write_text(json.dumps(cp))
+    return version
+
+
+def merge_ff(branch_root: str, root: str) -> int:
+    """Fast-forward merge: apply the branch's commits SINCE its base to
+    `root` as one atomic commit. Requires root's head == the branch
+    base (no concurrent source commits — raises SnapshotConflictError
+    otherwise; rebase is the caller's move). Returns the new source
+    version. If any post-base branch commit was an overwrite, the
+    merge commit is an overwrite with the branch head's file set; else
+    an append of every file added on the branch."""
+    meta = json.loads((Path(branch_root) / _BRANCH_META).read_text())
+    base = int(meta["base_version"])
+    bhead = latest_version(branch_root)
+    if bhead is None or bhead <= base:
+        return latest_version(root)  # nothing to merge
+    overwrote = False
+    added: list[str] = []
+    schema_json = None
+    for v in range(base + 1, bhead + 1):
+        m = _read_manifest(branch_root, v)
+        schema_json = m["schema"]
+        if m["action"] == "overwrite":
+            overwrote = True
+            added = list(m["files"])
+        else:
+            added = added + list(m["files"])
+    if overwrote:
+        return _commit_manifest(
+            root, "overwrite", added, schema_json, expected_version=base
+        )
+    return _commit_manifest(
+        root, "append", added, schema_json, expected_version=base
     )

@@ -138,6 +138,7 @@ LLM_QUERIES = [
     "dedup_rate_ingest_curve",
     "av_sync_drift_report",
     "embedding_sq8_error_by_label",
+    "near_dup_chain_audit",
     "pq_codebook_retrain_drift",
     "cross_modal_retrieval_eval",
     # round-9 additions

@@ -72,6 +72,11 @@ RADIO_QUERIES = [
     "psf_sidelobe_profile",
     "wproj_planes_planner",
     "events_weekday_profile",
+    "antenna_rfi_attribution",
+    # snapshot_branch_merge: snapshot-tier queries need the full TPC-H
+    # lineitem schema (l_returnflag) — covered by
+    # test_round10_snapshot_branch.py + 4-scale rehearsals instead,
+    # the compaction/schema-evolution precedent
     # round-7 additions
     "rime_custom_term_predict",
     "facet_wproj_kernel_sweep",

@@ -125,7 +125,8 @@ QUERIES = [
     "events_periodicity_autocorr", "dedup_rate_ingest_curve",
     "av_sync_drift_report", "psf_sidelobe_profile",
     "wproj_planes_planner", "embedding_sq8_error_by_label",
-    "events_weekday_profile",
+    "events_weekday_profile", "antenna_rfi_attribution",
+    "near_dup_chain_audit", "snapshot_branch_merge",
 ]
 
 spark = (
