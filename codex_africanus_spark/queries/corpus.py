@@ -3050,3 +3050,79 @@ def near_dup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: cross-source NEAR-dup contamination matrix — the fuzzy-level
+# sibling of source_overlap_matrix (which counts exact shingle
+# overlap): how many MinHash near-dup pairs cross each (source_a,
+# source_b) boundary, and what fraction of the smaller source is
+# contaminated. The inter-source dedup-policy signal (e.g. CC dumps vs
+# curated sets) pipelines check before mixing sources.
+# ---------------------------------------------------------------------------
+
+_XSOURCE_FUZZY_ORACLE = f"""
+  WITH pairs AS (
+    SELECT doc_a, doc_b FROM ({dedup_op.MINHASH_LSH_SQL})
+    WHERE n_sig_match >= 6
+  ),
+  tagged AS (
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+  SELECT t.source_a, t.source_b, t.n_pairs,
+         CAST(t.n_pairs * 1000000 // LEAST(sa.n_docs, sb.n_docs) AS BIGINT)
+           AS contamination_ppm
+  FROM tagged t
+  JOIN sizes sa ON sa.source = t.source_a
+  JOIN sizes sb ON sb.source = t.source_b
+  ORDER BY t.source_a, t.source_b
+"""
+
+
+@register("cross_source_fuzzy_matrix", _XSOURCE_FUZZY_ORACLE)
+def cross_source_fuzzy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair with the
+    smaller-source contamination rate in ppm (see
+    _XSOURCE_FUZZY_ORACLE). Reuses the registered LSH pair operator;
+    the matrix is #source-pairs rows."""
+    docs = load(spark, "documents", sf_dir)
+    pairs = dedup_op.minhash_lsh_pairs(docs).filter(
+        F.col("n_sig_match") >= 6
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("sa")), "doc_a")
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("sb")), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tagged.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_docs").alias("na"))), "source_a")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_docs").alias("nb"))), "source_b")
+        .select(
+            "source_a", "source_b", "n_pairs",
+            F.expr(
+                "CAST(n_pairs * 1000000 DIV LEAST(na, nb) AS BIGINT)"
+            ).alias("contamination_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1195,3 +1195,87 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: session-duration quantiles on the deterministic value grid —
+# composes the relational sessionizer with the grid-quantile discipline
+# (value error ≤ one 60 s bucket, bit-deterministic ⇒ exactly oracled;
+# the engine's KLL-slot answer for "p50/p90/p99 session length", the
+# engagement KPI behind retention dashboards). Sessions collapse
+# map-side; the cumulative window runs on the bounded bucket grid.
+# ---------------------------------------------------------------------------
+
+_SESS_DUR_ORACLE = _with_ms(
+    """
+    , sess AS (
+      SELECT user_id, session_idx,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM (
+        SELECT event_id, user_id, ts_us,
+               SUM(isn) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM (
+          SELECT event_id, user_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NOT NULL
+                           AND ts_us - lag(ts_us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS isn
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+      )
+      GROUP BY user_id, session_idx
+    ),
+    buckets AS (
+      SELECT LEAST(dur_us // 60000000, 10000) AS bucket, COUNT(*) AS c
+      FROM sess GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cc
+      FROM buckets
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_sessions FROM buckets),
+    qs(q) AS (VALUES (50), (90), (99))
+    SELECT qs.q, n.n_sessions,
+           CAST(MIN(CASE WHEN cum.cc >= (n.n_sessions * qs.q + 99) // 100
+                    THEN cum.bucket END) AS BIGINT) AS bucket,
+           CAST(MIN(CASE WHEN cum.cc >= (n.n_sessions * qs.q + 99) // 100
+                    THEN cum.bucket END) * 60 AS BIGINT) AS approx_secs
+    FROM qs, n, cum
+    GROUP BY qs.q, n.n_sessions
+    ORDER BY qs.q
+    """
+)
+
+
+@register("events_session_duration_quantiles", _SESS_DUR_ORACLE)
+def events_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 session duration on the 60 s grid (see
+    _SESS_DUR_ORACLE)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    sess = (
+        bda_op.sessionize_relational(ev)
+        .groupBy("user_id", "session_idx")
+        .agg((F.max("ts_us") - F.min("ts_us")).alias("dur_us"))
+    )
+    buckets = sess.groupBy(
+        F.least(F.expr("dur_us DIV 60000000"), F.lit(10000)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = buckets.withColumn("cc", F.sum("c").over(w))
+    n = buckets.agg(F.sum("c").cast("long").alias("n_sessions"))
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    hit = F.when(
+        F.col("cc") >= F.expr("(n_sessions * q + 99) DIV 100"),
+        F.col("bucket"),
+    )
+    return (
+        F.broadcast(qs).crossJoin(F.broadcast(n)).crossJoin(cum)
+        .groupBy("q", "n_sessions")
+        .agg(
+            F.min(hit).cast("long").alias("bucket"),
+            (F.min(hit) * 60).cast("long").alias("approx_secs"),
+        )
+        .orderBy("q")
+    )

@@ -1879,3 +1879,79 @@ def snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: market-basket brand lift — association-rule mining at brand
+# grain (the retail-analytics staple the TPC-H shapes never cover):
+# for every unordered brand pair, lift = P(a,b)/(P(a)·P(b)) =
+# n_ab·N / (n_a·n_b) over order baskets. Brand-grain keeps the pair
+# space ≤ 300 at any corpus size; the per-order distinct collapse is
+# the only fact-scale pass. Lift from exact integer counts (products
+# < 2^53 — exact in the double division), 1e-6-quantized.
+# ---------------------------------------------------------------------------
+
+_BASKET_LIFT_SQL = """
+  WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  ),
+  norders AS (SELECT COUNT(DISTINCT okey) AS n FROM ob),
+  per AS (SELECT brand, COUNT(*) AS n_b FROM ob GROUP BY brand),
+  pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+    FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+    GROUP BY a.brand, b.brand
+  )
+  SELECT p.brand_a, p.brand_b, p.n_ab,
+         CAST(ROUND(CAST(p.n_ab AS DOUBLE) * n.n
+                    / (CAST(pa.n_b AS DOUBLE) * pb.n_b) * 1000000.0)
+              AS BIGINT) AS lift_q6
+  FROM pairs p
+  JOIN per pa ON pa.brand = p.brand_a
+  JOIN per pb ON pb.brand = p.brand_b
+  CROSS JOIN norders n
+  ORDER BY p.brand_a, p.brand_b
+"""
+
+
+@register("market_basket_brand_lift", _BASKET_LIFT_SQL)
+def market_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair lift over order baskets (see _BASKET_LIFT_SQL)."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    norders = ob.agg(F.count_distinct("okey").alias("n"))
+    per = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, ["okey"])
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    q6 = (
+        F.col("n_ab").cast("double") * F.col("n")
+        / (F.col("na").cast("double") * F.col("nb"))
+    ) * F.lit(1e6)
+    return (
+        pairs.join(
+            F.broadcast(per.select(F.col("brand").alias("brand_a"),
+                                   F.col("n_b").alias("na"))), "brand_a")
+        .join(
+            F.broadcast(per.select(F.col("brand").alias("brand_b"),
+                                   F.col("n_b").alias("nb"))), "brand_b")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            (q6 + F.when(q6 >= 0, F.lit(0.5)).otherwise(F.lit(-0.5)))
+            .cast("long").alias("lift_q6"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -139,6 +139,7 @@ LLM_QUERIES = [
     "av_sync_drift_report",
     "embedding_sq8_error_by_label",
     "near_dup_chain_audit",
+    "cross_source_fuzzy_matrix",
     "pq_codebook_retrain_drift",
     "cross_modal_retrieval_eval",
     # round-9 additions

@@ -73,6 +73,9 @@ RADIO_QUERIES = [
     "wproj_planes_planner",
     "events_weekday_profile",
     "antenna_rfi_attribution",
+    "events_session_duration_quantiles",
+    # market_basket_brand_lift: needs the part dimension table, which
+    # the fuzz fixture does not carry — 4-scale rehearsals cover it
     # snapshot_branch_merge: snapshot-tier queries need the full TPC-H
     # lineitem schema (l_returnflag) — covered by
     # test_round10_snapshot_branch.py + 4-scale rehearsals instead,

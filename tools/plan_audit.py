@@ -127,6 +127,8 @@ QUERIES = [
     "wproj_planes_planner", "embedding_sq8_error_by_label",
     "events_weekday_profile", "antenna_rfi_attribution",
     "near_dup_chain_audit", "snapshot_branch_merge",
+    "cross_source_fuzzy_matrix", "market_basket_brand_lift",
+    "events_session_duration_quantiles",
 ]
 
 spark = (
