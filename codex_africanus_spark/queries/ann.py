@@ -1000,3 +1000,52 @@ def embedding_sq8_error_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: embedding-norm drift by ingest decile — the encoder-version
+# drift monitor for a growing corpus: if a re-deployed text encoder
+# shifts output scale, mean vector norm moves with vec_id (ingest
+# order). Norms as exact integer quantized dot products; per-decile
+# mean emitted as the exact integer pair (sum, n) plus their division
+# (identical int-derived doubles).
+# ---------------------------------------------------------------------------
+
+_NORM_DRIFT_ORACLE = f"""
+  WITH n AS (
+    SELECT vec_id,
+           {sim_op._qdot_sql('embedding', 'embedding')} AS n2q
+    FROM embeddings
+  ),
+  b AS (SELECT MAX(vec_id) AS mx FROM embeddings)
+  SELECT CAST((n.vec_id * 10) // (b.mx + 1) AS INT) AS decile,
+         COUNT(*) AS n_vecs,
+         CAST(SUM(n.n2q) AS BIGINT) AS norm2_sum_q,
+         CAST(SUM(n.n2q) AS DOUBLE) / COUNT(*) AS mean_norm2_q
+  FROM n, b
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("embedding_norm_ingest_drift", _NORM_DRIFT_ORACLE)
+def embedding_norm_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean squared vector norm per ingest decile (see
+    _NORM_DRIFT_ORACLE). One scan projection + a 10-row rollup."""
+    emb = load(spark, "embeddings", sf_dir)
+    mx = emb.agg(F.max("vec_id").alias("mx"))
+    n = emb.select(
+        "vec_id", sim_op._qdot("embedding", "embedding").alias("n2q")
+    )
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("CAST((vec_id * 10) DIV (mx + 1) AS INT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n2q").cast("long").alias("norm2_sum_q"),
+            (F.sum("n2q").cast("double") / F.count(F.lit(1)))
+            .alias("mean_norm2_q"),
+        )
+        .orderBy("decile")
+    )

@@ -1955,3 +1955,64 @@ def market_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: supplier-concentration HHI per brand — the Herfindahl-Hirschman
+# index of supplier share within each part brand's shipped quantity
+# (procurement-risk analytics: HHI > 0.25 ~ concentrated supply). All
+# integer: shares in ppm via truncating division, HHI = Σ share_ppm² in
+# ppm² units — order-free exact sums, no float anywhere.
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+  WITH sq AS (
+    SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS q_c
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+  ),
+  tot AS (SELECT brand, CAST(SUM(q_c) AS BIGINT) AS t FROM sq GROUP BY brand),
+  shares AS (
+    SELECT s.brand, CAST(s.q_c * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM sq s JOIN tot t USING (brand)
+  )
+  SELECT brand,
+         COUNT(*) AS n_suppliers,
+         CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+         CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+  FROM shares GROUP BY brand ORDER BY brand
+"""
+
+
+@register("supplier_concentration_hhi", _HHI_SQL)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand supplier HHI from exact integer quantity shares (see
+    _HHI_SQL). One (brand, supplier)-grain collapse; the index runs on
+    dimension-grain rows."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    sq = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)"))
+             .cast("long").alias("q_c"))
+    )
+    tot = sq.groupBy("brand").agg(F.sum("q_c").cast("long").alias("t"))
+    shares = sq.join(tot, "brand").select(
+        "brand", F.expr("CAST(q_c * 1000000 DIV t AS BIGINT)").alias("share_ppm")
+    )
+    return (
+        shares.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("share_ppm") * F.col("share_ppm")).cast("long")
+            .alias("hhi_ppm2"),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("brand")
+    )

@@ -140,6 +140,7 @@ LLM_QUERIES = [
     "embedding_sq8_error_by_label",
     "near_dup_chain_audit",
     "cross_source_fuzzy_matrix",
+    "embedding_norm_ingest_drift",
     "pq_codebook_retrain_drift",
     "cross_modal_retrieval_eval",
     # round-9 additions

@@ -128,7 +128,8 @@ QUERIES = [
     "events_weekday_profile", "antenna_rfi_attribution",
     "near_dup_chain_audit", "snapshot_branch_merge",
     "cross_source_fuzzy_matrix", "market_basket_brand_lift",
-    "events_session_duration_quantiles",
+    "events_session_duration_quantiles", "supplier_concentration_hhi",
+    "embedding_norm_ingest_drift",
 ]
 
 spark = (
