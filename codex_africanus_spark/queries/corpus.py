@@ -3126,3 +3126,69 @@ def cross_source_fuzzy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: corpus composition rollup — the per-(source, lang) token/char
+# census a training-data mixing report leads with, plus per-source and
+# global margins from one Expand plan (`df.rollup`). Token counting
+# reuses the whitespace tokenizer contract (split on runs of
+# whitespace) expressed as pure SQL on both engines so the rollup stays
+# entirely JVM-side — no Python in the fact path.
+# ---------------------------------------------------------------------------
+
+_CORPUS_ROLLUP_ORACLE = """
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g')) -
+                  length(regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '', 'g'))
+                  + CASE WHEN trim(text) = '' THEN 0 ELSE 1 END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT
+      CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS src,
+      CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END     AS language,
+      CAST(GROUPING_ID(source, lang) AS INT)                    AS gid,
+      COUNT(*)                                                  AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT)                              AS chars_sum,
+      CAST(SUM(n_tokens) AS BIGINT)                             AS tokens_sum,
+      CAST(SUM(n_chars) * 1000000 // SUM(n_tokens) AS BIGINT)   AS chars_per_token_ppm
+    FROM d
+    GROUP BY ROLLUP(source, lang)
+    ORDER BY gid, src, language
+"""
+
+
+@register("corpus_rollup_source_lang", _CORPUS_ROLLUP_ORACLE)
+def corpus_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus census with rollup margins in one
+    Expand plan (see the section comment)."""
+    docs = load(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    n_tokens = (
+        F.length(norm) - F.length(F.regexp_replace(norm, " ", ""))
+        + F.when(F.trim(F.col("text")) == "", 0).otherwise(1)
+    ).cast("long")
+    d = docs.select("source", "lang", "n_chars", n_tokens.alias("n_tokens"))
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping("source").alias("g_s"),
+            F.grouping("lang").alias("g_l"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("n_tokens").cast("long").alias("tokens_sum"),
+        )
+        .select(
+            F.when(F.col("g_s") == 1, F.lit("ALL"))
+            .otherwise(F.col("source")).alias("src"),
+            F.when(F.col("g_l") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang")).alias("language"),
+            "gid", "n_docs", "chars_sum", "tokens_sum",
+            F.expr("CAST(chars_sum * 1000000 DIV tokens_sum AS BIGINT)")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("gid", "src", "language")
+    )

@@ -1279,3 +1279,70 @@ def events_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: GROUPING SETS over the event stream — (type × weekday), the two
+# one-dimensional profiles, and the global total in ONE fact scan
+# (`df.groupingSets`, Spark 4's native API → a single Expand +
+# hash-aggregate; the margins are NOT a re-scan). Weekday is pure
+# integer arithmetic on the epoch-us clock ((day + 4) % 7, epoch day 0
+# = Thursday) so both engines derive it identically — no timezone /
+# locale dayofweek() semantics in the parity path. Value sums on the
+# exact 1e-6 grid.
+# ---------------------------------------------------------------------------
+
+_EV_GSETS_ORACLE = _with_ms(
+    """
+    , evd AS (
+      SELECT event_type,
+             CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS weekday,
+             CAST(ROUND(value * 1000000) AS BIGINT)      AS v_micro
+      FROM ev
+    )
+    SELECT
+      CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+        AS etype,
+      CAST(CASE WHEN GROUPING(weekday) = 1 THEN -1 ELSE weekday END AS INT)
+        AS weekday,
+      CAST(GROUPING_ID(event_type, weekday) AS INT) AS gid,
+      COUNT(*) AS n_events,
+      CAST(SUM(v_micro) AS BIGINT) AS value_micro_sum
+    FROM evd
+    GROUP BY GROUPING SETS ((event_type, weekday), (event_type), (weekday), ())
+    ORDER BY gid, etype, weekday
+    """
+)
+
+
+@register("events_grouping_sets_profile", _EV_GSETS_ORACLE)
+def events_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four grouping sets over the event stream in one Expand plan
+    (see the section comment)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    evd = ev.select(
+        "event_type",
+        F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("weekday"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+    )
+    return (
+        evd.groupingSets(
+            [["event_type", "weekday"], ["event_type"], ["weekday"], []],
+            "event_type", "weekday",
+        )
+        .agg(
+            F.grouping("event_type").alias("g_t"),
+            F.grouping("weekday").alias("g_w"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_micro").cast("long").alias("value_micro_sum"),
+        )
+        .select(
+            F.when(F.col("g_t") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type")).alias("etype"),
+            F.when(F.col("g_w") == 1, F.lit(-1))
+            .otherwise(F.col("weekday")).cast("int").alias("weekday"),
+            "gid", "n_events", "value_micro_sum",
+        )
+        .orderBy("gid", "etype", "weekday")
+    )

@@ -2770,3 +2770,64 @@ def antenna_rfi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antenna")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: CUBE over the MS flag grain — per-(antenna1, channel) flag
+# occupancy plus BOTH one-dimensional margins and the global total from
+# a single fact scan (CASA flagdata's summary mode reports exactly this
+# antenna/channel flag-percentage lattice; the reference leaves it to
+# upstream tools). The Expand fans each row to the 4 cube levels
+# map-side; the shuffled key space is (levels × |ant|×|chan|) — tiny.
+# Rolled-up integer keys use the -1 sentinel (real keys are >= 0).
+# ---------------------------------------------------------------------------
+
+_FLAG_CUBE_ORACLE = _with_ms(
+    """
+    SELECT
+      CAST(CASE WHEN GROUPING(antenna1) = 1 THEN -1 ELSE antenna1 END AS INT)
+        AS ant1,
+      CAST(CASE WHEN GROUPING(chan) = 1 THEN -1 ELSE chan END AS INT)
+        AS chan_id,
+      CAST(GROUPING_ID(antenna1, chan) AS INT) AS gid,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      CAST(SUM(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS flag_ppm,
+      CAST(SUM(CAST(weight AS BIGINT)) AS BIGINT) AS weight_sum
+    FROM vis
+    GROUP BY CUBE(antenna1, chan)
+    ORDER BY gid, ant1, chan_id
+    """
+)
+
+
+@register("ms_flag_cube_summary", _FLAG_CUBE_ORACLE)
+def ms_flag_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flagdata-summary lattice: antenna×channel flag occupancy with
+    margins, one Expand + hash-agg plan (see the section comment)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    flagged = (F.col("flag") | F.col("flag_row")).cast("int")
+    return (
+        vis.cube("antenna1", "chan")
+        .agg(
+            F.grouping("antenna1").alias("g_a"),
+            F.grouping("chan").alias("g_c"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.sum(F.col("weight").cast("long")).alias("weight_sum"),
+        )
+        .select(
+            F.when(F.col("g_a") == 1, F.lit(-1))
+            .otherwise(F.col("antenna1")).cast("int").alias("ant1"),
+            F.when(F.col("g_c") == 1, F.lit(-1))
+            .otherwise(F.col("chan")).cast("int").alias("chan_id"),
+            "gid", "n_rows", "n_flagged",
+            F.expr("CAST(n_flagged * 1000000 DIV n_rows AS BIGINT)")
+            .alias("flag_ppm"),
+            "weight_sum",
+        )
+        .orderBy("gid", "ant1", "chan_id")
+    )

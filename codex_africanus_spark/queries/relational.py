@@ -2016,3 +2016,60 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: ROLLUP over the Q1 pricing grain — the reference's summary
+# tooling reports per-(returnflag, linestatus) AND margin totals in one
+# pass (africanus has no analogue; TPC-H tooling does it with repeated
+# scans). Spark expresses it as a single Expand + hash-aggregate plan
+# (`df.rollup`) — ONE fact scan produces all three grouping levels, and
+# the Expand multiplies rows map-side BEFORE the shuffle so the
+# exchange carries (3 levels × group cardinality), not 3× the fact.
+# GROUPING_ID convention (leftmost key = MSB) verified identical in
+# Spark and DuckDB; rolled-up keys are emitted as the 'ALL' sentinel so
+# the output carries no NULL group keys.
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_rollup_pricing",
+    """
+    SELECT
+      CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        AS returnflag,
+      CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        AS linestatus,
+      CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        AS sum_base_cents
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def lineitem_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing grain + rollup margins in one Expand plan (see the
+    section comment). Exact integer aggregates at every level."""
+    li = load(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+        )
+        .select(
+            F.when(F.col("g_rf") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag")).alias("returnflag"),
+            F.when(F.col("g_ls") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus")).alias("linestatus"),
+            "gid", "n_items", "sum_qty", "sum_base_cents",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )

@@ -653,3 +653,22 @@ def test_fringe_stop_fit_joins_broadcast(spark, sf_dir):
     plan = plan_of(registry()["fringe_stop_apply"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_cube_single_expand_single_shuffle(spark, sf_dir):
+    """r11 grouping-lattice family: every level comes from ONE Expand +
+    partial/final hash agg over ONE shuffle — never a per-level rescan,
+    never a join. The Expand multiplies rows map-side, so the exchange
+    carries (levels x group cardinality), not levels x fact."""
+    for name in (
+        "lineitem_rollup_pricing",
+        "ms_flag_cube_summary",
+        "events_grouping_sets_profile",
+        "corpus_rollup_source_lang",
+    ):
+        plan = plan_of(registry()[name].fn(spark, sf_dir))
+        assert plan.count("Expand") == 1, name
+        assert plan.count("HashAggregate") >= 2, name
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
