@@ -2831,3 +2831,201 @@ def ms_flag_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "ant1", "chan_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: 1-D phase unwrapping per baseline (ROADMAP r11 candidate) — the
+# classic calibration step (numpy.unwrap over a baseline's phase-time
+# series; the reference consumes pre-unwrapped phases upstream of
+# gauss_newton). Expressed as the monotone-trigger sequential class:
+# a lag-window wrap detector feeding a running cumulative corrector —
+# NO recursion needed because each correction depends only on the
+# adjacent pair. Entirely on the integer milliradian grid (2pi = 6283
+# mrad, phases in [-3141, 3141], |step| <= 6282 so a single +-1 wrap
+# per step is exhaustive) — bit-exact across engines by construction.
+# One shuffle on the baseline key; both windows and the final collapse
+# reuse the same partitioning.
+# ---------------------------------------------------------------------------
+
+_PHASE_UNWRAP_ORACLE = _with_ms(
+    """
+    , ph AS (
+      SELECT antenna1, antenna2, time, row_id,
+             ((CAST(ROUND(u*10) AS BIGINT) * 97
+               + CAST(ROUND(vis_im*10) AS BIGINT) * 131
+               + CAST(vis_re AS BIGINT) * 211 + row_id) % 6283 + 6283)
+               % 6283 - 3141 AS p_mrad
+      FROM vis
+    ),
+    st AS (
+      SELECT *, p_mrad - LAG(p_mrad) OVER w AS d
+      FROM ph
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id)
+    ),
+    corr AS (
+      SELECT *,
+             CASE WHEN d > 3141 THEN -1 WHEN d < -3141 THEN 1 ELSE 0 END AS c
+      FROM st
+    ),
+    unw AS (
+      SELECT antenna1, antenna2,
+             c,
+             p_mrad + 6283 * SUM(c) OVER w AS unw_mrad,
+             ROW_NUMBER() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time DESC, row_id DESC) AS rn_last
+      FROM corr
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT antenna1, antenna2,
+           COUNT(*)                                  AS n_samples,
+           CAST(SUM(c) AS BIGINT)                    AS net_wraps,
+           CAST(SUM(ABS(c)) AS BIGINT)               AS total_wraps,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN unw_mrad END) AS BIGINT)
+                                                     AS final_unw_mrad,
+           CAST(MAX(unw_mrad) - MIN(unw_mrad) AS BIGINT) AS span_mrad
+    FROM unw
+    GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("phase_unwrap_per_baseline", _PHASE_UNWRAP_ORACLE)
+def phase_unwrap_per_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid 1-D phase unwrap per baseline (see the section
+    comment): lag-window wrap detector + running corrector + collapse,
+    all under ONE baseline-key shuffle."""
+    from pyspark.sql import Window as W
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    ph = vis.select(
+        "antenna1", "antenna2", "time", "row_id",
+        (
+            (
+                (F.round(F.col("u") * 10).cast("long") * 97
+                 + F.round(F.col("vis_im") * 10).cast("long") * 131
+                 + F.col("vis_re").cast("long") * 211 + F.col("row_id"))
+                % 6283 + 6283
+            ) % 6283 - 3141
+        ).alias("p_mrad"),
+    )
+    w = W.partitionBy("antenna1", "antenna2").orderBy("time", "row_id")
+    st = ph.withColumn("d", F.col("p_mrad") - F.lag("p_mrad").over(w))
+    corr = st.withColumn(
+        "c",
+        F.when(F.col("d") > 3141, F.lit(-1))
+        .when(F.col("d") < -3141, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wlast = W.partitionBy("antenna1", "antenna2").orderBy(
+        F.col("time").desc(), F.col("row_id").desc()
+    )
+    unw = corr.select(
+        "antenna1", "antenna2", "c",
+        (F.col("p_mrad") + 6283 * F.sum("c").over(wrun)).alias("unw_mrad"),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    return (
+        unw.groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("c").cast("long").alias("net_wraps"),
+            F.sum(F.abs(F.col("c"))).cast("long").alias("total_wraps"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("unw_mrad")))
+            .cast("long").alias("final_unw_mrad"),
+            (F.max("unw_mrad") - F.min("unw_mrad")).cast("long")
+            .alias("span_mrad"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: trailing-window flag-rate monitor — per (baseline, sample) the
+# flag rate over the trailing 7 days via a time-RANGE window frame
+# (RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW on the integral-
+# second clock — a NEW frame shape in the registry: value-range, not
+# row-count), collapsed to the per-baseline peak. The online-RFI
+# trigger a live array monitor runs ("flag rate over the last N days
+# just spiked on this baseline"). Integer end-to-end: counts and a ppm
+# ratio under truncating division on both engines.
+# ---------------------------------------------------------------------------
+
+_ROLLING_FLAG_ORACLE = _with_ms(
+    """
+    , b AS (
+      SELECT antenna1, antenna2,
+             CAST(time AS BIGINT) AS t_sec,
+             CAST(CASE WHEN flag OR flag_row THEN 1 ELSE 0 END AS BIGINT) AS f
+      FROM vis
+    ),
+    r AS (
+      SELECT antenna1, antenna2, t_sec,
+             SUM(f) OVER w    AS w_flagged,
+             COUNT(*) OVER w  AS w_rows
+      FROM b
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY t_sec
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    ),
+    rr AS (
+      SELECT antenna1, antenna2, t_sec,
+             CAST(w_flagged * 1000000 // w_rows AS BIGINT) AS rate_ppm
+      FROM r
+    ),
+    rr2 AS (
+      SELECT *, MAX(rate_ppm) OVER (PARTITION BY antenna1, antenna2) AS mx
+      FROM rr
+    )
+    SELECT antenna1, antenna2,
+           COUNT(*)                           AS n_samples,
+           CAST(MAX(rate_ppm) AS BIGINT)      AS peak_rate_ppm,
+           CAST(MIN(CASE WHEN rate_ppm = mx THEN t_sec END) AS BIGINT)
+                                              AS peak_first_t_sec
+    FROM rr2
+    GROUP BY antenna1, antenna2
+    ORDER BY antenna1, antenna2
+    """
+)
+
+
+@register("baseline_rolling_flag_rate", _ROLLING_FLAG_ORACLE)
+def baseline_rolling_flag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-baseline peak of the trailing-7-day flag rate via a
+    value-RANGE window frame (see the section comment)."""
+    from pyspark.sql import Window as W
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    b = vis.select(
+        "antenna1", "antenna2",
+        F.col("time").cast("long").alias("t_sec"),
+        (F.col("flag") | F.col("flag_row")).cast("long").alias("f"),
+    )
+    w = (
+        W.partitionBy("antenna1", "antenna2")
+        .orderBy("t_sec")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    r = b.select(
+        "antenna1", "antenna2", "t_sec",
+        F.sum("f").over(w).alias("w_flagged"),
+        F.count(F.lit(1)).over(w).alias("w_rows"),
+    )
+    rr = r.select(
+        "antenna1", "antenna2", "t_sec",
+        F.expr("CAST(w_flagged * 1000000 DIV w_rows AS BIGINT)")
+        .alias("rate_ppm"),
+    )
+    wmax = W.partitionBy("antenna1", "antenna2")
+    peak = rr.withColumn("mx", F.max("rate_ppm").over(wmax))
+    return (
+        peak.groupBy("antenna1", "antenna2")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("rate_ppm").cast("long").alias("peak_rate_ppm"),
+            F.min(F.when(F.col("rate_ppm") == F.col("mx"), F.col("t_sec")))
+            .cast("long").alias("peak_first_t_sec"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )

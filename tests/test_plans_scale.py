@@ -672,3 +672,22 @@ def test_rollup_cube_single_expand_single_shuffle(spark, sf_dir):
         assert "partial_count" in plan or "partial_sum" in plan, name
         assert "Join" not in plan, name
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_phase_unwrap_single_baseline_shuffle(spark, sf_dir):
+    """r11: lag window, running corrector, last-row marker and the
+    final collapse must all reuse ONE baseline-key exchange; the only
+    other exchange is the diagnostic ORDER BY (28 rows, range)."""
+    plan = plan_of(registry()["phase_unwrap_per_baseline"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_rolling_flag_rate_single_shuffle_range_frame(spark, sf_dir):
+    """r11: the trailing-window monitor runs the RANGE frame and the
+    peak window on one baseline-key exchange; no join."""
+    plan = plan_of(registry()["baseline_rolling_flag_rate"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "RANGE BETWEEN" in plan or "specifiedwindowframe" in plan.lower() or plan.count("Window") >= 2
