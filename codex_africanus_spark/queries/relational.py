@@ -1477,8 +1477,13 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = orders.filter(F.col("k") % 10 == 0).select(
         "k", (F.col("price_c2") * 2).alias("price_c2"), F.lit("upd").alias("tag")
     )
+    # Insert keys live in the NEGATIVE key space: order keys are
+    # positive at every scale, so -k-1 can never collide with an
+    # existing base key. (r11 sf1.0 sweep fork: the old +1e9 shift
+    # collided with gen_sf1's copy shift — also 1e9 — turning 90% of
+    # the "inserts" into silent updates that consumed base rows.)
     ins = orders.filter(F.col("k") % 1000 == 1).select(
-        (F.col("k") + 1000000000).alias("k"), "price_c2",
+        (-F.col("k") - 1).alias("k"), "price_c2",
         F.lit("ins").alias("tag"),
     )
     snap_mod.merge_into(spark, root, upd.unionByName(ins), key="k")
