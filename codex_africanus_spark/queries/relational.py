@@ -2078,3 +2078,111 @@ def lineitem_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "returnflag", "linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: non-fast-forward branch merge with conflict detection
+# (snapshot.merge_3way — the Delta-WriteSerializable / Nessie-merge
+# analogue). The scenario drives BOTH verdicts:
+#   commits 1-3: base (all keys, positive), branch appends the returned
+#     rows in the NEGATIVE key space, source concurrently appends the
+#     linenumber-1 rows (positive) -> key ranges provably disjoint ->
+#     merge_3way lands the branch append on the advanced source head.
+#   commits 4-6: a second branch and the source both append into the
+#     positive key space -> ranges overlap -> merge_3way REFUSES
+#     (SnapshotConflictError with the conflicting file pairs); the
+#     branch rows must NOT appear in the final table while the source's
+#     own append stands.
+# The read-back provenance rollup + the conflict census are oracled
+# straight from lineitem.
+# ---------------------------------------------------------------------------
+
+_MERGE3_ORACLE = """
+  WITH li AS (
+    SELECT l_returnflag, l_linenumber, l_orderkey,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c2
+    FROM lineitem
+  )
+  SELECT 'base' AS tag, COUNT(*) AS n_rows,
+         CAST(SUM(qty_c2) AS BIGINT) AS qty_c2 FROM li
+  UNION ALL
+  SELECT 'br', COUNT(*), CAST(SUM(qty_c2) AS BIGINT)
+  FROM li WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'src', COUNT(*), CAST(SUM(qty_c2) AS BIGINT)
+  FROM li WHERE l_linenumber = 1
+  UNION ALL
+  SELECT 'src2', COUNT(*), CAST(SUM(qty_c2) AS BIGINT)
+  FROM li WHERE l_orderkey % 100 = 9
+  UNION ALL
+  SELECT 'conflict', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  ORDER BY tag
+"""
+
+
+@register("snapshot_merge_conflict", _MERGE3_ORACLE)
+def snapshot_merge_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive merge_3way through its accept AND refuse paths (see the
+    section comment); emit the provenance rollup of the final table
+    plus the conflict census."""
+    import shutil
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c2"),
+        "l_returnflag", "l_linenumber", "l_orderkey",
+    )
+    root = f"{tempfile.gettempdir()}/cas_snapshot/li_3way"
+    br1 = f"{tempfile.gettempdir()}/cas_snapshot/li_3way_br1"
+    br2 = f"{tempfile.gettempdir()}/cas_snapshot/li_3way_br2"
+    for p in (root, br1, br2):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cols = ["k", "qty_c2"]
+    base = li.select(*cols).withColumn("tag", F.lit("base"))
+    snap_mod.commit_with_stats(base, root, stats_cols=["k"], mode="overwrite")
+    snap_mod.create_branch(root, br1)
+    br_rows = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select((-F.col("k") - 1).alias("k"), "qty_c2")
+        .withColumn("tag", F.lit("br")).coalesce(1)
+    )
+    snap_mod.commit_with_stats(br_rows, br1, stats_cols=["k"])
+    src_rows = (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(*cols).withColumn("tag", F.lit("src")).coalesce(1)
+    )
+    snap_mod.commit_with_stats(src_rows, root, stats_cols=["k"])
+    snap_mod.merge_3way(br1, root, key="k")  # disjoint -> lands
+
+    snap_mod.create_branch(root, br2)
+    br2_rows = (
+        li.filter(F.col("l_orderkey") % 100 == 7)
+        .select(*cols).withColumn("tag", F.lit("br2")).coalesce(1)
+    )
+    snap_mod.commit_with_stats(br2_rows, br2, stats_cols=["k"])
+    src2_rows = (
+        li.filter(F.col("l_orderkey") % 100 == 9)
+        .select(*cols).withColumn("tag", F.lit("src2")).coalesce(1)
+    )
+    snap_mod.commit_with_stats(src2_rows, root, stats_cols=["k"])
+    n_conflict_merges = 0
+    try:
+        snap_mod.merge_3way(br2, root, key="k")
+    except snap_mod.SnapshotConflictError as e:
+        assert e.conflicts, "conflict error must carry the pair list"
+        n_conflict_merges = 1
+
+    rollup = (
+        snap_mod.read_snapshot(spark, root)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty_c2").cast("long").alias("qty_c2"),
+        )
+    )
+    conflict_row = spark.createDataFrame(
+        [("conflict", n_conflict_merges, 0)], "tag string, n_rows long, qty_c2 long"
+    )
+    return rollup.unionByName(conflict_row).orderBy("tag")

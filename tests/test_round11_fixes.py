@@ -278,3 +278,87 @@ def test_bda_state_v3_roundtrip_tags_version():
     out2 = list(update((0, 1), iter([_one_batch(t0=2000.0)]), state2))
     assert len(out2) == 1
     assert state2.updated[-1] == stf.BDA_STATE_VERSION
+
+
+# ---------------------------------------------------------------------------
+# r11: merge_3way (non-FF merge with conflict detection)
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+def _commit_range(spark, root, lo, hi, **kw):
+    df = _mk(spark, [(k, k * 10) for k in range(lo, hi)]).coalesce(1)
+    return snap.commit_with_stats(df, root, stats_cols=["k"], **kw)
+
+
+def test_merge_3way_disjoint_appends_land(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    _commit_range(spark, br, 100, 110)     # branch append, keys 100..109
+    _commit_range(spark, root, 50, 60)     # source advanced, keys 50..59
+    v = snap.merge_3way(br, root, key="k")
+    assert v == 3
+    got = sorted(
+        r.k for r in snap.read_snapshot(spark, root).select("k").collect()
+    )
+    assert got == list(range(0, 10)) + list(range(50, 60)) + list(range(100, 110))
+    # merged files keep their stats -> still skippable
+    assert all(
+        "k" in s for s in snap._all_stats(root, None).values()
+    )
+
+
+def test_merge_3way_overlap_refuses_with_pairs(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    _commit_range(spark, br, 100, 110)
+    _commit_range(spark, root, 105, 120)   # overlaps the branch range
+    head_before = snap.latest_version(root)
+    with pytest.raises(snap.SnapshotConflictError) as ei:
+        snap.merge_3way(br, root, key="k")
+    assert ei.value.conflicts and "overlap" in ei.value.conflicts[0][2]
+    assert snap.latest_version(root) == head_before  # nothing committed
+
+
+def test_merge_3way_missing_stats_is_conservative(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    _commit_range(spark, br, 100, 110)
+    # source append WITHOUT stats: disjointness unprovable
+    snap.commit(_mk(spark, [(1000, 0)]).coalesce(1), root)
+    with pytest.raises(snap.SnapshotConflictError) as ei:
+        snap.merge_3way(br, root, key="k")
+    assert "missing" in ei.value.conflicts[0][2]
+
+
+def test_merge_3way_overwrite_since_base_refuses(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    _commit_range(spark, br, 100, 110)
+    _commit_range(spark, root, 50, 60, mode="overwrite")  # source rewrote
+    with pytest.raises(snap.SnapshotConflictError, match="append-only"):
+        snap.merge_3way(br, root, key="k")
+
+
+def test_merge_3way_source_at_base_delegates_to_ff(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    _commit_range(spark, br, 100, 110)
+    v = snap.merge_3way(br, root, key="k")  # source never advanced
+    assert v == 2
+    assert snap.read_snapshot(spark, root).count() == 20
+
+
+def test_merge_3way_nothing_to_merge_returns_head(spark, tmp_path):
+    root, br = str(tmp_path / "t"), str(tmp_path / "b")
+    _commit_range(spark, root, 0, 10, mode="overwrite")
+    snap.create_branch(root, br)
+    assert snap.merge_3way(br, root, key="k") == snap.latest_version(root)
