@@ -1346,3 +1346,68 @@ def events_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "etype", "weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: AQE skew-join demonstration (VERDICT r10 item 6) — the bot-user
+# attribution join: one user carries ~75% of the event stream, and the
+# profile side (customer) is user-grain, i.e. NOT broadcastable at real
+# scale (10^9 profiles). The scale answer is NOT salting here but
+# Spark's own AQE skew-join split: the bot user's reducer partition is
+# split by mapper ranges and the matching profile partition replicated.
+# Plan-locked in tests/test_plans_scale.py with the split thresholds
+# lowered to local-scale sizes. Findings baked into the lock (all
+# empirically bisected on this Spark):
+#   - the rule matches ONLY SMJ(Sort(shuffle), Sort(shuffle)) with
+#     ENSURE_REQUIREMENTS origin on both sides — a pre-aggregated or
+#     explicitly repartition()ed join input disqualifies it;
+#   - a distinct-aggregate ABOVE the join also disqualifies it (the
+#     Expand's required distribution pins the join's partitioning), so
+#     this rollup is count/sum only;
+#   - splitting happens on MAPPER boundaries: a single-mapper scan
+#     (one parquet row group) cannot be split — fan_out's parallelism
+#     exchange is what makes the skew handling possible at all.
+# ---------------------------------------------------------------------------
+
+_BOT_USER_ORACLE = _with_ms(
+    """
+    , hot AS (
+      SELECT CASE WHEN event_id % 4 != 0 THEN 0 ELSE user_id END AS eu,
+             value
+      FROM ev
+    )
+    SELECT c.c_nationkey                                   AS nation,
+           COUNT(*)                                        AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                                                           AS value_micro
+    FROM hot h JOIN customer c ON h.eu = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nation
+    """
+)
+
+
+@register("aqe_skew_bot_user_join", _BOT_USER_ORACLE)
+def aqe_skew_bot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-user skewed join (see the section comment): 75% of events
+    collapse onto user 0; the per-user profile join survives the skew
+    via AQE's skew-join split at scale (plan-locked)."""
+    from codex_africanus_spark.sources.tables import fan_out
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    cu = fan_out(load(spark, "customer", sf_dir))
+    hot = ev.select(
+        F.when(F.col("event_id") % 4 != 0, F.lit(0))
+        .otherwise(F.col("user_id")).alias("eu"),
+        "value",
+    )
+    return (
+        hot.join(cu, hot["eu"] == cu["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .alias("value_micro"),
+        )
+        .orderBy("nation")
+    )

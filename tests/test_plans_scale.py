@@ -691,3 +691,40 @@ def test_rolling_flag_rate_single_shuffle_range_frame(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "RANGE BETWEEN" in plan or "specifiedwindowframe" in plan.lower() or plan.count("Window") >= 2
+
+
+def test_aqe_skew_join_splits_bot_user_partition(spark, sf_dir):
+    """r11 skew demonstration: with the split thresholds lowered to
+    local-scale sizes (at 100 TB the DEFAULTS — 256 MB partitions —
+    play this role) and broadcast disabled (at 100 TB a user-grain
+    profile side disables itself), AQE must mark the bot-user join
+    skewed and split it: `skew=true` on the SMJ, a `skewed` shuffle
+    read, and the result must be byte-identical to the unsplit run.
+    Empirical contract notes live in queries/events.py (the rule only
+    matches bare ENSURE_REQUIREMENTS shuffles on both sides; distinct
+    aggs above the join disqualify; splits happen on mapper
+    boundaries, so single-mapper scans can never split — fan_out)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = registry()["aqe_skew_bot_user_join"].fn(spark, sf_dir)
+        split_rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = registry()["aqe_skew_bot_user_join"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, split_rows)) == sorted(map(tuple, plain))
