@@ -3029,3 +3029,70 @@ def baseline_rolling_flag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antenna1", "antenna2")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: corr-axis unpivot — the corr-major <-> long-layout conversion
+# every MS consumer performs (casacore stores DATA as a row x chan x
+# corr cube; a relational engine wants one row per correlation;
+# reference: the corr-axis reshapes throughout africanus/rime).
+# Spark 4's native DataFrame.unpivot is ONE Expand node — a map-side
+# row fan-out, no shuffle until the per-corr collapse. Values ride the
+# exact cent grid.
+# ---------------------------------------------------------------------------
+
+_CORR_UNPIVOT_ORACLE = _with_ms(
+    """
+    , wide AS (
+      SELECT row_id,
+             vis_re                 AS c_xx,
+             vis_im                 AS c_xy,
+             weight                 AS c_yx,
+             sigma                  AS c_yy
+      FROM vis
+    ),
+    long AS (
+      SELECT 'c_xx' AS corr, c_xx AS v FROM wide
+      UNION ALL SELECT 'c_xy', c_xy FROM wide
+      UNION ALL SELECT 'c_yx', c_yx FROM wide
+      UNION ALL SELECT 'c_yy', c_yy FROM wide
+    )
+    SELECT corr, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) AS sum_c2,
+           CAST(MIN(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) AS min_c2,
+           CAST(MAX(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) AS max_c2
+    FROM long
+    GROUP BY corr ORDER BY corr
+    """
+)
+
+
+@register("ms_corr_unpivot_long", _CORR_UNPIVOT_ORACLE)
+def ms_corr_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corr-major to long layout via native unpivot (one Expand,
+    map-side), collapsed per correlation on the exact cent grid."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    wide = vis.select(
+        "row_id",
+        F.col("vis_re").alias("c_xx"),
+        F.col("vis_im").alias("c_xy"),
+        F.col("weight").alias("c_yx"),
+        F.col("sigma").alias("c_yy"),
+    )
+    long = wide.unpivot(
+        ids=["row_id"],
+        values=["c_xx", "c_xy", "c_yx", "c_yy"],
+        variableColumnName="corr",
+        valueColumnName="v",
+    )
+    c2 = F.round(F.col("v") * 100).cast("long")
+    return (
+        long.groupBy("corr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c2).alias("sum_c2"),
+            F.min(c2).alias("min_c2"),
+            F.max(c2).alias("max_c2"),
+        )
+        .orderBy("corr")
+    )

@@ -2186,3 +2186,69 @@ def snapshot_merge_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("conflict", n_conflict_merges, 0)], "tag string, n_rows long, qty_c2 long"
     )
     return rollup.unionByName(conflict_row).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# r11: CDC / incremental consumption through the snapshot log —
+# read_changes(from, to] is how a downstream job resumes from its last
+# processed version instead of rescanning the table (Delta CDF /
+# Iceberg incremental-scan shape; the sink's append manifests ARE the
+# changelog). Three consumer checkpoints are replayed over a 4-version
+# table; matching the oracle (each window recomputed straight from
+# lineitem) proves the manifest ranges slice exactly — no overlap, no
+# gap, no double-count.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+  WITH li AS (
+    SELECT l_linenumber, CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c2
+    FROM lineitem
+  )
+  SELECT 'after_v2' AS win, COUNT(*) AS n_rows,
+         CAST(SUM(qty_c2) AS BIGINT) AS qty_c2
+  FROM li WHERE l_linenumber IN (5, 6, 7)
+  UNION ALL
+  SELECT 'after_v3', COUNT(*), CAST(SUM(qty_c2) AS BIGINT)
+  FROM li WHERE l_linenumber = 7
+  UNION ALL
+  SELECT 'v2_only', COUNT(*), CAST(SUM(qty_c2) AS BIGINT)
+  FROM li WHERE l_linenumber IN (3, 4)
+  ORDER BY win
+"""
+
+
+@register("snapshot_incremental_changes", _CDC_ORACLE)
+def snapshot_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three CDC consumer checkpoints over a 4-version snapshot table
+    (see the section comment)."""
+    import shutil
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c2"),
+    )
+    root = f"{tempfile.gettempdir()}/cas_snapshot/li_cdc"
+    shutil.rmtree(root, ignore_errors=True)
+    snap_mod.commit(li.filter(F.col("l_linenumber") <= 2), root,
+                    mode="overwrite")                              # v1 seed
+    snap_mod.commit(li.filter(F.col("l_linenumber").isin(3, 4)), root)  # v2
+    snap_mod.commit(li.filter(F.col("l_linenumber").isin(5, 6)), root)  # v3
+    snap_mod.commit(li.filter(F.col("l_linenumber") == 7), root)        # v4
+    windows = [
+        ("after_v2", snap_mod.read_changes(spark, root, from_version=2)),
+        ("after_v3", snap_mod.read_changes(spark, root, from_version=3)),
+        ("v2_only", snap_mod.read_changes(spark, root, 1, 2)),
+    ]
+    frames = [
+        df.select(F.lit(w).alias("win"), "qty_c2") for w, df in windows
+    ]
+    allw = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return (
+        allw.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty_c2").cast("long").alias("qty_c2"),
+        )
+        .orderBy("win")
+    )

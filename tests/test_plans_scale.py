@@ -728,3 +728,13 @@ def test_aqe_skew_join_splits_bot_user_partition(spark, sf_dir):
                 spark.conf.set(k, v)
     plain = registry()["aqe_skew_bot_user_join"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, split_rows)) == sorted(map(tuple, plain))
+
+
+def test_corr_unpivot_single_expand_no_join(spark, sf_dir):
+    """r11: native unpivot must be ONE Expand (map-side fan-out) +
+    partial/final agg over one shuffle — not four scans unioned."""
+    plan = plan_of(registry()["ms_corr_unpivot_long"].fn(spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
