@@ -1968,13 +1968,17 @@ PARA_RADIX = 1024
 PARA_SIG_MIN = 6  # ≥6/8 signature agreement = near-dup unit
 
 
-def paragraph_minhash_dedup(docs: DataFrame) -> DataFrame:
+def para_units(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Sentence-grain units with packed uid — the ONE place the
+    paragraph split/radix lives, shared by the batch dedup and the r11
+    streaming gate (parity by construction). Projection-only, so it is
+    stream-safe; `keep` threads extra columns (source / event time)."""
     from codex_africanus_spark.sources.tables import fan_out
 
-    paras = (
+    return (
         fan_out(docs)
         .select(
-            "doc_id", "source",
+            "doc_id", *keep,
             F.posexplode(F.split(F.col("text"), "\\. ")).alias(
                 "para_idx", "ptext"
             ),
@@ -1983,11 +1987,16 @@ def paragraph_minhash_dedup(docs: DataFrame) -> DataFrame:
         .filter(F.col("para_idx") < PARA_RADIX)
         .select(
             (F.col("doc_id") * PARA_RADIX + F.col("para_idx")).alias("uid"),
-            "doc_id", "source", "ptext",
+            "doc_id", *keep, "ptext",
         )
     )
-    hashed = paras.select(
-        "uid", "doc_id", "source",
+
+
+def para_banded_from_units(units: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Band-keyed MinHash frame of paragraph units (shared expressions:
+    batch dedup + streaming gate). Pure projections — stream-safe."""
+    hashed = units.select(
+        "uid", "doc_id", *keep,
         F.transform(word_3gram_shingles("ptext"), hash31).alias("hs"),
     )
     sig_cols = [
@@ -1996,18 +2005,34 @@ def paragraph_minhash_dedup(docs: DataFrame) -> DataFrame:
         ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    sigs = hashed.select("uid", "doc_id", "source", *sig_cols)
+    sigs = hashed.select("uid", "doc_id", *keep, *sig_cols)
     band_keys = F.array(
         *[
             F.concat_ws("_", F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select(
-        "uid", "doc_id",
+    return sigs.select(
+        "uid", "doc_id", *keep,
         *[F.col(f"sig_{k}") for k in range(len(MINHASH_A))],
         F.posexplode(band_keys).alias("band", "band_key"),
     )
+
+
+PARA_N_SIGS = len(MINHASH_A)
+
+
+def para_sig_agreement():
+    """#agreeing signatures between an a_k / b_k pair projection."""
+    return sum(
+        (F.col(f"a_{k}") == F.col(f"b_{k}")).cast("int")
+        for k in range(PARA_N_SIGS)
+    )
+
+
+def paragraph_minhash_dedup(docs: DataFrame) -> DataFrame:
+    paras = para_units(docs, keep=("source",))
+    banded = para_banded_from_units(paras)
     a = banded.select(
         F.col("uid").alias("uid_a"), F.col("doc_id").alias("doc_a"),
         "band", "band_key",
