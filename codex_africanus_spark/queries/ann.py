@@ -1049,3 +1049,105 @@ def embedding_norm_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 (ROADMAP candidate): ANN probes served AT a pinned flag version —
+# version pinning composed ACROSS two artifacts: the retrieval pool is
+# the embedding corpus minus the vectors tombstoned by a VERSIONED
+# quality-flag table (snapshot sink, CASA flagmanager discipline
+# applied to vectors: v1 = first quality pass, v2 = stricter re-pass),
+# read back via TIME TRAVEL per serving version. The report pins each
+# probe's top-1 under v1 and under v2 — the "what did the stricter
+# filter change in retrieval" audit an embedding-store rollout runs.
+# Exact: the cosine tier's quantized arithmetic; flags reconstructed in
+# the oracle from their defining predicates.
+# ---------------------------------------------------------------------------
+
+_FLAG_V1_PRED = "vec_id % 10 = 0"
+_FLAG_V2_PRED = "vec_id % 10 = 0 OR vec_id % 7 = 0"
+
+
+def _ann_flagver_ranked_sql(ver: int) -> str:
+    dot = sim_op._qdot_sql("q.embedding", "c.embedding")
+    qq = sim_op._qdot_sql("q.embedding", "q.embedding")
+    cc = sim_op._qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      SELECT {ver} AS version, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC,
+                                         c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id % 125 = 0 AND q.vec_id <> c.vec_id
+        AND NOT (c.vec_id % 10 = 0 OR ({ver} = 2 AND c.vec_id % 7 = 0))
+    """
+
+
+_ANN_FLAGVER_ORACLE = f"""
+  WITH r1 AS ({_ann_flagver_ranked_sql(1)}),
+  r2 AS ({_ann_flagver_ranked_sql(2)})
+  SELECT a.query_id AS query_id,
+         a.neighbor_id AS top1_v1,
+         b.neighbor_id AS top1_v2,
+         CAST(CASE WHEN a.neighbor_id <> b.neighbor_id THEN 1 ELSE 0 END AS INT)
+           AS changed,
+         CAST(ROUND(a.cosine_sim * 1000000000) AS BIGINT) AS sim_v1_q9,
+         CAST(ROUND(b.cosine_sim * 1000000000) AS BIGINT) AS sim_v2_q9
+  FROM r1 a JOIN r2 b ON a.query_id = b.query_id
+  WHERE a.rank = 1 AND b.rank = 1
+  ORDER BY query_id
+"""
+
+
+@register("ann_probe_at_flag_version", _ANN_FLAGVER_ORACLE)
+def ann_probe_at_flag_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 retrieval under version-pinned vector tombstones
+    (see the section comment). The flags travel through the snapshot
+    sink (v1 commit, v2 overwrite) and each serving version anti-joins
+    its OWN time-travel read — the probe layer never sees the other
+    version's state."""
+    import shutil
+    import tempfile
+
+    from codex_africanus_spark.sources import snapshot as snap
+
+    emb = load(spark, "embeddings", sf_dir)
+    root = f"{tempfile.gettempdir()}/cas_snapshot/vec_flags"
+    shutil.rmtree(root, ignore_errors=True)
+    snap.commit(
+        emb.filter(F.expr(_FLAG_V1_PRED)).select("vec_id"), root,
+        mode="overwrite",
+    )                                                                # v1
+    snap.commit(
+        emb.filter(F.expr(_FLAG_V2_PRED)).select("vec_id"), root,
+        mode="overwrite",
+    )                                                                # v2
+    probes = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tops = []
+    for ver in (1, 2):
+        tomb = snap.read_snapshot(spark, root, version=ver)
+        pool = emb.join(tomb, "vec_id", "left_anti")
+        ranked = sim_op.cosine_topk_probes(
+            pool, probes, k=1, exclude_self=True
+        )
+        tops.append(
+            ranked.filter(F.col("rank") == 1).select(
+                "query_id",
+                F.col("neighbor_id").alias(f"top1_v{ver}"),
+                F.round(F.col("cosine_sim") * 1000000000).cast("long")
+                .alias(f"sim_v{ver}_q9"),
+            )
+        )
+    return (
+        tops[0].join(tops[1], "query_id")
+        .select(
+            "query_id", "top1_v1", "top1_v2",
+            F.when(F.col("top1_v1") != F.col("top1_v2"), 1)
+            .otherwise(0).cast("int").alias("changed"),
+            "sim_v1_q9", "sim_v2_q9",
+        )
+        .orderBy("query_id")
+    )
