@@ -3153,7 +3153,9 @@ _CORPUS_ROLLUP_ORACLE = """
       COUNT(*)                                                  AS n_docs,
       CAST(SUM(n_chars) AS BIGINT)                              AS chars_sum,
       CAST(SUM(n_tokens) AS BIGINT)                             AS tokens_sum,
-      CAST(SUM(n_chars) * 1000000 // SUM(n_tokens) AS BIGINT)   AS chars_per_token_ppm
+      CASE WHEN SUM(n_tokens) = 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(SUM(n_chars) * 1000000 // SUM(n_tokens) AS BIGINT)
+           END                                                     AS chars_per_token_ppm
     FROM d
     GROUP BY ROLLUP(source, lang)
     ORDER BY gid, src, language
@@ -3187,8 +3189,10 @@ def corpus_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("g_l") == 1, F.lit("ALL"))
             .otherwise(F.col("lang")).alias("language"),
             "gid", "n_docs", "chars_sum", "tokens_sum",
-            F.expr("CAST(chars_sum * 1000000 DIV tokens_sum AS BIGINT)")
-            .alias("chars_per_token_ppm"),
+            F.expr(
+                "CASE WHEN tokens_sum = 0 THEN CAST(-1 AS BIGINT) "
+                "ELSE CAST(chars_sum * 1000000 DIV tokens_sum AS BIGINT) END"
+            ).alias("chars_per_token_ppm"),
         )
         .orderBy("gid", "src", "language")
     )

@@ -313,8 +313,9 @@ _BDA_SINC_ORACLE = f"""
            (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
            CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
                 THEN -1.0
-                ELSE round(({bda_op.BDA_LIGHTSPEED!r} / (2.0 * PI()))
-                           * ({bda_op.BDA_DECORRELATION!r} / {_BDA_SINC_MAD}), 6)
+                ELSE CAST(ROUND(({bda_op.BDA_LIGHTSPEED!r} / (2.0 * PI()))
+                           * ({bda_op.BDA_DECORRELATION!r} / {_BDA_SINC_MAD})
+                           * 1000000) AS BIGINT) / 1000000.0
            END AS delta_nu
     FROM rec
     GROUP BY antenna1, antenna2, bin_idx
@@ -339,8 +340,17 @@ def bda_sinc_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vis_re_avg"), 6).alias("vis_re_avg"),
         F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
         "weight_sum", "bin_flagged",
+        # r11 sf1.0 sweep fork: round(x, 6) forks cross-engine once
+        # |delta_nu| reaches ~1e8 (Spark's exact-decimal BigDecimal vs
+        # DuckDB's float-path rounding disagree in the 6th decimal near
+        # the double's ULP). The integer-grid idiom — multiply, ROUND
+        # to BIGINT, divide — is deterministic at any magnitude because
+        # every step is the same correctly-rounded double op on both
+        # engines. Oracle changed identically.
         F.when(F.col("delta_nu") < 0, F.lit(-1.0))
-        .otherwise(F.round(F.col("delta_nu"), 6))
+        .otherwise(
+            F.round(F.col("delta_nu") * 1000000).cast("long") / F.lit(1000000.0)
+        )
         .alias("delta_nu"),
     ).orderBy("antenna1", "antenna2", "bin_idx")
 
@@ -2853,14 +2863,15 @@ _PHASE_UNWRAP_ORACLE = _with_ms(
       SELECT antenna1, antenna2, time, row_id,
              ((CAST(ROUND(u*10) AS BIGINT) * 97
                + CAST(ROUND(vis_im*10) AS BIGINT) * 131
-               + CAST(vis_re AS BIGINT) * 211 + row_id) % 6283 + 6283)
+               + CAST(ROUND(vis_re) AS BIGINT) * 211 + row_id) % 6283 + 6283)
                % 6283 - 3141 AS p_mrad
       FROM vis
     ),
     st AS (
       SELECT *, p_mrad - LAG(p_mrad) OVER w AS d
       FROM ph
-      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id)
+      WINDOW w AS (PARTITION BY antenna1, antenna2
+                   ORDER BY time, row_id, p_mrad)
     ),
     corr AS (
       SELECT *,
@@ -2872,9 +2883,11 @@ _PHASE_UNWRAP_ORACLE = _with_ms(
              c,
              p_mrad + 6283 * SUM(c) OVER w AS unw_mrad,
              ROW_NUMBER() OVER (PARTITION BY antenna1, antenna2
-                                ORDER BY time DESC, row_id DESC) AS rn_last
+                                ORDER BY time DESC, row_id DESC,
+                                         p_mrad DESC) AS rn_last
       FROM corr
-      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY time, row_id
+      WINDOW w AS (PARTITION BY antenna1, antenna2
+                   ORDER BY time, row_id, p_mrad
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT antenna1, antenna2,
@@ -2905,12 +2918,14 @@ def phase_unwrap_per_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.round(F.col("u") * 10).cast("long") * 97
                  + F.round(F.col("vis_im") * 10).cast("long") * 131
-                 + F.col("vis_re").cast("long") * 211 + F.col("row_id"))
+                 + F.round(F.col("vis_re")).cast("long") * 211 + F.col("row_id"))
                 % 6283 + 6283
             ) % 6283 - 3141
         ).alias("p_mrad"),
     )
-    w = W.partitionBy("antenna1", "antenna2").orderBy("time", "row_id")
+    w = W.partitionBy("antenna1", "antenna2").orderBy(
+        "time", "row_id", "p_mrad"
+    )
     st = ph.withColumn("d", F.col("p_mrad") - F.lag("p_mrad").over(w))
     corr = st.withColumn(
         "c",
@@ -2920,7 +2935,7 @@ def phase_unwrap_per_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     wlast = W.partitionBy("antenna1", "antenna2").orderBy(
-        F.col("time").desc(), F.col("row_id").desc()
+        F.col("time").desc(), F.col("row_id").desc(), F.col("p_mrad").desc()
     )
     unw = corr.select(
         "antenna1", "antenna2", "c",

@@ -149,6 +149,9 @@ LLM_QUERIES = [
     "multimodal_frame_dedup",
     "quality_vs_dedup_interaction",
     "ann_pq_appended_topk",
+    # round-11 additions
+    "corpus_rollup_source_lang",
+    "ann_probe_at_flag_version",
 ]
 
 

@@ -134,6 +134,16 @@ RADIO_QUERIES = [
     "rime2x2_feed_rotation_predict",
     "dft_im_to_vis_forward",
     "events_top_paths",
+    # round-11 additions
+    "phase_unwrap_per_baseline",
+    "baseline_rolling_flag_rate",
+    "ms_flag_cube_summary",
+    "ms_corr_unpivot_long",
+    "events_grouping_sets_profile",
+    "snapshot_incremental_changes",
+    # (lineitem_rollup_pricing / snapshot_merge_conflict need
+    # l_returnflag+l_linestatus, which the fuzz lineitem omits — they
+    # are fuzz-covered indirectly via the four-scale rehearsals)
 ]
 
 
