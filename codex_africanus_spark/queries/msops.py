@@ -3111,3 +3111,113 @@ def ms_corr_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("corr")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: SALTED phase unwrap — the skew decomposition for the sequential
+# class, done entirely relationally (no pandas): per-(baseline,
+# 30-day-bucket) internal unwrap, then a bucket-summary stitch. The
+# running corrector splits exactly because cumsum is associative:
+#   k_global(row in bucket b) = k_internal(row)
+#     + Σ_{b'<b} net_internal(b')          (each bucket's wrap total)
+#     + Σ_{b''<=b} c_boundary(b'')         (one corrector per boundary,
+#                                           first-row-of-bucket vs
+#                                           last-row-of-previous)
+# so every per-row quantity needs only ONE fact shuffle on the SALTED
+# key (baseline, bucket) — a hot baseline spreads over its buckets —
+# and the stitch runs on the O(#baselines × #buckets) summary frame.
+# Output and oracle are IDENTICAL to phase_unwrap_per_baseline: the
+# decomposition must be bit-equal, that is the point.
+# ---------------------------------------------------------------------------
+
+_UNWRAP_BUCKET_SECS = 2592000  # 30 days
+
+
+@register("phase_unwrap_salted", _PHASE_UNWRAP_ORACLE)
+def phase_unwrap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-decomposed exact phase unwrap (see the section comment)."""
+    from pyspark.sql import Window as W
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    ph = vis.select(
+        "antenna1", "antenna2", "time", "row_id",
+        (
+            (
+                (F.round(F.col("u") * 10).cast("long") * 97
+                 + F.round(F.col("vis_im") * 10).cast("long") * 131
+                 + F.round(F.col("vis_re")).cast("long") * 211 + F.col("row_id"))
+                % 6283 + 6283
+            ) % 6283 - 3141
+        ).alias("p_mrad"),
+        F.expr(f"CAST(FLOOR(time / {_UNWRAP_BUCKET_SECS}) AS BIGINT)")
+        .alias("bucket"),
+    )
+    wb = W.partitionBy("antenna1", "antenna2", "bucket").orderBy(
+        "time", "row_id", "p_mrad"
+    )
+    wrap = (
+        F.when(F.col("d") > 3141, F.lit(-1))
+        .when(F.col("d") < -3141, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rows = (
+        ph.withColumn("d", F.col("p_mrad") - F.lag("p_mrad").over(wb))
+        .withColumn("c", wrap)
+        .withColumn(
+            "k_in",
+            F.sum("c").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .withColumn("unw_in", F.col("p_mrad") + 6283 * F.col("k_in"))
+        .withColumn("rn", F.row_number().over(wb))
+        .withColumn(
+            "rn_d",
+            F.row_number().over(
+                W.partitionBy("antenna1", "antenna2", "bucket").orderBy(
+                    F.col("time").desc(), F.col("row_id").desc(),
+                    F.col("p_mrad").desc(),
+                )
+            ),
+        )
+    )
+    summ = rows.groupBy("antenna1", "antenna2", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("net_in"),
+        F.sum(F.abs(F.col("c"))).alias("abs_in"),
+        F.max(F.when(F.col("rn") == 1, F.col("p_mrad"))).alias("first_p"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("p_mrad"))).alias("last_p"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("unw_in"))).alias("last_unw_in"),
+        F.min("unw_in").alias("min_unw_in"),
+        F.max("unw_in").alias("max_unw_in"),
+    )
+    ws = W.partitionBy("antenna1", "antenna2").orderBy("bucket")
+    stitched = (
+        summ.withColumn("d", F.col("first_p") - F.lag("last_p").over(ws))
+        .withColumn("c_b", wrap)
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("net_in").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.sum("c_b").over(ws.rowsBetween(W.unboundedPreceding, 0)),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        stitched.groupBy("antenna1", "antenna2")
+        .agg(
+            F.sum("n").alias("n_samples"),
+            (F.sum("net_in") + F.sum("c_b")).cast("long").alias("net_wraps"),
+            (F.sum("abs_in") + F.sum(F.abs(F.col("c_b")))).cast("long")
+            .alias("total_wraps"),
+            F.expr("max_by(last_unw_in + 6283 * offset, bucket)")
+            .cast("long").alias("final_unw_mrad"),
+            (
+                F.max(F.col("max_unw_in") + 6283 * F.col("offset"))
+                - F.min(F.col("min_unw_in") + 6283 * F.col("offset"))
+            ).cast("long").alias("span_mrad"),
+        )
+        .orderBy("antenna1", "antenna2")
+    )

@@ -136,6 +136,7 @@ RADIO_QUERIES = [
     "events_top_paths",
     # round-11 additions
     "phase_unwrap_per_baseline",
+    "phase_unwrap_salted",
     "baseline_rolling_flag_rate",
     "ms_flag_cube_summary",
     "ms_corr_unpivot_long",

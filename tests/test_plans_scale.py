@@ -738,3 +738,15 @@ def test_corr_unpivot_single_expand_no_join(spark, sf_dir):
     assert "Union" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_phase_unwrap_salted_single_fact_shuffle(spark, sf_dir):
+    """r11: the bucket decomposition must touch the FACT table with
+    exactly one exchange on the salted (baseline, bucket) key; the
+    stitch windows run on the bucket-summary frame (O(baselines x
+    buckets) rows). No pandas, no join."""
+    plan = plan_of(registry()["phase_unwrap_salted"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    # fact shuffle (a1,a2,bucket) + summary shuffle (a1,a2) only
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -130,6 +130,13 @@ QUERIES = [
     "cross_source_fuzzy_matrix", "market_basket_brand_lift",
     "events_session_duration_quantiles", "supplier_concentration_hhi",
     "embedding_norm_ingest_drift",
+    # round-11 additions
+    "lineitem_rollup_pricing", "ms_flag_cube_summary",
+    "events_grouping_sets_profile", "corpus_rollup_source_lang",
+    "phase_unwrap_per_baseline", "baseline_rolling_flag_rate",
+    "snapshot_merge_conflict", "aqe_skew_bot_user_join",
+    "snapshot_incremental_changes", "ms_corr_unpivot_long",
+    "ann_probe_at_flag_version", "phase_unwrap_salted",
 ]
 
 spark = (
