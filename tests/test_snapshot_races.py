@@ -215,3 +215,63 @@ def test_commit_cas_pinned_version_conflicts(spark, tmp_path):
     with pytest.raises(snap.SnapshotConflictError):
         snap._commit_manifest(root, "append", _write_txn(root, "b", 2),
                               _SCHEMA_JSON, expected_version=1)
+
+
+# ---------------------------------------------------------------------------
+# r11: merge_3way concurrency — two branches with DISJOINT key ranges
+# racing a three-way merge onto the same advanced source head. The CAS
+# at the head means exactly one lands per attempt; a retrying loser
+# must re-run the conflict check against the new head (which now
+# contains the winner's files) and still land, because the ranges are
+# disjoint. Outcome: both merges eventually commit, each branch's file
+# exactly once, contiguous history.
+# ---------------------------------------------------------------------------
+
+
+def _merge3_retry_worker(branch_root: str, root: str, out_q) -> None:
+    for _ in range(50):
+        try:
+            out_q.put(("ok", snap.merge_3way(branch_root, root, key="k")))
+            return
+        except snap.SnapshotConflictError as e:
+            if getattr(e, "conflicts", None):
+                out_q.put(("real-conflict", str(e)))  # ranges overlapped —
+                return                                # must NOT happen here
+            continue  # lost the head CAS — re-check against the new head
+    out_q.put(("gave-up", None))
+
+
+def _stats_for(root: str, files: list[str], lo: int, hi: int) -> dict:
+    return {f: {"k": [lo, hi]} for f in files}
+
+
+def test_concurrent_merge_3way_disjoint_both_land(spark, tmp_path):
+    root = str(tmp_path / "t")
+    brs = [str(tmp_path / f"b{i}") for i in (0, 1)]
+    base_files = _write_txn(root, "base", 0)
+    snap._commit_manifest(root, "overwrite", base_files, _SCHEMA_JSON,
+                          stats=_stats_for(root, base_files, 0, 9))
+    for i, br in enumerate(brs):
+        snap.create_branch(root, br)
+        bf = _write_txn(root, f"br{i}", 100 + i)
+        lo = 1000 + i * 100
+        snap._commit_manifest(br, "append", bf, _SCHEMA_JSON,
+                              stats=_stats_for(br, bf, lo, lo + 9))
+    # source advances past both bases with its own disjoint append
+    sf = _write_txn(root, "src", 7)
+    snap._commit_manifest(root, "append", sf, _SCHEMA_JSON,
+                          stats=_stats_for(root, sf, 500, 509))
+
+    results = _run_procs(
+        [(_merge3_retry_worker, (br, root)) for br in brs]
+    )
+    assert sorted(r[0] for r in results) == ["ok", "ok"], results
+    head = snap.latest_version(root)
+    assert head == 4  # base + src + two merges
+    final = set(snap.snapshot_files(root))
+    for i, br in enumerate(brs):
+        m = snap._read_manifest(br, 2)
+        assert set(m["files"]) <= final  # each branch landed exactly once
+    # merged files keep their stats through the racing commits
+    stats = snap._all_stats(root, None)
+    assert all("k" in s for s in stats.values())
