@@ -1411,3 +1411,59 @@ def aqe_skew_bot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: latest-per-key compaction view — the materialized-upsert read
+# every CDC consumer derives from an append-only event log ("current
+# state = newest row per key"): deterministic row_number over
+# (ts DESC, event_id DESC) per (user, type), then a state census per
+# type. The window and the census share one shuffle key family; at
+# 100 TB this is the standard log->state compaction (the snapshot
+# sink's MERGE is the write-side of the same shape).
+# ---------------------------------------------------------------------------
+
+_LATEST_STATE_ORACLE = _with_ms(
+    """
+    , ranked AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT event_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(v_micro) AS BIGINT) AS latest_value_micro_sum,
+           CAST(SUM(CASE WHEN v_micro > 50000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """
+)
+
+
+@register("events_latest_state_compaction", _LATEST_STATE_ORACLE)
+def events_latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-to-current-state compaction + per-type census (see the
+    section comment)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("v_micro").cast("long").alias("latest_value_micro_sum"),
+            F.sum((F.col("v_micro") > 50000000).cast("int")).cast("long")
+            .alias("n_hot"),
+        )
+        .orderBy("event_type")
+    )

@@ -141,6 +141,7 @@ RADIO_QUERIES = [
     "ms_flag_cube_summary",
     "ms_corr_unpivot_long",
     "events_grouping_sets_profile",
+    "events_latest_state_compaction",
     "snapshot_incremental_changes",
     # (lineitem_rollup_pricing / snapshot_merge_conflict need
     # l_returnflag+l_linestatus, which the fuzz lineitem omits — they

@@ -137,6 +137,7 @@ QUERIES = [
     "snapshot_merge_conflict", "aqe_skew_bot_user_join",
     "snapshot_incremental_changes", "ms_corr_unpivot_long",
     "ann_probe_at_flag_version", "phase_unwrap_salted",
+    "events_latest_state_compaction",
 ]
 
 spark = (
