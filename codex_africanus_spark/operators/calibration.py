@@ -1081,7 +1081,10 @@ def closure_amplitudes(vis: DataFrame, bin_secs: float = 2_592_000.0) -> DataFra
             qsum(F.col("vis_re"), 1e6).alias("re_q"),
             qsum(F.col("vis_im"), 1e6).alias("im_q"),
         )
-        .filter(F.col("re_q") * F.col("re_q") + F.col("im_q") * F.col("im_q") > 0)
+        # r11 sf1.0 sweep fork: re_q ~ 2.5e11 at sf1, so the squared
+        # zero-leg test overflows BIGINT under ANSI mode. The != form is
+        # value-identical and magnitude-safe (oracle changed to match).
+        .filter((F.col("re_q") != 0) | (F.col("im_q") != 0))
     )
     lamp_q = quantize(
         F.lit(0.5)
@@ -1252,7 +1255,7 @@ BANDPASS_CURVE_SQL = f"""
              CAST(CAST(ROUND(0.5 * ln(CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE)
                                       + CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE))
                              * 1000000000.0) AS BIGINT) AS HUGEINT) AS y
-      FROM spq WHERE re_q * re_q + im_q * im_q > 0
+      FROM spq WHERE re_q != 0 OR im_q != 0
     ),
     g AS (
       SELECT antenna1, antenna2,
