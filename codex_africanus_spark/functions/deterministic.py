@@ -47,6 +47,16 @@ def qsum_double(col: Column, scale: float = 1e6) -> Column:
     return (qsum(col, scale) / F.lit(scale)).cast("double")
 
 
+def qsum_wide(col: Column, scale: float = 1e6) -> Column:
+    """qsum with a DECIMAL(38,0) accumulator (r11): for fine grids x
+    fact cardinality where the BIGINT sum overflows under ANSI mode
+    (e.g. 1e12-grid squares over 6M rows ~ 1.5e20). DuckDB needs no
+    mirror change — its SUM(BIGINT) is already HUGEINT (int128); both
+    engines then convert the same exact integer to its nearest double
+    when the post-agg division recovers the value."""
+    return F.sum(quantize(col, scale).cast("decimal(38,0)"))
+
+
 def fsum_udaf():
     """Exactly-rounded float sum as a grouped-agg pandas UDF — the
     unbounded-dynamic-range alternative to qsum (ROADMAP quality item).

@@ -1099,17 +1099,29 @@ def _sh2d_oracle() -> str:
     )
     return _with_ms(
         f"""
-        , sh AS (
+        , sh0 AS (
           SELECT v.row_id, v.chan, s.source_id,
-             cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS ct,
-             sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS st,
+             cos(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS ct0,
+             sin(-2.0958450219516816e-08 * (v.u*s.l + v.v*s.m + v.w*(s.n-1.0)) * v.frequency) AS st0,
              {cols}
           FROM vis v, src s
           WHERE v.row_id % 53 = 0
+        ), sh AS (
+          -- transcendental outputs quantized to the shared 1e-9 grid
+          -- (r11 sf1.0 fork: JVM/numpy vs libm 1-ULP on sin/cos/exp
+          -- crossed the 6dp boundary on 2 of 5.6M rows)
+          SELECT row_id, chan, source_id,
+                 CAST(ROUND(ct0 * 1000000000) AS BIGINT) / 1000000000.0 AS ct,
+                 CAST(ROUND(st0 * 1000000000) AS BIGINT) / 1000000000.0 AS st,
+                 CAST(ROUND(sh_re * 1000000000) AS BIGINT) / 1000000000.0 AS shq_re,
+                 CAST(ROUND(sh_im * 1000000000) AS BIGINT) / 1000000000.0 AS shq_im
+          FROM sh0
         )
         SELECT row_id, source_id, chan,
-               round(sh_re * ct - sh_im * st, 6) AS w_re,
-               round(sh_re * st + sh_im * ct, 6) AS w_im
+               CAST(ROUND((shq_re * ct - shq_im * st) * 1000000) AS BIGINT)
+                 / 1000000.0 AS w_re,
+               CAST(ROUND((shq_re * st + shq_im * ct) * 1000000) AS BIGINT)
+                 / 1000000.0 AS w_im
         FROM sh ORDER BY row_id, source_id, chan
         """
     )
@@ -1146,11 +1158,22 @@ def shapelet_2d_w_term(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"), "fourier",
     )
-    out = _Cplx(F.col("sh_re"), F.col("sh_im")) * cexp_i(theta)
+    def _q9(c):
+        return F.round(c * 1000000000).cast("long") / F.lit(1000000000.0)
+
+    # 1e-9-grid quantization of every transcendental output before the
+    # complex product (see the oracle's sh CTE comment)
+    out = _Cplx(_q9(F.col("sh_re")), _q9(F.col("sh_im"))) * _Cplx(
+        _q9(F.cos(theta)), _q9(F.sin(theta))
+    )
+    # r11 sf1.0 fork (2 rows of 5.6M): Spark's exact-decimal round(x,6)
+    # vs DuckDB's multiply-path round disagree when x*1e6 sits within a
+    # ULP of a .5 boundary — same class as the delta_nu fix; the
+    # integer-grid idiom makes both engines multiply-based.
     return env.select(
         "row_id", "source_id", "chan",
-        F.round(out.re, 6).alias("w_re"),
-        F.round(out.im, 6).alias("w_im"),
+        (F.round(out.re * 1000000).cast("long") / F.lit(1000000.0)).alias("w_re"),
+        (F.round(out.im * 1000000).cast("long") / F.lit(1000000.0)).alias("w_im"),
     ).orderBy("row_id", "source_id", "chan")
 
 
@@ -1556,7 +1579,7 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     imager reads before picking robust. The cell-weight table and its
     totals are computed once; the three settings differ only in a
     constant, so they ride the same broadcast join as projections."""
-    from codex_africanus_spark.functions.deterministic import qsum
+    from codex_africanus_spark.functions.deterministic import qsum, qsum_wide
 
     vis = tpch_ms.vis_table(spark, sf_dir)
     gated = vis.filter(~(F.col("flag") | F.col("flag_row"))).select(
@@ -1592,10 +1615,14 @@ def briggs_robust_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs, outs = [], []
     for tag, _ in _BRIGGS_SWEEP:
         aggs.append((qsum(F.col(f"w_{tag}"), 1e9) / F.lit(1e9)).alias(f"s_{tag}"))
+        # r11 sf1.0 fork: the 1e12-grid square sum reaches ~1.5e20 at
+        # sf1 — BIGINT overflow under ANSI. qsum_wide's DECIMAL(38,0)
+        # accumulator matches DuckDB's HUGEINT SUM exactly.
         aggs.append(
-            (qsum(F.col(f"w_{tag}") * F.col(f"w_{tag}"), 1e12) / F.lit(1e12)).alias(
-                f"s2_{tag}"
-            )
+            (
+                qsum_wide(F.col(f"w_{tag}") * F.col(f"w_{tag}"), 1e12)
+                .cast("double") / F.lit(1e12)
+            ).alias(f"s2_{tag}")
         )
         outs.append(F.round(F.col(f"s_{tag}"), 6).alias(f"wsum_{tag}"))
         outs.append(
