@@ -355,14 +355,12 @@ def bda_sinc_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("antenna1", "antenna2", "bin_idx")
 
 
-@register("bda_baseline_dependent_average", _BDA_ORACLE)
-def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True BDA: decorrelation-bounded sequential binning per baseline
-    (applyInPandas) — exactly oracled by a recursive-CTE replay whose
-    accumulator arithmetic is bit-identical to the pandas loop, so the
-    data-dependent bin boundaries match across engines (see _BDA_ORACLE;
-    full-table behavior covered by tests/test_bda_clean_equivalence.py)."""
-    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+def _bda_average_build(spark: SparkSession, sf_dir: str, mod: int = 17) -> DataFrame:
+    """Shared builder for `bda_baseline_dependent_average` — the slice
+    modulus is a parameter so big-scale partial-pass evidence
+    (tools/sf1_bda_partial.py, r11) runs the IDENTICAL plan on a deeper
+    slice; the registered query is mod=17."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % mod == 0)
     out = bda_op.bda_average(vis)
     return out.select(
         "antenna1", "antenna2", "bin_idx", "n_rows", "time_start", "time_end",
@@ -370,6 +368,16 @@ def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
         "weight_sum",
     ).orderBy("antenna1", "antenna2", "bin_idx")
+
+
+@register("bda_baseline_dependent_average", _BDA_ORACLE)
+def bda_baseline_dependent_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BDA: decorrelation-bounded sequential binning per baseline
+    (applyInPandas) — exactly oracled by a recursive-CTE replay whose
+    accumulator arithmetic is bit-identical to the pandas loop, so the
+    data-dependent bin boundaries match across engines (see _BDA_ORACLE;
+    full-table behavior covered by tests/test_bda_clean_equivalence.py)."""
+    return _bda_average_build(spark, sf_dir, 17)
 
 
 # Salted-BDA parameters: 50-day span and 30-day buckets make most bins
@@ -529,6 +537,159 @@ def bda_salted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         vis, _SBDA_TOL, _SBDA_SPAN, _SBDA_BUCKET
     )
     return out.orderBy("antenna1", "antenna2", "bin_idx")
+
+
+# ------------------------------------------------------------------ #
+# r11 (ROADMAP r12 candidate pulled forward): fast ANCHOR-CHAIN twins
+# for the remaining tier-3 recursive-CTE BDA oracles whose closure rule
+# reads ONLY (candidate row, bin-anchor row) — no running accumulator —
+# so "row m closes the bin anchored at a" is a pure predicate of (m, a)
+# and the greedy sequential scan is EXACTLY "next anchor = first rn
+# violating the predicate" (first-violator semantics needs no
+# monotonicity: every row between two anchors was tested against the
+# same anchor in the per-row replay and passed, else it would be an
+# earlier violator). The recursion steps once per BIN instead of once
+# per ROW, which is what makes a full-depth sf1.0 run affordable.
+# Bit-equality vs the registered per-row oracles is locked by
+# tests/test_fast_bda_twin.py at sf0.001/sf0.01 and recorded at sf1.0
+# in BASELINE.md (tools/sf1_bda_partial.py).
+#
+# The two ACCUMULATOR-carrying oracles (_BDA_ORACLE, _BDA_RAGGED_ORACLE)
+# are NOT anchor-chainable bit-exactly: their acc is a sequential FLOAT
+# fold (steps are multiples of 0.1 — not dyadic), and float addition is
+# not associative, so a prefix-sum difference can differ from the
+# sequential fold in the last ULP exactly at the 500.0 closure boundary.
+# Those two get big-scale PARTIAL-PASS evidence instead: the identical
+# plan on a deeper row slice via bda_partial_oracle() below.
+# ------------------------------------------------------------------ #
+
+_SEQ_BIN_FAST_TWIN = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    pre AS (
+      SELECT antenna1, antenna2, time, vis_re, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    anchors AS (
+      SELECT antenna1, antenna2, CAST(0 AS BIGINT) AS time_bin,
+             rn AS a_rn, time AS a_t
+      FROM pre WHERE rn = 1
+      UNION ALL
+      SELECT a.antenna1, a.antenna2, a.time_bin + 1, nxt.n_rn, nxt.n_t
+      FROM anchors a
+      JOIN LATERAL (
+        SELECT p.rn AS n_rn, p.time AS n_t
+        FROM pre p
+        WHERE p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+          AND p.rn > a.a_rn
+          AND (p.time - a.a_t) > 1209600.0
+        ORDER BY p.rn LIMIT 1
+      ) nxt ON true
+    ),
+    assigned AS (
+      SELECT p.antenna1, p.antenna2, a.time_bin, p.time, p.vis_re, p.weight
+      FROM pre p ASOF JOIN anchors a
+        ON p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+       AND p.rn >= a.a_rn
+    )
+    SELECT antenna1, antenna2, time_bin,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_first,
+           MAX(time) AS time_last,
+           SUM(vis_re * weight) / SUM(weight) AS vis_re_avg,
+           SUM(weight) AS weight_sum
+    FROM assigned
+    GROUP BY antenna1, antenna2, time_bin
+    ORDER BY antenna1, antenna2, time_bin
+"""
+
+
+# The sinc closure predicate with (p = candidate row, a = anchor) in
+# place of (o, r.<anchor carry>) — textually the same arithmetic as
+# _BDA_SINC_CLOSE, so the decision algebra is identical by construction.
+_BDA_SINC_HALF_FT = (
+    "(SQRT((p.u - a.u_s)*(p.u - a.u_s) + (p.v - a.v_s)*(p.v - a.v_s) "
+    f"+ (p.w - a.w_s)*(p.w - a.w_s)) * {bda_op.BDA_SINC_K!r} + 1e-8)"
+)
+
+
+_BDA_SINC_CLOSE_FT = (
+    "((p.antenna1 <> p.antenna2) AND ("
+    f"CAST(ROUND((SIN({_BDA_SINC_HALF_FT}) / {_BDA_SINC_HALF_FT}) * {bda_op.BDA_SINC_GRID!r}) AS BIGINT)"
+    f" < {bda_op.BDA_SINC_TOL_Q} "
+    "OR ((p.time + p.interval/2.0) - (a.t_s - a.iv_s/2.0)) > "
+    f"{bda_op.BDA_TIME_BIN_SECS!r}))"
+)
+
+
+_BDA_SINC_FAST_TWIN = f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    pre AS (
+      SELECT antenna1, antenna2, time, u, v, w, interval, flag_row,
+             vis_re, vis_im, weight,
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    anchors AS (
+      SELECT antenna1, antenna2, CAST(0 AS BIGINT) AS bin_idx,
+             rn AS a_rn, u AS u_s, v AS v_s, w AS w_s, time AS t_s,
+             interval AS iv_s
+      FROM pre WHERE rn = 1
+      UNION ALL
+      SELECT a.antenna1, a.antenna2, a.bin_idx + 1,
+             nxt.n_rn, nxt.n_u, nxt.n_v, nxt.n_w, nxt.n_t, nxt.n_iv
+      FROM anchors a
+      JOIN LATERAL (
+        SELECT p.rn AS n_rn, p.u AS n_u, p.v AS n_v, p.w AS n_w,
+               p.time AS n_t, p.interval AS n_iv
+        FROM pre p
+        WHERE p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+          AND p.rn > a.a_rn
+          AND {_BDA_SINC_CLOSE_FT}
+        ORDER BY p.rn LIMIT 1
+      ) nxt ON true
+    ),
+    rec AS (
+      SELECT p.antenna1, p.antenna2, a.bin_idx, p.rn, p.time, p.interval,
+             p.u, p.v, p.w, p.flag_row, p.vis_re, p.vis_im, p.weight
+      FROM pre p ASOF JOIN anchors a
+        ON p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+       AND p.rn >= a.a_rn
+    )
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ((arg_min(time, rn) - arg_min(interval, rn)/2.0)
+            + (arg_max(time, rn) + arg_max(interval, rn)/2.0)) / 2.0 AS time_avg,
+           (arg_max(time, rn) + arg_max(interval, rn)/2.0)
+            - (arg_min(time, rn) - arg_min(interval, rn)/2.0) AS interval_out,
+           round(CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_re_avg,
+           round(CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum,
+           (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
+           CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
+                THEN -1.0
+                ELSE CAST(ROUND(({bda_op.BDA_LIGHTSPEED!r} / (2.0 * PI()))
+                           * ({bda_op.BDA_DECORRELATION!r} / {_BDA_SINC_MAD})
+                           * 1000000) AS BIGINT) / 1000000.0
+           END AS delta_nu
+    FROM rec
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+
+
+def bda_partial_oracle(oracle: str, mod: int) -> str:
+    """Rewrite a registered BDA oracle's `row_id % 17 = 0` slice to a
+    deeper modulus for big-scale partial-pass runs. Asserts the slice
+    literal appears exactly once so a silent no-op is impossible."""
+    needle = "% 17 = 0"
+    assert oracle.count(needle) == 1, "slice literal not unique"
+    return oracle.replace(needle, f"% {mod} = 0")
 
 
 @register("closure_phases_triangles", _with_ms(cal_op.CLOSURE_PHASES_SQL))
@@ -888,7 +1049,13 @@ def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelation): slow baselines average more channels. Exactly
     oracled by the recursive replay plus the arg_max motion lookup
     (invariants additionally tested in test_bda_clean_equivalence.py)."""
-    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % 17 == 0)
+    return _bda_ragged_build(spark, sf_dir, 17)
+
+
+def _bda_ragged_build(spark: SparkSession, sf_dir: str, mod: int = 17) -> DataFrame:
+    """Shared builder for `bda_ragged_channel_factor` (slice modulus
+    parameterized for the sf1+ partial-pass gate, r11)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(F.col("row_id") % mod == 0)
     out = bda_op.bda_ragged(vis)
     return out.select(
         "antenna1", "antenna2", "bin_idx", "chan_factor", "chan_out", "n_samples",

@@ -35,3 +35,56 @@ def test_fast_twin_bit_equal_sf001():
     pd.testing.assert_frame_equal(
         slow.reset_index(drop=True), fast.reset_index(drop=True)
     )
+
+
+# ---- r11: anchor-chain twins for the two accumulator-free tier-3 ----
+# oracles (time-bin span rule; sinc anchor-relative closure). The
+# closure rule reads only (candidate, anchor), so first-violator
+# anchor recursion is decision-identical to the per-row replay — these
+# tests lock that bit-exactly at two scales; tools/sf1_bda_partial.py
+# runs the same equality at sf1.0 for the BASELINE.md record.
+
+
+def test_seq_bin_fast_twin_bit_equal_sf0001():
+    con = _con("/root/testdata/sf0.001")
+    slow = con.execute(msops._SEQ_BIN_ORACLE).df()
+    fast = con.execute(msops._SEQ_BIN_FAST_TWIN).df()
+    assert len(slow) > 50
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_seq_bin_fast_twin_bit_equal_sf001():
+    con = _con("/root/testdata/sf0.01")
+    slow = con.execute(msops._SEQ_BIN_ORACLE).df()
+    fast = con.execute(msops._SEQ_BIN_FAST_TWIN).df()
+    assert len(slow) > 500
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_sinc_fast_twin_bit_equal_sf0001():
+    con = _con("/root/testdata/sf0.001")
+    slow = con.execute(msops._BDA_SINC_ORACLE).df()
+    fast = con.execute(msops._BDA_SINC_FAST_TWIN).df()
+    assert len(slow) > 50
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_sinc_fast_twin_bit_equal_sf001():
+    con = _con("/root/testdata/sf0.01")
+    slow = con.execute(msops._BDA_SINC_ORACLE).df()
+    fast = con.execute(msops._BDA_SINC_FAST_TWIN).df()
+    assert len(slow) > 500
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_partial_oracle_rewrites_slice_once():
+    sql = msops.bda_partial_oracle(msops._BDA_ORACLE, 85)
+    assert "% 85 = 0" in sql and "% 17 = 0" not in sql
