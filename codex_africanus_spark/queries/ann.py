@@ -1151,3 +1151,128 @@ def ann_probe_at_flag_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 (ROADMAP r12 candidate pulled forward): ANN probe serving composed
+# WITH the branch/merge catalog — the embedding corpus lives in a
+# snapshot table; a staging branch ingests a new vector batch while the
+# main table takes a concurrent append; merge_3way (append-only
+# key-range conflict detection on disjoint synthetic key bands) lands
+# the staged batch on the advanced head. Top-1 retrieval is served at
+# THREE catalog states — main@base, branch head, merged head — the
+# "what did staging add / what did the merge add" rollout audit of an
+# embedding store. Pools reconstructed in the oracle from the split
+# predicates:
+#   base   = vec_id % 4 != 0                       (table v1)
+#   branch = base + (vec_id % 4 = 0 AND % 8 != 0)  = vec_id % 8 != 0
+#   merged = branch + (vec_id % 8 = 0)             = everything
+# ---------------------------------------------------------------------------
+
+
+def _ann_branch_ranked_sql(tag: str, pool_pred: str) -> str:
+    dot = sim_op._qdot_sql("q.embedding", "c.embedding")
+    qq = sim_op._qdot_sql("q.embedding", "q.embedding")
+    cc = sim_op._qdot_sql("c.embedding", "c.embedding")
+    return f"""
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC,
+                                         c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id % 125 = 0 AND q.vec_id <> c.vec_id
+        AND ({pool_pred})
+    """
+
+
+_ANN_BRANCH_MERGE_ORACLE = f"""
+  WITH rb AS ({_ann_branch_ranked_sql('base', 'c.vec_id % 4 <> 0')}),
+  rs AS ({_ann_branch_ranked_sql('branch', 'c.vec_id % 8 <> 0')}),
+  rm AS ({_ann_branch_ranked_sql('merged', 'TRUE')})
+  SELECT b.query_id AS query_id,
+         b.neighbor_id AS top1_base,
+         s.neighbor_id AS top1_branch,
+         m.neighbor_id AS top1_merged,
+         CAST(ROUND(b.cosine_sim * 1000000000) AS BIGINT) AS sim_base_q9,
+         CAST(ROUND(s.cosine_sim * 1000000000) AS BIGINT) AS sim_branch_q9,
+         CAST(ROUND(m.cosine_sim * 1000000000) AS BIGINT) AS sim_merged_q9,
+         CAST(CASE WHEN b.neighbor_id <> s.neighbor_id THEN 1 ELSE 0 END AS INT)
+           AS changed_by_staging,
+         CAST(CASE WHEN s.neighbor_id <> m.neighbor_id THEN 1 ELSE 0 END AS INT)
+           AS changed_by_merge
+  FROM rb b JOIN rs s ON b.query_id = s.query_id
+  JOIN rm m ON b.query_id = m.query_id
+  WHERE b.rank = 1 AND s.rank = 1 AND m.rank = 1
+  ORDER BY query_id
+"""
+
+
+@register("ann_probe_branch_merge", _ANN_BRANCH_MERGE_ORACLE)
+def ann_probe_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 retrieval served at three catalog states of a
+    branched + concurrently-advanced + 3-way-merged snapshot table (see
+    the section comment). The synthetic key bands (base/src appends
+    k = vec_id >= 0, staged branch append k = -vec_id - 1 < 0) make the
+    since-base appends provably disjoint in min/max stats, which is
+    what lets merge_3way land the branch on the advanced head."""
+    import shutil
+    import tempfile
+
+    from codex_africanus_spark.sources import snapshot as snap
+
+    emb = load(spark, "embeddings", sf_dir)
+    root = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge"
+    br = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge_br"
+    for p in (root, br):
+        shutil.rmtree(p, ignore_errors=True)
+
+    base = emb.filter(F.col("vec_id") % 4 != 0).select(
+        "vec_id", "embedding", F.col("vec_id").cast("long").alias("k")
+    )
+    snap.commit_with_stats(base, root, stats_cols=["k"], mode="overwrite")
+    snap.create_branch(root, br)
+    src_new = emb.filter(F.col("vec_id") % 8 == 0).select(
+        "vec_id", "embedding", F.col("vec_id").cast("long").alias("k")
+    ).coalesce(1)
+    snap.commit_with_stats(src_new, root, stats_cols=["k"])
+    staged = emb.filter(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 != 0)
+    ).select(
+        "vec_id", "embedding", (-F.col("vec_id") - 1).cast("long").alias("k")
+    ).coalesce(1)
+    snap.commit_with_stats(staged, br, stats_cols=["k"])
+    merged_v = snap.merge_3way(br, root, key="k")
+
+    probes = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tops = []
+    for tag, pool in (
+        ("base", snap.read_snapshot(spark, root, version=1)),
+        ("branch", snap.read_snapshot(spark, br)),
+        ("merged", snap.read_snapshot(spark, root, version=merged_v)),
+    ):
+        ranked = sim_op.cosine_topk_probes(
+            pool, probes, k=1, exclude_self=True
+        )
+        tops.append(
+            ranked.filter(F.col("rank") == 1).select(
+                "query_id",
+                F.col("neighbor_id").alias(f"top1_{tag}"),
+                F.round(F.col("cosine_sim") * 1000000000).cast("long")
+                .alias(f"sim_{tag}_q9"),
+            )
+        )
+    return (
+        tops[0].join(tops[1], "query_id").join(tops[2], "query_id")
+        .select(
+            "query_id", "top1_base", "top1_branch", "top1_merged",
+            "sim_base_q9", "sim_branch_q9", "sim_merged_q9",
+            F.when(F.col("top1_base") != F.col("top1_branch"), 1)
+            .otherwise(0).cast("int").alias("changed_by_staging"),
+            F.when(F.col("top1_branch") != F.col("top1_merged"), 1)
+            .otherwise(0).cast("int").alias("changed_by_merge"),
+        )
+        .orderBy("query_id")
+    )
