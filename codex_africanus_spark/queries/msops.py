@@ -305,10 +305,10 @@ _BDA_SINC_ORACLE = f"""
             + (arg_max(time, rn) + arg_max(interval, rn)/2.0)) / 2.0 AS time_avg,
            (arg_max(time, rn) + arg_max(interval, rn)/2.0)
             - (arg_min(time, rn) - arg_min(interval, rn)/2.0) AS interval_out,
-           round(CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_re_avg,
-           round(CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_im_avg,
+           CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_re_avg,
+           CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_im_avg,
            SUM(weight) AS weight_sum,
            (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
            CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
@@ -337,8 +337,14 @@ def bda_sinc_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "antenna1", "antenna2", "bin_idx", "n_rows", "n_flagged",
         "time_avg", "interval_out",
-        F.round(F.col("vis_re_avg"), 6).alias("vis_re_avg"),
-        F.round(F.col("vis_im_avg"), 6).alias("vis_im_avg"),
+        # r11 sf1.0 fast-twin sweep fork: round(ratio, 6) forks
+        # cross-engine when the exact int/int ratio lands on a dyadic
+        # half-boundary (e.g. x.xxxxxx5 with weight_sum 64). The kernel
+        # already emits a ratio of identical fixed-point integer sums —
+        # bit-equal across engines UNROUNDED — so no rounding at all is
+        # the exact contract. Oracle + fast twin changed identically.
+        "vis_re_avg",
+        "vis_im_avg",
         "weight_sum", "bin_flagged",
         # r11 sf1.0 sweep fork: round(x, 6) forks cross-engine once
         # |delta_nu| reaches ~1e8 (Spark's exact-decimal BigDecimal vs
@@ -665,10 +671,10 @@ _BDA_SINC_FAST_TWIN = f"""
             + (arg_max(time, rn) + arg_max(interval, rn)/2.0)) / 2.0 AS time_avg,
            (arg_max(time, rn) + arg_max(interval, rn)/2.0)
             - (arg_min(time, rn) - arg_min(interval, rn)/2.0) AS interval_out,
-           round(CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_re_avg,
-           round(CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE), 6) AS vis_im_avg,
+           CAST(CAST(SUM(CAST(ROUND(vis_re * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_re_avg,
+           CAST(CAST(SUM(CAST(ROUND(vis_im * weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(ROUND(weight * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS vis_im_avg,
            SUM(weight) AS weight_sum,
            (SUM(CASE WHEN flag_row THEN 1 ELSE 0 END) = COUNT(*)) AS bin_flagged,
            CASE WHEN MIN(antenna1) = MIN(antenna2) OR {_BDA_SINC_MAD} = 0.0
