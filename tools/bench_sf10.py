@@ -25,8 +25,8 @@ from codex_africanus_spark.queries import registry  # noqa: E402
 from codex_africanus_spark.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-BUDGET_S = 900          # per-query Spark watchdog
-TWIN_TIMEOUT_S = 900    # per-oracle DuckDB subprocess timeout
+BUDGET_S = 420          # per-query Spark watchdog
+TWIN_TIMEOUT_S = 420    # per-oracle DuckDB subprocess timeout
 
 WORK = [
     "q1_pricing_summary",
@@ -87,7 +87,9 @@ def time_twin(sql: str) -> tuple:
         )
         if r.returncode != 0:
             return None, f"error: {r.stderr.strip()[-200:]}"
-        dt, n = r.stdout.split()
+        # environment hooks may prepend noise lines to stdout; the
+        # timing line is always the LAST two tokens
+        dt, n = r.stdout.split()[-2:]
         return float(dt), int(n)
     except subprocess.TimeoutExpired:
         return None, f"timeout>{TWIN_TIMEOUT_S}s"
@@ -137,8 +139,14 @@ def main() -> None:
     out["calib_after_sec"] = _calibrate(spark)
     out["loadavg_after"] = _loadavg()
     spark.stop()
+    # give DuckDB its best shot where a faster equivalent replay exists
+    # (BASELINE.md r10 protocol: the salted-BDA timed twin is the
+    # anchor-chain fast twin, bit-equal to the registered oracle)
+    from codex_africanus_spark.queries import msops
+
+    twin_override = {"bda_salted_average": msops._SBDA_FAST_TWIN}
     for name in WORK:
-        o = reg[name].oracle
+        o = twin_override.get(name) or reg[name].oracle
         if o is None:
             continue
         dt, n = time_twin(o)
