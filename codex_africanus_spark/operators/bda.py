@@ -153,26 +153,27 @@ def bda_ragged(
     )
 
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
-        # bin assignment over the unique time grid (chan-collapsed)
-        # total value order BEFORE the dedup: duplicate (time, row_id)
-        # keys with different uvw would otherwise keep an input-order-
-        # dependent representative (the r8 streaming-twin flake class)
-        times = (
-            pdf[["time", "row_id", "u", "v", "w"]]
-            .sort_values(["time", "row_id", "u", "v", "w"])
-            .drop_duplicates(["time", "row_id"])
-            .reset_index(drop=True)
-        )
-        # same float64-scalar loop + vectorized weighted means as
-        # bda_average (bit-identical arithmetic, ~10× the old
-        # itertuples + triple groupby.apply form)
+        # bin assignment over ALL rows in the full total value order —
+        # the same walk as bda_average and the recursive-CTE oracle.
+        # (r11 sf1.0 partial-pass fork: this kernel previously binned a
+        # (time, row_id)-DEDUPED grid, silently skipping the motion
+        # step BETWEEN duplicate keys with different uvw — the
+        # generator's lineitem has (okey, ln) PK collisions, and the
+        # first same-baseline different-uvw collision to land in a
+        # slice appears at sf1.0, flipping one bin boundary against the
+        # oracle. All-rows binning is the oracle's semantic; duplicate
+        # rows with identical uvw contribute zero steps, so behavior on
+        # every earlier-rehearsed slice is unchanged.)
         import numpy as np
 
-        tu = times["u"].to_numpy()
-        tv = times["v"].to_numpy()
-        tw = times["w"].to_numpy()
-        tt = times["time"].to_numpy()
-        n = len(times)
+        merged = pdf.sort_values(
+            ["time", "row_id", "u", "v", "w", "vis_re"]
+        ).reset_index(drop=True)
+        tu = merged["u"].to_numpy()
+        tv = merged["v"].to_numpy()
+        tw = merged["w"].to_numpy()
+        tt = merged["time"].to_numpy()
+        n = len(merged)
         bins = np.empty(n, dtype=np.int64)
         bin_idx, acc, start_t = 0, 0.0, None
         bin_motion = {}
@@ -190,8 +191,7 @@ def bda_ragged(
                     start_t, acc = float(tt[i]), 0.0
             bins[i] = bin_idx
             bin_motion[bin_idx] = acc
-        times["bin_idx"] = bins
-        merged = pdf.merge(times[["time", "row_id", "bin_idx"]], on=["time", "row_id"])
+        merged["bin_idx"] = bins
         # per-bin channel factor from the bin's final accumulated motion
         factor = {
             b: (4 if m <= decorr_tol / 4 else (2 if m <= decorr_tol / 2 else 1))
