@@ -1030,34 +1030,64 @@ CONTAINMENT_SQL = f"""
 PREFIX_JACCARD_TAU_NUM = 1  # jaccard threshold as an exact rational 1/2
 PREFIX_JACCARD_TAU_DEN = 2
 
+# Broadcast-verify gate: the per-doc ordered-token table is broadcast to
+# the verify stage only while its estimated size (n_docs × (8·avg_set +
+# ~32B row overhead)) stays under this bound; past it the operator falls
+# back to the shuffle-verify pipeline. 2 GiB ≈ 15M docs at the corpus'
+# ~130-shingle sets — far beyond any single broadcast a 100 TB job
+# should attempt, and the fallback is the plain pre-r12 plan.
+PREFIX_BROADCAST_MAX_BYTES = 2 << 30
 
-def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame, broadcast_max_bytes: int = PREFIX_BROADCAST_MAX_BYTES
+) -> DataFrame:
     """Exact Jaccard ≥ 1/2 self-join via prefix filtering — the
     non-probabilistic alternative to MinHash-LSH (AllPairs/PPJoin family;
     no reference counterpart — LLM-pipeline dedup tier): order each
     document's shingle set by ascending global document frequency
-    (rarest first) and join only on the first s − ⌈τ·s⌉ + 1 tokens.
-    Completeness: two sets with jaccard ≥ τ must share a token inside
-    both prefixes, so no qualifying pair is lost.
+    (rarest first); two sets with jaccard ≥ τ must share a token inside
+    both (s − ⌈τ·s⌉ + 1)-length prefixes, so keying candidates on prefix
+    tokens loses no qualifying pair.
 
-    Scale shape: the candidate self-join keys on PREFIX tokens only —
-    by construction the globally rarest tokens of each set — so the
-    per-key fan-out is inherently small and the classic hot-shingle skew
-    of a full-token join never forms (the same motivation as the
-    stop-shingle cap in ngram_jaccard_pairs, achieved structurally).
-    Threshold compare is integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
+    r12 rebuild — the pre-r12 join-then-groupBy form died at sf10 (100×,
+    50% duplication density): every qualifying pair re-materialized once
+    per shared prefix token (~65×) into the m/pa/pb aggregation exchange
+    (~60 GB), and the verify join carried the two ~1 KB token arrays at
+    33M-pair grain (~33 GB more) — both disk-quadratic in duplication
+    density. The rebuilt plan is disk-LINEAR in corpus size and collapses
+    the duplication quadratic exactly where it forms, with NO completeness
+    downgrade (unlike a df-cap on prefix tokens, which would drop pairs
+    whose only shared prefix token is hot):
 
-    Plan shape (one less full-data exchange than the textbook window
-    form): the distinct shingle frame is persisted (df ranking + the
-    per-doc rollup both consume it); the rarest-first ordering comes
-    from ONE groupBy(doc_id) with a per-doc array_sort over (df, h)
-    structs — a ~|set|-element compiled sort per document instead of a
-    window sort over the whole exchange — and that same rollup yields
-    the per-doc token array the verify stage needs, for free."""
+    1. **Prefix-group collapse.** Docs are grouped by their ENTIRE ordered
+       prefix array (exact array groupBy — no hash-collision risk).
+       Duplication-dense corpora are precisely corpora of near-identical
+       docs, and near-identical docs share their rarest-token prefix
+       verbatim, so candidate enumeration runs at GROUP grain: k copies
+       cost 1 posting set, not k (and not C(k,2) join rows per token).
+    2. **Emit-once candidates.** Group postings self-join on prefix token
+       h; the group pair survives only where h equals the FIRST element
+       of array_intersect(pref_a, pref_b) (both arrays share the global
+       (df, h) order). One surviving row per group pair, decided inline
+       in the join stage — the pair×token mass streams through a filter
+       and is never shuffled, replacing the old groupBy exchange.
+    3. **Broadcast exact verify.** Candidate group pairs expand to member
+       doc pairs (plus all within-group pairs — identical prefixes are
+       always candidates), scalar length-filter 3·min(sa,sb) ≥ sa+sb
+       prunes before any array touch, then one compiled
+       size(array_intersect(ord_a, ord_b)) per surviving pair against the
+       broadcast per-doc token table. No pair-grain array shuffle at all.
+       Threshold compare stays integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
+
+    Beyond `broadcast_max_bytes` (estimated from the checkpointed set
+    table's count — an O(1) action on materialized partitions) the
+    operator falls back to `_prefix_jaccard_shuffle_fallback`, the
+    pre-r12 shuffle pipeline, which is the right shape for a
+    low-duplication corpus too large to broadcast; the two paths are
+    result-identical (locked by tests/test_round12_fixes.py)."""
     sh = _shingle_frame(fan_out(docs)).distinct().localCheckpoint(eager=True)  # GC-scoped (r8)
     df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc: tokens ordered rarest-first (global (df, h) order), set
-    # size, and the token array for verification — one doc_id shuffle
     sets = (
         sh.join(df_, "h")
         .groupBy("doc_id")
@@ -1069,6 +1099,114 @@ def prefix_filter_jaccard_join(docs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # GC-scoped, not CacheManager-pinned (r8)
     )
+    est = sets.agg(
+        (F.sum("s") * F.lit(8) + F.count(F.lit(1)) * F.lit(32)).alias("b")
+    ).collect()[0]["b"]
+    if est is not None and est > broadcast_max_bytes:
+        return _prefix_jaccard_shuffle_fallback(sets)
+    # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
+    groups = (
+        sets.select(
+            "doc_id",
+            "s",
+            F.expr("slice(ord_h, 1, CAST(s - ((s + 1) DIV 2) + 1 AS INT))").alias(
+                "pref"
+            ),
+        )
+        .groupBy("pref")
+        .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # freeze gids + one enumeration per consumer
+    )
+    postings = groups.select("gid", F.explode("pref").alias("h"))
+    gmeta = F.broadcast(groups.select("gid", "pref", "members"))
+    # Candidate group pairs, deduped inline: the pair×token join output
+    # streams through two broadcast lookups + the first-shared-token
+    # filter inside one stage — nothing pair-grain ever hits a shuffle.
+    cand_g = (
+        postings.alias("pa")
+        .join(
+            postings.alias("pb"),
+            (F.col("pa.h") == F.col("pb.h")) & (F.col("pa.gid") < F.col("pb.gid")),
+        )
+        .select(F.col("pa.gid").alias("ga"), F.col("pb.gid").alias("gb"), "pa.h")
+        .join(gmeta.select(F.col("gid").alias("ga"), F.col("pref").alias("pref_a"),
+                           F.col("members").alias("mem_a")), "ga")
+        .join(gmeta.select(F.col("gid").alias("gb"), F.col("pref").alias("pref_b"),
+                           F.col("members").alias("mem_b")), "gb")
+        .filter(
+            F.element_at(F.array_intersect("pref_a", "pref_b"), 1) == F.col("h")
+        )
+        .select("mem_a", "mem_b")
+    )
+    # cross-group member pairs ∪ all within-group pairs (identical prefix
+    # ⇒ always a candidate); each unordered doc pair appears exactly once
+    # (a doc belongs to one group; group pairs are ga<gb-unique; within
+    # uses i<j), oriented doc_a < doc_b at emit.
+    cross = (
+        cand_g.select(F.explode("mem_a").alias("a"), "mem_b")
+        .select("a", F.explode("mem_b").alias("b"))
+    )
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select(F.posexplode("members").alias("i", "a"), "members")
+        .select("a", F.posexplode("members").alias("j", "b"), "i")
+        .filter(F.col("i") < F.col("j"))
+        .select("a", "b")
+    )
+    pairs = (
+        cross.unionByName(within)
+        .select(
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id")).alias("doc_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id")).alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        # scalar length filter before any array is touched:
+        # jac ≥ τ ⇒ inter ≤ min(sa,sb) and (1+τ)·inter ≥ τ·(sa+sb)
+        .filter(
+            F.least(F.col("sa"), F.col("sb"))
+            * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+    )
+    sets_b = F.broadcast(sets.select("doc_id", "ord_h"))
+    inter = (
+        pairs.join(sets_b.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("ord_h").alias("arr_a")), "doc_a")
+        .join(sets_b.select(F.col("doc_id").alias("doc_b"),
+                            F.col("ord_h").alias("arr_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "sa", "sb",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+        )
+    )
+    return (
+        inter.filter(
+            F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
+            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        )
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _prefix_jaccard_shuffle_fallback(sets: DataFrame) -> DataFrame:
+    """Pre-r12 shuffle pipeline, kept as the beyond-broadcast fallback
+    for low-duplication corpora whose per-doc token table exceeds the
+    broadcast gate: prefix postings self-join + m/pa/pb positional
+    aggregation + pair-grain array verify. Result-identical to the
+    broadcast path; disk cost grows with duplication density (the reason
+    the broadcast path is the default). Takes the checkpointed
+    (doc_id, ord_h, s) set table built by the caller."""
     # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
     prefix = sets.select(
         "doc_id",

@@ -1749,10 +1749,18 @@ def beam_dde_full_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar E per (source, antenna, chan), over the I,Q-subset XX/YY
     brightness and the fixed-point source reduction.
 
-    Plan: the (src × ant × chan) beam table (1225 rows) is sampled once
-    by the pandas UDF and broadcast-joined TWICE into the fact expansion
-    (antenna1 and antenna2 ends) — the per-antenna generalization of
-    beam_stokes_dde_predict at zero extra fact-side cost."""
+    Plan (r12 rebuild — the r11 verdict's one drifting headline): the
+    (src × ant × chan) beam table (1225 rows) is sampled once by the
+    pandas UDF, then pre-joined DRIVER-SIDE into a single
+    (antenna1, antenna2, chan) → per-source (l, m, n, fxx, fyy) table
+    (src × ant² × chan = 8575 rows) folding BOTH baseline ends AND the
+    source brightness — so the fact expansion pays ONE broadcast-hash
+    probe per output coherency instead of the former b1/b2/src chain
+    (three compound-key probes + row copies at source×vis grain, 5× the
+    predict class at sf1/sf10; the Arrow hop was never the cost — the
+    UDF samples 1225 rows). fxx/fyy keep the exact fact-side operation
+    order ((bg1·bg2)·xx, left-assoc) so results are bit-identical to the
+    three-join form and the unchanged oracle."""
     from codex_africanus_spark.functions.stokes import convert_general
     from codex_africanus_spark.sources.tables import fan_out
 
@@ -1765,34 +1773,34 @@ def beam_dde_full_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_id", "l", "m", "n",
         corrs["XX"].re.alias("xx"), corrs["YY"].re.alias("yy"),
     )
-    b1 = bg.select(
-        "source_id", F.col("antenna").alias("antenna1"),
-        "chan", F.col("bg").alias("bg1"),
-    )
-    b2 = bg.select(
-        "source_id", F.col("antenna").alias("antenna2"),
-        "chan", F.col("bg").alias("bg2"),
+    bpair = (
+        bg.select("source_id", F.col("antenna").alias("antenna1"),
+                  "chan", F.col("bg").alias("bg1"))
+        .join(
+            bg.select("source_id", F.col("antenna").alias("antenna2"),
+                      "chan", F.col("bg").alias("bg2")),
+            ["source_id", "chan"],
+        )
+        .join(src_corr, "source_id")
+        .select(
+            "antenna1", "antenna2", "chan", "l", "m", "n",
+            ((F.col("bg1") * F.col("bg2")) * F.col("xx")).alias("fxx"),
+            ((F.col("bg1") * F.col("bg2")) * F.col("yy")).alias("fyy"),
+        )
     )
     vis = tpch_ms.vis_table(spark, sf_dir)
-    j = (
-        fan_out(vis)
-        .join(F.broadcast(b1), ["antenna1", "chan"])
-        .join(F.broadcast(b2), ["antenna2", "chan", "source_id"])
-        .join(F.broadcast(src_corr), "source_id")
-    )
+    j = fan_out(vis).join(F.broadcast(bpair), ["antenna1", "antenna2", "chan"])
     theta = phase_delay_angle(
         phase_path(F.col("u"), F.col("v"), F.col("w"),
                    F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"),
     )
-    fxx = (F.col("bg1") * F.col("bg2")) * F.col("xx")
-    fyy = (F.col("bg1") * F.col("bg2")) * F.col("yy")
     coh = j.select(
         "row_id", "antenna1", "antenna2", "chan",
-        (fxx * F.cos(theta)).alias("cxx_re"),
-        (fxx * F.sin(theta)).alias("cxx_im"),
-        (fyy * F.cos(theta)).alias("cyy_re"),
-        (fyy * F.sin(theta)).alias("cyy_im"),
+        (F.col("fxx") * F.cos(theta)).alias("cxx_re"),
+        (F.col("fxx") * F.sin(theta)).alias("cxx_im"),
+        (F.col("fyy") * F.cos(theta)).alias("cyy_re"),
+        (F.col("fyy") * F.sin(theta)).alias("cyy_im"),
     )
     return coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
         (qsum(F.col("cxx_re"), 1e6) / F.lit(1e6)).alias("xx_re"),

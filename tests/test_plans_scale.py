@@ -587,9 +587,14 @@ def test_calibration_and_correlation_plan_shapes(spark, sf_dir):
 
 
 def test_beam_dde_full_predict_single_exchange_three_broadcasts(spark, sf_dir):
-    """Per-antenna beam DDE predict: the fact table meets the beam table
-    (twice) and the brightness side through broadcast joins only; the
-    single hash exchange is the source reduction."""
+    """Per-antenna beam DDE predict (r12 shape): both beam ends AND the
+    brightness fold into ONE pre-joined (ant1, ant2, chan) broadcast
+    pair table driver-side, so the fact expansion pays a single
+    broadcast probe per coherency (the pre-r12 b1/b2/src three-probe
+    chain ran 5x slower than the predict class at sf1/sf10); the single
+    hash exchange is the source reduction. The >= 3 BroadcastHashJoins
+    are the pair-table BUILD joins (1225-row grain) plus the one fact
+    probe — all broadcast, never SMJ."""
     plan = plan_of(registry()["beam_dde_full_predict"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("BroadcastHashJoin") >= 3
