@@ -1030,6 +1030,12 @@ CONTAINMENT_SQL = f"""
 PREFIX_JACCARD_TAU_NUM = 1  # jaccard threshold as an exact rational 1/2
 PREFIX_JACCARD_TAU_DEN = 2
 
+# Core/rare document-frequency split (r12): tokens with df <= this are
+# "rare" — their pair mass Σ C(df,2) <= (D-1)/2 · postings is linear in
+# corpus size — while df > D tokens form the duplication-stable "core".
+# A PERFORMANCE dial only: the decomposition is exact for any D >= 1.
+PREFIX_RARE_DF_MAX = 16
+
 # Broadcast-verify gate: the per-doc ordered-token table is broadcast to
 # the verify stage only while its estimated size (n_docs × (8·avg_set +
 # ~32B row overhead)) stays under this bound; past it the operator falls
@@ -1044,117 +1050,177 @@ def prefix_filter_jaccard_join(
 ) -> DataFrame:
     """Exact Jaccard ≥ 1/2 self-join via prefix filtering — the
     non-probabilistic alternative to MinHash-LSH (AllPairs/PPJoin family;
-    no reference counterpart — LLM-pipeline dedup tier): order each
-    document's shingle set by ascending global document frequency
-    (rarest first); two sets with jaccard ≥ τ must share a token inside
-    both (s − ⌈τ·s⌉ + 1)-length prefixes, so keying candidates on prefix
-    tokens loses no qualifying pair.
+    no reference counterpart — LLM-pipeline dedup tier). Two sets with
+    jaccard ≥ τ must share a token inside both (s − ⌈τ·s⌉ + 1)-length
+    rarest-first prefixes, so keying candidates on prefix tokens loses no
+    qualifying pair.
 
     r12 rebuild — the pre-r12 join-then-groupBy form died at sf10 (100×,
-    50% duplication density): every qualifying pair re-materialized once
-    per shared prefix token (~65×) into the m/pa/pb aggregation exchange
-    (~60 GB), and the verify join carried the two ~1 KB token arrays at
-    33M-pair grain (~33 GB more) — both disk-quadratic in duplication
-    density. The rebuilt plan is disk-LINEAR in corpus size and collapses
-    the duplication quadratic exactly where it forms, with NO completeness
-    downgrade (unlike a df-cap on prefix tokens, which would drop pairs
-    whose only shared prefix token is hot):
+    50% duplication density, short docs over a dense vocabulary): every
+    qualifying pair re-materialized once per shared prefix token into a
+    ~60 GB aggregation exchange, and the verify join carried per-doc
+    token arrays at 33M-pair grain. Measured structure at sf10: 4.8G
+    candidate pair×token rows for 27.3M true pairs — disk-quadratic in
+    duplication density. The rebuilt plan is an exact TWO-LEVEL
+    decomposition with NO completeness downgrade and NO pair-grain array
+    shuffle; it splits every doc's shingle set by global document
+    frequency at D = PREFIX_RARE_DF_MAX:
 
-    1. **Prefix-group collapse.** Docs are grouped by their ENTIRE ordered
-       prefix array (exact array groupBy — no hash-collision risk).
-       Duplication-dense corpora are precisely corpora of near-identical
-       docs, and near-identical docs share their rarest-token prefix
-       verbatim, so candidate enumeration runs at GROUP grain: k copies
-       cost 1 posting set, not k (and not C(k,2) join rows per token).
-    2. **Emit-once candidates.** Group postings self-join on prefix token
-       h; the group pair survives only where h equals the FIRST element
-       of array_intersect(pref_a, pref_b) (both arrays share the global
-       (df, h) order). One surviving row per group pair, decided inline
-       in the join stage — the pair×token mass streams through a filter
-       and is never shuffled, replacing the old groupBy exchange.
-    3. **Broadcast exact verify.** Candidate group pairs expand to member
-       doc pairs (plus all within-group pairs — identical prefixes are
-       always candidates), scalar length-filter 3·min(sa,sb) ≥ sa+sb
-       prunes before any array touch, then one compiled
-       size(array_intersect(ord_a, ord_b)) per surviving pair against the
-       broadcast per-doc token table. No pair-grain array shuffle at all.
-       Threshold compare stays integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
+      core(x)  = tokens with df > D     (duplication-stable: near-copies
+                                         of a doc share it verbatim — a
+                                         perturbation token is by nature
+                                         low-df)
+      rare(x)  = tokens with 2 ≤ df ≤ D (pair mass Σ C(df,2) ≤
+                                         (D−1)/2 · postings — LINEAR in
+                                         corpus size by construction)
+      df = 1 tokens can be shared by nobody and drop out entirely.
 
-    Beyond `broadcast_max_bytes` (estimated from the checkpointed set
-    table's count — an O(1) action on materialized partitions) the
-    operator falls back to `_prefix_jaccard_shuffle_fallback`, the
-    pre-r12 shuffle pipeline, which is the right shape for a
-    low-duplication corpus too large to broadcast; the two paths are
-    result-identical (locked by tests/test_round12_fixes.py)."""
+    Every shared token is in exactly one class, so
+      inter(a, b) = |core_A ∩ core_B| + δ(a, b),
+    with CI = |core_A ∩ core_B| constant per (core-)GROUP pair and
+    δ = the pair's shared rare-token count. Three bounded channels:
+
+    1. **Core groups.** Docs group by their exact core array (array
+       groupBy — no hash collisions); k near-copies collapse to ONE
+       group. At sf10 this takes candidate enumeration from 500k docs to
+       ~5k groups.
+    2. **Core-overlap channel.** Group pairs with 3·CI ≥ c_A + c_B are
+       found by the classic prefix join ON THE CORES at GROUP grain
+       (the τ = 1/2 prefix theorem applied to core sets; a qualifying
+       member pair needs 3·CI ≥ sa + sb ≥ c_A + c_B, so no group pair
+       is missed), deduped inline by the first-shared-token rule. Member
+       expansion emits FINAL pairs directly for δ = 0: inter = CI —
+       there is no verify stage at all.
+    3. **Rare channel.** Doc pairs sharing any rare token come from the
+       bounded rare-posting self-join; δ = COUNT per pair, CI computed
+       per pair from the two broadcast core arrays, inter = CI + δ.
+       Channel 2 anti-joins these keys so each pair is emitted once.
+
+    Threshold compare stays integer-exact: jac ≥ 1/2 ⇔ 3·inter ≥ sa+sb.
+
+    Beyond `broadcast_max_bytes` (estimated core-table bytes via one
+    cheap agg on the checkpointed frame) the operator falls back to
+    `_prefix_jaccard_shuffle_fallback`, the pre-r12 shuffle pipeline —
+    the right shape for a low-duplication corpus too large to broadcast;
+    the two paths are result-identical (tests/test_round12_fixes.py)."""
     sh = _shingle_frame(fan_out(docs)).distinct().localCheckpoint(eager=True)  # GC-scoped (r8)
     df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    D = PREFIX_RARE_DF_MAX
+    TAU_N, TAU_D = PREFIX_JACCARD_TAU_NUM, PREFIX_JACCARD_TAU_DEN
+    TAU_SUM = TAU_N + TAU_D
+    shdf = sh.join(df_, "h").localCheckpoint(eager=True)
+    # per-doc core array (global (df, h) order) + full set size
     sets = (
-        sh.join(df_, "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        shdf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("df") > D, F.struct("df", "h"))
+                )
+            ).alias("core_toks"),
+        )
         .select(
             "doc_id",
-            F.expr("transform(toks, t -> t.h)").alias("ord_h"),
-            F.size("toks").alias("s"),
+            "s",
+            F.expr("transform(core_toks, t -> t.h)").alias("core"),
         )
         .localCheckpoint(eager=True)  # GC-scoped, not CacheManager-pinned (r8)
     )
     est = sets.agg(
-        (F.sum("s") * F.lit(8) + F.count(F.lit(1)) * F.lit(32)).alias("b")
+        (F.sum(F.size("core")) * F.lit(8) + F.count(F.lit(1)) * F.lit(48))
+        .alias("b")
     ).collect()[0]["b"]
     if est is not None and est > broadcast_max_bytes:
-        return _prefix_jaccard_shuffle_fallback(sets)
-    # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
-    groups = (
-        sets.select(
-            "doc_id",
-            "s",
-            F.expr("slice(ord_h, 1, CAST(s - ((s + 1) DIV 2) + 1 AS INT))").alias(
-                "pref"
-            ),
-        )
-        .groupBy("pref")
-        .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
-        .withColumn("gid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)  # freeze gids + one enumeration per consumer
+        return _prefix_jaccard_shuffle_fallback(sh)
+    # ---- channel 3 first (its keys gate channel 2's emission) --------
+    low = shdf.filter((F.col("df") >= 2) & (F.col("df") <= D)).select(
+        "doc_id", "h"
     )
-    postings = groups.select("gid", F.explode("pref").alias("h"))
-    gmeta = F.broadcast(groups.select("gid", "pref", "members"))
-    # Candidate group pairs, deduped inline: the pair×token join output
-    # streams through two broadcast lookups + the first-shared-token
-    # filter inside one stage — nothing pair-grain ever hits a shuffle.
-    cand_g = (
-        postings.alias("pa")
+    delta = (
+        low.alias("a")
         .join(
-            postings.alias("pb"),
-            (F.col("pa.h") == F.col("pb.h")) & (F.col("pa.gid") < F.col("pb.gid")),
+            low.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("pa.gid").alias("ga"), F.col("pb.gid").alias("gb"), "pa.h")
-        .join(gmeta.select(F.col("gid").alias("ga"), F.col("pref").alias("pref_a"),
-                           F.col("members").alias("mem_a")), "ga")
-        .join(gmeta.select(F.col("gid").alias("gb"), F.col("pref").alias("pref_b"),
-                           F.col("members").alias("mem_b")), "gb")
-        .filter(
-            F.element_at(F.array_intersect("pref_a", "pref_b"), 1) == F.col("h")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .select("mem_a", "mem_b")
+        .agg(F.count(F.lit(1)).alias("delta"))
+        .localCheckpoint(eager=True)  # consumed twice (emit + anti-join)
     )
-    # cross-group member pairs ∪ all within-group pairs (identical prefix
-    # ⇒ always a candidate); each unordered doc pair appears exactly once
-    # (a doc belongs to one group; group pairs are ga<gb-unique; within
-    # uses i<j), oriented doc_a < doc_b at emit.
+    sets_b = F.broadcast(sets)
+    rare_pairs = (
+        delta.join(
+            sets_b.select(F.col("doc_id").alias("doc_a"),
+                          F.col("core").alias("core_a"),
+                          F.col("s").alias("sa")), "doc_a")
+        .join(
+            sets_b.select(F.col("doc_id").alias("doc_b"),
+                          F.col("core").alias("core_b"),
+                          F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "sa", "sb",
+            (F.size(F.array_intersect("core_a", "core_b")).cast("long")
+             + F.col("delta")).alias("inter"),
+        )
+    )
+    # ---- channel 1: exact-core groups --------------------------------
+    groups = (
+        sets.groupBy("core")
+        .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
+        .withColumn("c", F.size("core"))
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # freeze gids; consumed 3x
+    )
+    # ---- channel 2: prefix join ON THE CORES at group grain ----------
+    gpost = groups.filter(F.col("c") > 0).select(
+        "gid",
+        "c",
+        F.explode(
+            F.expr("slice(core, 1, CAST(c - ((c + 1) DIV 2) + 1 AS INT))")
+        ).alias("h"),
+    )
+    gmeta = F.broadcast(groups.select("gid", "core", "members"))
+    gpair = (
+        gpost.alias("a")
+        .join(
+            gpost.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"),
+                F.col("a.h").alias("h"),
+                F.col("a.c").alias("ca"), F.col("b.c").alias("cb"))
+        .join(gmeta.select(F.col("gid").alias("ga"),
+                           F.col("core").alias("core_a"),
+                           F.col("members").alias("mem_a")), "ga")
+        .join(gmeta.select(F.col("gid").alias("gb"),
+                           F.col("core").alias("core_b"),
+                           F.col("members").alias("mem_b")), "gb")
+        .withColumn("shared", F.array_intersect("core_a", "core_b"))
+        .filter(
+            # emit-once (first shared core-prefix token) + the group-
+            # level necessary condition 3*CI >= cA + cB
+            (F.element_at("shared", 1) == F.col("h"))
+            & (F.size("shared") * TAU_SUM
+               >= (F.col("ca") + F.col("cb")) * TAU_N)
+        )
+        .select(F.size("shared").cast("long").alias("ci"), "mem_a", "mem_b")
+    )
     cross = (
-        cand_g.select(F.explode("mem_a").alias("a"), "mem_b")
-        .select("a", F.explode("mem_b").alias("b"))
+        gpair.select("ci", F.explode("mem_a").alias("a"), "mem_b")
+        .select("ci", "a", F.explode("mem_b").alias("b"))
     )
     within = (
-        groups.filter(F.size("members") > 1)
-        .select(F.posexplode("members").alias("i", "a"), "members")
-        .select("a", F.posexplode("members").alias("j", "b"), "i")
+        groups.filter((F.col("c") > 0) & (F.size("members") > 1))
+        .select(F.col("c").cast("long").alias("ci"),
+                F.posexplode("members").alias("i", "a"), "members")
+        .select("ci", "a", F.posexplode("members").alias("j", "b"), "i")
         .filter(F.col("i") < F.col("j"))
-        .select("a", "b")
+        .select("ci", "a", "b")
     )
-    pairs = (
+    core_pairs = (
         cross.unionByName(within)
         .select(
             F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.doc_id"))
@@ -1163,30 +1229,18 @@ def prefix_filter_jaccard_join(
             .otherwise(F.col("a.doc_id")).alias("doc_b"),
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
+            F.col("ci").alias("inter"),
         )
-        # scalar length filter before any array is touched:
-        # jac ≥ τ ⇒ inter ≤ min(sa,sb) and (1+τ)·inter ≥ τ·(sa+sb)
-        .filter(
-            F.least(F.col("sa"), F.col("sb"))
-            * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
-            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
-        )
-    )
-    sets_b = F.broadcast(sets.select("doc_id", "ord_h"))
-    inter = (
-        pairs.join(sets_b.select(F.col("doc_id").alias("doc_a"),
-                                 F.col("ord_h").alias("arr_a")), "doc_a")
-        .join(sets_b.select(F.col("doc_id").alias("doc_b"),
-                            F.col("ord_h").alias("arr_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b", "sa", "sb",
-            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
-        )
+        # delta = 0 for these pairs (enforced by the anti-join below),
+        # so inter = CI exactly and the final filter is exact
+        .join(F.broadcast(delta.select("doc_a", "doc_b")),
+              ["doc_a", "doc_b"], "left_anti")
     )
     return (
-        inter.filter(
-            F.col("inter") * (PREFIX_JACCARD_TAU_DEN + PREFIX_JACCARD_TAU_NUM)
-            >= (F.col("sa") + F.col("sb")) * PREFIX_JACCARD_TAU_NUM
+        core_pairs.unionByName(rare_pairs.select(
+            "doc_a", "doc_b", "sa", "sb", "inter"))
+        .filter(
+            F.col("inter") * TAU_SUM >= (F.col("sa") + F.col("sb")) * TAU_N
         )
         .select(
             "doc_a", "doc_b", "inter",
@@ -1199,14 +1253,28 @@ def prefix_filter_jaccard_join(
     )
 
 
-def _prefix_jaccard_shuffle_fallback(sets: DataFrame) -> DataFrame:
+def _prefix_jaccard_shuffle_fallback(sh: DataFrame) -> DataFrame:
     """Pre-r12 shuffle pipeline, kept as the beyond-broadcast fallback
-    for low-duplication corpora whose per-doc token table exceeds the
+    for low-duplication corpora whose per-doc core table exceeds the
     broadcast gate: prefix postings self-join + m/pa/pb positional
     aggregation + pair-grain array verify. Result-identical to the
     broadcast path; disk cost grows with duplication density (the reason
-    the broadcast path is the default). Takes the checkpointed
-    (doc_id, ord_h, s) set table built by the caller."""
+    the two-level path is the default). Takes the checkpointed distinct
+    (doc_id, h) shingle frame built by the caller."""
+    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc: tokens ordered rarest-first (global (df, h) order), set
+    # size, and the token array for verification — one doc_id shuffle
+    sets = (
+        sh.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(toks, t -> t.h)").alias("ord_h"),
+            F.size("toks").alias("s"),
+        )
+        .localCheckpoint(eager=True)  # GC-scoped, not CacheManager-pinned (r8)
+    )
     # prefix length p = s - ceil(tau*s) + 1; for tau = 1/2: s - (s+1)//2 + 1
     prefix = sets.select(
         "doc_id",

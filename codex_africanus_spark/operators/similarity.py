@@ -128,7 +128,7 @@ def _iqdot_sql(a: str, b: str) -> str:
 
 def cosine_topk_probes(
     embeddings: DataFrame, probes: DataFrame, k: int = 5,
-    exclude_self: bool = False,
+    exclude_self: bool = False, rank_grid: float | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each probe vector over the corpus.
 
@@ -166,6 +166,28 @@ def cosine_topk_probes(
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = _qdot_unrolled("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))
+    if rank_grid is not None:
+        # integer-grid idiom (r11 ADVICE, the delta_nu precedent):
+        # ONE rounding to a BIGINT grid used as BOTH rank key and
+        # output — removes the cross-engine round(x, 9) half-boundary
+        # fork class for consumers whose oracles rank on the same
+        # CAST(ROUND(sim*grid) AS BIGINT). Opt-in so the locked
+        # round(,9)-double contract of the older cosine queries is
+        # untouched.
+        ranked = pairs.select(
+            "query_id", "neighbor_id",
+            F.round(sim * F.lit(rank_grid)).cast("long").alias("sim_q"),
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("sim_q").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id", "sim_q"
+        )
     ranked = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 9).alias("cosine_sim")
     ).withColumn(

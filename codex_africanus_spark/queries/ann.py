@@ -1069,14 +1069,19 @@ _FLAG_V2_PRED = "vec_id % 10 = 0 OR vec_id % 7 = 0"
 
 
 def _ann_flagver_ranked_sql(ver: int) -> str:
+    # integer-grid rank key + output (r11 ADVICE: removes the
+    # round(x, 9) cross-engine half-boundary class — ONE rounding to
+    # the q9 BIGINT grid, used for ordering AND emission, mirrored by
+    # rank_grid=1e9 on the Spark side)
     dot = sim_op._qdot_sql("q.embedding", "c.embedding")
     qq = sim_op._qdot_sql("q.embedding", "q.embedding")
     cc = sim_op._qdot_sql("c.embedding", "c.embedding")
+    qsim = f"CAST(ROUND({dot} / (sqrt({qq}) * sqrt({cc})) * 1000000000) AS BIGINT)"
     return f"""
       SELECT {ver} AS version, q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim,
+             {qsim} AS sim_q,
              row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC,
+                                ORDER BY {qsim} DESC,
                                          c.vec_id) AS rank
       FROM embeddings q, embeddings c
       WHERE q.vec_id % 125 = 0 AND q.vec_id <> c.vec_id
@@ -1092,8 +1097,8 @@ _ANN_FLAGVER_ORACLE = f"""
          b.neighbor_id AS top1_v2,
          CAST(CASE WHEN a.neighbor_id <> b.neighbor_id THEN 1 ELSE 0 END AS INT)
            AS changed,
-         CAST(ROUND(a.cosine_sim * 1000000000) AS BIGINT) AS sim_v1_q9,
-         CAST(ROUND(b.cosine_sim * 1000000000) AS BIGINT) AS sim_v2_q9
+         a.sim_q AS sim_v1_q9,
+         b.sim_q AS sim_v2_q9
   FROM r1 a JOIN r2 b ON a.query_id = b.query_id
   WHERE a.rank = 1 AND b.rank = 1
   ORDER BY query_id
@@ -1106,39 +1111,42 @@ def ann_probe_at_flag_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see the section comment). The flags travel through the snapshot
     sink (v1 commit, v2 overwrite) and each serving version anti-joins
     its OWN time-travel read — the probe layer never sees the other
-    version's state."""
+    version's state. Versions are CAPTURED from commit() (not assumed
+    1/2) and the snapshot root is per-process (r11 ADVICE: a fixed path
+    raced a concurrent run of the same query; rmtree keeps same-process
+    repeats from accumulating)."""
+    import os
     import shutil
     import tempfile
 
     from codex_africanus_spark.sources import snapshot as snap
 
     emb = load(spark, "embeddings", sf_dir)
-    root = f"{tempfile.gettempdir()}/cas_snapshot/vec_flags"
+    root = f"{tempfile.gettempdir()}/cas_snapshot/vec_flags_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
-    snap.commit(
+    v1 = snap.commit(
         emb.filter(F.expr(_FLAG_V1_PRED)).select("vec_id"), root,
         mode="overwrite",
-    )                                                                # v1
-    snap.commit(
+    )
+    v2 = snap.commit(
         emb.filter(F.expr(_FLAG_V2_PRED)).select("vec_id"), root,
         mode="overwrite",
-    )                                                                # v2
+    )
     probes = emb.filter(F.col("vec_id") % 125 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     tops = []
-    for ver in (1, 2):
-        tomb = snap.read_snapshot(spark, root, version=ver)
+    for ver, snapv in ((1, v1), (2, v2)):
+        tomb = snap.read_snapshot(spark, root, version=snapv)
         pool = emb.join(tomb, "vec_id", "left_anti")
         ranked = sim_op.cosine_topk_probes(
-            pool, probes, k=1, exclude_self=True
+            pool, probes, k=1, exclude_self=True, rank_grid=1e9
         )
         tops.append(
             ranked.filter(F.col("rank") == 1).select(
                 "query_id",
                 F.col("neighbor_id").alias(f"top1_v{ver}"),
-                F.round(F.col("cosine_sim") * 1000000000).cast("long")
-                .alias(f"sim_v{ver}_q9"),
+                F.col("sim_q").alias(f"sim_v{ver}_q9"),
             )
         )
     return (
@@ -1171,14 +1179,17 @@ def ann_probe_at_flag_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_branch_ranked_sql(tag: str, pool_pred: str) -> str:
+    # integer-grid rank key + output (r11 ADVICE — see
+    # _ann_flagver_ranked_sql)
     dot = sim_op._qdot_sql("q.embedding", "c.embedding")
     qq = sim_op._qdot_sql("q.embedding", "q.embedding")
     cc = sim_op._qdot_sql("c.embedding", "c.embedding")
+    qsim = f"CAST(ROUND({dot} / (sqrt({qq}) * sqrt({cc})) * 1000000000) AS BIGINT)"
     return f"""
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({dot} / (sqrt({qq}) * sqrt({cc})), 9) AS cosine_sim,
+             {qsim} AS sim_q,
              row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY round({dot} / (sqrt({qq}) * sqrt({cc})), 9) DESC,
+                                ORDER BY {qsim} DESC,
                                          c.vec_id) AS rank
       FROM embeddings q, embeddings c
       WHERE q.vec_id % 125 = 0 AND q.vec_id <> c.vec_id
@@ -1194,9 +1205,9 @@ _ANN_BRANCH_MERGE_ORACLE = f"""
          b.neighbor_id AS top1_base,
          s.neighbor_id AS top1_branch,
          m.neighbor_id AS top1_merged,
-         CAST(ROUND(b.cosine_sim * 1000000000) AS BIGINT) AS sim_base_q9,
-         CAST(ROUND(s.cosine_sim * 1000000000) AS BIGINT) AS sim_branch_q9,
-         CAST(ROUND(m.cosine_sim * 1000000000) AS BIGINT) AS sim_merged_q9,
+         b.sim_q AS sim_base_q9,
+         s.sim_q AS sim_branch_q9,
+         m.sim_q AS sim_merged_q9,
          CAST(CASE WHEN b.neighbor_id <> s.neighbor_id THEN 1 ELSE 0 END AS INT)
            AS changed_by_staging,
          CAST(CASE WHEN s.neighbor_id <> m.neighbor_id THEN 1 ELSE 0 END AS INT)
@@ -1215,22 +1226,27 @@ def ann_probe_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the section comment). The synthetic key bands (base/src appends
     k = vec_id >= 0, staged branch append k = -vec_id - 1 < 0) make the
     since-base appends provably disjoint in min/max stats, which is
-    what lets merge_3way land the branch on the advanced head."""
+    what lets merge_3way land the branch on the advanced head. The base
+    serving read is pinned to the version commit_with_stats RETURNED
+    (not a hard-coded 1) and the roots are per-process (r11 ADVICE:
+    fixed paths raced a concurrent run of the same query)."""
+    import os
     import shutil
     import tempfile
 
     from codex_africanus_spark.sources import snapshot as snap
 
     emb = load(spark, "embeddings", sf_dir)
-    root = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge"
-    br = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge_br"
+    pid = os.getpid()
+    root = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge_{pid}"
+    br = f"{tempfile.gettempdir()}/cas_snapshot/emb_branch_merge_{pid}_br"
     for p in (root, br):
         shutil.rmtree(p, ignore_errors=True)
 
     base = emb.filter(F.col("vec_id") % 4 != 0).select(
         "vec_id", "embedding", F.col("vec_id").cast("long").alias("k")
     )
-    snap.commit_with_stats(base, root, stats_cols=["k"], mode="overwrite")
+    base_v = snap.commit_with_stats(base, root, stats_cols=["k"], mode="overwrite")
     snap.create_branch(root, br)
     src_new = emb.filter(F.col("vec_id") % 8 == 0).select(
         "vec_id", "embedding", F.col("vec_id").cast("long").alias("k")
@@ -1249,19 +1265,18 @@ def ann_probe_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tops = []
     for tag, pool in (
-        ("base", snap.read_snapshot(spark, root, version=1)),
+        ("base", snap.read_snapshot(spark, root, version=base_v)),
         ("branch", snap.read_snapshot(spark, br)),
         ("merged", snap.read_snapshot(spark, root, version=merged_v)),
     ):
         ranked = sim_op.cosine_topk_probes(
-            pool, probes, k=1, exclude_self=True
+            pool, probes, k=1, exclude_self=True, rank_grid=1e9
         )
         tops.append(
             ranked.filter(F.col("rank") == 1).select(
                 "query_id",
                 F.col("neighbor_id").alias(f"top1_{tag}"),
-                F.round(F.col("cosine_sim") * 1000000000).cast("long")
-                .alias(f"sim_{tag}_q9"),
+                F.col("sim_q").alias(f"sim_{tag}_q9"),
             )
         )
     return (

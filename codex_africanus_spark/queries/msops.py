@@ -691,10 +691,15 @@ _BDA_SINC_FAST_TWIN = f"""
 
 def bda_partial_oracle(oracle: str, mod: int) -> str:
     """Rewrite a registered BDA oracle's `row_id % 17 = 0` slice to a
-    deeper modulus for big-scale partial-pass runs. Asserts the slice
-    literal appears exactly once so a silent no-op is impossible."""
+    deeper modulus for big-scale partial-pass runs. Raises (survives
+    `python -O`, r11 ADVICE) unless the slice literal appears exactly
+    once, so a silent no-op/partial rewrite is impossible."""
     needle = "% 17 = 0"
-    assert oracle.count(needle) == 1, "slice literal not unique"
+    if oracle.count(needle) != 1:
+        raise ValueError(
+            f"slice literal {needle!r} appears {oracle.count(needle)}x "
+            "(expected exactly 1) — refusing a partial/no-op rewrite"
+        )
     return oracle.replace(needle, f"% {mod} = 0")
 
 
@@ -990,8 +995,12 @@ def pipeline_predict_corrupt_average(spark: SparkSession, sf_dir: str) -> DataFr
 # Ragged BDA mirror: the same bit-identical recursion as _BDA_ORACLE,
 # plus the per-bin channel factor taken from the bin's FINAL accumulated
 # motion (arg_max(acc, rn)) and the chan DIV factor regrouping. The
-# (baseline, time, row_id) key is unique in this data, so the pandas
-# drop_duplicates step is an identity both sides.
+# kernel walks ALL (time, row_id) rows of a baseline — it must NOT
+# dedup the motion grid: the sf1.0 generator's key-shifted copies land
+# (time, row_id) PK collisions with DIFFERENT uvw on the same baseline
+# (first seen at sf1.0, commit bc0d594), and skipping the motion step
+# between such duplicates forked the binning against this oracle, which
+# has always walked every row.
 _BDA_RAGGED_ORACLE = f"""
     WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
     ordered AS (
@@ -3308,76 +3317,15 @@ _UNWRAP_BUCKET_SECS = 2592000  # 30 days
 
 @register("phase_unwrap_salted", _PHASE_UNWRAP_ORACLE)
 def phase_unwrap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-decomposed exact phase unwrap (see the section comment)."""
-    from pyspark.sql import Window as W
+    """Bucket-decomposed exact phase unwrap (see the section comment).
+    r12: the bucket-summary/stitch core moved to operators/unwrap.py
+    (same expressions verbatim) so the streaming twin
+    (streaming/unwrap.py) shares it — parity by construction."""
+    from codex_africanus_spark.operators import unwrap as unwrap_op
 
     vis = tpch_ms.vis_table(spark, sf_dir)
-    ph = vis.select(
-        "antenna1", "antenna2", "time", "row_id",
-        (
-            (
-                (F.round(F.col("u") * 10).cast("long") * 97
-                 + F.round(F.col("vis_im") * 10).cast("long") * 131
-                 + F.round(F.col("vis_re")).cast("long") * 211 + F.col("row_id"))
-                % 6283 + 6283
-            ) % 6283 - 3141
-        ).alias("p_mrad"),
-        F.expr(f"CAST(FLOOR(time / {_UNWRAP_BUCKET_SECS}) AS BIGINT)")
-        .alias("bucket"),
-    )
-    wb = W.partitionBy("antenna1", "antenna2", "bucket").orderBy(
-        "time", "row_id", "p_mrad"
-    )
-    wrap = (
-        F.when(F.col("d") > 3141, F.lit(-1))
-        .when(F.col("d") < -3141, F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    rows = (
-        ph.withColumn("d", F.col("p_mrad") - F.lag("p_mrad").over(wb))
-        .withColumn("c", wrap)
-        .withColumn(
-            "k_in",
-            F.sum("c").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .withColumn("unw_in", F.col("p_mrad") + 6283 * F.col("k_in"))
-        .withColumn("rn", F.row_number().over(wb))
-        .withColumn(
-            "rn_d",
-            F.row_number().over(
-                W.partitionBy("antenna1", "antenna2", "bucket").orderBy(
-                    F.col("time").desc(), F.col("row_id").desc(),
-                    F.col("p_mrad").desc(),
-                )
-            ),
-        )
-    )
-    summ = rows.groupBy("antenna1", "antenna2", "bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("net_in"),
-        F.sum(F.abs(F.col("c"))).alias("abs_in"),
-        F.max(F.when(F.col("rn") == 1, F.col("p_mrad"))).alias("first_p"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("p_mrad"))).alias("last_p"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("unw_in"))).alias("last_unw_in"),
-        F.min("unw_in").alias("min_unw_in"),
-        F.max("unw_in").alias("max_unw_in"),
-    )
-    ws = W.partitionBy("antenna1", "antenna2").orderBy("bucket")
-    stitched = (
-        summ.withColumn("d", F.col("first_p") - F.lag("last_p").over(ws))
-        .withColumn("c_b", wrap)
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("net_in").over(ws.rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            + F.coalesce(
-                F.sum("c_b").over(ws.rowsBetween(W.unboundedPreceding, 0)),
-                F.lit(0),
-            ),
-        )
-    )
+    ph = unwrap_op.phase_frame(vis)
+    stitched = unwrap_op.stitch_buckets(unwrap_op.bucket_summary(ph))
     return (
         stitched.groupBy("antenna1", "antenna2")
         .agg(

@@ -43,6 +43,7 @@ strategies pass straight through.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -55,6 +56,7 @@ CHECKPOINT_EVERY = 10
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _BRANCH_META = "_branch.json"
+_BRANCH_REG = "_branches"  # r12: per-source registry of live branches
 
 
 class SnapshotConflictError(RuntimeError):
@@ -246,9 +248,12 @@ def vacuum(
 ) -> list[str]:
     """Delete transaction directories unreachable from every version ≥
     `retain_from_version`; returns the removed directory names.  Time
-    travel keeps working for the retained window only. With live
-    BRANCHES sharing the data pool, pass their roots via
-    `extra_live_roots` — their whole histories stay live (r10).
+    travel keeps working for the retained window only. Branches created
+    with `create_branch` are REGISTERED in this root and auto-pinned
+    (r12 — a forgotten `extra_live_roots` used to reclaim data dirs an
+    O(1) branch's read-through view still references); unregistered
+    sharers (e.g. branches created by older code) must still be passed
+    via `extra_live_roots`. `drop_branch` unregisters.
 
     Refuses to run on a BRANCH root (r10 ADVICE, medium): a branch's
     data directory is a link into the SOURCE's shared pool, so
@@ -280,7 +285,13 @@ def vacuum(
     for v in range(retain_from_version, head + 1):
         for f in snapshot_files(root, v):
             live.add(f.split("/")[1])  # data/<txn>/...
-    for r2 in extra_live_roots:
+    # r12 (r11 verdict item 7): REGISTERED branches are auto-pinned —
+    # an O(1) branch reads manifests <= base from THIS log, so a vacuum
+    # that forgot extra_live_roots used to reclaim data dirs the
+    # branch's read-through view still references. drop_branch()
+    # unregisters; stale registrations self-clean in
+    # registered_branches().
+    for r2 in set(extra_live_roots) | set(registered_branches(root)):
         h2 = latest_version(r2)
         for v in range(1, (h2 or 0) + 1):
             for f in snapshot_files(r2, v):
@@ -734,7 +745,53 @@ def create_branch(root: str, branch_root: str, version: int | None = None) -> in
     (bp / _BRANCH_META).write_text(json.dumps(
         {"source": os.path.abspath(root), "base_version": base}
     ))
+    # r12 (r11 verdict item 7): register the branch in the SOURCE root
+    # so vacuum can auto-pin it — a forgotten extra_live_roots used to
+    # silently reclaim data dirs a branch's read-through view needs
+    reg = Path(root) / _BRANCH_REG
+    reg.mkdir(exist_ok=True)
+    tag = hashlib.md5(os.path.abspath(branch_root).encode()).hexdigest()[:16]
+    (reg / f"{tag}.json").write_text(json.dumps(
+        {"branch_root": os.path.abspath(branch_root), "base_version": base}
+    ))
     return base
+
+
+def drop_branch(branch_root: str) -> None:
+    """Delete a branch: removes its registration from the source root
+    (so vacuum stops pinning its history) and the branch directory
+    itself. The shared data pool is untouched — reclaim via a
+    subsequent `vacuum` on the source."""
+    meta = _branch_meta(branch_root)
+    if meta is None:
+        raise ValueError(f"{branch_root} is not a branch root")
+    tag = hashlib.md5(os.path.abspath(branch_root).encode()).hexdigest()[:16]
+    marker = Path(meta["source"]) / _BRANCH_REG / f"{tag}.json"
+    marker.unlink(missing_ok=True)
+    shutil.rmtree(branch_root, ignore_errors=True)
+
+
+def registered_branches(root: str) -> list[str]:
+    """Live registered branch roots of `root`. Stale registrations
+    (branch directory gone without drop_branch — e.g. an rmtree'd /tmp
+    experiment) are cleaned up on the way through rather than pinning
+    a dead branch's history forever."""
+    reg = Path(root) / _BRANCH_REG
+    out: list[str] = []
+    if not reg.is_dir():
+        return out
+    for m in sorted(reg.iterdir()):
+        if not m.name.endswith(".json"):
+            continue
+        try:
+            br = json.loads(m.read_text())["branch_root"]
+        except (ValueError, KeyError):
+            continue
+        if Path(br).exists():
+            out.append(br)
+        else:
+            m.unlink(missing_ok=True)  # stale marker
+    return out
 
 
 def _commit_manifest(

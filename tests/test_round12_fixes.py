@@ -5,8 +5,13 @@
    result-identical, and the group collapse must stay exact on a
    duplication-dense corpus (the sf10 failure regime: many near-identical
    copies of each base doc) — checked against the all-pairs brute force.
+2. r11 ADVICE closures: bda_partial_oracle raises (not assert) on a
+   non-unique slice literal; the integer-grid cosine rank tier.
 """
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from codex_africanus_spark.operators import dedup as dedup_op
@@ -111,3 +116,113 @@ def test_prefix_within_group_pairs_still_verified(spark):
     assert out == []  # candidates generated, verify rejects
     want = _brute_force(docs)
     assert want == {}
+
+
+def test_bda_partial_oracle_raises_on_bad_slice_literal():
+    """r11 ADVICE: the single-occurrence guard must survive `python -O`
+    — a missing or duplicated '% 17 = 0' literal raises ValueError
+    instead of silently producing a no-op/partial rewrite."""
+    from codex_africanus_spark.queries.msops import bda_partial_oracle
+
+    ok = "SELECT * FROM t WHERE row_id % 17 = 0"
+    assert "% 53 = 0" in bda_partial_oracle(ok, 53)
+    with pytest.raises(ValueError):
+        bda_partial_oracle("SELECT * FROM t", 53)  # absent
+    with pytest.raises(ValueError):
+        bda_partial_oracle(ok + " OR x % 17 = 0", 53)  # duplicated
+
+
+def test_cosine_rank_grid_matches_round9_ranking(spark, sf_dir):
+    """The integer-grid rank tier (rank_grid=1e9) must produce the same
+    top-1 neighbor per query as the locked round(,9)-double tier on the
+    real corpus, and sim_q must equal round(cosine_sim·1e9) there."""
+    from codex_africanus_spark.operators import similarity as sim_op
+
+    emb = load(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    legacy = {
+        r.query_id: (r.neighbor_id, round(r.cosine_sim * 1e9))
+        for r in sim_op.cosine_topk_probes(
+            emb, probes, k=1, exclude_self=True
+        ).collect()
+    }
+    grid = {
+        r.query_id: (r.neighbor_id, r.sim_q)
+        for r in sim_op.cosine_topk_probes(
+            emb, probes, k=1, exclude_self=True, rank_grid=1e9
+        ).collect()
+    }
+    assert grid == legacy
+    assert len(grid) > 0
+
+
+# ------------------------------------------------- branch GC (r11 item 7)
+
+
+def _snap_df(spark, tag, n=4):
+    return spark.range(n).selectExpr("id", f"'{tag}' AS tag")
+
+
+def test_vacuum_auto_pins_registered_branch(spark, tmp_path):
+    """r11 verdict item 7: an O(1) branch reads manifests <= base from
+    the SOURCE log, so a source vacuum that forgot extra_live_roots
+    used to reclaim data dirs the branch still references. Branches are
+    now registered at creation and auto-pinned: the forgetful vacuum
+    must reclaim nothing the branch needs, and the branch's base read
+    stays exact."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    main = str(tmp_path / "main")
+    dev = str(tmp_path / "dev")
+    snap.commit(_snap_df(spark, "a"), main, mode="overwrite")       # v1
+    snap.create_branch(main, dev)                                   # base 1
+    snap.commit(_snap_df(spark, "b", n=3), main, mode="overwrite")  # v2
+    snap.commit(_snap_df(spark, "c", n=2), main, mode="overwrite")  # v3
+    # the forgetful call: no extra_live_roots
+    removed = snap.vacuum(main, retain_from_version=3)
+    got = snap.read_snapshot(spark, dev)  # read-through to source v1
+    assert got.count() == 4
+    assert set(r.tag for r in got.select("tag").distinct().collect()) == {"a"}
+    assert snap.registered_branches(main) == [os.path.abspath(dev)]
+    # explicit extra_live_roots still composes (union)
+    assert snap.vacuum(main, 3, extra_live_roots=(dev,)) == []
+    del removed
+
+
+def test_drop_branch_unregisters_and_vacuum_reclaims(spark, tmp_path):
+    """After drop_branch the source vacuum may reclaim the base-only
+    data dirs; the registry marker is gone."""
+    from codex_africanus_spark.sources import snapshot as snap
+
+    main = str(tmp_path / "main")
+    dev = str(tmp_path / "dev")
+    snap.commit(_snap_df(spark, "a"), main, mode="overwrite")       # v1
+    snap.create_branch(main, dev)
+    snap.commit(_snap_df(spark, "b", n=3), main, mode="overwrite")  # v2
+    assert snap.vacuum(main, 2) == []  # branch pins v1's files
+    snap.drop_branch(dev)
+    assert snap.registered_branches(main) == []
+    assert not os.path.exists(dev)
+    removed = snap.vacuum(main, 2)
+    assert len(removed) == 1  # v1's overwrite txn dir now reclaimable
+    assert snap.read_snapshot(spark, main).count() == 3  # head intact
+
+
+def test_stale_branch_registration_self_cleans(spark, tmp_path):
+    """A branch dir removed without drop_branch (rmtree'd experiment)
+    must not pin the source's history forever: the stale marker is
+    dropped on the next registry walk and vacuum proceeds."""
+    import shutil as _sh
+
+    from codex_africanus_spark.sources import snapshot as snap
+
+    main = str(tmp_path / "main")
+    dev = str(tmp_path / "dev")
+    snap.commit(_snap_df(spark, "a"), main, mode="overwrite")       # v1
+    snap.create_branch(main, dev)
+    snap.commit(_snap_df(spark, "b", n=3), main, mode="overwrite")  # v2
+    _sh.rmtree(dev)  # vanished without drop_branch
+    assert snap.registered_branches(main) == []  # marker self-cleans
+    assert len(snap.vacuum(main, 2)) == 1

@@ -10,10 +10,13 @@ min-of-2, per-query watchdog that cancels all jobs after BUDGET_S so
 one pathological plan cannot stall the run. The bench.py calibration
 probe brackets the run for weather adjudication.
 
-Usage: python tools/bench_sf10.py [SF_DIR] > BENCH_sf10.json
+Usage: python tools/bench_sf10.py [SF_DIR] [only1,only2,...] > BENCH_sf10.json
+       (the optional second arg restricts the run to a subset of WORK —
+       used for before/after re-measures of a single repaired query)
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import threading
@@ -43,7 +46,16 @@ WORK = [
     "bda_salted_average",
     "minhash_lsh_near_dup_pairs",
     "prefix_filter_jaccard_join",
+    # r12 (verdict item 5): broaden the measured set — ANN serving,
+    # CLEAN, the calibration solver, and a grouping-lattice shape
+    "ann_ivf_topk",
+    "hogbom_clean_components",
+    "gauss_newton_phase_solve",
+    "lineitem_rollup_pricing",
 ]
+if len(sys.argv) > 2:
+    only = set(sys.argv[2].split(","))
+    WORK = [w for w in WORK if w in only]
 
 
 def _calibrate(spark) -> float:
@@ -87,9 +99,16 @@ def time_twin(sql: str) -> tuple:
         )
         if r.returncode != 0:
             return None, f"error: {r.stderr.strip()[-200:]}"
-        # environment hooks may prepend noise lines to stdout; the
-        # timing line is always the LAST two tokens
-        dt, n = r.stdout.split()[-2:]
+        # environment hooks may prepend OR append noise to stdout: take
+        # the last line matching the program's exact "<sec> <rows>"
+        # shape rather than blindly splitting the tail tokens (r11
+        # ADVICE: appended noise or an empty rc=0 stdout must surface
+        # as an error tuple, not a silent mis-parse / bench abort)
+        m = [ln for ln in r.stdout.splitlines()
+             if re.fullmatch(r"[\d.]+ \d+", ln.strip())]
+        if not m:
+            return None, f"unparseable stdout: {r.stdout.strip()[-120:]!r}"
+        dt, n = m[-1].split()
         return float(dt), int(n)
     except subprocess.TimeoutExpired:
         return None, f"timeout>{TWIN_TIMEOUT_S}s"

@@ -70,7 +70,8 @@ def compare(name, sdf, sql):
     t0 = time.time()
     right = con.execute(sql).df()
     t_duck = time.time() - t0
-    assert len(left) == len(right), f"{name}: rows {len(left)} vs {len(right)}"
+    if len(left) != len(right):  # -O-proof (r11 ADVICE)
+        raise ValueError(f"{name}: rows {len(left)} vs {len(right)}")
     left = left.reindex(sorted(left.columns), axis=1)
     right = right.reindex(sorted(right.columns), axis=1)
     for df in (left, right):
@@ -88,7 +89,10 @@ def compare(name, sdf, sql):
                     != right[c].to_numpy().view(np.int64)
                 ).sum()
             )
-            assert bad == 0, f"{name} {c}: {bad} bit-level float mismatches"
+            if bad != 0:  # -O-proof (r11 ADVICE)
+                raise ValueError(
+                    f"{name} {c}: {bad} bit-level float mismatches"
+                )
     print(
         f"{name}: OK rows={len(left)} spark={t_spark:.1f}s twin={t_duck:.1f}s",
         flush=True,
