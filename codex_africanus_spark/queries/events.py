@@ -1467,3 +1467,356 @@ def events_latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict item 6): NEW plan shapes.
+#
+# events_native_session_window — Spark's native session_window aggregate
+# (the MergingSessions plan node, first appearance in the registry; the
+# batch form of the streaming session-gap operator). Semantics
+# (EMPIRICAL, locked by tests/test_round12_fixes.py's boundary test): a
+# gap of EXACTLY the session timeout still merges — Spark compares the
+# next start against the previous end inclusively — so a NEW session
+# starts iff ts − prev_ts > gap (strict), which is the integer-exact
+# island rule the DuckDB oracle replays on the ts_us grid. Session
+# duration is taken as max(ts_us) − min(ts_us) INSIDE the session
+# (never from the float window bounds), so both engines agree
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1000000  # 30 min
+
+_NATIVE_SESSION_ORACLE = _with_ms(
+    f"""
+    , marks AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id)
+                       > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id % 10 AS user_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(dur_us) AS BIGINT) AS dur_us_sum,
+           CAST(MAX(dur_us) AS BIGINT) AS dur_us_max
+    FROM per_session
+    GROUP BY user_decile ORDER BY user_decile
+    """
+)
+
+
+@register("events_native_session_window", _NATIVE_SESSION_ORACLE)
+def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions via the NATIVE session_window
+    aggregate (see the section comment), collapsed to a per-user-decile
+    engagement profile. Scale shape: session_window is a partial-merge
+    aggregate (sessions merge map-side before the user_id exchange), so
+    the shuffle carries open sessions, not raw events — the same reason
+    the streaming form keeps bounded state."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    per_session = (
+        ev.select(
+            "user_id", "ts_us",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+        )
+    )
+    return (
+        per_session.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("dur_us").cast("long").alias("dur_us_sum"),
+            F.max("dur_us").cast("long").alias("dur_us_max"),
+        )
+        .orderBy("user_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_pit_feature_join — the POINT-IN-TIME feature join every
+# training-data pipeline needs (leakage-free labels): for each
+# 'purchase' label event, the user's latest STRICTLY-PRIOR 'click' and
+# 'view' feature values. Implemented as ONE pass of last(ignoreNulls)
+# windows over the per-user ordered stream — the scalable PIT form (no
+# label×history join, no per-label scan; the window carries the running
+# feature state exactly like a stream-static state join would). The
+# strictly-prior contract is rowsBetween(unboundedPreceding, -1) under
+# the total (ts_us, event_id) order — deterministic on ties.
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = _with_ms(
+    """
+    , carried AS (
+      SELECT event_id, user_id, ts_us, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN CAST(ROUND(value * 100) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER w AS last_click_c,
+             last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                        IGNORE NULLS) OVER w AS last_click_ts,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN CAST(ROUND(value * 100) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER w AS last_view_c
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts_us,
+           last_click_c, last_view_c,
+           CAST((ts_us - last_click_ts) // 1000000 AS BIGINT)
+             AS secs_since_click
+    FROM carried WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """
+)
+
+
+@register("events_pit_feature_join", _PIT_ORACLE)
+def events_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time feature join (see the section
+    comment)."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_c = F.when(
+        F.col("event_type") == "click",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    view_c = F.when(
+        F.col("event_type") == "view",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    carried = ev.select(
+        "event_id", "user_id", "ts_us", "event_type",
+        F.last(click_c, ignorenulls=True).over(w).alias("last_click_c"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(view_c, ignorenulls=True).over(w).alias("last_view_c"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts_us", "last_click_c", "last_view_c",
+            F.expr("CAST((ts_us - last_click_ts) DIV 1000000 AS BIGINT)")
+            .alias("secs_since_click"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_variant_props_stats — semi-structured payload analytics through
+# Spark's VARIANT type (parse_json + variant_get, first appearance in
+# the registry): the event `props` JSON column is parsed once and the
+# typed path `$.k` drives per-type stats. The oracle reads the same path
+# with DuckDB's JSON extraction. All-integer outputs — no float leaves
+# the JSON path.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_variant_props_stats", _VARIANT_ORACLE)
+def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-path stats over the JSON payload via VARIANT (see the
+    section comment). Scale shape: parse_json runs scan-side inside
+    codegen; only (event_type, k) reach the aggregate — the payload
+    never shuffles."""
+    ev = load(spark, "events", sf_dir)
+    k = F.expr(
+        "CAST(variant_get(parse_json(props), '$.k', 'long') AS BIGINT)"
+    )
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum((F.col("k") > 50).cast("int")).cast("long").alias("n_hot"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cdc_dim_state_join — the stream-static broadcast-state join
+# modeled batch-checkable (r11 verdict item 6): a user-segment dimension
+# lives in the snapshot sink and REFRESHES by CDC appends (v1 initial
+# load, v2/v3 incremental batches); the event stream processes in
+# weekly refresh epochs, each epoch joining the dim STATE AS OF its
+# version (exactly what a foreachBatch stream-static join does when it
+# re-broadcasts the dim after consuming read_changes). Per (epoch,
+# segment): event count, cent-grid value sum, and the epoch's
+# CDC-delivered new-dim-row count — so the oracle checks BOTH the
+# versioned join and the incremental feed. Unmatched events land in
+# segment −1 (the late-arriving-dimension bucket).
+#
+# Dim contents derive from predicates the oracle replays:
+#   v1: user_id % 4 != 3            → segment = user_id % 5
+#   v2: user_id % 4 = 3 AND % 8 != 7 → segment = 5
+#   v3: user_id % 8 = 7              → segment = 6
+# Epoch = LEAST(days-since-corpus-epoch DIV 7, 2) on the exact ts_us
+# grid (events start 2024-01-01 = 1704067200 s).
+# ---------------------------------------------------------------------------
+
+_CDC_EPOCH0_US = 1704067200 * 1000000
+_CDC_WEEK_US = 7 * 86400 * 1000000
+
+_CDC_DIM_ORACLE = _with_ms(
+    f"""
+    , users AS (SELECT DISTINCT user_id FROM ev),
+    dim AS (
+      SELECT user_id,
+             CASE WHEN user_id % 4 <> 3 THEN user_id % 5
+                  WHEN user_id % 8 <> 7 THEN 5
+                  ELSE 6 END AS segment,
+             CASE WHEN user_id % 4 <> 3 THEN 0
+                  WHEN user_id % 8 <> 7 THEN 1
+                  ELSE 2 END AS arrival_epoch
+      FROM users
+    ),
+    tagged AS (
+      SELECT e.event_id, e.value,
+             LEAST((e.ts_us - {_CDC_EPOCH0_US}) // {_CDC_WEEK_US}, 2)
+               AS epoch,
+             d.segment, d.arrival_epoch
+      FROM ev e LEFT JOIN dim d ON d.user_id = e.user_id
+    ),
+    joined AS (
+      SELECT epoch,
+             CASE WHEN arrival_epoch IS NOT NULL AND arrival_epoch <= epoch
+                  THEN segment ELSE -1 END AS segment,
+             value
+      FROM tagged
+    ),
+    ev_agg AS (
+      SELECT epoch, segment,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_c_sum
+      FROM joined GROUP BY epoch, segment
+    ),
+    dim_new AS (
+      SELECT arrival_epoch AS epoch, segment,
+             CAST(COUNT(*) AS BIGINT) AS n_dim_new
+      FROM dim GROUP BY arrival_epoch, segment
+    )
+    SELECT a.epoch, a.segment, a.n_events, a.val_c_sum,
+           CAST(COALESCE(n.n_dim_new, 0) AS BIGINT) AS n_dim_new
+    FROM ev_agg a LEFT JOIN dim_new n
+      ON n.epoch = a.epoch AND n.segment = a.segment
+    ORDER BY a.epoch, a.segment
+    """
+)
+
+
+@register("events_cdc_dim_state_join", _CDC_DIM_ORACLE)
+def events_cdc_dim_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-refreshed versioned-dimension join (see the section comment).
+    The dim states come from REAL snapshot reads (v1..v3 appends, each
+    epoch pinned to its version) and the per-epoch increment from
+    read_changes — the oracle replays the defining predicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from codex_africanus_spark.sources import snapshot as snap
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    root = (
+        f"{tempfile.gettempdir()}/cas_snapshot/cdc_dim_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    seg = F.col("user_id") % 5
+    v1 = snap.commit(
+        users.filter(F.col("user_id") % 4 != 3)
+        .select("user_id", seg.alias("segment")),
+        root, mode="append",
+    )
+    v2 = snap.commit(
+        users.filter((F.col("user_id") % 4 == 3) & (F.col("user_id") % 8 != 7))
+        .select("user_id", F.lit(5).cast("long").alias("segment")),
+        root, mode="append",
+    )
+    v3 = snap.commit(
+        users.filter(F.col("user_id") % 8 == 7)
+        .select("user_id", F.lit(6).cast("long").alias("segment")),
+        root, mode="append",
+    )
+    epoch_col = F.least(
+        F.expr(f"(ts_us - {_CDC_EPOCH0_US}L) DIV {_CDC_WEEK_US}L"), F.lit(2)
+    ).cast("long")
+    parts = []
+    new_counts = []
+    for e, ver in ((0, v1), (1, v2), (2, v3)):
+        state = snap.read_snapshot(spark, root, version=ver)
+        ev_e = ev.filter(epoch_col == e).select("event_id", "user_id", "value")
+        parts.append(
+            ev_e.join(F.broadcast(state), "user_id", "left").select(
+                F.lit(e).cast("long").alias("epoch"),
+                F.coalesce(F.col("segment"), F.lit(-1)).alias("segment"),
+                "value",
+            )
+        )
+        inc = (
+            snap.read_changes(spark, root, ver - 1, ver)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dim_new"))
+            .select(F.lit(e).cast("long").alias("epoch"), "segment", "n_dim_new")
+        )
+        new_counts.append(inc)
+    joined = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    ev_agg = joined.groupBy("epoch", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("val_c_sum"),
+    )
+    dim_new = new_counts[0].unionByName(new_counts[1]).unionByName(new_counts[2])
+    return (
+        ev_agg.join(F.broadcast(dim_new), ["epoch", "segment"], "left")
+        .select(
+            "epoch", "segment", "n_events", "val_c_sum",
+            F.coalesce(F.col("n_dim_new"), F.lit(0)).cast("long")
+            .alias("n_dim_new"),
+        )
+        .orderBy("epoch", "segment")
+    )

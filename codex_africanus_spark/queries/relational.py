@@ -2252,3 +2252,178 @@ def snapshot_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict item 6): NEW plan shapes — recursive CTE (Spark 4's
+# UnionLoop, first appearance in the registry) and a correlated LATERAL
+# top-k join.
+# ---------------------------------------------------------------------------
+
+_ESCALATION_ORACLE = """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS leaf, s_suppkey AS cur,
+             CAST(0 AS BIGINT) AS depth,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS path_bal_c
+      FROM supplier
+      UNION ALL
+      SELECT c.leaf, p.s_suppkey, c.depth + 1,
+             c.path_bal_c + CAST(ROUND(p.s_acctbal * 100) AS BIGINT)
+      FROM chain c
+      JOIN supplier p ON p.s_suppkey = c.cur // 7
+      WHERE c.cur > 0
+    ),
+    tops AS (
+      SELECT leaf, MAX(depth) AS depth FROM chain GROUP BY leaf
+    ),
+    final AS (
+      SELECT c.leaf, c.cur AS root, c.depth, c.path_bal_c
+      FROM chain c JOIN tops t ON t.leaf = c.leaf AND t.depth = c.depth
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_leaves,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(SUM(path_bal_c) AS BIGINT) AS path_bal_c_sum
+    FROM final GROUP BY depth ORDER BY depth
+"""
+
+
+@register("supplier_escalation_chain", _ESCALATION_ORACLE)
+def supplier_escalation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE escalation hierarchy (synthetic tier rule: supplier
+    s escalates to supplier s DIV 7 while one exists — a deterministic
+    parent function over the real key space, exercising Spark 4's
+    recursive WITH / UnionLoop plan, the registry's first): per leaf the
+    full chain to its root, rolled up to depth-profile totals on the
+    exact cents grid. Scale shape: recursion depth is log_7(max key) —
+    13 levels at the sf10 key span — and each level is one equi-join on
+    the parent key, so the loop is depth-bounded, never row-recursive.
+    DuckDB replays the identical recursion."""
+    load(spark, "supplier", sf_dir).createOrReplaceTempView("supplier_r12")
+    return spark.sql(
+        _ESCALATION_ORACLE.replace("FROM supplier", "FROM supplier_r12")
+        .replace("JOIN supplier p", "JOIN supplier_r12 p")
+        .replace("//", "DIV")
+    )
+
+
+_BRAND_TOPK_ORACLE = """
+    WITH brands AS (SELECT DISTINCT p_brand FROM part)
+    SELECT b.p_brand, t.p_partkey, t.price_c, t.rk
+    FROM brands b,
+    LATERAL (
+      SELECT p.p_partkey,
+             CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_c,
+             row_number() OVER (ORDER BY p.p_retailprice DESC, p.p_partkey)
+               AS rk
+      FROM part p
+      WHERE p.p_brand = b.p_brand
+      ORDER BY p.p_retailprice DESC, p.p_partkey
+      LIMIT 3
+    ) t
+    ORDER BY b.p_brand, t.rk
+"""
+
+
+@register("brand_topk_lateral", _BRAND_TOPK_ORACLE)
+def brand_topk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand through a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the registry's first LateralJoin plan (the
+    de-correlated form Spark compiles it to is the windowed top-k, which
+    is exactly what the plan lock asserts: no per-brand rescan of
+    part)."""
+    load(spark, "part", sf_dir).createOrReplaceTempView("part_r12")
+    return spark.sql(_BRAND_TOPK_ORACLE.replace("FROM part", "FROM part_r12")
+                     .replace("FROM part p", "FROM part_r12 p"))
+
+
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict item 6): z-order-pruned AS-OF compose — the
+# snapshot's manifest-level data skipping feeding the beam-frequency
+# interval join: only files whose (u_cell, v_cell) stats intersect the
+# box are opened, the survivors' channel frequencies as-of match the
+# bandpass grid, and the result rolls up per grid interval (integer
+# micro-weight sums, cent-grid vis sums — nothing float crosses
+# engines unrounded). The oracle is layout-independent (plain box
+# filter + the same interval algebra the asof tier already proves
+# cross-engine); the file-skipping itself stays locked by the
+# round-7 skip tests.
+# ---------------------------------------------------------------------------
+
+_ZASOF_GRID_SQL = "856000000.0, 1070000000.0, 1284000000.0, 1498000000.0, 1712000000.0"
+
+_ZORDER_ASOF_ORACLE = _with_ms(
+    f"""
+    , grid AS (SELECT unnest([{_ZASOF_GRID_SQL}]) AS g),
+    boxed AS (
+      SELECT row_id, vis_re, vis_im,
+             LEAST(GREATEST(frequency, 856000000.0), 1712000000.0) AS v
+      FROM vis
+      WHERE CAST(FLOOR(u) AS BIGINT) + 100 BETWEEN {_ZORDER_BOX[0]} AND {_ZORDER_BOX[1]}
+        AND CAST(FLOOR(v) AS BIGINT) + 100 BETWEEN {_ZORDER_BOX[2]} AND {_ZORDER_BOX[3]}
+    ),
+    lo AS (
+      SELECT b.row_id, b.vis_re, b.vis_im, b.v,
+             CASE WHEN MAX(g.g) >= 1712000000.0 THEN 1498000000.0
+                  ELSE MAX(g.g) END AS grid_lo
+      FROM boxed b JOIN grid g ON g.g <= b.v
+      GROUP BY b.row_id, b.vis_re, b.vis_im, b.v
+    ),
+    hi AS (
+      SELECT l.row_id, l.vis_re, l.vis_im, l.v, l.grid_lo,
+             MIN(g.g) AS grid_hi
+      FROM lo l JOIN grid g ON g.g > l.grid_lo
+      GROUP BY l.row_id, l.vis_re, l.vis_im, l.v, l.grid_lo
+    )
+    SELECT grid_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND((v - grid_lo) / (grid_hi - grid_lo)
+                               * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS w_micro_sum,
+           CAST(SUM(CAST(ROUND(vis_re * 100.0) AS BIGINT)) AS BIGINT)
+             AS re_c_sum,
+           CAST(SUM(CAST(ROUND(vis_im * 100.0) AS BIGINT)) AS BIGINT)
+             AS im_c_sum
+    FROM hi GROUP BY grid_lo ORDER BY grid_lo
+    """
+)
+
+
+@register("snapshot_zorder_pruned_asof", _ZORDER_ASOF_ORACLE)
+def snapshot_zorder_pruned_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order stats-pruned box scan feeding the as-of interval join
+    (see the section comment)."""
+    from codex_africanus_spark.operators import asof as asof_op
+    from codex_africanus_spark.sources import snapshot as snap
+
+    root = _ensure_zorder_layout(spark, sf_dir)
+    lo_u, hi_u, lo_v, hi_v = _ZORDER_BOX
+    pruned = snap.read_snapshot_where_all(
+        spark, f"{root}/data",
+        {"u_cell": (lo_u, hi_u), "v_cell": (lo_v, hi_v)},
+    ).select(
+        "row_id", "vis_re", "vis_im",
+        (F.lit(tpch_ms.REF_FREQ) * (1 + F.col("chan") / F.lit(8.0)))
+        .alias("frequency"),
+    )
+    grid = spark.createDataFrame(
+        [(856e6,), (1070e6,), (1284e6,), (1498e6,), (1712e6,)],
+        "grid_value double",
+    )
+    out = asof_op.asof_grid_interp(
+        pruned, grid, "frequency",
+        keys=["row_id", "vis_re", "vis_im"],
+    )
+    return (
+        out.groupBy("grid_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("interp_weight") * 1000000.0).cast("long"))
+            .cast("long").alias("w_micro_sum"),
+            F.sum(F.round(F.col("vis_re") * 100.0).cast("long")).cast("long")
+            .alias("re_c_sum"),
+            F.sum(F.round(F.col("vis_im") * 100.0).cast("long")).cast("long")
+            .alias("im_c_sum"),
+        )
+        .orderBy("grid_lo")
+    )

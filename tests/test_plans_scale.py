@@ -755,3 +755,72 @@ def test_phase_unwrap_salted_single_fact_shuffle(spark, sf_dir):
     assert "InPandas" not in plan and "ArrowEval" not in plan
     # fact shuffle (a1,a2,bucket) + summary shuffle (a1,a2) only
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ------------------------------------------------------------- r12 shapes
+
+
+def test_r12_native_session_window_merging_sessions(spark, sf_dir):
+    """events_native_session_window: the NATIVE session aggregate plan —
+    MergingSessions with map-side partial session merge before the
+    user_id exchange (the bounded-state shape), never a join or
+    cartesian."""
+    plan = plan_of(registry()["events_native_session_window"].fn(spark, sf_dir))
+    assert "MergingSessions" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_r12_pit_feature_join_is_one_window_pass(spark, sf_dir):
+    """events_pit_feature_join: the scalable PIT form is ONE per-user
+    window pass — no label×history join, exactly one exchange."""
+    plan = plan_of(registry()["events_pit_feature_join"].fn(spark, sf_dir))
+    assert "Join" not in plan.replace("LateralJoin", "")  # no join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_r12_variant_stats_scan_side_parse(spark, sf_dir):
+    """events_variant_props_stats: parse_json/variant_get stay in the
+    scan-side codegen stage (no Python, one exchange — the payload
+    never shuffles)."""
+    plan = plan_of(registry()["events_variant_props_stats"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_r12_recursive_chain_union_loop(spark, sf_dir):
+    """supplier_escalation_chain: Spark 4's recursive CTE plans as a
+    depth-bounded UnionLoop over the parent-key equi-join — never a
+    cartesian; joins stay at dimension grain."""
+    plan = plan_of(registry()["supplier_escalation_chain"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r12_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """brand_topk_lateral: the correlated LATERAL (ORDER BY + LIMIT)
+    must decorrelate into the windowed top-k — one scan of part, no
+    per-brand rescan, no cartesian."""
+    plan = plan_of(registry()["brand_topk_lateral"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 2  # brands dim + one part scan
+
+
+def test_r12_cdc_dim_state_join_broadcast_only(spark, sf_dir):
+    """events_cdc_dim_state_join: every dim-state and increment join is
+    broadcast (the stream-static shape); the fact side never SMJs."""
+    plan = plan_of(registry()["events_cdc_dim_state_join"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r12_zorder_pruned_asof_compose(spark, sf_dir):
+    """snapshot_zorder_pruned_asof: stats-pruned snapshot scan + the
+    asof interval machinery — the only nested-loop is the documented
+    1-row bounds broadcast; no cartesian, no SMJ."""
+    plan = plan_of(registry()["snapshot_zorder_pruned_asof"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

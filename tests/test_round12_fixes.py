@@ -226,3 +226,86 @@ def test_stale_branch_registration_self_cleans(spark, tmp_path):
     _sh.rmtree(dev)  # vanished without drop_branch
     assert snap.registered_branches(main) == []  # marker self-cleans
     assert len(snap.vacuum(main, 2)) == 1
+
+
+# ------------------------------------------- r12 new-query boundary locks
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Spark's session_window compares next-start vs previous-end
+    INCLUSIVELY: a gap of exactly the timeout still merges, so a new
+    session starts iff diff > gap (strict) — the integer rule the
+    DuckDB oracle replays. This boundary test is what caught the fork:
+    the four-scale rehearsal had no exact-1800.000000 s gap to trip on.
+    1800.000000 s stays one session; 1800.000001 s splits."""
+    from pyspark.sql import functions as F
+
+    gap_us = 1800 * 1000000
+    rows = [
+        (1, 0), (1, gap_us - 1),            # one session (diff < gap)
+        (2, 0), (2, gap_us),                # ONE session (diff == gap)
+        (3, 0), (3, gap_us + 1),            # two sessions (diff > gap)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        r.user_id: r.n
+        for r in (
+            df.select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .count()
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+    # and the registered query's oracle rule (strict >) agrees
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT user_id, COUNT(DISTINCT sid) FROM (
+              SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+              FROM (SELECT * , CASE WHEN ts_us - lag(ts_us) OVER (
+                      PARTITION BY user_id ORDER BY ts_us) > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+                    FROM (VALUES (1,0),(1,{gap_us - 1}),(2,0),(2,{gap_us}),
+                                 (3,0),(3,{gap_us + 1})) t(user_id, ts_us)))
+            GROUP BY user_id ORDER BY user_id"""
+    ).fetchall()
+    assert dict(n) == got
+
+
+def test_pit_join_strictly_prior_and_tie_break(spark, sf_dir):
+    """events_pit_feature_join contract: features at the SAME ts_us as
+    the label count only when their event_id is smaller (the total
+    (ts_us, event_id) order), and the label's own row never feeds
+    itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    rows = [
+        # (event_id, ts_us, user, type, value)
+        (1, 100, 7, "click", 1.0),
+        (2, 200, 7, "purchase", 9.0),   # sees click@100
+        (3, 200, 7, "click", 2.0),      # same ts as purchase, LARGER id
+        (4, 300, 7, "purchase", 9.0),   # sees click@200 (id 3)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double"
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_c = F.when(F.col("event_type") == "click",
+                     F.round(F.col("value") * 100).cast("long"))
+    out = {
+        r.event_id: r.last_click_c
+        for r in ev.select(
+            "event_id", "event_type",
+            F.last(click_c, ignorenulls=True).over(w).alias("last_click_c"),
+        ).filter(F.col("event_type") == "purchase").collect()
+    }
+    assert out == {2: 100, 4: 200}
