@@ -1057,6 +1057,169 @@ _BDA_RAGGED_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict item 3): EXACT fast anchor-chain twins for the two
+# FLOAT-accumulator BDA oracles. Unlike the integer-motion tier
+# (_SBDA_FAST_TWIN), these oracles left-fold a DOUBLE accumulator that
+# resets per bin — a window prefix sum is only an estimator of the fold
+# and a first est-based prototype genuinely FORKED at sf0.01 (1460 vs
+# 1459 bins): the corpus puts fold values ULPs from the thresholds.
+#
+# The exact decomposition rests on the uvw grid: u, v, w are integer
+# tenths (VIS_SQL: k/10.0), so every REAL step and accumulator value is
+# a multiple of 0.1 and every REAL decision margin against the decimal
+# thresholds (500.0 close; 125.0/250.0 ragged factor) is either EXACTLY
+# ZERO or >= 0.1. The double fold's within-bin error is
+# <= binlen·eps·(500 + step) ~ 1e-11 << 0.1, and the integer deci-grid
+# prefix Q = Σ round-recovered steps is exact, so:
+#
+#   * real margin >= 0.1  → the integer compare (Q_j − Q_a vs 5000)
+#     decides IDENTICALLY to the oracle's double fold;
+#   * real margin == 0    → a genuine decimal TIE: the oracle's outcome
+#     is the SIGN of the double fold's accumulated rounding — replayed
+#     exactly by list_reduce over the bin's own step doubles (same
+#     left-assoc add sequence, bounded by the bin length).
+#
+# The anchor chain steps once per BIN (LATERAL first-violator scan with
+# the CASE-guarded tie fold), rows re-attach with one ASOF join, and the
+# aggregate/output text is verbatim the registered oracles'.
+# Bit-equality locked by tests/test_fast_bda_twin.py at sf0.001/0.01;
+# tools/sf1_bda_twin_check.py replays twin-vs-Spark at sf1.0.
+# ---------------------------------------------------------------------------
+
+
+def _bda_float_anchor_ctes(extra_cols: str) -> str:
+    """Shared WITH-body: ordered rows + double steps + exact deci-grid
+    prefix + tie-resolving anchor chain + ASOF assignment. `extra_cols`
+    rides extra ordered columns (chan for the ragged twin)."""
+    return f"""
+    WITH RECURSIVE vis AS ({tpch_ms.VIS_SQL}),
+    ordered AS (
+      SELECT antenna1, antenna2, time, row_id, u, v, w, vis_re, vis_im,
+             weight{extra_cols},
+             row_number() OVER (PARTITION BY antenna1, antenna2
+                                ORDER BY time, row_id, u, v, w, vis_re) AS rn
+      FROM vis WHERE row_id % 17 = 0
+    ),
+    steps AS (
+      SELECT *,
+             COALESCE(abs(u - lag(u) OVER w) + abs(v - lag(v) OVER w)
+                      + abs(w - lag(w) OVER w), 0.0) AS s,
+             COALESCE(abs(CAST(ROUND(u * 10) AS BIGINT)
+                          - lag(CAST(ROUND(u * 10) AS BIGINT)) OVER w)
+                      + abs(CAST(ROUND(v * 10) AS BIGINT)
+                            - lag(CAST(ROUND(v * 10) AS BIGINT)) OVER w)
+                      + abs(CAST(ROUND(w * 10) AS BIGINT)
+                            - lag(CAST(ROUND(w * 10) AS BIGINT)) OVER w),
+                      CAST(0 AS BIGINT)) AS s10
+      FROM ordered
+      WINDOW w AS (PARTITION BY antenna1, antenna2 ORDER BY rn)
+    ),
+    pre AS (
+      SELECT *,
+             SUM(s10) OVER (PARTITION BY antenna1, antenna2 ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS q
+      FROM steps
+    ),
+    arrs AS (
+      SELECT antenna1, antenna2, list(s ORDER BY rn) AS sarr
+      FROM pre GROUP BY antenna1, antenna2
+    ),
+    anchors AS (
+      SELECT antenna1, antenna2, CAST(0 AS BIGINT) AS bin_idx,
+             rn AS a_rn, time AS a_t, q AS a_q
+      FROM pre WHERE rn = 1
+      UNION ALL
+      SELECT a.antenna1, a.antenna2, a.bin_idx + 1, nxt.n_rn, nxt.n_t, nxt.n_q
+      FROM anchors a
+      JOIN LATERAL (
+        SELECT p2.rn AS n_rn, p2.time AS n_t, p2.q AS n_q
+        FROM pre p2, arrs ar
+        WHERE ar.antenna1 = a.antenna1 AND ar.antenna2 = a.antenna2
+          AND p2.antenna1 = a.antenna1 AND p2.antenna2 = a.antenna2
+          AND p2.rn > a.a_rn
+          AND ( (p2.time - a.a_t) > 2592000.0
+                OR CASE
+                     WHEN p2.q - a.a_q > 5000 THEN TRUE
+                     WHEN p2.q - a.a_q = 5000 THEN
+                       -- decimal tie: the oracle's decision is the sign
+                       -- of the double fold's rounding — replay it
+                       list_reduce(list_slice(ar.sarr,
+                                              CAST(a.a_rn + 1 AS BIGINT),
+                                              CAST(p2.rn AS BIGINT)),
+                                   (x, y) -> x + y) > 500.0
+                     ELSE FALSE
+                   END )
+        ORDER BY p2.rn LIMIT 1
+      ) nxt ON true
+    ),
+    assigned AS (
+      SELECT p.*, a.bin_idx, a.a_rn, a.a_t, a.a_q
+      FROM pre p ASOF JOIN anchors a
+        ON p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+       AND p.rn >= a.a_rn
+    )"""
+
+
+_BDA_PLAIN_FAST_TWIN = f"""
+    {_bda_float_anchor_ctes("")}
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_start,
+           MAX(time) AS time_end,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM assigned
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+
+
+# The ragged factor thresholds are decimal too (125.0 / 250.0 = 1250 /
+# 2500 deci-units): integer compare except at exact ties, where the
+# bin-window double fold decides — same argument as the closure.
+_BDA_RAGGED_FAST_TWIN = f"""
+    {_bda_float_anchor_ctes(", chan")}
+    , fct AS (
+      SELECT o.antenna1, o.antenna2, o.bin_idx,
+             MAX(o.q) - MAX(o.a_q) AS m10,
+             CASE WHEN MAX(o.q) > MAX(o.a_q) THEN
+               list_reduce(list_slice(ar.sarr,
+                                      CAST(MAX(o.a_rn) + 1 AS BIGINT),
+                                      CAST(MAX(o.rn) AS BIGINT)),
+                           (x, y) -> x + y)
+             ELSE 0.0 END AS motion_fold
+      FROM assigned o, arrs ar
+      WHERE ar.antenna1 = o.antenna1 AND ar.antenna2 = o.antenna2
+      GROUP BY o.antenna1, o.antenna2, o.bin_idx, ar.sarr
+    ),
+    labeled AS (
+      SELECT o.antenna1, o.antenna2, o.bin_idx, o.chan,
+             o.vis_re, o.vis_im, o.weight,
+             CAST(CASE WHEN f.m10 < 1250 THEN 4
+                       WHEN f.m10 = 1250 THEN
+                         CASE WHEN f.motion_fold <= 125.0 THEN 4 ELSE 2 END
+                       WHEN f.m10 < 2500 THEN 2
+                       WHEN f.m10 = 2500 THEN
+                         CASE WHEN f.motion_fold <= 250.0 THEN 2 ELSE 1 END
+                       ELSE 1 END AS INT) AS chan_factor
+      FROM assigned o
+      JOIN fct f ON f.antenna1 = o.antenna1 AND f.antenna2 = o.antenna2
+                AND f.bin_idx = o.bin_idx
+    )
+    SELECT antenna1, antenna2, bin_idx, chan_factor,
+           CAST(chan // chan_factor AS INT) AS chan_out,
+           COUNT(*) AS n_samples,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM labeled
+    GROUP BY antenna1, antenna2, bin_idx, chan_factor, chan_out
+    ORDER BY antenna1, antenna2, bin_idx, chan_out
+"""
+
+
 @register("bda_ragged_channel_factor", _BDA_RAGGED_ORACLE)
 def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BDA with per-bin channel compression factor — the reference's
@@ -3341,4 +3504,81 @@ def phase_unwrap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("span_mrad"),
         )
         .orderBy("antenna1", "antenna2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r12: ms_corr_pivot_wide — the inverse of ms_corr_unpivot_long through
+# the DataFrame pivot API with an EXPLICIT value list (no distinct-scan
+# planning pass; Catalyst compiles it to conditional aggregates — one
+# fact scan, one exchange). Long-layout (row_id, corr, v) rows pivot
+# back to one row per chan with the four correlations as columns, on
+# the exact cent grid. The oracle uses conditional aggregation — the
+# same algebra PIVOT lowers to.
+# ---------------------------------------------------------------------------
+
+_CORR_PIVOT_ORACLE = _with_ms(
+    """
+    , long AS (
+      SELECT chan, 'c_xx' AS corr, vis_re AS v FROM vis
+      UNION ALL SELECT chan, 'c_xy', vis_im FROM vis
+      UNION ALL SELECT chan, 'c_yx', weight FROM vis
+      UNION ALL SELECT chan, 'c_yy', sigma FROM vis
+    )
+    SELECT chan,
+           CAST(SUM(CASE WHEN corr = 'c_xx'
+                    THEN CAST(ROUND(v * 100) AS BIGINT) END) AS BIGINT)
+             AS xx_c2,
+           CAST(SUM(CASE WHEN corr = 'c_xy'
+                    THEN CAST(ROUND(v * 100) AS BIGINT) END) AS BIGINT)
+             AS xy_c2,
+           CAST(SUM(CASE WHEN corr = 'c_yx'
+                    THEN CAST(ROUND(v * 100) AS BIGINT) END) AS BIGINT)
+             AS yx_c2,
+           CAST(SUM(CASE WHEN corr = 'c_yy'
+                    THEN CAST(ROUND(v * 100) AS BIGINT) END) AS BIGINT)
+             AS yy_c2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM long GROUP BY chan ORDER BY chan
+    """
+)
+
+
+@register("ms_corr_pivot_wide", _CORR_PIVOT_ORACLE)
+def ms_corr_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide correlation pivot (see the section comment)."""
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    long = vis.select(
+        "chan",
+        F.col("vis_re").alias("c_xx"),
+        F.col("vis_im").alias("c_xy"),
+        F.col("weight").alias("c_yx"),
+        F.col("sigma").alias("c_yy"),
+    ).unpivot(
+        ids=["chan"],
+        values=["c_xx", "c_xy", "c_yx", "c_yy"],
+        variableColumnName="corr",
+        valueColumnName="v",
+    )
+    c2 = F.round(F.col("v") * 100).cast("long")
+    wide = (
+        long.select("chan", "corr", c2.alias("v_c2"))
+        .groupBy("chan")
+        .pivot("corr", ["c_xx", "c_xy", "c_yx", "c_yy"])
+        .agg(F.sum("v_c2"))
+    )
+    counts = long.groupBy("chan").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return (
+        wide.join(counts, "chan")
+        .select(
+            "chan",
+            F.col("c_xx").cast("long").alias("xx_c2"),
+            F.col("c_xy").cast("long").alias("xy_c2"),
+            F.col("c_yx").cast("long").alias("yx_c2"),
+            F.col("c_yy").cast("long").alias("yy_c2"),
+            "n_cells",
+        )
+        .orderBy("chan")
     )

@@ -88,3 +88,51 @@ def test_sinc_fast_twin_bit_equal_sf001():
 def test_partial_oracle_rewrites_slice_once():
     sql = msops.bda_partial_oracle(msops._BDA_ORACLE, 85)
     assert "% 85 = 0" in sql and "% 17 = 0" not in sql
+
+
+# ---- r12: EXACT tie-resolving twins for the two FLOAT-accumulator ----
+# oracles (deci-grid anchor chain; decimal ties decided by replaying
+# the double fold over the bin window — msops.py section comment).
+# These retire tools/sf1_bda_partial.py's 85% gate for the two queries.
+
+
+def test_float_plain_twin_bit_equal_sf0001():
+    con = _con("/root/testdata/sf0.001")
+    slow = con.execute(msops._BDA_ORACLE).df()
+    fast = con.execute(msops._BDA_PLAIN_FAST_TWIN).df()
+    assert len(slow) > 100
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_float_plain_twin_bit_equal_sf001():
+    """sf0.01 is the scale where the pre-exact est-prototype FORKED
+    (1460 vs 1459 bins) — the tie resolution must hold here."""
+    con = _con("/root/testdata/sf0.01")
+    slow = con.execute(msops._BDA_ORACLE).df()
+    fast = con.execute(msops._BDA_PLAIN_FAST_TWIN).df()
+    assert len(slow) > 1000
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_float_ragged_twin_bit_equal_sf0001():
+    con = _con("/root/testdata/sf0.001")
+    slow = con.execute(msops._BDA_RAGGED_ORACLE).df()
+    fast = con.execute(msops._BDA_RAGGED_FAST_TWIN).df()
+    assert len(slow) > 100
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )
+
+
+def test_float_ragged_twin_bit_equal_sf001():
+    con = _con("/root/testdata/sf0.01")
+    slow = con.execute(msops._BDA_RAGGED_ORACLE).df()
+    fast = con.execute(msops._BDA_RAGGED_FAST_TWIN).df()
+    assert len(slow) > 1000
+    pd.testing.assert_frame_equal(
+        slow.reset_index(drop=True), fast.reset_index(drop=True)
+    )

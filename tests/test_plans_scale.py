@@ -824,3 +824,14 @@ def test_r12_zorder_pruned_asof_compose(spark, sf_dir):
     plan = plan_of(registry()["snapshot_zorder_pruned_asof"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r12_corr_pivot_single_expand_no_distinct_pass(spark, sf_dir):
+    """ms_corr_pivot_wide: explicit pivot values ⇒ no distinct planning
+    scan; the long layout is ONE Expand and the pivot lowers to
+    conditional aggregates — at most 2 fact scans (pivot + count), no
+    SMJ at this dim-grain join."""
+    plan = plan_of(registry()["ms_corr_pivot_wide"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
