@@ -1220,6 +1220,149 @@ _BDA_RAGGED_FAST_TWIN = f"""
 """
 
 
+def bda_fast_twin_decomposed(ragged: bool) -> tuple[list[str], str]:
+    """Big-scale form of the float-BDA fast twins (r12): the inline
+    twins drag the per-baseline step ARRAY through the recursion's
+    LATERAL (the tie branch joins `arrs`), which DuckDB re-materializes
+    per candidate row — ~0.1 s/round at sf1 row counts. This form
+    precomputes every POSSIBLE decimal tie outside the recursion — the
+    pairs with q_j − q_i exactly at a threshold, found by an equi-join
+    on the exact integer prefix (a superset of the anchor pairs; tiny
+    by the tie-rarity argument) — with their double-fold decisions, so
+    the recursion touches only scalar temp tables.
+
+    Returns (setup_sql_statements, twin_sql); run the setups on a
+    connection with a `lineitem` view, then the twin. Result-identical
+    to the inline twins (locked at sf0.001/0.01 by
+    tests/test_fast_bda_twin.py::test_decomposed_*)."""
+    extra = ", chan" if ragged else ""
+    inline = _BDA_RAGGED_FAST_TWIN if ragged else _BDA_PLAIN_FAST_TWIN
+    i0 = inline.index("anchors AS (")
+    head = inline[:i0].rstrip()
+    if not head.endswith(","):
+        raise ValueError("unexpected twin head shape")
+    setups = [
+        "CREATE OR REPLACE TEMP TABLE pre_mat AS "
+        + head[:-1].replace("WITH RECURSIVE", "WITH", 1)
+        + " SELECT * FROM pre",
+        "CREATE OR REPLACE TEMP TABLE arrs_mat AS "
+        "SELECT antenna1, antenna2, list(s ORDER BY rn) AS sarr "
+        "FROM pre_mat GROUP BY antenna1, antenna2",
+        # closure ties: q-diff exactly 5000 deci-units (real acc exactly
+        # 500.0) — the double fold's sign is the oracle's decision
+        """CREATE OR REPLACE TEMP TABLE tie_close AS
+           SELECT i.antenna1, i.antenna2, i.rn AS a_rn, j.rn AS j_rn,
+                  list_reduce(list_slice(ar.sarr,
+                                         CAST(i.rn + 1 AS BIGINT),
+                                         CAST(j.rn AS BIGINT)),
+                              (x, y) -> x + y) > 500.0 AS closes
+           FROM pre_mat i
+           JOIN pre_mat j ON j.antenna1 = i.antenna1
+                         AND j.antenna2 = i.antenna2
+                         AND j.q = i.q + 5000 AND j.rn > i.rn
+           JOIN arrs_mat ar ON ar.antenna1 = i.antenna1
+                           AND ar.antenna2 = i.antenna2""",
+    ]
+    if ragged:
+        setups.append(
+            """CREATE OR REPLACE TEMP TABLE tie_factor AS
+               SELECT i.antenna1, i.antenna2, i.rn AS a_rn, j.rn AS j_rn,
+                      j.q - i.q AS dq10,
+                      list_reduce(list_slice(ar.sarr,
+                                             CAST(i.rn + 1 AS BIGINT),
+                                             CAST(j.rn AS BIGINT)),
+                                  (x, y) -> x + y) AS fold
+               FROM pre_mat i
+               JOIN pre_mat j ON j.antenna1 = i.antenna1
+                             AND j.antenna2 = i.antenna2
+                             AND (j.q = i.q + 1250 OR j.q = i.q + 2500)
+                             AND j.rn > i.rn
+               JOIN arrs_mat ar ON ar.antenna1 = i.antenna1
+                               AND ar.antenna2 = i.antenna2"""
+        )
+    anchors_sql = """
+    WITH RECURSIVE pre AS (SELECT * FROM pre_mat),
+    anchors AS (
+      SELECT antenna1, antenna2, CAST(0 AS BIGINT) AS bin_idx,
+             rn AS a_rn, time AS a_t, q AS a_q
+      FROM pre WHERE rn = 1
+      UNION ALL
+      SELECT a.antenna1, a.antenna2, a.bin_idx + 1, nxt.n_rn, nxt.n_t, nxt.n_q
+      FROM anchors a
+      JOIN LATERAL (
+        SELECT p2.rn AS n_rn, p2.time AS n_t, p2.q AS n_q
+        FROM pre p2
+        WHERE p2.antenna1 = a.antenna1 AND p2.antenna2 = a.antenna2
+          AND p2.rn > a.a_rn
+          AND ( (p2.time - a.a_t) > 2592000.0
+                OR p2.q - a.a_q > 5000
+                OR (p2.q - a.a_q = 5000 AND EXISTS (
+                      SELECT 1 FROM tie_close t
+                      WHERE t.antenna1 = p2.antenna1
+                        AND t.antenna2 = p2.antenna2
+                        AND t.a_rn = a.a_rn AND t.j_rn = p2.rn
+                        AND t.closes)) )
+        ORDER BY p2.rn LIMIT 1
+      ) nxt ON true
+    ),
+    assigned AS (
+      SELECT p.*, a.bin_idx, a.a_rn, a.a_t, a.a_q
+      FROM pre p ASOF JOIN anchors a
+        ON p.antenna1 = a.antenna1 AND p.antenna2 = a.antenna2
+       AND p.rn >= a.a_rn
+    )"""
+    if not ragged:
+        twin = anchors_sql + """
+    SELECT antenna1, antenna2, bin_idx,
+           COUNT(*) AS n_rows,
+           MIN(time) AS time_start,
+           MAX(time) AS time_end,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM assigned
+    GROUP BY antenna1, antenna2, bin_idx
+    ORDER BY antenna1, antenna2, bin_idx
+"""
+    else:
+        twin = anchors_sql + """
+    , fct AS (
+      SELECT antenna1, antenna2, bin_idx,
+             MAX(q) - MAX(a_q) AS m10,
+             MAX(a_rn) AS f_a_rn, MAX(rn) AS f_rn
+      FROM assigned GROUP BY antenna1, antenna2, bin_idx
+    ),
+    labeled AS (
+      SELECT o.antenna1, o.antenna2, o.bin_idx, o.chan,
+             o.vis_re, o.vis_im, o.weight,
+             CAST(CASE WHEN f.m10 < 1250 THEN 4
+                       WHEN f.m10 = 1250 THEN
+                         CASE WHEN tf.fold <= 125.0 THEN 4 ELSE 2 END
+                       WHEN f.m10 < 2500 THEN 2
+                       WHEN f.m10 = 2500 THEN
+                         CASE WHEN tf.fold <= 250.0 THEN 2 ELSE 1 END
+                       ELSE 1 END AS INT) AS chan_factor
+      FROM assigned o
+      JOIN fct f ON f.antenna1 = o.antenna1 AND f.antenna2 = o.antenna2
+                AND f.bin_idx = o.bin_idx
+      LEFT JOIN tie_factor tf ON tf.antenna1 = f.antenna1
+                             AND tf.antenna2 = f.antenna2
+                             AND tf.a_rn = f.f_a_rn AND tf.j_rn = f.f_rn
+                             AND tf.dq10 = f.m10
+    )
+    SELECT antenna1, antenna2, bin_idx, chan_factor,
+           CAST(chan // chan_factor AS INT) AS chan_out,
+           COUNT(*) AS n_samples,
+           round(SUM(vis_re * weight) / SUM(weight), 6) AS vis_re_avg,
+           round(SUM(vis_im * weight) / SUM(weight), 6) AS vis_im_avg,
+           SUM(weight) AS weight_sum
+    FROM labeled
+    GROUP BY antenna1, antenna2, bin_idx, chan_factor, chan_out
+    ORDER BY antenna1, antenna2, bin_idx, chan_out
+"""
+    return setups, twin
+
+
 @register("bda_ragged_channel_factor", _BDA_RAGGED_ORACLE)
 def bda_ragged_channel_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BDA with per-bin channel compression factor — the reference's

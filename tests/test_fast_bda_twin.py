@@ -136,3 +136,29 @@ def test_float_ragged_twin_bit_equal_sf001():
     pd.testing.assert_frame_equal(
         slow.reset_index(drop=True), fast.reset_index(drop=True)
     )
+
+
+def test_decomposed_float_twins_bit_equal_both_scales():
+    """The big-scale decomposed form (scalar-temp-table recursion,
+    precomputed tie tables) must match the oracles exactly where the
+    inline twins do — the tool's sf1 evidence rests on this parity."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        for ragged, oracle in (
+            (False, msops._BDA_ORACLE),
+            (True, msops._BDA_RAGGED_ORACLE),
+        ):
+            setups, twin = msops.bda_fast_twin_decomposed(ragged)
+            for st in setups:
+                con.execute(st)
+            fast = con.execute(twin).df()
+            slow = con.execute(oracle).df()
+            assert len(fast) > 100
+            pd.testing.assert_frame_equal(
+                slow.reset_index(drop=True), fast.reset_index(drop=True)
+            )

@@ -1,11 +1,12 @@
 """r12 (r11 verdict item 3): full bit-exact sf1.0 evidence for the two
-FLOAT-accumulator BDA queries via the exact tie-resolving fast twins
-(queries/msops.py::_BDA_PLAIN_FAST_TWIN / _BDA_RAGGED_FAST_TWIN),
+FLOAT-accumulator BDA queries via the exact tie-resolving fast twins,
 replacing tools/sf1_bda_partial.py's 85% partial-pass gate for these
-two. The twin is decision-identical to the registered recursive oracle
-by the deci-grid argument (msops.py section comment) and bit-equality
-is additionally LOCKED against the oracle itself at sf0.001/0.01/0.1;
-this tool replays twin-vs-SPARK at big scales.
+two. Uses msops.bda_fast_twin_decomposed — the big-scale form whose
+recursion touches only scalar temp tables (the inline twins drag the
+per-baseline step array through the LATERAL; fine at test scales,
+~0.1 s/round at sf1). Twin == oracle is locked at sf0.001/0.01 for
+BOTH forms by tests/test_fast_bda_twin.py; this tool replays
+twin-vs-SPARK at big scales.
 
 Usage: python tools/sf1_bda_twin_check.py [SF_DIR]   (default /tmp/sf1)
 """
@@ -50,14 +51,17 @@ def main() -> None:
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
     )
-    for qname, twin in (
-        ("bda_baseline_dependent_average", msops._BDA_PLAIN_FAST_TWIN),
-        ("bda_ragged_channel_factor", msops._BDA_RAGGED_FAST_TWIN),
+    for qname, ragged in (
+        ("bda_baseline_dependent_average", False),
+        ("bda_ragged_channel_factor", True),
     ):
         t0 = time.time()
         left = reg[qname].fn(spark, SF_DIR).toPandas()
         t_spark = time.time() - t0
         t0 = time.time()
+        setups, twin = msops.bda_fast_twin_decomposed(ragged)
+        for st in setups:
+            con.execute(st)
         right = con.execute(twin).df()
         t_twin = time.time() - t0
         compare(qname, left, right)
