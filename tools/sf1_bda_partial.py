@@ -14,8 +14,12 @@ BASELINE.md round-11:
      - bda_sinc_decorrelation      vs msops._BDA_SINC_FAST_TWIN
      - bda_salted_average          vs msops._SBDA_FAST_TWIN (r10 twin)
 
-2. PARTIAL-PASS equality for the two float-accumulator oracles that
-   are NOT anchor-chainable bit-exactly (sequential float fold): the
+2. [RETIRED r12 for the two float-accumulator queries — they now carry
+   FULL bit-exact sf1.0 twins via the deci-grid tie-resolving chain
+   (tools/sf1_bda_twin_check.py, BASELINE.md round-12); this
+   partial-pass class remains only as historical method documentation]
+   PARTIAL-PASS equality for the two float-accumulator oracles that
+   were NOT anchor-chainable bit-exactly (sequential float fold): the
    IDENTICAL Spark plan on a deeper row slice (default %85 = 5x17,
    ~2.5k rows/baseline at sf1 — deeper than the sf0.1 registered gate)
    vs the registered oracle with only the slice literal rewritten
