@@ -84,6 +84,13 @@ DRIFT_PINNED = {
     # recorded number compares structure, not host weather.
     "minhash_lsh_near_dup_pairs",
     "approx_percentile_price",
+    # r13 (r12 verdict item 5): the three biggest apparent r12 bench
+    # "regressions" were adjudicated to host weather by a controlled
+    # same-host A/B (r12 code equal-or-faster on all three, idle
+    # min-of-3). Pinned so the next driver reading self-adjudicates.
+    "faceted_mosaic_predict",
+    "bda_salted_average",
+    "prefix_filter_jaccard_join",
 }
 
 

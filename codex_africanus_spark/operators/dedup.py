@@ -1150,6 +1150,16 @@ def prefix_filter_jaccard_join(
         .agg(F.count(F.lit(1)).alias("delta"))
         .localCheckpoint(eager=True)  # consumed twice (emit + anti-join)
     )
+    # r12 ADVICE (medium): the rare-pair key frame used for the channel-2
+    # anti-join is bounded by (D-1)/2 x rare postings, which a rare-token
+    # dense corpus can push far past the core table the main gate sized.
+    # Gate its broadcast on the EXACT row count (free: the frame is
+    # checkpointed) — past the bound the anti-join runs as a shuffle
+    # anti-join, which is result-identical and never lands on the driver.
+    delta_rows = delta.count()
+    anti_keys = delta.select("doc_a", "doc_b")
+    if delta_rows * 48 <= broadcast_max_bytes:
+        anti_keys = F.broadcast(anti_keys)
     sets_b = F.broadcast(sets)
     rare_pairs = (
         delta.join(
@@ -1233,8 +1243,7 @@ def prefix_filter_jaccard_join(
         )
         # delta = 0 for these pairs (enforced by the anti-join below),
         # so inter = CI exactly and the final filter is exact
-        .join(F.broadcast(delta.select("doc_a", "doc_b")),
-              ["doc_a", "doc_b"], "left_anti")
+        .join(anti_keys, ["doc_a", "doc_b"], "left_anti")
     )
     return (
         core_pairs.unionByName(rare_pairs.select(

@@ -133,8 +133,8 @@ def baseline_summary(stitched: DataFrame) -> DataFrame:
         .alias("abs_b"),
         F.expr("min_by(first_p, bucket)").cast("long").alias("first_p"),
         F.expr("max_by(last_p, bucket)").cast("long").alias("last_p"),
-        F.expr("max_by(last_unw_in + 6283 * offset, bucket)").cast("long")
-        .alias("last_unw"),
+        F.expr(f"max_by(last_unw_in + {WRAP_GRID} * offset, bucket)")
+        .cast("long").alias("last_unw"),
         F.min(F.col("min_unw_in") + WRAP_GRID * F.col("offset")).cast("long")
         .alias("min_unw"),
         F.max(F.col("max_unw_in") + WRAP_GRID * F.col("offset")).cast("long")

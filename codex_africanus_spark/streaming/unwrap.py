@@ -123,24 +123,44 @@ def streaming_unwrap_sink(
     idiom: each micro-batch derives the phase frame, steps the
     increment, and overwrites the running per-baseline summary under a
     batch-unique directory before publishing a marker — replay after a
-    crash rewrites the same directory idempotently."""
+    crash rewrites the same directory idempotently.
+
+    The carry is DURABLE (r12 ADVICE, high): it is written as
+    ``carry_<batch_id>.parquet`` beside the summaries and every batch
+    reloads the latest marker-committed carry from disk — the
+    streaming/salted.py idiom — so a driver restart replays against the
+    true stream state instead of an empty carry. The marker is written
+    LAST: a crash between summary/carry writes and the marker makes the
+    replay rewrite both (batch-unique targets, mode=overwrite), and a
+    committed batch is a no-op."""
     import json
     import os
 
-    state = {"carry": None}
-
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if state["carry"] is None:
-            state["carry"] = empty_carry(spark)
         marker = os.path.join(out_dir, f"_marker_{batch_id}.json")
         if os.path.exists(marker):  # replayed batch: already applied
             return
+        os.makedirs(out_dir, exist_ok=True)
+        done = sorted(
+            int(f[len("_marker_"):-len(".json")])
+            for f in os.listdir(out_dir)
+            if f.startswith("_marker_") and f.endswith(".json")
+        )
+        prev = [b for b in done if b < batch_id]
+        if prev:
+            carry = spark.read.schema(CARRY_SCHEMA).parquet(
+                os.path.join(out_dir, f"carry_{prev[-1]}.parquet")
+            )
+        else:
+            carry = empty_carry(spark)
         ph = unwrap_op.phase_frame(batch_df)
-        summary, carry = phase_unwrap_increment(ph, state["carry"])
+        summary, carry_new = phase_unwrap_increment(ph, carry)
         target = os.path.join(out_dir, f"summary_batch_{batch_id}")
         summary.write.mode("overwrite").parquet(target)
-        state["carry"] = carry
+        carry_new.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"carry_{batch_id}.parquet")
+        )
         with open(marker, "w") as fh:
             json.dump({"batch_id": batch_id, "rows": summary.count()}, fh)
 

@@ -154,3 +154,72 @@ def test_streaming_unwrap_sink_exactly_once(spark, sf_dir, tmp_path):
     with open(mpath) as fh:
         rec = json.load(fh)
     assert rec["batch_id"] == last_id
+
+
+def test_streaming_unwrap_sink_survives_driver_restart(spark, sf_dir, tmp_path):
+    """r12 ADVICE (high): the carry must persist on disk, not in the
+    foreachBatch closure. Simulate a driver restart by running the first
+    two micro-batches through ONE sink instance, then constructing a
+    FRESH sink (new closure — the restarted driver) over the same
+    out_dir + checkpoint and streaming the third batch. The final
+    summary must still equal the batch query over the whole corpus;
+    with an in-memory carry it would stitch batch 3 against an empty
+    carry and silently reset n/net/min/max."""
+    import os
+
+    from tests.conftest import await_done
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vis = tpch_ms.vis_table(spark, sf_dir)
+    src = tmp_path / "vis_src"
+    src.mkdir()
+    pdf = vis.toPandas().sort_values(["time", "row_id"])
+    chunks = np.array_split(pdf, 3)
+    for i, chunk in enumerate(chunks[:2]):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            src / f"part-{i:03d}.parquet",
+        )
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def _run_once():
+        stream = (
+            spark.readStream.schema(vis.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            sunwrap.streaming_unwrap_sink(stream, out_dir, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_done(q)
+
+    _run_once()  # batches 0..1, first driver
+    pq.write_table(
+        pa.Table.from_pandas(chunks[2], preserve_index=False),
+        src / "part-002.parquet",
+    )
+    _run_once()  # batch 2, "restarted" driver: fresh closure, same dirs
+    last_id = max(
+        int(f.split("_")[2].split(".")[0])
+        for f in os.listdir(out_dir)
+        if f.startswith("_marker_")
+    )
+    assert last_id >= 2
+    got = (
+        spark.read.parquet(os.path.join(out_dir, f"summary_batch_{last_id}"))
+        .toPandas()
+        .sort_values(["antenna1", "antenna2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        registry()["phase_unwrap_salted"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["antenna1", "antenna2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
