@@ -1225,7 +1225,9 @@ def prefix_filter_jaccard_join(
         # core/member arrays — the candidate×token exchange carries
         # five scalars only and the arrays join at candidate-pair grain
         gcand = gcand.groupBy("ga", "gb").agg(
-            F.first("ca").alias("ca"), F.first("cb").alias("cb")
+            # ca/cb are functionally dependent on ga/gb — min is just
+            # the deterministic way to carry them through the groupBy
+            F.min("ca").alias("ca"), F.min("cb").alias("cb")
         )
         emit_once = F.lit(True)
     gpair = (

@@ -439,6 +439,34 @@ def _qdist2_unrolled(vec: str, cent: str, dim: int = EMB_DIM) -> F.Column:
     return F.expr(terms)
 
 
+def _ivf_n_cells(n: int) -> int:
+    """IVF cell count (r13): ceil(n/CELL_TARGET) capped at ceil(sqrt(n)).
+    The pure n/64 rule keeps cells ~CELL_TARGET-sized but makes the
+    n x cells assignment Theta(n^2/64) — the r13 sf10 bench caught
+    ann_ivf_topk dead at 200k vectors (625M assignment pairs, >420 s on
+    both engines). Past the crossover (n = CELL_TARGET^2 = 4096) the
+    cap switches growth to sqrt(n): assignment work O(n^1.5), cell
+    population ~sqrt(n) so the bounded-probe rerank stays
+    O(queries x n_probe x sqrt(n)). Values at n <= 4096 (every driver
+    correctness scale) are unchanged; sf1/sf10 re-rehearsed at
+    registration of the change. Mirrors `_ivf_cells_sql` exactly —
+    CEIL(SQRT(n)) is cross-engine safe (sqrt of an exact integer-valued
+    double is correctly rounded, and perfect squares are exact)."""
+    import math
+
+    if n <= 0:
+        return 1
+    return max(1, min(-(-n // CELL_TARGET), math.isqrt(n - 1) + 1))
+
+
+def _ivf_cells_sql(count_expr: str = "COUNT(*)") -> str:
+    """The SQL-twin form of `_ivf_n_cells` — ONE definition per engine."""
+    return (
+        f"GREATEST(1, LEAST(CAST(CEIL({count_expr} / {{ct}}.0) AS BIGINT), "
+        f"CAST(CEIL(SQRT({count_expr})) AS BIGINT)))"
+    ).format(ct=CELL_TARGET)
+
+
 def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     """ONE definition of the IVF index arithmetic (shared by the inline
     ivf_topk and the persisted build_ivf_index — a tie-break or
@@ -449,7 +477,7 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     no N-cardinality sort; embedding is constant per vec_id so first()
     is value-deterministic) with quantized self-norms."""
     n_vecs = embeddings.count() if n_vecs is None else n_vecs
-    n_cells = max(1, -(-n_vecs // CELL_TARGET))
+    n_cells = _ivf_n_cells(n_vecs)  # r13: sqrt-capped (see _ivf_n_cells)
     cent = _centroids(embeddings, n_cells=n_cells)
     # fan the narrow scan out BEFORE the quantizer crossJoin: the
     # testdata parquet is one unsplittable row group, so without this
@@ -561,7 +589,7 @@ def IVF_SQL(query_modulus: int = 125, k: int = 3, n_probe: int = N_PROBE) -> str
     dot = _qdot_sql("q.qe", "c.ce")
     return f"""
       WITH p AS (
-        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+        SELECT {_ivf_cells_sql()}
           AS cells
         FROM embeddings
       ),
@@ -774,7 +802,9 @@ def _index_fresh_source(
 
 
 def _ivf_fingerprint(n_vecs: int, chk: int) -> tuple:
-    return (IVF_INDEX_FORMAT, n_vecs, chk, f"cell_target={CELL_TARGET}")
+    # r13: cells2 marks the sqrt-capped cell formula — a persisted index
+    # built under the old pure-n/64 rule must rebuild, not serve stale
+    return (IVF_INDEX_FORMAT, n_vecs, chk, f"cell_target={CELL_TARGET}:cells2")
 
 
 def build_ivf_index(
@@ -975,7 +1005,7 @@ def ivf_cell_balance(spark, embeddings: DataFrame, root: str) -> DataFrame:
 def IVF_CELL_BALANCE_SQL() -> str:
     return f"""
   WITH p AS (
-    SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT)) AS cells
+    SELECT {_ivf_cells_sql()} AS cells
     FROM embeddings
   ),
   dims AS (
@@ -2212,7 +2242,7 @@ def IVF_PQ_SQL(
     )
     return f"""
       WITH p AS (
-        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+        SELECT {_ivf_cells_sql()}
           AS cells
         FROM embeddings
       ),
@@ -2375,7 +2405,7 @@ def IVF_APPEND_SQL(split_modulus: int = 10, query_modulus: int = 125,
     dot = _qdot_sql("q.qe", "c.ce")
     return f"""
       WITH p AS (
-        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+        SELECT {_ivf_cells_sql()}
           AS cells
         FROM embeddings WHERE vec_id % {split_modulus} != 0
       ),

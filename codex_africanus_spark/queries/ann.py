@@ -568,7 +568,7 @@ def _cell_purity_oracle() -> str:
     )
     return f"""
       WITH p AS (
-        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sim_op.CELL_TARGET}.0) AS BIGINT))
+        SELECT {sim_op._ivf_cells_sql()}
           AS cells
         FROM embeddings
       ),

@@ -13,6 +13,7 @@ from codex_africanus_spark.sources.tables import load
 from codex_africanus_spark.operators import bda as bda_op  # noqa: E402
 from codex_africanus_spark.operators import splines as spline_op  # noqa: E402
 from codex_africanus_spark.operators import skew as skew_op  # noqa: E402
+from codex_africanus_spark.operators import cdc as cdc_op  # noqa: E402
 
 from ._core import (  # noqa: F401
     _with_ms,
@@ -1697,8 +1698,8 @@ def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid (events start 2024-01-01 = 1704067200 s).
 # ---------------------------------------------------------------------------
 
-_CDC_EPOCH0_US = 1704067200 * 1000000
-_CDC_WEEK_US = 7 * 86400 * 1000000
+_CDC_EPOCH0_US = cdc_op.EPOCH0_US  # single source of truth (r13)
+_CDC_WEEK_US = cdc_op.WEEK_US
 
 _CDC_DIM_ORACLE = _with_ms(
     f"""
@@ -1782,41 +1783,179 @@ def events_cdc_dim_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.lit(6).cast("long").alias("segment")),
         root, mode="append",
     )
-    epoch_col = F.least(
-        F.expr(f"(ts_us - {_CDC_EPOCH0_US}L) DIV {_CDC_WEEK_US}L"), F.lit(2)
-    ).cast("long")
-    parts = []
-    new_counts = []
-    for e, ver in ((0, v1), (1, v2), (2, v3)):
-        state = snap.read_snapshot(spark, root, version=ver)
-        ev_e = ev.filter(epoch_col == e).select("event_id", "user_id", "value")
-        parts.append(
-            ev_e.join(F.broadcast(state), "user_id", "left").select(
-                F.lit(e).cast("long").alias("epoch"),
-                F.coalesce(F.col("segment"), F.lit(-1)).alias("segment"),
-                "value",
-            )
-        )
-        inc = (
-            snap.read_changes(spark, root, ver - 1, ver)
-            .groupBy("segment")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_dim_new"))
-            .select(F.lit(e).cast("long").alias("epoch"), "segment", "n_dim_new")
-        )
-        new_counts.append(inc)
-    joined = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    ev_agg = joined.groupBy("epoch", "segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
-        .alias("val_c_sum"),
+    # r13: plan built from the shared operators/cdc.py core — the
+    # streaming twin (streaming/cdc.py) composes the SAME functions, so
+    # batch/stream parity holds by construction (ops are unchanged from
+    # the r12 inline form; the plan is identical).
+    versions = [v1, v2, v3]
+    states = cdc_op.pinned_states(spark, root, versions)
+    ev_agg = cdc_op.agg_events(cdc_op.tag_events(ev, states))
+    dim_new = cdc_op.dim_new_counts(spark, root, versions)
+    return cdc_op.final_summary(ev_agg, dim_new)
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict item 6): watermark/late-data semantics as a REGISTERED
+# exact-oracle query — the streaming watermark drop rule, previously
+# unit-only (tests/test_watermark_late_data.py), replayed batch-side
+# with deterministic arrival batching. Arrival time gets a 0–3 h jitter
+# from event_id (streams arrive roughly time-ordered, not exactly);
+# arrival batches are hourly; the watermark for batch b is the running
+# max event time over all PRIOR batches minus the 2 h delay — exactly
+# Structured Streaming's rule (watermark advances on trigger commit,
+# late rows drop before the stateful agg). Jitter 3 h > delay 2 h, so
+# the corpus produces genuine drops.
+# ---------------------------------------------------------------------------
+
+_WM_JITTER_US = 1_800_000_000   # 0.5 h per event_id%7 step -> 0..3 h
+_WM_BATCH_US = 3_600_000_000    # hourly arrival batches
+_WM_DELAY_US = 7_200_000_000    # 2 h watermark delay
+_WM_HOUR_US = 3_600_000_000
+
+_WATERMARK_ORACLE = _with_ms(
+    f"""
+    , bat AS (
+      SELECT (ts_us + (event_id % 7) * {_WM_JITTER_US}) // {_WM_BATCH_US}
+               AS b,
+             ts_us, value
+      FROM ev
+    ),
+    bm AS (SELECT b, MAX(ts_us) AS bmax FROM bat GROUP BY b),
+    wm AS (
+      SELECT b,
+             MAX(bmax) OVER (ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) - {_WM_DELAY_US} AS wm
+      FROM bm
+    ),
+    tagged AS (
+      SELECT t.ts_us // {_WM_HOUR_US} AS hour_bin,
+             (w.wm IS NOT NULL AND t.ts_us < w.wm) AS late,
+             CAST(ROUND(t.value * 100) AS BIGINT) AS vc
+      FROM bat t JOIN wm w ON w.b = t.b
     )
-    dim_new = new_counts[0].unionByName(new_counts[1]).unionByName(new_counts[2])
+    SELECT hour_bin,
+           CAST(COUNT(CASE WHEN NOT late THEN 1 END) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN NOT late THEN vc ELSE 0 END) AS BIGINT)
+             AS val_c_sum,
+           CAST(COUNT(CASE WHEN late THEN 1 END) AS BIGINT)
+             AS n_late_dropped
+    FROM tagged GROUP BY hour_bin ORDER BY hour_bin
+    """
+)
+
+
+@register("events_watermark_late_drop", _WATERMARK_ORACLE)
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-row drop replayed exactly (see section comment).
+    Plan shape: batch-grain partial max (linear), ONE unpartitioned
+    running-max window over the hourly-batch frame (rows = span hours —
+    thousands, not events; the same bounded-axis argument as the
+    sessionizers), then a shuffle join back to event grain and the
+    tumbling agg. Streaming semantics source:
+    streaming/windowed.py + tests/test_watermark_late_data.py."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    bat = ev.select(
+        F.expr(
+            f"(ts_us + (event_id % 7) * {_WM_JITTER_US}) DIV {_WM_BATCH_US}"
+        ).alias("b"),
+        "ts_us",
+        "value",
+    )
+    bm = bat.groupBy("b").agg(F.max("ts_us").alias("bmax"))
+    wmw = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    wm = bm.select(
+        "b", (F.max("bmax").over(wmw) - F.lit(_WM_DELAY_US)).alias("wm")
+    )
+    tagged = bat.join(wm, "b").select(
+        F.expr(f"ts_us DIV {_WM_HOUR_US}").alias("hour_bin"),
+        (F.col("wm").isNotNull() & (F.col("ts_us") < F.col("wm")))
+        .alias("late"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
     return (
-        ev_agg.join(F.broadcast(dim_new), ["epoch", "segment"], "left")
-        .select(
-            "epoch", "segment", "n_events", "val_c_sum",
-            F.coalesce(F.col("n_dim_new"), F.lit(0)).cast("long")
-            .alias("n_dim_new"),
+        tagged.groupBy("hour_bin")
+        .agg(
+            F.count(F.when(~F.col("late"), 1)).cast("long").alias("n_events"),
+            F.sum(F.when(~F.col("late"), F.col("vc")).otherwise(F.lit(0)))
+            .cast("long").alias("val_c_sum"),
+            F.count(F.when(F.col("late"), 1)).cast("long")
+            .alias("n_late_dropped"),
         )
-        .orderBy("epoch", "segment")
+        .orderBy("hour_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict item 6): stream-static join consuming the BRANCH
+# REGISTRY — the serving pattern the r12 branch-GC machinery exists
+# for, now a registered driver-checked query: the dim commits v1, a
+# serving branch pins it, the source OVERWRITES to v2 and is VACUUMED
+# (v1's transaction dirs survive only through the branch's registry
+# pin), and events join BOTH views. A registry bug reclaims v1 and the
+# pinned read dies or forks — the oracle replays the two segment
+# mappings from the defining predicates. The true stream-static form
+# (readStream events x branch read, GC churn between batches) is
+# locked in tests/test_branch_serving_gc.py.
+# ---------------------------------------------------------------------------
+
+_BRANCH_DIM_ORACLE = _with_ms(
+    """
+    SELECT e.user_id % 5 AS seg_pinned,
+           (e.user_id * 3 + 1) % 5 AS seg_head,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS val_c_sum
+    FROM ev e
+    GROUP BY seg_pinned, seg_head
+    ORDER BY seg_pinned, seg_head
+    """
+)
+
+
+@register("events_branch_dim_serving_join", _BRANCH_DIM_ORACLE)
+def events_branch_dim_serving_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-pinned dim serving join (see section comment). Both dim
+    reads broadcast (bounded by distinct users); the event scan joins
+    twice without reshuffling its own grain."""
+    import os
+    import shutil
+    import tempfile
+
+    from codex_africanus_spark.sources import snapshot as snap
+
+    ev = tpch_ms.events_table(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    root = f"{tempfile.gettempdir()}/cas_snapshot/branch_dim_{os.getpid()}"
+    branch = root + "_serve"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(branch, ignore_errors=True)
+    snap.commit(
+        users.select("user_id", (F.col("user_id") % 5).alias("segment")),
+        root, mode="overwrite",
+    )                                             # v1
+    snap.create_branch(root, branch)              # serving pin at v1
+    snap.commit(
+        users.select(
+            "user_id", ((F.col("user_id") * 3 + 1) % 5).alias("segment")
+        ),
+        root, mode="overwrite",
+    )                                             # v2: segment remap
+    snap.vacuum(root, retain_from_version=2)      # v1 survives via registry
+    pin = snap.read_snapshot(spark, branch).select(
+        "user_id", F.col("segment").alias("seg_pinned")
+    )
+    head = snap.read_snapshot(spark, root).select(
+        "user_id", F.col("segment").alias("seg_head")
+    )
+    return (
+        ev.join(F.broadcast(pin), "user_id")
+        .join(F.broadcast(head), "user_id")
+        .groupBy("seg_pinned", "seg_head")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+            .alias("val_c_sum"),
+        )
+        .orderBy("seg_pinned", "seg_head")
     )

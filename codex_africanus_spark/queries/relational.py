@@ -2427,3 +2427,52 @@ def snapshot_zorder_pruned_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grid_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict item 6): MULTI-LEVEL RECURSIVE AGGREGATE — the r12
+# UnionLoop recursion composed with a grouping-lattice rollup, a plan
+# shape the registry had not exercised (UnionLoop feeding Expand).
+# Chain rule is the r12 escalation hierarchy (parent = key DIV 7 while
+# one exists: depth-bounded log_7 recursion, one equi-join per level,
+# never row-recursive); the lattice rolls the full chain edge set up
+# by ROLLUP(depth, node_mod) with GROUPING() disambiguation, all sums
+# on the cents grid.
+# ---------------------------------------------------------------------------
+
+_ESC_ROLLUP_ORACLE = """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS leaf, s_suppkey AS cur,
+             CAST(0 AS BIGINT) AS depth,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c
+      FROM supplier
+      UNION ALL
+      SELECT c.leaf, p.s_suppkey, c.depth + 1,
+             CAST(ROUND(p.s_acctbal * 100) AS BIGINT)
+      FROM chain c
+      JOIN supplier p ON p.s_suppkey = c.cur // 7
+      WHERE c.cur > 0
+    ),
+    nodes AS (SELECT depth, cur % 4 AS node_mod, bal_c FROM chain)
+    SELECT depth, node_mod,
+           CAST(GROUPING(depth) * 2 + GROUPING(node_mod) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_c_sum
+    FROM nodes
+    GROUP BY ROLLUP(depth, node_mod)
+    ORDER BY lvl, depth, node_mod
+"""
+
+
+@register("escalation_rollup_lattice", _ESC_ROLLUP_ORACLE)
+def escalation_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive escalation chain rolled up across the grouping lattice
+    (see section comment): Spark 4 recursive WITH (UnionLoop) feeding
+    GROUP BY ROLLUP (Expand) in one plan. The DuckDB twin replays the
+    identical recursion and lattice."""
+    load(spark, "supplier", sf_dir).createOrReplaceTempView("supplier_r13r")
+    return spark.sql(
+        _ESC_ROLLUP_ORACLE.replace("FROM supplier", "FROM supplier_r13r")
+        .replace("JOIN supplier p", "JOIN supplier_r13r p")
+        .replace("//", "DIV")
+    )

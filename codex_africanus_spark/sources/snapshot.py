@@ -754,6 +754,26 @@ def create_branch(root: str, branch_root: str, version: int | None = None) -> in
     (reg / f"{tag}.json").write_text(json.dumps(
         {"branch_root": os.path.abspath(branch_root), "base_version": base}
     ))
+    # r13 (serving-vs-GC races): validate AFTER registering that the
+    # base version's files still exist — a vacuum whose registry walk
+    # predates this registration may have reclaimed an old base's
+    # transaction dirs concurrently. Registration-then-validate closes
+    # the common ordering; the residual window (deletion between this
+    # check and first read) is the standard retention-window contract —
+    # branch only at retained versions, or vacuum with min_age_secs.
+    missing = [
+        f for f in snapshot_files(root, base)
+        if not (Path(root) / f).exists()
+    ]
+    if missing:
+        (reg / f"{tag}.json").unlink(missing_ok=True)
+        shutil.rmtree(branch_root, ignore_errors=True)
+        raise SnapshotConflictError(
+            f"create_branch lost the race with a concurrent vacuum: "
+            f"base version {base} is missing {len(missing)} data file(s) "
+            f"(e.g. {missing[0]!r}). Branch at a retained version, or "
+            "vacuum with min_age_secs > the branch-creation window."
+        )
     return base
 
 

@@ -835,3 +835,41 @@ def test_r12_corr_pivot_single_expand_no_distinct_pass(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- r13 shapes
+
+
+def test_r13_watermark_late_drop_shape(spark, sf_dir):
+    """events_watermark_late_drop: the running-max watermark window runs
+    over the BATCH-grain frame (hours, not events — one unpartitioned
+    window over a bounded axis), the event-grain side never SMJs more
+    than the one wm attach, and no cartesian/Python anywhere."""
+    plan = plan_of(registry()["events_watermark_late_drop"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    # batch max (partial+final), wm attach join, final hour agg — the
+    # event grain is exchanged at most twice (join key + final group)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_r13_branch_dim_serving_join_broadcast_only(spark, sf_dir):
+    """events_branch_dim_serving_join: both snapshot dim reads broadcast
+    (the stream-static serving shape); the event scan is never
+    sort-merge-joined or re-shuffled per dim."""
+    plan = plan_of(
+        registry()["events_branch_dim_serving_join"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r13_escalation_rollup_union_loop_feeds_expand(spark, sf_dir):
+    """escalation_rollup_lattice: UnionLoop recursion composed with the
+    grouping-lattice Expand in ONE plan — depth-bounded, no cartesian."""
+    plan = plan_of(registry()["escalation_rollup_lattice"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan

@@ -79,6 +79,10 @@ import sys, time, duckdb
 sf_dir, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 con.execute("SET threads TO 32")
+# r13: long queries trip duckdb's progress bar, which emits \r-framed
+# block glyphs into the SAME stdout line as the timing print and broke
+# two twin parses in the r13 run
+con.execute("SET enable_progress_bar = false")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     import os
     p = f"{sf_dir}/{t}.parquet"
@@ -104,8 +108,12 @@ def time_twin(sql: str) -> tuple:
         # shape rather than blindly splitting the tail tokens (r11
         # ADVICE: appended noise or an empty rc=0 stdout must surface
         # as an error tuple, not a silent mis-parse / bench abort)
-        m = [ln for ln in r.stdout.splitlines()
-             if re.fullmatch(r"[\d.]+ \d+", ln.strip())]
+        # split on \r too: a progress bar rewrites the line in place, so
+        # the timing print can share its physical line with bar glyphs
+        # (belt to the enable_progress_bar=false suspenders above)
+        m = [seg.strip() for ln in r.stdout.splitlines()
+             for seg in ln.split("\r")
+             if re.fullmatch(r"[\d.]+ \d+", seg.strip())]
         if not m:
             return None, f"unparseable stdout: {r.stdout.strip()[-120:]!r}"
         dt, n = m[-1].split()
