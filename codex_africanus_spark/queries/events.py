@@ -1959,3 +1959,75 @@ def events_branch_dim_serving_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("seg_pinned", "seg_head")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 widening: GAP-FILLED time series — the dense-grid generator shape
+# (data-dependent sequence() + explode = a Generate node sized by an
+# aggregate, not a literal) left-joined back to the sparse hourly aggs.
+# The classic warehouse gap-fill; the registry's sequence() uses were
+# all literal-bounded. Output stays per-type (bounded) — the dense grid
+# is collapsed to gap statistics, never emitted raw.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = _with_ms(
+    """
+    , hourly AS (
+      SELECT event_type, ts_us // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, g.g AS h
+      FROM bounds b, LATERAL unnest(generate_series(b.h0, b.h1)) AS g(g)
+    ),
+    filled AS (
+      SELECT g.event_type, g.h, COALESCE(y.n, 0) AS n
+      FROM grid g LEFT JOIN hourly y
+        ON y.event_type = g.event_type AND y.h = g.h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(CASE WHEN n = 0 THEN 1 END) AS BIGINT) AS n_gap_hours,
+           CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM filled GROUP BY event_type ORDER BY event_type
+    """
+)
+
+
+@register("events_hourly_gap_fill", _GAPFILL_ORACLE)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly activity profile (see section comment): the
+    dense per-type hour grid comes from sequence(min, max) + explode —
+    grid size is span-bounded (hours, not events), the left join runs
+    at grid grain, and only per-type gap statistics leave the plan."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.count(F.when(F.col("n") == 0, 1)).cast("long")
+            .alias("n_gap_hours"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+            F.sum("n").cast("long").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -2476,3 +2476,88 @@ def escalation_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("JOIN supplier p", "JOIN supplier_r13r p")
         .replace("//", "DIV")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 widening: two join/agg feature classes the registry had not
+# exercised — the NULL-SAFE equi-join (Spark `<=>` / DuckDB IS NOT
+# DISTINCT FROM; a distinct join-predicate class in the planner, NULL
+# keys MATCH instead of dropping) and ordered LISTAGG (Spark 4 WITHIN
+# GROUP / DuckDB string_agg ORDER BY — order-sensitive string
+# aggregation, deterministic only under a total order).
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+    WITH s AS (
+      SELECT s_suppkey, s_acctbal,
+             NULLIF(s_nationkey, 3) AS nk
+      FROM supplier
+    ),
+    n AS (
+      SELECT n_name, NULLIF(n_nationkey, 3) AS nk
+      FROM nation
+    )
+    SELECT COALESCE(n.n_name, '<null-key>') AS n_name,
+           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_c_sum
+    FROM s JOIN n ON s.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name
+    ORDER BY n_name
+"""
+
+
+@register("supplier_nullsafe_nation_join", _NULLSAFE_ORACLE)
+def supplier_nullsafe_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe supplier-nation join: nationkey 3 is NULLed on BOTH
+    sides, so the null-key suppliers still match their (single) null-key
+    nation row under `<=>` — rows an inner equi-join silently drops.
+    The null class stays dimension-bounded (exactly one nation row), so
+    no null-bucket explosion is possible."""
+    sup = load(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_acctbal",
+        F.expr("NULLIF(s_nationkey, 3)").alias("nk"),
+    )
+    nat = load(spark, "nation", sf_dir).select(
+        "n_name", F.expr("NULLIF(n_nationkey, 3)").alias("nk2"),
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["nk"].eqNullSafe(nat["nk2"]))
+        .groupBy(F.coalesce(F.col("n_name"), F.lit("<null-key>")).alias("n_name"))
+        .agg(
+            F.count("s_suppkey").cast("long").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("long")
+            .alias("bal_c_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_LISTAGG_ORACLE = """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS roster
+    FROM supplier
+    WHERE s_suppkey % 100 = 0
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+"""
+
+
+@register("supplier_roster_listagg", _LISTAGG_ORACLE)
+def supplier_roster_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG roster per nation over a keyed sample (bounded
+    string length at any SF): Spark 4's listagg WITHIN GROUP vs DuckDB's
+    string_agg ORDER BY — byte-equal only because the order is total
+    (s_name is unique)."""
+    return (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") % 100 == 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)")
+            .alias("roster"),
+        )
+        .orderBy("s_nationkey")
+    )

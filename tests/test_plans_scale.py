@@ -873,3 +873,23 @@ def test_r13_escalation_rollup_union_loop_feeds_expand(spark, sf_dir):
     assert "UnionLoop" in plan
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r13_nullsafe_join_is_broadcast_not_smj(spark, sf_dir):
+    """supplier_nullsafe_nation_join: the null-safe predicate must not
+    degrade the dim join below a broadcast hash join; no cartesian."""
+    plan = plan_of(
+        registry()["supplier_nullsafe_nation_join"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r13_gap_fill_generate_at_grid_grain(spark, sf_dir):
+    """events_hourly_gap_fill: the dense grid comes from ONE Generate
+    (explode of a data-dependent sequence) at type grain; the event scan
+    aggregates BEFORE the grid join, so nothing event-grain crosses the
+    generator; no cartesian."""
+    plan = plan_of(registry()["events_hourly_gap_fill"].fn(spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    assert "CartesianProduct" not in plan
