@@ -467,6 +467,82 @@ def _ivf_cells_sql(count_expr: str = "COUNT(*)") -> str:
     ).format(ct=CELL_TARGET)
 
 
+ARROW_ASSIGN_MIN_PAIRS = 1_000_000  # (n_vecs x n_cells) Arrow-tier gate
+
+
+def _assign_arrow(
+    embeddings: DataFrame, cent: DataFrame, include_dist: bool = False
+) -> DataFrame:
+    """Exact integer-replay nearest-cell assignment as a MAP-ONLY Arrow
+    pass — `_ivf_build`'s scale tier past ARROW_ASSIGN_MIN_PAIRS pairs,
+    and (include_dist=True, which adds the argmin's quantized distance
+    column) the per-round assignment of the k-means Lloyd loop.
+
+    The relational form materializes an n x cells pair frame (every row
+    carrying the 64-float embedding) through a min-struct aggregate: at
+    200k vectors x 448 sqrt-capped cells that is 90M wide intermediate
+    rows for a 200k-row result — the r13 sf10 bench measured the whole
+    query at 217 s, almost all of it in this stage. This tier computes
+    the same argmin with NO pair frame and NO shuffle: the centroid
+    table (cells x dims — bounded by the sqrt cap) collects to the
+    driver once and rides the Arrow closure; each executor batch
+    evaluates every (vector, cell) distance vectorized in numpy and
+    emits exactly one row per vector.
+
+    Exactness (the reason this is a replay, not a reimplementation):
+    every scalar op maps one-for-one onto the codegen kernel's IEEE
+    float64 ops in the same order — d = CAST(x AS DOUBLE) - c, then
+    (d*d) * 1e12 (DOT_SCALE exact in float64), then `_trunc_round`'s
+    half-away-from-zero CAST-to-BIGINT (squares are non-negative, so
+    the sign CASE collapses to trunc(v + 0.5)), summed in int64, and
+    argmin = numpy first-min-wins over cid-ascending centroids, which
+    is precisely MIN over (dist, cid) structs. Bit-equality with the
+    relational path is locked by tests/test_ivf_ann.py on the real
+    corpus and boundary-adversarial fuzz; the sf1/sf10 rehearsals
+    check this path against the unchanged DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cent.orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = (x * x) * 1e12
+            norm_q = np.trunc(v + 0.5).astype(np.int64).sum(axis=1)
+            best = np.empty(len(pdf), dtype=np.int64)
+            bestd = np.empty(len(pdf), dtype=np.int64)
+            # chunk rows so the (B, cells, dims) diff tensor stays ~tens
+            # of MB per task whatever the sqrt-capped cell count is
+            step = max(1, 4_000_000 // max(1, cmat.shape[0] * cmat.shape[1]))
+            for lo in range(0, len(pdf), step):
+                d = x[lo:lo + step, None, :] - cmat[None, :, :]
+                q = np.trunc((d * d) * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+                am = np.argmin(q, axis=1)
+                best[lo:lo + step] = cids[am]
+                bestd[lo:lo + step] = q[np.arange(len(am)), am]
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "cid": best,
+                "norm_q": norm_q,
+            }
+            if include_dist:
+                out["dist"] = bestd
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, embedding array<float>, cid bigint, norm_q bigint"
+    if include_dist:
+        schema += ", dist bigint"
+    return fan_out(embeddings).select("vec_id", "embedding").mapInPandas(
+        gen, schema
+    )
+
+
 def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     """ONE definition of the IVF index arithmetic (shared by the inline
     ivf_topk and the persisted build_ivf_index — a tie-break or
@@ -475,10 +551,27 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     CTE at every scale factor) + nearest-cell assignment as a hash
     partial aggregate (min over the lexicographic (dist, cid) struct —
     no N-cardinality sort; embedding is constant per vec_id so first()
-    is value-deterministic) with quantized self-norms."""
+    is value-deterministic) with quantized self-norms. Past
+    ARROW_ASSIGN_MIN_PAIRS (n_vecs x n_cells) the assignment runs as
+    the bit-identical map-only Arrow replay (`_assign_arrow`) instead
+    of materializing the pair frame."""
     n_vecs = embeddings.count() if n_vecs is None else n_vecs
     n_cells = _ivf_n_cells(n_vecs)  # r13: sqrt-capped (see _ivf_n_cells)
     cent = _centroids(embeddings, n_cells=n_cells)
+    if n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS:
+        # the tiny (cells x dims) table is consumed twice on this path
+        # (driver collect for the closure + the probe's broadcast) —
+        # pin it so the quantizer aggregate runs once
+        cent = cent.localCheckpoint(eager=True)
+        return cent, _assign_arrow(embeddings, cent)
+    return cent, _assign_relational(embeddings, cent)
+
+
+def _assign_relational(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """The relational form of the nearest-cell assignment (codegen
+    distance over a broadcast pair expansion + min-struct aggregate) —
+    the small-corpus tier of `_ivf_build`; `_assign_arrow` replays it
+    bit-for-bit past the pair-count gate."""
     # fan the narrow scan out BEFORE the quantizer crossJoin: the
     # testdata parquet is one unsplittable row group, so without this
     # the 64-term distance argmin runs as a SINGLE task (measured 2.3 s
@@ -488,7 +581,7 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
         "vec_id", "embedding", "cid",
         _qdist2_unrolled("embedding", "centroid").alias("dist"),
     )
-    assign = (
+    return (
         dists.groupBy("vec_id")
         .agg(
             F.min(F.struct("dist", "cid")).alias("mn"),
@@ -497,7 +590,6 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
         .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
         .withColumn("norm_q", _qdot("embedding", "embedding"))
     )
-    return cent, assign
 
 
 def _ivf_probe(
@@ -1689,9 +1781,19 @@ def kmeans_lloyd_stats(
     measured SLOWER end-to-end (4.8 vs 3.0 s at sf0.1) — unrolling pays
     off on candidate-pair hot paths compiled once, not in driver loops.
     The scan is fanned out so assignment parallelizes under the
-    broadcast join (single-row-group testdata; no-op on real sources)."""
+    broadcast join (single-row-group testdata; no-op on real sources).
+
+    Past ARROW_ASSIGN_MIN_PAIRS (n x k) every assignment — per-round
+    and final — runs as the bit-identical map-only Arrow replay
+    (`_assign_arrow`, the r13 IVF tier): the relational form's n x k
+    pair frame through a min-struct aggregate is the same shape that
+    measured 217 s on ann_ivf_topk at sf10. `_qdist2`'s HOF arithmetic
+    is termwise identical to the replay (and to the unrolled form —
+    test_unrolled_kernels_match_hof_forms), so the gate changes no
+    value; locked by the forced-path test in tests/test_ivf_ann.py."""
     spark = embeddings.sparkSession
     emb = fan_out(embeddings).select("vec_id", "embedding")
+    use_arrow = embeddings.count() * k >= ARROW_ASSIGN_MIN_PAIRS
 
     def _lit_frame(rows):
         return spark.createDataFrame(
@@ -1702,21 +1804,26 @@ def kmeans_lloyd_stats(
     cent_rows = _centroids(embeddings, n_cells=k).collect()
     for _ in range(iters):
         cdf = _lit_frame(cent_rows)
-        assign = (
-            emb.crossJoin(F.broadcast(cdf))
-            .select(
-                "vec_id",
-                "embedding",
-                "cid",
-                _qdist2("embedding", "centroid").alias("dist"),
+        if use_arrow:
+            assign = _assign_arrow(emb, cdf).select(
+                "vec_id", "embedding", "cid"
             )
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("mn"),
-                F.first("embedding").alias("embedding"),
+        else:
+            assign = (
+                emb.crossJoin(F.broadcast(cdf))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "cid",
+                    _qdist2("embedding", "centroid").alias("dist"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.min(F.struct("dist", "cid")).alias("mn"),
+                    F.first("embedding").alias("embedding"),
+                )
+                .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
             )
-            .select("vec_id", "embedding", F.col("mn.cid").alias("cid"))
-        )
         cent_rows = (
             assign.select("cid", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -1735,17 +1842,22 @@ def kmeans_lloyd_stats(
             )
             .collect()
         )
-    final = (
-        emb.crossJoin(F.broadcast(_lit_frame(cent_rows)))
-        .select(
-            "vec_id",
-            "cid",
-            _qdist2("embedding", "centroid").alias("dist"),
+    if use_arrow:
+        final = _assign_arrow(
+            emb, _lit_frame(cent_rows), include_dist=True
+        ).select("vec_id", "dist", "cid")
+    else:
+        final = (
+            emb.crossJoin(F.broadcast(_lit_frame(cent_rows)))
+            .select(
+                "vec_id",
+                "cid",
+                _qdist2("embedding", "centroid").alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("mn"))
+            .select("vec_id", F.col("mn.dist").alias("dist"), F.col("mn.cid").alias("cid"))
         )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("mn"))
-        .select("vec_id", F.col("mn.dist").alias("dist"), F.col("mn.cid").alias("cid"))
-    )
     return (
         final.groupBy("cid")
         .agg(
@@ -1833,14 +1945,16 @@ def KMEANS_SQL(k: int = KM_K, iters: int = KM_ITERS) -> str:
 
 def KMEANS_NSCALED_SQL(iters: int = KM_ITERS) -> str:
     """KMEANS_SQL with the cell count N-scaled exactly like the IVF
-    quantizer's `p` CTE (k = ceil(n/CELL_TARGET)): the oracle for
-    `kmeans_nscaled_stats`, which holds |cluster| flat as the corpus
-    grows instead of letting clusters grow with N."""
+    quantizer's `p` CTE — r13: the same sqrt-capped formula as
+    `_ivf_cells_sql` (k = min(ceil(n/CELL_TARGET), ceil(sqrt(n)))).
+    Below the crossover (n <= CELL_TARGET^2, every driver correctness
+    scale) this is the old pure n/64 rule unchanged; past it the cap
+    keeps each Lloyd round's n x k assignment at O(n^1.5) instead of
+    Theta(n^2/64) — the identical blowup the r13 sf10 bench caught on
+    ann_ivf_topk, pre-empted here before the query ever enters a bench
+    set (ROADMAP r14 note)."""
     body = KMEANS_SQL(k="(SELECT cells FROM p)", iters=iters)
-    p_cte = (
-        f"p AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) "
-        f"AS BIGINT)) AS cells FROM embeddings),\n      "
-    )
+    p_cte = f"p AS (SELECT {_ivf_cells_sql()} AS cells FROM embeddings),\n      "
     return body.replace("WITH ", "WITH " + p_cte, 1)
 
 

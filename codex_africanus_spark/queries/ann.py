@@ -305,15 +305,16 @@ def kmeans_lloyd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("kmeans_nscaled_stats", sim_op.KMEANS_NSCALED_SQL())
 def kmeans_nscaled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means with the cell count N-SCALED (k = ceil(n/CELL_TARGET),
-    the IVF/SemDeDup discipline): cluster population stays ~CELL_TARGET
-    as the corpus grows instead of clusters growing with N — the form a
-    100 TB corpus-bucketing run actually uses. Same exact fixed-point
-    Lloyd rounds as kmeans_lloyd_stats; the oracle N-scales in its own
-    `p` CTE so both engines derive k from the data."""
+    """K-means with the cell count N-SCALED by the IVF quantizer rule
+    (r13: sqrt-capped — k = min(ceil(n/CELL_TARGET), ceil(sqrt(n))),
+    `_ivf_n_cells`): cluster population tracks CELL_TARGET up to the
+    n = CELL_TARGET² crossover, then grows as sqrt(n) so each Lloyd
+    round's n x k assignment stays O(n^1.5) instead of Theta(n²/64) —
+    the 100 TB corpus-bucketing form. Same exact fixed-point Lloyd
+    rounds as kmeans_lloyd_stats; the oracle N-scales in its own `p`
+    CTE (same formula) so both engines derive k from the data."""
     emb = load(spark, "embeddings", sf_dir)
-    n_cells = max(1, -(-emb.count() // sim_op.CELL_TARGET))
-    return sim_op.kmeans_lloyd_stats(emb, k=n_cells)
+    return sim_op.kmeans_lloyd_stats(emb, k=sim_op._ivf_n_cells(emb.count()))
 
 
 @register("ann_pq_persisted_topk", sim_op.PQ_SQL())

@@ -14,6 +14,8 @@ from codex_africanus_spark.operators import bda as bda_op  # noqa: E402
 from codex_africanus_spark.operators import splines as spline_op  # noqa: E402
 from codex_africanus_spark.operators import skew as skew_op  # noqa: E402
 from codex_africanus_spark.operators import cdc as cdc_op  # noqa: E402
+from codex_africanus_spark.operators import watermark as wm_op  # noqa: E402
+from codex_africanus_spark.operators import gapfill as gapfill_op  # noqa: E402
 
 from ._core import (  # noqa: F401
     _with_ms,
@@ -1887,6 +1889,33 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r13: the TRUE Spark watermark rule as a registered exact-oracle query.
+# events_watermark_late_drop replays a row-grain drop (ts < wm) — the
+# stream-stream-join/dropDuplicatesWithinWatermark rule. The windowed-
+# aggregation path Spark actually runs is WINDOW-grain with a one-batch
+# filter lag and inclusive boundaries, empirically bisected this round
+# (operators/watermark.py module docstring has the probe record). This
+# query replays THAT rule, including append-mode finalization (the
+# is_emitted flag = which windows the memory sink would hold at stream
+# end); the real withWatermark plan is locked against it bit-for-bit in
+# tests/test_streaming_window_drop.py.
+# ---------------------------------------------------------------------------
+
+_WMW_ORACLE = _with_ms(wm_op.window_drop_oracle_body())
+
+
+@register("events_watermark_window_drop", _WMW_ORACLE)
+def events_watermark_window_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-grain watermark drop/finalization replay (section
+    comment). Plan shape: batch-grain partial max (linear), ONE
+    unpartitioned running-max window with a 2-PRECEDING lag frame over
+    the arrival-batch frame (rows = span batches — thousands, not
+    events), a scalar final-watermark broadcast, then the event-grain
+    join + tumbling agg."""
+    return wm_op.window_drop_replay(tpch_ms.events_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # r13 (r12 verdict item 6): stream-static join consuming the BRANCH
 # REGISTRY — the serving pattern the r12 branch-GC machinery exists
 # for, now a registered driver-checked query: the dim commits v1, a
@@ -2005,29 +2034,9 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly activity profile (see section comment): the
     dense per-type hour grid comes from sequence(min, max) + explode —
     grid size is span-bounded (hours, not events), the left join runs
-    at grid grain, and only per-type gap statistics leave the plan."""
+    at grid grain, and only per-type gap statistics leave the plan.
+    r13: built from the shared operators/gapfill.py core (ops
+    unchanged — the streaming incremental twin composes the same
+    functions, parity by construction)."""
     ev = tpch_ms.events_table(spark, sf_dir)
-    hourly = ev.groupBy(
-        "event_type", F.expr("ts_us DIV 3600000000").alias("h")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = bounds.select(
-        "event_type",
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
-    )
-    filled = grid.join(hourly, ["event_type", "h"], "left").select(
-        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
-    )
-    return (
-        filled.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_hours"),
-            F.count(F.when(F.col("n") == 0, 1)).cast("long")
-            .alias("n_gap_hours"),
-            F.max("n").cast("long").alias("peak_hour_events"),
-            F.sum("n").cast("long").alias("total_events"),
-        )
-        .orderBy("event_type")
-    )
+    return gapfill_op.gap_fill_stats(gapfill_op.hourly_counts(ev))

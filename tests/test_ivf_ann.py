@@ -208,6 +208,82 @@ def test_tombstone_invalidates_mid_rebuild_meta(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_arrow_assign_matches_relational_bit_exact(spark, sf_dir):
+    """r13 Arrow assignment tier: on the real corpus, the map-only numpy
+    integer replay must reproduce the relational min-struct assignment
+    bit-for-bit — cid, norm_q, and the passthrough embedding bytes."""
+    emb = load(spark, "embeddings", sf_dir)
+    n = emb.count()
+    cent = sim._centroids(emb, n_cells=sim._ivf_n_cells(n)).localCheckpoint(
+        eager=True
+    )
+
+    def key(df):
+        return sorted(
+            (r.vec_id, r.cid, r.norm_q, tuple(r.embedding)) for r in df.collect()
+        )
+
+    a = key(sim._assign_arrow(emb, cent))
+    b = key(sim._assign_relational(emb, cent))
+    assert len(a) == n and a == b
+
+
+def test_arrow_assign_fuzz_chunking_and_partition_invariance(spark):
+    """Adversarial corpus for the Arrow tier: rounding-boundary
+    components (rational grids whose quantized products land ULPs from
+    the .5 rule), duplicate vectors (distance ties -> smallest-cid rule),
+    and a forced 200-cell quantizer so the numpy row-chunk loop actually
+    iterates (step = 4M // (200*64) = 312 < n). Partition invariance
+    doubles as the Arrow-batch-split fuzz."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    n, dim = 900, 64
+    x = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    # boundary adversaries + exact duplicates
+    x[:50] = (
+        rng.integers(-2000, 2001, size=(50, dim)) / 2000.0 + 2.5e-7
+    ).astype(np.float32)
+    x[50:60] = x[:10]
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = sim._centroids(emb, n_cells=200).localCheckpoint(eager=True)
+
+    def key(df):
+        return sorted(
+            (r.vec_id, r.cid, r.norm_q, tuple(r.embedding)) for r in df.collect()
+        )
+
+    a = key(sim._assign_arrow(emb, cent))
+    b = key(sim._assign_relational(emb, cent))
+    assert len(a) == n and a == b
+    assert key(sim._assign_arrow(emb.repartition(7), cent)) == a
+
+
+def test_ivf_topk_forced_arrow_path_equals_default(spark, sf_dir, monkeypatch):
+    """End-to-end: ivf_topk with the Arrow gate forced ON must emit the
+    identical top-k frame as the default (relational-at-this-scale)
+    path — the probe/rerank consumes the two assignments
+    interchangeably."""
+    emb = load(spark, "embeddings", sf_dir)
+    base = sorted(map(tuple, sim.ivf_topk(emb).collect()))
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_PAIRS", 1)
+    forced = sorted(map(tuple, sim.ivf_topk(emb).collect()))
+    assert base == forced and len(base) > 0
+
+
+def test_kmeans_forced_arrow_path_equals_default(spark, sf_dir, monkeypatch):
+    """r13: every Lloyd assignment (per-round AND final, with the
+    argmin's distance column feeding the inertia) must be bit-identical
+    between the relational min-struct path and the forced Arrow replay
+    — the k-means twin of the IVF path-equivalence lock."""
+    emb = load(spark, "embeddings", sf_dir)
+    base = sorted(map(tuple, sim.kmeans_lloyd_stats(emb).collect()))
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_PAIRS", 1)
+    forced = sorted(map(tuple, sim.kmeans_lloyd_stats(emb).collect()))
+    assert base == forced and len(base) > 0
+
+
 def test_persisted_pq_matches_inline_and_skips_rebuild(spark, sf_dir, tmp_path):
     emb = load(spark, "embeddings", sf_dir)
     root = str(tmp_path / "pq")

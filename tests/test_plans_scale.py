@@ -893,3 +893,41 @@ def test_r13_gap_fill_generate_at_grid_grain(spark, sf_dir):
     plan = plan_of(registry()["events_hourly_gap_fill"].fn(spark, sf_dir))
     assert plan.count("Generate explode") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_r13_watermark_window_drop_shape(spark, sf_dir):
+    """events_watermark_window_drop: same bounded-axis discipline as
+    the late-drop replay — the lagged-watermark window runs over the
+    BATCH-grain frame, the final-watermark scalar arrives as ONE
+    broadcast (never a shuffle of the event grain against a 1-row
+    frame), and the event grain is exchanged at most twice (wm-attach
+    join key + final hour agg)."""
+    plan = plan_of(registry()["events_watermark_window_drop"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row final_wm attach
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_r13_ivf_arrow_assignment_plan_is_map_only(spark, sf_dir, monkeypatch):
+    """ann_ivf_topk past the Arrow gate: the assignment stage must be a
+    MAP-ONLY Arrow pass — no n x cells pair materialization through a
+    min-struct aggregate (the 217 s sf10 shape), no codegen distance
+    argmin, and downstream still zero cartesian. The probe/rerank's own
+    exchanges (cell window + top-k window + candidate join) are the
+    only shuffles left."""
+    from codex_africanus_spark.operators import similarity as sim
+    from codex_africanus_spark.sources.tables import load
+
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_PAIRS", 1)
+    # the assignment frame itself (pre-localCheckpoint — the checkpoint
+    # that ivf_topk pins it behind hides the build plan)
+    _, assign = sim._ivf_build(load(spark, "embeddings", sf_dir))
+    plan = plan_of(assign)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # the relational path's signature: a partial_min(struct(dist, cid))
+    # aggregate over the pair expansion — absent on the Arrow path
+    assert "partial_min" not in plan
+    assert "Exchange hashpartitioning" not in plan  # map-only: no shuffle
