@@ -723,6 +723,81 @@ def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_census_sql() -> str:
+    pairs = sim_op.NEAR_DUP_SQL(0.35).replace("ORDER BY id_a, id_b", "")
+    return f"""
+      WITH pairs AS ({pairs}),
+      e AS (SELECT id_a, id_b FROM pairs),
+      tri AS (
+        SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+        FROM e ab JOIN e bc ON bc.id_a = ab.id_b
+        WHERE EXISTS (SELECT 1 FROM e ac
+                      WHERE ac.id_a = ab.id_a AND ac.id_b = bc.id_b)
+      ),
+      nodes AS (SELECT id_a AS v FROM e UNION SELECT id_b FROM e),
+      pernode AS (
+        SELECT n.v, CAST(COUNT(t.v) AS BIGINT) AS n_tri
+        FROM nodes n LEFT JOIN (
+          SELECT a AS v FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ) t ON t.v = n.v
+        GROUP BY n.v
+      )
+      SELECT n_tri, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM pernode GROUP BY n_tri ORDER BY n_tri
+    """
+
+
+@register("near_dup_triangle_census", _triangle_census_sql())
+def near_dup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the 0.35-cosine near-dup graph — the
+    clustering-coefficient precursor a dedup pipeline reads to
+    distinguish genuine duplicate CLIQUES (template families — safe to
+    collapse to one keeper) from star-shaped hub chains (a promiscuous
+    boilerplate doc linking unrelated texts — collapsing those loses
+    real data). Plan: the canonical a<b edge list self-joins once on
+    the shared middle node (wedges), a leftsemi probe against the edge
+    list closes them, and each triangle credits its three corners —
+    edge-grain joins co-partitioned on node keys, never touching the
+    corpus again (edges come from the shared LSH-bucketed candidate
+    kernel). Histogram output is node-bounded."""
+    emb = load(spark, "embeddings", sf_dir)
+    e = sim_op.near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    wedge = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(
+            e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")),
+            "b",
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+        "leftsemi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    nodes = (
+        e.select(F.col("id_a").alias("v"))
+        .unionByName(e.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    pernode = nodes.join(corners, "v", "left").select(
+        "v", F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri")
+    )
+    return (
+        pernode.groupBy("n_tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("n_tri")
+    )
+
+
 @register("contrastive_triplet_mining", sim_op.TRIPLETS_SQL())
 def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive-training triplets over the embedding

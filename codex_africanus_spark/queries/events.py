@@ -1889,6 +1889,258 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r13 widening: SCD TYPE-2 dimension build — the warehouse
+# slowly-changing-dimension shape the registry lacked: change detection
+# (lag), version numbering (running sum of change flags), effective
+# ranges (lead on the version frame), and per-version fact attribution,
+# all from one event stream. Deterministic: a user's daily status is
+# the event_type of their last event that day ((ts_us, event_id) total
+# order — event_id unique), so both engines build the identical
+# history.
+# ---------------------------------------------------------------------------
+
+_SCD2_DAY_US = 86_400_000_000
+
+_SCD2_ORACLE = _with_ms(
+    f"""
+    , base AS (
+      SELECT user_id, ts_us // {_SCD2_DAY_US} AS day, ts_us, event_id,
+             event_type
+      FROM ev WHERE user_id % 10 = 0
+    ),
+    picked AS (
+      SELECT user_id, day, event_type,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts_us DESC, event_id DESC) AS rk
+      FROM base
+    ),
+    counts AS (
+      SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM base GROUP BY user_id, day
+    ),
+    daily AS (
+      SELECT p.user_id, p.day, p.event_type AS status, c.n_events
+      FROM picked p JOIN counts c USING (user_id, day) WHERE p.rk = 1
+    ),
+    chg AS (
+      SELECT user_id, day, status, n_events,
+             CASE WHEN lag(status) OVER w IS NULL
+                       OR status <> lag(status) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    ver AS (
+      SELECT user_id, day, status, n_events,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS version,
+             MAX(day) OVER (PARTITION BY user_id) AS user_last_day
+      FROM chg
+    ),
+    hist AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             MIN(status) AS status, MIN(day) AS from_day,
+             CAST(COUNT(*) AS BIGINT) AS n_days_active,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             MAX(user_last_day) AS user_last_day
+      FROM ver GROUP BY user_id, version
+    )
+    SELECT user_id, version, status, from_day,
+           COALESCE(lead(from_day) OVER (PARTITION BY user_id
+                                         ORDER BY version) - 1,
+                    user_last_day) AS to_day,
+           n_days_active, n_events
+    FROM hist ORDER BY user_id, version
+    """
+)
+
+
+@register("user_status_scd2_history", _SCD2_ORACLE)
+def user_status_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (section comment): per sampled user,
+    contiguous same-status versions with [from_day, to_day] effective
+    ranges and per-version event counts. All shuffles are user-keyed
+    (daily collapse, change window, version rollup, range window) — at
+    100 TB this is one partitioning reused across every stage; output
+    is versions x sampled users, never event grain."""
+    ev = tpch_ms.events_table(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    day = F.expr(f"ts_us DIV {_SCD2_DAY_US}")
+    base = ev.select("user_id", day.alias("day"), "ts_us", "event_id",
+                     "event_type")
+    wday = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    picked = (
+        base.withColumn("rk", F.row_number().over(wday))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "day", F.col("event_type").alias("status"))
+    )
+    counts = base.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    daily = picked.join(counts, ["user_id", "day"])
+    wu = W.partitionBy("user_id").orderBy("day")
+    chg = daily.withColumn(
+        "is_new",
+        F.when(
+            F.lag("status").over(wu).isNull()
+            | (F.col("status") != F.lag("status").over(wu)),
+            1,
+        ).otherwise(0),
+    )
+    ver = chg.select(
+        "user_id", "day", "status", "n_events",
+        F.sum("is_new").over(wu.rowsBetween(W.unboundedPreceding, 0))
+        .alias("version"),
+        F.max("day").over(W.partitionBy("user_id")).alias("user_last_day"),
+    )
+    hist = ver.groupBy("user_id", "version").agg(
+        F.min("status").alias("status"),
+        F.min("day").alias("from_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days_active"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("user_last_day").alias("user_last_day"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    return (
+        hist.select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "status",
+            "from_day",
+            F.coalesce(
+                F.lead("from_day").over(wv) - 1, F.col("user_last_day")
+            ).alias("to_day"),
+            "n_days_active",
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 widening: gap-fill with LINEAR INTERPOLATION — the resample form
+# (pandas .resample().interpolate() / timescaledb interpolate()) of the
+# zero-fill gap query: missing hours take the linear interpolant
+# between the nearest present hours. Exact cross-engine: values
+# interpolate on the integer cent grid with truncating integer
+# division (Spark DIV and DuckDB // both truncate toward zero — the
+# r10 parity note), so no float division ever crosses engines.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = _with_ms(
+    """
+    , hourly AS (
+      SELECT event_type, ts_us // 3600000000 AS h,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+      FROM ev GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    filled AS (
+      SELECT g.event_type, g.h, y.val_c,
+             (y.val_c IS NOT NULL) AS present,
+             CASE WHEN y.val_c IS NOT NULL THEN g.h END AS ph
+      FROM grid g LEFT JOIN hourly y USING (event_type, h)
+    ),
+    ctx AS (
+      SELECT event_type, h, val_c, present,
+             last_value(val_c IGNORE NULLS) OVER wp AS prev_v,
+             last_value(ph IGNORE NULLS) OVER wp AS prev_h,
+             first_value(val_c IGNORE NULLS) OVER wn AS next_v,
+             first_value(ph IGNORE NULLS) OVER wn AS next_h
+      FROM filled
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+      SELECT event_type, h, present,
+             CASE WHEN present THEN val_c
+                  ELSE prev_v + ((next_v - prev_v) * (h - prev_h))
+                                // (next_h - prev_h)
+             END AS v
+      FROM ctx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(CASE WHEN NOT present THEN 1 END) AS BIGINT)
+             AS n_interp_hours,
+           CAST(SUM(CASE WHEN present THEN v ELSE 0 END) AS BIGINT)
+             AS val_c_present,
+           CAST(SUM(CASE WHEN NOT present THEN v ELSE 0 END) AS BIGINT)
+             AS val_c_interp
+    FROM interp GROUP BY event_type ORDER BY event_type
+    """
+)
+
+
+@register("events_hourly_interp_resample", _INTERP_ORACLE)
+def events_hourly_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (section comment). Same
+    span-bounded discipline as the gap-fill: the grid Generate runs at
+    type grain, the neighbor context is two IGNORE-NULLS windows over
+    the grid frame (hours, not events), and only per-type statistics
+    leave. Interior hours always have both neighbors — the grid ends
+    are present hours by construction."""
+    ev = tpch_ms.events_table(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 3600000000").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("val_c")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", "val_c",
+        F.col("val_c").isNotNull().alias("present"),
+        F.when(F.col("val_c").isNotNull(), F.col("h")).alias("ph"),
+    )
+    wp = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wn = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    ctx = filled.select(
+        "event_type", "h", "val_c", "present",
+        F.last("val_c", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("ph", ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("val_c", ignorenulls=True).over(wn).alias("next_v"),
+        F.first("ph", ignorenulls=True).over(wn).alias("next_h"),
+    )
+    v = F.when(F.col("present"), F.col("val_c")).otherwise(
+        F.col("prev_v")
+        + F.expr("((next_v - prev_v) * (h - prev_h)) DIV (next_h - prev_h)")
+    )
+    return (
+        ctx.select("event_type", "present", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.count(F.when(~F.col("present"), 1)).cast("long")
+            .alias("n_interp_hours"),
+            F.sum(F.when(F.col("present"), F.col("v")).otherwise(F.lit(0)))
+            .cast("long").alias("val_c_present"),
+            F.sum(F.when(~F.col("present"), F.col("v")).otherwise(F.lit(0)))
+            .cast("long").alias("val_c_interp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # r13: the TRUE Spark watermark rule as a registered exact-oracle query.
 # events_watermark_late_drop replays a row-grain drop (ts < wm) — the
 # stream-stream-join/dropDuplicatesWithinWatermark rule. The windowed-

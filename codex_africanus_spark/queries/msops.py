@@ -3725,3 +3725,99 @@ def ms_corr_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chan")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 widening: SPATIAL RADIUS SELF-JOIN on the uv plane — the
+# grid-bucket + neighbor-cell-expansion pattern (the canonical
+# distributed spatial join) the registry lacked: every uv sample pair
+# within radius R, found by quantizing points to R-sized cells,
+# expanding ONE side by the 3x3 neighbor offsets (a literal-bounded
+# Generate), equi-joining on cell id, and exact-filtering on the
+# fixed-point squared distance. Correctness is mathematical: a pair
+# within R differs by <= 1 cell per axis, and each ordered pair
+# matches exactly one offset, so no dedup stage exists. The physical
+# reading: near-coincident uv samples (within-R pairs) measure the
+# same sky Fourier mode — the tolerance form of the exact-cell
+# redundant-baseline grouping. The oracle replays the grid method;
+# brute-force equivalence (the O(n^2) definition) is locked at test
+# scale in tests/test_round13c_queries.py.
+# ---------------------------------------------------------------------------
+
+_UVR_MOD = 97          # point sample: row_id % 97 == 0
+_UVR_R = 5.0           # radius in uv units (u, v live on the 0.1 grid)
+_UVR_R2Q = 2500        # R^2 on the 1e-2 fixed-point grid
+
+_UV_RADIUS_ORACLE = _with_ms(
+    f"""
+    , pts AS (
+      SELECT row_id, u, v,
+             CAST(FLOOR(u / {_UVR_R}) AS BIGINT) AS cu,
+             CAST(FLOOR(v / {_UVR_R}) AS BIGINT) AS cv
+      FROM vis WHERE row_id % {_UVR_MOD} = 0
+    ),
+    shifted AS (
+      SELECT p.row_id, p.u, p.v,
+             p.cu + du.range AS cu, p.cv + dv.range AS cv
+      FROM pts p, range(-1, 2) du, range(-1, 2) dv
+    ),
+    pairs AS (
+      SELECT a.row_id AS id_a, b.row_id AS id_b,
+             CAST(ROUND(((a.u - b.u) * (a.u - b.u)
+                        + (a.v - b.v) * (a.v - b.v)) * 100) AS BIGINT)
+               AS dist2_q
+      FROM pts a JOIN shifted b ON a.cu = b.cu AND a.cv = b.cv
+      WHERE a.row_id < b.row_id
+    )
+    SELECT id_a, id_b, dist2_q FROM pairs
+    WHERE dist2_q <= {_UVR_R2Q}
+    ORDER BY id_a, id_b
+    """
+)
+
+
+@register("uv_radius_neighbor_pairs", _UV_RADIUS_ORACLE)
+def uv_radius_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uv-plane radius self-join (section comment). Plan: one Generate
+    (9 literal offsets) on one side, a cell-keyed shuffle join (cells
+    are R-sized -> bounded occupancy, skew-free by the uv grid's near-
+    uniformity), and a codegen integer distance filter; pair work is
+    O(points x occupancy), never O(points^2)."""
+    vis = tpch_ms.vis_table(spark, sf_dir).filter(
+        F.col("row_id") % _UVR_MOD == 0
+    )
+    pts = vis.select(
+        "row_id", "u", "v",
+        F.floor(F.col("u") / F.lit(_UVR_R)).alias("cu"),
+        F.floor(F.col("v") / F.lit(_UVR_R)).alias("cv"),
+    )
+    shifted = pts.select(
+        F.col("row_id").alias("id_b"),
+        F.col("u").alias("ub"),
+        F.col("v").alias("vb"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("du"),
+        "cu", "cv",
+    ).select(
+        "id_b", "ub", "vb",
+        (F.col("cu") + F.col("du")).alias("cu"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dv"),
+        "cv",
+    ).select(
+        "id_b", "ub", "vb", "cu", (F.col("cv") + F.col("dv")).alias("cv")
+    )
+    d2q = F.round(
+        (
+            (F.col("u") - F.col("ub")) * (F.col("u") - F.col("ub"))
+            + (F.col("v") - F.col("vb")) * (F.col("v") - F.col("vb"))
+        )
+        * 100
+    ).cast("long")
+    return (
+        pts.join(shifted, ["cu", "cv"])
+        .filter(F.col("row_id") < F.col("id_b"))
+        .select(
+            F.col("row_id").alias("id_a"), "id_b", d2q.alias("dist2_q")
+        )
+        .filter(F.col("dist2_q") <= _UVR_R2Q)
+        .orderBy("id_a", "id_b")
+    )

@@ -910,6 +910,46 @@ def test_r13_watermark_window_drop_shape(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+def test_r13_uv_radius_join_grid_not_cartesian(spark, sf_dir):
+    """uv_radius_neighbor_pairs: the radius join must run as literal
+    Generates (3x3 offsets) + an equi hash join on cell keys — NEVER a
+    cartesian/NLJ pair space; the distance filter stays codegen."""
+    plan = plan_of(registry()["uv_radius_neighbor_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r13_triangle_census_edge_grain_joins(spark, sf_dir):
+    """near_dup_triangle_census: wedge + closure run at EDGE grain
+    (equi joins on node keys) — no cartesian, no Python, and the corpus
+    scan feeds only the shared candidate kernel."""
+    plan = plan_of(registry()["near_dup_triangle_census"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r13_scd2_single_user_partitioning(spark, sf_dir):
+    """user_status_scd2_history: every window and rollup is user-keyed
+    — the plan may exchange on (user_id[, day/version]) but never at
+    raw event grain more than the first daily collapse; no cartesian."""
+    plan = plan_of(registry()["user_status_scd2_history"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 3  # change-lag, version-sum, range-lead
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r13_interp_resample_grid_grain(spark, sf_dir):
+    """events_hourly_interp_resample: same discipline as the gap-fill —
+    the event grain collapses FIRST, one data-dependent Generate at
+    type grain, IGNORE-NULLS context windows over the grid frame only."""
+    plan = plan_of(registry()["events_hourly_interp_resample"].fn(spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    assert "CartesianProduct" not in plan
+    assert "last" in plan and "first" in plan  # the neighbor windows
+
+
 def test_r13_ivf_arrow_assignment_plan_is_map_only(spark, sf_dir, monkeypatch):
     """ann_ivf_topk past the Arrow gate: the assignment stage must be a
     MAP-ONLY Arrow pass — no n x cells pair materialization through a
