@@ -52,6 +52,11 @@ WORK = [
     "hogbom_clean_components",
     "gauss_newton_phase_solve",
     "lineitem_rollup_pricing",
+    # r13 continuation: the clustering primitives joined the measured
+    # set once the Arrow assignment tier + sqrt cap landed (ROADMAP r14
+    # note: "if either joins the sf10 bench set, apply the template")
+    "kmeans_nscaled_stats",
+    "semantic_dedup_embeddings",
 ]
 if len(sys.argv) > 2:
     only = set(sys.argv[2].split(","))
