@@ -257,21 +257,73 @@ def _plane_sql(p: int, emb: str) -> str:
     )
 
 
-def lsh_bucket(embeddings: DataFrame) -> DataFrame:
-    """Assign each vector its 2^P-bucket signature (sign bit per plane)."""
+LSH_P_MAX = 20  # oracle plane-ladder bound (covers n up to 64 * 2^20)
+
+
+def _lsh_n_planes(n: int) -> int:
+    """r13: N-SCALED hyperplane count — P = max(N_PLANES,
+    ceil(log2(ceil(n / CELL_TARGET)))), computed with INTEGER bit
+    arithmetic (a float log2 would fork engines at exact powers of
+    two). Bucket count 2^P then tracks n/CELL_TARGET, holding expected
+    occupancy ~CELL_TARGET as the corpus grows — the scaling the
+    near_dup_pairs docstring always promised but a constant N_PLANES
+    never delivered: at 200k vectors the fixed 16 buckets made the
+    candidate self-join Θ(N²/16) (1.25G pairs), the same blowup class
+    the r13 bench caught on ann_ivf and semantic_dedup. Values at
+    n <= CELL_TARGET * 2^N_PLANES (= 1024 — every driver correctness
+    scale) are unchanged; sf0.1+ re-rehearsed against the N-scaled
+    oracle at the change."""
+    m = max(1, -(-n // CELL_TARGET))
+    return max(N_PLANES, (m - 1).bit_length())
+
+
+def _lsh_planes_sql(count_expr: str = "COUNT(*)") -> str:
+    """SQL twin of `_lsh_n_planes` — an integer CASE ladder (no float
+    log2). CEIL(n / 64.0) is exact: dividing by a power of two only
+    shifts the exponent."""
+    m = f"CAST(CEIL(({count_expr}) / {CELL_TARGET}.0) AS BIGINT)"
+    ladder = " ".join(
+        f"WHEN {m} <= {1 << p} THEN {p}" for p in range(LSH_P_MAX + 1)
+    )
+    return f"GREATEST({N_PLANES}, CASE {ladder} ELSE {LSH_P_MAX} END)"
+
+
+def _lsh_np_cte() -> str:
+    """The `np` CTE every N-scaled-LSH oracle prepends: the plane count
+    derived from the data, mirroring the engine's count()."""
+    return f"np AS (SELECT {_lsh_planes_sql()} AS p FROM embeddings)"
+
+
+def _lsh_fp_sql(emb: str = "embedding") -> str:
+    """Masked bucket signature: plane p contributes only when
+    p < (SELECT p FROM np) — the uncorrelated scalar subquery form of
+    the engine's Python-side plane-count unroll."""
+    terms = " + ".join(
+        f"(CASE WHEN {p} < (SELECT p FROM np) "
+        f"AND {_plane_sql(p, emb)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_P_MAX)
+    )
+    return f"({terms})"
+
+
+def lsh_bucket(embeddings: DataFrame, n_planes: int | None = None) -> DataFrame:
+    """Assign each vector its 2^P-bucket signature (sign bit per
+    plane); P is N-scaled (`_lsh_n_planes`) unless pinned."""
+    if n_planes is None:
+        n_planes = _lsh_n_planes(embeddings.count())
     bucket = sum(
         F.when(_plane_expr(p, "embedding") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     )
     return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
 def LSH_BUCKET_SQL() -> str:
-    fp = " + ".join(
-        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
+    return (
+        f"WITH {_lsh_np_cte()} "
+        f"SELECT vec_id, CAST({_lsh_fp_sql()} AS INT) AS bucket "
+        f"FROM embeddings ORDER BY vec_id"
     )
-    return f"SELECT vec_id, CAST({fp} AS INT) AS bucket FROM embeddings ORDER BY vec_id"
 
 
 def ann_lsh_topk(embeddings: DataFrame, query_modulus: int = 125, k: int = 3) -> DataFrame:
@@ -311,7 +363,9 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
 
     At 100 TB the bucket id is the shuffle key — candidate generation is
     a self-join co-partitioned on bucket (≈N²/2^P pairs instead of N²),
-    and P scales with log₂(N) to hold per-bucket cost flat."""
+    and P scales with log₂(N) to hold per-bucket cost flat — DELIVERED
+    r13 (`_lsh_n_planes`): this line was aspiration while N_PLANES was
+    a constant 4, which left the candidate join Θ(N²/16)."""
     # single-row-group testdata scans as ONE partition; when the bucket
     # join broadcasts, the 64-term pair scoring then runs single-threaded
     # on the probe side (measured 20 s vs 2.4 s at sf0.1) — fan the
@@ -365,15 +419,12 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
 
 
 def NEAR_DUP_SQL(threshold: float = 0.9) -> str:
-    fp = " + ".join(
-        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
     dot = _iqdot_sql("a.qe", "b.qe")
     nq = "sqrt(CAST(list_sum(list_transform(qe, v -> v * v)) AS DOUBLE))"
     return f"""
-      WITH bk0 AS (
-        SELECT vec_id, CAST({fp} AS INT) AS bucket,
+      WITH {_lsh_np_cte()},
+      bk0 AS (
+        SELECT vec_id, CAST({_lsh_fp_sql()} AS INT) AS bucket,
                {_qvec_sql("embedding")} AS qe
         FROM embeddings
       ),
@@ -736,16 +787,14 @@ def IVF_SQL(query_modulus: int = 125, k: int = 3, n_probe: int = N_PROBE) -> str
 
 
 def ANN_LSH_SQL(query_modulus: int = 125, k: int = 3) -> str:
-    fp = " + ".join(
-        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
     dot = _qdot_sql("q.embedding", "c.embedding")
     qq = _qdot_sql("q.embedding", "q.embedding")
     cc = _qdot_sql("c.embedding", "c.embedding")
     return f"""
-      WITH b AS (
-        SELECT vec_id, embedding, CAST({fp} AS INT) AS bucket FROM embeddings
+      WITH {_lsh_np_cte()},
+      b AS (
+        SELECT vec_id, embedding, CAST({_lsh_fp_sql()} AS INT) AS bucket
+        FROM embeddings
       ),
       ranked AS (
         SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
@@ -1169,40 +1218,55 @@ def semantic_dedup(
     Output: (vec_id, cid, canonical_id, is_dup) — is_dup=1 iff a kept
     lower-id near-twin exists; keep-set = rows with is_dup=0.
 
-    The cell count is ceil(N/64) — derived from one scalar count() (same
-    pre-pass class as the binning bounds) and mirrored by a scalar
-    subquery in the oracle — so the per-cell pair cost stays flat as N
-    grows instead of quadratic-within-8-cells (41 s → ~2 s at sf0.1)."""
+    The cell count is the IVF quantizer rule (r13: sqrt-capped —
+    min(ceil(N/64), ceil(sqrt(N))), `_ivf_n_cells`) — derived from one
+    scalar count() and mirrored by a scalar subquery in the oracle. The
+    pure ceil(N/64) rule held |cell| flat but made the N x cells
+    assignment Θ(N²/64): the r13d sf10 bench measured THIS query's
+    assignment at 625M codegen pairs (the same blowup the r13 bench
+    caught on ann_ivf_topk). Past the crossover both the assignment
+    (O(N^1.5), Arrow map-only past the pair gate) and the within-cell
+    pair stage (sum-over-cells(|cell|²) = O(N^1.5)) grow as N^1.5 —
+    the balanced point for a one-pass build."""
     n_vecs = embeddings.count()
-    n_cells = max(1, -(-n_vecs // CELL_TARGET))
+    n_cells = _ivf_n_cells(n_vecs)
     cent = _centroids(embeddings, n_cells=n_cells)
-    # fan_out before the quantizer crossJoin — same single-row-group
-    # single-task trap as _ivf_build (see note there)
-    dists = fan_out(embeddings).crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid",
-        _qdist2_unrolled("embedding", "centroid").alias("dist"),
-    )
-    # hash-agg argmin assignment (see ivf_topk) — no N-cardinality sort.
-    # The embedding is quantized ONCE here (`qe`, integer array) so the
-    # pair join below scores with bare integer multiplies — keeps the
-    # join stage inside whole-stage codegen (see _iqdot_unrolled note).
-    assign = (
-        dists.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("mn"),
-            F.first("embedding").alias("embedding"),
+    if n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS:
+        # map-only Arrow argmin (bit-identical replay — see _assign_arrow)
+        assign = _assign_arrow(
+            embeddings, cent.localCheckpoint(eager=True)
+        ).select("vec_id", F.col("cid"), _qvec("embedding").alias("qe"))
+    else:
+        # fan_out before the quantizer crossJoin — same single-row-group
+        # single-task trap as _ivf_build (see note there)
+        dists = fan_out(embeddings).crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "cid",
+            _qdist2_unrolled("embedding", "centroid").alias("dist"),
         )
-        .select("vec_id", F.col("mn.cid").alias("cid"), _qvec("embedding").alias("qe"))
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(transform(qe, v -> v * v), CAST(0 AS BIGINT), (a, v) -> a + v)"
-                )
-            ),
+        # hash-agg argmin assignment (see ivf_topk) — no N-cardinality
+        # sort. The embedding is quantized ONCE (`qe`, integer array) so
+        # the pair join below scores with bare integer multiplies —
+        # keeps the join stage inside whole-stage codegen
+        # (see _iqdot_unrolled note).
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("mn"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select(
+                "vec_id", F.col("mn.cid").alias("cid"),
+                _qvec("embedding").alias("qe"),
+            )
         )
-        .select("vec_id", "qe", "cid", "nrm")
-    )
+    assign = assign.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(qe, v -> v * v), CAST(0 AS BIGINT), (a, v) -> a + v)"
+            )
+        ),
+    ).select("vec_id", "qe", "cid", "nrm")
     # The self-join consumes `assign` twice and the final left join a
     # third time; without materialization each consumer re-runs the
     # centroid crossJoin + quantized-distance argmin (the expensive
@@ -1256,7 +1320,7 @@ def SEMDEDUP_SQL(threshold: float = SEMDEDUP_THRESHOLD) -> str:
     dot = _iqdot_sql("lo.qe", "hi.qe")
     return f"""
       WITH p AS (
-        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {CELL_TARGET}.0) AS BIGINT))
+        SELECT {_ivf_cells_sql()}
           AS cells
         FROM embeddings
       ),

@@ -72,20 +72,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_oracle(modulus: int = 125, k: int = 3) -> str:
     from codex_africanus_spark.operators.similarity import (
-        N_PLANES,
-        _plane_sql,
+        _lsh_fp_sql,
+        _lsh_np_cte,
         _qdot_sql,
     )
 
-    fp = " + ".join(
-        f"(CASE WHEN {_plane_sql(p, 'embedding')} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
+    fp = _lsh_fp_sql()
     dot = _qdot_sql("q.embedding", "c.embedding")
     qq = _qdot_sql("q.embedding", "q.embedding")
     cc = _qdot_sql("c.embedding", "c.embedding")
     return f"""
-      WITH exact_ranked AS (
+      WITH {_lsh_np_cte()},
+      exact_ranked AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
@@ -284,8 +282,11 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cells bound the pairwise cosine check to cluster-mates; a vector
     with a kept lower-id near-twin (quantized cosine >= threshold) is
     dropped, its canonical_id pointing at the keeper. Cluster-bounded
-    self-join co-partitioned on cid — no corpus cross join; cell count
-    scales with N to hold per-cell cost flat at 100 TB."""
+    self-join co-partitioned on cid — no corpus cross join. r13: cell
+    count follows the sqrt-capped quantizer rule and the assignment
+    runs map-only Arrow past the pair gate (the r13d sf10 bench caught
+    the pure-N/64 rule's Θ(N²/64) assignment on this very query) —
+    total build cost O(N^1.5) at 100 TB."""
     return sim_op.semantic_dedup(load(spark, "embeddings", sf_dir)).orderBy(
         "vec_id"
     )

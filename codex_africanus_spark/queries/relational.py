@@ -1355,6 +1355,68 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DV_MOR_ORACLE = """
+  WITH versions AS (
+    SELECT 2 AS version, l_returnflag, l_quantity FROM lineitem
+    UNION ALL
+    SELECT 3 AS version, l_returnflag, l_quantity FROM lineitem
+    WHERE NOT (l_returnflag = 'R')
+    UNION ALL
+    SELECT 4 AS version, l_returnflag, l_quantity FROM lineitem
+    WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity > 30)
+  )
+  SELECT version, l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c2
+  FROM versions
+  GROUP BY version, l_returnflag
+  ORDER BY version, l_returnflag
+"""
+
+
+@register("snapshot_dv_merge_on_read", _DV_MOR_ORACLE)
+def snapshot_dv_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion vectors (r13 — the Iceberg
+    positional-delete / Delta deletion-vector shape the sink's
+    copy-on-write MERGE lacked): v1/v2 build the table by appends, then
+    two `commit_deletes` stack row-position tombstones (v3 deletes the
+    returned rows, v4 the high-quantity rows) WITHOUT rewriting a
+    single data file. Reads at v2/v3/v4 replay the same log — the DV
+    set anti-joins away tombstoned rows at scan time, and the pre-delete
+    version still time-travels intact. The oracle reconstructs each
+    version's surviving row set from the defining predicates.
+    At 100 TB: a delete costs O(matching rows) write IO (the DV
+    parquet), not O(touched files) rewrite IO; `compact()` is the PURGE
+    that folds DVs back into the data files."""
+    import os
+    import shutil
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = f"{tempfile.gettempdir()}/cas_snapshot/dv_mor_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    snap_mod.commit(li.filter(F.col("l_linenumber") <= 4), root, mode="append")
+    snap_mod.commit(li.filter(F.col("l_linenumber") > 4), root, mode="append")
+    snap_mod.commit_deletes(spark, root, "l_returnflag = 'R'")      # v3
+    snap_mod.commit_deletes(spark, root, "l_quantity > 30")         # v4
+    reads = [
+        snap_mod.read_snapshot(spark, root, version=v)
+        .select(F.lit(v).alias("version"), "l_returnflag", "l_quantity")
+        for v in (2, 3, 4)
+    ]
+    allv = reads[0].unionByName(reads[1]).unionByName(reads[2])
+    return (
+        allv.groupBy("version", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c2"),
+        )
+        .orderBy("version", "l_returnflag")
+    )
+
+
 _SNAPSHOT_ORACLE = """
   WITH versions AS (
     SELECT 1 AS version, l_returnflag, l_quantity

@@ -164,6 +164,13 @@ def read_snapshot(
         v = latest_version(root) if version is None else version
         schema = StructType.fromJson(json.loads(_read_manifest(root, v)["schema"]))
         return spark.createDataFrame([], schema)
+    # r13: a snapshot carrying DELETION VECTORS reads merge-on-read —
+    # the DV set anti-joins away tombstoned (file, position) rows. A
+    # DV-free snapshot (every pre-r13 table) takes the unchanged fast
+    # path below: same plan, zero overhead.
+    if snapshot_delete_files(root, version):
+        df = _read_snapshot_with_pos(spark, root, version)
+        return df.drop("__fkey", "__pos")
     # mergeSchema: additive schema evolution — an append that introduced
     # new columns unions by name; rows from older files read them as NULL
     return spark.read.option("mergeSchema", "true").parquet(
@@ -285,6 +292,10 @@ def vacuum(
     for v in range(retain_from_version, head + 1):
         for f in snapshot_files(root, v):
             live.add(f.split("/")[1])  # data/<txn>/...
+        # r13: deletion-vector files live in their own txn dirs under
+        # the same pool — reclaiming one would resurrect deleted rows
+        for f in snapshot_delete_files(root, v):
+            live.add(f.split("/")[1])
     # r12 (r11 verdict item 7): REGISTERED branches are auto-pinned —
     # an O(1) branch reads manifests <= base from THIS log, so a vacuum
     # that forgot extra_live_roots used to reclaim data dirs the
@@ -295,6 +306,8 @@ def vacuum(
         h2 = latest_version(r2)
         for v in range(1, (h2 or 0) + 1):
             for f in snapshot_files(r2, v):
+                live.add(f.split("/")[1])
+            for f in snapshot_delete_files(r2, v):
                 live.add(f.split("/")[1])
     import time as _time
 
@@ -419,12 +432,147 @@ def compact(spark: SparkSession, root: str, target_partitions: int = 1) -> int:
     unchanged (same rows, fresh layout); old versions stay time-travelable
     until vacuumed. Returns the committed version.
 
+    r13: on a table carrying deletion vectors, `read_snapshot` applies
+    them, so compaction doubles as the PURGE move — tombstoned rows are
+    physically dropped and the overwrite commit voids every DV.
+
     At 100 TB compaction is the antidote to streaming's small-file
     problem: many per-batch appends → one scan-efficient file set, paid
     as one background rewrite, atomically swapped in.
     """
     current = read_snapshot(spark, root)
     return commit(current.coalesce(target_partitions), root, mode="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read row deletes: positional deletion vectors (r13).
+# The copy-on-write MERGE (`merge_into`) rewrites whole files to change
+# rows; the DV path is its low-latency sibling (Iceberg positional
+# deletes / Delta deletion vectors): a delete commits only (file, row
+# position) tombstones — write cost O(matching rows) — and readers
+# anti-join the DV set at scan time. `compact()` physically applies and
+# clears DVs.
+# ---------------------------------------------------------------------------
+
+_DV_SCHEMA = "fkey string, pos bigint"
+
+
+def _dv_fkey(col):
+    """Normalize an absolute `_metadata.file_path` URI to the
+    table-relative join key: the last three path components
+    (data/<txn-uuid>/<part-file>) — exactly the manifest's rel-file
+    form, unique within a table because the txn dir is a uuid."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws("/", F.slice(F.split(col, "/"), -3, 3))
+
+
+def snapshot_delete_files(root: str, version: int | None = None) -> list[str]:
+    """Deletion-vector file list live at `version`, replayed from the
+    most recent overwrite at-or-before it (an overwrite replaces the
+    data file set, voiding every earlier DV); appends carry DVs
+    forward; 'delete' commits add theirs. Checkpoints are not
+    consulted — they record data files only; the replay window is
+    bounded by overwrite cadence."""
+    head = latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {root}")
+    version = head if version is None else version
+    if version > head or version < 1:
+        raise ValueError(f"version {version} out of range 1..{head}")
+    start = 1
+    for v in range(version, 0, -1):
+        if _read_manifest(root, v)["action"] == "overwrite":
+            start = v
+            break
+    dvs: list[str] = []
+    for v in range(start, version + 1):
+        m = _read_manifest(root, v)
+        if m["action"] == "overwrite":
+            dvs = list(m.get("delete_files", []))
+        else:
+            dvs = dvs + list(m.get("delete_files", []))
+    return dvs
+
+
+def _read_snapshot_with_pos(
+    spark: SparkSession, root: str, version: int | None
+) -> DataFrame | None:
+    """Snapshot read carrying the (__fkey, __pos) row identity and with
+    live deletion vectors already anti-joined away. None for an empty
+    file set."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(root, version)
+    if not files:
+        return None
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{root}/{f}" for f in files]
+    )
+    df = df.select(
+        "*",
+        _dv_fkey(F.col("_metadata.file_path")).alias("__fkey"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    dvs = snapshot_delete_files(root, version)
+    if dvs:
+        dvf = spark.read.schema(_DV_SCHEMA).parquet(
+            *[f"{root}/{f}" for f in dvs]
+        ).select(
+            F.col("fkey").alias("__fkey"), F.col("pos").alias("__pos")
+        )
+        df = df.join(F.broadcast(dvf), ["__fkey", "__pos"], "left_anti")
+    return df
+
+
+def commit_deletes(
+    spark: SparkSession, root: str, predicate: str
+) -> int:
+    """MERGE-ON-READ row delete: tombstone every current-snapshot row
+    matching the SQL `predicate` by (file, row position) — no data file
+    is rewritten. Returns the committed version (the unchanged head when
+    the predicate matches nothing). Already-deleted rows never re-match
+    (the DV computation reads the DV-applied view), so repeated deletes
+    are idempotent.
+
+    Concurrency: strict CAS on the head — ANY concurrent commit raises
+    SnapshotConflictError (positions would stay valid across a
+    concurrent append, but an overwrite/merge would void them; strict
+    is the honest contract, retry is the caller's move). Incremental
+    readers see `read_changes` raise across a delete commit — a
+    row-level delete is exactly the change an append-only CDC stream
+    cannot express."""
+    from pyspark.sql import functions as F
+
+    head = latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {root}")
+    base = _read_snapshot_with_pos(spark, root, head)
+    if base is None:
+        return head
+    dv = base.filter(predicate).select(
+        F.col("__fkey").alias("fkey"), F.col("__pos").alias("pos")
+    )
+    txn = f"txn-{uuid.uuid4().hex}"
+    data_dir = Path(root) / _DATA_DIR / txn
+    dv.write.mode("error").parquet(str(data_dir))
+    rel_dvs = sorted(
+        f"{_DATA_DIR}/{txn}/{p.relative_to(data_dir)}"
+        for p in data_dir.rglob("*.parquet")
+    )
+    n = spark.read.schema(_DV_SCHEMA).parquet(str(data_dir)).count()
+    if n == 0:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return head
+    schema_json = _read_manifest(root, head)["schema"]
+    try:
+        return _commit_manifest(
+            root, "delete", [], schema_json, expected_version=head,
+            delete_files=rel_dvs,
+        )
+    except SnapshotConflictError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +667,12 @@ def read_snapshot_where_all(
 
     from pyspark.sql import functions as F
 
+    if snapshot_delete_files(root, version):
+        raise ValueError(
+            "data-skipping reads are defined on copy-on-write snapshots; "
+            f"{root} carries live deletion vectors — compact() the table "
+            "to apply them first"
+        )
     stats = _all_stats(root, version)
     keep = [
         f for f, s in stats.items()
@@ -556,6 +710,12 @@ def merge_into(
     """
     from pyspark.sql import functions as F
 
+    if snapshot_delete_files(root):
+        raise ValueError(
+            "file-pruned MERGE carries untouched files by reference, "
+            f"which would resurrect DV-deleted rows; {root} carries live "
+            "deletion vectors — compact() the table first"
+        )
     klo, khi = updates.agg(F.min(key), F.max(key)).first()
     if klo is None:
         raise ValueError("empty updates frame")
@@ -817,11 +977,13 @@ def registered_branches(root: str) -> list[str]:
 def _commit_manifest(
     root: str, action: str, files: list[str], schema_json: str,
     expected_version: int | None = None, stats: dict | None = None,
+    delete_files: list[str] | None = None,
 ) -> int:
     """Manifest-only commit (no data write) — the merge primitive.
     Same CAS publish as `commit`. `stats` (rel_file -> {col: [lo, hi]})
     rides in the manifest so data-skipping reads keep working across a
-    merge (r10 ADVICE, low)."""
+    merge (r10 ADVICE, low). `delete_files` (r13) records positional
+    deletion vectors."""
     log = _log_dir(root)
     log.mkdir(parents=True, exist_ok=True)
     head = latest_version(root) or 0
@@ -836,6 +998,8 @@ def _commit_manifest(
     }
     if stats:
         manifest["stats"] = stats
+    if delete_files:
+        manifest["delete_files"] = delete_files
     tmp = log / f".tmp-{uuid.uuid4().hex}"
     tmp.write_text(json.dumps(manifest, indent=1))
     if not _publish(tmp, _manifest_path(root, version)):
@@ -868,6 +1032,12 @@ def merge_ff(branch_root: str, root: str) -> int:
     stats: dict[str, dict] = {}
     for v in range(base + 1, bhead + 1):
         m = _read_manifest(branch_root, v)
+        if m.get("delete_files"):
+            raise SnapshotConflictError(
+                "fast-forward merge across a deletion-vector commit is "
+                f"not supported (branch v{v}); compact() the branch to "
+                "apply its DVs first"
+            )
         schema_json = m["schema"]
         if m["action"] == "overwrite":
             overwrote = True
@@ -934,6 +1104,12 @@ def merge_3way(branch_root: str, root: str, key: str) -> int:
         overwrote = False
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(rt, v)
+            if m.get("delete_files"):
+                raise SnapshotConflictError(
+                    "three-way merge across a deletion-vector commit is "
+                    f"not supported ({rt} v{v}); compact() to apply DVs "
+                    "first"
+                )
             schema = m["schema"]
             if m["action"] == "overwrite":
                 overwrote = True

@@ -272,6 +272,20 @@ def test_ivf_topk_forced_arrow_path_equals_default(spark, sf_dir, monkeypatch):
     assert base == forced and len(base) > 0
 
 
+def test_semantic_dedup_forced_arrow_path_equals_default(
+    spark, sf_dir, monkeypatch
+):
+    """r13: the SemDeDup nearest-centroid assignment (the r13d sf10
+    discovery's 625M-pair stage) must be bit-identical between the
+    relational argmin and the forced Arrow replay — keep/drop flags and
+    canonical ids included."""
+    emb = load(spark, "embeddings", sf_dir)
+    base = sorted(map(tuple, sim.semantic_dedup(emb).collect()))
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_PAIRS", 1)
+    forced = sorted(map(tuple, sim.semantic_dedup(emb).collect()))
+    assert base == forced and len(base) > 0
+
+
 def test_kmeans_forced_arrow_path_equals_default(spark, sf_dir, monkeypatch):
     """r13: every Lloyd assignment (per-round AND final, with the
     argmin's distance column feeding the inertia) must be bit-identical

@@ -950,6 +950,19 @@ def test_r13_interp_resample_grid_grain(spark, sf_dir):
     assert "last" in plan and "first" in plan  # the neighbor windows
 
 
+def test_r13_dv_mor_read_is_broadcast_anti_join(spark, sf_dir):
+    """snapshot_dv_merge_on_read: the DV application must plan as a
+    BROADCAST left-anti join on (file key, position) — the DV set is
+    tombstone-sized, never a shuffle of the data grain — with zero
+    cartesian and the _metadata pseudo-columns resolved scan-side."""
+    plan = plan_of(registry()["snapshot_dv_merge_on_read"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_r13_ivf_arrow_assignment_plan_is_map_only(spark, sf_dir, monkeypatch):
     """ann_ivf_topk past the Arrow gate: the assignment stage must be a
     MAP-ONLY Arrow pass — no n x cells pair materialization through a
