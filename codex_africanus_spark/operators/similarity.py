@@ -1197,6 +1197,116 @@ SEMDEDUP_THRESHOLD = 0.35
 CELL_TARGET = 64  # target vectors per semantic-dedup cell
 
 
+def _round9_ge_cut(threshold: float) -> float:
+    """The double cut T such that, for every double s,
+    ``round(s, 9) >= threshold``  ⟺  ``s >= T``.
+
+    Spark ROUND(s, 9) goes through ``BigDecimal.valueOf(s)`` — HALF_UP
+    on the SHORTEST round-trip decimal of the double (Double.toString),
+    NOT its exact binary expansion (the first cut draft used the exact
+    expansion and missed the boundary double by one ULP — caught by the
+    Spark-vs-cut test). Shortest-repr is monotone over doubles, so the
+    composite decision is still a half-line in s: k_min = smallest
+    integer k whose rounded double clears the threshold compare, then a
+    +-few-ULP search around (k_min − 0.5)·1e-9 finds the smallest
+    double whose repr-decimal HALF_UPs to >= k_min (Python ``repr`` is
+    the same shortest-round-trip string). The per-threshold boundary
+    double is where Java-17 toString could in principle diverge from
+    shortest-repr — exactly what the nextafter-chain lock against
+    Spark's own round pins for every registered threshold
+    (tests/test_ivf_ann.py)."""
+    import math
+    from decimal import ROUND_CEILING, ROUND_HALF_UP, Decimal
+
+    if threshold <= 0:
+        raise ValueError("cut derivation assumes a positive threshold")
+    k = int(
+        (Decimal(threshold).scaleb(9)).to_integral_value(rounding=ROUND_CEILING)
+    )
+    while k > 0 and float(Decimal(k - 1).scaleb(-9)) >= threshold:
+        k -= 1
+    while float(Decimal(k).scaleb(-9)) < threshold:
+        k += 1
+
+    def keeps(d: float) -> bool:
+        q = (
+            Decimal(repr(float(d)))
+            .scaleb(9)
+            .to_integral_value(rounding=ROUND_HALF_UP)
+        )
+        return int(q) >= k
+
+    t = float((Decimal(k) - Decimal("0.5")).scaleb(-9))
+    while keeps(math.nextafter(t, -math.inf)):
+        t = math.nextafter(t, -math.inf)
+    while not keeps(t):
+        t = math.nextafter(t, math.inf)
+    return t
+
+
+def _semantic_dup_of_arrow(assign: DataFrame, threshold: float) -> DataFrame:
+    """Per-cell Arrow scorer for the SemDeDup pair stage — the scale
+    tier of `semantic_dedup`'s within-cell join past the Arrow gate.
+
+    The relational form evaluates the 64-term integer dot as a
+    SortMergeJoin condition, which the r13e sf10 bisection measured at
+    ~440 µs·core PER PAIR (55.6M pairs -> >420 s; the bare join without
+    the scoring runs in 2.2 s — the cost is condition evaluation plus
+    pair-grain array row copies, not arithmetic). This tier ships each
+    cell's integer vectors ONCE (one applyInPandas shuffle at vector
+    grain — never a pair-grain array row) and computes the full
+    within-cell dot matrix in numpy: Q @ Q.T in int64 is the same
+    commutative exact integer sum as `_iqdot_unrolled`; the division by
+    the norm product is the identical IEEE float64 op; the keep
+    decision uses the `_round9_ge_cut` half-line, provably equal to
+    round(s, 9) >= threshold for every double. Emits (vec_id, dup_of =
+    min lower-id near-twin) for dup rows only — exactly the relational
+    `dup_of` frame. Column blocks bound the dot matrix at ~32 MB
+    whatever the cell occupancy skew."""
+    import numpy as np
+    import pandas as pd
+
+    cut = _round9_ge_cut(threshold)
+
+    def score(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_id": [], "dup_of": []}).astype(
+                {"vec_id": "int64", "dup_of": "int64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        q = np.stack(pdf["qe"].to_numpy())[order].astype(np.int64)
+        nrm = pdf["nrm"].to_numpy()[order]
+        out_v, out_d = [], []
+        blk = max(1, 4_000_000 // max(1, m))
+        for lo in range(0, m, blk):
+            cols = slice(lo, min(lo + blk, m))
+            dot = q @ q[cols].T                      # (m, w) int64 exact
+            s = dot.astype(np.float64) / (
+                nrm[:, None] * nrm[None, cols]
+            )
+            keep = s >= cut
+            # only strictly-lower row ids may justify a drop
+            ii = np.arange(m)[:, None]
+            jj = np.arange(cols.start, cols.stop)[None, :]
+            keep &= ii < jj
+            has = keep.any(axis=0)
+            first = keep.argmax(axis=0)
+            out_v.append(ids[cols][has])
+            out_d.append(ids[first[has]])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "dup_of": np.concatenate(out_d),
+            }
+        )
+
+    return assign.select("cid", "vec_id", "qe", "nrm").groupBy("cid").applyInPandas(
+        score, "vec_id long, dup_of long"
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
 ) -> DataFrame:
@@ -1231,7 +1341,8 @@ def semantic_dedup(
     n_vecs = embeddings.count()
     n_cells = _ivf_n_cells(n_vecs)
     cent = _centroids(embeddings, n_cells=n_cells)
-    if n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS:
+    use_arrow = n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS
+    if use_arrow:
         # map-only Arrow argmin (bit-identical replay — see _assign_arrow)
         assign = _assign_arrow(
             embeddings, cent.localCheckpoint(eager=True)
@@ -1276,6 +1387,19 @@ def semantic_dedup(
     # localCheckpoint — GC-scoped, not CacheManager-pinned (r8);
     # measured 15 s → ~3 s at sf0.1.)
     assign = assign.localCheckpoint(eager=True)
+    if use_arrow:
+        # r13e: past the gate the pair stage too runs Arrow — the
+        # relational SMJ-condition scoring costs ~440 µs·core/pair
+        # (measured; see _semantic_dup_of_arrow) and pair counts are
+        # O(N^1.5) here, so the join form is the bottleneck long
+        # before the arithmetic is
+        dup_of = _semantic_dup_of_arrow(assign, threshold)
+        return assign.join(dup_of, "vec_id", "left").select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("dup_of"), F.col("vec_id")).alias("canonical_id"),
+            F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
     # Pair-space split: a bare cid-keyed self-join has parallelism =
     # N_CELLS (8 tasks for ALL pairwise work — measured 41 s at sf0.1).
     # Bucket the lo side by id_lo % P and replicate the hi side across

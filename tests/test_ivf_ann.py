@@ -286,6 +286,60 @@ def test_semantic_dedup_forced_arrow_path_equals_default(
     assert base == forced and len(base) > 0
 
 
+def test_round9_cut_matches_spark_round_at_boundary(spark):
+    """r13e: the Arrow pair scorer replaces `round(s, 9) >= th` with the
+    half-line `s >= T` (_round9_ge_cut). Lock the equivalence against
+    Spark's OWN round over nextafter chains spanning the decision
+    boundary, for both registered thresholds."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    for th in (0.35, 0.9):
+        cut = sim._round9_ge_cut(th)
+        probes = []
+        s = cut
+        for _ in range(300):
+            s = math.nextafter(s, -math.inf)
+        for _ in range(600):
+            probes.append(s)
+            s = math.nextafter(s, math.inf)
+        # plus coarse off-boundary values
+        probes += [th - 1e-6, th + 1e-6, 0.0, 1.0, th]
+        pdf = pd.DataFrame({"s": probes})
+        got = (
+            spark.createDataFrame(pdf, "s double")
+            .select("s", (F.round(F.col("s"), 9) >= F.lit(th)).alias("k"))
+            .toPandas()
+        )
+        want = got.s >= cut
+        assert (got.k == want).all(), (
+            th,
+            got[got.k != want].head(),
+        )
+
+
+def test_semantic_arrow_scorer_chunking_and_dup_dense(spark, monkeypatch):
+    """Forced-Arrow SemDeDup on a duplicate-dense fuzz corpus with the
+    numpy column-block loop exercised (small block budget via a big
+    forced cell) — bit-equal to the relational path."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 64
+    x = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    x[100:200] = x[:100]          # exact duplicates (sim == 1.0)
+    x[200:250] = x[:50] * 1.7     # parallel scaled copies (sim == ~1.0)
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = sorted(map(tuple, sim.semantic_dedup(emb).collect()))
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_PAIRS", 1)
+    forced = sorted(map(tuple, sim.semantic_dedup(emb).collect()))
+    assert base == forced and len(base) == n
+    assert sum(r[3] for r in base) >= 150  # the dup structure must bite
+
+
 def test_kmeans_forced_arrow_path_equals_default(spark, sf_dir, monkeypatch):
     """r13: every Lloyd assignment (per-round AND final, with the
     argmin's distance column feeding the inertia) must be bit-identical
