@@ -141,22 +141,34 @@ def gauss_newton_phase_only(
         z_p = (pred.conj() * r).im
         z_q = (pred * r.conj()).im  # = -Im(conj(pred)·r) seen from antenna2
         m2 = m.abs2()
-        per_p = j.select(
-            F.col("antenna1").alias("antenna"), "chan",
-            z_p.alias("jhr"), m2.alias("jhj"),
-        )
-        per_q = j.select(
-            F.col("antenna2").alias("antenna"), "chan",
-            z_q.alias("jhr"), m2.alias("jhj"),
-        )
+        # ONE pass over the cached frame: each row contributes its
+        # antenna1 and antenna2 gradient terms via a 2-element explode
+        # instead of a two-branch union that re-read the 60M-row cache
+        # twice per iteration (r13, guide §2.3 — same addend multiset,
+        # exact integer sums ⇒ bit-identical update at every iteration)
+        both = j.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("antenna1").alias("antenna"),
+                        F.col("chan").alias("chan"),
+                        z_p.alias("jhr"), m2.alias("jhj"),
+                    ),
+                    F.struct(
+                        F.col("antenna2").alias("antenna"),
+                        F.col("chan").alias("chan"),
+                        z_q.alias("jhr"), m2.alias("jhj"),
+                    ),
+                )
+            ).alias("g")
+        ).select("g.antenna", "g.chan", "g.jhr", "g.jhj")
         # fixed-point reductions: the per-iteration gradient sums are
         # order-independent, so the whole solve (and its convergence
         # trace) is bit-identical under any partitioning / AQE re-plan
         from codex_africanus_spark.functions.deterministic import qsum
 
         upd = (
-            per_p.unionByName(per_q)
-            .groupBy("antenna", "chan")
+            both.groupBy("antenna", "chan")
             .agg(
                 (qsum(F.col("jhr"), 1e9) / F.lit(1e9)).alias("jhr"),
                 (qsum(F.col("jhj"), 1e9) / F.lit(1e9)).alias("jhj"),

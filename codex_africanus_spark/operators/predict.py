@@ -54,9 +54,14 @@ def source_coherency(
     (source × row) pair, and turn the cross join into a broadcast hash
     join on chan. Saves one transcendental per pair at any scale.
     """
-    from codex_africanus_spark.sources.tables import fan_out
+    from codex_africanus_spark.sources.tables import fan_out, scan_twin
 
-    chan_freq = vis.select("chan", "frequency").distinct()
+    # distinct over the unfanned twin: partial aggregation collapses the
+    # scan to O(#chans) per task, so the fan_out exchange the fanned
+    # lineage carries would shuffle every raw row for nothing (r13 plan
+    # audit: predict_vis carried a second full RoundRobin exchange just
+    # below this distinct). Row-set identical — see tables.scan_twin.
+    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
     src_chan = (
         sources.crossJoin(chan_freq)
         .withColumn(
@@ -162,12 +167,13 @@ def predict_full_corr(vis: DataFrame, sources: DataFrame, gains: DataFrame) -> D
     from codex_africanus_spark.functions.complex_algebra import Cplx
     from codex_africanus_spark.functions.deterministic import qsum
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
-    from codex_africanus_spark.sources.tables import fan_out
+    from codex_africanus_spark.sources.tables import fan_out, scan_twin
 
     # hoist the brightness matrix to the broadcast side: bxx/byy depend
     # only on (source, chan) — evaluate pow() on n_src × n_chan rows and
-    # equi-join on chan (same loop-invariant hoist as source_coherency)
-    chan_freq = vis.select("chan", "frequency").distinct()
+    # equi-join on chan (same loop-invariant hoist as source_coherency);
+    # distinct over the unfanned twin skips the fan_out exchange (r13)
+    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
     src_chan = (
         sources.crossJoin(chan_freq)
         .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))

@@ -659,24 +659,34 @@ def _ivf_probe(
     exact quantized cosine. `broadcast_probe` forces the probe batch to
     broadcast so the assignment fact table is never shuffled (the
     persisted-index deployment, where probe batches are bounded)."""
-    probes = (
+    # r13: the probe frame carries its own embedding through the
+    # cell-ranking window and recomputes the quantized self-norm inline
+    # (_qdot_unrolled ≡ the assignment's norm_q — same per-term
+    # trunc-round int64 sum, bit-equal by construction), instead of
+    # re-joining the assignment fact table to fetch them back. That join
+    # was a SortMergeJoin shuffling the whole assignment by vec_id for a
+    # query-sized output (guide §2.4/§3) — every caller draws probes
+    # from the assignment's own vector set, so the inner join never
+    # dropped rows and the row set is unchanged.
+    q = (
         probe_src.filter(F.col("vec_id") % query_modulus == 0)
         .select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", _qdist2_unrolled("embedding", "centroid").alias("dist"))
+        .select(
+            "vec_id", "embedding", "cid",
+            _qdist2_unrolled("embedding", "centroid").alias("dist"),
+        )
         .withColumn(
             "cell_rank",
             F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
         )
         .filter(F.col("cell_rank") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
-    )
-    q = probes.join(
-        assign.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-            F.sqrt(F.col("norm_q")).alias("qnorm"),
-        ),
-        "query_id",
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("pcid"),
+            F.col("embedding").alias("qe"),
+            F.sqrt(_qdot_unrolled("embedding", "embedding")).alias("qnorm"),
+        )
     )
     if broadcast_probe:
         q = F.broadcast(q)

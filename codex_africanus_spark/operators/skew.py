@@ -332,6 +332,13 @@ def salted_bda_average(
             "__qb", F.sum("__dq").over(w2.rowsBetween(W.unboundedPreceding, 0))
         )
         .drop("__prev", "__dq")
+        # r13 (guide §5, multi-consumer frames): Phase A and Phase C both
+        # consume `rows`; without pinning, the whole motion-prefix
+        # lineage (scan → fan-out exchange → bucket-summary SortAggregate
+        # → lag join → two windows) executes TWICE. One GC-scoped
+        # materialization halves the heavy half of the operator; the
+        # checkpointed frame is O(input) narrow columns.
+        .localCheckpoint(eager=True)
     )
 
     # ---- Phase A: per-bucket entry region + chain-from-i DP ----------

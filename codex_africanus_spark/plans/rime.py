@@ -472,8 +472,11 @@ def rime2x2(
             raise ValueError(f"unknown RIME term {c!r}; register it first")
         scalar_terms.append(TERM_MAP[c]())
 
-    # brightness hoisted to the broadcast side (source × chan)
-    chan_freq = vis.select("chan", "frequency").distinct()
+    # brightness hoisted to the broadcast side (source × chan); distinct
+    # over the unfanned twin skips the fan_out exchange (tables.scan_twin)
+    from codex_africanus_spark.sources.tables import scan_twin
+
+    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
     src_chan = (
         sources.crossJoin(chan_freq)
         .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))

@@ -42,9 +42,13 @@ def time_index_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. Instead rank the (small) distinct-times table and
     broadcast-join the index back — O(#unique times) window, zero fact
     shuffle."""
+    from codex_africanus_spark.sources.tables import scan_twin
+
     vis = tpch_ms.vis_table(spark, sf_dir)
+    # distinct over the unfanned twin (r13): partial agg collapses the
+    # scan to O(#times)/task — the fan_out exchange bought nothing here
     unique_times = (
-        vis.select("time")
+        scan_twin(vis).select("time")
         .distinct()
         .select(
             "time",
@@ -1625,8 +1629,10 @@ def antenna_elevation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (time × antenna) grid, counting epochs below a 0.35 rad (~20°)
     horizon limit — the shadowing/airmass flagging pre-pass. Distinct
     times are one partial-agg shuffle; antennas broadcast."""
+    from codex_africanus_spark.sources.tables import scan_twin
+
     vis = tpch_ms.vis_table(spark, sf_dir)
-    times = vis.select("time").distinct()
+    times = scan_twin(vis).select("time").distinct()  # r13: skip fan_out exchange
     ants = tpch_ms.antenna_table(spark)
     el = feeds_fn.elevation_angle_geometric(
         F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),

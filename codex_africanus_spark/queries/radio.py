@@ -18,6 +18,7 @@ from codex_africanus_spark.operators import averaging as avg_op
 from codex_africanus_spark.operators import predict as predict_op
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.sources.tables import load
+from codex_africanus_spark.sources.tables import scan_twin as tables_scan_twin
 from codex_africanus_spark.operators import calibration as cal_op  # noqa: E402
 from codex_africanus_spark.operators import spi as spi_op  # noqa: E402
 from codex_africanus_spark.plans import rime as rime_plan  # noqa: E402
@@ -865,7 +866,7 @@ def parallactic_angles_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
     astropy is installed). Distinct times are one partial-agg shuffle at
     n_utime cardinality; antennas broadcast."""
     vis = tpch_ms.vis_table(spark, sf_dir)
-    times = vis.select("time").distinct()
+    times = tables_scan_twin(vis).select("time").distinct()  # r13: skip fan_out exchange
     ants = tpch_ms.antenna_table(spark)
     pa = feeds_fn.parallactic_angle_geometric(
         F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),
@@ -1668,7 +1669,7 @@ def rime_custom_term_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tpch_ms.source_table(spark, sf_dir)
     model = (
         src.select("source_id")
-        .crossJoin(vis.select("chan").distinct())
+        .crossJoin(tables_scan_twin(vis).select("chan").distinct())  # r13
         .select(
             "source_id",
             "chan",
@@ -1818,7 +1819,7 @@ def airmass_opacity_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codex_africanus_spark.functions.deterministic import qsum, quantize
 
     vis = tpch_ms.vis_table(spark, sf_dir)
-    times = vis.select("time").distinct()
+    times = tables_scan_twin(vis).select("time").distinct()  # r13: skip fan_out exchange
     ants = tpch_ms.antenna_table(spark)
     el = feeds_fn.elevation_angle_geometric(
         F.col("time"), F.col("ant_x"), F.col("ant_y"), F.col("ant_z"),

@@ -33,6 +33,15 @@ def get_spark(app_name: str = "codex_africanus_spark", cpus: str | None = None) 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold instead of always sort-merge — drops both
+        # sort passes from fact⋈fact joins (measured at sf10: q5's
+        # lineitem⋈orders). Scale-safe: SHJ is only chosen when the
+        # build side fits the per-partition hash-map bound; SMJ remains
+        # the fallback for genuinely large both-sides joins.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # AQE twin of the same choice for runtime-sized shuffles
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,6 +68,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"),
         ("spark.sql.files.maxPartitionBytes", "8m"),
         ("spark.sql.files.openCostInBytes", "1m"),
         # the driver's session keeps the 200/400 default; at bench scale

@@ -241,7 +241,14 @@ def commit(
         tmp.write_text(json.dumps(manifest, indent=1))
         if _publish(tmp, _manifest_path(root, version)):
             if version % CHECKPOINT_EVERY == 0:
-                cp = {"version": version, "files": snapshot_files(root, version)}
+                cp = {
+                    "version": version,
+                    "files": snapshot_files(root, version),
+                    # r13 fix: resolved DV state too, so the merge-on-read
+                    # replay can start from the checkpoint on a
+                    # manifest-pruned log (checkpoint-bounds contract)
+                    "delete_files": snapshot_delete_files(root, version),
+                }
                 _checkpoint_path(root, version).write_text(json.dumps(cp))
             return version
     raise SnapshotConflictError(f"gave up after {max_retries} commit races")
@@ -471,9 +478,11 @@ def snapshot_delete_files(root: str, version: int | None = None) -> list[str]:
     """Deletion-vector file list live at `version`, replayed from the
     most recent overwrite at-or-before it (an overwrite replaces the
     data file set, voiding every earlier DV); appends carry DVs
-    forward; 'delete' commits add theirs. Checkpoints are not
-    consulted — they record data files only; the replay window is
-    bounded by overwrite cadence."""
+    forward; 'delete' commits add theirs. Replay starts from the
+    newest checkpoint at-or-before `version` (checkpoints record the
+    RESOLVED DV state since r13 — required for manifest-pruned logs, the
+    checkpoint-bounds contract snapshot_files already honors) or from
+    the most recent overwrite, whichever is nearer."""
     head = latest_version(root)
     if head is None:
         raise FileNotFoundError(f"no snapshot log at {root}")
@@ -481,11 +490,18 @@ def snapshot_delete_files(root: str, version: int | None = None) -> list[str]:
     if version > head or version < 1:
         raise ValueError(f"version {version} out of range 1..{head}")
     start = 1
+    dvs: list[str] = []
     for v in range(version, 0, -1):
+        cp = _read_checkpoint(root, v)
+        if cp is not None:
+            # pre-r13 checkpoints carry no delete_files key: every such
+            # table predates deletion vectors, so the resolved set is []
+            dvs = list(cp.get("delete_files", []))
+            start = v + 1
+            break
         if _read_manifest(root, v)["action"] == "overwrite":
             start = v
             break
-    dvs: list[str] = []
     for v in range(start, version + 1):
         m = _read_manifest(root, v)
         if m["action"] == "overwrite":
@@ -1005,7 +1021,11 @@ def _commit_manifest(
     if not _publish(tmp, _manifest_path(root, version)):
         raise SnapshotConflictError(f"lost the commit race at v{version}")
     if version % CHECKPOINT_EVERY == 0:
-        cp = {"version": version, "files": snapshot_files(root, version)}
+        cp = {
+            "version": version,
+            "files": snapshot_files(root, version),
+            "delete_files": snapshot_delete_files(root, version),
+        }
         _checkpoint_path(root, version).write_text(json.dumps(cp))
     return version
 

@@ -130,6 +130,24 @@ def _plan_has_repartition(df: DataFrame, target: int) -> bool:
     return False
 
 
+def scan_twin(df: DataFrame) -> DataFrame:
+    """The pre-fan_out lineage of a fanned frame, for tiny aggregates.
+
+    `fan_out` buys parallelism for expensive per-row derivations by
+    round-robin exchanging the raw scan — but a consumer that only runs
+    a small distinct/groupBy over one or two columns (e.g. the predict
+    family's `(chan, frequency)` hoist) inherits that full-data exchange
+    for nothing: partial aggregation already collapses the scan to
+    O(#groups) rows per task, so the pre-aggregation exchange is pure
+    shuffle cost (guide §2.4 — remove shuffles outright). Builders that
+    fan out attach the unfanned projection as `_scan_twin`; it holds the
+    IDENTICAL row multiset (same scan, same projection, no repartition),
+    so any aggregate computed over the twin is value-identical. Falls
+    back to `df` itself when no twin was attached (arbitrary caller
+    frames, filtered lineages — behavior unchanged)."""
+    return getattr(df, "_scan_twin", df)
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")

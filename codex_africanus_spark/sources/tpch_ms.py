@@ -41,7 +41,15 @@ def vis_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are the cheapest thing to exchange."""
     from codex_africanus_spark.sources.tables import fan_out
 
-    li = fan_out(load(spark, "lineitem", sf_dir))
+    raw = load(spark, "lineitem", sf_dir)
+    out = _vis_select(fan_out(raw))
+    # unfanned twin (identical rows, no round-robin exchange) for
+    # consumers that only need a tiny aggregate — see tables.scan_twin
+    out._scan_twin = _vis_select(raw)
+    return out
+
+
+def _vis_select(li: DataFrame) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     a = (F.col("l_suppkey") % N_ANT).cast("int")
     b = (F.col("l_partkey") % N_ANT).cast("int")

@@ -63,8 +63,12 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_db):
     try:
         df = _joined(spark, bucketed_db)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        join_part = plan.split("SortMergeJoin")[-1]
-        assert "SortMergeJoin" in plan, plan
+        # r13: preferSortMergeJoin=false lets the planner choose a
+        # shuffled-hash join; both satisfy bucketing with zero exchanges
+        import re
+
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        join_part = re.split(r"SortMergeJoin|ShuffledHashJoin", plan)[-1]
         # nothing below the join may shuffle: scan→(sort)→join, no Exchange
         assert "Exchange" not in join_part, join_part
     finally:
@@ -106,7 +110,10 @@ def test_single_bucketed_side_still_prunes_one_exchange(spark, bucketed_db, sf_d
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         # exactly one Exchange hashpartitioning for the join inputs
-        joins_block = plan.split("SortMergeJoin")[-1]
+        # (r13: SMJ or SHJ, whichever the planner picks — same property)
+        import re
+
+        joins_block = re.split(r"SortMergeJoin|ShuffledHashJoin", plan)[-1]
         n_exchanges = joins_block.count("Exchange hashpartitioning")
         assert n_exchanges == 1, plan
     finally:
