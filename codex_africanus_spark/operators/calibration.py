@@ -223,6 +223,7 @@ def compute_and_corrupt_vis(
     """
     from codex_africanus_spark.functions.deterministic import qsum
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+    from codex_africanus_spark.sources.tables import scan_twin
 
     g1 = F.broadcast(
         gains.select(
@@ -241,13 +242,28 @@ def compute_and_corrupt_vis(
                    F.col("l"), F.col("m"), F.col("n")),
         F.col("frequency"), "fourier",
     )
-    flux = (
-        F.col("flux_i")
-        * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
-        / F.col("n")
+    # r13 (guide §1.2 per-task work): flux depends only on (source,
+    # chan) — hoist the pow() to the broadcast side (n_src × n_chan
+    # rows) instead of evaluating one POWER per source×row pair, the
+    # same loop-invariant hoist predict's source_coherency already does.
+    # The expression tree is unchanged (flux fully evaluated, then
+    # multiplied by cos/sin), so every term is the identical double; the
+    # cross join on chan yields the identical pair multiset because
+    # frequency is functionally determined by chan.
+    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
+    src_chan = F.broadcast(
+        src.crossJoin(chan_freq)
+        .withColumn(
+            "flux",
+            F.col("flux_i")
+            * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
+            / F.col("n"),
+        )
+        .drop("frequency")
     )
+    flux = F.col("flux")
     expanded = (
-        vis.crossJoin(F.broadcast(src))
+        vis.join(src_chan, "chan")
         .join(g1, ["time_bin", "antenna1", "chan", "source_id"])
         .join(g2, ["time_bin", "antenna2", "chan", "source_id"])
         .withColumn("sv_re", flux * F.cos(theta))

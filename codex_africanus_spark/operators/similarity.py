@@ -727,10 +727,12 @@ def ivf_topk(
     (ceil(n/CELL_TARGET)) — a constant cell count would silently desync
     the engines away from the one SF where they coincide."""
     cent, assign = _ivf_build(embeddings)
-    # consumed by both join sides — materialize instead of re-running
-    # the quantizer argmin per consumer (same rationale as
-    # semantic_dedup; the assignment IS the IVF index)
-    assign = assign.localCheckpoint(eager=True)  # GC-scoped (r8)
+    # r13: the probe no longer joins the assignment for the query side
+    # (it carries its own embedding/norm), so `assign` has exactly ONE
+    # consumer — the candidates side. The former eager localCheckpoint
+    # ("consumed by both join sides") would now be a pure extra
+    # write+read pass of the whole assignment; drop it and let the
+    # map-only Arrow assignment flow straight into the candidate join.
     return _ivf_probe(cent, assign, embeddings, query_modulus, k)
 
 

@@ -122,6 +122,18 @@ class BrightnessTerm(Term):
         return z * flux
 
 
+class _HoistedBrightness(Term):
+    """Plan-compiler substitute for the standard BrightnessTerm when its
+    (source, chan)-grain flux has been precomputed on the broadcast side
+    as `__bflux` (see rime()): z · flux with the factor read instead of
+    re-derived per pair. Never registered — internal to the compiler."""
+
+    required_columns = ("__bflux",)
+
+    def apply(self, z: Cplx) -> Cplx:
+        return z * F.col("__bflux")
+
+
 class GaussianShapeTerm(Term):
     """Shape envelope for GAUSSIAN sources, 1 for points."""
 
@@ -609,10 +621,9 @@ def rime(
     per-specification transformer resolution (transformers/core.py +
     fused/core.py:152-207; ParallacticTransformer in
     transformers/parangle.py is the canonical example)."""
-    from codex_africanus_spark.sources.tables import fan_out
+    from codex_africanus_spark.sources.tables import fan_out, scan_twin
 
     parsed = parse_rime(spec)
-    joined = fan_out(vis).crossJoin(F.broadcast(sources))
     overrides = terms or {}
     terms = []
     for char, _side in parsed.terms:
@@ -623,6 +634,36 @@ def rime(
             terms.append(TERM_MAP[char]())
         else:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
+    # r13 loop-invariant hoist (guide §1.2): the STANDARD BrightnessTerm
+    # multiplies z by a real flux that depends only on (source, chan) —
+    # evaluate its pow() once per (source, chan) on the broadcast side
+    # (sources × distinct chans) and join on chan, instead of one POWER
+    # per source×row pair (measured: rime_compiled's expansion stage
+    # burned 43 s executor time vs predict_vis's 17 s for the same pair
+    # count). Bit-identical: the factor is the same expression on the
+    # same doubles, multiplied into z at the same position; the chan
+    # join yields the identical pair multiset (frequency is functionally
+    # determined by chan). Custom/overridden B terms (exact subclass
+    # check) keep the fully general per-pair path.
+    hoist_b = [i for i, t in enumerate(terms) if type(t) is BrightnessTerm]
+    if hoist_b:
+        chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
+        bsrc = (
+            sources.crossJoin(chan_freq)
+            .withColumn(
+                "__bflux",
+                spectral_model(
+                    F.col("flux_i"), F.col("spi"),
+                    F.col("ref_freq"), F.col("frequency"),
+                ),
+            )
+            .drop("frequency")
+        )
+        joined = fan_out(vis).join(F.broadcast(bsrc), "chan")
+        for i in hoist_b:
+            terms[i] = _HoistedBrightness()
+    else:
+        joined = fan_out(vis).crossJoin(F.broadcast(sources))
     # argument-dependency resolution: transformers fill derivable gaps
     # before schema validation (fused/core.py:152-207); per-spec
     # overrides shadow the global registry

@@ -72,7 +72,10 @@ def time_index_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unique_times_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_time with counts + first index
     (reference averaging/support.py:10-117)."""
-    vis = tpch_ms.vis_table(spark, sf_dir)
+    from codex_africanus_spark.sources.tables import scan_twin
+
+    # r13: aggregate over the unfanned twin (see uv_grid_histogram note)
+    vis = scan_twin(tpch_ms.vis_table(spark, sf_dir))
     return (
         vis.groupBy("time")
         .agg(F.count(F.lit(1)).alias("row_count"), F.min("row_id").alias("first_row_id"))

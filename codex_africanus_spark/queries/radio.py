@@ -333,7 +333,13 @@ def uv_grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-weighted uv-grid accumulation: scatter-add of vis into
     cells → groupBy(cell).sum (reference perleypolyhedron gridder.py:13-170
     re-expressed as a 2-D histogram aggregation)."""
-    vis = tpch_ms.vis_table(spark, sf_dir).filter(~(F.col("flag") | F.col("flag_row")))
+    # r13: aggregate over the unfanned twin — partial agg collapses the
+    # scan to O(#cells) per task, so the fan_out round-robin exchange of
+    # every raw row bought nothing (guide §2.4); at large scale the scan
+    # splits natively and the two lineages are identical anyway
+    vis = tables_scan_twin(tpch_ms.vis_table(spark, sf_dir)).filter(
+        ~(F.col("flag") | F.col("flag_row"))
+    )
     return (
         vis.groupBy(
             F.floor(F.col("u") / 10.0).cast("long").alias("u_cell"),
@@ -541,15 +547,21 @@ def compute_and_corrupt_vis_dde(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor (reference compute_and_corrupt_vis.py:76-170, jones_mul
     :14-23). Gains are keyed (time_bin, antenna, chan, direction) — the
     calibration-grouped lookup of utils.py:45-70 — and broadcast."""
-    vis = tpch_ms.vis_table(spark, sf_dir).withColumn(
+    base = tpch_ms.vis_table(spark, sf_dir)
+    add_bin = lambda df: df.withColumn(  # noqa: E731
         "time_bin", F.floor(F.col("time") / F.lit(604800.0)).cast("long")
     )
+    vis = add_bin(base)
+    # r13: re-attach the unfanned twin (withColumn builds a new frame) so
+    # the operator's (chan, frequency) hoist and the min/max bin scan
+    # below both skip the fan_out exchange — row-set identical
+    vis._scan_twin = add_bin(tables_scan_twin(base))
     dirs = tpch_ms.source_table(spark, sf_dir).filter(F.col("source_id") % 6 == 1)
     # Bin RANGE collected to the driver (SURVEY §2.4 "statistics for
     # binning" pattern): min/max is a partial-aggregate scan — cheaper
     # than a distinct (no value shuffle) — and a dense-range gains table
     # joins identically (gains for absent bins simply never match).
-    time_bins = dense_or_distinct_bins(vis, "time_bin")
+    time_bins = dense_or_distinct_bins(tables_scan_twin(vis), "time_bin")
     gains = tpch_ms.dde_gains_table(spark, time_bins, dirs)
     return cal_op.compute_and_corrupt_vis(vis, dirs, gains)
 
