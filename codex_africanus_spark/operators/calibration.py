@@ -225,6 +225,14 @@ def compute_and_corrupt_vis(
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
     from codex_africanus_spark.sources.tables import scan_twin
 
+    # r13 measured-and-kept-as-is: a beam_dde-style g1xg2 pair-table fold
+    # (one probe per pair instead of two) was tried and MEASURED SLOWER
+    # at sf10 (53.0 -> 62.3 s): the folded relation is n_ant x larger
+    # (491k rows / ~35 MB vs two 70k-row / ~5 MB sides), so every probe
+    # became a cache miss while the two small relations stayed
+    # cache-resident. Two separate broadcast probes are the right shape
+    # for bins-scaled gains; the (source, chan) flux hoist below is the
+    # win that stayed.
     g1 = F.broadcast(
         gains.select(
             "time_bin", F.col("antenna").alias("antenna1"), "chan", "source_id",

@@ -12,7 +12,10 @@ probe brackets the run for weather adjudication.
 
 Usage: python tools/bench_sf10.py [SF_DIR] [only1,only2,...] > BENCH_sf10.json
        (the optional second arg restricts the run to a subset of WORK —
-       used for before/after re-measures of a single repaired query)
+       used for before/after re-measures of a single repaired query;
+       --no-twins anywhere in argv skips the DuckDB twin pass — for
+       Spark-side-only A/B re-measures where the twin numbers are
+       already on record and forfeiting twins would burn 420 s each)
 """
 import json
 import os
@@ -27,7 +30,9 @@ sys.path.insert(0, "/root/repo")
 from codex_africanus_spark.queries import registry  # noqa: E402
 from codex_africanus_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+ARGS = [a for a in sys.argv[1:] if a != "--no-twins"]
+RUN_TWINS = "--no-twins" not in sys.argv
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/tmp/sf10"
 BUDGET_S = 420          # per-query Spark watchdog
 TWIN_TIMEOUT_S = 420    # per-oracle DuckDB subprocess timeout
 
@@ -58,8 +63,8 @@ WORK = [
     "kmeans_nscaled_stats",
     "semantic_dedup_embeddings",
 ]
-if len(sys.argv) > 2:
-    only = set(sys.argv[2].split(","))
+if len(ARGS) > 1:
+    only = set(ARGS[1].split(","))
     WORK = [w for w in WORK if w in only]
 
 
@@ -177,7 +182,7 @@ def main() -> None:
     from codex_africanus_spark.queries import msops
 
     twin_override = {"bda_salted_average": msops._SBDA_FAST_TWIN}
-    for name in WORK:
+    for name in WORK if RUN_TWINS else []:
         o = twin_override.get(name) or reg[name].oracle
         if o is None:
             continue
