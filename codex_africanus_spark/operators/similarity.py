@@ -659,34 +659,24 @@ def _ivf_probe(
     exact quantized cosine. `broadcast_probe` forces the probe batch to
     broadcast so the assignment fact table is never shuffled (the
     persisted-index deployment, where probe batches are bounded)."""
-    # r13: the probe frame carries its own embedding through the
-    # cell-ranking window and recomputes the quantized self-norm inline
-    # (_qdot_unrolled ≡ the assignment's norm_q — same per-term
-    # trunc-round int64 sum, bit-equal by construction), instead of
-    # re-joining the assignment fact table to fetch them back. That join
-    # was a SortMergeJoin shuffling the whole assignment by vec_id for a
-    # query-sized output (guide §2.4/§3) — every caller draws probes
-    # from the assignment's own vector set, so the inner join never
-    # dropped rows and the row set is unchanged.
-    q = (
+    probes = (
         probe_src.filter(F.col("vec_id") % query_modulus == 0)
         .select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "embedding", "cid",
-            _qdist2_unrolled("embedding", "centroid").alias("dist"),
-        )
+        .select("vec_id", "cid", _qdist2_unrolled("embedding", "centroid").alias("dist"))
         .withColumn(
             "cell_rank",
             F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")),
         )
         .filter(F.col("cell_rank") <= n_probe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cid").alias("pcid"),
-            F.col("embedding").alias("qe"),
-            F.sqrt(_qdot_unrolled("embedding", "embedding")).alias("qnorm"),
-        )
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    )
+    q = probes.join(
+        assign.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+            F.sqrt(F.col("norm_q")).alias("qnorm"),
+        ),
+        "query_id",
     )
     if broadcast_probe:
         q = F.broadcast(q)
@@ -727,12 +717,10 @@ def ivf_topk(
     (ceil(n/CELL_TARGET)) — a constant cell count would silently desync
     the engines away from the one SF where they coincide."""
     cent, assign = _ivf_build(embeddings)
-    # r13: the probe no longer joins the assignment for the query side
-    # (it carries its own embedding/norm), so `assign` has exactly ONE
-    # consumer — the candidates side. The former eager localCheckpoint
-    # ("consumed by both join sides") would now be a pure extra
-    # write+read pass of the whole assignment; drop it and let the
-    # map-only Arrow assignment flow straight into the candidate join.
+    # consumed by both join sides — materialize instead of re-running
+    # the quantizer argmin per consumer (same rationale as
+    # semantic_dedup; the assignment IS the IVF index)
+    assign = assign.localCheckpoint(eager=True)  # GC-scoped (r8)
     return _ivf_probe(cent, assign, embeddings, query_modulus, k)
 
 
