@@ -132,6 +132,8 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    cold: dict[str, float] = {}
+
     def time_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -144,10 +146,14 @@ def main() -> None:
             best = None
             pinned = name in DRIFT_PINNED
             try:
-                if pinned:  # untimed JIT/broadcast warm-up
+                if pinned:  # warm-up, untimed for `value` — but its cold
+                    # cost is recorded separately (r13 verdict item 7) so
+                    # pinning does not erase the first-run number entirely
+                    t0 = time.perf_counter()
                     reg[name].fn(spark, SF_DIR).write.format("noop").mode(
                         "overwrite"
                     ).save()
+                    cold[name] = round(time.perf_counter() - t0, 3)
                 for _ in range(5 if pinned else 3):
                     t0 = time.perf_counter()
                     df = reg[name].fn(spark, SF_DIR)
@@ -179,6 +185,8 @@ def main() -> None:
         "extended_value": round(sum(extended.values()), 3),
         "calib_before_sec": calib_before,
         "calib_after_sec": calib_after,
+        "cold_sec": cold,  # first-run (untimed-warm-up) cost of each
+        # DRIFT_PINNED query — additions-only; `value` is unchanged
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

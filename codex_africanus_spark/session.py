@@ -63,21 +63,35 @@ def get_spark(app_name: str = "codex_africanus_spark", cpus: str | None = None) 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply this engine's runtime confs to an externally-created session
     (the driver harness constructs its own SparkSession)."""
-    for k, v in [
+    try:
+        is_local = spark.conf.get("spark.master", "").startswith("local")
+    except Exception:
+        is_local = False
+    confs = [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.join.preferSortMergeJoin", "false"),
         ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"),
-        ("spark.sql.files.maxPartitionBytes", "8m"),
-        ("spark.sql.files.openCostInBytes", "1m"),
-        # the driver's session keeps the 200/400 default; at bench scale
-        # the right pre-AQE width is the core count (AQE still coalesces
-        # down, but over-wide shuffles pay task-launch overhead in the
-        # iterative solvers' per-iteration joins)
-        ("spark.sql.shuffle.partitions", DEFAULT_CPUS),
-    ]:
+    ]
+    if is_local:
+        # Local-bench-only I/O knobs (r13 verdict item 2): the testdata
+        # tables are single small parquet files, so an 8 MB split target
+        # restores scan parallelism on 32 cores. On a real cluster an
+        # 8 MB target would be ~12.5M tasks per 100 TB scan — keep the
+        # 128 MB default there (guide §6 even recommends raising it).
+        confs += [
+            ("spark.sql.files.maxPartitionBytes", "8m"),
+            ("spark.sql.files.openCostInBytes", "1m"),
+            # the driver's session keeps the 200/400 default; at bench
+            # scale the right pre-AQE width is the core count (AQE still
+            # coalesces down, but over-wide shuffles pay task-launch
+            # overhead in the iterative solvers' per-iteration joins).
+            # Cluster deployments size this from data volume instead.
+            ("spark.sql.shuffle.partitions", DEFAULT_CPUS),
+        ]
+    for k, v in confs:
         try:
             spark.conf.set(k, v)
         except Exception:

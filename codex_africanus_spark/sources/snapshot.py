@@ -493,13 +493,25 @@ def snapshot_delete_files(root: str, version: int | None = None) -> list[str]:
     dvs: list[str] = []
     for v in range(version, 0, -1):
         cp = _read_checkpoint(root, v)
-        if cp is not None:
-            # pre-r13 checkpoints carry no delete_files key: every such
-            # table predates deletion vectors, so the resolved set is []
-            dvs = list(cp.get("delete_files", []))
+        if cp is not None and "delete_files" in cp:
+            # r14 (ADVICE-high): only a checkpoint that RECORDS resolved
+            # DV state stops the replay. A files-only checkpoint (written
+            # before checkpoints carried delete_files) may sit above older
+            # delete commits; treating its missing key as authoritative-[]
+            # would silently resurrect deleted rows — skip it and keep
+            # scanning down to the most recent overwrite instead.
+            dvs = list(cp["delete_files"])
             start = v + 1
             break
-        if _read_manifest(root, v)["action"] == "overwrite":
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            # manifest pruned below a files-only checkpoint: the log holds
+            # no DV information below this point — resolve from here with
+            # the empty set (the only state derivable from such a log).
+            start = v + 1
+            break
+        if m["action"] == "overwrite":
             start = v
             break
     for v in range(start, version + 1):

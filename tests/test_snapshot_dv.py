@@ -153,3 +153,30 @@ def test_dv_registered_query_shape(spark, sf_dir):
         assert (
             got.qty_c2.sum() == (sub.l_quantity * 100).round().astype("int64").sum()
         ), v
+
+def test_files_only_checkpoint_not_authoritative_for_dvs(spark, tmp_path):
+    """r14 ADVICE-high: a pre-r13 (files-only) checkpoint above a delete
+    commit must NOT resolve the DV state as empty — replay skips it and
+    keeps scanning down, so deleted rows stay deleted, and the next
+    commit's checkpoint bakes the CORRECT resolved set."""
+    import json
+
+    root = str(tmp_path / "t")
+    df = _mk(spark)
+    snap.commit(df, root, mode="append")          # v1
+    snap.commit_deletes(spark, root, "grp = 3")   # v2 (delete)
+    snap.commit(df.limit(0), root, mode="append") # v3
+    dvs_true = snap.snapshot_delete_files(root)
+    assert dvs_true, "precondition: the delete produced a DV"
+    # simulate an old-format checkpoint at v3: files only, no delete_files
+    cp = {"version": 3, "files": snap.snapshot_files(root, 3)}
+    snap._checkpoint_path(root, 3).write_text(json.dumps(cp))
+    # DV replay must skip the files-only checkpoint
+    assert snap.snapshot_delete_files(root) == dvs_true
+    assert _rows(snap.read_snapshot(spark, root)) == _rows(df.filter("grp != 3"))
+    # and a post-fix checkpoint written above it records the true set
+    for _ in range(7):
+        snap.commit(df.limit(0), root, mode="append")  # v4..v10 (cp at v10)
+    cp10 = json.loads(snap._checkpoint_path(root, 10).read_text())
+    assert sorted(cp10["delete_files"]) == sorted(dvs_true)
+    assert _rows(snap.read_snapshot(spark, root)) == _rows(df.filter("grp != 3"))
