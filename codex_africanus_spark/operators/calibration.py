@@ -193,6 +193,13 @@ def gauss_newton_phase_only(
     return history
 
 
+# r14: past this many directions the unrolled per-row fold's codegen
+# (n_dir × ~30 expressions) stops being the right trade — fall back to
+# the r13 expand-join-aggregate path. 64 is far above any calibration
+# direction count in the registry (4) and keeps generated code bounded.
+FOLD_MAX_DIRS = 64
+
+
 def compute_and_corrupt_vis(
     vis: DataFrame,
     src: DataFrame,
@@ -220,7 +227,133 @@ def compute_and_corrupt_vis(
     `vis` must carry a `time_bin` column (the utime axis analogue,
     utils.py:45-70); `src` needs l, m, n, flux_i, spi, ref_freq and
     `source_id` matching the gains' direction key.
+
+    r14 (guide §2.3/§2.4): the source axis is FOLDED per row instead of
+    expanded per row. The gains+src broadcast side is pre-grouped into a
+    per-(time_bin, antenna, chan) terms array (plus a source_id→g map for
+    the antenna2 leg), each vis row joins TWO array rows (vs n_dir×2
+    probe hits on the expanded frame), and the Σ_s reduction runs as
+    n_dir unrolled codegen expressions summing the same quantized BIGINTs
+    the r13 groupBy summed — identical integer multiset, associative, so
+    bit-identical output. The residual groupBy only merges duplicate
+    (row_id, …) keys, so its input is 1× the fact rows, not n_dir×.
+    Paired one-process A/B at sf10 (/tmp/sf10, interleaved min-of-2):
+    expand 65.5 s → fold 16.6 s (~3.9×); a lambda-HOF fold was also
+    measured and REJECTED (114.5 s — `aggregate()` is CodegenFallback,
+    interpreted per element at fact-table volume).
     """
+    n_dir = src.count()  # tiny catalogue by contract (reference holds it
+    # in memory too); bounds the unrolled codegen below
+    if n_dir == 0 or n_dir > FOLD_MAX_DIRS:
+        return _cc_vis_expand(vis, src, gains, scale)
+    return _cc_vis_folded(vis, src, gains, scale, n_dir)
+
+
+def _cc_vis_folded(
+    vis: DataFrame, src: DataFrame, gains: DataFrame, scale: float, n_dir: int
+) -> DataFrame:
+    """Per-row source fold (see compute_and_corrupt_vis docstring)."""
+    from codex_africanus_spark.functions.deterministic import quantize
+    from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+    from codex_africanus_spark.sources.tables import scan_twin
+
+    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
+    src_chan = (
+        src.crossJoin(chan_freq)
+        .withColumn(
+            "flux",
+            F.col("flux_i")
+            * F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi"))
+            / F.col("n"),
+        )
+        .select("chan", "source_id", "l", "m", "n", "flux")
+    )
+    # ONE grouped broadcast side keyed (time_bin, antenna, chan): the
+    # sorted terms array serves the antenna1 leg (source attrs + g1), the
+    # source_id→g map serves the antenna2 leg (alignment by key, not by
+    # position, so a sparse gains table cannot silently mispair)
+    comb = (
+        gains.join(F.broadcast(src_chan), ["chan", "source_id"])
+        .groupBy("time_bin", "antenna", "chan")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "source_id", "l", "m", "n", "flux",
+                        F.col("g_re").alias("g1_re"),
+                        F.col("g_im").alias("g1_im"),
+                    )
+                )
+            ).alias("terms"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        "source_id",
+                        F.struct(
+                            F.col("g_re").alias("g2_re"),
+                            F.col("g_im").alias("g2_im"),
+                        ),
+                    )
+                )
+            ).alias("g2map"),
+        )
+    )
+    # both legs broadcast the SAME subtree (renames happen in the join
+    # condition, not below the exchange) so the canonicalized broadcast
+    # is built once and the second leg is a ReusedExchange
+    b1 = F.broadcast(comb.alias("cc_b1"))
+    b2 = F.broadcast(comb.alias("cc_b2"))
+    j1 = vis.join(
+        b1,
+        (vis["time_bin"] == F.col("cc_b1.time_bin"))
+        & (vis["antenna1"] == F.col("cc_b1.antenna"))
+        & (vis["chan"] == F.col("cc_b1.chan")),
+    ).select(vis["*"], F.col("cc_b1.terms").alias("terms"))
+    joined = j1.join(
+        b2,
+        (j1["time_bin"] == F.col("cc_b2.time_bin"))
+        & (j1["antenna2"] == F.col("cc_b2.antenna"))
+        & (j1["chan"] == F.col("cc_b2.chan")),
+    ).select(j1["*"], F.col("cc_b2.g2map").alias("g2map"))
+    zero = F.lit(0).cast("long")
+    sum_re, sum_im = zero, zero
+    for i in range(n_dir):
+        e = F.get(F.col("terms"), i)
+        g2 = F.try_element_at(F.col("g2map"), e["source_id"])
+        # identical expression tree to the expand path: flux precomputed
+        # on the broadcast side, θ from the vis row's u,v,w,frequency
+        theta = phase_delay_angle(
+            phase_path(F.col("u"), F.col("v"), F.col("w"),
+                       e["l"], e["m"], e["n"]),
+            F.col("frequency"), "fourier",
+        )
+        sv_re = e["flux"] * F.cos(theta)
+        sv_im = e["flux"] * F.sin(theta)
+        t_re = e["g1_re"] * sv_re - e["g1_im"] * sv_im
+        t_im = e["g1_re"] * sv_im + e["g1_im"] * sv_re
+        out_re = t_re * g2["g2_re"] + t_im * g2["g2_im"]
+        out_im = t_im * g2["g2_re"] - t_re * g2["g2_im"]
+        # a direction absent from either leg contributes nothing — the
+        # same 0 its absent row contributed to the expand path's sum
+        sum_re = sum_re + F.coalesce(quantize(out_re, scale), zero)
+        sum_im = sum_im + F.coalesce(quantize(out_im, scale), zero)
+    return (
+        joined.select(
+            "row_id", "antenna1", "antenna2", "time_bin", "chan",
+            sum_re.alias("qre"), sum_im.alias("qim"),
+        )
+        .groupBy("row_id", "antenna1", "antenna2", "time_bin", "chan")
+        .agg(
+            (F.sum("qre") / F.lit(scale)).alias("cc_re"),
+            (F.sum("qim") / F.lit(scale)).alias("cc_im"),
+        )
+    )
+
+
+def _cc_vis_expand(
+    vis: DataFrame, src: DataFrame, gains: DataFrame, scale: float
+) -> DataFrame:
+    """r13 expand-join-aggregate path — the FOLD_MAX_DIRS fallback."""
     from codex_africanus_spark.functions.deterministic import qsum
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
     from codex_africanus_spark.sources.tables import scan_twin

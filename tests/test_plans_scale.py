@@ -107,21 +107,27 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
 
 
 def test_dde_corrupt_gains_joins_broadcast_single_collapse(spark, sf_dir):
-    """compute_and_corrupt: both (time_bin, antenna, chan, dir) gains
-    joins must be broadcast hash joins, and the only FACT-table shuffle
-    is the source-collapse aggregate (plus the output sort). r13 adds
-    one dimension-grain hash exchange: the (chan, frequency) distinct
-    feeding the hoisted pow() — O(#chans) rows after partial agg, never
-    fact-scale."""
+    """compute_and_corrupt (r14 folded shape): both grouped-gains legs
+    must be broadcast hash joins, the ONLY fact-table hash exchange is
+    the duplicate-key collapse, and the per-direction fold must be
+    unrolled codegen expressions — no lambda HOF on the fact side (the
+    `aggregate()` variant is CodegenFallback and measured 114 s vs 17 s
+    at sf10). Dimension-grain exchanges: one (chan, frequency) distinct
+    per broadcast leg (O(#chans) rows after partial agg, never
+    fact-scale)."""
     plan = plan_of(registry()["compute_and_corrupt_vis_dde"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert hash_ex <= 2, f"expected at most two hash exchanges, plan has {hash_ex}"
-    # the hoist itself: POWER must sit under a BroadcastExchange (the
+    assert hash_ex <= 3, f"expected at most three hash exchanges, plan has {hash_ex}"
+    # the pow() hoist: POWER must sit under a BroadcastExchange (the
     # src×chan side), not in the fact-side projection
     fact_side = plan.split("BroadcastExchange")[0]
     assert "POWER" not in fact_side, "pow() leaked back to the per-pair side"
+    # the fold stays codegen: no higher-order aggregate on the fact side
+    assert "lambdafunction" not in fact_side.lower(), (
+        "per-row HOF lambda leaked into the fact-side projection"
+    )
 
 
 def test_fft_residual_model_join_broadcast(spark, sf_dir):

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for the bench query set to plans/r13/.
+"""Dump .explain('formatted') for the bench query set to plans/<SPARK_GRAFT_PLANS_DIR default r14>/.
 
 Usage:
     python tools/explain_bench.py <suffix> [name1,name2,...]
-    # suffix: 'before' or 'after' (file becomes plans/r13/<query>_<suffix>.txt)
+    # suffix: 'before' or 'after' (file becomes plans/<SPARK_GRAFT_PLANS_DIR default r14>/<query>_<suffix>.txt)
     # default names: bench.py HEADLINE + EXTENDED sets
 
 The explain output is the *initial* AQE plan (isFinalPlan=false) — the
@@ -25,7 +25,7 @@ from codex_africanus_spark.queries import registry  # noqa: E402
 from codex_africanus_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"))
 
 
 def main() -> None:
