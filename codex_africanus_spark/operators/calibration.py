@@ -315,8 +315,14 @@ def _cc_vis_folded(
         & (j1["antenna2"] == F.col("cc_b2.antenna"))
         & (j1["chan"] == F.col("cc_b2.chan")),
     ).select(j1["*"], F.col("cc_b2.g2map").alias("g2map"))
-    zero = F.lit(0).cast("long")
-    sum_re, sum_im = zero, zero
+    # staged projections (see predict._fold_sums): P1 evaluates each
+    # term's doubles ONCE (quantize references its operand twice, so
+    # quantizing the full expression inline would double every trig
+    # subtree — the predict-family fold measured 4-6× slower that way);
+    # P2 quantizes and sums cheap attributes. CollapseProject keeps them
+    # separate because inlining would duplicate non-cheap expressions.
+    keys = ["row_id", "antenna1", "antenna2", "time_bin", "chan"]
+    p1_cols = []
     for i in range(n_dir):
         e = F.get(F.col("terms"), i)
         g2 = F.try_element_at(F.col("g2map"), e["source_id"])
@@ -333,13 +339,18 @@ def _cc_vis_folded(
         t_im = e["g1_re"] * sv_im + e["g1_im"] * sv_re
         out_re = t_re * g2["g2_re"] + t_im * g2["g2_im"]
         out_im = t_im * g2["g2_re"] - t_re * g2["g2_im"]
+        p1_cols += [out_re.alias(f"__t{i}_re"), out_im.alias(f"__t{i}_im")]
+    p1 = joined.select(*keys, *p1_cols)
+    zero = F.lit(0).cast("long")
+    sum_re, sum_im = zero, zero
+    for i in range(n_dir):
         # a direction absent from either leg contributes nothing — the
         # same 0 its absent row contributed to the expand path's sum
-        sum_re = sum_re + F.coalesce(quantize(out_re, scale), zero)
-        sum_im = sum_im + F.coalesce(quantize(out_im, scale), zero)
+        sum_re = sum_re + F.coalesce(quantize(F.col(f"__t{i}_re"), scale), zero)
+        sum_im = sum_im + F.coalesce(quantize(F.col(f"__t{i}_im"), scale), zero)
     return (
-        joined.select(
-            "row_id", "antenna1", "antenna2", "time_bin", "chan",
+        p1.select(
+            *keys,
             sum_re.alias("qre"), sum_im.alias("qim"),
         )
         .groupBy("row_id", "antenna1", "antenna2", "time_bin", "chan")
