@@ -6,6 +6,7 @@ sums, sigma = sqrt(Σσ²w²/(Σw)²)."""
 import math
 
 from codex_africanus_spark.operators import averaging as avg_op
+import pytest
 
 
 def _vis(spark, rows):
@@ -18,6 +19,7 @@ def _vis(spark, rows):
     return spark.createDataFrame(rows, cols)
 
 
+@pytest.mark.slow
 def test_row_average_full_unflagged_tier(spark):
     df = _vis(
         spark,

@@ -10,6 +10,11 @@ from codex_africanus_spark.operators import clean as clean_op
 from codex_africanus_spark.operators import gridding as grid_op
 from codex_africanus_spark.queries import registry
 from codex_africanus_spark.sources import tpch_ms
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _pandas_bda(pdf: pd.DataFrame, decorr_tol=500.0, max_span=2_592_000.0):

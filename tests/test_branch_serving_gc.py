@@ -152,6 +152,7 @@ def test_concurrent_probe_serving_vs_gc_threads(spark, tmp_path):
     assert _tags(spark, a) == want
 
 
+@pytest.mark.slow
 def test_stream_static_join_against_branch_with_gc_churn(spark, sf_dir, tmp_path):
     """True stream-static serving: readStream events join the BRANCH-
     pinned dim via foreachBatch re-reads while the source advances and

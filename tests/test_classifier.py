@@ -8,6 +8,7 @@ import pandas as pd
 
 from codex_africanus_spark.operators import classifier as clf
 from codex_africanus_spark.functions.text import HASH_P
+import pytest
 
 
 def _py_score(text: str):
@@ -57,6 +58,7 @@ def test_weights_are_spread(spark):
     assert len(set(w % clf.N_BUCKETS for w in range(clf.N_BUCKETS))) == clf.N_BUCKETS
 
 
+@pytest.mark.slow
 def test_scoring_portable_over_random_corpora(spark):
     """Property check: for randomized corpora (varied token shapes,
     unicode, repeats), the Spark pipeline must agree exactly with the

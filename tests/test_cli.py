@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.cli import main
 from codex_africanus_spark.plans import rime as rime_plan
 from codex_africanus_spark.sources import tpch_ms
+import pytest
 
 
+@pytest.mark.slow
 def test_cli_predict_writes_model_data(spark, sf_dir, tmp_path):
     out = str(tmp_path / "model")
     rc = main([
@@ -33,6 +35,7 @@ def test_cli_predict_writes_model_data(spark, sf_dir, tmp_path):
     assert g and g == w
 
 
+@pytest.mark.slow
 def test_cli_predict_wsclean_sky_model(spark, sf_dir, tmp_path):
     """--sky-model: radec-only WSClean catalogue flows through the
     compiler's LMTransformer."""

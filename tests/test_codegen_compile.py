@@ -53,6 +53,7 @@ def test_unrolled_stage_compiles(strict_codegen, sf_dir, name):
     assert len(rows) >= 0
 
 
+@pytest.mark.slow
 def test_registry_wide_codegen_compiles(strict_codegen, sf_dir):
     """REGISTRY-WIDE sweep (r6 verdict #1's un-regressable form): every
     registered query runs under codegen.fallback=false, so ANY stage

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.operators import curation as cur_op
 from codex_africanus_spark.operators import dedup as dedup_op
 from codex_africanus_spark.sources.tables import load
+import pytest
 
 
 def test_chunk_dedup_conservation(spark, sf_dir):
@@ -116,6 +117,7 @@ def test_decontamination_bounds(spark, sf_dir):
     assert (out.eval_doc_id % cur_op.EVAL_MODULUS == 0).all()
 
 
+@pytest.mark.slow
 def test_keep_best_covers_every_cluster_once(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     clusters = dedup_op.near_dup_clusters(docs).toPandas()

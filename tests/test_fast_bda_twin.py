@@ -7,6 +7,11 @@ import duckdb
 import pandas as pd
 
 from codex_africanus_spark.queries import msops
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _con(sf_dir):

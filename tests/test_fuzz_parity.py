@@ -55,6 +55,10 @@ def _corpus(seed: int, n_docs: int) -> pd.DataFrame:
 
 from tests.conftest import fuzz_compare as _compare
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 CASES = [
     ("bm25_keyword_topk", lambda d: retr_op.bm25_topk(d), retr_op.BM25_SQL),

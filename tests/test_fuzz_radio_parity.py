@@ -221,6 +221,10 @@ def fuzz_sf_dir(tmp_path_factory):
 
 from tests.conftest import fuzz_compare as _compare
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", RADIO_QUERIES)
 def test_fuzz_radio_parity(spark, fuzz_sf_dir, name):

@@ -22,6 +22,10 @@ from codex_africanus_spark.streaming import stateful
 
 from tests.conftest import await_done
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 VIS_COLS = ["row_id", "time", "antenna1", "antenna2", "u", "v", "w",
             "vis_re", "vis_im", "weight"]
 VIS_SCHEMA = ("row_id long, time double, antenna1 int, antenna2 int, "

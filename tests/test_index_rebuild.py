@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.operators import dedup as dedup_op
 from codex_africanus_spark.sources import snapshot as snap
 from codex_africanus_spark.sources.tables import load
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _sets_rows(df):

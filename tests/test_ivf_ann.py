@@ -2,6 +2,11 @@
 
 from codex_africanus_spark.operators import similarity as sim
 from codex_africanus_spark.sources.tables import load
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def test_ivf_recall_floor(spark, sf_dir):

@@ -12,6 +12,11 @@ from codex_africanus_spark.operators import predict as predict_op
 from codex_africanus_spark.queries import registry
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.sources.tables import load
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def plan_of(df) -> str:

@@ -5,6 +5,11 @@ from pyspark.sql import functions as F
 
 from codex_africanus_spark.plans import rime as rp
 from codex_africanus_spark.sources import tpch_ms
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def test_rime_beam_term_composes(spark, sf_dir):

@@ -39,6 +39,7 @@ def _df(spark, tag, n=4):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_salted_sink_partial_commit_replay_no_duplicates(spark, tmp_path):
     """Crash window the r10 test missed: bins committed, carry+marker
     not. The replayed batch must OVERWRITE its own bins, not append a
@@ -148,6 +149,7 @@ def test_merge_ff_noop_returns_int_and_raises_uninitialised(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_branch_creation_is_o1_on_deep_history(spark, tmp_path):
     """≥10^3-commit history: creation copies zero manifests and stays
     fast; reads resolve through the source log; post-base commits and
@@ -294,6 +296,7 @@ def _commit_range(spark, root, lo, hi, **kw):
     return snap.commit_with_stats(df, root, stats_cols=["k"], **kw)
 
 
+@pytest.mark.slow
 def test_merge_3way_disjoint_appends_land(spark, tmp_path):
     root, br = str(tmp_path / "t"), str(tmp_path / "b")
     _commit_range(spark, root, 0, 10, mode="overwrite")
@@ -312,6 +315,7 @@ def test_merge_3way_disjoint_appends_land(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_merge_3way_overlap_refuses_with_pairs(spark, tmp_path):
     root, br = str(tmp_path / "t"), str(tmp_path / "b")
     _commit_range(spark, root, 0, 10, mode="overwrite")
@@ -325,6 +329,7 @@ def test_merge_3way_overlap_refuses_with_pairs(spark, tmp_path):
     assert snap.latest_version(root) == head_before  # nothing committed
 
 
+@pytest.mark.slow
 def test_merge_3way_missing_stats_is_conservative(spark, tmp_path):
     root, br = str(tmp_path / "t"), str(tmp_path / "b")
     _commit_range(spark, root, 0, 10, mode="overwrite")
@@ -337,6 +342,7 @@ def test_merge_3way_missing_stats_is_conservative(spark, tmp_path):
     assert "missing" in ei.value.conflicts[0][2]
 
 
+@pytest.mark.slow
 def test_merge_3way_overwrite_since_base_refuses(spark, tmp_path):
     root, br = str(tmp_path / "t"), str(tmp_path / "b")
     _commit_range(spark, root, 0, 10, mode="overwrite")

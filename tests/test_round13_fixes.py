@@ -46,6 +46,7 @@ def _rows(df):
     return [tuple(r) for r in df.orderBy("doc_a", "doc_b").collect()]
 
 
+@pytest.mark.slow
 def test_prefix_three_paths_identical_real_corpus(spark, sf_dir):
     """broadcast two-level == shuffle two-level == pre-r12 pipeline on
     the real documents table."""

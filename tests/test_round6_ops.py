@@ -92,6 +92,7 @@ def test_spi_weighted_fit_recovers_catalogue_alpha(spark, sf_dir):
         assert abs(r.alpha_fit_nano / 1e9 - truth) < 0.01, (r.source_id, truth)
 
 
+@pytest.mark.slow
 def test_recall_monotone_in_probes(spark, sf_dir, tmp_path):
     emb = load(spark, "embeddings", sf_dir)
     out = (

@@ -13,6 +13,7 @@ from codex_africanus_spark.operators import retrieval as retr_op
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.sources.tables import load
 from codex_africanus_spark import queries as Q
+import pytest
 
 
 # --------------------------------------------------------------------- beam
@@ -260,6 +261,7 @@ def test_wstack_occupancy_accounts_unflagged_rows(spark, sf_dir):
     assert all(r.n_cells <= min(r.n_rows, 32 * 32) for r in occ)
 
 
+@pytest.mark.slow
 def test_simhash_histogram_mass_matches_pair_count(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     hist = Q.simhash_hamming_histogram(spark, sf_dir).collect()
@@ -394,6 +396,7 @@ def test_length_quality_correlation_bounds_and_planted(spark, sf_dir):
     assert rows[0].length_quality_r is None
 
 
+@pytest.mark.slow
 def test_beam_dde_full_matches_python_recomputation(spark, sf_dir):
     """Semantic check of E_p·B·E_qᴴ: recompute a handful of output cells
     in plain Python from the collected beam table, source catalogue, and

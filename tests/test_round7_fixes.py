@@ -94,6 +94,7 @@ def test_flag_occupancy_ppm_decimal_path(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_incremental_ingest_idempotent_and_probe_only(spark, sf_dir, tmp_path):
     """Warm re-invocation must (a) return the identical report and
     (b) commit NOTHING — the probe-only contract; and the cold pass

@@ -41,6 +41,7 @@ def test_release_checkpoint_tolerates_delete_failure(spark, sf_dir, tmp_path):
     assert not real.exists()
 
 
+@pytest.mark.slow
 def test_ingest_probe_consults_appended_survivors(spark, sf_dir, tmp_path):
     """An index row appended AFTER the base build — with an id in the
     batch-modulus class but NOT in the current batch — must be visible
@@ -109,6 +110,7 @@ def test_no_cache_manager_residue(spark, sf_dir, qname):
     assert cm.isEmpty(), f"{qname} left a pinned CacheManager entry"
 
 
+@pytest.mark.slow
 def test_ingest_cache_manager_clean(spark, sf_dir, tmp_path):
     from codex_africanus_spark.operators import dedup as dedup_op
     from codex_africanus_spark.sources.tables import load

@@ -107,6 +107,7 @@ def test_flag_grow_stages(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_channel_interp_linear_exact(spark):
     """Values linear in chan: the repaired middle cell lands exactly on
     the line; a flagged edge clamps; an all-flagged spectrum yields

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.operators import bda as bda_op
 from codex_africanus_spark.operators import skew as skew_op
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 SCHEMA = (
     "row_id long, time double, antenna1 int, antenna2 int, "
     "u double, v double, w double, vis_re double, vis_im double, "

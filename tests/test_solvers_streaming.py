@@ -11,6 +11,11 @@ from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import windowed
 
 from tests.conftest import await_done
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def test_gauss_newton_recovers_phases(spark, sf_dir):

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.streaming import joins, windowed
 
 from tests.conftest import await_done
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def test_stream_matches_batch_twin(spark, sf_dir, tmp_path):

@@ -159,6 +159,10 @@ def test_streaming_bda_matches_batch_across_microbatches(spark, sf_dir, tmp_path
 
 import math
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _scalar_reference(batches, tol, span, MG=1e6, VG=1e6):
     """Sequential quantized binner (bda_average_quantized's loop) with

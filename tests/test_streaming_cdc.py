@@ -19,6 +19,10 @@ from codex_africanus_spark.sources import snapshot as snap
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import cdc as scdc
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 EV_SCHEMA = (
     "event_id long, ts_us long, user_id long, event_type string, value double"
 )

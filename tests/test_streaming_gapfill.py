@@ -35,6 +35,7 @@ def _summarize(df):
 
 
 @pytest.mark.parametrize("splits,shuffle", [(1, False), (4, True), (9, True)])
+@pytest.mark.slow
 def test_streaming_gapfill_matches_batch_query(
     spark, sf_dir, tmp_path, splits, shuffle
 ):
@@ -57,6 +58,7 @@ def test_streaming_gapfill_matches_batch_query(
     )
 
 
+@pytest.mark.slow
 def test_streaming_gapfill_every_prefix_is_a_valid_answer(spark, sf_dir):
     """Each intermediate summary must equal the batch core applied to
     the exact prefix seen so far — the Kappa point-in-time property
@@ -82,6 +84,7 @@ def test_streaming_gapfill_every_prefix_is_a_valid_answer(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_streaming_gapfill_sink_exactly_once_and_restart(
     spark, sf_dir, tmp_path
 ):

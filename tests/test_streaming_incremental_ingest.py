@@ -21,6 +21,7 @@ from codex_africanus_spark.sources.tables import load
 from codex_africanus_spark.streaming import dedup as sdedup
 
 from tests.conftest import await_done
+import pytest
 
 
 def _write(path, rows, mtime):
@@ -29,6 +30,7 @@ def _write(path, rows, mtime):
     os.utime(path, (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_streaming_ingest_cross_batch_and_exactly_once(spark, sf_dir, tmp_path):
     docs = load(spark, "documents", sf_dir)
     index_root = str(tmp_path / "idx")

@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.streaming import lsh as slsh
 
 from tests.conftest import await_done
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _write(path, rows, mtime):

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.streaming import lsh as slsh
 
 from tests.conftest import await_done
+import pytest
 
 
 def _write(path, rows, mtime):
@@ -29,6 +30,7 @@ UNIQ_B = "cooking rice well requires patience a heavy pot and gentle steady heat
 UNIQ_C = "tax law changed in april affecting small business quarterly filings"
 
 
+@pytest.mark.slow
 def test_streaming_paragraph_gate_matches_batch(spark, tmp_path):
     src = tmp_path / "docs"
     src.mkdir()

@@ -16,6 +16,10 @@ from codex_africanus_spark.streaming import stateful
 from tests.conftest import await_done
 from tests.test_salted_bda import SCHEMA, _fuzz_frame
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _unsalted_final_bins(spark, tmp_path, pdf, splits, tol, span, tag):
     """Run the unsalted streaming twin over `splits` micro-batches and

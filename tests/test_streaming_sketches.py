@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 from codex_africanus_spark.streaming import sketches as ssk
 
 from tests.conftest import await_done
+import pytest
 
 
 def _write(path, rows, mtime):
@@ -19,6 +20,7 @@ def _write(path, rows, mtime):
     os.utime(path, (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_streaming_cms_cells_match_batch(spark, tmp_path):
     src = tmp_path / "docs"
     src.mkdir()

@@ -18,6 +18,10 @@ from codex_africanus_spark.streaming import flagging as sflag
 
 from tests.conftest import await_done
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 CELL_SCHEMA = (
     "antenna1 int, antenna2 int, chan int, time double, mean_mq long"
 )

@@ -14,6 +14,10 @@ from codex_africanus_spark.queries import registry
 from codex_africanus_spark.sources import tpch_ms
 from codex_africanus_spark.streaming import unwrap as sunwrap
 
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _drive_increment(spark, ph_pdf, splits):
     """Run the increment over `splits` ordered micro-batches; return the

@@ -17,6 +17,11 @@ import pandas as pd
 
 from codex_africanus_spark.operators import watermark as wm_op
 from codex_africanus_spark.streaming import windowed
+import pytest
+
+# Heavyweight end-to-end rehearsal: excluded from the default (driver-budget)
+# selection; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 H = 3_600_000_000
 M = 60_000_000

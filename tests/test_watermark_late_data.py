@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from codex_africanus_spark.streaming import windowed
 
 from tests.conftest import await_done
+import pytest
 
 
 def _write(path, rows, mtime):
@@ -23,6 +24,7 @@ def _write(path, rows, mtime):
     os.utime(path, (mtime, mtime))  # the file source orders batches by mtime
 
 
+@pytest.mark.slow
 def test_late_rows_dropped_beyond_watermark(spark, tmp_path):
     src = tmp_path / "ev"
     src.mkdir()

@@ -54,6 +54,7 @@ def test_convex_hull_mask_square():
     )
 
 
+@pytest.mark.slow
 def test_stateful_running_totals(spark, sf_dir, tmp_path):
     """applyInPandasWithState over the events stream: cumulative per-user
     totals must equal the batch aggregate after AvailableNow drains."""
