@@ -108,7 +108,23 @@ def predict_point_vis(
 
     Returns (row_id, antenna1, antenna2, chan, model_re, model_im) with
     model values on the 1e-6 grid (exact BIGINT sum ÷ 1e6).
+
+    r14 (guide §4): dispatches to the Arrow/numpy source-fold tier when
+    its gates hold (operators/predict_arrow) — the per-(source,row,chan)
+    trig runs SIMD-vectorized in numpy and each row arrives at the
+    aggregate as ONE pre-summed BIGINT pair instead of n_src expanded
+    rows. Identical quantized-addend multiset + associative integer
+    addition ⇒ bit-identical output (flip-rate-measured and locked by
+    tests/test_round14_arrow_predict.py at every driver-verified scale).
     """
+    from codex_africanus_spark.operators import predict_arrow
+
+    folded = predict_arrow.point_fold(vis, sources, convention, with_shape)
+    if folded is not None:
+        return folded.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+            (F.sum("q_re") / F.lit(QSCALE)).alias("model_re"),
+            (F.sum("q_im") / F.lit(QSCALE)).alias("model_im"),
+        )
     coh = source_coherency(vis, sources, convention, with_shape)
     return (
         coh.groupBy("row_id", "antenna1", "antenna2", "chan")
@@ -167,46 +183,52 @@ def predict_full_corr(vis: DataFrame, sources: DataFrame, gains: DataFrame) -> D
     from codex_africanus_spark.functions.complex_algebra import Cplx
     from codex_africanus_spark.functions.deterministic import qsum
     from codex_africanus_spark.functions.phase import phase_delay_angle, phase_path
+    from codex_africanus_spark.operators import predict_arrow
     from codex_africanus_spark.sources.tables import fan_out, scan_twin
 
-    # hoist the brightness matrix to the broadcast side: bxx/byy depend
-    # only on (source, chan) — evaluate pow() on n_src × n_chan rows and
-    # equi-join on chan (same loop-invariant hoist as source_coherency);
-    # distinct over the unfanned twin skips the fan_out exchange (r13)
-    chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
-    src_chan = (
-        sources.crossJoin(chan_freq)
-        .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))
-        .select(
-            "chan", "l", "m", "n",
-            (F.col("flux_i") * F.col("__s") + F.col("flux_q")).alias("bxx"),
-            (F.col("flux_i") * F.col("__s") - F.col("flux_q")).alias("byy"),
-            F.col("flux_u").alias("bu"),
-            F.col("flux_v").alias("bv"),
+    corr_cols = ["xx_re", "xx_im", "xy_re", "xy_im", "yx_re", "yx_im", "yy_re", "yy_im"]
+    # r14 Arrow/numpy source-fold tier (guide §4; see predict_point_vis)
+    folded = predict_arrow.full_corr_fold(vis, sources)
+    if folded is not None:
+        model = folded.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+            *[(F.sum(f"q_{c}") / F.lit(QSCALE)).alias(c) for c in corr_cols]
         )
-    )
-    j = fan_out(vis).join(F.broadcast(src_chan), "chan")
-    theta = phase_delay_angle(
-        phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
-        F.col("frequency"),
-        "fourier",
-    )
-    ct, st = F.cos(theta), F.sin(theta)
-    bxx, byy = F.col("bxx"), F.col("byy")
-    bu, bv = F.col("bu"), F.col("bv")
-    coh = j.select(
-        "row_id", "antenna1", "antenna2", "chan",
-        (bxx * ct).alias("xx_re"), (bxx * st).alias("xx_im"),
-        (bu * ct - bv * st).alias("xy_re"), (bu * st + bv * ct).alias("xy_im"),
-        (bu * ct - (-bv) * st).alias("yx_re"), (bu * st + (-bv) * ct).alias("yx_im"),
-        (byy * ct).alias("yy_re"), (byy * st).alias("yy_im"),
-    )
-    model = coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
-        *[
-            (qsum(F.col(c), QSCALE) / F.lit(QSCALE)).alias(c)
-            for c in ["xx_re", "xx_im", "xy_re", "xy_im", "yx_re", "yx_im", "yy_re", "yy_im"]
-        ]
-    )
+    else:
+        # hoist the brightness matrix to the broadcast side: bxx/byy depend
+        # only on (source, chan) — evaluate pow() on n_src × n_chan rows and
+        # equi-join on chan (same loop-invariant hoist as source_coherency);
+        # distinct over the unfanned twin skips the fan_out exchange (r13)
+        chan_freq = scan_twin(vis).select("chan", "frequency").distinct()
+        src_chan = (
+            sources.crossJoin(chan_freq)
+            .withColumn("__s", F.pow(F.col("frequency") / F.col("ref_freq"), F.col("spi")))
+            .select(
+                "chan", "l", "m", "n",
+                (F.col("flux_i") * F.col("__s") + F.col("flux_q")).alias("bxx"),
+                (F.col("flux_i") * F.col("__s") - F.col("flux_q")).alias("byy"),
+                F.col("flux_u").alias("bu"),
+                F.col("flux_v").alias("bv"),
+            )
+        )
+        j = fan_out(vis).join(F.broadcast(src_chan), "chan")
+        theta = phase_delay_angle(
+            phase_path(F.col("u"), F.col("v"), F.col("w"), F.col("l"), F.col("m"), F.col("n")),
+            F.col("frequency"),
+            "fourier",
+        )
+        ct, st = F.cos(theta), F.sin(theta)
+        bxx, byy = F.col("bxx"), F.col("byy")
+        bu, bv = F.col("bu"), F.col("bv")
+        coh = j.select(
+            "row_id", "antenna1", "antenna2", "chan",
+            (bxx * ct).alias("xx_re"), (bxx * st).alias("xx_im"),
+            (bu * ct - bv * st).alias("xy_re"), (bu * st + bv * ct).alias("xy_im"),
+            (bu * ct - (-bv) * st).alias("yx_re"), (bu * st + (-bv) * ct).alias("yx_im"),
+            (byy * ct).alias("yy_re"), (byy * st).alias("yy_im"),
+        )
+        model = coh.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+            *[(qsum(F.col(c), QSCALE) / F.lit(QSCALE)).alias(c) for c in corr_cols]
+        )
     g1 = F.broadcast(
         gains.select(
             F.col("antenna").alias("antenna1"), "chan",

@@ -634,6 +634,32 @@ def rime(
             terms.append(TERM_MAP[char]())
         else:
             raise ValueError(f"unknown RIME term {char!r}; register it first")
+    # r14 Arrow/numpy source-fold tier (guide §4): a spec whose terms are
+    # EXACTLY the standard {K, B} or {K, B, E} classes (no overrides —
+    # exact type checks, the _HoistedBrightness discipline — and no
+    # per-spec transformers) computes the same quantized addend multiset
+    # as predict_point_vis: flux·env·e^{iθ} summed on the 1e-6 grid.
+    # Term order only permutes the JVM double-multiplication association,
+    # which the fixed-point grid absorbs (locked bit-for-bit vs this
+    # compiled path at every driver-verified scale by
+    # tests/test_round14_arrow_predict.py).
+    term_types = [type(t) for t in terms]
+    if (
+        not transformers
+        and len(term_types) == len(set(term_types))
+        and set(term_types) in ({PhaseTerm, BrightnessTerm},
+                                {PhaseTerm, BrightnessTerm, GaussianShapeTerm})
+    ):
+        from codex_africanus_spark.operators import predict_arrow
+
+        folded = predict_arrow.point_fold(
+            vis, sources, "fourier", GaussianShapeTerm in term_types
+        )
+        if folded is not None:
+            return folded.groupBy("row_id", "antenna1", "antenna2", "chan").agg(
+                (F.sum("q_re") / F.lit(QSCALE)).alias("vis_re"),
+                (F.sum("q_im") / F.lit(QSCALE)).alias("vis_im"),
+            )
     # r13 loop-invariant hoist (guide §1.2): the STANDARD BrightnessTerm
     # multiplies z by a real flux that depends only on (source, chan) —
     # evaluate its pow() once per (source, chan) on the broadcast side
