@@ -133,14 +133,23 @@ def point_fold(
         NM1 = src["n"] - 1.0  # (n - 1.0): same IEEE op the JVM runs per pair
         FI, SPI, RF = src["flux_i"], src["spi"], src["ref_freq"]
         if shape:
-            ISG = src["source_type"] != 0.0
-            EMAJ = src["emaj"]
-            FR = src["emin"] / src["emaj"]  # emin/emaj, per-source constant
-            CA, SA = _np.cos(src["position_angle"]), _np.sin(src["position_angle"])
+            # env only exists on the GAUSSIAN columns: the expand path's
+            # otherwise(1.0) lanes multiply by exactly 1.0 (x*1.0 == x
+            # bitwise), so the kernel computes the envelope for the
+            # gaussian column subset and multiplies it in IN PLACE
+            gidx = _np.flatnonzero(src["source_type"] != 0.0)
+            EMAJ = src["emaj"][gidx]
+            FR = (src["emin"] / src["emaj"])[gidx]  # emin/emaj constant
+            pa = src["position_angle"][gidx]
+            CA, SA = _np.cos(pa), _np.sin(pa)
 
         def quant(x):
+            # value-identical to where(v>=0, v+0.5, v-0.5).astype(int64)
+            # (the engine's quantize): copysign(0.5, -0.0) = -0.5 still
+            # truncates to 0; one fewer temporary per call (measured 3x)
             v = x * 1e6
-            return _np.where(v >= 0, v + 0.5, v - 0.5).astype(_np.int64)
+            v += _np.copysign(0.5, v)
+            return v.astype(_np.int64)
 
         for pdf in batches:
             u = pdf["u"].to_numpy(dtype=_np.float64)[:, None]
@@ -155,13 +164,12 @@ def point_fold(
             # flux_i * pow(freq/ref_freq, spi), the oracle's per-row tree
             uf, inv = _np.unique(fq1, return_inverse=True)
             grid = FI * _np.power(uf[:, None] / RF, SPI)
-            flux = grid[inv]
-            if shape:
+            flux = grid[inv]  # fresh array: in-place env multiply is safe
+            if shape and gidx.size:
                 sfe = (fq * gs) * EMAJ  # scaled_freq * emaj
                 u1 = (u * CA + v * SA) * FR * sfe
                 v1 = (-u * SA + v * CA) * sfe
-                env = _np.where(ISG, _np.exp(-(u1 * u1 + v1 * v1)), 1.0)
-                flux = flux * env
+                flux[:, gidx] *= _np.exp(-(u1 * u1 + v1 * v1))
             out = pdf[key_cols].copy()
             out["q_re"] = quant(flux * ct).sum(axis=1)
             out["q_im"] = quant(flux * st).sum(axis=1)
@@ -196,11 +204,12 @@ def full_corr_fold(vis: DataFrame, sources: DataFrame) -> DataFrame | None:
         NM1 = src["n"] - 1.0
         FI, FQ_, SPI, RF = src["flux_i"], src["flux_q"], src["spi"], src["ref_freq"]
         BU, BV = src["flux_u"], src["flux_v"]
-        NBV = -BV  # (-bv): exact IEEE negation, mirrors the yx expression tree
 
         def quant(x):
+            # value-identical to where(v>=0, v+0.5, v-0.5).astype(int64)
             v = x * 1e6
-            return _np.where(v >= 0, v + 0.5, v - 0.5).astype(_np.int64)
+            v += _np.copysign(0.5, v)
+            return v.astype(_np.int64)
 
         for pdf in batches:
             u = pdf["u"].to_numpy(dtype=_np.float64)[:, None]
@@ -216,13 +225,19 @@ def full_corr_fold(vis: DataFrame, sources: DataFrame) -> DataFrame | None:
             s = _np.power(uf[:, None] / RF, SPI)
             bxx = (FI * s + FQ_)[inv]
             byy = (FI * s - FQ_)[inv]
+            # the xy/yx legs share their four products: the JVM trees are
+            # xy = bu*ct -/+ bv*st, yx = bu*ct - (-bv)*st etc., and IEEE
+            # negation/subtraction make a-(-b) == a+b bit-exactly, so
+            # P,Q,R,S compute each product once
+            p, q = BU * ct, BV * st
+            r, s2 = BU * st, BV * ct
             out = pdf[key_cols].copy()
             out["q_xx_re"] = quant(bxx * ct).sum(axis=1)
             out["q_xx_im"] = quant(bxx * st).sum(axis=1)
-            out["q_xy_re"] = quant(BU * ct - BV * st).sum(axis=1)
-            out["q_xy_im"] = quant(BU * st + BV * ct).sum(axis=1)
-            out["q_yx_re"] = quant(BU * ct - NBV * st).sum(axis=1)
-            out["q_yx_im"] = quant(BU * st + NBV * ct).sum(axis=1)
+            out["q_xy_re"] = quant(p - q).sum(axis=1)
+            out["q_xy_im"] = quant(r + s2).sum(axis=1)
+            out["q_yx_re"] = quant(p + q).sum(axis=1)
+            out["q_yx_im"] = quant(r - s2).sum(axis=1)
             out["q_yy_re"] = quant(byy * ct).sum(axis=1)
             out["q_yy_im"] = quant(byy * st).sum(axis=1)
             yield out
