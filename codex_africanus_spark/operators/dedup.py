@@ -52,8 +52,88 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _arrow_shingle_ok(docs: DataFrame) -> bool:
+    """Dispatch gate for the Arrow shingler (r14, guide §4.2): the JVM
+    path stays authoritative unless the frame matches the corpus
+    contract (bigint doc_id + string text) AND the corpus is big enough
+    to amortize the Python boundary's fixed per-stage latency —
+    measured: the kernel is 1.31x/1.13x on minhash-LSH/prefix-filter at
+    sf10 (59 MB corpus) but 0.8x on the 0.6 MB sf0.1 corpus, where the
+    shingle CPU is smaller than the worker round-trip. Size-adaptive
+    like tables.fan_out (sum of input file sizes; unknown lineage means
+    small/test frames, which stay JVM). SPARK_GRAFT_ARROW_SHINGLE=0
+    forces the JVM path, =1 forces the Arrow tier (the bit-compare
+    tests use it); SPARK_GRAFT_ARROW_SHINGLE_MIN_MB tunes the
+    crossover (default 32)."""
+    import os
+
+    d = dict(docs.dtypes)
+    if d.get("doc_id") != "bigint" or d.get("text") != "string":
+        return False
+    mode = os.environ.get("SPARK_GRAFT_ARROW_SHINGLE", "")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    min_bytes = int(os.environ.get("SPARK_GRAFT_ARROW_SHINGLE_MIN_MB", "32")) << 20
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in docs.inputFiles()]
+        return (
+            bool(files)
+            and all(os.path.exists(p) for p in files)
+            and sum(os.path.getsize(p) for p in files) >= min_bytes
+        )
+    except Exception:
+        return False
+
+
 def _shingle_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) — one row per word-3gram shingle, h ∈ [0, 2^31-1)."""
+    """(doc_id, h) — one row per word-3gram shingle, h ∈ [0, 2^31-1).
+
+    r14 (guide §4.2): the hot form is an Arrow `mapInPandas` kernel —
+    Python's C md5 + str.split measure ~14x less CPU per shingle than
+    the codegen split/slice/concat_ws/md5/conv chain (2.4 us vs ~34 us
+    at sf0.1). Value-identical by construction: same UTF-8 bytes into
+    the same md5, same first-15-hex-digits integer, same % 2^31-1
+    (locked bit-for-bit by tests/test_round14_arrow_shingle.py);
+    row-skipping matches the JVM filter (size(split(text,' ')) >= 3,
+    with null text yielding size -1 and dropping)."""
+    if _arrow_shingle_ok(docs):
+        inp = docs.select("doc_id", "text")
+
+        def gen(batches):
+            import hashlib
+
+            import numpy as _np
+            import pandas as _pd
+
+            md5 = hashlib.md5
+            p = 2147483647
+            for pdf in batches:
+                ids: list = []
+                hs: list = []
+                for did, s in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                    if s is None:
+                        continue
+                    w = s.split(" ")
+                    n = len(w) - 2
+                    if n <= 0:
+                        continue
+                    ids.extend([did] * n)
+                    join = " ".join
+                    hs.extend(
+                        int(md5(join(w[j:j + 3]).encode()).hexdigest()[:15], 16) % p
+                        for j in range(n)
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _np.asarray(ids, dtype=_np.int64),
+                        "h": _np.asarray(hs, dtype=_np.int64),
+                    }
+                )
+
+        return inp.mapInPandas(gen, "doc_id long, h long")
     eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     return (
         eligible.select("doc_id", F.explode(word_3gram_shingles("text")).alias("shingle"))
@@ -71,7 +151,67 @@ def minhash_signatures(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     a doc-cardinality shuffle for what is row-local arithmetic.)
 
     `keep` passes extra columns through the projection (e.g. the event
-    time for the streaming candidate gate) without a re-join."""
+    time for the streaming candidate gate) without a re-join.
+
+    r14 (guide §4.2): the hot form is an Arrow `mapInPandas` kernel —
+    md5-shingling in C-speed Python (see _shingle_frame) and the k=8
+    permutations as numpy int64 passes over the batch's flattened
+    shingle array with per-doc `minimum.reduceat` segments. Integer
+    arithmetic is exact and identical in both engines (a·h+b < 2^63);
+    locked bit-for-bit by tests/test_round14_arrow_shingle.py."""
+    if _arrow_shingle_ok(docs):
+        inp = fan_out(docs).select("doc_id", *keep, "text")
+        pass_fields = [inp.schema[c] for c in ("doc_id", *keep)]
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            pass_fields
+            + [StructField(f"sig_{i}", LongType()) for i in range(len(MINHASH_A))]
+        )
+        pass_cols = ["doc_id", *keep]
+        a_consts = list(MINHASH_A)
+        b_consts = list(MINHASH_B)
+
+        def gen(batches):
+            import hashlib
+
+            import numpy as _np
+
+            md5 = hashlib.md5
+            p = 2147483647
+            for pdf in batches:
+                flat: list = []
+                counts: list = []
+                mask = _np.zeros(len(pdf), dtype=bool)
+                for i, s in enumerate(pdf["text"]):
+                    if s is None:
+                        continue
+                    w = s.split(" ")
+                    n = len(w) - 2
+                    if n <= 0:
+                        continue
+                    mask[i] = True
+                    counts.append(n)
+                    join = " ".join
+                    flat.extend(
+                        int(md5(join(w[j:j + 3]).encode()).hexdigest()[:15], 16) % p
+                        for j in range(n)
+                    )
+                out = pdf.loc[mask, pass_cols].reset_index(drop=True)
+                arr = _np.asarray(flat, dtype=_np.int64)
+                starts = _np.zeros(len(counts), dtype=_np.int64)
+                if len(counts) > 1:
+                    starts[1:] = _np.cumsum(counts[:-1])
+                for i, (a, b) in enumerate(zip(a_consts, b_consts)):
+                    v = (a * arr + b) % p
+                    out[f"sig_{i}"] = (
+                        _np.minimum.reduceat(v, starts)
+                        if len(counts)
+                        else _np.empty(0, dtype=_np.int64)
+                    )
+                yield out
+
+        return inp.mapInPandas(gen, out_schema)
     eligible = fan_out(docs).filter(F.size(F.split(F.col("text"), " ")) >= 3)
     hashed = eligible.select(
         "doc_id", *keep, F.transform(word_3gram_shingles("text"), hash31).alias("hs")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from codex_africanus_spark.sources.tables import fan_out
+from codex_africanus_spark.sources.tables import fan_out, fast_row_count
 
 DOT_SCALE = "1000000000000"  # 1e12 as exact integer literal
 N_PLANES = 4
@@ -310,7 +310,7 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int | None = None) -> DataFrame:
     """Assign each vector its 2^P-bucket signature (sign bit per
     plane); P is N-scaled (`_lsh_n_planes`) unless pinned."""
     if n_planes is None:
-        n_planes = _lsh_n_planes(embeddings.count())
+        n_planes = _lsh_n_planes(fast_row_count(embeddings))
     bucket = sum(
         F.when(_plane_expr(p, "embedding") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         for p in range(n_planes)
@@ -522,7 +522,7 @@ ARROW_ASSIGN_MIN_PAIRS = 1_000_000  # (n_vecs x n_cells) Arrow-tier gate
 
 
 def _assign_arrow(
-    embeddings: DataFrame, cent: DataFrame, include_dist: bool = False
+    embeddings: DataFrame, cent, include_dist: bool = False
 ) -> DataFrame:
     """Exact integer-replay nearest-cell assignment as a MAP-ONLY Arrow
     pass — `_ivf_build`'s scale tier past ARROW_ASSIGN_MIN_PAIRS pairs,
@@ -554,7 +554,12 @@ def _assign_arrow(
     import numpy as np
     import pandas as pd
 
-    rows = cent.orderBy("cid").collect()
+    # `cent` may be the quantizer DataFrame or its already-collected
+    # rows (r14 stage-glue: callers that also need the tiny table on
+    # the driver collect ONCE and pass the rows, instead of pinning a
+    # localCheckpoint that exists only to be collected again)
+    rows = cent if isinstance(cent, list) else cent.orderBy("cid").collect()
+    rows = sorted(rows, key=lambda r: r["cid"])
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     cmat = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
 
@@ -606,15 +611,19 @@ def _ivf_build(embeddings: DataFrame, n_vecs: int | None = None):
     ARROW_ASSIGN_MIN_PAIRS (n_vecs x n_cells) the assignment runs as
     the bit-identical map-only Arrow replay (`_assign_arrow`) instead
     of materializing the pair frame."""
-    n_vecs = embeddings.count() if n_vecs is None else n_vecs
+    # footer-exact row count: no count() job for the bare-scan case
+    # (r14 stage-glue — the count only sizes the quantizer)
+    n_vecs = fast_row_count(embeddings) if n_vecs is None else n_vecs
     n_cells = _ivf_n_cells(n_vecs)  # r13: sqrt-capped (see _ivf_n_cells)
     cent = _centroids(embeddings, n_cells=n_cells)
     if n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS:
         # the tiny (cells x dims) table is consumed twice on this path
-        # (driver collect for the closure + the probe's broadcast) —
-        # pin it so the quantizer aggregate runs once
-        cent = cent.localCheckpoint(eager=True)
-        return cent, _assign_arrow(embeddings, cent)
+        # (driver closure + the probe's broadcast): collect it ONCE and
+        # hand the probe a LocalRelation of the same rows — one job
+        # where checkpoint-then-collect was two (r14 stage-glue)
+        rows = cent.orderBy("cid").collect()
+        cent_local = embeddings.sparkSession.createDataFrame(rows, cent.schema)
+        return cent_local, _assign_arrow(embeddings, rows)
     return cent, _assign_relational(embeddings, cent)
 
 
@@ -1338,14 +1347,17 @@ def semantic_dedup(
     (O(N^1.5), Arrow map-only past the pair gate) and the within-cell
     pair stage (sum-over-cells(|cell|²) = O(N^1.5)) grow as N^1.5 —
     the balanced point for a one-pass build."""
-    n_vecs = embeddings.count()
+    n_vecs = fast_row_count(embeddings)
     n_cells = _ivf_n_cells(n_vecs)
     cent = _centroids(embeddings, n_cells=n_cells)
     use_arrow = n_vecs * n_cells >= ARROW_ASSIGN_MIN_PAIRS
     if use_arrow:
-        # map-only Arrow argmin (bit-identical replay — see _assign_arrow)
+        # map-only Arrow argmin (bit-identical replay — see _assign_arrow);
+        # _assign_arrow collects the quantizer itself and nothing else
+        # consumes it on this path, so the former localCheckpoint was a
+        # whole extra materialization job (r14 stage-glue)
         assign = _assign_arrow(
-            embeddings, cent.localCheckpoint(eager=True)
+            embeddings, cent
         ).select("vec_id", F.col("cid"), _qvec("embedding").alias("qe"))
     else:
         # fan_out before the quantizer crossJoin — same single-row-group
@@ -1981,7 +1993,7 @@ def kmeans_lloyd_stats(
     value; locked by the forced-path test in tests/test_ivf_ann.py."""
     spark = embeddings.sparkSession
     emb = fan_out(embeddings).select("vec_id", "embedding")
-    use_arrow = embeddings.count() * k >= ARROW_ASSIGN_MIN_PAIRS
+    use_arrow = fast_row_count(embeddings) * k >= ARROW_ASSIGN_MIN_PAIRS
 
     def _lit_frame(rows):
         return spark.createDataFrame(
@@ -2343,7 +2355,7 @@ def pca_power_iteration(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFr
     d = 64 ⇒ |u| < 2^53, so the int→double division is exact."""
     import math
 
-    n = embeddings.count()
+    n = fast_row_count(embeddings)
     e = fan_out(embeddings)
     xi = e.select("embedding", F.posexplode("embedding").alias("i", "xi"))
     prods = xi.select(

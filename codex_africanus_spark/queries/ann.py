@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from codex_africanus_spark.sources import tables
 from codex_africanus_spark.sources.tables import load
 from codex_africanus_spark.operators import similarity as sim_op  # noqa: E402
 from codex_africanus_spark.operators import corpus_stats as cstat_op  # noqa: E402
@@ -315,7 +316,7 @@ def kmeans_nscaled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as kmeans_lloyd_stats; the oracle N-scales in its own `p`
     CTE (same formula) so both engines derive k from the data."""
     emb = load(spark, "embeddings", sf_dir)
-    return sim_op.kmeans_lloyd_stats(emb, k=sim_op._ivf_n_cells(emb.count()))
+    return sim_op.kmeans_lloyd_stats(emb, k=sim_op._ivf_n_cells(tables.fast_row_count(emb)))
 
 
 @register("ann_pq_persisted_topk", sim_op.PQ_SQL())

@@ -148,6 +148,32 @@ def scan_twin(df: DataFrame) -> DataFrame:
     return getattr(df, "_scan_twin", df)
 
 
+def fast_row_count(df: DataFrame) -> int:
+    """Exact row count without launching a Spark job when `df` is a bare
+    (possibly projected) single-relation parquet scan: parquet footers
+    carry exact per-file row counts, so the driver reads KB-scale
+    metadata instead of scheduling a scan stage (guide §2.4 — the count
+    feeds plan-build decisions like N-scaled cell/plane counts, where a
+    whole job of stage latency is pure glue). Any other plan shape —
+    filters, joins, non-file relations, remote schemes — falls back to
+    df.count() unchanged."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.getClass().getSimpleName() == "Project":
+            node = node.children().apply(0)
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            return df.count()
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in df.inputFiles()]
+        if not files or not all(os.path.exists(p) for p in files):
+            return df.count()
+        import pyarrow.parquet as _pq
+
+        return sum(_pq.ParquetFile(p).metadata.num_rows for p in files)
+    except Exception:
+        return df.count()
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
